@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(IDs in comments), each runnable on the driver's testdata; ``oracle_sql()``
+gives the DuckDB-equivalent SQL.  The driver's ``events`` table plays the
+measurement: ``event_type`` → series, ``epoch_ns(ts)`` → time_ns,
+``value``/``user_id`` → fields (FIXTURES.md "Mapping onto the driver's
+testdata").
+
+Float determinism: every order-dependent float aggregation (sums, integral)
+runs in exact decimal/integer accumulation on BOTH sides so hashes match
+bit-for-bit; single-op window arithmetic (difference/derivative/tare) is
+IEEE-deterministic as-is.
 """
 
 from __future__ import annotations
@@ -13,26 +19,305 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Fixed query window: 2024-01-05 .. 2024-01-25 UTC (events span Jan 2024).
+T0 = 1_704_412_800 * 1_000_000_000
+T1 = 1_706_140_800 * 1_000_000_000
+DAY_NS = 86_400 * 1_000_000_000
+W = DAY_NS  # tumbling window for A2/A3/W4
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simple_tsdb_spark.sources import events_measurement
+
+    return events_measurement(spark, sf_dir)
+
+
+# DuckDB view of the events table as a measurement (shared CTE prefix).
+_M = "SELECT event_type AS series, epoch_ns(ts) AS time_ns, value, user_id, event_id FROM events"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: windowed sum/min/max/count with empty-bucket emission (A2)."""
+    from simple_tsdb_spark.operators import sum_points
+
+    df = _events(spark, "/root/testdata/sf0.001")
+    return sum_points(df, fields=["value"], t0=T0, t1=T1, window_ns=W, exact=True)
+
+
+# --------------------------------------------------------------------------
+# queries(): (spark, sf_dir) -> DataFrame, one per operator
+# --------------------------------------------------------------------------
+
+def _q_select_points(spark: SparkSession, sf_dir: str) -> DataFrame:  # S1/P1/P2/P3
+    from simple_tsdb_spark.operators import select_points
+
+    return select_points(
+        _events(spark, sf_dir),
+        series="click",
+        fields=["value", "user_id", "event_id"],
+        t0=T0,
+        t1=T1,
+        limit=200,
+        tiebreak=["event_id"],
+    )
+
+
+def _q_select_last(spark: SparkSession, sf_dir: str) -> DataFrame:  # S2
+    from simple_tsdb_spark.operators import select_last_points
+
+    return select_last_points(
+        _events(spark, sf_dir),
+        series="purchase",
+        fields=["value", "user_id", "event_id"],
+        t0=T0,
+        t1=T1,
+        last=100,
+        tiebreak=["event_id"],
+    )
+
+
+def _q_select_last_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:  # S2 (per-series)
+    from simple_tsdb_spark.operators import select_last_points
+
+    return select_last_points(
+        _events(spark, sf_dir),
+        fields=["value", "user_id", "event_id"],
+        t0=T0,
+        t1=T1,
+        last=25,
+        per_series=True,
+        tiebreak=["event_id"],
+    )
+
+
+def _q_count_points(spark: SparkSession, sf_dir: str) -> DataFrame:  # A1
+    from simple_tsdb_spark.operators import count_points
+
+    return count_points(_events(spark, sf_dir), t0=T0, t1=T1, per_series=True)
+
+
+def _q_sum_points(spark: SparkSession, sf_dir: str) -> DataFrame:  # A2
+    from simple_tsdb_spark.operators import sum_points
+
+    return sum_points(
+        _events(spark, sf_dir), fields=["value", "user_id"], t0=T0, t1=T1, window_ns=W, exact=True
+    )
+
+
+def _q_mean_points(spark: SparkSession, sf_dir: str) -> DataFrame:  # A3
+    from simple_tsdb_spark.operators import mean_points
+
+    return mean_points(
+        _events(spark, sf_dir), fields=["value"], t0=T0, t1=T1, window_ns=W, exact=True
+    )
+
+
+def _q_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:  # W4
+    from simple_tsdb_spark.operators import minmax_downsample
+
+    return minmax_downsample(
+        _events(spark, sf_dir), field="value", t0=T0, t1=T1, window_ns=W, exact=True
+    )
+
+
+def _q_integrate(spark: SparkSession, sf_dir: str) -> DataFrame:  # A4
+    from simple_tsdb_spark.operators import integrate_points
+
+    return integrate_points(_events(spark, sf_dir), fields=["value"], t0=T0, t1=T1, exact=True)
+
+
+def _q_active_series(spark: SparkSession, sf_dir: str) -> DataFrame:  # A5
+    from simple_tsdb_spark.operators import list_active_series
+
+    return list_active_series(_events(spark, sf_dir), t0=T0, t1=T1)
+
+
+def _q_list_series(spark: SparkSession, sf_dir: str) -> DataFrame:  # D7
+    from simple_tsdb_spark.operators import list_series
+
+    return list_series(_events(spark, sf_dir))
+
+
+def _q_tare(spark: SparkSession, sf_dir: str) -> DataFrame:  # W1
+    from simple_tsdb_spark.operators import tare
+
+    return tare(_events(spark, sf_dir), fields=["value"], series="purchase", t0=T0, t1=T1)
+
+
+def _q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:  # W2
+    from simple_tsdb_spark.operators import difference
+
+    return difference(_events(spark, sf_dir), fields=["value"], t0=T0, t1=T1)
+
+
+def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
+    from simple_tsdb_spark.operators import derivative
+
+    return derivative(
+        _events(spark, sf_dir), fields=["value"], t0=T0, t1=T1, period_sec=1.0
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "select_points": _q_select_points,
+        "select_last": _q_select_last,
+        "select_last_per_series": _q_select_last_per_series,
+        "count_points": _q_count_points,
+        "sum_points": _q_sum_points,
+        "mean_points": _q_mean_points,
+        "minmax_downsample": _q_minmax_downsample,
+        "integrate_points": _q_integrate,
+        "active_series": _q_active_series,
+        "list_series": _q_list_series,
+        "tare": _q_tare,
+        "difference": _q_difference,
+        "derivative": _q_derivative,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# oracle_sql(): DuckDB equivalents
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    m = _M
+    w = W
+    # round_up(T0, W) — precomputed so both engines see the same literal.
+    t0a_floor = -(-T0 // w) * w
+    sum_cte = f"""
+WITH m AS ({m}),
+tf AS (SELECT series, MIN(time_ns) AS tfirst FROM m GROUP BY series),
+starts AS (SELECT series, GREATEST({t0a_floor}, tfirst - tfirst % {w}) AS t0a FROM tf),
+data AS (
+  SELECT m.series, time_ns - time_ns % {w} AS wstart, value, user_id
+  FROM m JOIN starts USING (series)
+  WHERE time_ns >= t0a AND time_ns <= {T1}),
+agg AS (
+  SELECT series, wstart, COUNT(*) AS window_npoints,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
+         MIN(value) AS value_min, MAX(value) AS value_max,
+         COUNT(value) AS value_count,
+         CAST(SUM(CAST(user_id AS DECIMAL(28,6))) AS DOUBLE) AS user_id_sum,
+         MIN(user_id) AS user_id_min, MAX(user_id) AS user_id_max,
+         COUNT(user_id) AS user_id_count
+  FROM data GROUP BY series, wstart),
+bounds AS (
+  SELECT d.series, MIN(s.t0a) AS bfirst, MAX(d.wstart) AS blast
+  FROM data d JOIN starts s USING (series) GROUP BY d.series),
+spine AS (
+  SELECT series, UNNEST(generate_series(bfirst, blast, {w})) AS wstart FROM bounds)
+"""
+    return {
+        "select_points": f"""
+SELECT * FROM (
+  SELECT event_type AS series, epoch_ns(ts) AS time_ns, value, user_id, event_id
+  FROM events
+  WHERE event_type = 'click' AND epoch_ns(ts) BETWEEN {T0} AND {T1}
+  ORDER BY time_ns, event_id LIMIT 200)
+""",
+        "select_last": f"""
+SELECT * FROM (
+  SELECT event_type AS series, epoch_ns(ts) AS time_ns, value, user_id, event_id
+  FROM events
+  WHERE event_type = 'purchase' AND epoch_ns(ts) BETWEEN {T0} AND {T1}
+  ORDER BY time_ns DESC, event_id DESC LIMIT 100)
+""",
+        "select_last_per_series": f"""
+SELECT series, time_ns, value, user_id, event_id FROM (
+  SELECT event_type AS series, epoch_ns(ts) AS time_ns, value, user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+  FROM events WHERE epoch_ns(ts) BETWEEN {T0} AND {T1})
+WHERE rn <= 25
+""",
+        "count_points": f"""
+SELECT event_type AS series, COUNT(*) AS npoints,
+       MIN(epoch_ns(ts)) AS time_first, MAX(epoch_ns(ts)) AS time_last
+FROM events WHERE epoch_ns(ts) BETWEEN {T0} AND {T1}
+GROUP BY event_type
+""",
+        "sum_points": sum_cte
+        + """
+SELECT spine.series, spine.wstart,
+       COALESCE(agg.window_npoints, 0) AS window_npoints,
+       agg.value_sum, agg.value_min, agg.value_max,
+       COALESCE(agg.value_count, 0) AS value_count,
+       agg.user_id_sum, agg.user_id_min, agg.user_id_max,
+       COALESCE(agg.user_id_count, 0) AS user_id_count
+FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
+""",
+        "mean_points": sum_cte
+        + """
+SELECT spine.series, spine.wstart,
+       COALESCE(agg.window_npoints, 0) AS window_npoints,
+       CASE WHEN COALESCE(agg.value_count, 0) > 0
+            THEN agg.value_sum / agg.value_count END AS value_mean
+FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
+""",
+        "minmax_downsample": sum_cte
+        + """
+, wide AS (
+  SELECT series, wstart, value_sum, value_min, value_max, value_count,
+         CASE WHEN value_count > 0 THEN value_sum / value_count END AS value_mean
+  FROM agg)
+SELECT series, wstart, stat, value FROM (
+  SELECT series, wstart, 'min' AS stat, CAST(value_min AS DOUBLE) AS value FROM wide
+  UNION ALL
+  SELECT series, wstart, 'max' AS stat, CAST(value_max AS DOUBLE) AS value FROM wide
+  UNION ALL
+  SELECT series, wstart, 'mean' AS stat, value_mean AS value FROM wide)
+WHERE value IS NOT NULL
+""",
+        "integrate_points": f"""
+WITH m AS (
+  SELECT event_type AS series, epoch_ns(ts) AS time_ns, value
+  FROM events WHERE epoch_ns(ts) BETWEEN {T0} AND {T1}),
+t AS (
+  SELECT series, time_ns,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS vm,
+         LAG(CAST(ROUND(value * 1e6) AS BIGINT)) OVER w AS lvm,
+         LAG(time_ns) OVER w AS lag_t,
+         CASE WHEN value IS NULL THEN 1 ELSE 0 END AS isn,
+         CAST(value AS DOUBLE) AS v
+  FROM m WINDOW w AS (PARTITION BY series ORDER BY time_ns)),
+a AS (
+  SELECT series, MIN(time_ns) AS t0_ns, MAX(time_ns) AS t1_ns, COUNT(*) AS npoints,
+         SUM(CASE WHEN lag_t IS NOT NULL
+                  THEN CAST(COALESCE(vm + lvm, 0) AS HUGEINT) * (time_ns - lag_t)
+                  ELSE 0 END) AS s,
+         MAX(isn) AS poisoned, MAX(v) AS single
+  FROM t GROUP BY series)
+SELECT series, t0_ns, t1_ns, npoints,
+       CASE WHEN poisoned = 1 THEN NULL
+            WHEN npoints = 1 THEN single
+            ELSE CAST(s AS DOUBLE) * 0.5e-15 END AS value_integral
+FROM a
+""",
+        "active_series": f"""
+SELECT DISTINCT event_type AS series FROM events
+WHERE epoch_ns(ts) BETWEEN {T0} AND {T1}
+""",
+        "list_series": "SELECT DISTINCT event_type AS series FROM events",
+        "tare": f"""
+SELECT event_type AS series, epoch_ns(ts) AS time_ns,
+       CAST(value - first_value(value IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY epoch_ns(ts)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_tare
+FROM events
+WHERE event_type = 'purchase' AND epoch_ns(ts) BETWEEN {T0} AND {T1}
+""",
+        "difference": f"""
+SELECT event_type AS series, epoch_ns(ts) AS time_ns,
+       CAST(value - LAG(value) OVER (PARTITION BY event_type ORDER BY epoch_ns(ts))
+            AS DOUBLE) AS value_diff
+FROM events WHERE epoch_ns(ts) BETWEEN {T0} AND {T1}
+""",
+        "derivative": f"""
+SELECT event_type AS series, epoch_ns(ts) AS time_ns,
+       1.0 * (value - LAG(value) OVER w)
+           / ((epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w) / 1e9) AS value_rate
+FROM events WHERE epoch_ns(ts) BETWEEN {T0} AND {T1}
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts))
+""",
+    }

@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at the given scale factor, then compares
+row count, column set and (column-name-sorted, row-order-insensitive)
+values.  Exact comparison — any float bit-difference is reported, since the
+driver hashes values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> bool:
+    ok = True
+    if sorted(sdf.columns) != sorted(odf.columns):
+        print(f"  [{name}] COLUMN MISMATCH spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return False
+    if len(sdf) != len(odf):
+        print(f"  [{name}] ROWCOUNT MISMATCH spark={len(sdf)} oracle={len(odf)}")
+        ok = False
+    s, o = canon(sdf), canon(odf)
+    if len(s) != len(o):
+        return False
+    for c in s.columns:
+        a, b = s[c].to_numpy(), o[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            a = a.astype(float)
+            b = b.astype(float)
+            both_nan = np.isnan(a) & np.isnan(b)
+            neq = ~both_nan & (a != b)
+            if neq.any():
+                diffs = np.abs(a[neq] - b[neq])
+                print(
+                    f"  [{name}] FLOAT MISMATCH col={c} n={neq.sum()} "
+                    f"maxabs={np.nanmax(diffs):.3e} first spark={a[neq][0]!r} oracle={b[neq][0]!r}"
+                )
+                ok = False
+        else:
+            a2, b2 = pd.Series(a), pd.Series(b)
+            neq = ~((a2 == b2) | (a2.isna() & b2.isna()))
+            if neq.any():
+                print(
+                    f"  [{name}] VALUE MISMATCH col={c} n={int(neq.sum())} "
+                    f"first spark={a2[neq].iloc[0]!r} oracle={b2[neq].iloc[0]!r}"
+                )
+                ok = False
+    return ok
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from simple_tsdb_spark import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duck_con(sf_dir)
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"[{name}] rows={len(sdf)} spark={t_spark:.2f}s (no oracle — rows-only)")
+            continue
+        odf = con.execute(oracles[name]).df()
+        if compare(name, sdf, odf):
+            print(f"[{name}] OK rows={len(sdf)} spark={t_spark:.2f}s")
+            n_pass += 1
+        else:
+            print(f"[{name}] FAIL")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

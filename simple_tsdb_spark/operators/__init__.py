@@ -1,0 +1,24 @@
+from simple_tsdb_spark.operators.select import select_points, select_last_points
+from simple_tsdb_spark.operators.count import count_points
+from simple_tsdb_spark.operators.windowed import sum_points, mean_points, minmax_downsample
+from simple_tsdb_spark.operators.integral import integrate_points
+from simple_tsdb_spark.operators.series import list_active_series, list_series
+from simple_tsdb_spark.operators.transforms import tare, difference, derivative
+from simple_tsdb_spark.operators.delete import delete_points, RetentionWatermarks
+
+__all__ = [
+    "select_points",
+    "select_last_points",
+    "count_points",
+    "sum_points",
+    "mean_points",
+    "minmax_downsample",
+    "integrate_points",
+    "list_active_series",
+    "list_series",
+    "tare",
+    "difference",
+    "derivative",
+    "delete_points",
+    "RetentionWatermarks",
+]

@@ -1,0 +1,101 @@
+"""S6 — front-of-series retention delete.
+
+Reference (``/root/reference/src/libtsdb/delete.cc:11-162``): deletes all
+points ``<= t`` from the *front* of a series by advancing ``time_first``
+and unlinking fully-covered chunk files.  Deleting "from the future"
+(t beyond the last point) is allowed and tombstones any later write ≤ t —
+the watermark persists (``wal.cc:70-85`` silently drops arrivals below
+``time_first``).
+
+Spark-first: deletion is a partition-scoped overwrite — only series
+partitions whose data actually changes are rewritten
+(``partitionOverwriteMode=dynamic``), everything else is untouched file
+metadata.  The watermark lives in a tiny JSON sidecar per measurement and
+is enforced on both the read path (filter) and the ingest path
+(streaming/ingest.py drops late arrivals below it), so a delete is
+*logically* instant even before the physical rewrite runs: readers apply
+the watermark filter regardless.
+
+At 100 TB this two-step (logical tombstone now, physical rewrite as a
+background compaction) is the only sane design — synchronous rewrite of a
+multi-TB series on every retention tick would dominate the cluster.  On
+Delta/Iceberg the physical step becomes ``DELETE WHERE`` + OPTIMIZE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class RetentionWatermarks:
+    """Per-series ``time_first`` watermark sidecar (reference: the
+    ``time_first`` file per series, ``doc/LOCKING.txt:50-72``)."""
+
+    def __init__(self, measurement_path: str):
+        self.path = os.path.join(measurement_path, "_tsdb_meta", "time_first.json")
+        self._marks: dict[str, int] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as fh:
+                self._marks = {k: int(v) for k, v in json.load(fh).items()}
+
+    def get(self, series: str) -> int:
+        return self._marks.get(series, 0)
+
+    def advance(self, series: str, time_first: int) -> None:
+        # time_first only ever advances (delete.cc: monotone).
+        self._marks[series] = max(self.get(series), int(time_first))
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._marks, fh)
+        os.replace(tmp, self.path)  # atomic publish, like the reference's rename
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Read-path filter: hide rows below any series' watermark."""
+        if not self._marks:
+            return df
+        marks = F.create_map(
+            *[F.lit(x) for kv in self._marks.items() for x in (kv[0], str(kv[1]))]
+        )
+        wm = F.coalesce(marks[F.col("series")].cast("long"), F.lit(0))
+        return df.where(F.col("time_ns") >= wm)
+
+
+def delete_points(
+    spark: SparkSession,
+    measurement_path: str,
+    *,
+    series: str,
+    t: int,
+    physical: bool = True,
+) -> RetentionWatermarks:
+    """Delete all points of ``series`` with ``time_ns <= t``.
+
+    Advances the watermark (logical delete, instant) and — when
+    ``physical`` — rewrites only that series' partition without the dropped
+    rows.  Returns the updated watermark set.
+    """
+    marks = RetentionWatermarks(measurement_path)
+    marks.advance(series, int(t) + 1)  # new time_first = t+1 (delete.cc:"t+1")
+    if physical:
+        part_dir = os.path.join(measurement_path, f"series={series}")
+        if os.path.isdir(part_dir):
+            kept = (
+                spark.read.parquet(part_dir)
+                .where(F.col("time_ns") > int(t))
+                .sortWithinPartitions("time_ns")
+            )
+            tmp = part_dir + ".__rewrite__"
+            kept.write.mode("overwrite").parquet(tmp)
+            # Atomic-ish swap of the single series partition directory.
+            old = part_dir + ".__old__"
+            os.rename(part_dir, old)
+            os.rename(tmp, part_dir)
+            import shutil
+
+            shutil.rmtree(old)
+    return marks

@@ -1,0 +1,214 @@
+"""A2/A3/W4 — tumbling-window aggregation with empty-bucket emission.
+
+Reference (``/root/reference/src/libtsdb/sum_op.cc``): windows of
+``window_ns`` aligned to epoch multiples; the first emitted window starts at
+
+    t0_aligned = MAX(round_up(t0, w), round_down(time_first, w))   (sum_op.cc:9-11)
+
+where ``time_first`` is the series' live-range start.  Windows are emitted
+consecutively — *including empty ones* — up to and including the window
+containing the last point ≤ t1 (sum_op.cc:108-111; the trailing window is
+only emitted if non-empty, sum_op.cc:279-281).  Per window and per field it
+yields sum (as f64), min, max and the non-null count (nulls skipped,
+sum_op.cc:113-116).  MEAN (A3) is sum/count client-side
+(``src/tsdbcli2/main.cc:203-238``); the min/max downsample band (W4) is the
+same aggregate shaped for plotting
+(``grafana/.../pkg/plugin/datasource.go:384-441``).
+
+Spark-first plan:
+1. one broadcast-joined per-series scalar (``time_first``) — tiny;
+2. one hash aggregation of the range-filtered data on (series, bucket) —
+   the only real shuffle, with map-side partial aggregation;
+3. a generated bucket *spine* (``sequence`` + ``explode``) left-joined to
+   re-introduce empty buckets — spine rows ≈ range/window per series and
+   are produced distributed, never on the driver.
+
+At 100 TB: (2) is a standard partial-agg shuffle keyed (series, bucket) —
+no skew beyond series skew itself (AQE skew-split covers that); (1) and the
+spine stay broadcast-sized as long as series-count × buckets is modest; if
+a query asks for millions of buckets × millions of series, the spine join
+flips to a shuffle join automatically (it's a plain equi-join).
+
+Float determinism: ``exact=True`` switches SUM to exact decimal
+accumulation (cast to DECIMAL(28,6)) so results are bit-identical across
+engines/partitionings — used by the oracle-checked driver queries; the
+default double path is faster and idiomatic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simple_tsdb_spark.functions.timeutil import clamp_time_range, round_up_ns
+from simple_tsdb_spark.sources.measurement import field_columns
+
+
+def _series_filter(df: DataFrame, series: str | Sequence[str] | None) -> DataFrame:
+    if series is None:
+        return df
+    if isinstance(series, str):
+        return df.where(F.col("series") == series)
+    return df.where(F.col("series").isin(list(series)))
+
+
+def _bucket(col: F.Column, w: int) -> F.Column:
+    # Integer bucket math (no doubles: time_ns exceeds 2^53).  Non-negative
+    # timestamps so truncation == floor.
+    return col - (col % F.lit(int(w)))
+
+
+def sum_points(
+    df: DataFrame,
+    *,
+    fields: Sequence[str] | None = None,
+    series: str | Sequence[str] | None = None,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+    window_ns: int,
+    emit_empty: bool = True,
+    exact: bool = False,
+) -> DataFrame:
+    """A2 — per (series, window) sum/min/max/non-null-count for each field.
+
+    Output columns: series, wstart (window start, ns), window_npoints, and
+    per field ``{f}_sum, {f}_min, {f}_max, {f}_count``.  Empty windows have
+    count 0 and NULL sum/min/max (the reference's client renders them nil).
+    """
+    t0, t1 = clamp_time_range(t0, t1)
+    w = int(window_ns)
+    if w <= 0:
+        raise ValueError("window_ns must be positive")
+    if fields is None or len(fields) == 0:
+        fields = field_columns(df)
+    src = _series_filter(df, series)
+
+    # Per-series live-range start (min over the whole series, not the range)
+    # — the reference reads this from its time_first metadata file.
+    tf = src.groupBy("series").agg(F.min("time_ns").alias("_tf"))
+    t0a = F.greatest(F.lit(round_up_ns(t0, w)), _bucket(F.col("_tf"), w)).alias("_t0a")
+    starts = tf.select("series", t0a)
+
+    data = (
+        src.join(F.broadcast(starts), "series")
+        .where((F.col("time_ns") >= F.col("_t0a")) & (F.col("time_ns") <= F.lit(t1)))
+        .withColumn("wstart", _bucket(F.col("time_ns"), w))
+    )
+
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("window_npoints")]
+    for f in fields:
+        col = F.col(f)
+        if exact:
+            sum_expr = F.sum(col.cast("decimal(28,6)")).cast("double")
+        else:
+            sum_expr = F.sum(col.cast("double"))
+        aggs += [
+            sum_expr.alias(f"{f}_sum"),
+            F.min(col).alias(f"{f}_min"),
+            F.max(col).alias(f"{f}_max"),
+            F.count(col).alias(f"{f}_count"),
+        ]
+    agg = data.groupBy("series", "wstart").agg(*aggs)
+
+    if not emit_empty:
+        return agg.orderBy("series", "wstart")
+
+    # Bucket spine: every aligned window from t0_aligned through the last
+    # non-empty bucket, generated distributed via sequence+explode.
+    bounds = data.groupBy("series").agg(
+        F.first("_t0a").alias("_first"), F.max("wstart").alias("_last")
+    )
+    spine = bounds.select(
+        "series",
+        F.explode(F.sequence(F.col("_first"), F.col("_last"), F.lit(w))).alias("wstart"),
+    )
+    out = spine.join(agg, ["series", "wstart"], "left").withColumn(
+        "window_npoints", F.coalesce(F.col("window_npoints"), F.lit(0))
+    )
+    for f in fields:
+        out = out.withColumn(f"{f}_count", F.coalesce(F.col(f"{f}_count"), F.lit(0)))
+    return out.orderBy("series", "wstart")
+
+
+def mean_points(
+    df: DataFrame,
+    *,
+    fields: Sequence[str] | None = None,
+    series: str | Sequence[str] | None = None,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+    window_ns: int,
+    emit_empty: bool = True,
+    exact: bool = False,
+) -> DataFrame:
+    """A3 — windowed MEAN: sum/count per window, NULL when count == 0.
+
+    Matches the client-side derivation (``main.cc:203-238``,
+    ``client.py:1103-1120``): mean over the *non-null* points of the window.
+    """
+    if fields is None or len(fields) == 0:
+        fields = field_columns(df)
+    out = sum_points(
+        df,
+        fields=fields,
+        series=series,
+        t0=t0,
+        t1=t1,
+        window_ns=window_ns,
+        emit_empty=emit_empty,
+        exact=exact,
+    )
+    keep = ["series", "wstart", "window_npoints"]
+    for f in fields:
+        out = out.withColumn(
+            f"{f}_mean",
+            F.when(F.col(f"{f}_count") > 0, F.col(f"{f}_sum") / F.col(f"{f}_count")),
+        )
+        keep.append(f"{f}_mean")
+    return out.select(*keep)
+
+
+def minmax_downsample(
+    df: DataFrame,
+    *,
+    field: str,
+    series: str | Sequence[str] | None = None,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+    window_ns: int,
+    exact: bool = False,
+) -> DataFrame:
+    """W4 — min/max band downsample of one field.
+
+    Per non-empty window emits three rows (stat ∈ min/max/mean) so a plot
+    gets the envelope plus a central tendency point, matching the Grafana
+    MaxMin path (``datasource.go:384-441``).  Unpivot via ``stack`` — no
+    extra shuffle beyond the A2 aggregate.
+    """
+    agg = sum_points(
+        df,
+        fields=[field],
+        series=series,
+        t0=t0,
+        t1=t1,
+        window_ns=window_ns,
+        emit_empty=False,
+        exact=exact,
+    )
+    mean = F.when(F.col(f"{field}_count") > 0, F.col(f"{field}_sum") / F.col(f"{field}_count"))
+    return (
+        agg.withColumn("_mean", mean)
+        .select(
+            "series",
+            "wstart",
+            F.expr(
+                f"stack(3, 'min', cast({field}_min as double), "
+                f"'max', cast({field}_max as double), "
+                f"'mean', _mean) as (stat, value)"
+            ),
+        )
+        .where(F.col("value").isNotNull())
+        .orderBy("series", "wstart", "stat")
+    )

@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for this engine.
+
+Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+same configs apply minus the master override.  Key choices, each of which
+matters at 100 TB:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting.
+- ``spark.sql.shuffle.partitions`` sized to the local core count; on a
+  cluster this should be ~2-3x total executor cores (AQE coalesces down).
+- UTC session timezone so timestamp arithmetic matches the DuckDB oracle.
+- Arrow enabled for every pandas_udf / toPandas boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "simple_tsdb_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Read INT64(TIMESTAMP(NANOS)) parquet columns as raw nanosecond
+        # longs — exactly the canonical time_ns representation (the driver's
+        # events table is nanosecond-precision; Spark TimestampType is µs).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

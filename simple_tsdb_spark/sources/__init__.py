@@ -1,0 +1,15 @@
+from simple_tsdb_spark.sources.measurement import (
+    META_COLUMNS,
+    events_measurement,
+    field_columns,
+    read_measurement,
+    validate_measurement,
+)
+
+__all__ = [
+    "META_COLUMNS",
+    "events_measurement",
+    "field_columns",
+    "read_measurement",
+    "validate_measurement",
+]

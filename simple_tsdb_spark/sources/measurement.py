@@ -1,0 +1,88 @@
+"""The measurement-table contract and source adapters.
+
+Reference data model (``/root/reference/doc/README.txt:20-29``): a
+*measurement* holds many *series*, each series an ordered set of points
+``(time_ns, field1..fieldN)`` with per-field NULLs.  Spark mapping
+(SURVEY.md §1.4): one DataFrame / Parquet dataset per measurement with
+
+    series:  string   (tag / partition key, never null)
+    time_ns: long     (u64 ns clamped to signed range, never null)
+    <field>: nullable primitive (bool/int/long/float/double)
+
+Physical layout for new tables (see sources/writer.py): Parquet partitioned
+by ``series`` (plus an optional coarse time bucket for very long series),
+sorted within partitions by ``time_ns`` so row-group min/max statistics
+replicate the reference's chunk index (``series.h:11-28``) — Parquet
+row-group pruning then serves the same role as its index binary search
+(``select_op.cc:50-59``).
+
+At 100 TB: series is the unit of parallelism in the reference
+(``doc/LOCKING.txt:3-7``); here a single series can additionally be split
+across many row groups / files, so one giant series no longer serializes a
+scan.  A coarse ``time_bucket`` partition column (e.g. day) bounds the
+file count per partition directory and gives partition-level pruning for
+time predicates at the directory level, before row-group stats are even
+consulted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_tsdb_spark.functions.timeutil import ts_to_ns
+
+#: Columns that are part of the measurement contract rather than fields.
+META_COLUMNS = ("series", "time_ns", "time_bucket")
+
+
+def field_columns(df: DataFrame) -> list[str]:
+    """The measurement's field names, in schema order (reference
+    ``measurement.h:116-150`` — natural order when no projection given)."""
+    return [c for c in df.columns if c not in META_COLUMNS]
+
+
+def validate_measurement(df: DataFrame) -> DataFrame:
+    """Assert the measurement contract on a DataFrame (cheap, schema-only)."""
+    cols = set(df.columns)
+    missing = {"series", "time_ns"} - cols
+    if missing:
+        raise ValueError(f"measurement is missing required columns: {sorted(missing)}")
+    if dict(df.dtypes)["time_ns"] != "bigint":
+        raise TypeError("time_ns must be LongType (nanoseconds since epoch)")
+    return df
+
+
+def read_measurement(spark: SparkSession, path: str) -> DataFrame:
+    """Open a measurement previously written by sources/writer.py."""
+    return validate_measurement(spark.read.parquet(path))
+
+
+def events_measurement(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    series_col: str = "event_type",
+    fields: tuple[str, ...] = ("value", "user_id", "event_id"),
+) -> DataFrame:
+    """Adapt the driver's ``events`` table to the measurement contract.
+
+    ``event_type`` plays the series tag; ``ts`` — nanosecond-precision in
+    the driver's parquet, surfaced as a raw long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` — becomes ``time_ns``.  It is
+    truncated to microsecond granularity to match the DuckDB oracle, which
+    reads the column as a µs TIMESTAMP (floor semantics).  ``event_id``
+    rides along as a field; it also serves as a deterministic tiebreak for
+    LIMIT/LAST queries should two events in one series then share a µs.
+    """
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts")
+    if dict(df.dtypes).get("ts") == "bigint":
+        time_ns = ts - (ts % F.lit(1000))  # ns long → µs-truncated ns
+    else:
+        time_ns = ts_to_ns(ts)
+    return df.select(
+        F.col(series_col).cast("string").alias("series"),
+        time_ns.cast("long").alias("time_ns"),
+        *[F.col(f) for f in fields],
+    )

@@ -1,0 +1,108 @@
+"""A2/A3/W4 — windowed aggregation vs an independent Python model of the
+reference semantics (``sum_op_test.cc:45-132`` shapes: window_ns=100 over
+the canonical fixture, gap windows with window_ns=5, empty-bucket
+emission, alignment rule)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from simple_tsdb_spark.operators import sum_points, mean_points, minmax_downsample
+
+
+def model_sum(pdf: pd.DataFrame, field: str, t0: int, t1: int, w: int) -> pd.DataFrame:
+    """Direct transcription of sum_op semantics (sum_op.cc:9-11, 76-281)."""
+    time_first = pdf.time_ns.min()
+    t0a = max(-(-t0 // w) * w, (time_first // w) * w)
+    sel = pdf[(pdf.time_ns >= t0a) & (pdf.time_ns <= t1)].sort_values("time_ns")
+    if sel.empty:
+        return pd.DataFrame(columns=["wstart", "sum", "min", "max", "count"])
+    last_bucket = (sel.time_ns.max() // w) * w
+    rows = []
+    for ws in range(t0a, last_bucket + 1, w):
+        win = sel[(sel.time_ns >= ws) & (sel.time_ns < ws + w)]
+        vals = win[field].dropna()
+        rows.append(
+            {
+                "wstart": ws,
+                "sum": vals.sum() if len(vals) else None,
+                "min": vals.min() if len(vals) else None,
+                "max": vals.max() if len(vals) else None,
+                "count": len(vals),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def check(got: pd.DataFrame, want: pd.DataFrame, field: str):
+    got = got.sort_values("wstart", ignore_index=True)
+    want = want.reset_index(drop=True)
+    assert list(got.wstart) == list(want.wstart)
+    assert list(got[f"{field}_count"]) == list(want["count"])
+    for gv, wv in zip(got[f"{field}_sum"], want["sum"]):
+        if wv is None or (isinstance(wv, float) and math.isnan(wv)):
+            assert gv is None or math.isnan(gv)
+        else:
+            assert abs(gv - wv) < 1e-6 * max(1.0, abs(wv))
+    for stat in ("min", "max"):
+        for gv, wv in zip(got[f"{field}_{stat}"], want[stat]):
+            if wv is None or (isinstance(wv, float) and math.isnan(wv)):
+                assert gv is None or (isinstance(gv, float) and math.isnan(gv))
+            else:
+                assert gv == wv or abs(gv - wv) < 1e-9
+
+
+def test_window_100(spark, f1, f1_pdf):
+    got = sum_points(f1, fields=["field2"], series="series1", t0=0, t1=10**6, window_ns=100).toPandas()
+    want = model_sum(f1_pdf, "field2", 0, 10**6, 100)
+    check(got, want, "field2")
+
+
+def test_window_gap_5(spark, f1, f1_pdf):
+    # window_ns=5 with dt=10 → every other bucket empty (sum_op_test gap shape)
+    got = sum_points(f1, fields=["field2"], series="series1", t0=200, t1=400, window_ns=5).toPandas()
+    want = model_sum(f1_pdf, "field2", 200, 400, 5)
+    assert (got.window_npoints == 0).any(), "expected empty buckets"
+    check(got, want, "field2")
+
+
+def test_alignment_rule(spark, f1, f1_pdf):
+    # Unaligned t0: first window = MAX(round_up(t0,w), round_down(tf,w)).
+    for t0, w in [(150, 100), (101, 100), (99, 100), (0, 7), (103, 10)]:
+        got = sum_points(f1, fields=["field2"], series="series1", t0=t0, t1=900, window_ns=w).toPandas()
+        want = model_sum(f1_pdf, "field2", t0, 900, w)
+        check(got, want, "field2")
+
+
+def test_no_points_no_windows(spark, f1):
+    got = sum_points(f1, fields=["field2"], series="series1", t0=10**7, t1=10**8, window_ns=100)
+    assert got.count() == 0
+
+
+def test_exact_mode_matches(spark, f1, f1_pdf):
+    a = sum_points(f1, fields=["field2"], series="series1", t0=0, t1=10**6, window_ns=100, exact=True).toPandas()
+    b = model_sum(f1_pdf, "field2", 0, 10**6, 100)
+    check(a, b, "field2")
+
+
+def test_mean(spark, f1, f1_pdf):
+    got = mean_points(f1, fields=["field2"], series="series1", t0=0, t1=10**6, window_ns=100).toPandas()
+    want = model_sum(f1_pdf, "field2", 0, 10**6, 100)
+    for gv, cnt, s in zip(got.field2_mean, want["count"], want["sum"]):
+        if cnt == 0:
+            assert gv is None or np.isnan(gv)
+        else:
+            assert abs(gv - s / cnt) < 1e-9 * max(1.0, abs(s))
+
+
+def test_minmax_downsample(spark, f1, f1_pdf):
+    got = minmax_downsample(f1, field="field2", series="series1", t0=0, t1=10**6, window_ns=100).toPandas()
+    want = model_sum(f1_pdf, "field2", 0, 10**6, 100)
+    nonempty = want[want["count"] > 0]
+    assert len(got) == 3 * len(nonempty)
+    mins = got[got.stat == "min"].set_index("wstart")["value"]
+    for ws, row in nonempty.set_index("wstart").iterrows():
+        assert abs(mins.loc[ws] - row["min"]) < 1e-12
