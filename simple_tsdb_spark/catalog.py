@@ -1,0 +1,151 @@
+"""D1–D8/D10/D11 — catalog and admin surface.
+
+Reference (``/root/reference/src/libtsdb/root.cc``, ``measurement.cc``):
+a root directory tree with databases as directories, measurements as
+fixed-schema directories (atomic tmp+rename create, idempotent only for an
+identical schema — measurement.cc:66-151), series as subdirectories.
+
+Spark mapping: a warehouse directory; database = subdirectory; measurement
+= Parquet dataset + a persisted JSON schema; series = partition values.
+Auth (D9) is out of scope (SURVEY.md §2.10).
+
+The seven reference field types map to Spark types per SURVEY.md §1.2:
+bool→boolean, u32→long, u64→long (documented >2^63 unsupported),
+f32→float, f64→double, i32→int, i64→long.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: reference type name → Spark type (measurement.h:22-31 via SURVEY §1.2)
+FIELD_TYPES: dict[str, T.DataType] = {
+    "bool": T.BooleanType(),
+    "u32": T.LongType(),
+    "u64": T.LongType(),
+    "f32": T.FloatType(),
+    "f64": T.DoubleType(),
+    "i32": T.IntegerType(),
+    "i64": T.LongType(),
+}
+
+MAX_FIELDS = 64  # constants.h:33
+_NAME_RE = re.compile(r"^[A-Za-z0-9_\-.]{1,124}$")  # schema_entry name[124]
+
+
+class MeasurementExists(ValueError):
+    """Reference status measurement_exists — same name, different schema."""
+
+
+class TsdbCatalog:
+    """Thin catalog over a warehouse directory (reference root, D1)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- databases (D2, D3) --------------------------------------------
+    def create_database(self, name: str) -> None:
+        self._check_name(name)
+        os.makedirs(os.path.join(self.warehouse, name), exist_ok=True)
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    # -- measurements (D4, D5, D6) -------------------------------------
+    def measurement_path(self, database: str, measurement: str) -> str:
+        return os.path.join(self.warehouse, database, measurement)
+
+    def create_measurement(
+        self, database: str, measurement: str, fields: dict[str, str]
+    ) -> None:
+        """``fields``: name → reference type ('f64', 'u32', ...).
+
+        Idempotent for an identical schema; raises MeasurementExists for a
+        conflicting one (measurement.cc:120-151).
+        """
+        self._check_name(measurement)
+        if len(fields) > MAX_FIELDS:
+            raise ValueError(f"too many fields ({len(fields)} > {MAX_FIELDS})")
+        for fname, ftype in fields.items():
+            self._check_name(fname)
+            if ftype not in FIELD_TYPES:
+                raise ValueError(f"unknown field type {ftype!r} for {fname!r}")
+        path = self.measurement_path(database, measurement)
+        schema_file = os.path.join(path, "_tsdb_meta", "schema.json")
+        if os.path.exists(schema_file):
+            with open(schema_file) as fh:
+                existing = json.load(fh)
+            if existing != fields:
+                raise MeasurementExists(
+                    f"{database}/{measurement} exists with a different schema"
+                )
+            return
+        os.makedirs(os.path.dirname(schema_file), exist_ok=True)
+        tmp = schema_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(fields, fh)
+        os.replace(tmp, schema_file)  # atomic create, like tmp+rename
+
+    def list_measurements(self, database: str) -> list[str]:
+        db = os.path.join(self.warehouse, database)
+        if not os.path.isdir(db):
+            raise FileNotFoundError(f"no such database: {database}")
+        return sorted(d for d in os.listdir(db) if os.path.isdir(os.path.join(db, d)))
+
+    def get_schema(self, database: str, measurement: str) -> list[tuple[str, str]]:
+        """(name, reference-type) pairs in schema order (D6)."""
+        schema_file = os.path.join(
+            self.measurement_path(database, measurement), "_tsdb_meta", "schema.json"
+        )
+        with open(schema_file) as fh:
+            return list(json.load(fh).items())
+
+    def spark_schema(self, database: str, measurement: str) -> T.StructType:
+        entries = [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("time_ns", T.LongType(), False),
+        ]
+        for fname, ftype in self.get_schema(database, measurement):
+            entries.append(T.StructField(fname, FIELD_TYPES[ftype], True))
+        return T.StructType(entries)
+
+    def read(self, database: str, measurement: str) -> DataFrame:
+        path = self.measurement_path(database, measurement)
+        df = self.spark.read.parquet(path)
+        from simple_tsdb_spark.operators.delete import RetentionWatermarks
+
+        order = ["series", "time_ns"] + [n for n, _ in self.get_schema(database, measurement)]
+        df = df.select(*[c for c in order if c in df.columns])
+        df = df.withColumn("series", F.col("series").cast("string"))
+        return RetentionWatermarks(path).apply(df)
+
+    # -- series (D7) ----------------------------------------------------
+    def list_series(self, database: str, measurement: str) -> list[str]:
+        """Partition-directory listing — no data scan, like the
+        reference's readdir (measurement.h:72-77)."""
+        path = self.measurement_path(database, measurement)
+        return sorted(
+            e.split("=", 1)[1]
+            for e in os.listdir(path)
+            if e.startswith("series=") and os.path.isdir(os.path.join(path, e))
+        )
+
+    # -- misc (D11) -----------------------------------------------------
+    def nop(self) -> bool:
+        return self.spark.sql("SELECT 1").first()[0] == 1
+
+    @staticmethod
+    def _check_name(name: str) -> None:
+        if not _NAME_RE.match(name):
+            raise ValueError(f"invalid name: {name!r}")

@@ -1,0 +1,200 @@
+"""S4/S5 — validated ingest into a measurement table.
+
+Reference semantics (``/root/reference/src/libtsdb/wal.cc:54-347``):
+
+1. timestamps within a write must be strictly increasing per series —
+   violation rejects the whole operation (wal.cc:63-68,
+   OUT_OF_ORDER_TIMESTAMPS);
+2. points below the series' ``time_first`` watermark (previously deleted
+   region) are *silently dropped* (wal.cc:70-85);
+3. a retransmit overlapping the committed tail must match the stored
+   points exactly — same timestamps, values and null bitmaps — and is then
+   a no-op for the overlapped part; any difference rejects the write
+   (wal.cc:87-246);
+4. the remainder (timestamps strictly after ``time_last``) is appended;
+   the reference's WAL/commit/fsync machinery (write.cc:37-447) is
+   replaced wholesale by the Parquet job-commit protocol plus Structured
+   Streaming checkpoints.
+
+Physical layout written here: Parquet partitioned by ``series``, sorted
+within partitions by ``time_ns`` — row-group min/max stats on time_ns then
+serve as the chunk index (SURVEY.md §1.4).
+
+At 100 TB: validation is expressed as joins/aggregations against only the
+*tail* of each touched series (time_ns ≥ min incoming timestamp), which
+partition- and stat-prunes to a sliver of the table; the append itself is
+partition-local.  For very high series cardinality, swap the dynamic
+``partitionBy`` for hash-bucketing on series (constant file count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_tsdb_spark.operators.delete import RetentionWatermarks
+from simple_tsdb_spark.sources.measurement import field_columns, validate_measurement
+
+
+class OutOfOrderTimestamps(ValueError):
+    """Reference status OUT_OF_ORDER_TIMESTAMPS (exception.h)."""
+
+
+class OverwriteMismatch(ValueError):
+    """Retransmit bytes differ from stored points (wal.cc:87-151)."""
+
+
+def write_points(
+    spark: SparkSession,
+    measurement_path: str,
+    batch: DataFrame,
+    *,
+    mode: str = "strict",
+) -> dict[str, int]:
+    """Validated append of ``batch`` (measurement-contract columns).
+
+    ``mode='strict'`` raises on overlap mismatch (reference behavior);
+    ``mode='dedup'`` drops any (series, time_ns) already stored without
+    verifying values — the idempotent fast path for streaming retries.
+
+    Returns counters: rows_in, dropped_below_watermark, dropped_overlap,
+    appended.
+    """
+    validate_measurement(batch)
+    fields = field_columns(batch)
+    n_in = batch.count()
+
+    # (1) intra-batch ordering: duplicate (series, time_ns) within one
+    # write is the DataFrame equivalent of a non-increasing timestamp run.
+    dup = (
+        batch.groupBy("series", "time_ns").count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise OutOfOrderTimestamps(
+            f"duplicate timestamp in batch: series={dup[0]['series']} time_ns={dup[0]['time_ns']}"
+        )
+
+    # (2) retention watermark drop (silent, wal.cc:70-85).
+    marks = RetentionWatermarks(measurement_path)
+    if marks._marks:
+        wm_rows = [(s, t) for s, t in marks._marks.items()]
+        wm = spark.createDataFrame(wm_rows, "series string, _wm long")
+        batch = (
+            batch.join(F.broadcast(wm), "series", "left")
+            .where((F.col("_wm").isNull()) | (F.col("time_ns") >= F.col("_wm")))
+            .drop("_wm")
+        )
+    n_after_wm = batch.count()
+
+    # (3) overlap with the committed tail.
+    dropped_overlap = 0
+    exists = os.path.isdir(measurement_path) and any(
+        e.startswith("series=") for e in os.listdir(measurement_path)
+    )
+    if exists:
+        lo = batch.agg(F.min("time_ns")).first()[0]
+        if lo is not None:
+            stored_tail = (
+                spark.read.parquet(measurement_path)
+                .where(F.col("time_ns") >= lo)  # stat/partition-pruned tail scan
+                .select("series", "time_ns", *fields)
+            )
+            overlap = batch.join(
+                stored_tail.withColumnRenamed("time_ns", "time_ns").select(
+                    F.col("series"),
+                    F.col("time_ns"),
+                    *[F.col(f).alias(f"_stored_{f}") for f in fields],
+                ),
+                ["series", "time_ns"],
+                "inner",
+            )
+            if mode == "strict":
+                mismatch_cond = None
+                for f in fields:
+                    c = ~(
+                        (F.col(f) == F.col(f"_stored_{f}"))
+                        | (F.col(f).isNull() & F.col(f"_stored_{f}").isNull())
+                    )
+                    mismatch_cond = c if mismatch_cond is None else (mismatch_cond | c)
+                bad = overlap.where(mismatch_cond).limit(1).collect() if fields else []
+                if bad:
+                    r = bad[0]
+                    raise OverwriteMismatch(
+                        f"retransmit differs from stored point at series={r['series']} "
+                        f"time_ns={r['time_ns']}"
+                    )
+            dropped_overlap = overlap.count()
+            batch = batch.join(
+                stored_tail.select("series", "time_ns"), ["series", "time_ns"], "left_anti"
+            )
+            # Reference additionally rejects *new* timestamps at or below
+            # time_last (out-of-order vs the committed store) unless they
+            # are exact retransmits; enforce per touched series.
+            if mode == "strict":
+                tails = (
+                    stored_tail.groupBy("series").agg(F.max("time_ns").alias("_tl"))
+                )
+                stale = (
+                    batch.join(F.broadcast(tails), "series")
+                    .where(F.col("time_ns") <= F.col("_tl"))
+                    .limit(1)
+                    .collect()
+                )
+                if stale:
+                    raise OutOfOrderTimestamps(
+                        f"new point not after committed time_last: series={stale[0]['series']} "
+                        f"time_ns={stale[0]['time_ns']}"
+                    )
+
+    # (4) append, partitioned by series, time-sorted within files.
+    n_append = batch.count()
+    if n_append:
+        (
+            batch.repartition("series")
+            .sortWithinPartitions("time_ns")
+            .write.mode("append")
+            .partitionBy("series")
+            .parquet(measurement_path)
+        )
+    return {
+        "rows_in": n_in,
+        "dropped_below_watermark": n_in - n_after_wm,
+        "dropped_overlap": dropped_overlap,
+        "appended": n_append,
+    }
+
+
+def compact_measurement(
+    spark: SparkSession,
+    measurement_path: str,
+    *,
+    target_rows_per_file: int = 4_000_000,
+) -> None:
+    """S5 analog — rewrite a measurement into few large, time-sorted files
+    per series partition (the reference's chunk-fill + gzip compaction,
+    write.cc:264-315; here: small-file control after many micro-batches).
+    """
+    df = spark.read.parquet(measurement_path)
+    fields = field_columns(df)
+    tmp = measurement_path.rstrip("/") + ".__compact__"
+    (
+        df.repartition("series")
+        .sortWithinPartitions("time_ns")
+        .select("series", "time_ns", *fields)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy("series")
+        .parquet(tmp)
+    )
+    import shutil
+
+    old = measurement_path.rstrip("/") + ".__old__"
+    os.rename(measurement_path, old)
+    os.rename(tmp, measurement_path)
+    # Preserve the watermark sidecar across the swap.
+    meta_old = os.path.join(old, "_tsdb_meta")
+    if os.path.isdir(meta_old):
+        shutil.move(meta_old, os.path.join(measurement_path, "_tsdb_meta"))
+    shutil.rmtree(old)

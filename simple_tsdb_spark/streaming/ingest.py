@@ -1,0 +1,56 @@
+"""Structured Streaming ingest — the reference's WAL + commit pipeline.
+
+Reference flow (``doc/WRITES.txt:1-16``, ``wal.cc``): clients push point
+chunks; a row-format WAL absorbs small writes, commits to the columnar
+store when full; the durability handshake is an fsync-acknowledged credit
+protocol (``doc/TSDBSERVER_PROTOCOL.txt:13-38``).
+
+Spark mapping (SURVEY.md §2.8): a streaming source (files/kafka/rate) →
+``foreachBatch`` running the same validation as batch ``write_points`` →
+Parquet append.  The checkpoint directory *is* the WAL: a crashed batch
+replays, and ``mode='dedup'`` makes the replay idempotent on
+(series, time_ns) — effective exactly-once, the streaming equivalent of
+the reference's byte-verified retransmit (wal.cc:87-246).
+
+Backpressure: ``maxFilesPerTrigger`` / trigger interval replace the
+reference's ``write_throttle_ns`` (server.cc:566-575).
+
+At 100 TB: one streaming query per measurement funnels all appends, the
+analog of the reference's per-series write flock (doc/LOCKING.txt) —
+readers see committed snapshots only, writers never block readers.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from simple_tsdb_spark.sources.writer import write_points
+
+
+def start_ingest(
+    stream: DataFrame,
+    measurement_path: str,
+    *,
+    checkpoint_dir: str,
+    mode: str = "dedup",
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Start a validated streaming append into a measurement.
+
+    ``stream`` must be a streaming DataFrame in measurement shape
+    (series, time_ns, fields...).  ``mode`` as in ``write_points``;
+    'dedup' is the right default under at-least-once replay.
+    """
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_points(batch_df.sparkSession, measurement_path, batch_df, mode=mode)
+
+    writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,131 @@
+"""Ingest-path tests — reference WAL validation semantics (wal.cc:54-347):
+ordering rejection, watermark drop, idempotent retransmit verify, and the
+streaming wrapper's end-to-end append."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from simple_tsdb_spark.operators import count_points, delete_points, select_points
+from simple_tsdb_spark.sources.writer import (
+    OutOfOrderTimestamps,
+    OverwriteMismatch,
+    write_points,
+    compact_measurement,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType(), False),
+        T.StructField("time_ns", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), True),
+    ]
+)
+
+
+def mk(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "v"])
+    return spark.createDataFrame(pdf, SCHEMA)
+
+
+def test_append_and_read_back(spark, tmp_path):
+    path = str(tmp_path / "m1")
+    r = write_points(spark, path, mk(spark, [("a", 10, 1.0), ("a", 20, 2.0), ("b", 10, 9.0)]))
+    assert r["appended"] == 3
+    got = select_points(spark.read.parquet(path)).toPandas()
+    assert len(got) == 3
+
+
+def test_duplicate_in_batch_rejected(spark, tmp_path):
+    path = str(tmp_path / "m2")
+    with pytest.raises(OutOfOrderTimestamps):
+        write_points(spark, path, mk(spark, [("a", 10, 1.0), ("a", 10, 2.0)]))
+
+
+def test_retransmit_identical_is_noop(spark, tmp_path):
+    # wal.cc:87-151 — 100% identical overlap ⇒ no-op.
+    path = str(tmp_path / "m3")
+    batch = [("a", 10, 1.0), ("a", 20, None), ("a", 30, 3.0)]
+    write_points(spark, path, mk(spark, batch))
+    r = write_points(spark, path, mk(spark, batch))
+    assert r["appended"] == 0 and r["dropped_overlap"] == 3
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_retransmit_mismatch_rejected(spark, tmp_path):
+    path = str(tmp_path / "m4")
+    write_points(spark, path, mk(spark, [("a", 10, 1.0), ("a", 20, 2.0)]))
+    with pytest.raises(OverwriteMismatch):
+        write_points(spark, path, mk(spark, [("a", 20, 99.0)]))
+
+
+def test_out_of_order_vs_committed_rejected(spark, tmp_path):
+    # New timestamp ≤ committed time_last that isn't a retransmit → reject.
+    path = str(tmp_path / "m5")
+    write_points(spark, path, mk(spark, [("a", 10, 1.0), ("a", 30, 3.0)]))
+    with pytest.raises(OutOfOrderTimestamps):
+        write_points(spark, path, mk(spark, [("a", 20, 2.0)]))
+
+
+def test_partial_retransmit_plus_new(spark, tmp_path):
+    # Overlap with the tail + strictly-new points: overlap dropped, new kept.
+    path = str(tmp_path / "m6")
+    write_points(spark, path, mk(spark, [("a", 10, 1.0), ("a", 20, 2.0)]))
+    r = write_points(spark, path, mk(spark, [("a", 20, 2.0), ("a", 30, 3.0)]))
+    assert r["dropped_overlap"] == 1 and r["appended"] == 1
+    got = count_points(spark.read.parquet(path), series="a", per_series=False).first()
+    assert got["npoints"] == 3
+
+
+def test_watermark_drop_and_delete(spark, tmp_path):
+    # delete_points advances time_first; later writes ≤ t silently dropped
+    # (wal.cc:70-85); delete-from-the-future tombstones too (delete.cc).
+    path = str(tmp_path / "m7")
+    write_points(spark, path, mk(spark, [("a", 10, 1.0), ("a", 20, 2.0), ("a", 30, 3.0)]))
+    marks = delete_points(spark, path, series="a", t=20)
+    df = marks.apply(spark.read.parquet(path))
+    assert [r.time_ns for r in df.collect()] == [30]
+    r = write_points(spark, path, mk(spark, [("a", 15, 9.0), ("a", 40, 4.0)]))
+    assert r["dropped_below_watermark"] == 1 and r["appended"] == 1
+
+
+def test_dedup_mode_skips_verify(spark, tmp_path):
+    path = str(tmp_path / "m8")
+    write_points(spark, path, mk(spark, [("a", 10, 1.0)]))
+    r = write_points(spark, path, mk(spark, [("a", 10, 42.0), ("a", 20, 2.0)]), mode="dedup")
+    assert r["dropped_overlap"] == 1 and r["appended"] == 1
+
+
+def test_compaction_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "m9")
+    for i in range(5):  # many small appends → many small files
+        write_points(spark, path, mk(spark, [("a", 100 + i * 10, float(i))]))
+    before = select_points(spark.read.parquet(path)).toPandas()
+    compact_measurement(spark, path)
+    after = select_points(spark.read.parquet(path)).toPandas()
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_streaming_ingest(spark, tmp_path):
+    # File-source stream → foreachBatch validated append (S4 streaming).
+    from simple_tsdb_spark.streaming import start_ingest
+
+    src = str(tmp_path / "incoming")
+    path = str(tmp_path / "m10")
+    ckpt = str(tmp_path / "ckpt")
+    mk(spark, [("a", 10, 1.0), ("a", 20, 2.0), ("b", 5, 0.5)]).write.parquet(
+        src, mode="overwrite"
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = start_ingest(stream, path, checkpoint_dir=ckpt)
+    q.processAllAvailable()
+    # Late replay of the same files after restart must be idempotent.
+    mk(spark, [("a", 20, 2.0), ("a", 30, 3.0)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = select_points(spark.read.parquet(path)).toPandas()
+    assert sorted(zip(got.series, got.time_ns)) == [
+        ("a", 10), ("a", 20), ("a", 30), ("b", 5)
+    ]
