@@ -158,6 +158,125 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+# ---- pipeline extension operators (SURVEY §2.12) -------------------------
+
+KNN_QUERY_IDS = (0, 1, 2, 3, 4)
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+EMB_COS_THRESHOLD = 0.3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_token_counts(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _q_embedding_dup(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import embedding_dup_pairs
+
+    return embedding_dup_pairs(_embs(spark, sf_dir), threshold=EMB_COS_THRESHOLD)
+
+
+def _q_knn_brute(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import knn_brute
+
+    return knn_brute(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
+
+
+def _q_knn_lsh(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import knn_lsh
+
+    return knn_lsh(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import attach_blob
+
+    return attach_blob(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def _q_blob_features(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import attach_blob, extract_blob_features
+
+    return extract_blob_features(attach_blob(_docs(spark, sf_dir)))
+
+
+def _q_pricing_summary(spark, sf_dir):
+    from simple_tsdb_spark.plans import pricing_summary
+
+    return pricing_summary(spark, sf_dir)
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    from simple_tsdb_spark.plans import revenue_by_nation
+
+    return revenue_by_nation(spark, sf_dir)
+
+
+def _q_top_customers(spark, sf_dir):
+    from simple_tsdb_spark.plans import top_customers_per_nation
+
+    return top_customers_per_nation(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_points": _q_select_points,
@@ -173,6 +292,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tare": _q_tare,
         "difference": _q_difference,
         "derivative": _q_derivative,
+        # pipeline extension operators
+        "token_counts": _q_token_counts,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_dup": _q_embedding_dup,
+        "knn_brute": _q_knn_brute,
+        "knn_lsh": _q_knn_lsh,
+        "multimodal_meta": _q_multimodal_meta,
+        "blob_features": _q_blob_features,  # mapInPandas — rows-only check
+        # relational breadth (joins / grouped agg / top-k)
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
     }
 
 
@@ -320,4 +457,46 @@ SELECT event_type AS series, epoch_ns(ts) AS time_ns,
 FROM events WHERE epoch_ns(ts) BETWEEN {T0} AND {T1}
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts))
 """,
+        **_pipeline_oracles(),
+    }
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from simple_tsdb_spark.pipeline.dedup import (
+        embedding_dup_oracle,
+        exact_dedup_oracle,
+        minhash_lsh_oracle,
+        ngram_jaccard_oracle,
+        simhash_pairs_oracle,
+    )
+    from simple_tsdb_spark.pipeline.multimodal import attach_blob_meta_oracle
+    from simple_tsdb_spark.pipeline.similarity import knn_brute_oracle, knn_lsh_oracle
+    from simple_tsdb_spark.pipeline.text import (
+        fingerprint_oracle,
+        lang_id_oracle,
+        quality_score_oracle,
+        token_counts_oracle,
+    )
+    from simple_tsdb_spark.plans.analytics import (
+        pricing_summary_oracle,
+        revenue_by_nation_oracle,
+        top_customers_oracle,
+    )
+
+    return {
+        "token_counts": token_counts_oracle(),
+        "quality_score": quality_score_oracle(),
+        "lang_id": lang_id_oracle(),
+        "fingerprint": fingerprint_oracle(),
+        "dedup_exact": exact_dedup_oracle(),
+        "ngram_jaccard": ngram_jaccard_oracle(threshold=JACCARD_THRESHOLD),
+        "minhash_lsh": minhash_lsh_oracle(),
+        "simhash_pairs": simhash_pairs_oracle(max_hamming=SIMHASH_MAX_HAMMING),
+        "embedding_dup": embedding_dup_oracle(threshold=EMB_COS_THRESHOLD),
+        "knn_brute": knn_brute_oracle(query_ids=KNN_QUERY_IDS, k=10),
+        "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
+        "multimodal_meta": attach_blob_meta_oracle(),
+        "pricing_summary": pricing_summary_oracle(),
+        "revenue_by_nation": revenue_by_nation_oracle(),
+        "top_customers": top_customers_oracle(),
     }

@@ -1,0 +1,45 @@
+"""Large-scale training-data pipeline operators (SURVEY.md §2.12).
+
+These extend the reference's surface with the operations a 100 TB
+text/embedding corpus pipeline needs: deduplication (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding cosine), similarity search (brute-force
+and LSH-bucketed k-NN), text analysis (token counts, quality score,
+language ID, fingerprinting) and multimodal binary-column plumbing.
+
+Every deterministic operator ships a DuckDB oracle twin (``*_oracle_sql``)
+built from the same constants, so the driver's hash-compare gate covers
+them bit-for-bit; all hashing is md5-based (available and identical in
+both engines) rather than engine-private hash functions.
+"""
+
+from simple_tsdb_spark.pipeline.text import (
+    token_counts,
+    quality_score,
+    lang_id,
+    fingerprint,
+)
+from simple_tsdb_spark.pipeline.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    embedding_dup_pairs,
+)
+from simple_tsdb_spark.pipeline.similarity import knn_brute, knn_lsh
+from simple_tsdb_spark.pipeline.multimodal import attach_blob, extract_blob_features
+
+__all__ = [
+    "token_counts",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_dup_pairs",
+    "knn_brute",
+    "knn_lsh",
+    "attach_blob",
+    "extract_blob_features",
+]

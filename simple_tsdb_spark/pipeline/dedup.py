@@ -1,0 +1,337 @@
+"""Deduplication operators — exact and near-dup — over documents and
+embeddings.
+
+Scale design (the point of each variant):
+
+- ``exact_dedup``: hash-groupBy on content digest.  One shuffle keyed by
+  a 128-bit digest — uniform keys, no skew, map-side partial agg.  The
+  100 TB workhorse.
+- ``ngram_jaccard_pairs``: exact set-similarity via an inverted index
+  (explode shingles → join on shingle → count).  A document-frequency cap
+  on shingles (``max_df``) bounds the posting-list join fan-out — the
+  standard trick that keeps the candidate-pair count near-linear instead
+  of quadratic.
+- ``minhash_lsh_pairs``: sub-quadratic near-dup at corpus scale: per-doc
+  minhash signature (16 hashes) → 4 LSH bands → candidates only collide
+  within a band bucket.  Shuffle volume ≈ #docs × #bands, never #docs².
+- ``simhash_pairs``: 32-bit simhash + hamming ≤ d within blocks; the
+  cheapest near-dup filter (one long per doc).
+- ``embedding_dup_pairs``: cosine near-dup inside a blocking key (label /
+  cluster id).  Blocked pair-join, each block small enough to be
+  shuffle-joined; at 100 TB the blocking key comes from a coarse
+  quantizer (see similarity.knn_lsh).
+
+All hashing is md5-based and every expression is built-in (no UDFs), so
+each operator has a bit-identical DuckDB oracle twin below it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from simple_tsdb_spark.pipeline.text import SIMHASH_BITS, _simhash_expr, _simhash_sql
+
+SHINGLE_LEN = 8          # char n-gram length
+MINHASH_STRIDE = 4       # shingle stride for minhash (denser not needed)
+N_HASHES = 16
+N_BANDS = 4              # 4 rows per band
+MAX_DF = 50              # posting-list cap for the jaccard inverted index
+
+MERSENNE31 = 2_147_483_647
+#: universal-hash family constants (fixed, engine-portable integers);
+#: Knuth-style multipliers keep high bits well mixed so band buckets
+#: don't collide spuriously.
+_MINHASH_A = [((2654435761 * (j + 1)) % (1 << 31)) | 1 for j in range(N_HASHES)]
+_MINHASH_B = [(40503 * (j + 1) * 69069) % MERSENNE31 for j in range(N_HASHES)]
+
+
+# -- helpers ----------------------------------------------------------------
+
+def _shingles(text_col: str, stride: int) -> str:
+    """SQL fragment (Spark dialect): distinct char shingles of a doc."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {SHINGLE_LEN - 1}, 1), {stride}), "
+        f"i -> substring({text_col}, i, {SHINGLE_LEN})))"
+    )
+
+
+def _shingles_duck(text_col: str, stride: int) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({text_col}) - {SHINGLE_LEN - 1}, 1), {stride}), "
+        f"i -> substr({text_col}, i, {SHINGLE_LEN})))"
+    )
+
+
+def _hash60(expr: str) -> str:
+    """60-bit integer from md5 — Spark dialect."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _hash60_duck(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: content digest → keeper (min id) + copy count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_oracle(table: str = "documents") -> str:
+    return f"""
+SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM {table} GROUP BY md5(text)
+"""
+
+
+# -- n-gram jaccard ---------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.5,
+    max_df: int = MAX_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard similarity over (df-capped) char-shingle sets.
+
+    Returns (a, b, jaccard) for pairs with jaccard ≥ threshold, a < b.
+    Jaccard is over the *filtered* shingle sets (doc-frequency ≤ max_df),
+    identically on both engines.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.expr(_shingles(text_col, 1))).alias("sh")
+    )
+    rare = sh.groupBy("sh").count().where(F.col("count") <= max_df).select("sh")
+    sh = sh.join(rare, "sh")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_oracle(table: str = "documents", *, threshold: float = 0.5, max_df: int = MAX_DF) -> str:
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id AS doc, UNNEST({_shingles_duck('text', 1)}) AS sh FROM {table}),
+rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= {max_df}),
+sh AS (SELECT doc, sh0.sh FROM sh0 JOIN rare USING (sh)),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT x.doc AS a, y.doc AS b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc < y.doc
+  GROUP BY x.doc, y.doc)
+SELECT a, b, jaccard FROM (
+  SELECT a, b,
+         round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc = a
+  JOIN sizes sb ON sb.doc = b)
+WHERE jaccard >= {threshold}
+"""
+
+
+# -- minhash + LSH ----------------------------------------------------------
+
+def minhash_lsh_pairs(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash signatures + LSH banding.
+
+    shingle → 16 md5-seeded minhashes → 4 bands of 4 → docs sharing any
+    band bucket become a candidate pair.  Output: (a, b, n_bands shared).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(_shingles(text_col, MINHASH_STRIDE))).alias("sh"),
+    ).withColumn("hb", F.expr(f"{_hash60('sh')} % {MERSENNE31}"))
+    # One md5 per shingle; the 16-member hash family is cheap universal
+    # hashing over the base hash: h_j = (A_j·h + B_j) mod (2^31−1).
+    sig = sh.groupBy("doc").agg(
+        *[
+            F.min(F.expr(f"({_MINHASH_A[j]}L * hb + {_MINHASH_B[j]}L) % {MERSENNE31}")).alias(
+                f"h{j}"
+            )
+            for j in range(N_HASHES)
+        ]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.concat_ws(",", *[F.col(p).cast("string") for p in parts]).alias(f"band{b}")
+        )
+    banded = sig.select("doc", *band_cols)
+    buckets = banded.selectExpr(
+        "doc",
+        "stack("
+        + str(N_BANDS)
+        + ", "
+        + ", ".join(f"{b}, band{b}" for b in range(N_BANDS))
+        + ") as (band_id, key)",
+    )
+    pairs = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band_id", "key"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+def minhash_lsh_oracle(table: str = "documents") -> str:
+    rows_per_band = N_HASHES // N_BANDS
+    sig_cols = ",\n         ".join(
+        f"MIN(({_MINHASH_A[j]} * hb + {_MINHASH_B[j]}) % {MERSENNE31}) AS h{j}"
+        for j in range(N_HASHES)
+    )
+    band_exprs = []
+    for b in range(N_BANDS):
+        parts = " || ',' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_exprs.append(f"SELECT doc, {b} AS band_id, {parts} AS key FROM sig")
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id AS doc, UNNEST({_shingles_duck('text', MINHASH_STRIDE)}) AS sh FROM {table}),
+sh AS (SELECT doc, {_hash60_duck('sh')} % {MERSENNE31} AS hb FROM sh0),
+sig AS (
+  SELECT doc,
+         {sig_cols}
+  FROM sh GROUP BY doc),
+buckets AS ({' UNION ALL '.join(band_exprs)})
+SELECT x.doc AS a, y.doc AS b, COUNT(*) AS n_bands
+FROM buckets x JOIN buckets y ON x.band_id = y.band_id AND x.key = y.key AND x.doc < y.doc
+GROUP BY x.doc, y.doc
+"""
+
+
+# -- simhash ----------------------------------------------------------------
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 6,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance within a blocking key."""
+    fp = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(block_col).alias("blk"),
+        _simhash_expr(text_col).alias("sh"),
+    )
+    return (
+        fp.alias("x")
+        .join(fp.alias("y"), "blk")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("a"),
+            F.col("y.doc").alias("b"),
+            F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_oracle(table: str = "documents", *, max_hamming: int = 6, block_col: str = "lang") -> str:
+    from simple_tsdb_spark.pipeline.text import _simhash_hashes_sql
+
+    return f"""
+WITH h AS (
+  SELECT doc_id AS doc, {block_col} AS blk, {_simhash_hashes_sql('text')} AS _hs FROM {table}),
+fp AS (
+  SELECT doc, blk, {_simhash_sql('text')} AS sh FROM h)
+SELECT a, b, hamming FROM (
+  SELECT x.doc AS a, y.doc AS b, bit_count(xor(x.sh, y.sh)) AS hamming
+  FROM fp x JOIN fp y ON x.blk = y.blk AND x.doc < y.doc)
+WHERE hamming <= {max_hamming}
+"""
+
+
+# -- embedding cosine -------------------------------------------------------
+
+def _cos(ea: str, eb: str) -> Column:
+    """cosine(a,b) in double with fixed op order: dot/(sqrt(aa)*sqrt(bb))."""
+    def dot(u: str, v: str) -> str:
+        return (
+            f"aggregate(zip_with({u}, {v}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+        )
+
+    return F.expr(f"{dot(ea, eb)} / (sqrt({dot(ea, ea)}) * sqrt({dot(eb, eb)}))")
+
+
+_COS_DUCK = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.3,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine near-dup pairs within a blocking key (label/cluster).
+
+    Output (a, b, cos) with cos rounded to 6 decimals (engine-portable).
+    """
+    e = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(block_col).alias("blk"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    return (
+        e.alias("x")
+        .join(e.alias("y"), "blk")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("a"),
+            F.col("y.doc").alias("b"),
+            F.round(_cos("x.emb", "y.emb"), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_dup_oracle(table: str = "embeddings", *, threshold: float = 0.3) -> str:
+    cos = _COS_DUCK.format(a="x.emb", b="y.emb")
+    return f"""
+WITH e AS (SELECT vec_id AS doc, label AS blk, embedding::DOUBLE[] AS emb FROM {table})
+SELECT a, b, cos FROM (
+  SELECT x.doc AS a, y.doc AS b, round({cos}, 6) AS cos
+  FROM e x JOIN e y ON x.blk = y.blk AND x.doc < y.doc)
+WHERE cos >= {threshold}
+"""

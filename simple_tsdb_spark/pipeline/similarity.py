@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column.
+
+- ``knn_brute``: exact top-k by cosine — broadcast the (small) query set,
+  scan all candidates once, per-query top-k via ranking window.  O(N·Q)
+  but one pass over the corpus with no shuffle of the corpus itself: at
+  100 TB this is the *verification* path and the right answer for small Q.
+- ``knn_lsh``: the scale path — random-hyperplane LSH signs bucket the
+  corpus (deterministic arithmetic weights, no randomness at runtime);
+  queries probe only their own bucket.  The corpus shuffle is by bucket
+  id (bounded, uniform-ish); an IVF coarse quantizer would slot into the
+  same skeleton with learned centroids instead of hash planes.
+
+Ranking is by cosine rounded to 6 decimals with vec_id tiebreak — fully
+deterministic and engine-portable (same rule in the oracle SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from simple_tsdb_spark.pipeline.dedup import _cos, _COS_DUCK
+
+N_PLANES = 8
+_W_MOD = 1_048_576
+
+
+def _plane_weight(j: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-0.5, 0.5)."""
+    return (((d + 1) * 2654435761 + (j + 1) * 40503) % _W_MOD) / _W_MOD - 0.5
+
+
+def _bucket_expr(emb: str, dim: int) -> str:
+    """Spark SQL fragment: LSH bucket id = sign bits of N_PLANES projections."""
+    bits = []
+    for j in range(N_PLANES):
+        w = ", ".join(f"CAST({_plane_weight(j, d)!r} AS DOUBLE)" for d in range(dim))
+        proj = (
+            f"aggregate(zip_with({emb}, array({w}), (p, q) -> CAST(p AS DOUBLE) * q), "
+            f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+        )
+        bits.append(f"CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(bits)
+
+
+def _bucket_duck(emb: str, dim: int) -> str:
+    bits = []
+    for j in range(N_PLANES):
+        w = ", ".join(repr(_plane_weight(j, d)) for d in range(dim))
+        proj = f"list_dot_product({emb}, [{w}]::DOUBLE[])"
+        bits.append(f"CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(bits)
+
+
+def knn_brute(
+    df: DataFrame,
+    *,
+    query_ids: Sequence[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for each query id (self excluded).
+
+    Output: (query_id, neighbor_id, cos, rank) — rank by (cos desc, id).
+    """
+    e = df.select(
+        F.col(id_col).alias("nid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    q = e.where(F.col("nid").isin(list(query_ids))).select(
+        F.col("nid").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_cos("qemb", "emb"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_brute_oracle(
+    table: str = "embeddings", *, query_ids: Sequence[int] = (), k: int = 10
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _COS_DUCK.format(a="q.emb", b="e.emb")
+    return f"""
+WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}),
+q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.nid AS neighbor_id, round({cos}, 6) AS cos
+  FROM e CROSS JOIN q WHERE e.nid <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def knn_lsh(
+    df: DataFrame,
+    *,
+    query_ids: Sequence[int],
+    k: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH sign-bucket.
+
+    Output: (query_id, neighbor_id, cos, rank) within-bucket ranking —
+    recall < 1 by construction; bench compares its speed against
+    knn_brute and tests measure recall.
+    """
+    e = df.select(
+        F.col(id_col).alias("nid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).withColumn("bucket", F.expr(_bucket_expr("emb", dim)))
+    q = e.where(F.col("nid").isin(list(query_ids))).select(
+        F.col("nid").alias("query_id"), F.col("emb").alias("qemb"), F.col("bucket")
+    )
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .where(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_cos("qemb", "emb"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_lsh_oracle(
+    table: str = "embeddings", *, query_ids: Sequence[int] = (), k: int = 10, dim: int = 64
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _COS_DUCK.format(a="q.emb", b="e.emb")
+    return f"""
+WITH e AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
+         {_bucket_duck("embedding::DOUBLE[]", dim)} AS bucket
+  FROM {table}),
+q AS (SELECT nid AS query_id, emb, bucket FROM e WHERE nid IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.nid AS neighbor_id, round({cos}, 6) AS cos
+  FROM e JOIN q USING (bucket) WHERE e.nid <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,203 @@
+"""Text-analysis operators over a documents table.
+
+All expressions are built-in (JVM/codegen) — no UDFs — and each operator
+has a DuckDB oracle twin generated from the same constants.  Tokenization
+is single-space word splitting (the corpus is space-normalized); the
+"BPE-ish" token count uses a regex over letter runs / digit runs / single
+punctuation, the standard pre-tokenizer shape.
+
+At 100 TB these are embarrassingly parallel scans — no shuffle at all —
+so throughput is bounded by parquet decode + codegen'd string ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: marker stopwords per language for the n-gram/stopword language heuristic.
+#: Deterministic argmax with 'und' (undetermined) when no marker hits.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "la", "los", "una", "es", "que"),
+    "fr": ("le", "les", "des", "une", "est", "dans"),
+    "zh": ("de", "shi", "bu", "le", "wo", "zai"),
+}
+
+#: stopword list for the quality score's stopword ratio.
+QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in", "that")
+
+SIMHASH_BITS = 32
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_counts(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish pre-token count + char count."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(_tokens(text)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), 0)).alias("n_bpe_tokens"),
+        F.length(text).alias("n_chars_computed"),
+    )
+
+
+def token_counts_oracle(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+       length(text) AS n_chars_computed
+FROM {table}
+"""
+
+
+def quality_score(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0,1]: favors mid-length documents
+    with a healthy stopword ratio and some vocabulary diversity.
+
+    Components (single IEEE ops each — bit-deterministic cross-engine):
+      len_score   = least(n_tokens, 256) / 256
+      stop_ratio  = stopword tokens / tokens
+      uniq_ratio  = distinct tokens / tokens
+      score       = 0.4*len_score + 0.3*least(stop_ratio*4, 1.0) + 0.3*uniq_ratio
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n = F.size(toks).cast("double")
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop_list})))").cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    len_score = F.least(n, F.lit(256.0)) / F.lit(256.0)
+    stop_score = F.least(n_stop / n * F.lit(4.0), F.lit(1.0))
+    uniq_score = n_uniq / n
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        (F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * uniq_score).alias(
+            "quality"
+        ),
+    )
+
+
+def quality_score_oracle(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       0.4 * (least(CAST(len(string_split(text, ' ')) AS DOUBLE), 256.0) / 256.0)
+     + 0.3 * least(CAST(len(list_filter(string_split(text, ' '), t -> t IN ({stop_list})))
+                        AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
+     + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
+FROM {table}
+"""
+
+
+def lang_id(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language vote: count per-language marker hits,
+    argmax with alphabetical tiebreak, 'und' when nothing matches."""
+    cols = [F.col(id_col)]
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in markers)
+        cols.append(
+            F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({lst})))").alias(f"_n_{lang}")
+        )
+    scored = df.select(*cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_n_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:  # alphabetical order = deterministic tiebreak
+        pred = pred.when(F.col(f"_n_{lang}") == best, F.lit(lang))
+    return scored.select(F.col(id_col), pred.alias("lang_pred"), best.alias("votes"))
+
+
+def lang_id_oracle(table: str = "documents") -> str:
+    langs = sorted(LANG_MARKERS)
+    counts = ",\n       ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t IN "
+        f"({', '.join(repr(w) for w in LANG_MARKERS[lang])}))) AS _n_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"_n_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN _n_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+       {counts}
+  FROM {table})
+SELECT doc_id, {case} AS lang_pred, {best} AS votes FROM scored
+"""
+
+
+def _simhash_expr(text_col: str) -> Column:
+    """SimHash over word tokens: per token ONE 60-bit md5-derived hash
+    (hashing is the hot path — computed once, reused for all bit votes);
+    each bit votes ±1; the fingerprint sets bits with positive vote sums.
+
+    Built-in expressions only; md5 keeps it engine-portable.
+    """
+    hashes = (
+        f"transform(split({text_col}, ' '), "
+        f"t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+    )
+    terms = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"aggregate(_hs, 0L, (acc, h) -> acc + "
+            f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1L ELSE -1L END)"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b}L ELSE 0L END")
+    # lambda-scoped reuse of the hash array via a higher-order shim:
+    # aggregate over a single-element wrapper binds _hs once per row.
+    body = " + ".join(terms)
+    return F.expr(
+        f"aggregate(array({hashes}), 0L, (acc0, _hs) -> acc0 + ({body}))"
+    )
+
+
+def _simhash_sql(text_col: str = "text") -> str:
+    terms = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform(_hs, h -> "
+            f"CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _simhash_hashes_sql(text_col: str = "text") -> str:
+    """DuckDB fragment producing the per-token hash list bound as _hs."""
+    return (
+        f"list_transform(string_split({text_col}, ' '), "
+        f"t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    )
+
+
+def fingerprint(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: full-content md5 + 32-bit SimHash (for
+    near-dup hamming comparison, see dedup.simhash_pairs)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        _simhash_expr(text_col).alias("simhash"),
+    )
+
+
+def fingerprint_oracle(table: str = "documents") -> str:
+    return f"""
+WITH h AS (SELECT doc_id, text, {_simhash_hashes_sql('text')} AS _hs FROM {table})
+SELECT doc_id, md5(text) AS content_md5, {_simhash_sql('text')} AS simhash
+FROM h
+"""

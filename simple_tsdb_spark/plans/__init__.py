@@ -1,0 +1,7 @@
+from simple_tsdb_spark.plans.analytics import (
+    pricing_summary,
+    revenue_by_nation,
+    top_customers_per_nation,
+)
+
+__all__ = ["pricing_summary", "revenue_by_nation", "top_customers_per_nation"]

@@ -1,0 +1,130 @@
+"""Relational breadth queries over the TPC-H-ish tables.
+
+The reference engine has no joins or general aggregation; these exist to
+prove the Spark engine's general-analytics surface (joins, broadcast,
+grouped aggregation, top-k-per-group) at scale, with DuckDB oracles.
+
+Plan notes (verified via .explain, see SCALE.md):
+- dimension tables (region/nation/customer/supplier) are broadcast — no
+  shuffle of the fact table for the join;
+- money sums run in exact decimals (prices DECIMAL(12,2), discount
+  DECIMAL(4,2) — the data is 2-decimal), so products stay within
+  precision 38 on every engine with no scale-loss rounding, then surface
+  as doubles;
+- top-k-per-group is a ranking window after a partial agg, the standard
+  two-shuffle plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str, *, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    money = "decimal(12,2)"
+    disc_price = F.col("l_extendedprice").cast(money) * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.where(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(money)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(money)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def pricing_summary_oracle(*, cutoff: str = "1998-09-02") -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation with the
+    dimension sides broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+def revenue_by_nation_oracle() -> str:
+    return """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str, *, k: int = 3) -> DataFrame:
+    """Top-k customers by order total per nation (ranking window)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("spend").desc(), F.col("c_custkey"))
+    return (
+        spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "spend")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("n_name", "rank")
+    )
+
+
+def top_customers_oracle(*, k: int = 3) -> str:
+    return f"""
+SELECT n_name, c_custkey, spend, rank FROM (
+  SELECT n_name, c_custkey, spend,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey) AS rank
+  FROM (
+    SELECT n_name, c_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_custkey))
+WHERE rank <= {k}
+"""

@@ -1,0 +1,115 @@
+"""Functional tests for the pipeline extension operators: dedup really
+finds planted near-dups, knn_lsh has sane recall vs knn_brute, multimodal
+plumbing round-trips and the real-decoder path raises the stub error."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_near_dup_methods_agree(spark, docs):
+    # Planted near-dups: jaccard-certified pairs should be mostly
+    # rediscovered by minhash-LSH candidates (banding has known recall).
+    from simple_tsdb_spark.pipeline import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    true_pairs = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    cand = {(r.a, r.b) for r in minhash_lsh_pairs(docs).collect()}
+    assert true_pairs, "expected planted near-dups at jaccard>=0.8"
+    recall = len(true_pairs & cand) / len(true_pairs)
+    assert recall >= 0.8, f"minhash recall {recall}"
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    from simple_tsdb_spark.pipeline import ngram_jaccard_pairs, simhash_pairs
+
+    true_pairs = {(r.a, r.b) for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    sh = {(r.a, r.b) for r in simhash_pairs(docs, max_hamming=6, block_col="lang").collect()}
+    # simhash blocks by lang; only count true pairs in the same lang block
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    blocked_true = {(a, b) for a, b in true_pairs if langs[a] == langs[b]}
+    if blocked_true:
+        assert len(blocked_true & sh) / len(blocked_true) >= 0.5
+
+
+def test_knn_lsh_recall(spark, embs):
+    from simple_tsdb_spark.pipeline import knn_brute, knn_lsh
+
+    qids = [0, 1, 2, 3, 4]
+    brute = knn_brute(embs, query_ids=qids, k=10).toPandas()
+    approx = knn_lsh(embs, query_ids=qids, k=10).toPandas()
+    # within-bucket results must be a subset of the full ranking by cos
+    recalls = []
+    for q in qids:
+        b = set(brute[brute.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(a & b) / 10)
+    # random data: bucket holds ~1/256 of corpus, so recall is low —
+    # assert the mechanism works (nonempty, ranked subset), not magic.
+    assert len(approx) > 0
+    assert (approx.groupby("query_id")["rank"].apply(lambda s: list(s) == list(range(1, len(s) + 1)))).all()
+
+
+def test_exact_dedup_counts(spark, docs):
+    from simple_tsdb_spark.pipeline import exact_dedup
+
+    total = docs.count()
+    groups = exact_dedup(docs)
+    assert groups.groupBy().sum("n_copies").first()[0] == total
+
+
+def test_lang_id_deterministic(spark, docs):
+    from simple_tsdb_spark.pipeline import lang_id
+
+    a = lang_id(docs).toPandas().sort_values("doc_id", ignore_index=True)
+    b = lang_id(docs).toPandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.lang_pred) <= {"de", "en", "es", "fr", "zh", "und"}
+
+
+def test_multimodal_roundtrip(spark, docs):
+    from simple_tsdb_spark.pipeline import attach_blob, extract_blob_features
+
+    blobs = attach_blob(docs)
+    feats = extract_blob_features(blobs).toPandas()
+    src = docs.select("doc_id", "text").toPandas()
+    merged = feats.merge(src, on="doc_id")
+    # n_bytes round-trips through the binary payload
+    assert (merged.n_bytes == merged.text.str.encode("utf-8").str.len()).all()
+    # deterministic fake decoder: width/height derived from byte length
+    assert (merged.width == merged.n_bytes % 64 + 1).all()
+    assert merged.mean_sample.between(0, 1).all()
+
+
+def test_real_decoder_is_stubbed(spark, docs):
+    from simple_tsdb_spark.pipeline import attach_blob, extract_blob_features
+    from simple_tsdb_spark.pipeline.multimodal import DecoderNotAvailable
+
+    blobs = attach_blob(docs.limit(2))
+    with pytest.raises(Exception) as exc:
+        extract_blob_features(blobs, use_real_decoder=True).collect()
+    assert "DecoderNotAvailable" in str(exc.value) or "no decoder" in str(exc.value)
+
+
+def test_embedding_dup_symmetric_bound(spark, embs):
+    from simple_tsdb_spark.pipeline import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(embs, threshold=0.3).toPandas()
+    assert (pairs.a < pairs.b).all()
+    assert pairs.cos.between(-1, 1).all()
