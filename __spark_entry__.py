@@ -26,10 +26,14 @@ DAY_NS = 86_400 * 1_000_000_000
 W = DAY_NS  # tumbling window for A2/A3/W4
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events(
+    spark: SparkSession, sf_dir: str, t0: int | None = T0, t1: int | None = T1
+) -> DataFrame:
+    """events adapter with the query range passed through so the raw-ts
+    predicate reaches parquet row-group pruning (see events_measurement)."""
     from simple_tsdb_spark.sources import events_measurement
 
-    return events_measurement(spark, sf_dir)
+    return events_measurement(spark, sf_dir, t0=t0, t1=t1)
 
 
 # DuckDB view of the events table as a measurement (shared CTE prefix).
@@ -100,7 +104,7 @@ def _q_sum_points(spark: SparkSession, sf_dir: str) -> DataFrame:  # A2
     from simple_tsdb_spark.operators import sum_points
 
     return sum_points(
-        _events(spark, sf_dir), fields=["value", "user_id"], t0=T0, t1=T1, window_ns=W, exact=True
+        _events(spark, sf_dir, t0=None, t1=T1), fields=["value", "user_id"], t0=T0, t1=T1, window_ns=W, exact=True
     )
 
 
@@ -108,7 +112,7 @@ def _q_mean_points(spark: SparkSession, sf_dir: str) -> DataFrame:  # A3
     from simple_tsdb_spark.operators import mean_points
 
     return mean_points(
-        _events(spark, sf_dir), fields=["value"], t0=T0, t1=T1, window_ns=W, exact=True
+        _events(spark, sf_dir, t0=None, t1=T1), fields=["value"], t0=T0, t1=T1, window_ns=W, exact=True
     )
 
 
@@ -116,7 +120,7 @@ def _q_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:  # W4
     from simple_tsdb_spark.operators import minmax_downsample
 
     return minmax_downsample(
-        _events(spark, sf_dir), field="value", t0=T0, t1=T1, window_ns=W, exact=True
+        _events(spark, sf_dir, t0=None, t1=T1), field="value", t0=T0, t1=T1, window_ns=W, exact=True
     )
 
 
@@ -135,7 +139,7 @@ def _q_active_series(spark: SparkSession, sf_dir: str) -> DataFrame:  # A5
 def _q_list_series(spark: SparkSession, sf_dir: str) -> DataFrame:  # D7
     from simple_tsdb_spark.operators import list_series
 
-    return list_series(_events(spark, sf_dir))
+    return list_series(_events(spark, sf_dir, t0=None, t1=None))  # whole table
 
 
 def _q_tare(spark: SparkSession, sf_dir: str) -> DataFrame:  # W1

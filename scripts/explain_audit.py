@@ -1,0 +1,109 @@
+"""Physical-plan audit: assert the plans are the ones a 100 TB deployment
+needs — filters pushed to parquet, columns pruned, dimension joins
+broadcast, top-k as TakeOrderedAndProject, codegen on the hot path.
+
+Run: python scripts/explain_audit.py   (prints PASS/FAIL per check)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, ok: bool, detail: str = "") -> bool:
+    print(f"{'PASS' if ok else 'FAIL'}  {name}" + (f"  [{detail}]" if detail and not ok else ""))
+    return ok
+
+
+def main() -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from simple_tsdb_spark import get_spark
+    from simple_tsdb_spark.operators import count_points, select_points, sum_points
+    from simple_tsdb_spark.plans import revenue_by_nation
+    from simple_tsdb_spark.sources import events_measurement
+
+    spark = get_spark("explain_audit")
+    T0, T1 = 10**18, 2 * 10**18
+    ev = events_measurement(spark, SF, t0=T0, t1=T1)
+    ok = True
+
+    # S1: predicate pushdown + column pruning + top-k limit
+    p = plan_of(
+        select_points(ev, series="click", fields=["value"], t0=T0, t1=T1, limit=10)
+    )
+    ok &= check("S1 time filter pushed to parquet", "PushedFilters" in p and "GreaterThanOrEqual(ts" in p)
+    ok &= check("S1 series filter pushed", "EqualTo(event_type,click)" in p)
+    ok &= check(
+        "S1 column pruning (no props/user_id in scan)",
+        "props" not in p.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in p else False,
+    )
+    ok &= check("S1 sort+limit is TakeOrderedAndProject", "TakeOrderedAndProject" in p)
+    ok &= check("S1 whole-stage codegen", "codegen id" in p)
+
+    # A1: count scans only the needed columns
+    p = plan_of(count_points(ev, t0=T0, t1=T1))
+    sch = p.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in p else ""
+    ok &= check("A1 reads only ts/event_type", "value" not in sch and "props" not in sch, sch)
+
+    # A2: exactly one pre-spine aggregate exchange on (series, wstart)
+    p = plan_of(sum_points(ev, fields=["value"], t0=T0, t1=T1, window_ns=86_400_000_000_000))
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", p))
+    ok &= check("A2 bounded shuffles (agg + tiny spine joins)", n_exchange <= 4, f"{n_exchange} exchanges")
+    ok &= check("A2 partial aggregation (map-side combine)", "partial_count" in p or "Partial" in p)
+    ok &= check("A2 spine join is broadcast", "BroadcastHashJoin" in p)
+
+    # joins: dimensions broadcast
+    p = plan_of(revenue_by_nation(spark, SF))
+    ok &= check("revenue: customer/nation broadcast", p.count("BroadcastHashJoin") >= 2)
+
+    # native writer layout: time_ns is a stored column → direct pushdown +
+    # series partition pruning, no adapter hint needed
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from simple_tsdb_spark.sources.writer import write_points
+
+    path = tempfile.mkdtemp() + "/m"
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("time_ns", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    pdf = pd.DataFrame(
+        [("s1", 100 + i, float(i)) for i in range(50)] + [("s2", 100 + i, 1.0) for i in range(50)],
+        columns=["series", "time_ns", "v"],
+    )
+    write_points(spark, path, spark.createDataFrame(pdf, schema))
+    native = spark.read.parquet(path)
+    p = plan_of(select_points(native, series="s1", t0=110, t1=120))
+    ok &= check(
+        "native: time_ns filter pushed directly",
+        "GreaterThanOrEqual(time_ns,110)" in p and "LessThanOrEqual(time_ns,120)" in p,
+    )
+    ok &= check("native: series partition pruning", "PartitionFilters: [isnotnull(series" in p)
+
+    print("==", "ALL PASS" if ok else "SOME FAILED", "==")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

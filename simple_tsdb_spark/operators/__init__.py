@@ -1,6 +1,11 @@
 from simple_tsdb_spark.operators.select import select_points, select_last_points
 from simple_tsdb_spark.operators.count import count_points
-from simple_tsdb_spark.operators.windowed import sum_points, mean_points, minmax_downsample
+from simple_tsdb_spark.operators.windowed import (
+    sum_points,
+    mean_points,
+    minmax_downsample,
+    auto_downsample,
+)
 from simple_tsdb_spark.operators.integral import integrate_points
 from simple_tsdb_spark.operators.series import list_active_series, list_series
 from simple_tsdb_spark.operators.transforms import tare, difference, derivative
@@ -13,6 +18,7 @@ __all__ = [
     "sum_points",
     "mean_points",
     "minmax_downsample",
+    "auto_downsample",
     "integrate_points",
     "list_active_series",
     "list_series",

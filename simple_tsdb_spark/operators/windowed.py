@@ -170,6 +170,38 @@ def mean_points(
     return out.select(*keep)
 
 
+def auto_downsample(
+    df: DataFrame,
+    *,
+    field: str,
+    series: str | Sequence[str] | None = None,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+    interval_ns: int,
+    max_points: int,
+    minmax: bool = False,
+) -> DataFrame:
+    """W5 — the Grafana auto-downsample policy (datasource.go:226-249):
+    if the range holds more than ``max_points`` points, aggregate with
+    ``window = interval_ns`` (mean, or min/max band when ``minmax``);
+    otherwise return the raw points.
+
+    The count probe is a metadata-cheap action (A1); the decision is
+    driver-side policy, exactly as in the reference's plugin.
+    """
+    from simple_tsdb_spark.operators.count import count_points
+    from simple_tsdb_spark.operators.select import select_points
+
+    n = count_points(df, series=series, t0=t0, t1=t1, per_series=False).first()["npoints"]
+    if n <= max_points:
+        return select_points(df, series=series, fields=[field], t0=t0, t1=t1)
+    if minmax:
+        return minmax_downsample(
+            df, field=field, series=series, t0=t0, t1=t1, window_ns=interval_ns
+        )
+    return mean_points(df, fields=[field], series=series, t0=t0, t1=t1, window_ns=interval_ns)
+
+
 def minmax_downsample(
     df: DataFrame,
     *,

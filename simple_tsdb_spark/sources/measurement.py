@@ -64,6 +64,8 @@ def events_measurement(
     *,
     series_col: str = "event_type",
     fields: tuple[str, ...] = ("value", "user_id", "event_id"),
+    t0: int | None = None,
+    t1: int | None = None,
 ) -> DataFrame:
     """Adapt the driver's ``events`` table to the measurement contract.
 
@@ -74,10 +76,21 @@ def events_measurement(
     reads the column as a µs TIMESTAMP (floor semantics).  ``event_id``
     rides along as a field; it also serves as a deterministic tiebreak for
     LIMIT/LAST queries should two events in one series then share a µs.
+
+    Because ``time_ns`` is *derived* (truncated), a predicate on it cannot
+    reach the parquet scan; passing the query's ``t0``/``t1`` here adds an
+    equivalent predicate on the raw ``ts`` column (slack +999 ns for the
+    truncation), which Catalyst pushes into row-group pruning.  Native
+    measurements written by sources/writer.py store ``time_ns`` directly
+    and need no such hint.
     """
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts = F.col("ts")
     if dict(df.dtypes).get("ts") == "bigint":
+        if t0 is not None:
+            df = df.where(ts >= F.lit(int(t0)))
+        if t1 is not None:
+            df = df.where(ts <= F.lit(int(t1) + 999))
         time_ns = ts - (ts % F.lit(1000))  # ns long → µs-truncated ns
     else:
         time_ns = ts_to_ns(ts)

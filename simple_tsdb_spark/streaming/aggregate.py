@@ -1,0 +1,63 @@
+"""Streaming tumbling-window aggregation — A2 as a continuous query.
+
+The reference computes window aggregates only at query time; Spark's
+Structured Streaming maintains them incrementally as data arrives, which
+is what a dashboard over a 100 TB / high-rate measurement actually wants:
+the aggregate state is O(#open windows × #series), not O(points).
+
+Semantics vs batch ``sum_points``:
+- same epoch-aligned tumbling windows (integer ``time_ns`` bucket math —
+  wstart = time_ns - time_ns % window_ns — via a derived µs timestamp for
+  the watermark clock);
+- late data: rows older than the watermark are dropped — the streaming
+  analog of the reference's ``time_first`` retention drop (wal.cc:70-85);
+  bounded state instead of unbounded reprocessing;
+- empty buckets are *not* emitted (no data, no trigger); the batch
+  operator remains the source of truth for gap-filled reads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_sum_points(
+    stream: DataFrame,
+    *,
+    fields: Sequence[str],
+    window_ns: int,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Continuous per-(series, window) sum/min/max/count over a streaming
+    measurement DataFrame.  Append-mode compatible (finalized windows only
+    once the watermark passes)."""
+    w = int(window_ns)
+    ts = F.timestamp_micros((F.col("time_ns") / F.lit(1000)).cast("long"))
+    src = stream.withColumn("_event_ts", ts).withWatermark("_event_ts", watermark_delay)
+    bucket = (F.col("time_ns") - (F.col("time_ns") % F.lit(w))).alias("wstart")
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("window_npoints")]
+    for f in fields:
+        col = F.col(f)
+        aggs += [
+            F.sum(col.cast("double")).alias(f"{f}_sum"),
+            F.min(col).alias(f"{f}_min"),
+            F.max(col).alias(f"{f}_max"),
+            F.count(col).alias(f"{f}_count"),
+        ]
+    # Group on the watermarked event-time window so state expires; surface
+    # the exact integer wstart alongside (identical alignment: F.window is
+    # epoch-aligned, like the reference's bucket math).
+    if w % 1000 != 0:
+        raise ValueError("streaming windows need µs-resolution window_ns (w % 1000 == 0)")
+    win = F.window(
+        "_event_ts",
+        f"{w // 1_000_000_000} seconds" if w % 1_000_000_000 == 0 else f"{w // 1000} microseconds",
+    )
+    return (
+        src.groupBy("series", win, bucket)
+        .agg(*aggs)
+        .drop("window")
+    )

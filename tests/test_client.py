@@ -1,0 +1,75 @@
+"""TsdbClient facade — all 16 wire commands reachable (SURVEY §2.11)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from simple_tsdb_spark.client import AuthNotSupported, TsdbClient
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    c = TsdbClient(spark, str(tmp_path / "wh"))
+    c.create_database("db")
+    c.create_measurement("db", "m", {"v": "f64", "flag": "bool"})
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("time_ns", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("flag", T.BooleanType(), True),
+        ]
+    )
+    rows = [("s1", 1000 + i * 100, math.sin(i / 10), i % 2 == 0) for i in range(200)]
+    c.write_points("db", "m", spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v", "flag"]), schema))
+    return c
+
+
+def test_all_commands(client):
+    assert client.list_databases() == ["db"]
+    assert client.list_measurements("db") == ["m"]
+    assert client.get_schema("db", "m") == [("v", "f64"), ("flag", "bool")]
+    assert client.list_series("db", "m") == ["s1"]
+    assert client.nop()
+    assert client.active_series("db", "m") == ["s1"]
+
+    sel = client.select_points_limit("db", "m", "s1", ["v"], limit=10).toPandas()
+    assert len(sel) == 10 and list(sel.columns) == ["series", "time_ns", "v"]
+    last = client.select_points_last("db", "m", "s1", ["v"], last=5).toPandas()
+    assert list(last.time_ns) == [1000 + i * 100 for i in range(195, 200)]
+
+    cnt = client.count_points("db", "m", "s1").first()
+    assert cnt["npoints"] == 200
+
+    # open upper bound 2^64-1 accepted and clamped
+    assert client.count_points("db", "m", "s1", t1=2**64 - 1).first()["npoints"] == 200
+
+    agg = client.sum_points("db", "m", "s1", window_ns=5000).toPandas()
+    assert agg.window_npoints.sum() == 200
+    integ = client.integrate_points("db", "m", "s1").first()
+    assert integ["npoints"] == 200
+
+    client.delete_points("db", "m", "s1", t=1000 + 99 * 100)
+    assert client.count_points("db", "m", "s1").first()["npoints"] == 100
+
+    with pytest.raises(AuthNotSupported):
+        client.authenticate("root", "pw")
+
+
+def test_arrow_streaming(client):
+    batches = list(client.to_arrow_batches(client.select_points_limit("db", "m", "s1", limit=50)))
+    assert sum(b.num_rows for b in batches) == 50
+    assert batches[0].schema.names == ["series", "time_ns", "v", "flag"]
+
+
+def test_auto_downsample(spark, f2):
+    from simple_tsdb_spark.operators import auto_downsample
+
+    raw = auto_downsample(f2, field="value", series="series_0", interval_ns=10_000, max_points=10**6)
+    assert "value" in raw.columns  # under threshold → raw select
+    agg = auto_downsample(f2, field="value", series="series_0", interval_ns=100_000, max_points=10)
+    assert "value_mean" in agg.columns  # over threshold → windowed mean

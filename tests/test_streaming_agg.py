@@ -1,0 +1,78 @@
+"""Streaming windowed aggregation vs the batch operator (A2 streaming)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from simple_tsdb_spark.operators import sum_points
+from simple_tsdb_spark.streaming.aggregate import streaming_sum_points
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType(), False),
+        T.StructField("time_ns", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), True),
+    ]
+)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    rows = [
+        ("a", int(i * 0.25e9), float(i)) for i in range(40)
+    ] + [("b", int(i * 1e9), 2.0 * i) for i in range(10)]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "v"])
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(pdf, SCHEMA)
+    df.write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = streaming_sum_points(stream, fields=["v"], window_ns=2_000_000_000)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_agg")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT series, wstart, window_npoints, v_sum, v_min, v_max, v_count FROM stream_agg")
+        .toPandas()
+        .sort_values(["series", "wstart"], ignore_index=True)
+    )
+    want = (
+        sum_points(df, fields=["v"], window_ns=2_000_000_000, emit_empty=False)
+        .toPandas()
+        .sort_values(["series", "wstart"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want[["series", "wstart", "window_npoints", "v_sum", "v_min", "v_max", "v_count"]]
+    )
+
+
+def test_streaming_drops_late_data(spark, tmp_path):
+    # Watermark: a second batch far in the future finalizes old windows;
+    # a late straggler below the watermark must not re-open them.
+    src = str(tmp_path / "late_src")
+    out = []
+
+    def mk(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v"]), SCHEMA)
+
+    mk([("a", int(1e9), 1.0), ("a", int(2e9), 2.0)]).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = streaming_sum_points(stream, fields=["v"], window_ns=2_000_000_000, watermark_delay="1 seconds")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("late_agg").start()
+    q.processAllAvailable()
+    # jump event time far ahead → watermark passes the first windows
+    mk([("a", int(100e9), 3.0)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    n_after_jump = spark.sql("SELECT count(*) FROM late_agg").first()[0]
+    # late arrival inside an already-finalized window: dropped
+    mk([("a", int(1e9) + 1, 99.0)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    final = spark.sql("SELECT * FROM late_agg ORDER BY wstart").toPandas()
+    assert len(final) == n_after_jump  # no new row for the stale window
+    assert 99.0 not in set(final.get("v_sum", []))
