@@ -162,6 +162,82 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+# ---- time-series breadth operators (operators/timeseries.py) -------------
+
+SESSION_GAP_NS = 3600 * 1_000_000_000  # 1 hour
+MAVG_N = 5
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 200.0, 20
+
+#: user-keyed measurement views for the as-of join (align each user's
+#: clicks with their most recent error).
+_M_CLICKS = (
+    "SELECT CAST(user_id AS VARCHAR) AS series, epoch_ns(ts) AS time_ns, value "
+    "FROM events WHERE event_type = 'click'"
+)
+_M_ERRORS = (
+    "SELECT CAST(user_id AS VARCHAR) AS series, epoch_ns(ts) AS time_ns, value "
+    "FROM events WHERE event_type = 'error'"
+)
+
+
+def _user_series(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts")
+    return (
+        df.where(F.col("event_type") == event_type)
+        .select(
+            F.col("user_id").cast("string").alias("series"),
+            (ts - (ts % F.lit(1000))).cast("long").alias("time_ns"),
+            F.col("value"),
+        )
+    )
+
+
+def _q_asof_join(spark, sf_dir):
+    from simple_tsdb_spark.operators import asof_join
+
+    return asof_join(
+        _user_series(spark, sf_dir, "click"),
+        _user_series(spark, sf_dir, "error"),
+        right_fields=["value"],
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    from simple_tsdb_spark.operators import sessionize
+
+    return sessionize(_events(spark, sf_dir, t0=None, t1=None), gap_ns=SESSION_GAP_NS)
+
+
+def _q_moving_avg(spark, sf_dir):
+    from simple_tsdb_spark.operators import moving_avg
+
+    return moving_avg(_events(spark, sf_dir), field="value", n_points=MAVG_N)
+
+
+def _q_histogram(spark, sf_dir):
+    from simple_tsdb_spark.operators import value_histogram
+
+    return value_histogram(
+        _events(spark, sf_dir, t0=None, t1=None),
+        field="value", lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS,
+    )
+
+
+def _q_quantiles(spark, sf_dir):
+    from simple_tsdb_spark.operators import value_quantiles
+
+    return value_quantiles(_events(spark, sf_dir, t0=None, t1=None), field="value")
+
+
+def _q_distinct_users(spark, sf_dir):
+    from simple_tsdb_spark.operators import distinct_count
+
+    return distinct_count(_events(spark, sf_dir, t0=None, t1=None), field="user_id")
+
+
 # ---- pipeline extension operators (SURVEY §2.12) -------------------------
 
 KNN_QUERY_IDS = (0, 1, 2, 3, 4)
@@ -296,6 +372,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tare": _q_tare,
         "difference": _q_difference,
         "derivative": _q_derivative,
+        # time-series breadth
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "moving_avg": _q_moving_avg,
+        "histogram": _q_histogram,
+        "quantiles": _q_quantiles,
+        "distinct_users": _q_distinct_users,
         # pipeline extension operators
         "token_counts": _q_token_counts,
         "quality_score": _q_quality_score,
@@ -461,7 +544,31 @@ SELECT event_type AS series, epoch_ns(ts) AS time_ns,
 FROM events WHERE epoch_ns(ts) BETWEEN {T0} AND {T1}
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts))
 """,
+        **_timeseries_oracles(),
         **_pipeline_oracles(),
+    }
+
+
+def _timeseries_oracles() -> dict[str, str]:
+    from simple_tsdb_spark.operators.timeseries import (
+        asof_join_oracle,
+        distinct_count_oracle,
+        moving_avg_oracle,
+        sessionize_oracle,
+        value_histogram_oracle,
+        value_quantiles_oracle,
+    )
+
+    ranged = f"SELECT * FROM ({_M}) WHERE time_ns BETWEEN {T0} AND {T1}"
+    return {
+        "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
+        "sessionize": sessionize_oracle(_M, gap_ns=SESSION_GAP_NS),
+        "moving_avg": moving_avg_oracle(ranged, field="value", n_points=MAVG_N),
+        "histogram": value_histogram_oracle(
+            _M, field="value", lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS
+        ),
+        "quantiles": value_quantiles_oracle(_M, field="value"),
+        "distinct_users": distinct_count_oracle(_M, field="user_id"),
     }
 
 

@@ -122,12 +122,13 @@ class TsdbCatalog:
 
     def read(self, database: str, measurement: str) -> DataFrame:
         path = self.measurement_path(database, measurement)
-        df = self.spark.read.parquet(path)
+        # Read through the declared schema: files written before a field
+        # was added (D10 add_field) surface it as NULL — schema evolution
+        # with zero data movement.
+        schema = self.spark_schema(database, measurement)
+        df = self.spark.read.schema(schema).parquet(path).select(*[f.name for f in schema.fields])
         from simple_tsdb_spark.operators.delete import RetentionWatermarks
 
-        order = ["series", "time_ns"] + [n for n, _ in self.get_schema(database, measurement)]
-        df = df.select(*[c for c in order if c in df.columns])
-        df = df.withColumn("series", F.col("series").cast("string"))
         return RetentionWatermarks(path).apply(df)
 
     # -- series (D7) ----------------------------------------------------
@@ -140,6 +141,32 @@ class TsdbCatalog:
             for e in os.listdir(path)
             if e.startswith("series=") and os.path.isdir(os.path.join(path, e))
         )
+
+    # -- schema evolution (D10) ----------------------------------------
+    def add_field(self, database: str, measurement: str, name: str, ftype: str) -> None:
+        """Append a new nullable field to a measurement's schema.
+
+        The reference ships an offline UPDATE-SCHEMA migration utility
+        (``tsdbcli2/main.cc:302-385``); with Parquet this is metadata-only:
+        old files simply lack the column and read as NULL (schema merging).
+        """
+        self._check_name(name)
+        if ftype not in FIELD_TYPES:
+            raise ValueError(f"unknown field type {ftype!r}")
+        schema_file = os.path.join(
+            self.measurement_path(database, measurement), "_tsdb_meta", "schema.json"
+        )
+        with open(schema_file) as fh:
+            fields = json.load(fh)
+        if name in fields:
+            if fields[name] != ftype:
+                raise MeasurementExists(f"field {name!r} exists with type {fields[name]!r}")
+            return
+        fields[name] = ftype
+        tmp = schema_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(fields, fh)
+        os.replace(tmp, schema_file)
 
     # -- misc (D11) -----------------------------------------------------
     def nop(self) -> bool:

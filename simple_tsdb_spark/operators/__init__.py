@@ -10,6 +10,14 @@ from simple_tsdb_spark.operators.integral import integrate_points
 from simple_tsdb_spark.operators.series import list_active_series, list_series
 from simple_tsdb_spark.operators.transforms import tare, difference, derivative
 from simple_tsdb_spark.operators.delete import delete_points, RetentionWatermarks
+from simple_tsdb_spark.operators.timeseries import (
+    asof_join,
+    sessionize,
+    moving_avg,
+    value_histogram,
+    value_quantiles,
+    distinct_count,
+)
 
 __all__ = [
     "select_points",
@@ -27,4 +35,10 @@ __all__ = [
     "derivative",
     "delete_points",
     "RetentionWatermarks",
+    "asof_join",
+    "sessionize",
+    "moving_avg",
+    "value_histogram",
+    "value_quantiles",
+    "distinct_count",
 ]

@@ -1,0 +1,239 @@
+"""Time-series breadth operators beyond the reference's fixed set.
+
+The reference can only scan/aggregate one series at a time; these are the
+standard TSDB analytics a Spark engine adds on top, each expressed with
+built-in operators and shipped with a DuckDB oracle twin:
+
+- ``asof_join`` — align two series ("for each left point, the latest
+  right point at or before it").  Implemented as the union-merge
+  formulation: tag both sides, one sort per series, carry the last seen
+  right values forward with ``last(ignorenulls)``.  This is O(n log n)
+  with ONE shuffle keyed by series — no range-join explosion, no
+  per-group pandas — and is exactly how a merge as-of works on sorted
+  storage.  At 100 TB both sides shuffle once; with bucketed storage on
+  series the shuffle disappears entirely.
+- ``sessionize`` — gap-based session assignment (lag + running sum of
+  session-break flags), then per-session bounds/counts.
+- ``moving_avg`` — trailing N-point rolling mean per series (ROWS frame);
+  decimal accumulation keeps it engine-exact.
+- ``value_histogram`` — fixed-width bins, one groupBy.
+- ``value_quantiles`` — exact linear-interpolation percentiles per series.
+- ``distinct_count`` — exact distinct of a field per series.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    right_fields: Sequence[str],
+    tolerance_ns: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the most recent right row
+    with ``right.time_ns <= left.time_ns`` in the same series.
+
+    Left columns pass through; each right field arrives as ``{f}_asof``
+    plus ``asof_time_ns`` (NULL when nothing precedes / outside
+    ``tolerance_ns``).
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(*lcols, F.lit(1).alias("_side"), F.lit(None).cast("long").alias("_rt"),
+                    *[F.lit(None).cast(dict(right.dtypes)[f]).alias(f"_rv_{f}") for f in right_fields])
+    r = right.select(
+        "series",
+        "time_ns",
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in ("series", "time_ns")],
+        F.lit(0).alias("_side"),
+        F.col("time_ns").alias("_rt"),
+        *[F.col(f).alias(f"_rv_{f}") for f in right_fields],
+    ).select(*lcols, "_side", "_rt", *[f"_rv_{f}" for f in right_fields])
+    u = l.unionByName(r)
+    # right rows sort before left rows at equal timestamps (0 < 1) so the
+    # join is inclusive (t_right == t_left matches).
+    w = (
+        Window.partitionBy("series")
+        .orderBy("time_ns", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = [F.last(F.col("_rt"), ignorenulls=True).over(w).alias("_rt_f")] + [
+        F.last(F.col(f"_rv_{f}"), ignorenulls=True).over(w).alias(f"_rv_f_{f}")
+        for f in right_fields
+    ]
+    u = u.select("*", *filled).where(F.col("_side") == 1)
+    in_tol = F.col("_rt_f").isNotNull()
+    if tolerance_ns is not None:
+        in_tol = in_tol & ((F.col("time_ns") - F.col("_rt_f")) <= int(tolerance_ns))
+    out_cols = [*lcols, F.when(in_tol, F.col("_rt_f")).alias("asof_time_ns")]
+    out_cols += [
+        F.when(in_tol, F.col(f"_rv_f_{f}")).alias(f"{f}_asof") for f in right_fields
+    ]
+    return u.select(*out_cols)
+
+
+def asof_join_oracle(
+    left_sql: str, right_sql: str, *, right_fields: Sequence[str], tolerance_ns: int | None = None
+) -> str:
+    """DuckDB twin via native ASOF LEFT JOIN on (series, time_ns)."""
+    rv = ", ".join(f"r.{f} AS {f}_asof" for f in right_fields)
+    tol = (
+        ""
+        if tolerance_ns is None
+        else f", CASE WHEN l.time_ns - r.time_ns <= {tolerance_ns} THEN 1 ELSE 0 END AS _ok"
+    )
+    base = f"""
+SELECT l.*, r.time_ns AS asof_time_ns, {rv}{tol}
+FROM ({left_sql}) l ASOF LEFT JOIN ({right_sql}) r
+  ON l.series = r.series AND l.time_ns >= r.time_ns
+"""
+    if tolerance_ns is None:
+        return base
+    null_rv = ", ".join(
+        f"CASE WHEN _ok = 1 THEN {f}_asof END AS {f}_asof" for f in right_fields
+    )
+    return f"""
+SELECT * EXCLUDE (asof_time_ns, _ok, {', '.join(f'{f}_asof' for f in right_fields)}),
+       CASE WHEN _ok = 1 THEN asof_time_ns END AS asof_time_ns, {null_rv}
+FROM ({base})
+"""
+
+
+def sessionize(df: DataFrame, *, gap_ns: int) -> DataFrame:
+    """Gap-based sessions per series: a new session starts when the gap to
+    the previous point exceeds ``gap_ns``.  Returns per-session
+    (series, session_id, session_start, session_end, n_events)."""
+    w = Window.partitionBy("series").orderBy("time_ns")
+    gap = F.col("time_ns") - F.lag("time_ns").over(w)
+    is_new = F.when(gap.isNull() | (gap > int(gap_ns)), 1).otherwise(0)
+    sid = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.select("series", "time_ns")
+        .withColumn("session_id", sid)
+        .groupBy("series", "session_id")
+        .agg(
+            F.min("time_ns").alias("session_start"),
+            F.max("time_ns").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("series", "session_id")
+    )
+
+
+def sessionize_oracle(measurement_sql: str, *, gap_ns: int) -> str:
+    return f"""
+WITH m AS ({measurement_sql}),
+flagged AS (
+  SELECT series, time_ns,
+         CASE WHEN LAG(time_ns) OVER w IS NULL
+                   OR time_ns - LAG(time_ns) OVER w > {gap_ns}
+              THEN 1 ELSE 0 END AS is_new
+  FROM m WINDOW w AS (PARTITION BY series ORDER BY time_ns)),
+sess AS (
+  SELECT series, time_ns,
+         SUM(is_new) OVER (PARTITION BY series ORDER BY time_ns
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT series, session_id, MIN(time_ns) AS session_start,
+       MAX(time_ns) AS session_end, COUNT(*) AS n_events
+FROM sess GROUP BY series, session_id
+"""
+
+
+def moving_avg(df: DataFrame, *, field: str, n_points: int) -> DataFrame:
+    """Trailing ``n_points`` rolling mean per series (exact decimal sum)."""
+    w = (
+        Window.partitionBy("series")
+        .orderBy("time_ns")
+        .rowsBetween(-(int(n_points) - 1), Window.currentRow)
+    )
+    s = F.sum(F.col(field).cast("decimal(28,6)")).over(w).cast("double")
+    n = F.count(F.col(field)).over(w)
+    return df.select(
+        "series",
+        "time_ns",
+        F.when(n > 0, s / n).alias(f"{field}_mavg"),
+    ).orderBy("series", "time_ns")
+
+
+def moving_avg_oracle(measurement_sql: str, *, field: str, n_points: int) -> str:
+    return f"""
+SELECT series, time_ns,
+       CASE WHEN COUNT({field}) OVER w > 0
+            THEN CAST(SUM(CAST({field} AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                 / COUNT({field}) OVER w
+       END AS {field}_mavg
+FROM ({measurement_sql})
+WINDOW w AS (PARTITION BY series ORDER BY time_ns
+             ROWS BETWEEN {int(n_points) - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+def value_histogram(
+    df: DataFrame, *, field: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-width histogram of ``field`` per series over [lo, hi); values
+    outside clamp into the edge bins."""
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(field) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("long")
+    return (
+        df.where(F.col(field).isNotNull())
+        .groupBy("series", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("series", "bin")
+    )
+
+
+def value_histogram_oracle(
+    measurement_sql: str, *, field: str, lo: float, hi: float, nbins: int
+) -> str:
+    width = (hi - lo) / nbins
+    return f"""
+SELECT series,
+       CAST(least(greatest(floor(({field} - {lo!r}) / {width!r}), 0), {nbins - 1}) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM ({measurement_sql}) WHERE {field} IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def value_quantiles(
+    df: DataFrame, *, field: str, qs: Sequence[float] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Exact continuous (linearly interpolated) percentiles per series."""
+    cols = [
+        F.round(F.expr(f"percentile({field}, {q!r})"), 6).alias(f"p{str(q)[2:]}")
+        for q in qs
+    ]
+    return df.groupBy("series").agg(*cols).orderBy("series")
+
+
+def value_quantiles_oracle(
+    measurement_sql: str, *, field: str, qs: Sequence[float] = (0.5, 0.95, 0.99)
+) -> str:
+    cols = ", ".join(f"round(quantile_cont({field}, {q!r}), 6) AS p{str(q)[2:]}" for q in qs)
+    return f"SELECT series, {cols} FROM ({measurement_sql}) GROUP BY series"
+
+
+def distinct_count(df: DataFrame, *, field: str) -> DataFrame:
+    """Exact distinct values of ``field`` per series (plus approx twin for
+    the 100 TB path — approx_count_distinct avoids the exact op's
+    per-key dedup shuffle)."""
+    return (
+        df.groupBy("series")
+        .agg(F.countDistinct(field).alias(f"{field}_distinct"))
+        .orderBy("series")
+    )
+
+
+def distinct_count_oracle(measurement_sql: str, *, field: str) -> str:
+    return f"""
+SELECT series, COUNT(DISTINCT {field}) AS {field}_distinct
+FROM ({measurement_sql}) GROUP BY series
+"""

@@ -69,3 +69,12 @@ def test_series_listing_and_read(spark, tmp_path):
     assert df.columns == ["series", "time_ns", "v"]
     assert df.count() == 2
     assert cat.nop()
+
+    # D10 schema evolution: new field reads as NULL for pre-existing files
+    cat.add_field("db", "m", "w", "f32")
+    cat.add_field("db", "m", "w", "f32")  # idempotent for same type
+    with pytest.raises(MeasurementExists):
+        cat.add_field("db", "m", "w", "f64")
+    df2 = cat.read("db", "m")
+    assert df2.columns == ["series", "time_ns", "v", "w"]
+    assert df2.where(df2.w.isNull()).count() == 2

@@ -1,0 +1,86 @@
+"""Time-series breadth operators: as-of join (incl. tolerance and ties),
+sessionize, moving average, histogram clamping, quantiles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from simple_tsdb_spark.operators import (
+    asof_join,
+    distinct_count,
+    moving_avg,
+    sessionize,
+    value_histogram,
+    value_quantiles,
+)
+
+
+def mk(spark, rows, cols=("series", "time_ns", "v")):
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("time_ns", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(pd.DataFrame(rows, columns=list(cols)), schema)
+
+
+def test_asof_basic(spark):
+    left = mk(spark, [("a", 10, 1.0), ("a", 20, 2.0), ("a", 5, 0.5), ("b", 10, 9.0)])
+    right = mk(spark, [("a", 8, 100.0), ("a", 20, 200.0), ("b", 50, 900.0)])
+    got = asof_join(left, right, right_fields=["v"]).toPandas().set_index(["series", "time_ns"])
+    assert got.loc[("a", 5)].v_asof is None or pd.isna(got.loc[("a", 5)].v_asof)
+    assert got.loc[("a", 10)].v_asof == 100.0 and got.loc[("a", 10)].asof_time_ns == 8
+    assert got.loc[("a", 20)].v_asof == 200.0  # inclusive at equality
+    assert pd.isna(got.loc[("b", 10)].v_asof)  # right only later
+
+
+def test_asof_tolerance(spark):
+    left = mk(spark, [("a", 100, 1.0)])
+    right = mk(spark, [("a", 10, 5.0)])
+    got = asof_join(left, right, right_fields=["v"], tolerance_ns=50).toPandas()
+    assert pd.isna(got.v_asof.iloc[0]) and pd.isna(got.asof_time_ns.iloc[0])
+    got = asof_join(left, right, right_fields=["v"], tolerance_ns=1000).toPandas()
+    assert got.v_asof.iloc[0] == 5.0
+
+
+def test_sessionize(spark):
+    rows = [("a", t, 1.0) for t in [0, 10, 20, 1000, 1010, 5000]]
+    got = sessionize(mk(spark, rows), gap_ns=100).toPandas()
+    assert list(got.n_events) == [3, 2, 1]
+    assert list(got.session_start) == [0, 1000, 5000]
+    assert list(got.session_end) == [20, 1010, 5000]
+
+
+def test_moving_avg(spark, f2, f2_pdf):
+    got = moving_avg(f2, field="value", n_points=3).toPandas()
+    grp = f2_pdf[f2_pdf.series == "series_0"].sort_values("time_ns")
+    want = grp.value.rolling(3, min_periods=1).mean()
+    sub = got[got.series == "series_0"]
+    assert np.allclose(sub.value_mavg.to_numpy(), want.to_numpy(), equal_nan=True)
+
+
+def test_histogram_clamps(spark):
+    rows = [("a", i, v) for i, v in enumerate([-5.0, 0.0, 5.0, 9.99, 10.0, 25.0, None])]
+    got = value_histogram(mk(spark, rows), field="v", lo=0.0, hi=10.0, nbins=2).toPandas()
+    t = dict(zip(got.bin, got.n))
+    # width 5: -5(clamped),0 → bin0 ; 5,9.99,10,25(clamped) → bin1; null dropped
+    assert t == {0: 2, 1: 4}
+
+
+def test_quantiles(spark, f2, f2_pdf):
+    got = value_quantiles(f2, field="value", qs=(0.5,)).toPandas().set_index("series")
+    for s, grp in f2_pdf.groupby("series"):
+        want = grp.value.dropna().quantile(0.5, interpolation="linear")
+        assert abs(got.loc[s, "p5"] - want) < 1e-5
+
+
+def test_distinct_count(spark):
+    rows = [("a", 1, 1.0), ("a", 2, 1.0), ("a", 3, 2.0), ("b", 1, None)]
+    got = distinct_count(mk(spark, rows), field="v").toPandas().set_index("series")
+    assert got.loc["a", "v_distinct"] == 2
+    assert got.loc["b", "v_distinct"] == 0
