@@ -33,7 +33,7 @@ def main() -> None:
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = len(df.collect())
+        n = len(df.toPandas())  # Arrow transfer — the realistic fast path
         times[name] = round(time.time() - t0, 4)
         print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
 

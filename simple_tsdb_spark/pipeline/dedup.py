@@ -108,12 +108,15 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(F.expr(_shingles(text_col, 1))).alias("sh")
     )
-    rare = sh.groupBy("sh").count().where(F.col("count") <= max_df).select("sh")
-    sh = sh.join(rare, "sh")
+    freq = sh.groupBy("sh").count().where(F.col("count") <= max_df)
+    sh = sh.join(freq, "sh")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # Only shingles shared by ≥2 docs can contribute to an intersection —
+    # dropping df=1 postings shrinks the self-join input (sizes keep them).
+    shared = sh.where(F.col("count") >= 2).select("doc", "sh")
     inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "sh")
+        shared.alias("x")
+        .join(shared.alias("y"), "sh")
         .where(F.col("x.doc") < F.col("y.doc"))
         .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -249,9 +252,13 @@ def simhash_pairs(
         F.col(block_col).alias("blk"),
         _simhash_expr(text_col).alias("sh"),
     )
+    # Broadcast the (1 long/doc) fingerprint side: the block key is
+    # low-cardinality, so a shuffle join would skew onto a few tasks; the
+    # broadcast keeps the probe side partition-parallel.  At corpus scale
+    # block by a simhash band prefix instead (high-cardinality key).
     return (
         fp.alias("x")
-        .join(fp.alias("y"), "blk")
+        .join(F.broadcast(fp.alias("y")), "blk")
         .where(F.col("x.doc") < F.col("y.doc"))
         .select(
             F.col("x.doc").alias("a"),
@@ -279,15 +286,28 @@ WHERE hamming <= {max_hamming}
 
 # -- embedding cosine -------------------------------------------------------
 
+def _dot(u: str, v: str) -> str:
+    """Spark SQL fragment: double dot product with sequential fold order."""
+    return (
+        f"aggregate(zip_with({u}, {v}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+
+
 def _cos(ea: str, eb: str) -> Column:
     """cosine(a,b) in double with fixed op order: dot/(sqrt(aa)*sqrt(bb))."""
-    def dot(u: str, v: str) -> str:
-        return (
-            f"aggregate(zip_with({u}, {v}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
-            f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
-        )
+    return F.expr(f"{_dot(ea, eb)} / (sqrt({_dot(ea, ea)}) * sqrt({_dot(eb, eb)}))")
 
-    return F.expr(f"{dot(ea, eb)} / (sqrt({dot(ea, ea)}) * sqrt({dot(eb, eb)}))")
+
+def _cos_prenorm(ea: str, eb: str, na: str, nb: str) -> Column:
+    """cosine via precomputed norms — one dot per pair instead of three.
+    Bit-identical to ``_cos``: the norm is a pure function of the vector,
+    so hoisting it out of the pair loop changes no values."""
+    return F.expr(f"{_dot(ea, eb)} / ({na} * {nb})")
+
+
+def _norm(e: str) -> Column:
+    return F.expr(f"sqrt({_dot(e, e)})")
 
 
 _COS_DUCK = (
@@ -312,15 +332,17 @@ def embedding_dup_pairs(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("blk"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-    )
+    ).withColumn("nrm", _norm("emb"))
+    # Low-cardinality block key → broadcast the build side (see
+    # simhash_pairs); blocks from a coarse quantizer at full scale.
     return (
         e.alias("x")
-        .join(e.alias("y"), "blk")
+        .join(F.broadcast(e.alias("y")), "blk")
         .where(F.col("x.doc") < F.col("y.doc"))
         .select(
             F.col("x.doc").alias("a"),
             F.col("y.doc").alias("b"),
-            F.round(_cos("x.emb", "y.emb"), 6).alias("cos"),
+            F.round(_cos_prenorm("x.emb", "y.emb", "x.nrm", "y.nrm"), 6).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from simple_tsdb_spark.pipeline.dedup import _cos, _COS_DUCK
+from simple_tsdb_spark.pipeline.dedup import _cos_prenorm, _norm, _COS_DUCK
 
 N_PLANES = 8
 _W_MOD = 1_048_576
@@ -69,9 +69,9 @@ def knn_brute(
     e = df.select(
         F.col(id_col).alias("nid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-    )
+    ).withColumn("nrm", _norm("emb"))
     q = e.where(F.col("nid").isin(list(query_ids))).select(
-        F.col("nid").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("nid").alias("query_id"), F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -79,7 +79,7 @@ def knn_brute(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            F.round(_cos("qemb", "emb"), 6).alias("cos"),
+            F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -124,12 +124,17 @@ def knn_lsh(
     recall < 1 by construction; bench compares its speed against
     knn_brute and tests measure recall.
     """
-    e = df.select(
-        F.col(id_col).alias("nid"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-    ).withColumn("bucket", F.expr(_bucket_expr("emb", dim)))
+    e = (
+        df.select(
+            F.col(id_col).alias("nid"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("bucket", F.expr(_bucket_expr("emb", dim)))
+        .withColumn("nrm", _norm("emb"))
+    )
     q = e.where(F.col("nid").isin(list(query_ids))).select(
-        F.col("nid").alias("query_id"), F.col("emb").alias("qemb"), F.col("bucket")
+        F.col("nid").alias("query_id"), F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"), F.col("bucket")
     )
     scored = (
         e.join(F.broadcast(q), "bucket")
@@ -137,7 +142,7 @@ def knn_lsh(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            F.round(_cos("qemb", "emb"), 6).alias("cos"),
+            F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

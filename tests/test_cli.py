@@ -1,0 +1,56 @@
+"""tsdbcli grammar tests (reference tsdbcli2 surface, parse_types.cc)."""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo/scripts")
+
+from tsdbcli import MAXT, execute, parse_where  # noqa: E402
+
+
+def test_parse_where_forms():
+    assert parse_where("WHERE 10 <= time_ns <= 20".split(), 0) == (10, 20, 6)
+    assert parse_where("WHERE 10 < time_ns < 20".split(), 0) == (11, 19, 6)
+    assert parse_where("WHERE time_ns == 15".split(), 0) == (15, 15, 4)
+    assert parse_where("WHERE time_ns < 15".split(), 0) == (0, 14, 4)
+    assert parse_where("WHERE time_ns >= 15".split(), 0) == (15, MAXT, 4)
+    assert parse_where([], 0) == (0, MAXT, 0)
+    with pytest.raises(ValueError):
+        parse_where("WHERE 10 >= time_ns <= 20".split(), 0)
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    from pyspark.sql import types as T
+
+    from simple_tsdb_spark.client import TsdbClient
+
+    client = TsdbClient(spark, str(tmp_path / "wh"))
+    execute(client, "CREATE DATABASE db")
+    execute(client, "CREATE MEASUREMENT db/m WITH FIELDS v/f64")
+    schema = client.catalog.spark_schema("db", "m")
+    rows = [("s", 100 + 10 * i, float(i)) for i in range(20)]
+    client.write_points(
+        "db", "m", spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v"]), schema)
+    )
+    execute(client, "LIST SERIES db/m")
+    execute(client, "SELECT v FROM db/m/s WHERE 100 <= time_ns < 150 LIMIT 3")
+    execute(client, "COUNT db/m/s WHERE time_ns >= 200")
+    execute(client, "DELETE db/m/s WHERE time_ns <= 150")
+    execute(client, "COUNT db/m/s")
+    out = capsys.readouterr().out
+    assert "s" in out and "npoints" in out
+    assert client.count_points("db", "m", "s").first()["npoints"] == 14
+
+
+def test_cli_errors(spark, tmp_path):
+    from simple_tsdb_spark.client import TsdbClient
+
+    client = TsdbClient(spark, str(tmp_path / "wh2"))
+    with pytest.raises(ValueError):
+        execute(client, "FROBNICATE everything")
+    with pytest.raises(ValueError):
+        execute(client, "CREATE MEASUREMENT notslashed WITH FIELDS v/f64")
