@@ -238,6 +238,22 @@ def _q_distinct_users(spark, sf_dir):
     return distinct_count(_events(spark, sf_dir, t0=None, t1=None), field="user_id")
 
 
+def _q_mean_fill_linear(spark, sf_dir):
+    from simple_tsdb_spark.operators import fill_windows, mean_points
+
+    agg = mean_points(
+        _events(spark, sf_dir, t0=None, t1=T1), fields=["value"],
+        t0=T0, t1=T1, window_ns=W, exact=True,
+    )
+    return fill_windows(agg, value_col="value_mean", mode="linear")
+
+
+def _q_ewma(spark, sf_dir):  # applyInPandas custom op — rows-only check
+    from simple_tsdb_spark.operators import ewma
+
+    return ewma(_events(spark, sf_dir, t0=None, t1=None), field="value", alpha=0.3)
+
+
 # ---- pipeline extension operators (SURVEY §2.12) -------------------------
 
 KNN_QUERY_IDS = (0, 1, 2, 3, 4)
@@ -379,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": _q_histogram,
         "quantiles": _q_quantiles,
         "distinct_users": _q_distinct_users,
+        "mean_fill_linear": _q_mean_fill_linear,
+        "ewma": _q_ewma,  # recursive stateful op — rows-only check
         # pipeline extension operators
         "token_counts": _q_token_counts,
         "quality_score": _q_quality_score,
@@ -472,12 +490,41 @@ SELECT spine.series, spine.wstart,
 FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
 """,
         "mean_points": sum_cte
-        + """
++ """
 SELECT spine.series, spine.wstart,
        COALESCE(agg.window_npoints, 0) AS window_npoints,
        CASE WHEN COALESCE(agg.value_count, 0) > 0
             THEN agg.value_sum / agg.value_count END AS value_mean
 FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
+""",
+        "mean_fill_linear": sum_cte
++ """
+, meanq AS (
+  SELECT spine.series, spine.wstart,
+         COALESCE(agg.window_npoints, 0) AS window_npoints,
+         CASE WHEN COALESCE(agg.value_count, 0) > 0
+              THEN agg.value_sum / agg.value_count END AS value_mean
+  FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart),
+nbr AS (
+  SELECT series, wstart, window_npoints, value_mean,
+         last_value(value_mean IGNORE NULLS) OVER wp AS last_v,
+         last_value(CASE WHEN value_mean IS NOT NULL THEN wstart END IGNORE NULLS)
+             OVER wp AS last_t,
+         first_value(value_mean IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN value_mean IS NOT NULL THEN wstart END IGNORE NULLS)
+             OVER wn AS next_t
+  FROM meanq
+  WINDOW wp AS (PARTITION BY series ORDER BY wstart
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY series ORDER BY wstart
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT series, wstart, window_npoints,
+       CASE WHEN value_mean IS NOT NULL THEN value_mean
+            WHEN last_t IS NULL OR next_t IS NULL THEN NULL
+            ELSE last_v + (next_v - last_v)
+                 * (CAST(wstart - last_t AS DOUBLE) / CAST(next_t - last_t AS DOUBLE))
+       END AS value_mean
+FROM nbr
 """,
         "minmax_downsample": sum_cte
         + """

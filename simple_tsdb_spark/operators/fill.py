@@ -1,0 +1,83 @@
+"""Gap handling: fill modes over the window-aggregate spine, plus EWMA.
+
+``fill_windows`` post-processes A2/A3 output (which emits empty buckets as
+NULL — sum_op.cc:108-111 semantics) with the fill policies every TSDB
+frontend offers:
+
+- ``'null'``   — keep NULLs (reference behavior);
+- ``'zero'``   — 0 for empty buckets;
+- ``'previous'`` — last observation carried forward;
+- ``'linear'`` — linear interpolation between the neighboring non-empty
+  buckets (exterior gaps stay NULL).
+
+All window-function based (two passes over the spine, no UDF, no extra
+shuffle beyond the existing per-series sort) and portable to SQL.
+
+``ewma`` is the deliberately non-SQL-expressible one — a recursive
+per-series scan — implemented the Spark-idiomatic way for custom stateful
+operators: Arrow-batched ``applyInPandas`` per series, vectorized inside
+each group.  At 100 TB it shuffles once on series and streams each series
+through pandas in columnar batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fill_windows(
+    agg: DataFrame, *, value_col: str, mode: str = "linear", time_col: str = "wstart"
+) -> DataFrame:
+    """Fill NULL buckets of a windowed-aggregate result (per series)."""
+    if mode == "null":
+        return agg
+    if mode == "zero":
+        return agg.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
+    w = Window.partitionBy("series").orderBy(time_col)
+    prev_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    next_w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    last_v = F.last(F.col(value_col), ignorenulls=True).over(prev_w)
+    if mode == "previous":
+        return agg.withColumn(value_col, last_v)
+    if mode != "linear":
+        raise ValueError(f"unknown fill mode {mode!r}")
+    # carry the time of the neighboring non-null buckets too
+    t_of_v = F.when(F.col(value_col).isNotNull(), F.col(time_col))
+    last_t = F.last(t_of_v, ignorenulls=True).over(prev_w)
+    next_v = F.first(F.col(value_col), ignorenulls=True).over(next_w)
+    next_t = F.first(t_of_v, ignorenulls=True).over(next_w)
+    frac = (F.col(time_col) - last_t).cast("double") / (next_t - last_t).cast("double")
+    interp = last_v + (next_v - last_v) * frac
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(last_t.isNull() | next_t.isNull(), F.lit(None))
+        .otherwise(interp)
+    )
+    return agg.withColumn(value_col, filled)
+
+
+def ewma(
+    df: DataFrame, *, field: str, alpha: float, out_col: str | None = None
+) -> DataFrame:
+    """Exponentially weighted moving average per series (recursive:
+    ``y_i = α·v_i + (1-α)·y_{i-1}``, NULLs skipped without weight decay —
+    pandas ``ewm(adjust=False, ignore_na=True)`` semantics)."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    out = out_col or f"{field}_ewma"
+    in_cols = ["series", "time_ns", field]
+    schema = f"series string, time_ns long, {field} double, {out} double"
+    a = float(alpha)
+
+    def per_series(pdf):
+        pdf = pdf.sort_values("time_ns")
+        pdf[out] = pdf[field].ewm(alpha=a, adjust=False, ignore_na=True).mean()
+        return pdf
+
+    return (
+        df.select(*in_cols)
+        .withColumn(field, F.col(field).cast("double"))
+        .groupBy("series")
+        .applyInPandas(per_series, schema=schema)
+    )

@@ -1,0 +1,92 @@
+"""Materialized rollups — continuous aggregates for coarse-window reads.
+
+The reference recomputes every window aggregate from raw points at query
+time (sum_op).  At 100 TB that is the wrong trade for dashboards: a
+rollup table at a base resolution (e.g. 1 min) is ~10⁴× smaller than raw
+and answers any window that is a multiple of the base *exactly*, because
+sum/min/max/count re-aggregate losslessly:
+
+    sum_W = Σ sum_w,  min_W = min(min_w),  max_W = max(max_w),
+    count_W = Σ count_w        for the w-buckets inside each W-bucket.
+
+(Means re-derive as sum/count — which is why the rollup stores sums, not
+means.)
+
+``materialize_rollup`` computes and stores the base rollup (partitioned by
+series, sorted by wstart — same layout discipline as raw measurements);
+``rollup_sum_points`` answers A2 queries from it.  Keeping it fresh is the
+streaming job's ``foreachBatch`` (append new finalized buckets); here the
+batch form doubles as the backfill job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_tsdb_spark.operators.windowed import sum_points
+
+
+def materialize_rollup(
+    spark: SparkSession,
+    df: DataFrame,
+    out_path: str,
+    *,
+    fields: Sequence[str],
+    base_window_ns: int,
+) -> None:
+    """Write the base-resolution rollup table for a measurement."""
+    agg = sum_points(df, fields=fields, window_ns=base_window_ns, emit_empty=False)
+    (
+        agg.repartition("series")
+        .sortWithinPartitions("wstart")
+        .write.mode("overwrite")
+        .partitionBy("series")
+        .parquet(out_path)
+    )
+
+
+def rollup_sum_points(
+    spark: SparkSession,
+    rollup_path: str,
+    *,
+    fields: Sequence[str],
+    base_window_ns: int,
+    window_ns: int,
+    series: str | Sequence[str] | None = None,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """A2 over the rollup: exact for any ``window_ns`` that is a positive
+    multiple of ``base_window_ns`` and aligned range endpoints.
+
+    Reads base buckets instead of raw points — the scan is smaller by the
+    points-per-bucket factor, and the shuffle keys are (series, coarse
+    bucket) over pre-aggregated rows.
+    """
+    w = int(window_ns)
+    if w % int(base_window_ns) != 0 or w <= 0:
+        raise ValueError("window_ns must be a positive multiple of base_window_ns")
+    df = spark.read.parquet(rollup_path)
+    if series is not None:
+        if isinstance(series, str):
+            df = df.where(F.col("series") == series)
+        else:
+            df = df.where(F.col("series").isin(list(series)))
+    df = df.where(F.col("wstart").between(int(t0), int(t1)))
+    coarse = (F.col("wstart") - (F.col("wstart") % F.lit(w))).alias("wstart")
+    aggs = [F.sum("window_npoints").alias("window_npoints")]
+    for f in fields:
+        aggs += [
+            F.sum(F.col(f"{f}_sum")).alias(f"{f}_sum"),
+            F.min(F.col(f"{f}_min")).alias(f"{f}_min"),
+            F.max(F.col(f"{f}_max")).alias(f"{f}_max"),
+            F.sum(F.col(f"{f}_count")).alias(f"{f}_count"),
+        ]
+    return (
+        df.groupBy("series", coarse)
+        .agg(*aggs)
+        .orderBy("series", "wstart")
+    )

@@ -1,0 +1,94 @@
+"""Rollup exactness, gap-fill modes, EWMA vs pandas."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from simple_tsdb_spark.operators import (
+    ewma,
+    fill_windows,
+    materialize_rollup,
+    rollup_sum_points,
+    sum_points,
+)
+
+
+def test_rollup_exact(spark, f2, tmp_path):
+    # coarse windows from the rollup == recomputed from raw, exactly
+    base, coarse = 10_000, 100_000
+    out = str(tmp_path / "rollup")
+    materialize_rollup(spark, f2, out, fields=["value"], base_window_ns=base)
+    got = rollup_sum_points(
+        spark, out, fields=["value"], base_window_ns=base, window_ns=coarse
+    ).toPandas()
+    want = sum_points(f2, fields=["value"], window_ns=coarse, emit_empty=False).toPandas()
+    got = got.sort_values(["series", "wstart"], ignore_index=True)
+    want = want.sort_values(["series", "wstart"], ignore_index=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+
+
+def test_rollup_rejects_non_multiple(spark, f2, tmp_path):
+    out = str(tmp_path / "r2")
+    materialize_rollup(spark, f2, out, fields=["value"], base_window_ns=10_000)
+    with pytest.raises(ValueError):
+        rollup_sum_points(spark, out, fields=["value"], base_window_ns=10_000, window_ns=15_000)
+
+
+@pytest.fixture()
+def gappy(spark):
+    from pyspark.sql import types as T
+
+    pdf = pd.DataFrame(
+        {
+            "series": "s",
+            "wstart": [0, 100, 200, 300, 400, 500],
+            "v": [10.0, None, None, 40.0, None, 20.0],
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("wstart", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
+def test_fill_modes(spark, gappy):
+    lin = fill_windows(gappy, value_col="v", mode="linear").toPandas().sort_values("wstart")
+    assert list(lin.v) == [10.0, 20.0, 30.0, 40.0, 30.0, 20.0]
+    prev = fill_windows(gappy, value_col="v", mode="previous").toPandas().sort_values("wstart")
+    assert list(prev.v) == [10.0, 10.0, 10.0, 40.0, 40.0, 20.0]
+    zero = fill_windows(gappy, value_col="v", mode="zero").toPandas().sort_values("wstart")
+    assert list(zero.v) == [10.0, 0.0, 0.0, 40.0, 0.0, 20.0]
+
+
+def test_fill_exterior_gaps_stay_null(spark):
+    from pyspark.sql import types as T
+
+    pdf = pd.DataFrame({"series": "s", "wstart": [0, 100, 200], "v": [None, 5.0, None]})
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("wstart", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema)
+    lin = fill_windows(df, value_col="v", mode="linear").toPandas().sort_values("wstart")
+    assert pd.isna(lin.v.iloc[0]) and lin.v.iloc[1] == 5.0 and pd.isna(lin.v.iloc[2])
+
+
+def test_ewma_matches_pandas(spark, f2, f2_pdf):
+    got = ewma(f2, field="value", alpha=0.3).toPandas()
+    for s, grp in f2_pdf.groupby("series"):
+        want = (
+            grp.sort_values("time_ns").value.ewm(alpha=0.3, adjust=False, ignore_na=True).mean()
+        )
+        sub = got[got.series == s].sort_values("time_ns")
+        np.testing.assert_allclose(
+            sub.value_ewma.to_numpy(), want.to_numpy(), rtol=1e-12, equal_nan=True
+        )
