@@ -26,7 +26,12 @@ from simple_tsdb_spark.pipeline.dedup import (
     embedding_dup_pairs,
 )
 from simple_tsdb_spark.pipeline.similarity import knn_brute, knn_lsh
-from simple_tsdb_spark.pipeline.multimodal import attach_blob, extract_blob_features
+from simple_tsdb_spark.pipeline.multimodal import (
+    attach_blob,
+    extract_blob_features,
+    resize_images,
+    sample_frames,
+)
 
 __all__ = [
     "token_counts",
@@ -42,4 +47,6 @@ __all__ = [
     "knn_lsh",
     "attach_blob",
     "extract_blob_features",
+    "resize_images",
+    "sample_frames",
 ]

@@ -67,6 +67,81 @@ def _fake_decode_features(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean
 
 
+def resize_images(
+    df: DataFrame, *, width: int, height: int, use_real_decoder: bool = False
+) -> DataFrame:
+    """Resize plumbing over (doc_id, payload, media_meta): real decode is
+    stubbed (DecoderNotAvailable); the fake path emits a deterministic
+    resized-payload digest so schema/batching are exercised end-to-end.
+
+    Output: doc_id, out_width, out_height, resized_md5.
+    """
+    import hashlib
+
+    w, h = int(width), int(height)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if use_real_decoder:
+                for m, p in zip(pdf["mime"], pdf["payload"]):
+                    decode_media(bytes(p), m)
+            digests = [
+                hashlib.md5(bytes(p) + f":{w}x{h}".encode()).hexdigest()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": w,
+                    "out_height": h,
+                    "resized_md5": digests,
+                }
+            )
+
+    base = df.select("doc_id", "payload", F.col("media_meta.mime").alias("mime"))
+    return base.mapInPandas(
+        batches, schema="doc_id long, out_width int, out_height int, resized_md5 string"
+    )
+
+
+def sample_frames(
+    df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled 'frame' (byte
+    window stands in for a video frame).  Demonstrates the 1→N mapInPandas
+    expansion shape a real frame sampler has.
+
+    Output: doc_id, frame_idx, frame_offset, frame_md5.
+    """
+    import hashlib
+
+    step, cap = int(every_n_bytes), int(max_frames)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                for idx, off in enumerate(range(0, len(b), step)):
+                    if idx >= cap:
+                        break
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            off,
+                            hashlib.md5(b[off : off + step]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_md5"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, frame_idx int, frame_offset int, frame_md5 string"
+    )
+
+
 def extract_blob_features(
     df: DataFrame, *, use_real_decoder: bool = False, batch_hint: int = 2
 ) -> DataFrame:

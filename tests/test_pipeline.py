@@ -113,3 +113,23 @@ def test_embedding_dup_symmetric_bound(spark, embs):
     pairs = embedding_dup_pairs(embs, threshold=0.3).toPandas()
     assert (pairs.a < pairs.b).all()
     assert pairs.cos.between(-1, 1).all()
+
+
+def test_resize_and_frame_sample(spark, docs):
+    import hashlib
+
+    from simple_tsdb_spark.pipeline import attach_blob, resize_images, sample_frames
+
+    blobs = attach_blob(docs.limit(10))
+    rs = resize_images(blobs, width=32, height=32).toPandas()
+    assert len(rs) == 10 and (rs.out_width == 32).all()
+    src = docs.limit(10).select("doc_id", "text").toPandas()
+    m = rs.merge(src, on="doc_id")
+    want = [
+        hashlib.md5(t.encode() + b":32x32").hexdigest() for t in m.text
+    ]
+    assert list(m.resized_md5) == want
+
+    fr = sample_frames(blobs, every_n_bytes=64, max_frames=4).toPandas()
+    assert fr.groupby("doc_id").frame_idx.max().max() <= 3
+    assert (fr.frame_offset == fr.frame_idx * 64).all()
