@@ -105,25 +105,56 @@ def ngram_jaccard_pairs(
     Jaccard is over the *filtered* shingle sets (doc-frequency ≤ max_df),
     identically on both engines.
     """
+    # Postings-list plan (3 shuffles instead of ~9 for the naive
+    # join-everything formulation; same result, same oracle):
+    #   1. one aggregation builds the inverted index (shingle → postings);
+    #   2. candidate pairs are *generated* from each ≤max_df posting list
+    #      (Σ df² work, no 2-sided shuffle join) and counted;
+    #   3. per-doc filtered-set sizes derive as |distinct shingles| minus
+    #      the doc's high-df shingles (one small aggregation, broadcast).
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(F.expr(_shingles(text_col, 1))).alias("sh")
     )
-    freq = sh.groupBy("sh").count().where(F.col("count") <= max_df)
-    sh = sh.join(freq, "sh")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    # Only shingles shared by ≥2 docs can contribute to an intersection —
-    # dropping df=1 postings shrinks the self-join input (sizes keep them).
-    shared = sh.where(F.col("count") >= 2).select("doc", "sh")
+    # NOTE at extreme scale: a stop-shingle appearing in a large fraction
+    # of the corpus would make its collected posting list huge; there,
+    # compute document frequencies in a first pass and anti-join hot
+    # shingles out before collecting. At max_df ≪ corpus this single-pass
+    # version is fine for the high-df lists actually retained.
+    postings = sh.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("df"), F.array_sort(F.collect_list("doc")).alias("ds")
+    )
+    n_total = df.select(
+        F.col(id_col).alias("doc"), F.size(F.expr(_shingles(text_col, 1))).alias("n_all")
+    )
+    n_high = (
+        postings.where(F.col("df") > max_df)
+        .select(F.explode("ds").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_high"))
+    )
+    sizes = (
+        n_total.join(n_high, "doc", "left")
+        .select(
+            "doc", (F.col("n_all") - F.coalesce(F.col("n_high"), F.lit(0))).alias("sz")
+        )
+    )
+    pair_gen = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
     inter = (
-        shared.alias("x")
-        .join(shared.alias("y"), "sh")
-        .where(F.col("x.doc") < F.col("y.doc"))
-        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        postings.where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select(F.explode(F.expr(pair_gen)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb")), "b")
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))), "a"
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))), "b"
+        )
         .withColumn(
             "jaccard",
             F.round(
