@@ -136,8 +136,8 @@ flagged AS (
   FROM m WINDOW w AS (PARTITION BY series ORDER BY time_ns)),
 sess AS (
   SELECT series, time_ns,
-         SUM(is_new) OVER (PARTITION BY series ORDER BY time_ns
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY series ORDER BY time_ns
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT series, session_id, MIN(time_ns) AS session_start,
        MAX(time_ns) AS session_end, COUNT(*) AS n_events

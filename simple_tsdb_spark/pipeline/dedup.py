@@ -309,7 +309,8 @@ WITH h AS (
 fp AS (
   SELECT doc, blk, {_simhash_sql('text')} AS sh FROM h)
 SELECT a, b, hamming FROM (
-  SELECT x.doc AS a, y.doc AS b, bit_count(xor(x.sh, y.sh)) AS hamming
+  SELECT x.doc AS a, y.doc AS b,
+         CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
   FROM fp x JOIN fp y ON x.blk = y.blk AND x.doc < y.doc)
 WHERE hamming <= {max_hamming}
 """
