@@ -183,7 +183,9 @@ _M_ERRORS = (
 def _user_series(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from simple_tsdb_spark.session import ensure_engine_confs
+
+    df = ensure_engine_confs(spark).read.parquet(f"{sf_dir}/events.parquet")
     ts = F.col("ts")
     return (
         df.where(F.col("event_type") == event_type)

@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from simple_tsdb_spark.session import ensure_engine_confs
+
+    return ensure_engine_confs(spark).read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str, *, cutoff: str = "1998-09-02") -> DataFrame:

@@ -18,6 +18,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Set the runtime-settable confs this engine depends on, on a session
+    we didn't create (e.g. the driver's): ns-parquet reads as longs, UTC
+    timestamp semantics.  Safe to call repeatedly."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
 def get_spark(app_name: str = "simple_tsdb_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

@@ -84,6 +84,12 @@ def events_measurement(
     measurements written by sources/writer.py store ``time_ns`` directly
     and need no such hint.
     """
+    # The driver may hand us a session without our factory's configs;
+    # nanosAsLong is a runtime SQL conf — without it the ns-precision
+    # events parquet is unreadable (PARQUET_TYPE_ILLEGAL).
+    from simple_tsdb_spark.session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts = F.col("ts")
     if dict(df.dtypes).get("ts") == "bigint":
