@@ -48,6 +48,50 @@ def materialize_rollup(
     )
 
 
+def hybrid_sum_points(
+    spark: SparkSession,
+    raw_df: DataFrame,
+    rollup_path: str,
+    *,
+    fields: Sequence[str],
+    base_window_ns: int,
+    window_ns: int,
+    series: str | Sequence[str] | None = None,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Continuous-aggregate read: rollup for history, raw for the tail.
+
+    The materialized rollup covers buckets up to its high-water mark;
+    buckets at/after the mark aggregate live from raw points.  This is
+    the classic continuous-aggregate + real-time union view: the
+    streaming job only ever appends *finalized* base buckets, readers
+    never see a half-built bucket, and the raw scan is pruned to the
+    unfinalized tail (time pushdown does the work).
+    """
+    w = int(window_ns)
+    if w % int(base_window_ns) != 0:
+        raise ValueError("window_ns must be a positive multiple of base_window_ns")
+    hwm_row = spark.read.parquet(rollup_path).agg(F.max("wstart")).first()
+    hwm = hwm_row[0] if hwm_row and hwm_row[0] is not None else None
+    if hwm is None:
+        return sum_points(
+            raw_df, fields=fields, series=series, t0=t0, t1=t1, window_ns=w, emit_empty=False
+        )
+    # coarse buckets strictly before the one containing the high-water
+    # mark come from the rollup; the rest aggregates from raw.
+    boundary = (int(hwm) // w) * w
+    hist = rollup_sum_points(
+        spark, rollup_path, fields=fields, base_window_ns=base_window_ns,
+        window_ns=w, series=series, t0=t0, t1=min(t1, boundary - 1),
+    )
+    tail = sum_points(
+        raw_df, fields=fields, series=series, t0=max(t0, boundary), t1=t1,
+        window_ns=w, emit_empty=False,
+    ).select(hist.columns)
+    return hist.unionByName(tail).orderBy("series", "wstart")
+
+
 def rollup_sum_points(
     spark: SparkSession,
     rollup_path: str,

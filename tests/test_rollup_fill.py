@@ -92,3 +92,30 @@ def test_ewma_matches_pandas(spark, f2, f2_pdf):
         np.testing.assert_allclose(
             sub.value_ewma.to_numpy(), want.to_numpy(), rtol=1e-12, equal_nan=True
         )
+
+
+def test_hybrid_rollup_plus_tail(spark, f2, f2_pdf, tmp_path):
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.operators import hybrid_sum_points
+
+    base, coarse = 10_000, 100_000
+    # materialize the rollup over only the first 70% of time — the rest is
+    # the "unfinalized" tail served from raw
+    cut = int(f2_pdf.time_ns.quantile(0.7))
+    cut_aligned = (cut // base) * base - 1
+    out = str(tmp_path / "hybrid_rollup")
+    materialize_rollup(
+        spark,
+        f2.where(F.col("time_ns") <= cut_aligned),
+        out,
+        fields=["value"],
+        base_window_ns=base,
+    )
+    got = hybrid_sum_points(
+        spark, f2, out, fields=["value"], base_window_ns=base, window_ns=coarse
+    ).toPandas()
+    want = sum_points(f2, fields=["value"], window_ns=coarse, emit_empty=False).toPandas()
+    got = got.sort_values(["series", "wstart"], ignore_index=True)
+    want = want.sort_values(["series", "wstart"], ignore_index=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9)
