@@ -72,8 +72,13 @@ def hybrid_sum_points(
     w = int(window_ns)
     if w % int(base_window_ns) != 0:
         raise ValueError("window_ns must be a positive multiple of base_window_ns")
-    hwm_row = spark.read.parquet(rollup_path).agg(F.max("wstart")).first()
-    hwm = hwm_row[0] if hwm_row and hwm_row[0] is not None else None
+    try:
+        hwm_row = spark.read.parquet(rollup_path).agg(F.max("wstart")).first()
+        hwm = hwm_row[0] if hwm_row and hwm_row[0] is not None else None
+    except Exception:
+        # missing or empty rollup (no files to infer a schema from) —
+        # serve everything from raw
+        hwm = None
     if hwm is None:
         return sum_points(
             raw_df, fields=fields, series=series, t0=t0, t1=t1, window_ns=w, emit_empty=False
