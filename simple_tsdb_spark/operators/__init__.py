@@ -19,6 +19,8 @@ from simple_tsdb_spark.operators.timeseries import (
     value_histogram,
     value_quantiles,
     distinct_count,
+    approx_distinct_count,
+    approx_quantiles,
 )
 
 __all__ = [
@@ -48,4 +50,6 @@ __all__ = [
     "value_histogram",
     "value_quantiles",
     "distinct_count",
+    "approx_distinct_count",
+    "approx_quantiles",
 ]

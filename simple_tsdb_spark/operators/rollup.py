@@ -14,9 +14,13 @@ means.)
 
 ``materialize_rollup`` computes and stores the base rollup (partitioned by
 series, sorted by wstart — same layout discipline as raw measurements);
-``rollup_sum_points`` answers A2 queries from it.  Keeping it fresh is the
-streaming job's ``foreachBatch`` (append new finalized buckets); here the
-batch form doubles as the backfill job.
+``rollup_sum_points`` answers A2 queries from it; ``hybrid_sum_points``
+unions rollup history with a pruned raw-tail aggregation so the rollup
+only ever needs *finalized* buckets.  Incremental maintenance strategy:
+periodically re-run materialize_rollup over the tail beyond the high-water
+mark and append those finalized buckets (idempotent as long as a bucket is
+appended exactly once — with Delta/Iceberg on the classpath this becomes a
+MERGE on (series, wstart), which also tolerates reprocessing).
 """
 
 from __future__ import annotations

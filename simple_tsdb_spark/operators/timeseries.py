@@ -237,3 +237,26 @@ def distinct_count_oracle(measurement_sql: str, *, field: str) -> str:
 SELECT series, COUNT(DISTINCT {field}) AS {field}_distinct
 FROM ({measurement_sql}) GROUP BY series
 """
+
+
+def approx_distinct_count(df: DataFrame, *, field: str, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB path: one pass, fixed-size
+    sketches mergeable map-side, no per-key dedup shuffle.  No oracle by
+    nature (approximate); tests bound its error against the exact op."""
+    return (
+        df.groupBy("series")
+        .agg(F.approx_count_distinct(field, rsd).alias(f"{field}_distinct_approx"))
+        .orderBy("series")
+    )
+
+
+def approx_quantiles(
+    df: DataFrame, *, field: str, qs: Sequence[float] = (0.5, 0.95, 0.99), accuracy: int = 10_000
+) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles — bounded-memory sketch,
+    one pass; the scale twin of ``value_quantiles``."""
+    cols = [
+        F.expr(f"approx_percentile({field}, {q!r}, {int(accuracy)})").alias(f"p{str(q)[2:]}")
+        for q in qs
+    ]
+    return df.groupBy("series").agg(*cols).orderBy("series")

@@ -84,3 +84,25 @@ def test_distinct_count(spark):
     got = distinct_count(mk(spark, rows), field="v").toPandas().set_index("series")
     assert got.loc["a", "v_distinct"] == 2
     assert got.loc["b", "v_distinct"] == 0
+
+
+def test_approx_variants_bounded_error(spark, f2):
+    from simple_tsdb_spark.operators import (
+        approx_distinct_count,
+        approx_quantiles,
+        value_quantiles,
+    )
+
+    exact = {
+        r["series"]: r["value_distinct"]
+        for r in distinct_count(f2, field="value").collect()
+    }
+    approx = approx_distinct_count(f2, field="value", rsd=0.05).collect()
+    for r in approx:
+        e = exact[r["series"]]
+        assert abs(r["value_distinct_approx"] - e) <= 0.15 * e + 5
+
+    eq = value_quantiles(f2, field="value", qs=(0.5,)).toPandas().set_index("series")
+    aq = approx_quantiles(f2, field="value", qs=(0.5,)).toPandas().set_index("series")
+    for s in eq.index:
+        assert abs(eq.loc[s, "p5"] - aq.loc[s, "p5"]) < 2.0  # values span ~[0,100]
