@@ -10,7 +10,12 @@ from simple_tsdb_spark.operators.integral import integrate_points
 from simple_tsdb_spark.operators.series import list_active_series, list_series
 from simple_tsdb_spark.operators.transforms import tare, difference, derivative
 from simple_tsdb_spark.operators.delete import delete_points, RetentionWatermarks
-from simple_tsdb_spark.operators.rollup import materialize_rollup, rollup_sum_points, hybrid_sum_points
+from simple_tsdb_spark.operators.rollup import (
+    materialize_rollup,
+    rollup_sum_points,
+    hybrid_sum_points,
+    advance_rollup,
+)
 from simple_tsdb_spark.operators.fill import fill_windows, ewma
 from simple_tsdb_spark.operators.timeseries import (
     asof_join,
@@ -42,6 +47,7 @@ __all__ = [
     "materialize_rollup",
     "rollup_sum_points",
     "hybrid_sum_points",
+    "advance_rollup",
     "fill_windows",
     "ewma",
     "asof_join",

@@ -90,7 +90,10 @@ def delete_points(
                 .sortWithinPartitions("time_ns")
             )
             tmp = part_dir + ".__rewrite__"
-            kept.write.mode("overwrite").parquet(tmp)
+            writer = kept.write.mode("overwrite")
+            if "time_bucket" in kept.columns:  # preserve bucketed layout
+                writer = writer.partitionBy("time_bucket")
+            writer.parquet(tmp)
             # Atomic-ish swap of the single series partition directory.
             old = part_dir + ".__old__"
             os.rename(part_dir, old)

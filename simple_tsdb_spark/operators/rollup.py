@@ -52,6 +52,57 @@ def materialize_rollup(
     )
 
 
+def advance_rollup(
+    spark: SparkSession,
+    raw_df: DataFrame,
+    rollup_path: str,
+    *,
+    fields: Sequence[str],
+    base_window_ns: int,
+) -> int:
+    """Incrementally append newly *finalized* base buckets to the rollup.
+
+    Finalized = buckets strictly before the bucket containing the raw
+    data's max timestamp (that last bucket may still be receiving
+    points).  Appends only buckets strictly after the rollup's high-water
+    mark, so repeated calls are idempotent and never double-count.
+    Returns the number of buckets appended.  This is the body a
+    ``foreachBatch`` maintainer calls per micro-batch; on Delta/Iceberg
+    it becomes a MERGE and tolerates bucket reprocessing too.
+
+    Caveat: the high-water mark is global to the measurement.  A brand-new
+    series whose first points lie below the global mark would be skipped;
+    deployments expecting that pattern should track per-series marks (same
+    code, grouped hwm) — our ingest ordering validation makes per-series
+    time monotone, so existing series can't regress below the mark.
+    """
+    w = int(base_window_ns)
+    max_t = raw_df.agg(F.max("time_ns")).first()[0]
+    if max_t is None:
+        return 0
+    finalized_end = (int(max_t) // w) * w - 1  # last fully-closed bucket end
+    try:
+        hwm = spark.read.parquet(rollup_path).agg(F.max("wstart")).first()[0]
+    except Exception:
+        hwm = None
+    lo = 0 if hwm is None else int(hwm) + w
+    if lo > finalized_end:
+        return 0
+    fresh = sum_points(
+        raw_df, fields=fields, t0=lo, t1=finalized_end, window_ns=w, emit_empty=False
+    ).where(F.col("wstart") >= lo)
+    n = fresh.count()
+    if n:
+        (
+            fresh.repartition("series")
+            .sortWithinPartitions("wstart")
+            .write.mode("append")
+            .partitionBy("series")
+            .parquet(rollup_path)
+        )
+    return n
+
+
 def hybrid_sum_points(
     spark: SparkSession,
     raw_df: DataFrame,

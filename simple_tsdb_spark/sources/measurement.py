@@ -53,9 +53,30 @@ def validate_measurement(df: DataFrame) -> DataFrame:
     return df
 
 
-def read_measurement(spark: SparkSession, path: str) -> DataFrame:
-    """Open a measurement previously written by sources/writer.py."""
-    return validate_measurement(spark.read.parquet(path))
+def read_measurement(
+    spark: SparkSession, path: str, *, t0: int | None = None, t1: int | None = None
+) -> DataFrame:
+    """Open a measurement previously written by sources/writer.py.
+
+    If the measurement was written with a coarse ``time_bucket`` partition
+    (writer ``time_bucket_ns``) and a query range is given, an equivalent
+    partition predicate is applied here so directory-level pruning happens
+    before any parquet footer is read — operators' exact ``time_ns``
+    filters still apply on top.  The partition column is dropped from the
+    surfaced schema (it is derivable layout, not data).
+    """
+    df = spark.read.parquet(path)
+    if "time_bucket" in df.columns:
+        from simple_tsdb_spark.sources.writer import _layout
+
+        bucket_ns = _layout(path).get("time_bucket_ns")
+        if bucket_ns:
+            if t0 is not None:
+                df = df.where(F.col("time_bucket") >= (int(t0) // bucket_ns) * bucket_ns)
+            if t1 is not None:
+                df = df.where(F.col("time_bucket") <= (int(t1) // bucket_ns) * bucket_ns)
+        df = df.drop("time_bucket")
+    return validate_measurement(df)
 
 
 def events_measurement(

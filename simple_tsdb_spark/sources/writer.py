@@ -46,12 +46,34 @@ class OverwriteMismatch(ValueError):
     """Retransmit bytes differ from stored points (wal.cc:87-151)."""
 
 
+def _layout(measurement_path: str) -> dict:
+    import json
+
+    p = os.path.join(measurement_path, "_tsdb_meta", "layout.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return {}
+
+
+def _save_layout(measurement_path: str, layout: dict) -> None:
+    import json
+
+    p = os.path.join(measurement_path, "_tsdb_meta", "layout.json")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(layout, fh)
+    os.replace(tmp, p)
+
+
 def write_points(
     spark: SparkSession,
     measurement_path: str,
     batch: DataFrame,
     *,
     mode: str = "strict",
+    time_bucket_ns: int | None = None,
 ) -> dict[str, int]:
     """Validated append of ``batch`` (measurement-contract columns).
 
@@ -148,14 +170,28 @@ def write_points(
                         f"time_ns={stale[0]['time_ns']}"
                     )
 
-    # (4) append, partitioned by series, time-sorted within files.
+    # (4) append, partitioned by series (and optionally a coarse time
+    # bucket: directory-level time pruning before any footer is read —
+    # the first write fixes the layout, later writes follow it).
+    layout = _layout(measurement_path)
+    if "time_bucket_ns" not in layout:
+        layout = {"time_bucket_ns": int(time_bucket_ns) if time_bucket_ns else None}
+        _save_layout(measurement_path, layout)
+    bucket_ns = layout.get("time_bucket_ns")
     n_append = batch.count()
     if n_append:
+        part_cols = ["series"]
+        out = batch
+        if bucket_ns:
+            out = out.withColumn(
+                "time_bucket", F.col("time_ns") - (F.col("time_ns") % F.lit(int(bucket_ns)))
+            )
+            part_cols.append("time_bucket")
         (
-            batch.repartition("series")
+            out.repartition("series")
             .sortWithinPartitions("time_ns")
             .write.mode("append")
-            .partitionBy("series")
+            .partitionBy(*part_cols)
             .parquet(measurement_path)
         )
     return {

@@ -129,3 +129,41 @@ def test_streaming_ingest(spark, tmp_path):
     assert sorted(zip(got.series, got.time_ns)) == [
         ("a", 10), ("a", 20), ("a", 30), ("b", 5)
     ]
+
+
+def test_time_bucket_layout(spark, tmp_path):
+    """Coarse time_bucket partitioning: directory pruning + full fidelity."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from simple_tsdb_spark.sources import read_measurement
+
+    path = str(tmp_path / "bucketed")
+    rows = [("a", t, float(t)) for t in range(0, 10_000, 10)]
+    write_points(spark, path, mk(spark, rows), time_bucket_ns=1000)
+    # layout on disk: series=/time_bucket= nesting
+    assert any("time_bucket=" in str(p) for p in (tmp_path / "bucketed" / "series=a").iterdir())
+    # later writes follow the recorded layout without re-passing the option
+    write_points(spark, path, mk(spark, [("a", 20_000, 1.0)]))
+
+    df = read_measurement(spark, path, t0=2500, t1=4500)
+    assert "time_bucket" not in df.columns
+    got = select_points(df, series="a", t0=2500, t1=4500).toPandas()
+    assert list(got.time_ns) == list(range(2500, 4501, 10))
+
+    # the bucket predicate reaches the partition filters
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.where("time_ns between 2500 and 4500").explain("formatted")
+    assert "time_bucket" in buf.getvalue().split("PartitionFilters")[1].split("\n")[0]
+
+    # retention rewrite preserves the bucketed layout
+    delete_points(spark, path, series="a", t=5000)
+    assert any(
+        "time_bucket=" in str(p) for p in (tmp_path / "bucketed" / "series=a").iterdir()
+    )
+    df2 = read_measurement(spark, path)
+    from simple_tsdb_spark.operators import RetentionWatermarks
+
+    assert RetentionWatermarks(path).apply(df2).where("time_ns <= 5000").count() == 0

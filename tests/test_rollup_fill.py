@@ -119,3 +119,33 @@ def test_hybrid_rollup_plus_tail(spark, f2, f2_pdf, tmp_path):
     got = got.sort_values(["series", "wstart"], ignore_index=True)
     want = want.sort_values(["series", "wstart"], ignore_index=True)[got.columns]
     pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9)
+
+
+def test_advance_rollup_incremental(spark, f2, f2_pdf, tmp_path):
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.operators import advance_rollup, hybrid_sum_points
+
+    base, coarse = 10_000, 100_000
+    out = str(tmp_path / "adv_rollup")
+    cut = int(f2_pdf.time_ns.quantile(0.5))
+    phase1 = f2.where(F.col("time_ns") <= cut)
+
+    n1 = advance_rollup(spark, phase1, out, fields=["value"], base_window_ns=base)
+    assert n1 > 0
+    # idempotent: nothing new without new data
+    assert advance_rollup(spark, phase1, out, fields=["value"], base_window_ns=base) == 0
+    # more data arrives → only newly finalized buckets appended
+    n2 = advance_rollup(spark, f2, out, fields=["value"], base_window_ns=base)
+    assert n2 > 0
+    # no duplicate buckets ever
+    r = spark.read.parquet(out)
+    assert r.groupBy("series", "wstart").count().where("count > 1").count() == 0
+    # hybrid read over the maintained rollup equals direct aggregation
+    got = hybrid_sum_points(
+        spark, f2, out, fields=["value"], base_window_ns=base, window_ns=coarse
+    ).toPandas()
+    want = sum_points(f2, fields=["value"], window_ns=coarse, emit_empty=False).toPandas()
+    got = got.sort_values(["series", "wstart"], ignore_index=True)
+    want = want.sort_values(["series", "wstart"], ignore_index=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9)
