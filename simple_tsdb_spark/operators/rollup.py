@@ -70,27 +70,50 @@ def advance_rollup(
     ``foreachBatch`` maintainer calls per micro-batch; on Delta/Iceberg
     it becomes a MERGE and tolerates bucket reprocessing too.
 
-    Caveat: the high-water mark is global to the measurement.  A brand-new
-    series whose first points lie below the global mark would be skipped;
-    deployments expecting that pattern should track per-series marks (same
-    code, grouped hwm) — our ingest ordering validation makes per-series
-    time monotone, so existing series can't regress below the mark.
+    Watermarks are tracked PER SERIES (each series' mark advances with its
+    own max timestamp), so a slow or new series neither stalls the others
+    nor gets skipped.  Correctness rests on the engine's ingest contract:
+    per-series arrival is time-ordered (the reference's own rule, enforced
+    by strict-mode write_points), so all points below a series' current
+    max are present when its buckets finalize.  Unordered backfills must
+    instead rebuild affected buckets (materialize_rollup, or Delta MERGE).
     """
     w = int(base_window_ns)
-    max_t = raw_df.agg(F.max("time_ns")).first()[0]
-    if max_t is None:
-        return 0
-    finalized_end = (int(max_t) // w) * w - 1  # last fully-closed bucket end
+    per_max = raw_df.groupBy("series").agg(F.max("time_ns").alias("_mx"))
+    bounds = per_max.withColumn(
+        "_fin", (F.col("_mx") - (F.col("_mx") % F.lit(w))) - 1
+    )
     try:
-        hwm = spark.read.parquet(rollup_path).agg(F.max("wstart")).first()[0]
+        marks = (
+            spark.read.parquet(rollup_path)
+            .groupBy("series")
+            .agg(F.max("wstart").alias("_hwm"))
+        )
+        bounds = bounds.join(marks, "series", "left")
     except Exception:
-        hwm = None
-    lo = 0 if hwm is None else int(hwm) + w
-    if lo > finalized_end:
+        bounds = bounds.withColumn("_hwm", F.lit(None).cast("long"))
+    bounds = bounds.withColumn(
+        "_lo", F.coalesce(F.col("_hwm") + F.lit(w), F.lit(0))
+    ).where(F.col("_lo") <= F.col("_fin")).select("series", "_lo", "_fin")
+    b = bounds.collect()
+    if not b:
         return 0
-    fresh = sum_points(
-        raw_df, fields=fields, t0=lo, t1=finalized_end, window_ns=w, emit_empty=False
-    ).where(F.col("wstart") >= lo)
+    lo_min = min(r["_lo"] for r in b)
+    fin_max = max(r["_fin"] for r in b)
+    cand = sum_points(
+        raw_df,
+        fields=fields,
+        series=[r["series"] for r in b],
+        t0=lo_min,
+        t1=fin_max,
+        window_ns=w,
+        emit_empty=False,
+    )
+    fresh = (
+        cand.join(F.broadcast(bounds), "series")
+        .where((F.col("wstart") >= F.col("_lo")) & (F.col("wstart") <= F.col("_fin")))
+        .drop("_lo", "_fin")
+    )
     n = fresh.count()
     if n:
         (
@@ -128,27 +151,54 @@ def hybrid_sum_points(
     if w % int(base_window_ns) != 0:
         raise ValueError("window_ns must be a positive multiple of base_window_ns")
     try:
-        hwm_row = spark.read.parquet(rollup_path).agg(F.max("wstart")).first()
-        hwm = hwm_row[0] if hwm_row and hwm_row[0] is not None else None
+        rollup = spark.read.parquet(rollup_path)
+        marks = rollup.groupBy("series").agg(F.max("wstart").alias("_hwm"))
+        have_rollup = marks.limit(1).count() > 0
     except Exception:
         # missing or empty rollup (no files to infer a schema from) —
         # serve everything from raw
-        hwm = None
-    if hwm is None:
+        have_rollup = False
+    if not have_rollup:
         return sum_points(
             raw_df, fields=fields, series=series, t0=t0, t1=t1, window_ns=w, emit_empty=False
         )
-    # coarse buckets strictly before the one containing the high-water
-    # mark come from the rollup; the rest aggregates from raw.
-    boundary = (int(hwm) // w) * w
-    hist = rollup_sum_points(
-        spark, rollup_path, fields=fields, base_window_ns=base_window_ns,
-        window_ns=w, series=series, t0=t0, t1=min(t1, boundary - 1),
+    # Per series: coarse buckets strictly before the one containing that
+    # series' high-water mark come from the rollup; the rest (and series
+    # absent from the rollup entirely) aggregate from raw.
+    boundary = (F.col("_hwm") - (F.col("_hwm") % F.lit(w))).alias("_boundary")
+    bmarks = F.broadcast(marks.select("series", boundary))
+    hist = (
+        rollup_sum_points(
+            spark, rollup_path, fields=fields, base_window_ns=base_window_ns,
+            window_ns=w, series=series, t0=t0, t1=t1,
+        )
+        .join(bmarks, "series")
+        .where(F.col("wstart") < F.col("_boundary"))
+        .drop("_boundary")
     )
-    tail = sum_points(
-        raw_df, fields=fields, series=series, t0=max(t0, boundary), t1=t1,
-        window_ns=w, emit_empty=False,
-    ).select(hist.columns)
+    # Tail raw-scan pruning: when an explicit series set is requested and
+    # every one has rollup history, the scalar lower bound min(boundary_s)
+    # is safe to push into the raw scan (each series' own boundary filter
+    # still applies after).  With series=None a brand-new series could
+    # predate every mark, so the raw range stays unpruned for safety.
+    t0_tail = t0
+    if series is not None:
+        wanted = [series] if isinstance(series, str) else list(series)
+        mrows = {r["series"]: r["_boundary"] for r in marks.select("series", boundary).collect()}
+        if all(s in mrows for s in wanted):
+            t0_tail = max(t0, min(mrows[s] for s in wanted))
+    tail = (
+        sum_points(
+            raw_df, fields=fields, series=series, t0=t0_tail, t1=t1,
+            window_ns=w, emit_empty=False,
+        )
+        .join(bmarks, "series", "left")
+        .where(
+            F.col("_boundary").isNull() | (F.col("wstart") >= F.col("_boundary"))
+        )
+        .drop("_boundary")
+        .select(hist.columns)
+    )
     return hist.unionByName(tail).orderBy("series", "wstart")
 
 

@@ -54,3 +54,39 @@ def start_ingest(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def start_ingest_with_rollup(
+    stream: DataFrame,
+    measurement_path: str,
+    rollup_path: str,
+    *,
+    checkpoint_dir: str,
+    fields: list[str],
+    base_window_ns: int,
+    mode: str = "dedup",
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Ingest + continuous-aggregate maintenance in one streaming query:
+    each micro-batch appends validated points, then advances the rollup
+    over newly finalized base buckets (operators/rollup.py::advance_rollup
+    — idempotent, so a replayed batch can't double-count).  Readers use
+    ``hybrid_sum_points`` and always see exact results: rollup history +
+    raw tail."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        write_points(spark, measurement_path, batch_df, mode=mode)
+        from simple_tsdb_spark.operators.rollup import advance_rollup
+
+        raw = spark.read.parquet(measurement_path)
+        advance_rollup(
+            spark, raw, rollup_path, fields=fields, base_window_ns=base_window_ns
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -167,3 +167,37 @@ def test_time_bucket_layout(spark, tmp_path):
     from simple_tsdb_spark.operators import RetentionWatermarks
 
     assert RetentionWatermarks(path).apply(df2).where("time_ns <= 5000").count() == 0
+
+
+def test_streaming_ingest_with_rollup(spark, tmp_path):
+    """Ingest + continuous-aggregate maintenance in one streaming query."""
+    from simple_tsdb_spark.operators import hybrid_sum_points, sum_points
+    from simple_tsdb_spark.streaming import start_ingest_with_rollup
+
+    src = str(tmp_path / "in2")
+    path = str(tmp_path / "m11")
+    rollup = str(tmp_path / "m11_rollup")
+    ckpt = str(tmp_path / "ck2")
+    rows1 = [("a", t, float(t)) for t in range(0, 5000, 10)]
+    # ordered arrival per series (the ingest contract advance_rollup needs)
+    mk(spark, rows1).coalesce(1).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = start_ingest_with_rollup(
+        stream, path, rollup, checkpoint_dir=ckpt, fields=["v"], base_window_ns=100
+    )
+    q.processAllAvailable()
+    rows2 = [("a", t, float(t)) for t in range(5000, 8000, 10)]
+    mk(spark, rows2).coalesce(1).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    # rollup holds only finalized buckets, no duplicates
+    r = spark.read.parquet(rollup)
+    assert r.groupBy("series", "wstart").count().where("count > 1").count() == 0
+    raw = spark.read.parquet(path)
+    got = hybrid_sum_points(
+        spark, raw, rollup, fields=["v"], base_window_ns=100, window_ns=1000
+    ).toPandas()
+    want = sum_points(raw, fields=["v"], window_ns=1000, emit_empty=False).toPandas()
+    got = got.sort_values("wstart", ignore_index=True)
+    want = want.sort_values("wstart", ignore_index=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want)

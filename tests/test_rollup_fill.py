@@ -149,3 +149,44 @@ def test_advance_rollup_incremental(spark, f2, f2_pdf, tmp_path):
     got = got.sort_values(["series", "wstart"], ignore_index=True)
     want = want.sort_values(["series", "wstart"], ignore_index=True)[got.columns]
     pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9)
+
+
+def test_hybrid_with_late_new_series(spark, tmp_path):
+    """A series that first appears below other series' marks is served
+    entirely from raw — no buckets lost."""
+    from pyspark.sql import types as T
+
+    from simple_tsdb_spark.operators import advance_rollup, hybrid_sum_points
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("time_ns", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "value"]), schema)
+
+    out = str(tmp_path / "late_series_rollup")
+    old = mk([("a", t, 1.0) for t in range(0, 10_000, 10)])
+    advance_rollup(spark, old, out, fields=["value"], base_window_ns=100)
+    # new series "b" appears with timestamps far below a's watermark
+    both = mk(
+        [("a", t, 1.0) for t in range(0, 10_000, 10)]
+        + [("b", t, 2.0) for t in range(0, 3_000, 10)]
+    )
+    got = hybrid_sum_points(
+        spark, both, out, fields=["value"], base_window_ns=100, window_ns=1000
+    ).toPandas()
+    want = sum_points(both, fields=["value"], window_ns=1000, emit_empty=False).toPandas()
+    got = got.sort_values(["series", "wstart"], ignore_index=True)
+    want = want.sort_values(["series", "wstart"], ignore_index=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want)
+    # and advance picks the new series up from zero
+    n = advance_rollup(spark, both, out, fields=["value"], base_window_ns=100)
+    assert n > 0
+    r = spark.read.parquet(out)
+    assert r.where("series = 'b'").count() > 0
+    assert r.groupBy("series", "wstart").count().where("count > 1").count() == 0
