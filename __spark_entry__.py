@@ -162,6 +162,12 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3+resets
+    from simple_tsdb_spark.operators import counter_rate
+
+    return counter_rate(_events(spark, sf_dir), fields=["value"], t0=T0, t1=T1)
+
+
 # ---- time-series breadth operators (operators/timeseries.py) -------------
 
 SESSION_GAP_NS = 3600 * 1_000_000_000  # 1 hour
@@ -390,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tare": _q_tare,
         "difference": _q_difference,
         "derivative": _q_derivative,
+        "counter_rate": _q_counter_rate,
         # time-series breadth
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
@@ -608,8 +615,11 @@ def _timeseries_oracles() -> dict[str, str]:
         value_quantiles_oracle,
     )
 
+    from simple_tsdb_spark.operators.transforms import counter_rate_oracle
+
     ranged = f"SELECT * FROM ({_M}) WHERE time_ns BETWEEN {T0} AND {T1}"
     return {
+        "counter_rate": counter_rate_oracle(ranged, field="value"),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "sessionize": sessionize_oracle(_M, gap_ns=SESSION_GAP_NS),
         "moving_avg": moving_avg_oracle(ranged, field="value", n_points=MAVG_N),

@@ -8,7 +8,7 @@ from simple_tsdb_spark.operators.windowed import (
 )
 from simple_tsdb_spark.operators.integral import integrate_points
 from simple_tsdb_spark.operators.series import list_active_series, list_series
-from simple_tsdb_spark.operators.transforms import tare, difference, derivative
+from simple_tsdb_spark.operators.transforms import tare, difference, derivative, counter_rate
 from simple_tsdb_spark.operators.delete import delete_points, RetentionWatermarks
 from simple_tsdb_spark.operators.rollup import (
     materialize_rollup,
@@ -42,6 +42,7 @@ __all__ = [
     "tare",
     "difference",
     "derivative",
+    "counter_rate",
     "delete_points",
     "RetentionWatermarks",
     "materialize_rollup",

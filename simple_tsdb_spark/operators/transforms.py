@@ -86,6 +86,42 @@ def difference(
     )
 
 
+def counter_rate(
+    df: DataFrame,
+    *,
+    fields: Sequence[str],
+    series: str | Sequence[str] | None = None,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Monotone-counter rate with reset handling (beyond the reference's
+    plain derivative): when a counter decreases (process restart), the
+    pre-reset baseline is taken as 0, so the rate is ``v_i / Δt`` instead
+    of a large negative spike — the standard Prometheus-style rule."""
+    out = _prep(df, fields, series, t0, t1)
+    dt_sec = (F.col("time_ns") - F.lag("time_ns").over(_w())).cast("double") / F.lit(1e9)
+    for f in fields:
+        v = F.col(f).cast("double")
+        lv = F.lag(f).over(_w()).cast("double")
+        dv = F.when(v >= lv, v - lv).otherwise(v)
+        out = out.withColumn(f"{f}_crate", dv / dt_sec)
+    return out.select("series", "time_ns", *[f"{f}_crate" for f in fields]).orderBy(
+        "series", "time_ns"
+    )
+
+
+def counter_rate_oracle(measurement_sql: str, *, field: str) -> str:
+    return f"""
+SELECT series, time_ns,
+       (CASE WHEN CAST({field} AS DOUBLE) >= CAST(LAG({field}) OVER w AS DOUBLE)
+             THEN CAST({field} AS DOUBLE) - CAST(LAG({field}) OVER w AS DOUBLE)
+             ELSE CAST({field} AS DOUBLE) END)
+       / ((time_ns - LAG(time_ns) OVER w) / 1e9) AS {field}_crate
+FROM ({measurement_sql})
+WINDOW w AS (PARTITION BY series ORDER BY time_ns)
+"""
+
+
 def derivative(
     df: DataFrame,
     *,
