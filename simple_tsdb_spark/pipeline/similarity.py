@@ -109,20 +109,39 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _probe_masks(multiprobe: int) -> list[int]:
+    """XOR masks for all buckets within hamming ≤ multiprobe (N_PLANES bits)."""
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << j for j in range(N_PLANES)]
+    if multiprobe >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(N_PLANES) for j in range(i + 1, N_PLANES)
+        ]
+    if multiprobe > 2:
+        raise ValueError("multiprobe > 2 not supported (probe count explodes)")
+    return masks
+
+
 def knn_lsh(
     df: DataFrame,
     *,
     query_ids: Sequence[int],
     k: int = 10,
     dim: int = 64,
+    multiprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH sign-bucket.
+    """Approximate top-k: candidates share (a neighborhood of) the query's
+    LSH sign-bucket.
 
-    Output: (query_id, neighbor_id, cos, rank) within-bucket ranking —
-    recall < 1 by construction; bench compares its speed against
-    knn_brute and tests measure recall.
+    ``multiprobe`` also probes every bucket within that hamming distance
+    of the query's bucket (0 = exact bucket only): each probed bit
+    recovers neighbors that fell just across one hyperplane — the
+    standard recall/cost dial.  Probing h≤1 touches 1+N_PLANES of the
+    2^N_PLANES buckets (~3.5% of the corpus at 8 planes) instead of 0.4%.
+    Output: (query_id, neighbor_id, cos, rank); dedup across probes.
     """
     e = (
         df.select(
@@ -132,9 +151,13 @@ def knn_lsh(
         .withColumn("bucket", F.expr(_bucket_expr("emb", dim)))
         .withColumn("nrm", _norm("emb"))
     )
+    probes = _probe_masks(multiprobe)
     q = e.where(F.col("nid").isin(list(query_ids))).select(
         F.col("nid").alias("query_id"), F.col("emb").alias("qemb"),
-        F.col("nrm").alias("qnrm"), F.col("bucket")
+        F.col("nrm").alias("qnrm"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probes])
+        ).alias("bucket"),
     )
     scored = (
         e.join(F.broadcast(q), "bucket")
@@ -154,16 +177,20 @@ def knn_lsh(
 
 
 def knn_lsh_oracle(
-    table: str = "embeddings", *, query_ids: Sequence[int] = (), k: int = 10, dim: int = 64
+    table: str = "embeddings", *, query_ids: Sequence[int] = (), k: int = 10,
+    dim: int = 64, multiprobe: int = 1,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
+    masks = ", ".join(str(m) for m in _probe_masks(multiprobe))
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
 WITH e AS (
   SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
          {_bucket_duck("embedding::DOUBLE[]", dim)} AS bucket
   FROM {table}),
-q AS (SELECT nid AS query_id, emb, bucket FROM e WHERE nid IN ({ids})),
+q AS (
+  SELECT nid AS query_id, emb, xor(bucket, m.mask) AS bucket
+  FROM e, UNNEST([{masks}]) AS m(mask) WHERE nid IN ({ids})),
 scored AS (
   SELECT q.query_id, e.nid AS neighbor_id, round({cos}, 6) AS cos
   FROM e JOIN q USING (bucket) WHERE e.nid <> q.query_id),
