@@ -134,11 +134,15 @@ class TsdbClient:
         self, database: str, measurement: str, series: str, window_ns: int,
         fields: Sequence[str] | None = None, t0: int = 0, t1: int = 2**64 - 1,
     ) -> DataFrame:
-        from simple_tsdb_spark.operators import sum_points
+        from simple_tsdb_spark.operators import RetentionWatermarks, sum_points
 
+        # Use the recorded time_first (writer sidecar) to skip the
+        # alignment-anchor scan when available for this series.
+        marks = RetentionWatermarks(self.catalog.measurement_path(database, measurement))
+        tf = {series: marks.get(series)} if series in marks._marks else None
         return sum_points(
             self._df(database, measurement), series=series, fields=fields,
-            t0=t0, t1=min(t1, MAX_TIME_NS), window_ns=window_ns,
+            t0=t0, t1=min(t1, MAX_TIME_NS), window_ns=window_ns, time_first=tf,
         )
 
     def integrate_points(

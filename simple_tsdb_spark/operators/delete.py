@@ -55,14 +55,28 @@ class RetentionWatermarks:
         os.replace(tmp, self.path)  # atomic publish, like the reference's rename
 
     def apply(self, df: DataFrame) -> DataFrame:
-        """Read-path filter: hide rows below any series' watermark."""
+        """Read-path filter: hide rows below any series' watermark.
+
+        Small mark sets inline as a literal map (stays in codegen); large
+        ones broadcast-join so the filter expression stays bounded.
+        """
         if not self._marks:
             return df
-        marks = F.create_map(
-            *[F.lit(x) for kv in self._marks.items() for x in (kv[0], str(kv[1]))]
+        if len(self._marks) <= 32:
+            marks = F.create_map(
+                *[F.lit(x) for kv in self._marks.items() for x in (kv[0], str(kv[1]))]
+            )
+            wm = F.coalesce(marks[F.col("series")].cast("long"), F.lit(0))
+            return df.where(F.col("time_ns") >= wm)
+        spark = df.sparkSession
+        wm_df = spark.createDataFrame(
+            [(s, int(t)) for s, t in self._marks.items()], "series string, _wm long"
         )
-        wm = F.coalesce(marks[F.col("series")].cast("long"), F.lit(0))
-        return df.where(F.col("time_ns") >= wm)
+        return (
+            df.join(F.broadcast(wm_df), "series", "left")
+            .where(F.col("_wm").isNull() | (F.col("time_ns") >= F.col("_wm")))
+            .drop("_wm")
+        )
 
 
 def delete_points(

@@ -70,12 +70,20 @@ def sum_points(
     window_ns: int,
     emit_empty: bool = True,
     exact: bool = False,
+    time_first: dict[str, int] | None = None,
 ) -> DataFrame:
     """A2 — per (series, window) sum/min/max/non-null-count for each field.
 
     Output columns: series, wstart (window start, ns), window_npoints, and
     per field ``{f}_sum, {f}_min, {f}_max, {f}_count``.  Empty windows have
     count 0 and NULL sum/min/max (the reference's client renders them nil).
+
+    ``time_first``: known per-series live-range starts (the reference's
+    ``time_first`` metadata file; our writer records them in the
+    measurement sidecar).  When supplied for every requested series, the
+    full-series min scan that otherwise computes the window-alignment
+    anchor is skipped — at 100 TB that scan touches every row group of
+    the series while the query range may touch a sliver.
     """
     t0, t1 = clamp_time_range(t0, t1)
     w = int(window_ns)
@@ -87,7 +95,13 @@ def sum_points(
 
     # Per-series live-range start (min over the whole series, not the range)
     # — the reference reads this from its time_first metadata file.
-    tf = src.groupBy("series").agg(F.min("time_ns").alias("_tf"))
+    if time_first:
+        spark = df.sparkSession
+        tf = spark.createDataFrame(
+            [(s, int(t)) for s, t in time_first.items()], "series string, _tf long"
+        )
+    else:
+        tf = src.groupBy("series").agg(F.min("time_ns").alias("_tf"))
     t0a = F.greatest(F.lit(round_up_ns(t0, w)), _bucket(F.col("_tf"), w)).alias("_t0a")
     starts = tf.select("series", t0a)
 

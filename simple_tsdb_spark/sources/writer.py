@@ -194,6 +194,16 @@ def write_points(
             .partitionBy(*part_cols)
             .parquet(measurement_path)
         )
+        # Record time_first for series seen for the first time (the
+        # reference's time_first metadata file) so windowed reads can skip
+        # the full-series min scan; retention deletes advance it later.
+        firsts = {
+            r["series"]: r["_m"]
+            for r in batch.groupBy("series").agg(F.min("time_ns").alias("_m")).collect()
+        }
+        for s, m in firsts.items():
+            if s not in marks._marks:
+                marks.advance(s, int(m))
     return {
         "rows_in": n_in,
         "dropped_below_watermark": n_in - n_after_wm,

@@ -106,3 +106,38 @@ def test_minmax_downsample(spark, f1, f1_pdf):
     mins = got[got.stat == "min"].set_index("wstart")["value"]
     for ws, row in nonempty.set_index("wstart").iterrows():
         assert abs(mins.loc[ws] - row["min"]) < 1e-12
+
+
+def test_time_first_hint_matches_scan(spark, tmp_path):
+    """sum_points with the recorded time_first equals the scan-based path,
+    including through the client (writer records marks on first write)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from simple_tsdb_spark.client import TsdbClient
+
+    c = TsdbClient(spark, str(tmp_path / "wh"))
+    c.create_database("db")
+    c.create_measurement("db", "m", {"v": "f64"})
+    schema = c.catalog.spark_schema("db", "m")
+    rows = [("s1", 137 + 10 * i, float(i)) for i in range(300)]
+    c.write_points(
+        "db", "m",
+        spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v"]), schema),
+    )
+    df = c.catalog.read("db", "m")
+    via_client = c.sum_points("db", "m", "s1", window_ns=100, t0=200, t1=2500).toPandas()
+    via_scan = sum_points(df, fields=["v"], series="s1", t0=200, t1=2500, window_ns=100).toPandas()
+    pd.testing.assert_frame_equal(
+        via_client.sort_values("wstart", ignore_index=True),
+        via_scan.sort_values("wstart", ignore_index=True),
+    )
+    # explicit dict hint too (unaligned time_first exercises round_down)
+    hinted = sum_points(
+        df, fields=["v"], series="s1", t0=200, t1=2500, window_ns=100,
+        time_first={"s1": 137},
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        hinted.sort_values("wstart", ignore_index=True),
+        via_scan.sort_values("wstart", ignore_index=True),
+    )
