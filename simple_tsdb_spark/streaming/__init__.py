@@ -1,3 +1,4 @@
 from simple_tsdb_spark.streaming.ingest import start_ingest, start_ingest_with_rollup
+from simple_tsdb_spark.streaming.stateful import streaming_ewma
 
-__all__ = ["start_ingest", "start_ingest_with_rollup"]
+__all__ = ["start_ingest", "start_ingest_with_rollup", "streaming_ewma"]

