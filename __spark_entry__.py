@@ -381,6 +381,18 @@ def _q_top_customers(spark, sf_dir):
     return top_customers_per_nation(spark, sf_dir)
 
 
+def _q_daily_pivot(spark, sf_dir):
+    from simple_tsdb_spark.plans import daily_event_pivot
+
+    return daily_event_pivot(spark, sf_dir)
+
+
+def _q_revenue_rollup(spark, sf_dir):
+    from simple_tsdb_spark.plans import revenue_rollup
+
+    return revenue_rollup(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_points": _q_select_points,
@@ -424,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
+        "daily_pivot": _q_daily_pivot,
+        "revenue_rollup": _q_revenue_rollup,
     }
 
 
@@ -648,8 +662,10 @@ def _pipeline_oracles() -> dict[str, str]:
         token_counts_oracle,
     )
     from simple_tsdb_spark.plans.analytics import (
+        daily_event_pivot_oracle,
         pricing_summary_oracle,
         revenue_by_nation_oracle,
+        revenue_rollup_oracle,
         top_customers_oracle,
     )
 
@@ -669,4 +685,6 @@ def _pipeline_oracles() -> dict[str, str]:
         "pricing_summary": pricing_summary_oracle(),
         "revenue_by_nation": revenue_by_nation_oracle(),
         "top_customers": top_customers_oracle(),
+        "daily_pivot": daily_event_pivot_oracle(),
+        "revenue_rollup": revenue_rollup_oracle(),
     }

@@ -2,6 +2,14 @@ from simple_tsdb_spark.plans.analytics import (
     pricing_summary,
     revenue_by_nation,
     top_customers_per_nation,
+    daily_event_pivot,
+    revenue_rollup,
 )
 
-__all__ = ["pricing_summary", "revenue_by_nation", "top_customers_per_nation"]
+__all__ = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_per_nation",
+    "daily_event_pivot",
+    "revenue_rollup",
+]

@@ -96,6 +96,60 @@ GROUP BY n_name
 """
 
 
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per day × event_type (wide daily activity table).
+
+    The pivot values are fixed (stable schema — the requirement for any
+    production pivot); counts are exact ints.
+    """
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    day = F.date_trunc("day", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return (
+        ev.groupBy(day.alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+def daily_event_pivot_oracle() -> str:
+    cases = ",\n       ".join(
+        f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS {t}"
+        for t in ["click", "error", "purchase", "signup", "view"]
+    )
+    return f"""
+SELECT date_trunc('day', ts) AS day,
+       {cases}
+FROM events GROUP BY date_trunc('day', ts)
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: order totals by (status, priority) with ROLLUP
+    subtotals and grand total — the reference has no grouping sets at all.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def revenue_rollup_oracle() -> str:
+    return """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 def top_customers_per_nation(spark: SparkSession, sf_dir: str, *, k: int = 3) -> DataFrame:
     """Top-k customers by order total per nation (ranking window)."""
     orders = _t(spark, sf_dir, "orders")
