@@ -201,3 +201,20 @@ def test_streaming_ingest_with_rollup(spark, tmp_path):
     got = got.sort_values("wstart", ignore_index=True)
     want = want.sort_values("wstart", ignore_index=True)[got.columns]
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_watermark_broadcast_join_path(spark, tmp_path):
+    """RetentionWatermarks.apply switches to a broadcast join above 32
+    series — same filtering semantics as the literal-map path."""
+    from simple_tsdb_spark.operators import RetentionWatermarks
+
+    path = str(tmp_path / "many_series")
+    rows = [(f"s{i}", t, 1.0) for i in range(40) for t in (10, 20, 30)]
+    write_points(spark, path, mk(spark, rows))
+    marks = RetentionWatermarks(path)
+    for i in range(40):
+        marks.advance(f"s{i}", 20 if i % 2 == 0 else 10)
+    df = marks.apply(spark.read.parquet(path))
+    got = df.groupBy("series").count().toPandas().set_index("series")["count"]
+    for i in range(40):
+        assert got[f"s{i}"] == (2 if i % 2 == 0 else 3)
