@@ -145,6 +145,21 @@ class TsdbClient:
             t0=t0, t1=min(t1, MAX_TIME_NS), window_ns=window_ns, time_first=tf,
         )
 
+    def mean_points(
+        self, database: str, measurement: str, series: str, window_ns: int,
+        fields: Sequence[str] | None = None, t0: int = 0, t1: int = 2**64 - 1,
+    ) -> DataFrame:
+        """Windowed MEAN — the reference's client derives this from
+        SUM_POINTS (client.py:1103-1120); here it is a first-class call."""
+        from simple_tsdb_spark.operators import RetentionWatermarks, mean_points
+
+        marks = RetentionWatermarks(self.catalog.measurement_path(database, measurement))
+        tf = {series: marks.get(series)} if series in marks._marks else None
+        return mean_points(
+            self._df(database, measurement), series=series, fields=fields,
+            t0=t0, t1=min(t1, MAX_TIME_NS), window_ns=window_ns, time_first=tf,
+        )
+
     def integrate_points(
         self, database: str, measurement: str, series: str,
         fields: Sequence[str] | None = None, t0: int = 0, t1: int = 2**64 - 1,

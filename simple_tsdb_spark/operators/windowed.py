@@ -156,6 +156,7 @@ def mean_points(
     window_ns: int,
     emit_empty: bool = True,
     exact: bool = False,
+    time_first: dict[str, int] | None = None,
 ) -> DataFrame:
     """A3 — windowed MEAN: sum/count per window, NULL when count == 0.
 
@@ -173,6 +174,7 @@ def mean_points(
         window_ns=window_ns,
         emit_empty=emit_empty,
         exact=exact,
+        time_first=time_first,
     )
     keep = ["series", "wstart", "window_npoints"]
     for f in fields:

@@ -50,6 +50,8 @@ def test_all_commands(client):
 
     agg = client.sum_points("db", "m", "s1", window_ns=5000).toPandas()
     assert agg.window_npoints.sum() == 200
+    mean = client.mean_points("db", "m", "s1", window_ns=5000).toPandas()
+    assert len(mean) == len(agg) and "v_mean" in mean.columns
     integ = client.integrate_points("db", "m", "s1").first()
     assert integ["npoints"] == 200
 
