@@ -39,8 +39,13 @@ MAX_FIELDS = 64  # constants.h:33
 _NAME_RE = re.compile(r"^[A-Za-z0-9_\-.]{1,124}$")  # schema_entry name[124]
 
 
-class MeasurementExists(ValueError):
-    """Reference status measurement_exists — same name, different schema."""
+from simple_tsdb_spark.errors import (
+    InvalidName,
+    MeasurementExists,
+    NoSuchDatabase,
+    NoSuchMeasurement,
+    TooManyFields,
+)
 
 
 class TsdbCatalog:
@@ -76,7 +81,7 @@ class TsdbCatalog:
         """
         self._check_name(measurement)
         if len(fields) > MAX_FIELDS:
-            raise ValueError(f"too many fields ({len(fields)} > {MAX_FIELDS})")
+            raise TooManyFields(f"too many fields ({len(fields)} > {MAX_FIELDS})")
         for fname, ftype in fields.items():
             self._check_name(fname)
             if ftype not in FIELD_TYPES:
@@ -100,7 +105,7 @@ class TsdbCatalog:
     def list_measurements(self, database: str) -> list[str]:
         db = os.path.join(self.warehouse, database)
         if not os.path.isdir(db):
-            raise FileNotFoundError(f"no such database: {database}")
+            raise NoSuchDatabase(f"no such database: {database}")
         return sorted(d for d in os.listdir(db) if os.path.isdir(os.path.join(db, d)))
 
     def get_schema(self, database: str, measurement: str) -> list[tuple[str, str]]:
@@ -108,6 +113,8 @@ class TsdbCatalog:
         schema_file = os.path.join(
             self.measurement_path(database, measurement), "_tsdb_meta", "schema.json"
         )
+        if not os.path.exists(schema_file):
+            raise NoSuchMeasurement(f"no such measurement: {database}/{measurement}")
         with open(schema_file) as fh:
             return list(json.load(fh).items())
 
@@ -175,4 +182,4 @@ class TsdbCatalog:
     @staticmethod
     def _check_name(name: str) -> None:
         if not _NAME_RE.match(name):
-            raise ValueError(f"invalid name: {name!r}")
+            raise InvalidName(f"invalid name: {name!r}")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from simple_tsdb_spark.functions.timeutil import clamp_time_range
+from simple_tsdb_spark.errors import DuplicateField, NoSuchField
 from simple_tsdb_spark.sources.measurement import field_columns
 
 
@@ -50,9 +51,9 @@ def _base(
         known = set(df.columns)
         unknown = [f for f in fields if f not in known]
         if unknown:
-            raise KeyError(f"unknown fields: {unknown}")  # reference: gen_entries error
+            raise NoSuchField(f"unknown fields: {unknown}")  # gen_entries NO_SUCH_FIELD
         if len(set(fields)) != len(fields):
-            raise ValueError("duplicate field in projection")  # measurement.h:137-139
+            raise DuplicateField("duplicate field in projection")  # measurement.h:137-139
     out = df.where(F.col("time_ns").between(t0, t1))
     if series is not None:
         if isinstance(series, str):

@@ -38,12 +38,9 @@ from simple_tsdb_spark.operators.delete import RetentionWatermarks
 from simple_tsdb_spark.sources.measurement import field_columns, validate_measurement
 
 
-class OutOfOrderTimestamps(ValueError):
-    """Reference status OUT_OF_ORDER_TIMESTAMPS (exception.h)."""
+from simple_tsdb_spark.errors import OutOfOrderTimestamps, OverwriteMismatch
 
-
-class OverwriteMismatch(ValueError):
-    """Retransmit bytes differ from stored points (wal.cc:87-151)."""
+__all__ = ["write_points", "compact_measurement", "OutOfOrderTimestamps", "OverwriteMismatch"]
 
 
 def _layout(measurement_path: str) -> dict:
