@@ -39,6 +39,9 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     execute(client, "LIST SERIES db/m")
     execute(client, "SELECT v FROM db/m/s WHERE 100 <= time_ns < 150 LIMIT 3")
     execute(client, "COUNT db/m/s WHERE time_ns >= 200")
+    execute(client, "MEAN v FROM db/m/s WHERE 100 <= time_ns <= 290 WINDOW_NS 50")
+    execute(client, "INTEGRATE v FROM db/m/s")
+    execute(client, "LIST ACTIVE SERIES db/m WHERE time_ns >= 150")
     execute(client, "DELETE db/m/s WHERE time_ns <= 150")
     execute(client, "COUNT db/m/s")
     out = capsys.readouterr().out
