@@ -104,7 +104,9 @@ def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    day = F.date_trunc("day", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # ns → µs with integer division (a double division of a ~1.7e18 ns value
+    # exceeds 2^53 and rounds); DATE day to match ANSI date_trunc semantics.
+    day = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
     return (
         ev.groupBy(day.alias("day"))
         .pivot("event_type", types)
@@ -116,11 +118,11 @@ def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def daily_event_pivot_oracle() -> str:
     cases = ",\n       ".join(
-        f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS {t}"
+        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
         for t in ["click", "error", "purchase", "signup", "view"]
     )
     return f"""
-SELECT date_trunc('day', ts) AS day,
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        {cases}
 FROM events GROUP BY date_trunc('day', ts)
 """
