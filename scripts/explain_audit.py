@@ -62,7 +62,7 @@ def main() -> int:
 
     # A2: exactly one pre-spine aggregate exchange on (series, wstart)
     p = plan_of(sum_points(ev, fields=["value"], t0=T0, t1=T1, window_ns=86_400_000_000_000))
-    n_exchange = len(re.findall(r"Exchange hashpartitioning", p))
+    n_exchange = len(re.findall(r"Arguments: hashpartitioning\(", p))
     ok &= check("A2 bounded shuffles (agg + tiny spine joins)", n_exchange <= 4, f"{n_exchange} exchanges")
     ok &= check("A2 partial aggregation (map-side combine)", "partial_count" in p or "Partial" in p)
     ok &= check("A2 spine join is broadcast", "BroadcastHashJoin" in p)
@@ -70,6 +70,42 @@ def main() -> int:
     # joins: dimensions broadcast
     p = plan_of(revenue_by_nation(spark, SF))
     ok &= check("revenue: customer/nation broadcast", p.count("BroadcastHashJoin") >= 2)
+
+    # pair-generation operators: NO corpus-wide broadcast anywhere in the
+    # plan — the self-joins must be shuffle joins on high-cardinality
+    # bucket keys (band/bucket/salt), or the operator dies at 10^9 docs.
+    from simple_tsdb_spark.pipeline import (
+        embedding_dup_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # With auto-broadcast disabled, any BroadcastExchange left in the plan
+    # is hint-FORCED — i.e. would still broadcast when the table is 100 TB.
+    # (At sf0.01 Catalyst's size estimate legitimately broadcasts these
+    # tiny tables; at real scale the same cost model picks shuffle joins.)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        for name, df in [
+            ("simhash_pairs", simhash_pairs(docs, max_hamming=3)),
+            ("embedding_dup", embedding_dup_pairs(embs)),
+            ("ngram_jaccard", ngram_jaccard_pairs(docs)),
+        ]:
+            p = plan_of(df)
+            ok &= check(
+                f"{name}: no forced broadcast of the corpus",
+                "BroadcastExchange" not in p,
+                "plan contains BroadcastExchange",
+            )
+            ok &= check(
+                f"{name}: bucketed shuffle join present",
+                "hashpartitioning" in p and ("SortMergeJoin" in p or "ShuffledHashJoin" in p),
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     # native writer layout: time_ns is a stored column → direct pushdown +
     # series partition pruning, no adapter hint needed

@@ -14,11 +14,12 @@ Scale design (the point of each variant):
 - ``minhash_lsh_pairs``: sub-quadratic near-dup at corpus scale: per-doc
   minhash signature (16 hashes) → 4 LSH bands → candidates only collide
   within a band bucket.  Shuffle volume ≈ #docs × #bands, never #docs².
-- ``simhash_pairs``: 32-bit simhash + hamming ≤ d within blocks; the
-  cheapest near-dup filter (one long per doc).
+- ``simhash_pairs``: 32-bit simhash + hamming ≤ d, blocked EXACTLY by
+  fingerprint bands (pigeonhole over d+1 bands) — the cheapest near-dup
+  filter (one long per doc), shuffle ≈ docs × bands, no broadcast.
 - ``embedding_dup_pairs``: cosine near-dup inside a blocking key (label /
-  cluster id).  Blocked pair-join, each block small enough to be
-  shuffle-joined; at 100 TB the blocking key comes from a coarse
+  cluster id), salted shuffle join (no corpus broadcast, parallelism
+  #blocks × salts); at 100 TB the blocking key comes from a coarse
   quantizer (see similarity.knn_lsh).
 
 All hashing is md5-based and every expression is built-in (no UDFs), so
@@ -48,12 +49,23 @@ _MINHASH_B = [(40503 * (j + 1) * 69069) % MERSENNE31 for j in range(N_HASHES)]
 
 # -- helpers ----------------------------------------------------------------
 
-def _shingles(text_col: str, stride: int) -> str:
-    """SQL fragment (Spark dialect): distinct char shingles of a doc."""
-    return (
-        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {SHINGLE_LEN - 1}, 1), {stride}), "
-        f"i -> substring({text_col}, i, {SHINGLE_LEN})))"
+def _shingle_rows(df: DataFrame, *, text_col: str, id_col: str, stride: int) -> DataFrame:
+    """Codegen-friendly shingle stream: one (doc, sh) row per position.
+
+    Explodes the position *sequence* and computes the substring as a
+    plain projection — a ``transform(..., i -> substring(...))`` lambda
+    is interpreted per element and measures ~5× slower at scan scale.
+    Emits duplicate shingles; callers dedup (``distinct``) or aggregate
+    with duplicate-insensitive functions (``min`` for minhash).
+    """
+    pos = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("_t"),
+        F.explode(
+            F.expr(f"sequence(1, greatest(length({text_col}) - {SHINGLE_LEN - 1}, 1), {stride})")
+        ).alias("_i"),
     )
+    return pos.select("doc", F.expr(f"substring(_t, _i, {SHINGLE_LEN})").alias("sh"))
 
 
 def _shingles_duck(text_col: str, stride: int) -> str:
@@ -105,56 +117,44 @@ def ngram_jaccard_pairs(
     Jaccard is over the *filtered* shingle sets (doc-frequency ≤ max_df),
     identically on both engines.
     """
-    # Postings-list plan (3 shuffles instead of ~9 for the naive
-    # join-everything formulation; same result, same oracle):
-    #   1. one aggregation builds the inverted index (shingle → postings);
-    #   2. candidate pairs are *generated* from each ≤max_df posting list
+    # Two-pass postings-list plan (same result, same oracle):
+    #   1. pass 1 computes shingle document frequencies only — a count
+    #      aggregation with map-side partial combine, so the shuffle
+    #      carries ~one row per distinct shingle per task, not the raw
+    #      occurrence stream;
+    #   2. the hot stop-list (df > max_df) is small by construction —
+    #      a LEFT ANTI join against it (AQE converts to a broadcast anti
+    #      join at runtime) drops corpus-scale stop-shingles map-side,
+    #      BEFORE any posting list is materialized, so no unbounded array
+    #      and no skewed shuffle of hot rows;
+    #   3. candidate pairs are *generated* from each ≤max_df posting list
     #      (Σ df² work, no 2-sided shuffle join) and counted;
-    #   3. per-doc filtered-set sizes derive as |distinct shingles| minus
-    #      the doc's high-df shingles (one small aggregation, broadcast).
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(F.expr(_shingles(text_col, 1))).alias("sh")
-    )
-    # NOTE at extreme scale: a stop-shingle appearing in a large fraction
-    # of the corpus would make its collected posting list huge; there,
-    # compute document frequencies in a first pass and anti-join hot
-    # shingles out before collecting. At max_df ≪ corpus this single-pass
-    # version is fine for the high-df lists actually retained.
-    postings = sh.groupBy("sh").agg(
-        F.count(F.lit(1)).alias("df"), F.array_sort(F.collect_list("doc")).alias("ds")
-    )
-    n_total = df.select(
-        F.col(id_col).alias("doc"), F.size(F.expr(_shingles(text_col, 1))).alias("n_all")
-    )
-    n_high = (
-        postings.where(F.col("df") > max_df)
-        .select(F.explode("ds").alias("doc"))
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_high"))
-    )
-    sizes = (
-        n_total.join(n_high, "doc", "left")
-        .select(
-            "doc", (F.col("n_all") - F.coalesce(F.col("n_high"), F.lit(0))).alias("sz")
-        )
-    )
+    #   4. per-doc filtered-set sizes are a count over the same filtered
+    #      stream.  The final size joins are plain shuffle joins keyed by
+    #      doc id — AQE broadcasts them when the pair table is small, but
+    #      nothing forces a corpus-wide broadcast at 10^9 docs.
+    # distinct() dedups (doc, sh) with a map-side partial aggregate; the
+    # identical subtree under both consumers is computed once (Spark's
+    # exchange reuse).
+    sh0 = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=1).distinct()
+    hot = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
+    sh = sh0.join(hot, "sh", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # Posting lists capped at max_df elements by construction (df=1 lists
+    # survive but generate no pairs).
+    postings = sh.groupBy("sh").agg(F.array_sort(F.collect_list("doc")).alias("ds"))
     pair_gen = (
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
     )
     inter = (
-        postings.where((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .select(F.explode(F.expr(pair_gen)).alias("p"))
+        postings.select(F.explode(F.expr(pair_gen)).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        inter.join(
-            F.broadcast(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))), "a"
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))), "b"
-        )
+        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn(
             "jaccard",
             F.round(
@@ -200,10 +200,11 @@ def minhash_lsh_pairs(
     shingle → 16 md5-seeded minhashes → 4 bands of 4 → docs sharing any
     band bucket become a candidate pair.  Output: (a, b, n_bands shared).
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.expr(_shingles(text_col, MINHASH_STRIDE))).alias("sh"),
-    ).withColumn("hb", F.expr(f"{_hash60('sh')} % {MERSENNE31}"))
+    # No dedup needed: MIN over the shingle multiset equals MIN over the
+    # set, so duplicate shingle rows cannot change any signature value.
+    sh = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=MINHASH_STRIDE).withColumn(
+        "hb", F.expr(f"{_hash60('sh')} % {MERSENNE31}")
+    )
     # One md5 per shingle; the 16-member hash family is cheap universal
     # hashing over the base hash: h_j = (A_j·h + B_j) mod (2^31−1).
     sig = sh.groupBy("doc").agg(
@@ -269,49 +270,88 @@ GROUP BY x.doc, y.doc
 
 # -- simhash ----------------------------------------------------------------
 
+def _simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per band: SIMHASH_BITS split into max_hamming+1
+    contiguous bands.  Pigeonhole: flipping ≤ max_hamming bits cannot touch
+    all max_hamming+1 bands, so every qualifying pair shares ≥1 band
+    exactly — band-bucket candidate generation is EXACT, not approximate
+    (the Manku/Jain/Sarma near-duplicate blocking scheme, simplified to
+    single-band tables).
+    """
+    k = max_hamming + 1
+    if k > SIMHASH_BITS:
+        raise ValueError(f"max_hamming {max_hamming} too large for {SIMHASH_BITS}-bit simhash")
+    bounds = [SIMHASH_BITS * i // k for i in range(k + 1)]
+    return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(k)]
+
+
 def simhash_pairs(
     df: DataFrame,
     *,
     max_hamming: int = 6,
-    block_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    block_col: str | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance within a blocking key."""
-    fp = df.select(
-        F.col(id_col).alias("doc"),
-        F.col(block_col).alias("blk"),
-        _simhash_expr(text_col).alias("sh"),
+    """All near-dup pairs by simhash hamming distance ≤ ``max_hamming``.
+
+    Scale design: each fingerprint fans out to ``max_hamming+1`` band
+    rows; candidates are a self shuffle-join on the (band_id, band value)
+    bucket key — high-cardinality, partition-parallel, and NO corpus
+    broadcast (a broadcast of the fingerprint table caps out at ~10^8
+    docs; buckets shuffle ≈ docs × bands rows, never docs²).  The final
+    hamming filter makes the result exact; a groupBy dedups pairs that
+    collide in several bands.  ``block_col`` optionally restricts pairs
+    to an equal blocking key (e.g. same lang) on top of the band buckets.
+    """
+    cols = [F.col(id_col).alias("doc"), _simhash_expr(text_col).alias("sh")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    fp = df.select(*cols)
+    bands = _simhash_bands(max_hamming)
+    stack = ", ".join(
+        f"{i}, CAST(shiftright(sh, {shift}) & {(1 << width) - 1} AS BIGINT)"
+        for i, (shift, width) in enumerate(bands)
     )
-    # Broadcast the (1 long/doc) fingerprint side: the block key is
-    # low-cardinality, so a shuffle join would skew onto a few tasks; the
-    # broadcast keeps the probe side partition-parallel.  At corpus scale
-    # block by a simhash band prefix instead (high-cardinality key).
-    return (
-        fp.alias("x")
-        .join(F.broadcast(fp.alias("y")), "blk")
-        .where(F.col("x.doc") < F.col("y.doc"))
+    carry = ["doc", "sh"] + (["blk"] if block_col else [])
+    banded = fp.selectExpr(
+        *carry, f"stack({len(bands)}, {stack}) AS (band_id, key)"
+    )
+    cond = [F.col("x.doc") < F.col("y.doc")]
+    if block_col:
+        cond.append(F.col("x.blk") == F.col("y.blk"))
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "key"])
+        .where(cond[0] if len(cond) == 1 else cond[0] & cond[1])
         .select(
             F.col("x.doc").alias("a"),
             F.col("y.doc").alias("b"),
             F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .groupBy("a", "b")
+        .agg(F.min("hamming").alias("hamming"))
     )
+    return pairs
 
 
-def simhash_pairs_oracle(table: str = "documents", *, max_hamming: int = 6, block_col: str = "lang") -> str:
+def simhash_pairs_oracle(
+    table: str = "documents", *, max_hamming: int = 6, block_col: str | None = None
+) -> str:
     from simple_tsdb_spark.pipeline.text import _simhash_hashes_sql
 
+    blk_sel = f", {block_col} AS blk" if block_col else ""
+    blk_cond = " AND x.blk = y.blk" if block_col else ""
     return f"""
 WITH h AS (
-  SELECT doc_id AS doc, {block_col} AS blk, {_simhash_hashes_sql('text')} AS _hs FROM {table}),
+  SELECT doc_id AS doc{blk_sel}, {_simhash_hashes_sql('text')} AS _hs FROM {table}),
 fp AS (
-  SELECT doc, blk, {_simhash_sql('text')} AS sh FROM h)
+  SELECT doc{', blk' if block_col else ''}, {_simhash_sql('text')} AS sh FROM h)
 SELECT a, b, hamming FROM (
   SELECT x.doc AS a, y.doc AS b,
          CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
-  FROM fp x JOIN fp y ON x.blk = y.blk AND x.doc < y.doc)
+  FROM fp x JOIN fp y ON x.doc < y.doc{blk_cond})
 WHERE hamming <= {max_hamming}
 """
 
@@ -355,21 +395,33 @@ def embedding_dup_pairs(
     block_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Cosine near-dup pairs within a blocking key (label/cluster).
 
     Output (a, b, cos) with cos rounded to 6 decimals (engine-portable).
+
+    Scale design: the block key is low-cardinality, so a plain shuffle
+    join would skew every block onto one task and a broadcast of the
+    build side would ship the whole corpus to every executor.  Instead
+    the join is *salted*: the probe side keeps one deterministic salt per
+    row, the build side replicates ``salt_buckets`` ways, and the join
+    keys on (block, salt) — every pair still meets exactly once, no
+    broadcast, parallelism = #blocks × salt_buckets.  At full scale the
+    block key itself comes from a coarse quantizer with a tighter
+    threshold (see similarity.knn_lsh for the bucketing machinery).
     """
     e = df.select(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("blk"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
     ).withColumn("nrm", _norm("emb"))
-    # Low-cardinality block key → broadcast the build side (see
-    # simhash_pairs); blocks from a coarse quantizer at full scale.
+    r = int(salt_buckets)
+    x = e.withColumn("salt", F.pmod(F.hash("doc"), F.lit(r)))
+    y = e.withColumn("salt", F.explode(F.expr(f"sequence(0, {r - 1})")))
     return (
-        e.alias("x")
-        .join(F.broadcast(e.alias("y")), "blk")
+        x.alias("x")
+        .join(y.alias("y"), ["blk", "salt"])
         .where(F.col("x.doc") < F.col("y.doc"))
         .select(
             F.col("x.doc").alias("a"),
