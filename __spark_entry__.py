@@ -256,10 +256,13 @@ def _q_mean_fill_linear(spark, sf_dir):
     return fill_windows(agg, value_col="value_mean", mode="linear")
 
 
-def _q_ewma(spark, sf_dir):  # applyInPandas custom op — rows-only check
+EWMA_ALPHA = 0.3
+
+
+def _q_ewma(spark, sf_dir):  # applyInPandas custom op (recursive ewma)
     from simple_tsdb_spark.operators import ewma
 
-    return ewma(_events(spark, sf_dir, t0=None, t1=None), field="value", alpha=0.3)
+    return ewma(_events(spark, sf_dir, t0=None, t1=None), field="value", alpha=EWMA_ALPHA)
 
 
 # ---- pipeline extension operators (SURVEY §2.12) -------------------------
@@ -417,7 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _q_quantiles,
         "distinct_users": _q_distinct_users,
         "mean_fill_linear": _q_mean_fill_linear,
-        "ewma": _q_ewma,  # recursive stateful op — rows-only check
+        "ewma": _q_ewma,  # recursive stateful op — recursive-CTE oracle
         # pipeline extension operators
         "token_counts": _q_token_counts,
         "quality_score": _q_quality_score,
@@ -629,10 +632,12 @@ def _timeseries_oracles() -> dict[str, str]:
         value_quantiles_oracle,
     )
 
+    from simple_tsdb_spark.operators.fill import ewma_oracle
     from simple_tsdb_spark.operators.transforms import counter_rate_oracle
 
     ranged = f"SELECT * FROM ({_M}) WHERE time_ns BETWEEN {T0} AND {T1}"
     return {
+        "ewma": ewma_oracle(_M, field="value", alpha=EWMA_ALPHA),
         "counter_rate": counter_rate_oracle(ranged, field="value"),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "sessionize": sessionize_oracle(_M, gap_ns=SESSION_GAP_NS),

@@ -81,3 +81,36 @@ def ewma(
         .groupBy("series")
         .applyInPandas(per_series, schema=schema)
     )
+
+
+def ewma_oracle(measurement_sql: str, *, field: str, alpha: float, out_col: str | None = None) -> str:
+    """DuckDB recursive-CTE twin of ``ewma`` — bit-identical doubles.
+
+    Replicates pandas ``ewm(adjust=False)``'s exact FP op order
+    (``_libs/window/aggregations.pyx``): the update is
+    ``((1-α)·y + α·v) / ((1-α) + α)`` — the denominator is NOT folded to
+    1.0 (for α=0.3 it is 0.9999999999999999) — with the ``y == v``
+    short-circuit that keeps the value unchanged on exact equality.
+    ``repr`` round-trips α so both engines parse the same double.
+
+    Limitation: assumes no NULL ``field`` values and unique
+    (series, time_ns) keys — both hold for the driver's events tables;
+    the Spark operator itself handles NULLs (ignore_na carry-forward).
+    """
+    out = out_col or f"{field}_ewma"
+    a = repr(float(alpha))
+    b = repr(1.0 - float(alpha))
+    return f"""
+WITH RECURSIVE ord AS (
+  SELECT series, time_ns, CAST({field} AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY time_ns) AS rn
+  FROM ({measurement_sql})),
+rec AS (
+  SELECT series, time_ns, v, rn, v AS ew FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.series, o.time_ns, o.v, o.rn,
+         CASE WHEN r.ew = o.v THEN r.ew
+              ELSE (({b} * r.ew) + ({a} * o.v)) / ({b} + {a}) END
+  FROM rec r JOIN ord o ON o.series = r.series AND o.rn = r.rn + 1)
+SELECT series, time_ns, v AS {field}, ew AS {out} FROM rec
+"""
