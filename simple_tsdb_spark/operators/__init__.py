@@ -1,4 +1,9 @@
-from simple_tsdb_spark.operators.select import select_points, select_last_points
+from simple_tsdb_spark.operators.select import (
+    select_points,
+    select_last_points,
+    select_last_points_probed,
+    tail_bucket_cutoff,
+)
 from simple_tsdb_spark.operators.count import count_points
 from simple_tsdb_spark.operators.windowed import (
     sum_points,
@@ -31,6 +36,8 @@ from simple_tsdb_spark.operators.timeseries import (
 __all__ = [
     "select_points",
     "select_last_points",
+    "select_last_points_probed",
+    "tail_bucket_cutoff",
     "count_points",
     "sum_points",
     "mean_points",

@@ -19,15 +19,17 @@ At 100 TB: sort+limit on a time-pruned range is a per-partition top-K
 (heap) followed by a driver-side merge of K-row partials, not a global
 sort — the pushed-down time filter bounds the scanned rows, which is the
 same reason the reference's LAST-N index seek is cheap.  For un-pruned
-LAST-N over a huge range, pair with a coarse time_bucket partition column
-and probe recent buckets first (library policy, SURVEY.md §4.3.3).
+LAST-N over a huge range, ``select_last_points_probed`` pairs the coarse
+time_bucket partition column with newest-first probing (library policy,
+SURVEY.md §4.3.3) so the scan never touches old partitions.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_tsdb_spark.functions.timeutil import clamp_time_range
@@ -116,3 +118,149 @@ def select_last_points(
     # Single global LAST-N: TakeOrderedAndProject on the descending order,
     # then ascending re-sort of the tiny result (driver-sized, ≤ last rows).
     return out.orderBy(*desc).limit(int(last)).orderBy(*order)
+
+
+def _bucket_dirs(
+    measurement_path: str, series: str | Sequence[str] | None
+) -> dict[str, list[int]]:
+    """Per-series sorted time_bucket partition values, from the directory
+    listing only (no file is opened — the same metadata op Spark's own
+    partition discovery performs; on an object store this is one LIST)."""
+    from urllib.parse import unquote
+
+    allowed: set[str] | None = None
+    if series is not None:
+        allowed = {series} if isinstance(series, str) else set(series)
+    out: dict[str, list[int]] = {}
+    for sdir in os.listdir(measurement_path):
+        if not sdir.startswith("series="):
+            continue
+        sname = unquote(sdir[len("series=") :])
+        if allowed is not None and sname not in allowed:
+            continue
+        bs = [
+            int(bdir[len("time_bucket=") :])
+            for bdir in os.listdir(os.path.join(measurement_path, sdir))
+            if bdir.startswith("time_bucket=")
+        ]
+        out[sname] = sorted(bs)
+    return out
+
+
+def tail_bucket_cutoff(
+    spark: SparkSession,
+    measurement_path: str,
+    *,
+    series: str | Sequence[str] | None = None,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+    last: int = 1,
+    per_series: bool = False,
+) -> int | None:
+    """The oldest time_bucket the LAST-N query must scan, found by probing
+    newest partitions first (the library policy promised in the module
+    docstring — mirror of the reference's LAST-N index seek,
+    select_op.cc:294-345).
+
+    Buckets partition time totally (bucket = floor(time_ns/bucket_ns)), so
+    the last N rows of the range provably live in the newest buckets that
+    together hold ≥ N qualifying rows.  The probe widens geometrically
+    (newest 1, 2, 4, … buckets), so it runs O(log #buckets) count jobs —
+    each pruned to the probed directories — and the final scan reads ≤ 2×
+    the tail it needs, independent of retention length.
+
+    Returns None when the layout has no time bucketing (nothing to probe).
+    """
+    from simple_tsdb_spark.functions.timeutil import clamp_time_range
+    from simple_tsdb_spark.sources.writer import _layout
+
+    bucket_ns = _layout(measurement_path).get("time_bucket_ns")
+    if not bucket_ns:
+        return None
+    t0c, t1c = clamp_time_range(t0, t1)
+    lo_b = (t0c // bucket_ns) * bucket_ns
+    hi_b = (t1c // bucket_ns) * bucket_ns
+    by_series = _bucket_dirs(measurement_path, series)
+    buckets = sorted({b for bs in by_series.values() for b in bs if lo_b <= b <= hi_b})
+    if not buckets:
+        return lo_b
+    # Series whose partitions intersect the range — the candidate set a
+    # per-series probe must satisfy (a series with range-intersecting
+    # buckets but < last rows widens the probe to its full extent).
+    cands = {s for s, bs in by_series.items() if any(lo_b <= b <= hi_b for b in bs)}
+    raw = spark.read.parquet(measurement_path)
+    k = 1
+    while True:
+        cutoff = buckets[max(0, len(buckets) - k)]
+        if cutoff == buckets[0]:
+            return cutoff
+        probe = raw.where(
+            F.col("time_bucket").between(cutoff, hi_b)
+            & F.col("time_ns").between(t0c, t1c)
+        )
+        if series is not None:
+            probe = probe.where(
+                F.col("series") == series
+                if isinstance(series, str)
+                else F.col("series").isin(list(series))
+            )
+        if per_series:
+            cnts = {
+                r["series"]: r["n"]
+                for r in probe.groupBy("series").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            if all(cnts.get(s, 0) >= last for s in cands):
+                return cutoff
+        elif probe.select("series").limit(int(last)).count() >= last:
+            return cutoff
+        k *= 2
+
+
+def select_last_points_probed(
+    spark: SparkSession,
+    measurement_path: str,
+    *,
+    series: str | Sequence[str] | None = None,
+    fields: Sequence[str] | None = None,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+    last: int = 1,
+    per_series: bool = False,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """S2 over a native time-bucketed measurement: LAST-N that scans only
+    the newest partitions that can hold the answer (see
+    ``tail_bucket_cutoff``).  Identical results to ``select_last_points``
+    over the full range; the time_bucket predicate lands in the scan's
+    PartitionFilters so directory-level pruning happens before any parquet
+    footer is read.  Falls back to the plain plan on un-bucketed layouts.
+    """
+    from simple_tsdb_spark.functions.timeutil import clamp_time_range
+    from simple_tsdb_spark.sources.measurement import read_measurement
+
+    cutoff = tail_bucket_cutoff(
+        spark, measurement_path, series=series, t0=t0, t1=t1, last=last, per_series=per_series
+    )
+    if cutoff is None:
+        df = read_measurement(spark, measurement_path, t0=t0, t1=t1)
+    else:
+        _, t1c = clamp_time_range(t0, t1)
+        from simple_tsdb_spark.sources.writer import _layout
+
+        bucket_ns = _layout(measurement_path)["time_bucket_ns"]
+        hi_b = (t1c // bucket_ns) * bucket_ns
+        df = (
+            spark.read.parquet(measurement_path)
+            .where(F.col("time_bucket").between(cutoff, hi_b))
+            .drop("time_bucket")
+        )
+    return select_last_points(
+        df,
+        series=series,
+        fields=fields,
+        t0=t0,
+        t1=t1,
+        last=last,
+        per_series=per_series,
+        tiebreak=tiebreak,
+    )

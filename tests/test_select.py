@@ -73,3 +73,85 @@ def test_nulls_preserved(spark, f1, f1_pdf):
     got = select_points(f1, series="series1", t0=0, t1=10**6).toPandas()
     want = model_range(f1_pdf, 0, 10**6)
     assert got.field2.isna().sum() == want.field2.isna().sum() > 0
+
+
+# ---- LAST-N recent-bucket probing (select_op.cc:294-345 analog) ----------
+
+DAY = 86_400 * 1_000_000_000
+
+
+def _bucketed_measurement(spark, tmp_path, *, days=30, per_day=4, n_series=3):
+    """Native measurement: time_bucket_ns=1d, points every day/per_day."""
+    import pandas as pd
+
+    from simple_tsdb_spark.sources.writer import write_points
+
+    path = str(tmp_path / "probed_m")
+    rows = []
+    for s in range(n_series):
+        for d in range(days):
+            for i in range(per_day):
+                rows.append((f"s{s}", d * DAY + (i + 1) * (DAY // (per_day + 1)), float(d * 100 + i)))
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "value"])
+    batch = spark.createDataFrame(pdf)
+    write_points(spark, path, batch, time_bucket_ns=DAY)
+    return path, pdf
+
+
+def test_probed_last_n_matches_plain(spark, tmp_path):
+    from simple_tsdb_spark.operators import select_last_points, select_last_points_probed
+    from simple_tsdb_spark.sources.measurement import read_measurement
+
+    path, pdf = _bucketed_measurement(spark, tmp_path)
+    full = read_measurement(spark, path)
+    for kwargs in [
+        dict(last=5),                                  # spans 2 tail buckets
+        dict(last=1, series="s1"),
+        dict(last=9, per_series=True),                 # 3 buckets per series
+        dict(last=10_000),                             # more than total: all buckets
+        dict(last=3, t0=5 * DAY, t1=20 * DAY - 1),     # interior range
+        dict(last=4, series=["s0", "s2"], per_series=True),
+    ]:
+        got = select_last_points_probed(
+            spark, path, fields=["value"], tiebreak=("series",), **kwargs
+        ).toPandas()
+        want = select_last_points(
+            full, fields=["value"], tiebreak=("series",), **kwargs
+        ).toPandas()
+        assert got.equals(want), f"probed != plain for {kwargs}"
+
+
+def test_probed_last_n_reads_only_tail_partitions(spark, tmp_path):
+    from simple_tsdb_spark.operators import select_last_points_probed, tail_bucket_cutoff
+
+    path, pdf = _bucketed_measurement(spark, tmp_path, days=30, per_day=4)
+    # 12 points/bucket (4/day x 3 series): LAST 5 needs only the newest
+    # bucket; LAST 20 needs exactly the newest 2.
+    assert tail_bucket_cutoff(spark, path, last=5) == 29 * DAY
+    assert tail_bucket_cutoff(spark, path, last=20) == 28 * DAY
+    # per-series: LAST 9 per series needs 3 buckets (4 pts/series/bucket);
+    # geometric widening (1, 2, 4) probes the newest 4 — the documented
+    # <= 2x overshoot, still a tail read.
+    cutoff_ps = tail_bucket_cutoff(spark, path, last=9, per_series=True)
+    assert cutoff_ps == 26 * DAY
+    # The physical scan carries the cutoff as a partition filter — pruning
+    # happens at directory level, before any parquet footer is read.
+    df = select_last_points_probed(spark, path, fields=["value"], last=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "time_bucket" in plan
+
+
+def test_probed_last_n_unbucketed_fallback(spark, tmp_path):
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import select_last_points_probed, tail_bucket_cutoff
+    from simple_tsdb_spark.sources.writer import write_points
+
+    path = str(tmp_path / "flat_m")
+    pdf = pd.DataFrame(
+        {"series": "a", "time_ns": [10, 20, 30, 40], "value": [1.0, 2.0, 3.0, 4.0]}
+    )
+    write_points(spark, path, spark.createDataFrame(pdf))  # no time bucketing
+    assert tail_bucket_cutoff(spark, path, last=2) is None
+    got = select_last_points_probed(spark, path, fields=["value"], last=2).toPandas()
+    assert list(got.time_ns) == [30, 40]
