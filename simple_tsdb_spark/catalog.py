@@ -128,21 +128,29 @@ class TsdbCatalog:
         return T.StructType(entries)
 
     def read(self, database: str, measurement: str) -> DataFrame:
-        path = self.measurement_path(database, measurement)
+        from simple_tsdb_spark.sources.writer import data_root
+
+        mpath = self.measurement_path(database, measurement)
         # Read through the declared schema: files written before a field
         # was added (D10 add_field) surface it as NULL — schema evolution
         # with zero data movement.
         schema = self.spark_schema(database, measurement)
-        df = self.spark.read.schema(schema).parquet(path).select(*[f.name for f in schema.fields])
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(data_root(mpath))
+            .select(*[f.name for f in schema.fields])
+        )
         from simple_tsdb_spark.operators.delete import RetentionWatermarks
 
-        return RetentionWatermarks(path).apply(df)
+        return RetentionWatermarks(mpath).apply(df)
 
     # -- series (D7) ----------------------------------------------------
     def list_series(self, database: str, measurement: str) -> list[str]:
         """Partition-directory listing — no data scan, like the
         reference's readdir (measurement.h:72-77)."""
-        path = self.measurement_path(database, measurement)
+        from simple_tsdb_spark.sources.writer import data_root
+
+        path = data_root(self.measurement_path(database, measurement))
         return sorted(
             e.split("=", 1)[1]
             for e in os.listdir(path)

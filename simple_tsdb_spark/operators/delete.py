@@ -93,26 +93,59 @@ def delete_points(
     ``physical`` — rewrites only that series' partition without the dropped
     rows.  Returns the updated watermark set.
     """
+    import shutil
+
+    from simple_tsdb_spark.sources.writer import _layout, data_root
+
     marks = RetentionWatermarks(measurement_path)
     marks.advance(series, int(t) + 1)  # new time_first = t+1 (delete.cc:"t+1")
-    if physical:
-        part_dir = os.path.join(measurement_path, f"series={series}")
-        if os.path.isdir(part_dir):
-            kept = (
-                spark.read.parquet(part_dir)
-                .where(F.col("time_ns") > int(t))
-                .sortWithinPartitions("time_ns")
+    if not physical:
+        return marks
+    # Physical rewrite without directory renames (object-store safe):
+    # fully-covered partition directories are simply unlinked — the
+    # reference's fully-covered-chunk unlink (delete.cc), atomic per
+    # object; the one boundary partition is replaced via Spark's dynamic
+    # partition overwrite, whose job commit handles staging.  Readers are
+    # correct throughout either way: the watermark filter (advanced
+    # above, before any file op) already hides every dropped row.
+    root = data_root(measurement_path)
+    part_dir = os.path.join(root, f"series={series}")
+    if not os.path.isdir(part_dir):
+        return marks
+    t = int(t)
+    bucket_ns = _layout(measurement_path).get("time_bucket_ns")
+    rewrite_dirs = []  # partially-covered dirs needing a row-level rewrite
+    if bucket_ns:
+        boundary = (t // bucket_ns) * bucket_ns
+        for bdir in sorted(os.listdir(part_dir)):
+            if not bdir.startswith("time_bucket="):
+                continue
+            b = int(bdir[len("time_bucket=") :])
+            if b + bucket_ns - 1 <= t:  # every possible row <= t
+                shutil.rmtree(os.path.join(part_dir, bdir))
+            elif b == boundary:
+                rewrite_dirs.append(os.path.join(part_dir, bdir))
+    else:
+        rewrite_dirs.append(part_dir)
+    for d in rewrite_dirs:
+        kept = (
+            spark.read.option("basePath", root)
+            .parquet(d)  # partition cols (series[, time_bucket]) surface as data
+            .where(F.col("time_ns") > t)
+            .sortWithinPartitions("time_ns")
+        )
+        if kept.limit(1).count() == 0:
+            shutil.rmtree(d)  # rewrite would leave nothing: pure unlink
+            continue
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            part_cols = ["series"] + (["time_bucket"] if bucket_ns else [])
+            (
+                kept.write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(root)  # dynamic: replaces only the partitions present
             )
-            tmp = part_dir + ".__rewrite__"
-            writer = kept.write.mode("overwrite")
-            if "time_bucket" in kept.columns:  # preserve bucketed layout
-                writer = writer.partitionBy("time_bucket")
-            writer.parquet(tmp)
-            # Atomic-ish swap of the single series partition directory.
-            old = part_dir + ".__old__"
-            os.rename(part_dir, old)
-            os.rename(tmp, part_dir)
-            import shutil
-
-            shutil.rmtree(old)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return marks

@@ -128,11 +128,14 @@ def _bucket_dirs(
     partition discovery performs; on an object store this is one LIST)."""
     from urllib.parse import unquote
 
+    from simple_tsdb_spark.sources.writer import data_root
+
+    root = data_root(measurement_path)
     allowed: set[str] | None = None
     if series is not None:
         allowed = {series} if isinstance(series, str) else set(series)
     out: dict[str, list[int]] = {}
-    for sdir in os.listdir(measurement_path):
+    for sdir in os.listdir(root):
         if not sdir.startswith("series="):
             continue
         sname = unquote(sdir[len("series=") :])
@@ -140,7 +143,7 @@ def _bucket_dirs(
             continue
         bs = [
             int(bdir[len("time_bucket=") :])
-            for bdir in os.listdir(os.path.join(measurement_path, sdir))
+            for bdir in os.listdir(os.path.join(root, sdir))
             if bdir.startswith("time_bucket=")
         ]
         out[sname] = sorted(bs)
@@ -188,7 +191,9 @@ def tail_bucket_cutoff(
     # per-series probe must satisfy (a series with range-intersecting
     # buckets but < last rows widens the probe to its full extent).
     cands = {s for s, bs in by_series.items() if any(lo_b <= b <= hi_b for b in bs)}
-    raw = spark.read.parquet(measurement_path)
+    from simple_tsdb_spark.sources.writer import data_root
+
+    raw = spark.read.parquet(data_root(measurement_path))
     k = 1
     while True:
         cutoff = buckets[max(0, len(buckets) - k)]
@@ -245,12 +250,12 @@ def select_last_points_probed(
         df = read_measurement(spark, measurement_path, t0=t0, t1=t1)
     else:
         _, t1c = clamp_time_range(t0, t1)
-        from simple_tsdb_spark.sources.writer import _layout
+        from simple_tsdb_spark.sources.writer import _layout, data_root
 
         bucket_ns = _layout(measurement_path)["time_bucket_ns"]
         hi_b = (t1c // bucket_ns) * bucket_ns
         df = (
-            spark.read.parquet(measurement_path)
+            spark.read.parquet(data_root(measurement_path))
             .where(F.col("time_bucket").between(cutoff, hi_b))
             .drop("time_bucket")
         )

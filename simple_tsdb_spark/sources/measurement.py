@@ -65,10 +65,10 @@ def read_measurement(
     filters still apply on top.  The partition column is dropped from the
     surfaced schema (it is derivable layout, not data).
     """
-    df = spark.read.parquet(path)
-    if "time_bucket" in df.columns:
-        from simple_tsdb_spark.sources.writer import _layout
+    from simple_tsdb_spark.sources.writer import _layout, data_root
 
+    df = spark.read.parquet(data_root(path))
+    if "time_bucket" in df.columns:
         bucket_ns = _layout(path).get("time_bucket_ns")
         if bucket_ns:
             if t0 is not None:

@@ -64,6 +64,21 @@ def _save_layout(measurement_path: str, layout: dict) -> None:
     os.replace(tmp, p)
 
 
+def data_root(measurement_path: str) -> str:
+    """Resolve the measurement's active data directory.
+
+    Data starts directly under the measurement path; ``compact_measurement``
+    publishes each rewrite as a new immutable ``_gen_NNNNNN`` directory and
+    flips the ``generation`` pointer in layout.json.  The flip is one
+    small-file atomic publish — safe on local FS *and* object stores,
+    unlike directory renames (on S3 a "rename" is an O(files) copy+delete
+    and non-atomic).  All readers and writers resolve through this."""
+    gen = _layout(measurement_path).get("generation")
+    if gen:
+        return os.path.join(measurement_path, f"_gen_{int(gen):06d}")
+    return measurement_path
+
+
 def write_points(
     spark: SparkSession,
     measurement_path: str,
@@ -109,14 +124,15 @@ def write_points(
 
     # (3) overlap with the committed tail.
     dropped_overlap = 0
-    exists = os.path.isdir(measurement_path) and any(
-        e.startswith("series=") for e in os.listdir(measurement_path)
+    root = data_root(measurement_path)
+    exists = os.path.isdir(root) and any(
+        e.startswith("series=") for e in os.listdir(root)
     )
     if exists:
         lo = batch.agg(F.min("time_ns")).first()[0]
         if lo is not None:
             stored_tail = (
-                spark.read.parquet(measurement_path)
+                spark.read.parquet(root)
                 .where(F.col("time_ns") >= lo)  # stat/partition-pruned tail scan
                 .select("series", "time_ns", *fields)
             )
@@ -172,7 +188,7 @@ def write_points(
     # the first write fixes the layout, later writes follow it).
     layout = _layout(measurement_path)
     if "time_bucket_ns" not in layout:
-        layout = {"time_bucket_ns": int(time_bucket_ns) if time_bucket_ns else None}
+        layout["time_bucket_ns"] = int(time_bucket_ns) if time_bucket_ns else None
         _save_layout(measurement_path, layout)
     bucket_ns = layout.get("time_bucket_ns")
     n_append = batch.count()
@@ -189,7 +205,7 @@ def write_points(
             .sortWithinPartitions("time_ns")
             .write.mode("append")
             .partitionBy(*part_cols)
-            .parquet(measurement_path)
+            .parquet(data_root(measurement_path))
         )
         # Record time_first for series seen for the first time (the
         # reference's time_first metadata file) so windowed reads can skip
@@ -218,26 +234,46 @@ def compact_measurement(
     """S5 analog — rewrite a measurement into few large, time-sorted files
     per series partition (the reference's chunk-fill + gzip compaction,
     write.cc:264-315; here: small-file control after many micro-batches).
-    """
-    df = spark.read.parquet(measurement_path)
+
+    Preserves the measurement's partition layout exactly (series plus the
+    coarse time_bucket when layout.json declares one), so post-compaction
+    appends land in the same directory scheme.  The rewrite is published
+    as a new generation directory + pointer flip (see ``data_root``) —
+    write-new then flip, no directory renames, object-store safe; the
+    previous generation is removed best-effort afterwards (in-flight
+    readers of the old snapshot finish undisturbed on object stores,
+    where deletes only hide future LISTs)."""
+    import shutil
+
+    layout = _layout(measurement_path)
+    src = data_root(measurement_path)
+    df = spark.read.parquet(src)
     fields = field_columns(df)
-    tmp = measurement_path.rstrip("/") + ".__compact__"
+    part_cols = ["series"]
+    bucket_ns = layout.get("time_bucket_ns")
+    if bucket_ns:
+        if "time_bucket" not in df.columns:
+            df = df.withColumn(
+                "time_bucket", F.col("time_ns") - (F.col("time_ns") % F.lit(int(bucket_ns)))
+            )
+        part_cols.append("time_bucket")
+    new_gen = int(layout.get("generation") or 0) + 1
+    dst = os.path.join(measurement_path, f"_gen_{new_gen:06d}")
     (
         df.repartition("series")
         .sortWithinPartitions("time_ns")
-        .select("series", "time_ns", *fields)
+        .select(*part_cols, "time_ns", *fields)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", target_rows_per_file)
-        .partitionBy("series")
-        .parquet(tmp)
+        .partitionBy(*part_cols)
+        .parquet(dst)
     )
-    import shutil
-
-    old = measurement_path.rstrip("/") + ".__old__"
-    os.rename(measurement_path, old)
-    os.rename(tmp, measurement_path)
-    # Preserve the watermark sidecar across the swap.
-    meta_old = os.path.join(old, "_tsdb_meta")
-    if os.path.isdir(meta_old):
-        shutil.move(meta_old, os.path.join(measurement_path, "_tsdb_meta"))
-    shutil.rmtree(old)
+    layout["generation"] = new_gen
+    _save_layout(measurement_path, layout)  # the atomic flip
+    # Best-effort cleanup of the superseded generation's data files.
+    if src == measurement_path:
+        for e in os.listdir(measurement_path):
+            if e.startswith("series="):
+                shutil.rmtree(os.path.join(measurement_path, e), ignore_errors=True)
+    else:
+        shutil.rmtree(src, ignore_errors=True)

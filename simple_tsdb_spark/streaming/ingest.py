@@ -80,8 +80,9 @@ def start_ingest_with_rollup(
         spark = batch_df.sparkSession
         write_points(spark, measurement_path, batch_df, mode=mode)
         from simple_tsdb_spark.operators.rollup import advance_rollup
+        from simple_tsdb_spark.sources.writer import data_root
 
-        raw = spark.read.parquet(measurement_path)
+        raw = spark.read.parquet(data_root(measurement_path))
         advance_rollup(
             spark, raw, rollup_path, fields=fields, base_window_ns=base_window_ns
         )

@@ -91,6 +91,43 @@ def test_watermark_drop_and_delete(spark, tmp_path):
     assert r["dropped_below_watermark"] == 1 and r["appended"] == 1
 
 
+def test_physical_delete_bucketed_no_renames(spark, tmp_path):
+    """Physical retention delete on a bucketed layout: fully-covered bucket
+    dirs are unlinked, the boundary bucket is rewritten in place via
+    dynamic partition overwrite — no .__old__/.__rewrite__ swap dirs."""
+    import os
+
+    from simple_tsdb_spark.sources.measurement import read_measurement
+
+    path = str(tmp_path / "m7b")
+    bucket = 1000
+    rows = [("a", t, float(t)) for t in [100, 900, 1100, 1900, 2100, 2900]]
+    rows += [("b", 150, 0.5)]
+    write_points(spark, path, mk(spark, rows), time_bucket_ns=bucket)
+    delete_points(spark, path, series="a", t=1500)
+    sdir = os.path.join(path, "series=a")
+    assert not os.path.isdir(os.path.join(sdir, "time_bucket=0"))  # unlinked
+    assert os.path.isdir(os.path.join(sdir, "time_bucket=1000"))  # rewritten
+    assert os.path.isdir(os.path.join(sdir, "time_bucket=2000"))  # untouched
+    assert not [e for e in os.listdir(path) if "__" in e], "swap dirs left behind"
+    got = select_points(read_measurement(spark, path)).toPandas()
+    assert [(r.series, r.time_ns) for r in got.itertuples()] == [
+        ("b", 150), ("a", 1900), ("a", 2100), ("a", 2900),
+    ]
+    # series b untouched
+    assert os.path.isdir(os.path.join(path, "series=b", "time_bucket=0"))
+
+
+def test_physical_delete_entire_series_unlinks(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "m7c")
+    write_points(spark, path, mk(spark, [("a", 10, 1.0), ("b", 20, 2.0)]))
+    delete_points(spark, path, series="a", t=10**9)  # delete-from-the-future
+    assert not os.path.isdir(os.path.join(path, "series=a"))
+    assert os.path.isdir(os.path.join(path, "series=b"))
+
+
 def test_dedup_mode_skips_verify(spark, tmp_path):
     path = str(tmp_path / "m8")
     write_points(spark, path, mk(spark, [("a", 10, 1.0)]))
@@ -99,13 +136,58 @@ def test_dedup_mode_skips_verify(spark, tmp_path):
 
 
 def test_compaction_preserves_data(spark, tmp_path):
+    import os
+
+    from simple_tsdb_spark.sources.measurement import read_measurement
+    from simple_tsdb_spark.sources.writer import data_root
+
     path = str(tmp_path / "m9")
     for i in range(5):  # many small appends → many small files
         write_points(spark, path, mk(spark, [("a", 100 + i * 10, float(i))]))
-    before = select_points(spark.read.parquet(path)).toPandas()
+    before = select_points(read_measurement(spark, path)).toPandas()
     compact_measurement(spark, path)
-    after = select_points(spark.read.parquet(path)).toPandas()
+    after = select_points(read_measurement(spark, path)).toPandas()
     pd.testing.assert_frame_equal(before, after)
+    # Published as a new generation + pointer flip: no rename of the
+    # measurement directory itself, old data dirs gone.
+    assert data_root(path) == os.path.join(path, "_gen_000001")
+    assert not [e for e in os.listdir(path) if e.startswith("series=")]
+    # Appends keep working after the flip (same validated path).
+    write_points(spark, path, mk(spark, [("a", 1000, 9.0)]))
+    got = select_points(read_measurement(spark, path)).toPandas()
+    assert list(got.time_ns) == [100, 110, 120, 130, 140, 1000]
+
+
+def test_compaction_preserves_bucketed_layout(spark, tmp_path):
+    """Regression: compaction must keep the time_bucket partition scheme —
+    a mixed-depth layout (series=X/ next to series=X/time_bucket=Y/) is
+    unreadable by Spark's partition discovery."""
+    import os
+
+    from simple_tsdb_spark.sources.measurement import read_measurement
+    from simple_tsdb_spark.sources.writer import data_root
+
+    path = str(tmp_path / "m9b")
+    bucket = 1000
+    for i in range(3):
+        write_points(
+            spark,
+            path,
+            mk(spark, [("a", i * bucket + 7, float(i)), ("b", i * bucket + 8, float(i))]),
+            time_bucket_ns=bucket,
+        )
+    compact_measurement(spark, path)
+    root = data_root(path)
+    assert sorted(os.listdir(os.path.join(root, "series=a"))) == [
+        "time_bucket=0",
+        "time_bucket=1000",
+        "time_bucket=2000",
+    ]
+    # Post-compaction append lands in the same scheme and reads back whole.
+    write_points(spark, path, mk(spark, [("a", 3 * bucket + 7, 3.0)]))
+    assert os.path.isdir(os.path.join(root, "series=a", "time_bucket=3000"))
+    got = select_points(read_measurement(spark, path), series="a").toPandas()
+    assert list(got.time_ns) == [7, 1007, 2007, 3007]
 
 
 def test_streaming_ingest(spark, tmp_path):
