@@ -25,12 +25,33 @@ MERGE on (series, wstart), which also tolerates reprocessing).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_tsdb_spark.operators.windowed import sum_points
+
+
+def _read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame | None:
+    """Read the rollup table; ``None`` ONLY when it doesn't exist yet.
+
+    Any other read failure re-raises: treating a transient IO error as
+    "no rollup yet" would reset the high-water mark to NULL and re-append
+    already-finalized buckets — silent double counting in every
+    subsequent rollup read."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    if not os.path.exists(rollup_path):
+        return None
+    try:
+        return spark.read.parquet(rollup_path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None  # created-but-empty directory: no rollup yet
+        raise
 
 
 def materialize_rollup(
@@ -83,14 +104,11 @@ def advance_rollup(
     bounds = per_max.withColumn(
         "_fin", (F.col("_mx") - (F.col("_mx") % F.lit(w))) - 1
     )
-    try:
-        marks = (
-            spark.read.parquet(rollup_path)
-            .groupBy("series")
-            .agg(F.max("wstart").alias("_hwm"))
-        )
+    rollup = _read_rollup(spark, rollup_path)
+    if rollup is not None:
+        marks = rollup.groupBy("series").agg(F.max("wstart").alias("_hwm"))
         bounds = bounds.join(marks, "series", "left")
-    except Exception:
+    else:
         bounds = bounds.withColumn("_hwm", F.lit(None).cast("long"))
     bounds = bounds.withColumn(
         "_lo", F.coalesce(F.col("_hwm") + F.lit(w), F.lit(0))
@@ -150,14 +168,12 @@ def hybrid_sum_points(
     w = int(window_ns)
     if w % int(base_window_ns) != 0:
         raise ValueError("window_ns must be a positive multiple of base_window_ns")
-    try:
-        rollup = spark.read.parquet(rollup_path)
+    rollup = _read_rollup(spark, rollup_path)
+    if rollup is not None:
         marks = rollup.groupBy("series").agg(F.max("wstart").alias("_hwm"))
         have_rollup = marks.limit(1).count() > 0
-    except Exception:
-        # missing or empty rollup (no files to infer a schema from) —
-        # serve everything from raw
-        have_rollup = False
+    else:
+        have_rollup = False  # rollup not created yet — serve from raw
     if not have_rollup:
         return sum_points(
             raw_df, fields=fields, series=series, t0=t0, t1=t1, window_ns=w, emit_empty=False

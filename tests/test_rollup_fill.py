@@ -190,3 +190,98 @@ def test_hybrid_with_late_new_series(spark, tmp_path):
     r = spark.read.parquet(out)
     assert r.where("series = 'b'").count() > 0
     assert r.groupBy("series", "wstart").count().where("count > 1").count() == 0
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_advance_rollup_random_interleavings(spark, tmp_path, seed):
+    """Property test (ROADMAP #5): under ANY per-series-ordered arrival
+    interleaving, incremental maintenance never duplicates or drops a
+    bucket, and the final rollup + hybrid read equal the batch oracle."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.operators import advance_rollup, hybrid_sum_points
+
+    base, coarse = 1_000, 4_000
+    rng = np.random.default_rng(seed)
+    n_series, n_pts = 3, 40
+    series_pts = {}
+    for s in range(n_series):
+        t = np.cumsum(rng.integers(50, 900, size=n_pts)).astype("int64")
+        series_pts[f"s{s}"] = list(zip(t, rng.random(n_pts) * 100))
+    all_rows = [
+        (s, int(t), float(v)) for s, pts in series_pts.items() for t, v in pts
+    ]
+    full_pdf = pd.DataFrame(all_rows, columns=["series", "time_ns", "value"])
+
+    out = str(tmp_path / f"prop_rollup_{seed}")
+    taken = {s: 0 for s in series_pts}
+    arrived: list[tuple[str, int, float]] = []
+    step = 0
+    while any(taken[s] < len(series_pts[s]) for s in series_pts):
+        # adversarial batch: a random (possibly zero) prefix chunk per
+        # series — preserves per-series order, interleaves everything else
+        batch = []
+        for s, pts in series_pts.items():
+            k = int(rng.integers(0, 9))
+            chunk = pts[taken[s] : taken[s] + k]
+            batch += [(s, int(t), float(v)) for t, v in chunk]
+            taken[s] += len(chunk)
+        if not batch:
+            continue
+        arrived += batch
+        cum = spark.createDataFrame(
+            pd.DataFrame(arrived, columns=["series", "time_ns", "value"])
+        )
+        advance_rollup(spark, cum, out, fields=["value"], base_window_ns=base)
+        step += 1
+        # invariant: never a duplicate (series, wstart) bucket
+        r = spark.read.parquet(out)
+        assert r.groupBy("series", "wstart").count().where("count > 1").count() == 0
+
+    # final rollup equals the batch oracle over finalized buckets
+    full = spark.createDataFrame(full_pdf)
+    r = spark.read.parquet(out).toPandas()
+    oracle = sum_points(full, fields=["value"], window_ns=base, emit_empty=False).toPandas()
+    fin = {
+        s: (max(t for t, _ in pts) // base) * base - 1 for s, pts in series_pts.items()
+    }
+    oracle = oracle[[w <= fin[s] for s, w in zip(oracle.series, oracle.wstart)]]
+    r = r.sort_values(["series", "wstart"], ignore_index=True)[list(oracle.columns)]
+    oracle = oracle.sort_values(["series", "wstart"], ignore_index=True)
+    r = r.astype(oracle.dtypes.to_dict())
+    pd.testing.assert_frame_equal(r, oracle, check_exact=False, rtol=1e-9)
+
+    # hybrid read at a coarse multiple equals direct aggregation
+    got = hybrid_sum_points(
+        spark, full, out, fields=["value"], base_window_ns=base, window_ns=coarse
+    ).toPandas()
+    want = sum_points(full, fields=["value"], window_ns=coarse, emit_empty=False).toPandas()
+    got = got.sort_values(["series", "wstart"], ignore_index=True)[list(want.columns)]
+    want = want.sort_values(["series", "wstart"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9)
+
+
+def test_advance_rollup_raises_on_corrupt_rollup(spark, f2, tmp_path):
+    """A transient/corrupt read must RAISE, not silently reset the
+    high-water mark and double-append (ADVICE rollup.py:93)."""
+    import os
+
+    from simple_tsdb_spark.operators import advance_rollup
+
+    out = str(tmp_path / "corrupt_rollup")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-00000.parquet"), "w") as fh:
+        fh.write("this is not a parquet file")
+    with pytest.raises(Exception) as ei:
+        advance_rollup(spark, f2, out, fields=["value"], base_window_ns=10_000)
+    assert "not a parquet file" in str(ei.value).lower() or "footer" in str(ei.value).lower()
+
+
+def test_advance_rollup_empty_dir_is_no_rollup(spark, f2, tmp_path):
+    import os
+
+    from simple_tsdb_spark.operators import advance_rollup
+
+    out = str(tmp_path / "empty_rollup")
+    os.makedirs(out)  # exists but holds no files: legitimately "no rollup yet"
+    assert advance_rollup(spark, f2, out, fields=["value"], base_window_ns=10_000) > 0
