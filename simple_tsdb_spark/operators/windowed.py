@@ -80,10 +80,12 @@ def sum_points(
 
     ``time_first``: known per-series live-range starts (the reference's
     ``time_first`` metadata file; our writer records them in the
-    measurement sidecar).  When supplied for every requested series, the
-    full-series min scan that otherwise computes the window-alignment
-    anchor is skipped — at 100 TB that scan touches every row group of
-    the series while the query range may touch a sliver.
+    measurement sidecar).  Hinted series skip the full-series min scan
+    that otherwise computes the window-alignment anchor — at 100 TB that
+    scan touches every row group of the series while the query range may
+    touch a sliver.  Series missing from the hint fall back to the scan
+    (never silently dropped); with an explicit ``series`` list the
+    fallback prunes to just the missing names.
     """
     t0, t1 = clamp_time_range(t0, t1)
     w = int(window_ns)
@@ -94,12 +96,39 @@ def sum_points(
     src = _series_filter(df, series)
 
     # Per-series live-range start (min over the whole series, not the range)
-    # — the reference reads this from its time_first metadata file.
+    # — the reference reads this from its time_first metadata file.  A
+    # PARTIAL hint never drops series: hinted series skip the min scan,
+    # any uncovered series falls back to computing it.
     if time_first:
         spark = df.sparkSession
-        tf = spark.createDataFrame(
+        hint = spark.createDataFrame(
             [(s, int(t)) for s, t in time_first.items()], "series string, _tf long"
         )
+        if series is not None:
+            wanted = [series] if isinstance(series, str) else list(series)
+            missing = [s for s in wanted if s not in time_first]
+            if missing:
+                # isin filter → partition/row-group pruned to those series
+                mins = (
+                    _series_filter(src, missing)
+                    .groupBy("series")
+                    .agg(F.min("time_ns").alias("_tf"))
+                )
+                tf = hint.unionByName(mins)
+            else:
+                tf = hint
+        else:
+            # Unknown series universe: series outside the hint get a
+            # min-scan fallback (anti-join) — the scan prunes to
+            # (series, time_ns) but cannot partition-prune; pass the
+            # series list when the hint is known-complete to skip it.
+            rest = (
+                src.select("series", "time_ns")
+                .join(F.broadcast(hint.select("series")), "series", "left_anti")
+                .groupBy("series")
+                .agg(F.min("time_ns").alias("_tf"))
+            )
+            tf = hint.unionByName(rest)
     else:
         tf = src.groupBy("series").agg(F.min("time_ns").alias("_tf"))
     t0a = F.greatest(F.lit(round_up_ns(t0, w)), _bucket(F.col("_tf"), w)).alias("_t0a")

@@ -141,3 +141,22 @@ def test_time_first_hint_matches_scan(spark, tmp_path):
         hinted.sort_values("wstart", ignore_index=True),
         via_scan.sort_values("wstart", ignore_index=True),
     )
+
+
+def test_partial_time_first_hint_keeps_uncovered_series(spark, f2, f2_pdf):
+    """A hint dict missing some requested series must fall back to the
+    min-scan for those series, not silently drop them (ADVICE
+    windowed.py:109)."""
+    tf_s0 = int(f2_pdf[f2_pdf.series == "series_0"].time_ns.min())
+    full = sum_points(f2, fields=["value"], window_ns=50_000).toPandas()
+    for series in [["series_0", "series_1"], None]:  # explicit list + all
+        hinted = sum_points(
+            f2, fields=["value"], window_ns=50_000, series=series,
+            time_first={"series_0": tf_s0},  # covers only series_0
+        ).toPandas()
+        want = full if series is None else full[full.series.isin(series)]
+        assert sorted(hinted.series.unique()) == sorted(want.series.unique())
+        pd.testing.assert_frame_equal(
+            hinted.sort_values(["series", "wstart"], ignore_index=True),
+            want.sort_values(["series", "wstart"], ignore_index=True),
+        )
