@@ -76,10 +76,16 @@ class TsdbCatalog:
     ) -> None:
         """``fields``: name → reference type ('f64', 'u32', ...).
 
-        Idempotent for an identical schema; raises MeasurementExists for a
-        conflicting one (measurement.cc:120-151).
+        Idempotent for an identical schema — identical INCLUDING field
+        order, since schema order is meaningful (projection defaults, D6);
+        raises MeasurementExists for a conflicting one
+        (measurement.cc:120-151, order-sensitive memcmp of the field
+        list).  Raises NoSuchDatabase when the database was never created
+        (root.cc behavior — measurements cannot implicitly create it).
         """
         self._check_name(measurement)
+        if not os.path.isdir(os.path.join(self.warehouse, database)):
+            raise NoSuchDatabase(f"no such database: {database}")
         if len(fields) > MAX_FIELDS:
             raise TooManyFields(f"too many fields ({len(fields)} > {MAX_FIELDS})")
         for fname, ftype in fields.items():
@@ -91,7 +97,9 @@ class TsdbCatalog:
         if os.path.exists(schema_file):
             with open(schema_file) as fh:
                 existing = json.load(fh)
-            if existing != fields:
+            # dict == ignores order; the reference's identical-schema check
+            # compares the ordered field list.
+            if list(existing.items()) != list(fields.items()):
                 raise MeasurementExists(
                     f"{database}/{measurement} exists with a different schema"
                 )

@@ -27,6 +27,15 @@ def test_measurement_schema_idempotency(spark, tmp_path):
     cat.create_measurement("db", "xtalx_data", fields)  # identical → ok
     with pytest.raises(MeasurementExists):  # different → error
         cat.create_measurement("db", "xtalx_data", {"pressure_psi": "f64"})
+    with pytest.raises(MeasurementExists):  # reordered fields → error too
+        # (measurement.cc:120-151 compares the ordered field list)
+        cat.create_measurement(
+            "db", "xtalx_data", {"temp_c": "f32", "pressure_psi": "f64"}
+        )
+    from simple_tsdb_spark.errors import NoSuchDatabase
+
+    with pytest.raises(NoSuchDatabase):  # no implicit database creation
+        cat.create_measurement("nope", "m", fields)
     assert cat.get_schema("db", "xtalx_data") == [
         ("pressure_psi", "f64"), ("temp_c", "f32")
     ]
