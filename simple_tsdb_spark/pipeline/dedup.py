@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from simple_tsdb_spark.pipeline.text import SIMHASH_BITS, _simhash_expr, _simhash_sql
+from simple_tsdb_spark.pipeline.text import SIMHASH_BITS, _simhash_sql, simhash_df
 
 SHINGLE_LEN = 8          # char n-gram length
 MINHASH_STRIDE = 4       # shingle stride for minhash (denser not needed)
@@ -118,25 +118,27 @@ def ngram_jaccard_pairs(
     identically on both engines.
     """
     # Two-pass postings-list plan (same result, same oracle):
-    #   1. pass 1 computes shingle document frequencies only — a count
-    #      aggregation with map-side partial combine, so the shuffle
-    #      carries ~one row per distinct shingle per task, not the raw
-    #      occurrence stream;
-    #   2. the hot stop-list (df > max_df) is small by construction —
-    #      a LEFT ANTI join against it (AQE converts to a broadcast anti
-    #      join at runtime) drops corpus-scale stop-shingles map-side,
-    #      BEFORE any posting list is materialized, so no unbounded array
-    #      and no skewed shuffle of hot rows;
+    #   1. the raw shingle stream dedups into per-doc distinct-shingle
+    #      sets with ONE corpus-wide aggregation (collect_set builds the
+    #      sets map-side, so the shuffle carries ~one bounded-by-doc-size
+    #      array per doc, not the 10× occurrence stream); the set
+    #      re-explodes downstream — already distinct, no extra shuffle;
+    #   2. pass 1 computes shingle document frequencies only, and the hot
+    #      stop-list (df > max_df) is small by construction — a LEFT ANTI
+    #      join against it (AQE converts to a broadcast anti join at
+    #      runtime) drops corpus-scale stop-shingles map-side, BEFORE any
+    #      posting list is materialized, so no unbounded array and no
+    #      skewed shuffle of hot rows;
     #   3. candidate pairs are *generated* from each ≤max_df posting list
     #      (Σ df² work, no 2-sided shuffle join) and counted;
     #   4. per-doc filtered-set sizes are a count over the same filtered
     #      stream.  The final size joins are plain shuffle joins keyed by
     #      doc id — AQE broadcasts them when the pair table is small, but
     #      nothing forces a corpus-wide broadcast at 10^9 docs.
-    # distinct() dedups (doc, sh) with a map-side partial aggregate; the
-    # identical subtree under both consumers is computed once (Spark's
-    # exchange reuse).
-    sh0 = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=1).distinct()
+    # The docsets exchange is reused by both downstream consumers.
+    raw = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=1)
+    docsets = raw.groupBy("doc").agg(F.collect_set("sh").alias("shs"))
+    sh0 = docsets.select("doc", F.explode("shs").alias("sh"))
     hot = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
     sh = sh0.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
@@ -304,10 +306,12 @@ def simhash_pairs(
     collide in several bands.  ``block_col`` optionally restricts pairs
     to an equal blocking key (e.g. same lang) on top of the band buckets.
     """
-    cols = [F.col(id_col).alias("doc"), _simhash_expr(text_col).alias("sh")]
+    # Codegen simhash (explode + conditional sums, see text.simhash_df);
+    # the identical x/y subtrees below shuffle on the same keys, so the
+    # fingerprint aggregation runs once and is reused (ReusedExchange).
+    fp = simhash_df(df, text_col=text_col, id_col=id_col, carry=(block_col,) if block_col else ())
     if block_col:
-        cols.append(F.col(block_col).alias("blk"))
-    fp = df.select(*cols)
+        fp = fp.withColumnRenamed(block_col, "blk")
     bands = _simhash_bands(max_hamming)
     stack = ", ".join(
         f"{i}, CAST(shiftright(sh, {shift}) & {(1 << width) - 1} AS BIGINT)"

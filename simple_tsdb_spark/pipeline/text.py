@@ -141,11 +141,11 @@ SELECT doc_id, {case} AS lang_pred, {best} AS votes FROM scored
 
 
 def _simhash_expr(text_col: str) -> Column:
-    """SimHash over word tokens: per token ONE 60-bit md5-derived hash
-    (hashing is the hot path — computed once, reused for all bit votes);
-    each bit votes ±1; the fingerprint sets bits with positive vote sums.
-
-    Built-in expressions only; md5 keeps it engine-portable.
+    """SimHash over word tokens, single-projection form: per token ONE
+    60-bit md5-derived hash; each bit votes ±1; the fingerprint sets bits
+    with positive vote sums.  32 interpreted HOF aggregates per row —
+    correct but slow; prefer ``simhash_df`` (codegen path) in anything
+    hot.  Kept for contexts that need simhash as a pure column expression.
     """
     hashes = (
         f"transform(split({text_col}, ' '), "
@@ -164,6 +164,43 @@ def _simhash_expr(text_col: str) -> Column:
     return F.expr(
         f"aggregate(array({hashes}), 0L, (acc0, _hs) -> acc0 + ({body}))"
     )
+
+
+def simhash_df(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc, sh[, carry…]): 32-bit SimHash per document — the codegen
+    formulation (ROADMAP #3).
+
+    Explodes tokens, hashes each ONCE, and counts the 32 bit votes as
+    plain conditional SUMs in one hash aggregation: everything stays in
+    whole-stage codegen instead of 32 interpreted ``aggregate`` lambdas
+    per row.  Map-side partial aggregation means the shuffle carries
+    ~one 32-column row per doc per map partition — vote sums are exact
+    integers, so the result is bit-identical to ``_simhash_expr``.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in carry],
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).withColumn("h", F.expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"))
+    votes = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1L ELSE -1L END")
+        ).alias(f"_v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc").agg(
+        *[F.first(c).alias(c) for c in carry], *votes
+    )
+    sh = " + ".join(
+        f"CASE WHEN _v{b} > 0 THEN {1 << b}L ELSE 0L END" for b in range(SIMHASH_BITS)
+    )
+    return agg.select("doc", *carry, F.expr(sh).alias("sh"))
 
 
 def _simhash_sql(text_col: str = "text") -> str:
@@ -188,10 +225,9 @@ def _simhash_hashes_sql(text_col: str = "text") -> str:
 def fingerprint(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: full-content md5 + 32-bit SimHash (for
     near-dup hamming comparison, see dedup.simhash_pairs)."""
-    return df.select(
-        F.col(id_col),
-        F.md5(F.col(text_col)).alias("content_md5"),
-        _simhash_expr(text_col).alias("simhash"),
+    base = df.withColumn("content_md5", F.md5(F.col(text_col)))
+    return simhash_df(base, text_col=text_col, id_col=id_col, carry=("content_md5",)).select(
+        F.col("doc").alias(id_col), "content_md5", F.col("sh").alias("simhash")
     )
 
 

@@ -98,6 +98,27 @@ def write_points(
     """
     validate_measurement(batch)
     fields = field_columns(batch)
+    # Micro-batches run several validation actions (dup check, watermark
+    # count, overlap checks, append count): cache the batch once so each
+    # action reads memory, not the source.
+    cached = batch = batch.persist()
+    try:
+        return _write_points_body(
+            spark, measurement_path, batch, fields, mode=mode, time_bucket_ns=time_bucket_ns
+        )
+    finally:
+        cached.unpersist()
+
+
+def _write_points_body(
+    spark: SparkSession,
+    measurement_path: str,
+    batch: DataFrame,
+    fields: list[str],
+    *,
+    mode: str,
+    time_bucket_ns: int | None,
+) -> dict[str, int]:
     n_in = batch.count()
 
     # (1) intra-batch ordering: duplicate (series, time_ns) within one
