@@ -19,9 +19,11 @@ WHERE forms: ``WHERE t0 <|<= time_ns <|<= t1`` and
 ``WHERE time_ns OP t`` for OP in < <= == >= >.  Divergence from the
 reference: its 6-arg parser adds +1 to the upper bound for ``<`` (an
 apparent off-by-one, parse_types.cc:176-177); this CLI uses the standard
-exclusive semantics (t1-1).
+exclusive semantics (t1-1).  ``--ref-compat`` reproduces the reference's
+t1+1 instead, so behavior-diff tests against a live tsdbcli2 line up.
 
-Usage: python scripts/tsdbcli.py WAREHOUSE_DIR [-c "COMMAND"]   (REPL otherwise)
+Usage: python scripts/tsdbcli.py WAREHOUSE_DIR [--ref-compat] [-c "COMMAND"]
+(REPL otherwise)
 """
 
 from __future__ import annotations
@@ -29,6 +31,11 @@ from __future__ import annotations
 import sys
 
 MAXT = 2**63 - 1
+
+#: --ref-compat: widen ``time_ns < t1`` to t1+1 exactly like the
+#: reference's 6-arg parser (parse_types.cc:176-177) instead of the
+#: intended t1-1 — for behavior-diffing against a live tsdbcli2.
+REF_COMPAT = False
 
 
 def parse_where(toks: list[str], i: int) -> tuple[int, int, int]:
@@ -43,7 +50,7 @@ def parse_where(toks: list[str], i: int) -> tuple[int, int, int]:
         elif op1 != "<=":
             raise ValueError("expected 'WHERE t <|<= time_ns <|<= t'")
         if op2 == "<":
-            t1 -= 1
+            t1 += 1 if REF_COMPAT else -1
         elif op2 != "<=":
             raise ValueError("expected 'WHERE t <|<= time_ns <|<= t'")
         return t0, t1, i + 6
@@ -167,6 +174,10 @@ def main() -> int:
     from simple_tsdb_spark import get_spark
     from simple_tsdb_spark.client import TsdbClient
 
+    if "--ref-compat" in sys.argv:
+        global REF_COMPAT
+        REF_COMPAT = True
+        sys.argv.remove("--ref-compat")
     client = TsdbClient(get_spark("tsdbcli"), sys.argv[1])
     if len(sys.argv) >= 4 and sys.argv[2] == "-c":
         for cmd in sys.argv[3].split(";"):

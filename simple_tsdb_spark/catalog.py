@@ -165,6 +165,65 @@ class TsdbCatalog:
             if e.startswith("series=") and os.path.isdir(os.path.join(path, e))
         )
 
+    # -- users / auth (D9) ----------------------------------------------
+    #: Reference KDF parameters (root.cc:97): PBKDF2-SHA512 with salt
+    #: ``username + "tsdb75D8"`` and 10000 iterations — kept identical so
+    #: a passwd file is portable between the engines.
+    PBKDF2_SALT_SUFFIX = "tsdb75D8"
+    PBKDF2_ITERATIONS = 10_000
+
+    def _passwd_entries(self) -> dict[str, str]:
+        p = os.path.join(self.warehouse, "passwd")
+        if not os.path.exists(p):
+            return {}
+        out: dict[str, str] = {}
+        with open(p) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) == 2:
+                    out[parts[0]] = parts[1]
+        return out
+
+    def _kdf(self, username: str, password: str) -> str:
+        import hashlib
+
+        return hashlib.pbkdf2_hmac(
+            "sha512",
+            password.encode(),
+            (username + self.PBKDF2_SALT_SUFFIX).encode(),
+            self.PBKDF2_ITERATIONS,
+        ).hex()
+
+    def add_user(self, username: str, password: str) -> None:
+        """One ``user hash`` line in the root's passwd file
+        (root.cc:94-118); raises UserExists on re-add."""
+        from simple_tsdb_spark.errors import UserExists
+
+        if not username or any(c.isspace() for c in username):
+            raise InvalidName(f"invalid username: {username!r}")
+        users = self._passwd_entries()
+        if username in users:
+            raise UserExists(f"user already exists: {username}")
+        users[username] = self._kdf(username, password)
+        p = os.path.join(self.warehouse, "passwd")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.writelines(f"{u} {h}\n" for u, h in users.items())
+        os.replace(tmp, p)  # atomic publish (the reference flocks instead)
+
+    def verify_user(self, username: str, password: str) -> bool:
+        """True iff the password matches (root.cc:120-145); raises
+        NoSuchUser for an unknown name — the reference distinguishes the
+        two outcomes."""
+        import hmac
+
+        from simple_tsdb_spark.errors import NoSuchUser
+
+        users = self._passwd_entries()
+        if username not in users:
+            raise NoSuchUser(f"no such user: {username}")
+        return hmac.compare_digest(users[username], self._kdf(username, password))
+
     # -- schema evolution (D10) ----------------------------------------
     def add_field(self, database: str, measurement: str, name: str, ftype: str) -> None:
         """Append a new nullable field to a measurement's schema.

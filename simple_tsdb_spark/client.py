@@ -22,7 +22,7 @@ the import:
 | SUM_POINTS            | sum_points (+mean)      | operators.windowed |
 | INTEGRATE_POINTS      | integrate_points        | operators.integral |
 | NOP                   | nop                     | catalog |
-| AUTHENTICATE          | authenticate            | out of scope (raises) |
+| AUTHENTICATE          | authenticate            | catalog (PBKDF2 passwd) |
 
 Results stream back as Arrow record batches (``to_arrow_batches``) — the
 analog of the reference's columnar DT_CHUNK wire frames (S7/S8,
@@ -43,45 +43,77 @@ from simple_tsdb_spark.functions.timeutil import MAX_TIME_NS
 
 
 class AuthNotSupported(NotImplementedError):
-    """D9/AUTHENTICATE: PBKDF2+SSL auth is a server concern, out of scope
-    for the analytics engine (SURVEY.md §2.10)."""
+    """Deprecated (round 1 placeholder) — authenticate is implemented now;
+    kept so ``except AuthNotSupported`` call sites still import."""
 
 
 class TsdbClient:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    """``require_auth=True`` replicates the reference server's
+    authenticated-listener behavior (server.cc:1021-1035): every command
+    raises NotAuthenticated until AUTHENTICATE succeeds.  The default
+    (False) matches its unauthenticated local listener.  SSL transport
+    itself stays a deployment concern — only the credential check (D9,
+    root.cc:94-145) is engine behavior."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, *, require_auth: bool = False):
         self.spark = spark
         self.catalog = TsdbCatalog(spark, warehouse)
+        self._require_auth = bool(require_auth)
+        self._authenticated = not self._require_auth
+
+    def _check_auth(self) -> None:
+        if not self._authenticated:
+            from simple_tsdb_spark.errors import NotAuthenticated
+
+            raise NotAuthenticated("AUTHENTICATE required before any other command")
 
     # -- catalog commands ----------------------------------------------
     def create_database(self, database: str) -> None:
+        self._check_auth()
         self.catalog.create_database(database)
 
     def create_measurement(self, database: str, measurement: str, fields: dict[str, str]) -> None:
+        self._check_auth()
         self.catalog.create_measurement(database, measurement, fields)
 
     def get_schema(self, database: str, measurement: str) -> list[tuple[str, str]]:
+        self._check_auth()
         return self.catalog.get_schema(database, measurement)
 
     def list_databases(self) -> list[str]:
+        self._check_auth()
         return self.catalog.list_databases()
 
     def list_measurements(self, database: str) -> list[str]:
+        self._check_auth()
         return self.catalog.list_measurements(database)
 
     def list_series(self, database: str, measurement: str) -> list[str]:
+        self._check_auth()
         return self.catalog.list_series(database, measurement)
 
     def nop(self) -> bool:
+        self._check_auth()
         return self.catalog.nop()
 
-    def authenticate(self, username: str, password: str) -> None:
-        raise AuthNotSupported("deploy behind your platform's auth layer")
+    def add_user(self, username: str, password: str) -> None:
+        self.catalog.add_user(username, password)
+
+    def authenticate(self, username: str, password: str) -> bool:
+        """AUTHENTICATE (server.cc:963-1068): verify against the root's
+        PBKDF2-SHA512 passwd file; unlocks the session on success."""
+        ok = self.catalog.verify_user(username, password)
+        if ok:
+            self._authenticated = True
+        return ok
 
     # -- data commands --------------------------------------------------
     def _df(self, database: str, measurement: str) -> DataFrame:
+        self._check_auth()
         return self.catalog.read(database, measurement)
 
     def write_points(self, database: str, measurement: str, batch: DataFrame, *, mode: str = "strict"):
+        self._check_auth()
         from simple_tsdb_spark.sources.writer import write_points
 
         return write_points(
@@ -89,6 +121,7 @@ class TsdbClient:
         )
 
     def delete_points(self, database: str, measurement: str, series: str, t: int):
+        self._check_auth()
         from simple_tsdb_spark.operators import delete_points
 
         return delete_points(

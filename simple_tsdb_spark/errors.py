@@ -20,7 +20,7 @@ modes — and are listed as N/A below for the audit trail.
 | NO_SUCH_SERIES (-17) | NoSuchSeries |
 | MEASUREMENT_EXISTS (-20) | MeasurementExists |
 | INVALID_MEASUREMENT/_SERIES (-4/-5) | InvalidName |
-| USER_EXISTS / NO_SUCH_USER (-21/-22) | N/A (auth out of scope, D9) |
+| USER_EXISTS / NO_SUCH_USER (-21/-22) | UserExists / NoSuchUser (D9) |
 | IO / tail-file / chunk / WAL codes | N/A (storage engine replaced) |
 | END_OF_SELECT (-8) | N/A (iterator protocol → DataFrames) |
 """
@@ -72,3 +72,19 @@ class MeasurementExists(TsdbError, ValueError):
 
 class InvalidName(TsdbError, ValueError):
     code = -4
+
+
+class UserExists(TsdbError, ValueError):
+    code = -21
+
+
+class NoSuchUser(TsdbError, KeyError):
+    code = -22
+
+
+class NotAuthenticated(TsdbError, PermissionError):
+    """Command issued before a successful AUTHENTICATE on a client that
+    requires auth (server.cc:1021-1035: the first command on an
+    authenticated listener must be AUTHENTICATE)."""
+
+    code = -1  # the reference replies with a generic error status here

@@ -23,6 +23,20 @@ def test_parse_where_forms():
         parse_where("WHERE 10 >= time_ns <= 20".split(), 0)
 
 
+def test_parse_where_ref_compat_upper_bound():
+    """--ref-compat reproduces tsdbcli2's t1+1 widening of '< t1'
+    (parse_types.cc:176-177) for behavior-diff testing."""
+    import tsdbcli
+
+    tsdbcli.REF_COMPAT = True
+    try:
+        assert parse_where("WHERE 10 < time_ns < 20".split(), 0) == (11, 21, 6)
+        # the 4-arg form is unaffected (the reference bug is 6-arg only)
+        assert parse_where("WHERE time_ns < 15".split(), 0) == (0, 14, 4)
+    finally:
+        tsdbcli.REF_COMPAT = False
+
+
 def test_cli_end_to_end(spark, tmp_path, capsys):
     from pyspark.sql import types as T
 

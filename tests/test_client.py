@@ -58,8 +58,52 @@ def test_all_commands(client):
     client.delete_points("db", "m", "s1", t=1000 + 99 * 100)
     assert client.count_points("db", "m", "s1").first()["npoints"] == 100
 
-    with pytest.raises(AuthNotSupported):
-        client.authenticate("root", "pw")
+    # AUTHENTICATE against the PBKDF2 passwd file (root.cc:94-145)
+    from simple_tsdb_spark.errors import NoSuchUser, UserExists
+
+    client.add_user("root", "pw")
+    assert client.authenticate("root", "pw") is True
+    assert client.authenticate("root", "wrong") is False
+    with pytest.raises(UserExists):
+        client.add_user("root", "again")
+    with pytest.raises(NoSuchUser):
+        client.authenticate("ghost", "pw")
+
+
+def test_require_auth_gates_all_commands(spark, tmp_path):
+    """Authenticated-listener behavior (server.cc:1021-1035): every
+    command before a successful AUTHENTICATE is rejected."""
+    from simple_tsdb_spark.errors import NotAuthenticated
+
+    wh = str(tmp_path / "wh_auth")
+    TsdbClient(spark, wh).add_user("alice", "s3cret")  # offline root op
+    c = TsdbClient(spark, wh, require_auth=True)
+    for call in [
+        lambda: c.list_databases(),
+        lambda: c.create_database("db"),
+        lambda: c.nop(),
+    ]:
+        with pytest.raises(NotAuthenticated):
+            call()
+    assert c.authenticate("alice", "wrong") is False
+    with pytest.raises(NotAuthenticated):
+        c.list_databases()  # failed auth does not unlock
+    assert c.authenticate("alice", "s3cret") is True
+    c.create_database("db")
+    assert c.list_databases() == ["db"]
+
+
+def test_pbkdf2_matches_reference_kdf(spark, tmp_path):
+    """The passwd hash is PBKDF2-SHA512(password, username+'tsdb75D8',
+    10000) — byte-compatible with the reference's passwd file
+    (root.cc:97), verified against an independent hashlib computation."""
+    import hashlib
+
+    c = TsdbClient(spark, str(tmp_path / "wh_kdf"))
+    c.add_user("bob", "hunter2")
+    line = open(f"{tmp_path}/wh_kdf/passwd").read().split()
+    want = hashlib.pbkdf2_hmac("sha512", b"hunter2", b"bobtsdb75D8", 10000).hex()
+    assert line == ["bob", want]
 
 
 def test_arrow_streaming(client):
