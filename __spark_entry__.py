@@ -347,6 +347,12 @@ def _q_knn_lsh(spark, sf_dir):
     return knn_lsh(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
 
 
+def _q_knn_ivf(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import knn_ivf
+
+    return knn_ivf(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
+
+
 def _q_multimodal_meta(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -433,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup": _q_embedding_dup,
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "multimodal_meta": _q_multimodal_meta,
         "blob_features": _q_blob_features,  # mapInPandas — rows-only check
         # relational breadth (joins / grouped agg / top-k)
@@ -659,7 +666,11 @@ def _pipeline_oracles() -> dict[str, str]:
         simhash_pairs_oracle,
     )
     from simple_tsdb_spark.pipeline.multimodal import attach_blob_meta_oracle
-    from simple_tsdb_spark.pipeline.similarity import knn_brute_oracle, knn_lsh_oracle
+    from simple_tsdb_spark.pipeline.similarity import (
+        knn_brute_oracle,
+        knn_ivf_oracle,
+        knn_lsh_oracle,
+    )
     from simple_tsdb_spark.pipeline.text import (
         fingerprint_oracle,
         lang_id_oracle,
@@ -686,6 +697,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "embedding_dup": embedding_dup_oracle(threshold=EMB_COS_THRESHOLD),
         "knn_brute": knn_brute_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
+        "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "multimodal_meta": attach_blob_meta_oracle(),
         "pricing_summary": pricing_summary_oracle(),
         "revenue_by_nation": revenue_by_nation_oracle(),

@@ -25,7 +25,7 @@ from simple_tsdb_spark.pipeline.dedup import (
     simhash_pairs,
     embedding_dup_pairs,
 )
-from simple_tsdb_spark.pipeline.similarity import knn_brute, knn_lsh
+from simple_tsdb_spark.pipeline.similarity import knn_brute, knn_ivf, knn_lsh
 from simple_tsdb_spark.pipeline.multimodal import (
     attach_blob,
     extract_blob_features,
@@ -44,6 +44,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_dup_pairs",
     "knn_brute",
+    "knn_ivf",
     "knn_lsh",
     "attach_blob",
     "extract_blob_features",

@@ -7,8 +7,15 @@
 - ``knn_lsh``: the scale path — random-hyperplane LSH signs bucket the
   corpus (deterministic arithmetic weights, no randomness at runtime);
   queries probe only their own bucket.  The corpus shuffle is by bucket
-  id (bounded, uniform-ish); an IVF coarse quantizer would slot into the
-  same skeleton with learned centroids instead of hash planes.
+  id (bounded, uniform-ish).
+- ``knn_ivf``: the same skeleton with an IVF coarse quantizer: corpus
+  vectors assign to their nearest of ``nlist`` centroids (one pass, no
+  shuffle of the corpus beyond the list-id join); queries probe their
+  ``nprobe`` nearest lists.  Centroids here are deterministic arithmetic
+  constants embedded as literals — in production they come from a
+  k-means fit, dropped into the same two expressions; keeping them
+  literal keeps the DuckDB oracle bit-exact.  ``nprobe = nlist`` probes
+  everything and provably equals ``knn_brute``.
 
 Ranking is by cosine rounded to 6 decimals with vec_id tiebreak — fully
 deterministic and engine-portable (same rule in the oracle SQL).
@@ -194,6 +201,150 @@ q AS (
 scored AS (
   SELECT q.query_id, e.nid AS neighbor_id, round({cos}, 6) AS cos
   FROM e JOIN q USING (bucket) WHERE e.nid <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# -- IVF --------------------------------------------------------------------
+
+N_LISTS = 16
+
+
+def _centroid(l: int, d: int) -> float:
+    """Deterministic pseudo-random centroid component in [-0.5, 0.5)."""
+    return (((d + 1) * 2654435761 + (l + 1) * 97911 + 12345) % _W_MOD) / _W_MOD - 0.5
+
+
+def _centroid_norm(l: int, dim: int) -> float:
+    return sum(_centroid(l, d) ** 2 for d in range(dim)) ** 0.5
+
+
+def _score_array_spark(emb: str, dim: int) -> str:
+    """ONE array of the nlist quantizer scores: cos-to-centroid = dot/|c|
+    (|emb| is a shared factor, irrelevant to the argmax), rounded to 6
+    decimals so ranking ties break identically on every engine.  A single
+    array column keeps the expression tree small — separate per-list
+    columns re-inline under CollapseProject into an argmax CASE that
+    re-evaluates every 64-dim dot nlist+1 times (measured: optimizer
+    stalls outright on the collapsed tree)."""
+    scores = []
+    for l in range(N_LISTS):
+        w = ", ".join(f"CAST({_centroid(l, d)!r} AS DOUBLE)" for d in range(dim))
+        dot = (
+            f"aggregate(zip_with({emb}, array({w}), (p, q) -> CAST(p AS DOUBLE) * q), "
+            f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+        )
+        scores.append(f"round(({dot}) / CAST({_centroid_norm(l, dim)!r} AS DOUBLE), 6)")
+    return "array(" + ", ".join(scores) + ")"
+
+
+def _score_array_duck(emb: str, dim: int) -> str:
+    scores = []
+    for l in range(N_LISTS):
+        w = ", ".join(repr(_centroid(l, d)) for d in range(dim))
+        dot = f"list_dot_product({emb}, [{w}]::DOUBLE[])"
+        scores.append(f"round(({dot}) / {_centroid_norm(l, dim)!r}, 6)")
+    return "[" + ", ".join(scores) + "]"
+
+
+def knn_ivf(
+    df: DataFrame,
+    *,
+    query_ids: Sequence[int],
+    k: int = 10,
+    dim: int = 64,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer.
+
+    Corpus assignment is the argmax quantizer score (smallest list id on
+    ties) — a single projection, so the corpus's only movement is the
+    shuffle-join on list_id.  Queries rank all ``N_LISTS`` scores and
+    probe the top ``nprobe`` (ranking window over queries × lists — tiny).
+    Output: (query_id, neighbor_id, cos, rank), dedup-free by
+    construction (each corpus vector lives in exactly one list).
+    """
+    if not 1 <= nprobe <= N_LISTS:
+        raise ValueError(f"nprobe must be in [1, {N_LISTS}]")
+    sarr = _score_array_spark("emb", dim)
+    escore = df.select(
+        F.col(id_col).alias("nid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).withColumn("_sarr", F.expr(sarr))
+    # argmax with smallest-list-id tiebreak: first position of the max.
+    e = escore.withColumn(
+        "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
+    ).withColumn("nrm", _norm("emb"))
+    qlists = (
+        e.where(F.col("nid").isin(list(query_ids)))
+        .select(
+            F.col("nid").alias("query_id"), F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            F.posexplode("_sarr").alias("list_id", "s"),
+        )
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("list_id"))
+    probes = (
+        qlists.withColumn("prank", F.row_number().over(pw))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "qemb", "qnrm", "list_id")
+    )
+    corpus = e.drop("_sarr")
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .where(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_ivf_oracle(
+    table: str = "embeddings", *, query_ids: Sequence[int] = (), k: int = 10,
+    dim: int = 64, nprobe: int = 4,
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _COS_DUCK.format(a="q2.qemb", b="e.emb")
+    return f"""
+WITH e0 AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
+         {_score_array_duck("embedding::DOUBLE[]", dim)} AS sarr
+  FROM {table}),
+e AS (
+  SELECT nid, emb, sarr,
+         CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
+  FROM e0),
+q AS (SELECT nid AS query_id, emb AS qemb, sarr FROM e WHERE nid IN ({ids})),
+qscore AS (
+  SELECT query_id,
+         CAST(generate_subscripts(sarr, 1) - 1 AS INTEGER) AS list_id,
+         UNNEST(sarr) AS s
+  FROM q),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT query_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, list_id) AS prank
+    FROM qscore)
+  WHERE prank <= {nprobe}),
+q2 AS (SELECT q.query_id, q.qemb, probes.list_id
+       FROM q JOIN probes ON q.query_id = probes.query_id),
+scored AS (
+  SELECT q2.query_id, e.nid AS neighbor_id, round({cos}, 6) AS cos
+  FROM e JOIN q2 USING (list_id) WHERE e.nid <> q2.query_id),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
