@@ -7,11 +7,15 @@ identical schema — measurement.cc:66-151), series as subdirectories.
 
 Spark mapping: a warehouse directory; database = subdirectory; measurement
 = Parquet dataset + a persisted JSON schema; series = partition values.
-Auth (D9) is out of scope (SURVEY.md §2.10).
+Auth (D9): PBKDF2 passwd file below (reference-KDF-compatible).
 
 The seven reference field types map to Spark types per SURVEY.md §1.2:
-bool→boolean, u32→long, u64→long (documented >2^63 unsupported),
-f32→float, f64→double, i32→int, i64→long.
+bool→boolean, u32→long, u64→long (values >2^63 unsupported on the fast
+path), f32→float, f64→double, i32→int, i64→long.  ``u64f`` is the
+full-range u64 variant: DECIMAL(20,0) holds all of 0..2^64-1 exactly at
+the cost of decimal arithmetic — pick it only for fields that genuinely
+use the top bit (the reference stores raw u64 and sums in double either
+way, sum_op.h:33).
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ FIELD_TYPES: dict[str, T.DataType] = {
     "bool": T.BooleanType(),
     "u32": T.LongType(),
     "u64": T.LongType(),
+    "u64f": T.DecimalType(20, 0),  # full-range u64 (see module docstring)
     "f32": T.FloatType(),
     "f64": T.DoubleType(),
     "i32": T.IntegerType(),

@@ -141,10 +141,14 @@ def sum_points(
     )
 
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("window_npoints")]
+    dtypes = dict(df.dtypes)
     for f in fields:
         col = F.col(f)
         if exact:
-            sum_expr = F.sum(col.cast("decimal(28,6)")).cast("double")
+            # Full-range u64 (decimal(20,0)) fields accumulate in
+            # decimal(38,0) — decimal(28,6) would overflow near 2^64·n.
+            acc = "decimal(38,0)" if dtypes.get(f, "").startswith("decimal") else "decimal(28,6)"
+            sum_expr = F.sum(col.cast(acc)).cast("double")
         else:
             sum_expr = F.sum(col.cast("double"))
         aggs += [

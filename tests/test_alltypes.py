@@ -104,3 +104,36 @@ def test_count_unaffected_by_field_types(alltypes):
     pdf, df = alltypes
     c = count_points(df, series="s", t0=0, t1=10**9, per_series=False).first()
     assert c["npoints"] == len(pdf)
+
+
+def test_u64_full_range_variant(spark, tmp_path):
+    """u64f (DECIMAL(20,0)) round-trips values above 2^63 exactly and
+    window-sums them without overflow in exact mode."""
+    from decimal import Decimal
+
+    from simple_tsdb_spark.client import TsdbClient
+    from simple_tsdb_spark.operators import select_points, sum_points
+
+    c = TsdbClient(spark, str(tmp_path / "wh_u64"))
+    c.create_database("db")
+    c.create_measurement("db", "m", {"big": "u64f"})
+    schema = c.catalog.spark_schema("db", "m")
+    assert schema["big"].dataType.simpleString() == "decimal(20,0)"
+
+    vals = [2**64 - 1, 2**63 + 12345, 2**62, 7]
+    rows = [("s", 100 + 10 * i, Decimal(v)) for i, v in enumerate(vals)]
+    import pandas as pd
+
+    c.write_points("db", "m", spark.createDataFrame(rows, schema))
+    got = select_points(c.catalog.read("db", "m"), series="s").toPandas()
+    assert [int(v) for v in got.big] == vals  # exact, incl. > 2^63
+
+    agg = sum_points(
+        c.catalog.read("db", "m"), fields=["big"], window_ns=1000, exact=True
+    ).toPandas()
+    # one bucket holds everything; exact decimal accumulation then double
+    assert len(agg) == 1
+    true_sum = sum(vals)
+    assert agg.big_sum[0] == float(true_sum)  # correctly-rounded double
+    assert int(agg.big_min[0]) == min(vals) and int(agg.big_max[0]) == max(vals)
+    assert agg.big_count[0] == 4
