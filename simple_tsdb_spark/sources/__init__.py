@@ -1,3 +1,7 @@
+from simple_tsdb_spark.sources.bucketed import (
+    read_bucketed_measurement,
+    save_bucketed_measurement,
+)
 from simple_tsdb_spark.sources.measurement import (
     META_COLUMNS,
     events_measurement,
@@ -8,6 +12,8 @@ from simple_tsdb_spark.sources.measurement import (
 
 __all__ = [
     "META_COLUMNS",
+    "read_bucketed_measurement",
+    "save_bucketed_measurement",
     "events_measurement",
     "field_columns",
     "read_measurement",
