@@ -1,4 +1,5 @@
+from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup
 from simple_tsdb_spark.streaming.ingest import start_ingest, start_ingest_with_rollup
 from simple_tsdb_spark.streaming.stateful import streaming_ewma
 
-__all__ = ["start_ingest", "start_ingest_with_rollup", "streaming_ewma"]
+__all__ = ["start_ingest", "start_ingest_with_rollup", "streaming_ewma", "streaming_exact_dedup"]

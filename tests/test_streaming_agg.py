@@ -76,3 +76,44 @@ def test_streaming_drops_late_data(spark, tmp_path):
     final = spark.sql("SELECT * FROM late_agg ORDER BY wstart").toPandas()
     assert len(final) == n_after_jump  # no new row for the stale window
     assert 99.0 not in set(final.get("v_sum", []))
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First-seen copy survives, later duplicates within the watermark
+    horizon drop; digest matches the batch operator's md5."""
+    import hashlib
+
+    from simple_tsdb_spark.streaming import streaming_exact_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("event_ts", T.TimestampType(), False),
+        ]
+    )
+    src = str(tmp_path / "dedup_src")
+    rows = [
+        (1, "alpha", pd.Timestamp("2024-01-01 00:00:00")),
+        (2, "beta", pd.Timestamp("2024-01-01 00:00:01")),
+        (3, "alpha", pd.Timestamp("2024-01-01 00:00:02")),  # dup of 1
+        (4, "gamma", pd.Timestamp("2024-01-01 00:00:03")),
+        (5, "beta", pd.Timestamp("2024-01-01 00:00:04")),   # dup of 2
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "event_ts"])
+    spark.createDataFrame(pdf, schema).coalesce(1).write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema(schema).parquet(src).coalesce(1)
+    out = streaming_exact_dedup(stream, watermark_delay="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT doc_id, text, content_md5 FROM stream_dedup").toPandas()
+    assert sorted(got.text) == ["alpha", "beta", "gamma"]  # one per content
+    md5 = {t: hashlib.md5(t.encode()).hexdigest() for t in ["alpha", "beta", "gamma"]}
+    assert {r.text: r.content_md5 for r in got.itertuples()} == md5
