@@ -256,6 +256,16 @@ def _q_mean_fill_linear(spark, sf_dir):
     return fill_windows(agg, value_col="value_mean", mode="linear")
 
 
+def _q_mean_fill_previous(spark, sf_dir):  # LOCF fill mode
+    from simple_tsdb_spark.operators import fill_windows, mean_points
+
+    agg = mean_points(
+        _events(spark, sf_dir, t0=None, t1=T1), fields=["value"],
+        t0=T0, t1=T1, window_ns=W, exact=True,
+    )
+    return fill_windows(agg, value_col="value_mean", mode="previous")
+
+
 EWMA_ALPHA = 0.3
 
 
@@ -426,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _q_quantiles,
         "distinct_users": _q_distinct_users,
         "mean_fill_linear": _q_mean_fill_linear,
+        "mean_fill_previous": _q_mean_fill_previous,
         "ewma": _q_ewma,  # recursive stateful op — recursive-CTE oracle
         # pipeline extension operators
         "token_counts": _q_token_counts,
@@ -529,6 +540,20 @@ SELECT spine.series, spine.wstart,
        CASE WHEN COALESCE(agg.value_count, 0) > 0
             THEN agg.value_sum / agg.value_count END AS value_mean
 FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
+""",
+        "mean_fill_previous": sum_cte
++ """
+, meanq AS (
+  SELECT spine.series, spine.wstart,
+         COALESCE(agg.window_npoints, 0) AS window_npoints,
+         CASE WHEN COALESCE(agg.value_count, 0) > 0
+              THEN agg.value_sum / agg.value_count END AS value_mean
+  FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart)
+SELECT series, wstart, window_npoints,
+       last_value(value_mean IGNORE NULLS) OVER (
+         PARTITION BY series ORDER BY wstart
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_mean
+FROM meanq
 """,
         "mean_fill_linear": sum_cte
 + """
