@@ -6,6 +6,7 @@ Implements the tsdbcli2 command surface
 ``parse_types.cc:153-257``):
 
     CREATE DATABASE db
+    ADD USER username password
     CREATE MEASUREMENT db/meas WITH FIELDS name/type,name/type,...
     LIST DATABASES | LIST MEASUREMENTS db | LIST SERIES db/meas
     LIST SCHEMA db/meas | LIST ACTIVE SERIES db/meas [WHERE ...]
@@ -89,6 +90,11 @@ def execute(client, line: str) -> None:
 
     if kw == "CREATE DATABASE":
         client.create_database(toks[2])
+        print("ok")
+    elif kw == "ADD USER":  # tsdbcli2 main.cc:395 — ADD USER name password
+        if len(toks) != 4:
+            raise ValueError("expected: ADD USER username password")
+        client.add_user(toks[2], toks[3])
         print("ok")
     elif kw == "CREATE MEASUREMENT":
         db, meas = split_spec(toks[2], 2)

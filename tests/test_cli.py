@@ -71,3 +71,14 @@ def test_cli_errors(spark, tmp_path):
         execute(client, "FROBNICATE everything")
     with pytest.raises(ValueError):
         execute(client, "CREATE MEASUREMENT notslashed WITH FIELDS v/f64")
+
+
+def test_cli_add_user(spark, tmp_path, capsys):
+    from simple_tsdb_spark.client import TsdbClient
+
+    client = TsdbClient(spark, str(tmp_path / "wh_cli_auth"))
+    execute(client, "ADD USER carol pw123")
+    assert "ok" in capsys.readouterr().out
+    assert client.authenticate("carol", "pw123") is True
+    with pytest.raises(ValueError):
+        execute(client, "ADD USER carol")  # wrong arity

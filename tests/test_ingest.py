@@ -213,6 +213,36 @@ def test_streaming_ingest(spark, tmp_path):
     ]
 
 
+def test_streaming_ingest_restart_resumes(spark, tmp_path):
+    """Kill the query and START A NEW ONE on the same checkpoint: the
+    restarted query resumes from the committed offsets (no reprocessing
+    of finished batches, no duplicates) and picks up files that arrived
+    while it was down — the crash-recovery contract the reference gets
+    from its WAL, here from checkpoint + dedup-mode idempotent appends."""
+    from simple_tsdb_spark.sources.measurement import read_measurement
+    from simple_tsdb_spark.streaming import start_ingest
+
+    src = str(tmp_path / "incoming_r")
+    path = str(tmp_path / "m10r")
+    ckpt = str(tmp_path / "ckpt_r")
+    mk(spark, [("a", 10, 1.0), ("b", 5, 0.5)]).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q1 = start_ingest(stream, path, checkpoint_dir=ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    # downtime: more data lands while no query is running
+    mk(spark, [("a", 20, 2.0), ("b", 15, 1.5)]).write.parquet(src, mode="append")
+    q2 = start_ingest(
+        spark.readStream.schema(SCHEMA).parquet(src), path, checkpoint_dir=ckpt
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = select_points(read_measurement(spark, path)).toPandas()
+    assert sorted(zip(got.series, got.time_ns)) == [
+        ("a", 10), ("a", 20), ("b", 5), ("b", 15)
+    ]
+
+
 def test_time_bucket_layout(spark, tmp_path):
     """Coarse time_bucket partitioning: directory pruning + full fidelity."""
     import io
