@@ -107,6 +107,19 @@ def main() -> int:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    # knn_ivf: the corpus must NEVER shuffle on list_id — its only join is
+    # against the hint-broadcast (tiny) probe set; the shuffles in the plan
+    # are the query-side ranking windows keyed by query_id.
+    from simple_tsdb_spark.pipeline import knn_ivf
+
+    p = plan_of(knn_ivf(embs, query_ids=(0, 1, 2, 3, 4), k=10))
+    ok &= check("knn_ivf: probes broadcast to the corpus", "BroadcastHashJoin" in p)
+    ok &= check(
+        "knn_ivf: corpus never shuffles on list_id",
+        "hashpartitioning(list_id" not in p,
+        "corpus shuffled by list_id",
+    )
+
     # native writer layout: time_ns is a stored column → direct pushdown +
     # series partition pruning, no adapter hint needed
     import tempfile
