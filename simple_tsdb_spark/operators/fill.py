@@ -87,19 +87,25 @@ def ewma_oracle(measurement_sql: str, *, field: str, alpha: float, out_col: str 
     """DuckDB recursive-CTE twin of ``ewma`` — bit-identical doubles.
 
     Replicates pandas ``ewm(adjust=False)``'s exact FP op order
-    (``_libs/window/aggregations.pyx``): the update is
-    ``((1-α)·y + α·v) / ((1-α) + α)`` — the denominator is NOT folded to
-    1.0 (for α=0.3 it is 0.9999999999999999) — with the ``y == v``
-    short-circuit that keeps the value unchanged on exact equality.
-    ``repr`` round-trips α so both engines parse the same double.
+    (``_libs/window/aggregations.pyx``): pandas first converts
+    ``com = (1-α)/α`` and works with the reconstituted
+    ``α_eff = 1/(1+com)`` — NOT necessarily bit-equal to α (hypothesis
+    found 1-ulp divergence chains for α that don't round-trip;
+    test_properties pins the full recurrence).  The update is
+    ``((1-α_eff)·y + α_eff·v) / ((1-α_eff) + α_eff)`` — the denominator
+    is NOT folded to 1.0 — with the ``y == v`` short-circuit that keeps
+    the value unchanged on exact equality.  ``repr`` round-trips the
+    doubles so both engines parse the same bits.
 
     Limitation: assumes no NULL ``field`` values and unique
     (series, time_ns) keys — both hold for the driver's events tables;
     the Spark operator itself handles NULLs (ignore_na carry-forward).
     """
     out = out_col or f"{field}_ewma"
-    a = repr(float(alpha))
-    b = repr(1.0 - float(alpha))
+    com = (1.0 - float(alpha)) / float(alpha)
+    a_eff = 1.0 / (1.0 + com)
+    a = repr(a_eff)
+    b = repr(1.0 - a_eff)
     return f"""
 WITH RECURSIVE ord AS (
   SELECT series, time_ns, CAST({field} AS DOUBLE) AS v,
