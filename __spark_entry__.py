@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_points": _q_sum_points,
         "mean_points": _q_mean_points,
         "minmax_downsample": _q_minmax_downsample,
+        "auto_downsample": _q_auto_downsample,  # W5 policy
         "integrate_points": _q_integrate,
         "active_series": _q_active_series,
         "list_series": _q_list_series,
@@ -466,13 +467,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql(): DuckDB equivalents
 # --------------------------------------------------------------------------
 
-def oracle_sql() -> dict[str, str]:
-    m = _M
-    w = W
-    # round_up(T0, W) — precomputed so both engines see the same literal.
+def _sum_cte(w: int) -> str:
+    """Windowed-aggregate oracle CTE prefix, parameterized by window."""
+    # round_up(T0, w) — precomputed so both engines see the same literal.
     t0a_floor = -(-T0 // w) * w
-    sum_cte = f"""
-WITH m AS ({m}),
+    return f"""
+WITH m AS ({_M}),
 tf AS (SELECT series, MIN(time_ns) AS tfirst FROM m GROUP BY series),
 starts AS (SELECT series, GREATEST({t0a_floor}, tfirst - tfirst % {w}) AS t0a FROM tf),
 data AS (
@@ -494,6 +494,23 @@ bounds AS (
 spine AS (
   SELECT series, UNNEST(generate_series(bfirst, blast, {w})) AS wstart FROM bounds)
 """
+
+
+AUTO_INTERVAL_NS = 12 * 3600 * 1_000_000_000  # W5 driver query: 12h windows
+AUTO_MAX_POINTS = 500
+
+
+def _q_auto_downsample(spark, sf_dir):  # W5 — Grafana auto-downsample policy
+    from simple_tsdb_spark.operators import auto_downsample
+
+    return auto_downsample(
+        _events(spark, sf_dir, t0=None, t1=T1), field="value", t0=T0, t1=T1,
+        interval_ns=AUTO_INTERVAL_NS, max_points=AUTO_MAX_POINTS, exact=True,
+    )
+
+
+def oracle_sql() -> dict[str, str]:
+    sum_cte = _sum_cte(W)
     return {
         "select_points": f"""
 SELECT * FROM (
@@ -534,6 +551,16 @@ SELECT spine.series, spine.wstart,
 FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
 """,
         "mean_points": sum_cte
++ """
+SELECT spine.series, spine.wstart,
+       COALESCE(agg.window_npoints, 0) AS window_npoints,
+       CASE WHEN COALESCE(agg.value_count, 0) > 0
+            THEN agg.value_sum / agg.value_count END AS value_mean
+FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
+""",
+        # W5: > max_points rows in range at every tested sf, so the policy
+        # deterministically picks the 12h windowed mean on both engines.
+        "auto_downsample": _sum_cte(AUTO_INTERVAL_NS)
 + """
 SELECT spine.series, spine.wstart,
        COALESCE(agg.window_npoints, 0) AS window_npoints,

@@ -229,6 +229,7 @@ def auto_downsample(
     interval_ns: int,
     max_points: int,
     minmax: bool = False,
+    exact: bool = False,
 ) -> DataFrame:
     """W5 — the Grafana auto-downsample policy (datasource.go:226-249):
     if the range holds more than ``max_points`` points, aggregate with
@@ -246,9 +247,11 @@ def auto_downsample(
         return select_points(df, series=series, fields=[field], t0=t0, t1=t1)
     if minmax:
         return minmax_downsample(
-            df, field=field, series=series, t0=t0, t1=t1, window_ns=interval_ns
+            df, field=field, series=series, t0=t0, t1=t1, window_ns=interval_ns, exact=exact
         )
-    return mean_points(df, fields=[field], series=series, t0=t0, t1=t1, window_ns=interval_ns)
+    return mean_points(
+        df, fields=[field], series=series, t0=t0, t1=t1, window_ns=interval_ns, exact=exact
+    )
 
 
 def minmax_downsample(
