@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": _q_histogram,
         "quantiles": _q_quantiles,
         "distinct_users": _q_distinct_users,
+        "hybrid_rollup_sum": _q_hybrid_rollup_sum,  # continuous-aggregate read
         "mean_fill_linear": _q_mean_fill_linear,
         "mean_fill_previous": _q_mean_fill_previous,
         "ewma": _q_ewma,  # recursive stateful op — recursive-CTE oracle
@@ -509,6 +510,30 @@ def _q_auto_downsample(spark, sf_dir):  # W5 — Grafana auto-downsample policy
     )
 
 
+ROLLUP_BASE_NS = 6 * 3600 * 1_000_000_000  # 6h base buckets; W = 4 bases
+
+
+def _q_hybrid_rollup_sum(spark, sf_dir):
+    """Continuous-aggregate read path end-to-end: materialize the base
+    rollup (fresh temp dir), then hybrid-read rollup history + raw tail.
+    The result must equal a direct windowed aggregation — which is
+    exactly what the DuckDB oracle computes, so the whole rollup
+    machinery sits behind the hash gate."""
+    import tempfile
+
+    from simple_tsdb_spark.operators import hybrid_sum_points, materialize_rollup
+
+    raw = _events(spark, sf_dir, t0=None, t1=T1)
+    rollup_path = tempfile.mkdtemp(prefix="tsdb_rollup_q_") + "/r"
+    materialize_rollup(
+        spark, raw, rollup_path, fields=["value"], base_window_ns=ROLLUP_BASE_NS, exact=True
+    )
+    return hybrid_sum_points(
+        spark, raw, rollup_path, fields=["value"],
+        base_window_ns=ROLLUP_BASE_NS, window_ns=W, t0=T0, t1=T1, exact=True,
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sum_cte = _sum_cte(W)
     return {
@@ -557,6 +582,14 @@ SELECT spine.series, spine.wstart,
        CASE WHEN COALESCE(agg.value_count, 0) > 0
             THEN agg.value_sum / agg.value_count END AS value_mean
 FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
+""",
+        # Continuous-aggregate read (rollup history + raw tail) must equal
+        # a direct windowed aggregation — the oracle IS that aggregation
+        # (agg only: hybrid does not emit empty buckets).
+        "hybrid_rollup_sum": _sum_cte(W)
++ """
+SELECT series, wstart, window_npoints, value_sum, value_min, value_max, value_count
+FROM agg
 """,
         # W5: > max_points rows in range at every tested sf, so the policy
         # deterministically picks the 12h windowed mean on both engines.

@@ -61,9 +61,18 @@ def materialize_rollup(
     *,
     fields: Sequence[str],
     base_window_ns: int,
+    exact: bool = False,
 ) -> None:
-    """Write the base-resolution rollup table for a measurement."""
-    agg = sum_points(df, fields=fields, window_ns=base_window_ns, emit_empty=False)
+    """Write the base-resolution rollup table for a measurement.
+
+    ``exact`` stores the sums as decimals: decimal partials re-aggregate
+    associatively, so any coarse window derived from the rollup is
+    bit-identical to aggregating the raw points in decimal (the property
+    the hybrid driver query's oracle hash relies on)."""
+    agg = sum_points(
+        df, fields=fields, window_ns=base_window_ns, emit_empty=False,
+        exact=exact, decimal_sums=exact,
+    )
     (
         agg.repartition("series")
         .sortWithinPartitions("wstart")
@@ -155,6 +164,7 @@ def hybrid_sum_points(
     series: str | Sequence[str] | None = None,
     t0: int = 0,
     t1: int = 2**63 - 1,
+    exact: bool = False,
 ) -> DataFrame:
     """Continuous-aggregate read: rollup for history, raw for the tail.
 
@@ -176,7 +186,8 @@ def hybrid_sum_points(
         have_rollup = False  # rollup not created yet — serve from raw
     if not have_rollup:
         return sum_points(
-            raw_df, fields=fields, series=series, t0=t0, t1=t1, window_ns=w, emit_empty=False
+            raw_df, fields=fields, series=series, t0=t0, t1=t1, window_ns=w,
+            emit_empty=False, exact=exact,
         )
     # Per series: coarse buckets strictly before the one containing that
     # series' high-water mark come from the rollup; the rest (and series
@@ -206,7 +217,7 @@ def hybrid_sum_points(
     tail = (
         sum_points(
             raw_df, fields=fields, series=series, t0=t0_tail, t1=t1,
-            window_ns=w, emit_empty=False,
+            window_ns=w, emit_empty=False, exact=exact,
         )
         .join(bmarks, "series", "left")
         .where(
@@ -248,9 +259,15 @@ def rollup_sum_points(
     df = df.where(F.col("wstart").between(int(t0), int(t1)))
     coarse = (F.col("wstart") - (F.col("wstart") % F.lit(w))).alias("wstart")
     aggs = [F.sum("window_npoints").alias("window_npoints")]
+    dtypes = dict(df.dtypes)
     for f in fields:
+        # Decimal-stored sums (exact rollups) re-aggregate exactly, then
+        # surface as the contract's double; double-stored sums pass through.
+        s = F.sum(F.col(f"{f}_sum"))
+        if dtypes.get(f"{f}_sum", "").startswith("decimal"):
+            s = s.cast("double")
         aggs += [
-            F.sum(F.col(f"{f}_sum")).alias(f"{f}_sum"),
+            s.alias(f"{f}_sum"),
             F.min(F.col(f"{f}_min")).alias(f"{f}_min"),
             F.max(F.col(f"{f}_max")).alias(f"{f}_max"),
             F.sum(F.col(f"{f}_count")).alias(f"{f}_count"),

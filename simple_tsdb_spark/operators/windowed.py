@@ -71,8 +71,14 @@ def sum_points(
     emit_empty: bool = True,
     exact: bool = False,
     time_first: dict[str, int] | None = None,
+    decimal_sums: bool = False,
 ) -> DataFrame:
     """A2 — per (series, window) sum/min/max/non-null-count for each field.
+
+    ``decimal_sums`` (with ``exact``) keeps the sums as DECIMAL(28,6)
+    instead of casting to double — for materialized rollups, whose
+    partial sums must re-aggregate exactly (decimal addition is
+    associative; re-summing double partials is not bit-stable).
 
     Output columns: series, wstart (window start, ns), window_npoints, and
     per field ``{f}_sum, {f}_min, {f}_max, {f}_count``.  Empty windows have
@@ -148,7 +154,11 @@ def sum_points(
             # Full-range u64 (decimal(20,0)) fields accumulate in
             # decimal(38,0) — decimal(28,6) would overflow near 2^64·n.
             acc = "decimal(38,0)" if dtypes.get(f, "").startswith("decimal") else "decimal(28,6)"
-            sum_expr = F.sum(col.cast(acc)).cast("double")
+            sum_expr = F.sum(col.cast(acc))
+            if not decimal_sums:
+                sum_expr = sum_expr.cast("double")
+            else:
+                sum_expr = sum_expr.cast(acc)  # stable width for storage
         else:
             sum_expr = F.sum(col.cast("double"))
         aggs += [
