@@ -750,7 +750,10 @@ def _pipeline_oracles() -> dict[str, str]:
         ngram_jaccard_oracle,
         simhash_pairs_oracle,
     )
-    from simple_tsdb_spark.pipeline.multimodal import attach_blob_meta_oracle
+    from simple_tsdb_spark.pipeline.multimodal import (
+        attach_blob_meta_oracle,
+        blob_features_oracle,
+    )
     from simple_tsdb_spark.pipeline.similarity import (
         knn_brute_oracle,
         knn_ivf_oracle,
@@ -784,6 +787,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "multimodal_meta": attach_blob_meta_oracle(),
+        "blob_features": blob_features_oracle(),
         "pricing_summary": pricing_summary_oracle(),
         "revenue_by_nation": revenue_by_nation_oracle(),
         "top_customers": top_customers_oracle(),

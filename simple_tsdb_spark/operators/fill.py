@@ -97,15 +97,20 @@ def ewma_oracle(measurement_sql: str, *, field: str, alpha: float, out_col: str 
     the value unchanged on exact equality.  ``repr`` round-trips the
     doubles so both engines parse the same bits.
 
-    Limitation: assumes no NULL ``field`` values and unique
-    (series, time_ns) keys — both hold for the driver's events tables;
-    the Spark operator itself handles NULLs (ignore_na carry-forward).
+    NULL ``field`` values follow ignore_na carry-forward (NULL rows keep
+    the running value; leading NULLs stay NULL until the first
+    observation) — the same semantics the Spark operator gets from
+    pandas.  Assumes unique (series, time_ns) keys (true of the driver's
+    events tables; ties would make both engines order-dependent).
     """
     out = out_col or f"{field}_ewma"
     com = (1.0 - float(alpha)) / float(alpha)
     a_eff = 1.0 / (1.0 + com)
-    a = repr(a_eff)
-    b = repr(1.0 - a_eff)
+    # String-parse the weights: a bare 17-digit literal is typed DECIMAL
+    # by DuckDB and converts to a 1-ulp-off double; CAST('…' AS DOUBLE)
+    # is correctly rounded.
+    a = f"CAST('{a_eff!r}' AS DOUBLE)"
+    b = f"CAST('{1.0 - a_eff!r}' AS DOUBLE)"
     return f"""
 WITH RECURSIVE ord AS (
   SELECT series, time_ns, CAST({field} AS DOUBLE) AS v,
@@ -115,7 +120,9 @@ rec AS (
   SELECT series, time_ns, v, rn, v AS ew FROM ord WHERE rn = 1
   UNION ALL
   SELECT o.series, o.time_ns, o.v, o.rn,
-         CASE WHEN r.ew = o.v THEN r.ew
+         CASE WHEN o.v IS NULL THEN r.ew
+              WHEN r.ew IS NULL THEN o.v
+              WHEN r.ew = o.v THEN r.ew
               ELSE (({b} * r.ew) + ({a} * o.v)) / ({b} + {a}) END
   FROM rec r JOIN ord o ON o.series = r.series AND o.rn = r.rn + 1)
 SELECT series, time_ns, v AS {field}, ew AS {out} FROM rec

@@ -177,3 +177,30 @@ def extract_blob_features(
         "width int, height int, mean_sample double"
     )
     return base.mapInPandas(batches, schema=schema)
+
+
+def blob_features_oracle(table: str = "documents") -> str:
+    """DuckDB twin of ``extract_blob_features`` over the fake decoder.
+
+    The mapInPandas path computes every output as a deterministic
+    function of the payload bytes, so even the Python-side batch code
+    sits behind the hash gate: byte values come from ``hex(blob)`` pairs
+    (DuckDB has no direct blob-byte accessor), and the mean replicates
+    Python's two-step ``(sum/den)/255.0`` float op order.  A real media
+    decoder would drop this oracle (decode_media stays the honest stub).
+    """
+    n = "octet_length(CAST(text AS BLOB))"
+    h = "hex(CAST(text AS BLOB))"
+    bytesum = (
+        f"COALESCE(list_sum(list_transform(generate_series(1, LEAST({n}, 32)), "
+        f"i -> ('0x' || substr({h}, 2*i-1, 2))::BIGINT)), 0)"
+    )
+    return f"""
+SELECT doc_id,
+       CAST({n} AS INTEGER) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(({n} % 64) + 1 AS INTEGER) AS width,
+       CAST((({n} // 64) % 64) + 1 AS INTEGER) AS height,
+       ({bytesum} / GREATEST(1, LEAST({n}, 32))) / 255.0 AS mean_sample
+FROM {table}
+"""

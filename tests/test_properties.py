@@ -90,3 +90,44 @@ def test_ewma_oracle_recurrence_matches_pandas(vals, alpha):
         p, c = y[i - 1], v[i]
         y[i] = p if p == c else ((b * p) + (a * c)) / (b + a)
     assert np.array_equal(y.view(np.uint64), ref.view(np.uint64))
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=1, max_size=120,
+    ),
+    alpha=st.floats(0.05, 0.95),
+)
+def test_ewma_oracle_sql_matches_pandas_with_nulls(vals, alpha):
+    """The full DuckDB recursive-CTE oracle (fill.py::ewma_oracle) is
+    bit-identical to pandas ewm(adjust=False, ignore_na=True) INCLUDING
+    NULL handling (carry-forward, leading NULLs)."""
+    import duckdb
+
+    from simple_tsdb_spark.operators.fill import ewma_oracle
+
+    pdf = pd.DataFrame(
+        {
+            "series": "s",
+            "time_ns": np.arange(len(vals), dtype="int64") * 10 + 100,
+            "value": pd.array(vals, dtype="Float64"),
+        }
+    )
+    con = duckdb.connect()
+    con.register("m_tbl", pdf)
+    sql = ewma_oracle("SELECT series, time_ns, value FROM m_tbl", field="value", alpha=alpha)
+    got = con.execute(sql + " ORDER BY time_ns").df()["value_ewma"].to_numpy(dtype="float64")
+    ref = (
+        pd.Series(np.array([np.nan if v is None else v for v in vals], dtype="float64"))
+        .ewm(alpha=alpha, adjust=False, ignore_na=True)
+        .mean()
+        .to_numpy()
+    )
+    assert np.array_equal(got.view(np.uint64), ref.view(np.uint64), equal_nan=True) or (
+        np.array_equal(np.isnan(got), np.isnan(ref))
+        and np.array_equal(
+            got[~np.isnan(got)].view(np.uint64), ref[~np.isnan(ref)].view(np.uint64)
+        )
+    )
