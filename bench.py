@@ -29,13 +29,31 @@ def main() -> None:
     # Warm the JVM + parquet footer caches with a trivial action.
     spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
 
-    times: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    def run_once(fn) -> float:
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = len(df.toPandas())  # Arrow transfer — the realistic fast path
-        times[name] = round(time.time() - t0, 4)
-        print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
+        len(df.toPandas())  # Arrow transfer — the realistic fast path
+        return time.time() - t0
+
+    # Best-of-N per query (N=2 by default), bounded by a wall-clock
+    # budget: co-tenant CPU noise swings single runs by 2-8x, and the min
+    # is the honest cost of the plan.  The first pass always completes;
+    # repeats stop once the budget is spent.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "300"))
+    wall0 = time.time()
+    times: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        times[name] = run_once(fn)
+    for _ in range(repeats - 1):
+        for name, fn in qs.items():
+            if time.time() - wall0 > budget_s:
+                break
+            times[name] = min(times[name], run_once(fn))
+    times = {k: round(v, 4) for k, v in times.items()}
+    for name, t in times.items():
+        print(f"# {name}: {t:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 4)
     print(
