@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import types as T
 
-from simple_tsdb_spark.client import AuthNotSupported, TsdbClient
+from simple_tsdb_spark.client import TsdbClient
 
 
 @pytest.fixture()
