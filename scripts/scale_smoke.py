@@ -81,6 +81,53 @@ def main() -> None:
     bench("A4 integral (all series)", integrate_points(m, fields=["v"], t0=t_mid0, t1=t_mid1))
     bench("W1 tare (1 series)", tare(m, fields=["v"], series="sensor-3", t0=t_mid0, t1=t_mid1))
 
+    # Probed LAST-N on a time-bucketed layout: write the same data with a
+    # 1h bucket, then LAST-100 over the full retention — the probe must
+    # touch only tail partitions, independent of history length.
+    import shutil
+
+    from simple_tsdb_spark.operators import select_last_points_probed, tail_bucket_cutoff
+    from simple_tsdb_spark.sources.writer import _save_layout
+
+    bpath = tempfile.mkdtemp() + "/mb"
+    bucket_ns = 3_600_000_000_000
+    (
+        df.withColumn("time_bucket", F.col("time_ns") - (F.col("time_ns") % F.lit(bucket_ns)))
+        .repartition("series")
+        .sortWithinPartitions("time_ns")
+        .write.mode("overwrite")
+        .partitionBy("series", "time_bucket")
+        .parquet(bpath)
+    )
+    _save_layout(bpath, {"time_bucket_ns": bucket_ns})
+    t = time.time()
+    cutoff = tail_bucket_cutoff(spark, bpath, series="sensor-7", last=100)
+    r = select_last_points_probed(spark, bpath, series="sensor-7", last=100).toPandas()
+    n_buckets = (span // bucket_ns) + 1
+    probed = (base + span - cutoff) // bucket_ns + 1
+    print(
+        f"S2 probed last-100 (bucketed, 1 series): {time.time()-t:.2f}s "
+        f"rows={len(r)} probed {probed}/{n_buckets} buckets"
+    )
+    shutil.rmtree(bpath, ignore_errors=True)
+
+    # Continuous-aggregate read: materialize a 1h rollup once, then the
+    # 6h windowed read comes from ~10^4x fewer rows than raw.
+    from simple_tsdb_spark.operators import hybrid_sum_points, materialize_rollup
+
+    rpath = tempfile.mkdtemp() + "/r"
+    t = time.time()
+    materialize_rollup(spark, m, rpath, fields=["v"], base_window_ns=bucket_ns)
+    print(f"rollup materialize 1h buckets: {time.time()-t:.1f}s")
+    bench(
+        "A2 6h windows from rollup+tail (all series)",
+        hybrid_sum_points(
+            spark, m, rpath, fields=["v"], base_window_ns=bucket_ns,
+            window_ns=6 * bucket_ns,
+        ),
+    )
+    shutil.rmtree(rpath, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
