@@ -104,6 +104,14 @@ def main() -> int:
                 f"{name}: bucketed shuffle join present",
                 "hashpartitioning" in p and ("SortMergeJoin" in p or "ShuffledHashJoin" in p),
             )
+        # embedding_dup's join must key on (quantizer block, salt) — the
+        # salt keeps hot lists spread across salt_buckets tasks, so there
+        # is no single-block skew path even at low list cardinality.
+        p = plan_of(embedding_dup_pairs(embs))
+        ok &= check(
+            "embedding_dup: join keyed on (blk, salt) — salted, skew-free",
+            bool(re.search(r"hashpartitioning\(blk#\d+, salt#\d+", p)),
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

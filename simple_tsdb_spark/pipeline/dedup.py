@@ -17,10 +17,11 @@ Scale design (the point of each variant):
 - ``simhash_pairs``: 32-bit simhash + hamming ≤ d, blocked EXACTLY by
   fingerprint bands (pigeonhole over d+1 bands) — the cheapest near-dup
   filter (one long per doc), shuffle ≈ docs × bands, no broadcast.
-- ``embedding_dup_pairs``: cosine near-dup inside a blocking key (label /
-  cluster id), salted shuffle join (no corpus broadcast, parallelism
-  #blocks × salts); at 100 TB the blocking key comes from a coarse
-  quantizer (see similarity.knn_lsh).
+- ``embedding_dup_pairs``: cosine near-dup blocked by the IVF
+  coarse-quantizer list id (cardinality scales with nlist ~ √N, unlike a
+  fixed attribute), salted shuffle join (no corpus broadcast,
+  parallelism #blocks × salts); attribute equality (label / lang) is an
+  optional extra predicate.
 
 All hashing is md5-based and every expression is built-in (no UDFs), so
 each operator has a bit-identical DuckDB oracle twin below it.
@@ -396,37 +397,61 @@ def embedding_dup_pairs(
     df: DataFrame,
     *,
     threshold: float = 0.3,
-    block_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int = 64,
+    extra_block_col: str | None = None,
     salt_buckets: int = 8,
 ) -> DataFrame:
-    """Cosine near-dup pairs within a blocking key (label/cluster).
+    """Cosine near-dup pairs within a coarse-quantizer block.
 
     Output (a, b, cos) with cos rounded to 6 decimals (engine-portable).
 
-    Scale design: the block key is low-cardinality, so a plain shuffle
-    join would skew every block onto one task and a broadcast of the
-    build side would ship the whole corpus to every executor.  Instead
-    the join is *salted*: the probe side keeps one deterministic salt per
-    row, the build side replicates ``salt_buckets`` ways, and the join
-    keys on (block, salt) — every pair still meets exactly once, no
-    broadcast, parallelism = #blocks × salt_buckets.  At full scale the
-    block key itself comes from a coarse quantizer with a tighter
-    threshold (see similarity.knn_lsh for the bucketing machinery).
+    Scale design: pairwise work inside a block is O(block²), so the block
+    key must scale its cardinality with the corpus — a fixed attribute
+    like ``label`` makes the operator quadratic at 10⁹ docs no matter how
+    the join is executed.  The default block key is therefore the IVF
+    coarse-quantizer assignment (nearest-centroid list id — the same
+    expression ``similarity.knn_ivf`` uses; in production the centroids
+    come from a k-means fit with nlist ~ √N, here deterministic literals
+    keep the oracle bit-exact).  ``extra_block_col`` (e.g. label / lang)
+    optionally ANDs an attribute-equality predicate on top.
+
+    The join itself is *salted*: the probe side keeps one deterministic
+    salt per row, the build side replicates ``salt_buckets`` ways, and
+    the join keys on (block, salt) — every pair still meets exactly once,
+    no corpus broadcast, parallelism = #blocks × salt_buckets even when
+    a few lists run hot.
     """
-    e = df.select(
+    # Lazy import: similarity imports dedup's cosine helpers at module
+    # level, so the quantizer expressions must be imported at call time.
+    from simple_tsdb_spark.pipeline.similarity import _score_array_spark
+
+    cols = [
         F.col(id_col).alias("doc"),
-        F.col(block_col).alias("blk"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-    ).withColumn("nrm", _norm("emb"))
+    ]
+    if extra_block_col:
+        cols.append(F.col(extra_block_col).alias("xblk"))
+    e = (
+        df.select(*cols)
+        .withColumn("_sarr", F.expr(_score_array_spark("emb", dim)))
+        .withColumn(
+            "blk", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
+        )
+        .drop("_sarr")
+        .withColumn("nrm", _norm("emb"))
+    )
     r = int(salt_buckets)
     x = e.withColumn("salt", F.pmod(F.hash("doc"), F.lit(r)))
     y = e.withColumn("salt", F.explode(F.expr(f"sequence(0, {r - 1})")))
+    cond = F.col("x.doc") < F.col("y.doc")
+    if extra_block_col:
+        cond = cond & (F.col("x.xblk") == F.col("y.xblk"))
     return (
         x.alias("x")
         .join(y.alias("y"), ["blk", "salt"])
-        .where(F.col("x.doc") < F.col("y.doc"))
+        .where(cond)
         .select(
             F.col("x.doc").alias("a"),
             F.col("y.doc").alias("b"),
@@ -436,12 +461,29 @@ def embedding_dup_pairs(
     )
 
 
-def embedding_dup_oracle(table: str = "embeddings", *, threshold: float = 0.3) -> str:
+def embedding_dup_oracle(
+    table: str = "embeddings",
+    *,
+    threshold: float = 0.3,
+    dim: int = 64,
+    extra_block_col: str | None = None,
+) -> str:
+    from simple_tsdb_spark.pipeline.similarity import _score_array_duck
+
+    xsel = f", {extra_block_col} AS xblk" if extra_block_col else ""
+    xcond = " AND x.xblk = y.xblk" if extra_block_col else ""
     cos = _COS_DUCK.format(a="x.emb", b="y.emb")
     return f"""
-WITH e AS (SELECT vec_id AS doc, label AS blk, embedding::DOUBLE[] AS emb FROM {table})
+WITH e0 AS (
+  SELECT vec_id AS doc, embedding::DOUBLE[] AS emb{xsel},
+         {_score_array_duck("embedding::DOUBLE[]", dim)} AS sarr
+  FROM {table}),
+e AS (
+  SELECT doc, emb{', xblk' if extra_block_col else ''},
+         CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS blk
+  FROM e0)
 SELECT a, b, cos FROM (
   SELECT x.doc AS a, y.doc AS b, round({cos}, 6) AS cos
-  FROM e x JOIN e y ON x.blk = y.blk AND x.doc < y.doc)
+  FROM e x JOIN e y ON x.blk = y.blk AND x.doc < y.doc{xcond})
 WHERE cos >= {threshold}
 """
