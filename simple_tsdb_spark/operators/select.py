@@ -210,11 +210,19 @@ def tail_bucket_cutoff(
                 else F.col("series").isin(list(series))
             )
         if per_series:
-            cnts = {
-                r["series"]: r["n"]
-                for r in probe.groupBy("series").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
-            if all(cnts.get(s, 0) >= last for s in cands):
+            # Driver-light all-satisfied check: every probed row belongs to a
+            # candidate series (rows live only in range-intersecting bucket
+            # dirs), so "all candidates have >= last rows in the window" is
+            # exactly "count of satisfied series == |cands|".  The reduction
+            # runs on the cluster and ships ONE scalar per probe round —
+            # never an O(#series) row set.
+            n_ok = (
+                probe.groupBy("series")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") >= last)
+                .count()
+            )
+            if n_ok == len(cands):
                 return cutoff
         elif probe.select("series").limit(int(last)).count() >= last:
             return cutoff

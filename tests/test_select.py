@@ -155,3 +155,47 @@ def test_probed_last_n_unbucketed_fallback(spark, tmp_path):
     assert tail_bucket_cutoff(spark, path, last=2) is None
     got = select_last_points_probed(spark, path, fields=["value"], last=2).toPandas()
     assert list(got.time_ns) == [30, 40]
+
+
+def test_probed_cutoff_driver_light_at_high_series_cardinality(spark, tmp_path, monkeypatch):
+    """The per-series probe must ship ONE scalar per round to the driver,
+    not an O(#series) row set (select_op.cc:294-345 seeks per series
+    server-side; our analog reduces cluster-side)."""
+    from pyspark.sql import DataFrame
+
+    from simple_tsdb_spark.operators import (
+        select_last_points,
+        select_last_points_probed,
+        tail_bucket_cutoff,
+    )
+    from simple_tsdb_spark.sources.measurement import read_measurement
+
+    path, pdf = _bucketed_measurement(spark, tmp_path, days=2, per_day=2, n_series=1000)
+
+    collected: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    # 2 pts/series/bucket: LAST 2 per series = newest bucket; LAST 3 widens
+    # past the insufficient first probe to the full extent.
+    assert tail_bucket_cutoff(spark, path, last=2, per_series=True) == DAY
+    assert tail_bucket_cutoff(spark, path, last=3, per_series=True) == 0
+    assert max(collected, default=0) <= 1, f"O(#series) collect: {collected}"
+    monkeypatch.setattr(DataFrame, "collect", orig)
+
+    got = select_last_points_probed(
+        spark, path, fields=["value"], last=2, per_series=True, tiebreak=("series",)
+    ).toPandas()
+    want = select_last_points(
+        read_measurement(spark, path),
+        fields=["value"],
+        last=2,
+        per_series=True,
+        tiebreak=("series",),
+    ).toPandas()
+    assert got.equals(want)
