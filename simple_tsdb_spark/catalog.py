@@ -21,7 +21,6 @@ way, sum_op.h:33).
 from __future__ import annotations
 
 import json
-import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,24 +56,27 @@ class TsdbCatalog:
     """Thin catalog over a warehouse directory (reference root, D1)."""
 
     def __init__(self, spark: SparkSession, warehouse: str):
+        from simple_tsdb_spark.fs import get_fs
+
         self.spark = spark
-        self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        self.warehouse = warehouse.rstrip("/")
+        self.fs = get_fs(warehouse)
+        self.fs.mkdirs(self.warehouse)
 
     # -- databases (D2, D3) --------------------------------------------
     def create_database(self, name: str) -> None:
         self._check_name(name)
-        os.makedirs(os.path.join(self.warehouse, name), exist_ok=True)
+        self.fs.mkdirs(f"{self.warehouse}/{name}")
 
     def list_databases(self) -> list[str]:
         return sorted(
-            d for d in os.listdir(self.warehouse)
-            if os.path.isdir(os.path.join(self.warehouse, d))
+            d for d in self.fs.listdir(self.warehouse)
+            if self.fs.isdir(f"{self.warehouse}/{d}")
         )
 
     # -- measurements (D4, D5, D6) -------------------------------------
     def measurement_path(self, database: str, measurement: str) -> str:
-        return os.path.join(self.warehouse, database, measurement)
+        return f"{self.warehouse}/{database}/{measurement}"
 
     def create_measurement(
         self, database: str, measurement: str, fields: dict[str, str]
@@ -89,7 +91,7 @@ class TsdbCatalog:
         (root.cc behavior — measurements cannot implicitly create it).
         """
         self._check_name(measurement)
-        if not os.path.isdir(os.path.join(self.warehouse, database)):
+        if not self.fs.isdir(f"{self.warehouse}/{database}"):
             raise NoSuchDatabase(f"no such database: {database}")
         if len(fields) > MAX_FIELDS:
             raise TooManyFields(f"too many fields ({len(fields)} > {MAX_FIELDS})")
@@ -98,10 +100,9 @@ class TsdbCatalog:
             if ftype not in FIELD_TYPES:
                 raise ValueError(f"unknown field type {ftype!r} for {fname!r}")
         path = self.measurement_path(database, measurement)
-        schema_file = os.path.join(path, "_tsdb_meta", "schema.json")
-        if os.path.exists(schema_file):
-            with open(schema_file) as fh:
-                existing = json.load(fh)
+        schema_file = f"{path}/_tsdb_meta/schema.json"
+        if self.fs.exists(schema_file):
+            existing = json.loads(self.fs.read_text(schema_file))
             # dict == ignores order; the reference's identical-schema check
             # compares the ordered field list.
             if list(existing.items()) != list(fields.items()):
@@ -109,27 +110,23 @@ class TsdbCatalog:
                     f"{database}/{measurement} exists with a different schema"
                 )
             return
-        os.makedirs(os.path.dirname(schema_file), exist_ok=True)
-        tmp = schema_file + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(fields, fh)
-        os.replace(tmp, schema_file)  # atomic create, like tmp+rename
+        # atomic create, like the reference's tmp+rename
+        self.fs.write_text_atomic(schema_file, json.dumps(fields))
 
     def list_measurements(self, database: str) -> list[str]:
-        db = os.path.join(self.warehouse, database)
-        if not os.path.isdir(db):
+        db = f"{self.warehouse}/{database}"
+        if not self.fs.isdir(db):
             raise NoSuchDatabase(f"no such database: {database}")
-        return sorted(d for d in os.listdir(db) if os.path.isdir(os.path.join(db, d)))
+        return sorted(d for d in self.fs.listdir(db) if self.fs.isdir(f"{db}/{d}"))
 
     def get_schema(self, database: str, measurement: str) -> list[tuple[str, str]]:
         """(name, reference-type) pairs in schema order (D6)."""
-        schema_file = os.path.join(
-            self.measurement_path(database, measurement), "_tsdb_meta", "schema.json"
+        schema_file = (
+            f"{self.measurement_path(database, measurement)}/_tsdb_meta/schema.json"
         )
-        if not os.path.exists(schema_file):
+        if not self.fs.exists(schema_file):
             raise NoSuchMeasurement(f"no such measurement: {database}/{measurement}")
-        with open(schema_file) as fh:
-            return list(json.load(fh).items())
+        return list(json.loads(self.fs.read_text(schema_file)).items())
 
     def spark_schema(self, database: str, measurement: str) -> T.StructType:
         entries = [
@@ -166,8 +163,8 @@ class TsdbCatalog:
         path = data_root(self.measurement_path(database, measurement))
         return sorted(
             e.split("=", 1)[1]
-            for e in os.listdir(path)
-            if e.startswith("series=") and os.path.isdir(os.path.join(path, e))
+            for e in self.fs.listdir(path)
+            if e.startswith("series=") and self.fs.isdir(f"{path}/{e}")
         )
 
     # -- users / auth (D9) ----------------------------------------------
@@ -178,15 +175,14 @@ class TsdbCatalog:
     PBKDF2_ITERATIONS = 10_000
 
     def _passwd_entries(self) -> dict[str, str]:
-        p = os.path.join(self.warehouse, "passwd")
-        if not os.path.exists(p):
+        p = f"{self.warehouse}/passwd"
+        if not self.fs.exists(p):
             return {}
         out: dict[str, str] = {}
-        with open(p) as fh:
-            for line in fh:
-                parts = line.split()
-                if len(parts) == 2:
-                    out[parts[0]] = parts[1]
+        for line in self.fs.read_text(p).splitlines():
+            parts = line.split()
+            if len(parts) == 2:
+                out[parts[0]] = parts[1]
         return out
 
     def _kdf(self, username: str, password: str) -> str:
@@ -210,11 +206,11 @@ class TsdbCatalog:
         if username in users:
             raise UserExists(f"user already exists: {username}")
         users[username] = self._kdf(username, password)
-        p = os.path.join(self.warehouse, "passwd")
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.writelines(f"{u} {h}\n" for u, h in users.items())
-        os.replace(tmp, p)  # atomic publish (the reference flocks instead)
+        # atomic publish (the reference flocks instead)
+        self.fs.write_text_atomic(
+            f"{self.warehouse}/passwd",
+            "".join(f"{u} {h}\n" for u, h in users.items()),
+        )
 
     def verify_user(self, username: str, password: str) -> bool:
         """True iff the password matches (root.cc:120-145); raises
@@ -240,20 +236,18 @@ class TsdbCatalog:
         self._check_name(name)
         if ftype not in FIELD_TYPES:
             raise ValueError(f"unknown field type {ftype!r}")
-        schema_file = os.path.join(
-            self.measurement_path(database, measurement), "_tsdb_meta", "schema.json"
+        schema_file = (
+            f"{self.measurement_path(database, measurement)}/_tsdb_meta/schema.json"
         )
-        with open(schema_file) as fh:
-            fields = json.load(fh)
+        if not self.fs.exists(schema_file):
+            raise NoSuchMeasurement(f"no such measurement: {database}/{measurement}")
+        fields = json.loads(self.fs.read_text(schema_file))
         if name in fields:
             if fields[name] != ftype:
                 raise MeasurementExists(f"field {name!r} exists with type {fields[name]!r}")
             return
         fields[name] = ftype
-        tmp = schema_file + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(fields, fh)
-        os.replace(tmp, schema_file)
+        self.fs.write_text_atomic(schema_file, json.dumps(fields))
 
     # -- misc (D11) -----------------------------------------------------
     def nop(self) -> bool:

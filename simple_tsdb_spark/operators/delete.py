@@ -25,7 +25,6 @@ Delta/Iceberg the physical step becomes ``DELETE WHERE`` + OPTIMIZE.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,11 +35,15 @@ class RetentionWatermarks:
     ``time_first`` file per series, ``doc/LOCKING.txt:50-72``)."""
 
     def __init__(self, measurement_path: str):
-        self.path = os.path.join(measurement_path, "_tsdb_meta", "time_first.json")
+        from simple_tsdb_spark.fs import get_fs
+
+        self.path = f"{measurement_path}/_tsdb_meta/time_first.json"
+        self._fs = get_fs(self.path)
         self._marks: dict[str, int] = {}
-        if os.path.exists(self.path):
-            with open(self.path) as fh:
-                self._marks = {k: int(v) for k, v in json.load(fh).items()}
+        if self._fs.exists(self.path):
+            self._marks = {
+                k: int(v) for k, v in json.loads(self._fs.read_text(self.path)).items()
+            }
 
     def get(self, series: str) -> int:
         return self._marks.get(series, 0)
@@ -48,11 +51,8 @@ class RetentionWatermarks:
     def advance(self, series: str, time_first: int) -> None:
         # time_first only ever advances (delete.cc: monotone).
         self._marks[series] = max(self.get(series), int(time_first))
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(self._marks, fh)
-        os.replace(tmp, self.path)  # atomic publish, like the reference's rename
+        # atomic publish, like the reference's rename
+        self._fs.write_text_atomic(self.path, json.dumps(self._marks))
 
     def apply(self, df: DataFrame) -> DataFrame:
         """Read-path filter: hide rows below any series' watermark.
@@ -93,10 +93,10 @@ def delete_points(
     ``physical`` — rewrites only that series' partition without the dropped
     rows.  Returns the updated watermark set.
     """
-    import shutil
-
+    from simple_tsdb_spark.fs import get_fs
     from simple_tsdb_spark.sources.writer import _layout, data_root
 
+    fs = get_fs(measurement_path)
     marks = RetentionWatermarks(measurement_path)
     marks.advance(series, int(t) + 1)  # new time_first = t+1 (delete.cc:"t+1")
     if not physical:
@@ -109,22 +109,22 @@ def delete_points(
     # correct throughout either way: the watermark filter (advanced
     # above, before any file op) already hides every dropped row.
     root = data_root(measurement_path)
-    part_dir = os.path.join(root, f"series={series}")
-    if not os.path.isdir(part_dir):
+    part_dir = f"{root}/series={series}"
+    if not fs.isdir(part_dir):
         return marks
     t = int(t)
     bucket_ns = _layout(measurement_path).get("time_bucket_ns")
     rewrite_dirs = []  # partially-covered dirs needing a row-level rewrite
     if bucket_ns:
         boundary = (t // bucket_ns) * bucket_ns
-        for bdir in sorted(os.listdir(part_dir)):
+        for bdir in sorted(fs.listdir(part_dir)):
             if not bdir.startswith("time_bucket="):
                 continue
             b = int(bdir[len("time_bucket=") :])
             if b + bucket_ns - 1 <= t:  # every possible row <= t
-                shutil.rmtree(os.path.join(part_dir, bdir))
+                fs.remove_tree(f"{part_dir}/{bdir}")
             elif b == boundary:
-                rewrite_dirs.append(os.path.join(part_dir, bdir))
+                rewrite_dirs.append(f"{part_dir}/{bdir}")
     else:
         rewrite_dirs.append(part_dir)
     for d in rewrite_dirs:
@@ -135,7 +135,7 @@ def delete_points(
             .sortWithinPartitions("time_ns")
         )
         if kept.limit(1).count() == 0:
-            shutil.rmtree(d)  # rewrite would leave nothing: pure unlink
+            fs.remove_tree(d)  # rewrite would leave nothing: pure unlink
             continue
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

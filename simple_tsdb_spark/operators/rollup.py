@@ -25,7 +25,6 @@ MERGE on (series, wstart), which also tolerates reprocessing).
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,7 +42,9 @@ def _read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame | None:
     subsequent rollup read."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    if not os.path.exists(rollup_path):
+    from simple_tsdb_spark.fs import get_fs
+
+    if not get_fs(rollup_path).exists(rollup_path):
         return None
     try:
         return spark.read.parquet(rollup_path)

@@ -26,7 +26,6 @@ SURVEY.md §4.3.3) so the scan never touches old partitions.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -128,14 +127,16 @@ def _bucket_dirs(
     partition discovery performs; on an object store this is one LIST)."""
     from urllib.parse import unquote
 
+    from simple_tsdb_spark.fs import get_fs
     from simple_tsdb_spark.sources.writer import data_root
 
     root = data_root(measurement_path)
+    fs = get_fs(root)
     allowed: set[str] | None = None
     if series is not None:
         allowed = {series} if isinstance(series, str) else set(series)
     out: dict[str, list[int]] = {}
-    for sdir in os.listdir(root):
+    for sdir in fs.listdir(root):
         if not sdir.startswith("series="):
             continue
         sname = unquote(sdir[len("series=") :])
@@ -143,7 +144,7 @@ def _bucket_dirs(
             continue
         bs = [
             int(bdir[len("time_bucket=") :])
-            for bdir in os.listdir(os.path.join(root, sdir))
+            for bdir in fs.listdir(f"{root}/{sdir}")
             if bdir.startswith("time_bucket=")
         ]
         out[sname] = sorted(bs)

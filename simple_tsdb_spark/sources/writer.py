@@ -29,7 +29,6 @@ partition-local.  For very high series cardinality, swap the dynamic
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,22 +45,22 @@ __all__ = ["write_points", "compact_measurement", "OutOfOrderTimestamps", "Overw
 def _layout(measurement_path: str) -> dict:
     import json
 
-    p = os.path.join(measurement_path, "_tsdb_meta", "layout.json")
-    if os.path.exists(p):
-        with open(p) as fh:
-            return json.load(fh)
+    from simple_tsdb_spark.fs import get_fs
+
+    p = f"{measurement_path}/_tsdb_meta/layout.json"
+    fs = get_fs(p)
+    if fs.exists(p):
+        return json.loads(fs.read_text(p))
     return {}
 
 
 def _save_layout(measurement_path: str, layout: dict) -> None:
     import json
 
-    p = os.path.join(measurement_path, "_tsdb_meta", "layout.json")
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(layout, fh)
-    os.replace(tmp, p)
+    from simple_tsdb_spark.fs import get_fs
+
+    p = f"{measurement_path}/_tsdb_meta/layout.json"
+    get_fs(p).write_text_atomic(p, json.dumps(layout))
 
 
 def data_root(measurement_path: str) -> str:
@@ -75,7 +74,7 @@ def data_root(measurement_path: str) -> str:
     and non-atomic).  All readers and writers resolve through this."""
     gen = _layout(measurement_path).get("generation")
     if gen:
-        return os.path.join(measurement_path, f"_gen_{int(gen):06d}")
+        return f"{measurement_path}/_gen_{int(gen):06d}"
     return measurement_path
 
 
@@ -146,8 +145,11 @@ def _write_points_body(
     # (3) overlap with the committed tail.
     dropped_overlap = 0
     root = data_root(measurement_path)
-    exists = os.path.isdir(root) and any(
-        e.startswith("series=") for e in os.listdir(root)
+    from simple_tsdb_spark.fs import get_fs
+
+    _fs = get_fs(root)
+    exists = _fs.isdir(root) and any(
+        e.startswith("series=") for e in _fs.listdir(root)
     )
     if exists:
         lo = batch.agg(F.min("time_ns")).first()[0]
@@ -264,8 +266,9 @@ def compact_measurement(
     previous generation is removed best-effort afterwards (in-flight
     readers of the old snapshot finish undisturbed on object stores,
     where deletes only hide future LISTs)."""
-    import shutil
+    from simple_tsdb_spark.fs import get_fs
 
+    fs = get_fs(measurement_path)
     layout = _layout(measurement_path)
     src = data_root(measurement_path)
     df = spark.read.parquet(src)
@@ -279,7 +282,7 @@ def compact_measurement(
             )
         part_cols.append("time_bucket")
     new_gen = int(layout.get("generation") or 0) + 1
-    dst = os.path.join(measurement_path, f"_gen_{new_gen:06d}")
+    dst = f"{measurement_path}/_gen_{new_gen:06d}"
     (
         df.repartition("series")
         .sortWithinPartitions("time_ns")
@@ -293,8 +296,8 @@ def compact_measurement(
     _save_layout(measurement_path, layout)  # the atomic flip
     # Best-effort cleanup of the superseded generation's data files.
     if src == measurement_path:
-        for e in os.listdir(measurement_path):
+        for e in fs.listdir(measurement_path):
             if e.startswith("series="):
-                shutil.rmtree(os.path.join(measurement_path, e), ignore_errors=True)
+                fs.remove_tree(f"{measurement_path}/{e}")
     else:
-        shutil.rmtree(src, ignore_errors=True)
+        fs.remove_tree(src)
