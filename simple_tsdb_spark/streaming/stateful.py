@@ -49,20 +49,28 @@ def streaming_ewma(
         frames = []
         for pdf in pdfs:
             pdf = pdf.sort_values("time_ns")
-            vals = pdf[field].astype(float)
-            smoothed: list[float] = []
-            for v in vals:
-                if pd.isna(v):
-                    smoothed.append(y if y is not None else float("nan"))
-                    continue
-                y = v if y is None else a * v + (1 - a) * y
-                smoothed.append(y)
-            pdf = pdf[["time_ns", field]].copy()
-            pdf.insert(0, "series", series)
-            pdf[out] = smoothed
-            if len(pdf):
-                last_t = int(pdf["time_ns"].iloc[-1])
-            frames.append(pdf)
+            vals = pdf[field].astype(float).reset_index(drop=True)
+            # Vectorized continuation: seed pandas ewm with the carried
+            # state (prepend y, drop the first output).  adjust=False +
+            # ignore_na=True make the recurrence stationary, so the
+            # seeded run is bit-identical to one uninterrupted ewm over
+            # the whole series — the same FP op order as the batch
+            # operator (operators/fill.py ewma).
+            if y is not None:
+                seeded = pd.concat([pd.Series([y]), vals], ignore_index=True)
+                sm = seeded.ewm(alpha=a, adjust=False, ignore_na=True).mean().iloc[1:]
+            else:
+                sm = vals.ewm(alpha=a, adjust=False, ignore_na=True).mean()
+            sm = sm.reset_index(drop=True)
+            out_pdf = pdf[["time_ns", field]].copy()
+            out_pdf.insert(0, "series", series)
+            out_pdf[out] = sm.to_numpy()
+            if len(out_pdf):
+                last_t = int(out_pdf["time_ns"].iloc[-1])
+                valid = sm[sm.notna()]
+                if len(valid):
+                    y = float(valid.iloc[-1])
+            frames.append(out_pdf)
         state.update((y, last_t))
         yield from frames
 

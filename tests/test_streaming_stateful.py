@@ -23,8 +23,11 @@ def test_streaming_ewma_cross_batch(spark, tmp_path):
         return spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v"]), SCHEMA)
 
     alpha = 0.3
-    rows1 = [("a", 10 * i, float(i)) for i in range(50)]
-    rows2 = [("a", 10 * (50 + i), float(50 + i)) for i in range(50)]
+    # NaN at i=7 and the batch-2 boundary i=50 pin ignore_na carry-forward
+    rows1 = [("a", 10 * i, None if i == 7 else float(i)) for i in range(50)]
+    rows2 = [
+        ("a", 10 * (50 + i), None if i == 0 else float(50 + i)) for i in range(50)
+    ]
     mk(rows1).coalesce(1).write.parquet(src, mode="overwrite")
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     q = (
@@ -43,11 +46,12 @@ def test_streaming_ewma_cross_batch(spark, tmp_path):
         .toPandas()
         .sort_values("time_ns", ignore_index=True)
     )
-    # reference: one uninterrupted pandas ewm over the concatenated series
-    all_vals = pd.Series([r[2] for r in rows1 + rows2])
-    want = all_vals.ewm(alpha=alpha, adjust=False).mean()
+    # reference: one uninterrupted pandas ewm over the concatenated series.
+    # The streaming operator seeds each batch's ewm with the carried state,
+    # which reproduces the exact same FP op sequence — bit-identical.
+    all_vals = pd.Series([r[2] for r in rows1 + rows2], dtype=float)
+    want = all_vals.ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
     assert len(got) == 100
-    # the first row of batch 2 must continue from batch 1's state:
     import numpy as np
 
-    np.testing.assert_allclose(got.v_ewma.to_numpy(), want.to_numpy(), rtol=1e-12)
+    np.testing.assert_array_equal(got.v_ewma.to_numpy(), want.to_numpy())
