@@ -42,11 +42,6 @@ from simple_tsdb_spark.catalog import TsdbCatalog
 from simple_tsdb_spark.functions.timeutil import MAX_TIME_NS
 
 
-class AuthNotSupported(NotImplementedError):
-    """Deprecated (round 1 placeholder) — authenticate is implemented now;
-    kept so ``except AuthNotSupported`` call sites still import."""
-
-
 class TsdbClient:
     """``require_auth=True`` replicates the reference server's
     authenticated-listener behavior (server.cc:1021-1035): every command
