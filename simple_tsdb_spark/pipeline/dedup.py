@@ -130,34 +130,44 @@ def ngram_jaccard_pairs(
     #      runtime) drops corpus-scale stop-shingles map-side, BEFORE any
     #      posting list is materialized, so no unbounded array and no
     #      skewed shuffle of hot rows;
-    #   3. candidate pairs are *generated* from each ≤max_df posting list
-    #      (Σ df² work, no 2-sided shuffle join) and counted;
-    #   4. per-doc filtered-set sizes are a count over the same filtered
-    #      stream.  The final size joins are plain shuffle joins keyed by
-    #      doc id — AQE broadcasts them when the pair table is small, but
-    #      nothing forces a corpus-wide broadcast at 10^9 docs.
+    #   3. per-doc filtered-set sizes come from a *window* count over the
+    #      filtered stream — which is still hash-partitioned by doc from
+    #      the docsets aggregation (explode and a broadcast anti join
+    #      preserve the streamed side's distribution), so the window adds
+    #      NO exchange; the size then rides inside each posting entry as
+    #      struct(doc, sz), which eliminates the separate sizes
+    #      aggregation and both doc-keyed size joins of the earlier plan;
+    #   4. candidate pairs are *generated* from each ≤max_df posting list
+    #      (Σ df² work, no 2-sided shuffle join) and counted, carrying
+    #      the two set sizes along (constant per pair key).
     # The docsets exchange is reused by both downstream consumers.
+    from pyspark.sql import Window
+
     raw = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=1)
     docsets = raw.groupBy("doc").agg(F.collect_set("sh").alias("shs"))
     sh0 = docsets.select("doc", F.explode("shs").alias("sh"))
     hot = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
     sh = sh0.join(hot, "sh", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
     # Posting lists capped at max_df elements by construction (df=1 lists
-    # survive but generate no pairs).
-    postings = sh.groupBy("sh").agg(F.array_sort(F.collect_list("doc")).alias("ds"))
+    # survive but generate no pairs).  array_sort on struct(doc, sz)
+    # orders by doc (unique), keeping a < b in the generated pairs.
+    postings = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_list(F.struct("doc", "sz"))).alias("ds")
+    )
     pair_gen = (
         "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
-    )
-    inter = (
-        postings.select(F.explode(F.expr(pair_gen)).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        "transform(slice(ds, i + 2, size(ds)), y -> "
+        "struct(x.doc AS a, x.sz AS sza, y.doc AS b, y.sz AS szb))))"
     )
     out = (
-        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb")), "b")
+        postings.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("p.sza").alias("sza"),
+            F.first("p.szb").alias("szb"),
+        )
         .withColumn(
             "jaccard",
             F.round(
