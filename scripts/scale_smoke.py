@@ -1,8 +1,12 @@
-"""Scale smoke: a 10M-point native measurement (200 series), generated
-distributed, written in the engine's layout, and queried with the core
-operator set — evidence the plans hold beyond the driver's sf0.1.
+"""Scale smoke: (1) a 10M-point native measurement (200 series) queried
+with the core operator set, and (2) a 100k-series measurement driving the
+validated write path, the probed LAST-N, and the rollup maintenance +
+hybrid read — evidence the plans hold beyond the driver's sf0.1 in BOTH
+the point-count and the series-cardinality dimension, with no driver-side
+O(#series) step anywhere (probe reductions ship one scalar; rollup
+advance collects one row).
 
-Run: python scripts/scale_smoke.py [n_points] [n_series]
+Run: python scripts/scale_smoke.py [n_points] [n_series] [hc_series]
 """
 
 from __future__ import annotations
@@ -11,6 +15,107 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+
+def high_cardinality_phase(spark, n_series: int = 100_000, pts_per_series: int = 20) -> None:
+    """100k-series smoke: validated writes, probed LAST-N, rollup hybrid.
+
+    Uses the hashed-series layout (``series_buckets=64``) — the engine's
+    ≥10⁵-series answer: directory count 64 × #time_buckets regardless of
+    series cardinality (a directory-per-series layout at this cardinality
+    spends minutes per write on partition-namespace churn alone; measured
+    ~12 ms/dir locally).  Also demonstrates that no engine step collects
+    O(#series) rows to the driver: probe rounds and rollup advance each
+    ship one scalar.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.operators import (
+        advance_rollup,
+        hybrid_sum_points,
+        materialize_rollup,
+        select_last_points_probed,
+        tail_bucket_cutoff,
+    )
+    from simple_tsdb_spark.sources.bucketed import save_bucketed_measurement
+    from simple_tsdb_spark.sources.writer import write_points
+
+    S = int(n_series)
+    hour = 3_600_000_000_000
+    base = 1_700_000_000_000_000_000
+    cadence = 6 * 60 * 1_000_000_000  # 6 min → 10 pts/series/hour bucket
+
+    def batch(seq0, seqn):
+        n = S * (seqn - seq0)
+        return spark.range(n).select(
+            F.concat(F.lit("s"), (F.col("id") % S).cast("string")).alias("series"),
+            (
+                F.lit(base)
+                + (F.lit(seq0) + (F.col("id") / S).cast("long")) * F.lit(cadence)
+                + (F.pmod(F.hash("id"), F.lit(1000)))
+            ).alias("time_ns"),
+            (F.hash("id", F.lit(7)) % 10_000 / 100.0).alias("v"),
+        )
+
+    path = tempfile.mkdtemp() + "/hc"
+    t = time.time()
+    r1 = write_points(
+        spark, path, batch(0, pts_per_series), time_bucket_ns=hour, series_buckets=64
+    )
+    print(
+        f"HC write_points batch1 {r1['appended']:,} pts / {S:,} series "
+        f"(validated, hashed layout 64 buckets x 1h): {time.time()-t:.1f}s"
+    )
+    # second batch exercises the committed-tail overlap/ordering checks
+    t = time.time()
+    r2 = write_points(spark, path, batch(pts_per_series, pts_per_series + 5))
+    print(f"HC write_points batch2 +{r2['appended']:,} pts (tail-checked): {time.time()-t:.1f}s")
+
+    last = 10
+    t = time.time()
+    cutoff = tail_bucket_cutoff(spark, path, last=last, per_series=True)
+    t_probe = time.time() - t
+    t = time.time()
+    got = select_last_points_probed(spark, path, last=last, per_series=True).count()
+    span_ns = (pts_per_series + 5) * cadence
+    n_buckets = span_ns // hour + 1
+    probed = (base + span_ns - cutoff) // hour + 1
+    print(
+        f"HC probed LAST-{last}/series: probe {t_probe:.1f}s + query {time.time()-t:.1f}s "
+        f"rows={got:,} probed {probed}/{n_buckets} buckets (one scalar per probe round)"
+    )
+
+    from simple_tsdb_spark.sources.measurement import read_measurement
+
+    raw = read_measurement(spark, path)
+    rpath = tempfile.mkdtemp() + "/hcr"
+    t = time.time()
+    bnd = base - (base % hour) + hour  # finalized buckets only
+    materialize_rollup(spark, raw.where(F.col("time_ns") < bnd), rpath,
+                       fields=["v"], base_window_ns=hour, series_buckets=64)
+    n_adv = advance_rollup(spark, raw, rpath, fields=["v"], base_window_ns=hour)
+    print(f"HC rollup materialize+advance ({n_adv:,} buckets appended, "
+          f"driver-light): {time.time()-t:.1f}s")
+    t = time.time()
+    nh = hybrid_sum_points(spark, raw, rpath, fields=["v"], base_window_ns=hour,
+                           window_ns=2 * hour).count()
+    print(f"HC hybrid 2h read (rollup history + raw tail): {time.time()-t:.1f}s rows={nh:,}")
+
+    # The ≥10⁶-series answer: one bucketed table, 32 files total, series-
+    # keyed work exchange-free — versus 10⁵ partition directories.
+    t = time.time()
+    save_bucketed_measurement(spark, raw, "hc_bucketed", buckets=32)
+    agg = (
+        spark.table("hc_bucketed").groupBy("series").agg(F.avg("v").alias("m")).count()
+    )
+    print(f"HC bucketed table write + exchange-free per-series agg: "
+          f"{time.time()-t:.1f}s groups={agg:,}")
+    spark.sql("DROP TABLE IF EXISTS hc_bucketed")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(rpath, ignore_errors=True)
 
 
 def main() -> None:
@@ -127,6 +232,10 @@ def main() -> None:
         ),
     )
     shutil.rmtree(rpath, ignore_errors=True)
+
+    hc = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+    if hc:
+        high_cardinality_phase(spark, n_series=hc)
 
 
 if __name__ == "__main__":

@@ -157,10 +157,19 @@ class TsdbCatalog:
     # -- series (D7) ----------------------------------------------------
     def list_series(self, database: str, measurement: str) -> list[str]:
         """Partition-directory listing — no data scan, like the
-        reference's readdir (measurement.h:72-77)."""
-        from simple_tsdb_spark.sources.writer import data_root
+        reference's readdir (measurement.h:72-77).  On a hashed-series
+        layout the directory names carry hash buckets, not series, so
+        this falls back to a column-pruned distinct scan (dictionary-
+        encoded series column; one cluster job)."""
+        from simple_tsdb_spark.sources.writer import _layout, data_root
 
-        path = data_root(self.measurement_path(database, measurement))
+        mpath = self.measurement_path(database, measurement)
+        path = data_root(mpath)
+        if _layout(mpath).get("series_buckets"):
+            df = self.spark.read.parquet(path)
+            return sorted(
+                r["series"] for r in df.select("series").distinct().collect()
+            )
         return sorted(
             e.split("=", 1)[1]
             for e in self.fs.listdir(path)

@@ -109,11 +109,18 @@ def delete_points(
     # correct throughout either way: the watermark filter (advanced
     # above, before any file op) already hides every dropped row.
     root = data_root(measurement_path)
+    layout = _layout(measurement_path)
+    bucket_ns = layout.get("time_bucket_ns")
+    sbuckets = layout.get("series_buckets")
+    t = int(t)
+    if sbuckets:
+        return _delete_points_hashed(
+            spark, fs, root, series=series, t=t,
+            bucket_ns=bucket_ns, sbuckets=sbuckets, marks=marks,
+        )
     part_dir = f"{root}/series={series}"
     if not fs.isdir(part_dir):
         return marks
-    t = int(t)
-    bucket_ns = _layout(measurement_path).get("time_bucket_ns")
     rewrite_dirs = []  # partially-covered dirs needing a row-level rewrite
     if bucket_ns:
         boundary = (t // bucket_ns) * bucket_ns
@@ -146,6 +153,64 @@ def delete_points(
                 .partitionBy(*part_cols)
                 .parquet(root)  # dynamic: replaces only the partitions present
             )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return marks
+
+
+def _delete_points_hashed(
+    spark: SparkSession,
+    fs,
+    root: str,
+    *,
+    series: str,
+    t: int,
+    bucket_ns: int | None,
+    sbuckets: int,
+    marks: RetentionWatermarks,
+) -> RetentionWatermarks:
+    """Physical front-delete on a hashed-series layout.
+
+    A hash-bucket directory holds many series, so nothing can be
+    unlinked wholesale; instead the affected partitions — the series'
+    single hash bucket × the time_buckets at or below the boundary — are
+    rewritten without the series' covered rows via dynamic partition
+    overwrite.  A partition whose rewrite keeps zero rows is unlinked
+    (dynamic overwrite only replaces partitions present in the output).
+    Work scales with the covered time range in ONE hash bucket,
+    independent of series cardinality.
+    """
+    if not fs.isdir(root):
+        return marks
+    # the series lives in exactly one hash bucket — fold it locally (one
+    # job on a 1-row relation, no table scan) and touch only that dir
+    b = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(series)), F.lit(int(sbuckets))).cast("int")
+    ).first()[0]
+    base = f"{root}/series_bucket={b}"
+    if not fs.isdir(base):
+        return marks
+    dirs = []  # partitions possibly holding covered rows of this series
+    if bucket_ns:
+        for bdir in fs.listdir(base):
+            if bdir.startswith("time_bucket=") and int(bdir[len("time_bucket=") :]) <= t:
+                dirs.append(f"{base}/{bdir}")
+    else:
+        dirs.append(base)
+    part_cols = ["series_bucket"] + (["time_bucket"] if bucket_ns else [])
+    for d in dirs:
+        src = spark.read.option("basePath", root).parquet(d)
+        drop_cond = (F.col("series") == series) & (F.col("time_ns") <= t)
+        if src.where(drop_cond).limit(1).count() == 0:
+            continue  # nothing of this series to drop here
+        kept = src.where(~drop_cond).sortWithinPartitions("series", "time_ns")
+        if kept.limit(1).count() == 0:
+            fs.remove_tree(d)
+            continue
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            kept.write.mode("overwrite").partitionBy(*part_cols).parquet(root)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return marks

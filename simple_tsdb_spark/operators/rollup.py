@@ -63,24 +63,51 @@ def materialize_rollup(
     fields: Sequence[str],
     base_window_ns: int,
     exact: bool = False,
+    series_buckets: int | None = None,
 ) -> None:
     """Write the base-resolution rollup table for a measurement.
 
     ``exact`` stores the sums as decimals: decimal partials re-aggregate
     associatively, so any coarse window derived from the rollup is
     bit-identical to aggregating the raw points in decimal (the property
-    the hybrid driver query's oracle hash relies on)."""
+    the hybrid driver query's oracle hash relies on).
+
+    ``series_buckets=B`` stores the rollup in the hashed-series layout
+    (see sources/writer.py) — mandatory at very high series cardinality,
+    where one directory per series would explode the rollup's namespace
+    too.  Recorded in the rollup's own layout.json; ``advance_rollup``
+    follows it."""
     agg = sum_points(
         df, fields=fields, window_ns=base_window_ns, emit_empty=False,
         exact=exact, decimal_sums=exact,
     )
-    (
-        agg.repartition("series")
-        .sortWithinPartitions("wstart")
-        .write.mode("overwrite")
-        .partitionBy("series")
-        .parquet(out_path)
-    )
+    _write_rollup(agg, out_path, series_buckets, mode="overwrite")
+    if series_buckets:
+        from simple_tsdb_spark.sources.writer import _save_layout
+
+        _save_layout(out_path, {"series_buckets": int(series_buckets)})
+
+
+def _write_rollup(agg: DataFrame, out_path: str, series_buckets: int | None, *, mode: str) -> None:
+    if series_buckets:
+        from simple_tsdb_spark.sources.writer import series_bucket_expr
+
+        (
+            agg.withColumn("series_bucket", series_bucket_expr(series_buckets))
+            .repartition(F.col("series_bucket"))
+            .sortWithinPartitions("series", "wstart")
+            .write.mode(mode)
+            .partitionBy("series_bucket")
+            .parquet(out_path)
+        )
+    else:
+        (
+            agg.repartition("series")
+            .sortWithinPartitions("wstart")
+            .write.mode(mode)
+            .partitionBy("series")
+            .parquet(out_path)
+        )
 
 
 def advance_rollup(
@@ -123,17 +150,24 @@ def advance_rollup(
     bounds = bounds.withColumn(
         "_lo", F.coalesce(F.col("_hwm") + F.lit(w), F.lit(0))
     ).where(F.col("_lo") <= F.col("_fin")).select("series", "_lo", "_fin")
-    b = bounds.collect()
-    if not b:
+    # Driver-light: collect only the scalar range (one row), never the
+    # per-series bound set — at 10^6 series that collect (and the isin
+    # list it used to feed) would be the bottleneck.  The changed-series
+    # restriction stays on the cluster as a broadcast semi join (which
+    # dynamic partition pruning can push into the series-partitioned
+    # scan), and the per-series [lo, fin] windows apply in the broadcast
+    # inner join below.
+    span = bounds.agg(
+        F.min("_lo").alias("lo"), F.max("_fin").alias("fin")
+    ).first()
+    if span["lo"] is None:
         return 0
-    lo_min = min(r["_lo"] for r in b)
-    fin_max = max(r["_fin"] for r in b)
+    pruned = raw_df.join(F.broadcast(bounds.select("series")), "series", "semi")
     cand = sum_points(
-        raw_df,
+        pruned,
         fields=fields,
-        series=[r["series"] for r in b],
-        t0=lo_min,
-        t1=fin_max,
+        t0=int(span["lo"]),
+        t1=int(span["fin"]),
         window_ns=w,
         emit_empty=False,
     )
@@ -144,12 +178,13 @@ def advance_rollup(
     )
     n = fresh.count()
     if n:
-        (
-            fresh.repartition("series")
-            .sortWithinPartitions("wstart")
-            .write.mode("append")
-            .partitionBy("series")
-            .parquet(rollup_path)
+        from simple_tsdb_spark.sources.writer import _layout
+
+        _write_rollup(
+            fresh.drop("series_bucket"),
+            rollup_path,
+            _layout(rollup_path).get("series_buckets"),
+            mode="append",
         )
     return n
 

@@ -151,6 +151,45 @@ def _bucket_dirs(
     return out
 
 
+def _bucket_dirs_hashed(
+    measurement_path: str, series: str | Sequence[str] | None, n_buckets: int
+) -> list[int]:
+    """Global sorted time_bucket values on a hashed-series layout.
+
+    Listings scale with B × #time_buckets, never #series.  With a series
+    restriction, only the series' own hash-bucket directories are listed.
+    """
+    from pyspark.sql import SparkSession
+
+    from simple_tsdb_spark.fs import get_fs
+    from simple_tsdb_spark.sources.writer import data_root
+
+    root = data_root(measurement_path)
+    fs = get_fs(root)
+    wanted: set[int] | None = None
+    if series is not None:
+        names = [series] if isinstance(series, str) else list(series)
+        # one tiny local job folds the literals' buckets (no table scan)
+        spark = SparkSession.getActiveSession()
+        row = spark.range(1).select(
+            *[
+                F.pmod(F.xxhash64(F.lit(s)), F.lit(int(n_buckets))).cast("int").alias(f"b{i}")
+                for i, s in enumerate(names)
+            ]
+        ).first()
+        wanted = set(row)
+    buckets: set[int] = set()
+    for sdir in fs.listdir(root):
+        if not sdir.startswith("series_bucket="):
+            continue
+        if wanted is not None and int(sdir[len("series_bucket=") :]) not in wanted:
+            continue
+        for bdir in fs.listdir(f"{root}/{sdir}"):
+            if bdir.startswith("time_bucket="):
+                buckets.add(int(bdir[len("time_bucket=") :]))
+    return sorted(buckets)
+
+
 def tail_bucket_cutoff(
     spark: SparkSession,
     measurement_path: str,
@@ -176,25 +215,53 @@ def tail_bucket_cutoff(
     Returns None when the layout has no time bucketing (nothing to probe).
     """
     from simple_tsdb_spark.functions.timeutil import clamp_time_range
-    from simple_tsdb_spark.sources.writer import _layout
+    from simple_tsdb_spark.sources.writer import _layout, data_root, series_bucket_pred
 
-    bucket_ns = _layout(measurement_path).get("time_bucket_ns")
+    layout = _layout(measurement_path)
+    bucket_ns = layout.get("time_bucket_ns")
     if not bucket_ns:
         return None
+    sbuckets = layout.get("series_buckets")
     t0c, t1c = clamp_time_range(t0, t1)
     lo_b = (t0c // bucket_ns) * bucket_ns
     hi_b = (t1c // bucket_ns) * bucket_ns
-    by_series = _bucket_dirs(measurement_path, series)
-    buckets = sorted({b for bs in by_series.values() for b in bs if lo_b <= b <= hi_b})
+    raw = spark.read.parquet(data_root(measurement_path))
+    if series is not None:
+        raw = raw.where(
+            F.col("series") == series
+            if isinstance(series, str)
+            else F.col("series").isin(list(series))
+        )
+        if sbuckets:
+            raw = raw.where(series_bucket_pred(series, sbuckets))
+    n_cands: int | None = None
+    if sbuckets:
+        buckets = [b for b in _bucket_dirs_hashed(measurement_path, series, sbuckets)
+                   if lo_b <= b <= hi_b]
+        if per_series:
+            # Hash-bucket dirs hold many series, so the candidate set
+            # can't come from the listing; count range-active series with
+            # one column-pruned cluster job (ships a single scalar).
+            n_cands = (
+                raw.where(
+                    F.col("time_bucket").between(lo_b, hi_b)
+                    & F.col("time_ns").between(t0c, t1c)
+                )
+                .select("series").distinct().count()
+            )
+    else:
+        by_series = _bucket_dirs(measurement_path, series)
+        buckets = sorted({b for bs in by_series.values() for b in bs if lo_b <= b <= hi_b})
+        if per_series:
+            # Series whose partitions intersect the range — the candidate
+            # set a per-series probe must satisfy (a series with
+            # range-intersecting buckets but < last rows widens the probe
+            # to its full extent).
+            n_cands = sum(
+                1 for bs in by_series.values() if any(lo_b <= b <= hi_b for b in bs)
+            )
     if not buckets:
         return lo_b
-    # Series whose partitions intersect the range — the candidate set a
-    # per-series probe must satisfy (a series with range-intersecting
-    # buckets but < last rows widens the probe to its full extent).
-    cands = {s for s, bs in by_series.items() if any(lo_b <= b <= hi_b for b in bs)}
-    from simple_tsdb_spark.sources.writer import data_root
-
-    raw = spark.read.parquet(data_root(measurement_path))
     k = 1
     while True:
         cutoff = buckets[max(0, len(buckets) - k)]
@@ -204,26 +271,21 @@ def tail_bucket_cutoff(
             F.col("time_bucket").between(cutoff, hi_b)
             & F.col("time_ns").between(t0c, t1c)
         )
-        if series is not None:
-            probe = probe.where(
-                F.col("series") == series
-                if isinstance(series, str)
-                else F.col("series").isin(list(series))
-            )
         if per_series:
             # Driver-light all-satisfied check: every probed row belongs to a
             # candidate series (rows live only in range-intersecting bucket
-            # dirs), so "all candidates have >= last rows in the window" is
-            # exactly "count of satisfied series == |cands|".  The reduction
-            # runs on the cluster and ships ONE scalar per probe round —
-            # never an O(#series) row set.
+            # dirs — and on a hashed layout the candidate count was taken
+            # over the same range), so "all candidates have >= last rows in
+            # the window" is exactly "count of satisfied series == n_cands".
+            # The reduction runs on the cluster and ships ONE scalar per
+            # probe round — never an O(#series) row set.
             n_ok = (
                 probe.groupBy("series")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .where(F.col("n") >= last)
                 .count()
             )
-            if n_ok == len(cands):
+            if n_ok == n_cands:
                 return cutoff
         elif probe.select("series").limit(int(last)).count() >= last:
             return cutoff
@@ -256,18 +318,23 @@ def select_last_points_probed(
         spark, measurement_path, series=series, t0=t0, t1=t1, last=last, per_series=per_series
     )
     if cutoff is None:
-        df = read_measurement(spark, measurement_path, t0=t0, t1=t1)
+        df = read_measurement(spark, measurement_path, t0=t0, t1=t1, series=series)
     else:
         _, t1c = clamp_time_range(t0, t1)
-        from simple_tsdb_spark.sources.writer import _layout, data_root
+        from simple_tsdb_spark.sources.writer import _layout, data_root, series_bucket_pred
 
-        bucket_ns = _layout(measurement_path)["time_bucket_ns"]
+        layout = _layout(measurement_path)
+        bucket_ns = layout["time_bucket_ns"]
         hi_b = (t1c // bucket_ns) * bucket_ns
-        df = (
-            spark.read.parquet(data_root(measurement_path))
-            .where(F.col("time_bucket").between(cutoff, hi_b))
-            .drop("time_bucket")
+        df = spark.read.parquet(data_root(measurement_path)).where(
+            F.col("time_bucket").between(cutoff, hi_b)
         )
+        sbuckets = layout.get("series_buckets")
+        if sbuckets:
+            if series is not None:
+                df = df.where(series_bucket_pred(series, sbuckets))
+            df = df.drop("series_bucket")
+        df = df.drop("time_bucket")
     return select_last_points(
         df,
         series=series,

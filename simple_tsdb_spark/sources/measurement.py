@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from simple_tsdb_spark.functions.timeutil import ts_to_ns
 
 #: Columns that are part of the measurement contract rather than fields.
-META_COLUMNS = ("series", "time_ns", "time_bucket")
+META_COLUMNS = ("series", "time_ns", "time_bucket", "series_bucket")
 
 
 def field_columns(df: DataFrame) -> list[str]:
@@ -54,7 +54,12 @@ def validate_measurement(df: DataFrame) -> DataFrame:
 
 
 def read_measurement(
-    spark: SparkSession, path: str, *, t0: int | None = None, t1: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    t0: int | None = None,
+    t1: int | None = None,
+    series=None,
 ) -> DataFrame:
     """Open a measurement previously written by sources/writer.py.
 
@@ -62,20 +67,30 @@ def read_measurement(
     (writer ``time_bucket_ns``) and a query range is given, an equivalent
     partition predicate is applied here so directory-level pruning happens
     before any parquet footer is read — operators' exact ``time_ns``
-    filters still apply on top.  The partition column is dropped from the
-    surfaced schema (it is derivable layout, not data).
+    filters still apply on top.  Likewise, on a hashed-series layout
+    (writer ``series_buckets``) a ``series`` hint adds the constant-folded
+    ``series_bucket`` predicate (a *superset* restriction — the exact
+    ``series =`` filter still comes from the operator, and stat-prunes row
+    groups sorted by series).  Partition columns are dropped from the
+    surfaced schema (derivable layout, not data).
     """
-    from simple_tsdb_spark.sources.writer import _layout, data_root
+    from simple_tsdb_spark.sources.writer import _layout, data_root, series_bucket_pred
 
     df = spark.read.parquet(data_root(path))
+    layout = _layout(path)
     if "time_bucket" in df.columns:
-        bucket_ns = _layout(path).get("time_bucket_ns")
+        bucket_ns = layout.get("time_bucket_ns")
         if bucket_ns:
             if t0 is not None:
                 df = df.where(F.col("time_bucket") >= (int(t0) // bucket_ns) * bucket_ns)
             if t1 is not None:
                 df = df.where(F.col("time_bucket") <= (int(t1) // bucket_ns) * bucket_ns)
         df = df.drop("time_bucket")
+    if "series_bucket" in df.columns:
+        sbuckets = layout.get("series_buckets")
+        if sbuckets and series is not None:
+            df = df.where(series_bucket_pred(series, sbuckets))
+        df = df.drop("series_bucket")
     return validate_measurement(df)
 
 

@@ -23,8 +23,19 @@ serve as the chunk index (SURVEY.md §1.4).
 At 100 TB: validation is expressed as joins/aggregations against only the
 *tail* of each touched series (time_ns ≥ min incoming timestamp), which
 partition- and stat-prunes to a sliver of the table; the append itself is
-partition-local.  For very high series cardinality, swap the dynamic
-``partitionBy`` for hash-bucketing on series (constant file count).
+partition-local.
+
+Very high series cardinality (≥10⁵): the directory-per-series layout's
+limit is partition *namespace* size — listings, dynamic-commit file moves
+and per-directory writer churn all scale with #series.  ``write_points``
+therefore supports a **hashed-series layout**: pass ``series_buckets=B``
+on the first write and the table partitions by
+``series_bucket = pmod(xxhash64(series), B)`` (× the optional
+``time_bucket``) with ``series`` kept as a *data* column.  Directory
+count becomes B × #time_buckets — independent of series cardinality —
+while single-series queries still prune partitions (the bucket of a
+literal constant-folds at plan time, see ``series_bucket_pred``) and
+row groups sorted by (series, time_ns) keep min/max stat pruning.
 """
 
 from __future__ import annotations
@@ -39,7 +50,37 @@ from simple_tsdb_spark.sources.measurement import field_columns, validate_measur
 
 from simple_tsdb_spark.errors import OutOfOrderTimestamps, OverwriteMismatch
 
-__all__ = ["write_points", "compact_measurement", "OutOfOrderTimestamps", "OverwriteMismatch"]
+__all__ = [
+    "write_points",
+    "compact_measurement",
+    "series_bucket_expr",
+    "series_bucket_pred",
+    "OutOfOrderTimestamps",
+    "OverwriteMismatch",
+]
+
+
+def series_bucket_expr(n_buckets: int, col: str = "series"):
+    """The hashed-series partition value: ``pmod(xxhash64(series), B)``."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(int(n_buckets))).cast("int")
+
+
+def series_bucket_pred(series, n_buckets: int):
+    """Partition-pruning predicate for a series (or set of series) on a
+    hashed-series layout.
+
+    Built from *foldable* expressions (``pmod(xxhash64('s'), B)``), which
+    Catalyst constant-folds during optimization — so the predicate lands
+    in the scan's PartitionFilters and prunes directories without any
+    driver-side hash computation or extra job."""
+    names = [series] if isinstance(series, str) else list(series)
+    pred = None
+    for s in names:
+        c = F.col("series_bucket") == F.pmod(
+            F.xxhash64(F.lit(s)), F.lit(int(n_buckets))
+        ).cast("int")
+        pred = c if pred is None else (pred | c)
+    return pred if pred is not None else F.lit(True)
 
 
 def _layout(measurement_path: str) -> dict:
@@ -85,12 +126,18 @@ def write_points(
     *,
     mode: str = "strict",
     time_bucket_ns: int | None = None,
+    series_buckets: int | None = None,
 ) -> dict[str, int]:
     """Validated append of ``batch`` (measurement-contract columns).
 
     ``mode='strict'`` raises on overlap mismatch (reference behavior);
     ``mode='dedup'`` drops any (series, time_ns) already stored without
     verifying values — the idempotent fast path for streaming retries.
+
+    ``time_bucket_ns`` / ``series_buckets`` fix the physical layout on the
+    FIRST write (recorded in layout.json; later writes follow it):
+    ``series_buckets=B`` selects the hashed-series layout for very high
+    series cardinality (see module docstring).
 
     Returns counters: rows_in, dropped_below_watermark, dropped_overlap,
     appended.
@@ -103,7 +150,8 @@ def write_points(
     cached = batch = batch.persist()
     try:
         return _write_points_body(
-            spark, measurement_path, batch, fields, mode=mode, time_bucket_ns=time_bucket_ns
+            spark, measurement_path, batch, fields, mode=mode,
+            time_bucket_ns=time_bucket_ns, series_buckets=series_buckets,
         )
     finally:
         cached.unpersist()
@@ -117,6 +165,7 @@ def _write_points_body(
     *,
     mode: str,
     time_bucket_ns: int | None,
+    series_buckets: int | None,
 ) -> dict[str, int]:
     n_in = batch.count()
 
@@ -149,7 +198,7 @@ def _write_points_body(
 
     _fs = get_fs(root)
     exists = _fs.isdir(root) and any(
-        e.startswith("series=") for e in _fs.listdir(root)
+        e.startswith(("series=", "series_bucket=")) for e in _fs.listdir(root)
     )
     if exists:
         lo = batch.agg(F.min("time_ns")).first()[0]
@@ -210,22 +259,31 @@ def _write_points_body(
     # bucket: directory-level time pruning before any footer is read —
     # the first write fixes the layout, later writes follow it).
     layout = _layout(measurement_path)
-    if "time_bucket_ns" not in layout:
-        layout["time_bucket_ns"] = int(time_bucket_ns) if time_bucket_ns else None
+    if "time_bucket_ns" not in layout or "series_buckets" not in layout:
+        layout.setdefault("time_bucket_ns", int(time_bucket_ns) if time_bucket_ns else None)
+        layout.setdefault("series_buckets", int(series_buckets) if series_buckets else None)
         _save_layout(measurement_path, layout)
     bucket_ns = layout.get("time_bucket_ns")
+    sbuckets = layout.get("series_buckets")
     n_append = batch.count()
     if n_append:
-        part_cols = ["series"]
         out = batch
+        if sbuckets:
+            # hashed-series layout: directory count independent of #series
+            part_cols = ["series_bucket"]
+            out = out.withColumn("series_bucket", series_bucket_expr(sbuckets))
+            shuffle_cols, sort_cols = ["series_bucket"], ["series", "time_ns"]
+        else:
+            part_cols = ["series"]
+            shuffle_cols, sort_cols = ["series"], ["time_ns"]
         if bucket_ns:
             out = out.withColumn(
                 "time_bucket", F.col("time_ns") - (F.col("time_ns") % F.lit(int(bucket_ns)))
             )
             part_cols.append("time_bucket")
         (
-            out.repartition("series")
-            .sortWithinPartitions("time_ns")
+            out.repartition(*[F.col(c) for c in shuffle_cols])
+            .sortWithinPartitions(*sort_cols)
             .write.mode("append")
             .partitionBy(*part_cols)
             .parquet(data_root(measurement_path))
@@ -273,7 +331,15 @@ def compact_measurement(
     src = data_root(measurement_path)
     df = spark.read.parquet(src)
     fields = field_columns(df)
-    part_cols = ["series"]
+    sbuckets = layout.get("series_buckets")
+    if sbuckets:
+        part_cols = ["series_bucket"]
+        if "series_bucket" not in df.columns:
+            df = df.withColumn("series_bucket", series_bucket_expr(sbuckets))
+        shuffle_cols, sort_cols = ["series_bucket"], ["series", "time_ns"]
+    else:
+        part_cols = ["series"]
+        shuffle_cols, sort_cols = ["series"], ["time_ns"]
     bucket_ns = layout.get("time_bucket_ns")
     if bucket_ns:
         if "time_bucket" not in df.columns:
@@ -281,12 +347,13 @@ def compact_measurement(
                 "time_bucket", F.col("time_ns") - (F.col("time_ns") % F.lit(int(bucket_ns)))
             )
         part_cols.append("time_bucket")
+    data_cols = (["series"] if sbuckets else []) + ["time_ns", *fields]
     new_gen = int(layout.get("generation") or 0) + 1
     dst = f"{measurement_path}/_gen_{new_gen:06d}"
     (
-        df.repartition("series")
-        .sortWithinPartitions("time_ns")
-        .select(*part_cols, "time_ns", *fields)
+        df.repartition(*[F.col(c) for c in shuffle_cols])
+        .sortWithinPartitions(*sort_cols)
+        .select(*part_cols, *data_cols)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", target_rows_per_file)
         .partitionBy(*part_cols)
@@ -297,7 +364,7 @@ def compact_measurement(
     # Best-effort cleanup of the superseded generation's data files.
     if src == measurement_path:
         for e in fs.listdir(measurement_path):
-            if e.startswith("series="):
+            if e.startswith(("series=", "series_bucket=")):
                 fs.remove_tree(f"{measurement_path}/{e}")
     else:
         fs.remove_tree(src)
