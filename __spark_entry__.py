@@ -189,15 +189,16 @@ _M_ERRORS = (
 def _user_series(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from simple_tsdb_spark.session import ensure_engine_confs
+    from simple_tsdb_spark.sources.fixtures import read_fixture
+    from simple_tsdb_spark.sources.measurement import adapt_raw_ts
 
-    df = ensure_engine_confs(spark).read.parquet(f"{sf_dir}/events.parquet")
-    ts = F.col("ts")
+    df = read_fixture(spark, sf_dir, "events")
+    df, time_ns = adapt_raw_ts(df)
     return (
         df.where(F.col("event_type") == event_type)
         .select(
             F.col("user_id").cast("string").alias("series"),
-            (ts - (ts % F.lit(1000))).cast("long").alias("time_ns"),
+            time_ns.alias("time_ns"),
             F.col("value"),
         )
     )
@@ -284,11 +285,15 @@ EMB_COS_THRESHOLD = 0.3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from simple_tsdb_spark.sources.fixtures import read_fixture
+
+    return read_fixture(spark, sf_dir, "documents")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from simple_tsdb_spark.sources.fixtures import read_fixture
+
+    return read_fixture(spark, sf_dir, "embeddings")
 
 
 def _q_token_counts(spark, sf_dir):

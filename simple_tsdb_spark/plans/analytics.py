@@ -22,9 +22,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from simple_tsdb_spark.session import ensure_engine_confs
+    from simple_tsdb_spark.sources.fixtures import read_fixture
 
-    return ensure_engine_confs(spark).read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_fixture(spark, sf_dir, name)
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str, *, cutoff: str = "1998-09-02") -> DataFrame:
@@ -102,11 +102,17 @@ def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pivot values are fixed (stable schema — the requirement for any
     production pivot); counts are exact ints.
     """
+    from simple_tsdb_spark.sources.measurement import adapt_raw_ts
+
     ev = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    # ns → µs with integer division (a double division of a ~1.7e18 ns value
-    # exceeds 2^53 and rounds); DATE day to match ANSI date_trunc semantics.
-    day = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    # adapt_raw_ts dispatches on the fixture's ts dtype (ns long vs
+    # timestamp[_ntz]); ns → µs must use integer division (a double
+    # division of a ~1.7e18 ns value exceeds 2^53 and rounds).  DATE day
+    # under the UTC session matches ANSI date_trunc semantics.
+    ev, time_ns = adapt_raw_ts(ev)
+    ev = ev.withColumn("time_ns", time_ns)
+    day = F.to_date(F.timestamp_micros(F.expr("time_ns div 1000")))
     return (
         ev.groupBy(day.alias("day"))
         .pivot("event_type", types)

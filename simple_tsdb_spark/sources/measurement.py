@@ -30,8 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_tsdb_spark.functions.timeutil import ts_to_ns
-
 #: Columns that are part of the measurement contract rather than fields.
 META_COLUMNS = ("series", "time_ns", "time_bucket", "series_bucket")
 
@@ -94,6 +92,65 @@ def read_measurement(
     return validate_measurement(df)
 
 
+def adapt_raw_ts(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    t0: int | None = None,
+    t1: int | None = None,
+):
+    """Dtype-dispatching adapter for a driver-provided timestamp column.
+
+    The driver's fixtures have shipped ``events.ts`` as both
+    INT64(TIMESTAMP(NANOS)) (read as a raw ns long under ``nanosAsLong``)
+    and plain ``timestamp[us]`` (read as TIMESTAMP_NTZ).  This helper owns
+    that contract in one place: it returns ``(df, time_ns)`` where
+    ``time_ns`` is the canonical epoch-ns LongType expression
+    (µs-truncated, matching the DuckDB oracle's ``epoch_ns(ts)`` floor
+    semantics under a UTC session), and ``df`` carries an equivalent
+    predicate on the *raw* column for any ``t0``/``t1`` given — the
+    derived ``time_ns`` expression can't reach parquet row-group stats,
+    but a raw-column predicate can, so ranged queries prune I/O in every
+    dtype branch (reference clamps before I/O too, ``select_op.cc:18-19``).
+
+    Supported dtypes:
+      - ``bigint``          raw epoch ns (legacy ns-parquet fixture)
+      - ``timestamp``       µs TIMESTAMP_LTZ → ``unix_micros``
+      - ``timestamp_ntz``   wall time; under the UTC session a cast to
+                            LTZ reads it as UTC — exactly DuckDB's
+                            ``epoch_ns`` semantics on the same file.
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    ts = F.col(ts_col)
+    if dtype == "bigint":
+        if t0 is not None:
+            df = df.where(ts >= F.lit(int(t0)))
+        if t1 is not None:
+            # +999 slack: truncation makes time_ns <= raw ts.
+            df = df.where(ts <= F.lit(int(t1) + 999))
+        time_ns = ts - (ts % F.lit(1000))  # ns long → µs-truncated ns
+    elif dtype in ("timestamp", "timestamp_ntz"):
+
+        def _lit(ns: int):
+            # Constant-foldable literal comparable to the raw column, so
+            # the predicate lands in PushedFilters.
+            c = F.timestamp_micros(F.lit(int(ns)))
+            return c.cast("timestamp_ntz") if dtype == "timestamp_ntz" else c
+
+        if t0 is not None:
+            df = df.where(ts >= _lit(-(-int(t0) // 1000)))  # ceil µs
+        if t1 is not None:
+            df = df.where(ts <= _lit(int(t1) // 1000))  # floor µs
+        base = ts.cast("timestamp_ltz") if dtype == "timestamp_ntz" else ts
+        time_ns = F.unix_micros(base) * F.lit(1000)
+    else:
+        raise TypeError(
+            f"column {ts_col!r} must be bigint (epoch ns), timestamp, or "
+            f"timestamp_ntz; got {dtype!r}"
+        )
+    return df, time_ns.cast("long")
+
+
 def events_measurement(
     spark: SparkSession,
     sf_dir: str,
@@ -105,37 +162,26 @@ def events_measurement(
 ) -> DataFrame:
     """Adapt the driver's ``events`` table to the measurement contract.
 
-    ``event_type`` plays the series tag; ``ts`` — nanosecond-precision in
-    the driver's parquet, surfaced as a raw long via
-    ``spark.sql.legacy.parquet.nanosAsLong`` — becomes ``time_ns``.  It is
-    truncated to microsecond granularity to match the DuckDB oracle, which
-    reads the column as a µs TIMESTAMP (floor semantics).  ``event_id``
-    rides along as a field; it also serves as a deterministic tiebreak for
-    LIMIT/LAST queries should two events in one series then share a µs.
+    ``event_type`` plays the series tag; ``ts`` becomes ``time_ns`` at µs
+    granularity via :func:`adapt_raw_ts`, which dispatches on the fixture's
+    actual dtype (ns long, TIMESTAMP, or TIMESTAMP_NTZ — the driver has
+    shipped all of them) and matches the DuckDB oracle's ``epoch_ns(ts)``
+    under the UTC session.  ``event_id`` rides along as a field; it also
+    serves as a deterministic tiebreak for LIMIT/LAST queries should two
+    events in one series share a µs.
 
-    Because ``time_ns`` is *derived* (truncated), a predicate on it cannot
-    reach the parquet scan; passing the query's ``t0``/``t1`` here adds an
-    equivalent predicate on the raw ``ts`` column (slack +999 ns for the
-    truncation), which Catalyst pushes into row-group pruning.  Native
-    measurements written by sources/writer.py store ``time_ns`` directly
-    and need no such hint.
+    Because ``time_ns`` is *derived*, a predicate on it cannot reach the
+    parquet scan; passing the query's ``t0``/``t1`` here adds an
+    equivalent predicate on the raw ``ts`` column, which Catalyst pushes
+    into row-group pruning.  Native measurements written by
+    sources/writer.py store ``time_ns`` directly and need no such hint.
     """
-    # The driver may hand us a session without our factory's configs;
-    # nanosAsLong is a runtime SQL conf — without it the ns-precision
-    # events parquet is unreadable (PARQUET_TYPE_ILLEGAL).
-    from simple_tsdb_spark.session import ensure_engine_confs
+    # read_fixture sets the runtime confs (nanosAsLong for ns-parquet,
+    # UTC session) and normalizes any drifted non-ts column dtypes.
+    from simple_tsdb_spark.sources.fixtures import read_fixture
 
-    ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts = F.col("ts")
-    if dict(df.dtypes).get("ts") == "bigint":
-        if t0 is not None:
-            df = df.where(ts >= F.lit(int(t0)))
-        if t1 is not None:
-            df = df.where(ts <= F.lit(int(t1) + 999))
-        time_ns = ts - (ts % F.lit(1000))  # ns long → µs-truncated ns
-    else:
-        time_ns = ts_to_ns(ts)
+    df = read_fixture(spark, sf_dir, "events")
+    df, time_ns = adapt_raw_ts(df, t0=t0, t1=t1)
     return df.select(
         F.col(series_col).cast("string").alias("series"),
         time_ns.cast("long").alias("time_ns"),
