@@ -350,6 +350,30 @@ def _q_embedding_dup(spark, sf_dir):
     return embedding_dup_pairs(_embs(spark, sf_dir), threshold=EMB_COS_THRESHOLD)
 
 
+DOMAIN_TOPK_K = 25
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over the minhash near-dup pair graph; every
+    doc gets a cluster id (the min reachable doc_id — the keeper)."""
+    from simple_tsdb_spark.pipeline import dedup_components, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_components(minhash_lsh_pairs(docs), docs)
+
+
+def _q_hash_split(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import hash_split
+
+    return hash_split(_docs(spark, sf_dir))
+
+
+def _q_domain_topk(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import domain_topk
+
+    return domain_topk(_docs(spark, sf_dir), k=DOMAIN_TOPK_K)
+
+
 def _q_knn_brute(spark, sf_dir):
     from simple_tsdb_spark.pipeline import knn_brute
 
@@ -455,6 +479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_dup": _q_embedding_dup,
+        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
+        "hash_split": _q_hash_split,
+        "domain_topk": _q_domain_topk,
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -748,6 +775,11 @@ def _timeseries_oracles() -> dict[str, str]:
 
 
 def _pipeline_oracles() -> dict[str, str]:
+    from simple_tsdb_spark.pipeline.curation import (
+        dedup_components_oracle,
+        domain_topk_oracle,
+        hash_split_oracle,
+    )
     from simple_tsdb_spark.pipeline.dedup import (
         embedding_dup_oracle,
         exact_dedup_oracle,
@@ -788,6 +820,9 @@ def _pipeline_oracles() -> dict[str, str]:
         "minhash_lsh": minhash_lsh_oracle(),
         "simhash_pairs": simhash_pairs_oracle(max_hamming=SIMHASH_MAX_HAMMING),
         "embedding_dup": embedding_dup_oracle(threshold=EMB_COS_THRESHOLD),
+        "dedup_clusters": dedup_components_oracle(minhash_lsh_oracle()),
+        "hash_split": hash_split_oracle(),
+        "domain_topk": domain_topk_oracle(k=DOMAIN_TOPK_K),
         "knn_brute": knn_brute_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),

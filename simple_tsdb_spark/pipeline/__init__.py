@@ -25,6 +25,11 @@ from simple_tsdb_spark.pipeline.dedup import (
     simhash_pairs,
     embedding_dup_pairs,
 )
+from simple_tsdb_spark.pipeline.curation import (
+    dedup_components,
+    domain_topk,
+    hash_split,
+)
 from simple_tsdb_spark.pipeline.similarity import knn_brute, knn_ivf, knn_lsh
 from simple_tsdb_spark.pipeline.multimodal import (
     attach_blob,
@@ -43,6 +48,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_dup_pairs",
+    "dedup_components",
+    "hash_split",
+    "domain_topk",
     "knn_brute",
     "knn_ivf",
     "knn_lsh",

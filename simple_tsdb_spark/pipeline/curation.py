@@ -1,0 +1,262 @@
+"""Corpus-curation operators: dedup clustering, deterministic splits,
+stratified per-domain selection.
+
+These are the steps a training-data pipeline runs *after* pair-finding
+(dedup.py) and scoring (text.py): collapse near-dup pairs into clusters
+and pick one keeper per cluster, carve reproducible train/val/test
+splits, and cap each source domain's contribution.
+
+Scale design:
+
+- ``dedup_components``: connected components over the near-dup pair graph
+  via hash-to-min label propagation — per iteration one shuffle keyed by
+  doc id (edges join labels, then min-aggregate), lineage truncated with
+  ``localCheckpoint`` so the plan stays O(1) per round.  Convergence in
+  O(graph diameter) rounds; near-dup clusters are shallow (dup chains of
+  depth > ~30 do not occur in real corpora — the cap raises rather than
+  silently mislabeling).  The only driver-side value per round is one
+  aggregated "labels changed" scalar.  No vertex or edge set is ever
+  collected or broadcast.
+- ``hash_split``: split assignment is a pure md5 expression on the id —
+  shuffle-free, deterministic across engines, stable under corpus
+  growth (a doc's split never depends on other rows).
+- ``domain_topk``: top-k per domain in two window stages: stage 1 ranks
+  within (domain, salt) — the salt spreads a hot domain over ``salts``
+  tasks, and external-sort windows spill instead of buffering arrays —
+  keeping ≤ salts×k rows per domain for the stage-2 exact rank.  The
+  final shuffle therefore carries ≤ domains×salts×k rows no matter how
+  skewed the corpus is.
+
+All expressions are built-in (no UDFs); each operator has a DuckDB oracle
+twin so the driver's hash gate covers it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simple_tsdb_spark.pipeline.dedup import _hash60, _hash60_duck
+
+#: hash-to-min rounds before declaring the pair graph pathological.
+CC_MAX_ITER = 30
+
+#: stage-1 fan-out for domain_topk (tasks a hot domain is spread over).
+TOPK_SALTS = 16
+
+
+# -- dedup clustering (connected components) --------------------------------
+
+def dedup_components(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    id_col: str = "doc_id",
+    max_iter: int = CC_MAX_ITER,
+) -> DataFrame:
+    """Collapse near-dup pairs into clusters: (doc, component).
+
+    ``component`` is the minimum doc id reachable from ``doc`` through the
+    (undirected) pair graph — the canonical keeper of the cluster.  When
+    ``docs`` is given, every document appears in the output; docs in no
+    pair form singleton clusters (component = own id).
+
+    Hash-to-min label propagation: each round every node's label becomes
+    the min of its own and its neighbors' labels.  Monotone (labels only
+    decrease, bounded below by the component min) and exact on
+    convergence, which takes at most ``diameter`` rounds.  Raises
+    ``RuntimeError`` if ``max_iter`` rounds don't converge rather than
+    returning partially-merged clusters.
+    """
+    a = F.col(a_col).alias("src")
+    b = F.col(b_col).alias("dst")
+    edges = pairs.select(a, b).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    # Materialize the pair graph once: its lineage (often a full LSH plan)
+    # would otherwise be recomputed by every propagation round.
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("doc")).distinct()
+    if docs is not None:
+        labels = labels.unionByName(
+            docs.select(F.col(id_col).alias("doc"))
+        ).distinct()
+    labels = labels.withColumn("lbl", F.col("doc")).localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        msg = (
+            edges.join(labels, edges["src"] == labels["doc"])
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = (
+            labels.join(msg, "doc", "left")
+            .select(
+                "doc",
+                F.col("lbl").alias("old"),
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            # Truncate lineage each round: without this the plan doubles
+            # per iteration and analysis time dominates at depth > ~10.
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("lbl") != F.col("old")).count()
+        labels = stepped.select("doc", "lbl")
+        if changed == 0:
+            return labels.select("doc", F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"dedup_components: pair graph did not converge in {max_iter} rounds "
+        "(pathological dup-chain depth); raise max_iter explicitly"
+    )
+
+
+def dedup_components_oracle(pairs_sql: str, table: str = "documents") -> str:
+    """Recursive-CTE twin: min label reachable through the pair graph.
+
+    ``pairs_sql`` must be a complete SELECT producing columns (a, b[, ...])
+    — e.g. :func:`simple_tsdb_spark.pipeline.dedup.minhash_lsh_oracle`.
+    The recursive UNION deduplicates (doc, lbl) states, so the fixpoint is
+    the full reach set; MIN over it equals the component min.
+    """
+    # DuckDB allows only one WITH RECURSIVE clause: fold the pairs query's
+    # own CTEs into the recursive WITH by stripping its "WITH" keyword.
+    body = pairs_sql.strip()
+    assert body.upper().startswith("WITH "), "pairs_sql must start with WITH"
+    pair_ctes = body[5:]  # keep its CTE list; its final SELECT becomes `p`
+    # Split the trailing top-level SELECT off the CTE list.
+    idx = pair_ctes.upper().rindex("\nSELECT ")
+    cte_list, final_select = pair_ctes[:idx], pair_ctes[idx:]
+    return f"""
+WITH RECURSIVE {cte_list},
+p AS ({final_select}),
+e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+cc(doc, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.doc
+)
+SELECT doc, MIN(lbl) AS component FROM cc GROUP BY doc
+"""
+
+
+# -- deterministic splits ---------------------------------------------------
+
+SPLIT_BUCKETS = 100
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "valid", "test"),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Reproducible train/valid/test assignment: (doc_id, bucket, split).
+
+    ``bucket`` = md5("salt:id") as a 60-bit int mod 100; ``weights`` are
+    percentage points summing to 100.  Pure per-row expression: no
+    shuffle, stable under corpus growth and across engines, re-saltable
+    for fresh splits.
+    """
+    if sum(weights) != SPLIT_BUCKETS or len(weights) != len(names):
+        raise ValueError("weights must sum to 100 and match names")
+    bucket = F.expr(
+        f"{_hash60(f'''concat('{salt}:', CAST({id_col} AS STRING))''')} % {SPLIT_BUCKETS}"
+    )
+    out = df.select(F.col(id_col), bucket.alias("bucket"))
+    edge, expr = 0, F.lit(names[-1])
+    cums = []
+    for w in weights[:-1]:
+        edge += w
+        cums.append(edge)
+    for name, cum in zip(reversed(names[:-1]), reversed(cums)):
+        expr = F.when(F.col("bucket") < cum, F.lit(name)).otherwise(expr)
+    return out.withColumn("split", expr)
+
+
+def hash_split_oracle(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    weights: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "valid", "test"),
+    salt: str = "split-v1",
+) -> str:
+    cases, edge = [], 0
+    for name, w in zip(names[:-1], weights[:-1]):
+        edge += w
+        cases.append(f"WHEN bucket < {edge} THEN '{name}'")
+    return f"""
+WITH b AS (
+  SELECT {id_col},
+         {_hash60_duck(f"concat('{salt}:', CAST({id_col} AS VARCHAR))")} % {SPLIT_BUCKETS} AS bucket
+  FROM {table})
+SELECT {id_col}, bucket,
+       CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split
+FROM b
+"""
+
+
+# -- stratified per-domain selection ----------------------------------------
+
+def domain_topk(
+    df: DataFrame,
+    *,
+    k: int,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salts: int = TOPK_SALTS,
+) -> DataFrame:
+    """Keep the top-``k`` docs per domain by ``order_col`` (desc, id-asc
+    tiebreak): (domain, doc_id, order value, rk).
+
+    Two-stage ranking so a hot domain cannot pin one task: stage 1 ranks
+    within (domain, salt) — salt = xxhash64(id) mod ``salts``, so a
+    domain's rows spread over ``salts`` tasks and each survives at most
+    ``k`` rows; stage 2 ranks the ≤ salts×k survivors per domain exactly.
+    Both stages are external-sort windows (spill, not collect_list
+    buffers); result is identical to a single global window.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    salted = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col),
+        F.col(order_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)).alias("_salt"),
+    )
+    w1 = Window.partitionBy("domain", "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select("domain", id_col, order_col, "rk")
+    )
+
+
+def domain_topk_oracle(
+    table: str = "documents",
+    *,
+    k: int,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+SELECT domain, {id_col}, {order_col}, rk FROM (
+  SELECT {domain_col} AS domain, {id_col}, {order_col},
+         ROW_NUMBER() OVER (PARTITION BY {domain_col}
+                            ORDER BY {order_col} DESC, {id_col} ASC) AS rk
+  FROM {table})
+WHERE rk <= {k}
+"""

@@ -1,0 +1,138 @@
+"""Curation operators: dedup clustering, hash split, domain top-k.
+
+Model-based: hand-built graphs with known components (chains that need
+several propagation rounds, singletons, merges), Python-recomputed split
+assignments, and a skewed-domain corpus whose exact top-k is computed in
+pandas.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from simple_tsdb_spark.pipeline import dedup_components, domain_topk, hash_split
+
+
+def _components(spark, edges, docs=None):
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    docs_df = None
+    if docs is not None:
+        docs_df = spark.createDataFrame(pd.DataFrame({"doc_id": docs}))
+    out = dedup_components(pairs, docs_df)
+    return {r.doc: r.component for r in out.collect()}
+
+
+def test_cc_chain_needs_multiple_rounds(spark):
+    # 0-1-2-3-4-5-6-7: diameter 7, exercises >1 hash-to-min round.
+    edges = [(i, i + 1) for i in range(7)]
+    got = _components(spark, edges)
+    assert got == {i: 0 for i in range(8)}
+
+
+def test_cc_two_components_and_singletons(spark):
+    edges = [(10, 11), (11, 12), (20, 21)]
+    got = _components(spark, edges, docs=[10, 11, 12, 20, 21, 30, 31])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 31}
+
+
+def test_cc_merge_through_shared_node(spark):
+    # Two stars sharing one leaf collapse into one component.
+    edges = [(1, 5), (2, 5), (3, 6), (4, 6), (5, 6)]
+    got = _components(spark, edges)
+    assert set(got.values()) == {1}
+
+
+def test_cc_empty_pairs_all_singletons(spark):
+    pairs = spark.createDataFrame([], "a long, b long")
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [7, 8, 9]}))
+    out = {r.doc: r.component for r in dedup_components(pairs, docs).collect()}
+    assert out == {7: 7, 8: 8, 9: 9}
+
+
+def test_cc_max_iter_raises(spark):
+    edges = [(i, i + 1) for i in range(5)]
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iter=2)
+
+
+def _py_bucket(doc_id: int, salt: str = "split-v1") -> int:
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
+    return int(h[:15], 16) % 100
+
+
+def test_hash_split_matches_python_model(spark):
+    ids = list(range(1, 301))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    got = {r.doc_id: (r.bucket, r.split) for r in hash_split(df).collect()}
+    for i in ids:
+        b = _py_bucket(i)
+        want = "train" if b < 80 else ("valid" if b < 90 else "test")
+        assert got[i] == (b, want)
+    # roughly proportional (loose bound; exact assignment checked above)
+    n_train = sum(1 for b, s in got.values() if s == "train")
+    assert 200 <= n_train <= 280
+
+
+def test_hash_split_stable_under_growth(spark):
+    """A doc's split must not depend on what else is in the corpus."""
+    small = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3]}))
+    big = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(1, 100))}))
+    s = {r.doc_id: r.split for r in hash_split(small).collect()}
+    b = {r.doc_id: r.split for r in hash_split(big).collect()}
+    assert all(b[i] == s[i] for i in (1, 2, 3))
+
+
+def test_hash_split_weights_validated(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1]}))
+    with pytest.raises(ValueError):
+        hash_split(df, weights=(50, 50, 50))
+
+
+def _skewed_corpus() -> pd.DataFrame:
+    rows = []
+    for i in range(400):  # hot domain
+        rows.append(("web", i, 1000 + (i * 37) % 500))
+    for i in range(10):  # small domains
+        rows.append(("books", 1000 + i, 2000 + i))
+        rows.append(("wiki", 2000 + i, 50 + i))
+    return pd.DataFrame(rows, columns=["source", "doc_id", "n_chars"])
+
+
+def test_domain_topk_exact_vs_pandas(spark):
+    pdf = _skewed_corpus()
+    df = spark.createDataFrame(pdf)
+    got = (
+        domain_topk(df, k=5)
+        .toPandas()
+        .sort_values(["domain", "rk"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.sort_values(["source", "n_chars", "doc_id"], ascending=[True, False, True])
+        .groupby("source")
+        .head(5)
+        .rename(columns={"source": "domain"})
+        .assign(rk=lambda d: d.groupby("domain").cumcount() + 1)
+        .sort_values(["domain", "rk"])
+        .reset_index(drop=True)[["domain", "doc_id", "n_chars", "rk"]]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_domain_topk_salting_invariant(spark):
+    """Result must be identical for any salt fan-out (the two-stage plan
+    is an optimization, not a semantics change)."""
+    df = spark.createDataFrame(_skewed_corpus())
+    base = sorted(map(tuple, domain_topk(df, k=3, salts=1).collect()))
+    for s in (4, 64):
+        assert sorted(map(tuple, domain_topk(df, k=3, salts=s).collect())) == base
+
+
+def test_domain_topk_k_larger_than_domain(spark):
+    df = spark.createDataFrame(_skewed_corpus())
+    out = domain_topk(df, k=100).toPandas()
+    assert out.groupby("domain").size().to_dict() == {"web": 100, "books": 10, "wiki": 10}
