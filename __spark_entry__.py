@@ -351,6 +351,8 @@ def _q_embedding_dup(spark, sf_dir):
 
 
 DOMAIN_TOPK_K = 25
+MIXTURE_RATES = {"web": 30, "wiki": 100, "books": 80}
+PACK_BUDGET = 4096  # chars per pack (n_chars as the token proxy)
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -372,6 +374,18 @@ def _q_domain_topk(spark, sf_dir):
     from simple_tsdb_spark.pipeline import domain_topk
 
     return domain_topk(_docs(spark, sf_dir), k=DOMAIN_TOPK_K)
+
+
+def _q_mixture_sample(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), MIXTURE_RATES, default_rate=50)
+
+
+def _q_pack_sequences(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
 
 
 def _q_knn_brute(spark, sf_dir):
@@ -482,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
         "hash_split": _q_hash_split,
         "domain_topk": _q_domain_topk,
+        "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -779,6 +795,8 @@ def _pipeline_oracles() -> dict[str, str]:
         dedup_components_oracle,
         domain_topk_oracle,
         hash_split_oracle,
+        mixture_sample_oracle,
+        pack_sequences_oracle,
     )
     from simple_tsdb_spark.pipeline.dedup import (
         embedding_dup_oracle,
@@ -823,6 +841,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "dedup_clusters": dedup_components_oracle(minhash_lsh_oracle()),
         "hash_split": hash_split_oracle(),
         "domain_topk": domain_topk_oracle(k=DOMAIN_TOPK_K),
+        "mixture_sample": mixture_sample_oracle(rates=MIXTURE_RATES, default_rate=50),
+        "pack_sequences": pack_sequences_oracle(budget=PACK_BUDGET),
         "knn_brute": knn_brute_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),

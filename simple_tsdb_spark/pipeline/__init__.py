@@ -29,6 +29,8 @@ from simple_tsdb_spark.pipeline.curation import (
     dedup_components,
     domain_topk,
     hash_split,
+    mixture_sample,
+    pack_sequences,
 )
 from simple_tsdb_spark.pipeline.similarity import knn_brute, knn_ivf, knn_lsh
 from simple_tsdb_spark.pipeline.multimodal import (
@@ -51,6 +53,8 @@ __all__ = [
     "dedup_components",
     "hash_split",
     "domain_topk",
+    "mixture_sample",
+    "pack_sequences",
     "knn_brute",
     "knn_ivf",
     "knn_lsh",

@@ -244,6 +244,138 @@ def domain_topk(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    *,
+    default_rate: int = 0,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic mixture sampling: keep ``rates[domain]`` percent of
+    each domain: (doc_id, domain, bucket).
+
+    The keep decision is md5("salt:id") mod 100 < rate — a pure per-row
+    expression (no shuffle, no RNG state), so the sample is reproducible,
+    stable under corpus growth, and a superset/subset relation holds when
+    a rate is raised/lowered (bucket < 30 ⊂ bucket < 50) — the property
+    you need to re-weigh a training mixture without resampling the world.
+    Domains absent from ``rates`` fall back to ``default_rate``.
+    """
+    if not all(0 <= r <= 100 for r in rates.values()) or not 0 <= default_rate <= 100:
+        raise ValueError("rates must be percentages in [0, 100]")
+    bucket = F.expr(
+        f"{_hash60(f'''concat('{salt}:', CAST({id_col} AS STRING))''')} % {SPLIT_BUCKETS}"
+    )
+    rate = F.lit(default_rate)
+    for dom, r in sorted(rates.items()):
+        rate = F.when(F.col(domain_col) == dom, F.lit(r)).otherwise(rate)
+    return (
+        df.select(F.col(id_col), F.col(domain_col).alias("domain"), bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+def mixture_sample_oracle(
+    table: str = "documents",
+    *,
+    rates: dict[str, int],
+    default_rate: int = 0,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> str:
+    cases = " ".join(
+        f"WHEN {domain_col} = '{dom}' THEN {r}" for dom, r in sorted(rates.items())
+    )
+    return f"""
+SELECT {id_col}, domain, bucket FROM (
+  SELECT {id_col}, {domain_col} AS domain,
+         {_hash60_duck(f"concat('{salt}:', CAST({id_col} AS VARCHAR))")} % {SPLIT_BUCKETS} AS bucket,
+         CASE {cases} ELSE {default_rate} END AS rate
+  FROM {table})
+WHERE bucket < rate
+"""
+
+
+# -- sequence packing -------------------------------------------------------
+
+PACK_GROUPS = 256
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    budget: int,
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_groups: int = PACK_GROUPS,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Assign docs to fixed-budget training packs:
+    (doc_id, grp, pack, length).
+
+    Contiguous greedy packing, parallelized by hashing docs into
+    ``n_groups`` independent streams: within a group (ordered by id) a
+    doc joins the current pack iff the pack's running total stays under
+    ``budget`` — i.e. ``pack = floor(cumsum_before / budget)`` — the
+    sequential packing used by training-data loaders (docs longer than
+    the budget get a pack of their own and overflow it, they are not
+    split).  One shuffle keyed by the hash group; packs are deterministic
+    because group assignment and intra-group order are both pure
+    functions of the id.  ``n_groups`` bounds per-task state: each task
+    windows over ~N/n_groups rows with an external sort.
+
+    Note cross-group packs never mix — the price of parallelism is at
+    most one under-filled tail pack per group.
+    """
+    grp = F.expr(
+        f"{_hash60(f'''concat('{salt}:', CAST({id_col} AS STRING))''')} % {n_groups}"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), F.col(length_col).alias("length"), grp.alias("grp"))
+        .withColumn("_cum", F.sum("length").over(w))
+        .select(
+            id_col,
+            "grp",
+            F.floor((F.col("_cum") - F.col("length")) / F.lit(budget)).alias("pack"),
+            "length",
+        )
+    )
+
+
+def pack_sequences_oracle(
+    table: str = "documents",
+    *,
+    budget: int,
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_groups: int = PACK_GROUPS,
+    salt: str = "pack-v1",
+) -> str:
+    return f"""
+SELECT {id_col}, grp,
+       CAST(FLOOR((cum - length) / {budget}) AS BIGINT) AS pack, length
+FROM (
+  SELECT {id_col},
+         {_hash60_duck(f"concat('{salt}:', CAST({id_col} AS VARCHAR))")} % {n_groups} AS grp,
+         {length_col} AS length,
+         SUM({length_col}) OVER (
+           PARTITION BY {_hash60_duck(f"concat('{salt}:', CAST({id_col} AS VARCHAR))")} % {n_groups}
+           ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM {table})
+"""
+
+
 def domain_topk_oracle(
     table: str = "documents",
     *,

@@ -13,7 +13,13 @@ import hashlib
 import pandas as pd
 import pytest
 
-from simple_tsdb_spark.pipeline import dedup_components, domain_topk, hash_split
+from simple_tsdb_spark.pipeline import (
+    dedup_components,
+    domain_topk,
+    hash_split,
+    mixture_sample,
+    pack_sequences,
+)
 
 
 def _components(spark, edges, docs=None):
@@ -136,3 +142,79 @@ def test_domain_topk_k_larger_than_domain(spark):
     df = spark.createDataFrame(_skewed_corpus())
     out = domain_topk(df, k=100).toPandas()
     assert out.groupby("domain").size().to_dict() == {"web": 100, "books": 10, "wiki": 10}
+
+
+def _mix_bucket(doc_id: int, salt: str = "mix-v1") -> int:
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
+    return int(h[:15], 16) % 100
+
+
+def test_mixture_sample_matches_python_model(spark):
+    pdf = _skewed_corpus()
+    df = spark.createDataFrame(pdf)
+    rates = {"web": 20, "wiki": 100}
+    got = {r.doc_id for r in mixture_sample(df, rates, default_rate=50).collect()}
+    want = set()
+    for _, row in pdf.iterrows():
+        rate = rates.get(row.source, 50)
+        if _mix_bucket(row.doc_id) < rate:
+            want.add(row.doc_id)
+    assert got == want
+    # wiki rate 100 keeps every wiki doc
+    assert set(pdf[pdf.source == "wiki"].doc_id) <= got
+
+
+def test_mixture_sample_monotone_in_rate(spark):
+    """Raising a rate must only ADD docs (re-weighting without resampling)."""
+    df = spark.createDataFrame(_skewed_corpus())
+    lo = {r.doc_id for r in mixture_sample(df, {"web": 20}, default_rate=0).collect()}
+    hi = {r.doc_id for r in mixture_sample(df, {"web": 60}, default_rate=0).collect()}
+    assert lo <= hi
+
+
+def test_mixture_sample_rejects_bad_rate(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "source": ["web"]}))
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"web": 150})
+
+
+def _pack_model(pdf: pd.DataFrame, budget: int, n_groups: int, salt: str = "pack-v1"):
+    """Python reimplementation: greedy contiguous packing per hash group."""
+    out = {}
+    grp = {
+        i: int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16) % n_groups
+        for i in pdf.doc_id
+    }
+    for g in sorted(set(grp.values())):
+        ids = sorted(i for i in pdf.doc_id if grp[i] == g)
+        lens = dict(zip(pdf.doc_id, pdf.n_chars))
+        cum = 0
+        for i in ids:
+            out[i] = (g, cum // budget)
+            cum += lens[i]
+    return out
+
+
+def test_pack_sequences_matches_python_model(spark):
+    pdf = _skewed_corpus()
+    df = spark.createDataFrame(pdf)
+    got = {r.doc_id: (r.grp, r.pack) for r in pack_sequences(df, budget=900, n_groups=4).collect()}
+    assert got == _pack_model(pdf, budget=900, n_groups=4)
+
+
+def test_pack_sequences_overflow_bounded_by_last_doc(spark):
+    """Offset-packing invariant: a pack was under budget before its last
+    doc joined — overflow is bounded by one document, never unbounded."""
+    budget = 3000
+    pdf = _skewed_corpus()
+    df = spark.createDataFrame(pdf)
+    out = pack_sequences(df, budget=budget, n_groups=2).toPandas()
+    last_len = (
+        out.sort_values("doc_id").groupby(["grp", "pack"])["length"].last()
+    )
+    totals = out.groupby(["grp", "pack"])["length"].sum()
+    assert ((totals - last_len) < budget).all()
+    # packs are contiguous ints per group starting at 0
+    for _, g in out.groupby("grp"):
+        packs = sorted(g["pack"].unique())
+        assert packs == list(range(len(packs)))
