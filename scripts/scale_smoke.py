@@ -6,7 +6,11 @@ the point-count and the series-cardinality dimension, with no driver-side
 O(#series) step anywhere (probe reductions ship one scalar; rollup
 advance collects one row).
 
-Run: python scripts/scale_smoke.py [n_points] [n_series] [hc_series]
+Run: python scripts/scale_smoke.py [n_points] [n_series] [hc_series] [n_docs]
+
+Phase 3 (corpus_phase) adds the corpus dimension: 1M docs through the
+curation operators (CC clustering, hot-domain top-k, mixture sampling,
+budget packing).
 """
 
 from __future__ import annotations
@@ -116,6 +120,70 @@ def high_cardinality_phase(spark, n_series: int = 100_000, pts_per_series: int =
     spark.sql("DROP TABLE IF EXISTS hc_bucketed")
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(rpath, ignore_errors=True)
+
+
+def corpus_phase(spark, n_docs: int = 1_000_000) -> None:
+    """1M-doc curation smoke: the training-pipeline ops in the corpus
+    dimension — CC clustering over a synthetic pair graph, top-k on a
+    hot-domain distribution (90% of docs in one domain), mixture
+    sampling, and budget packing.  Demonstrates: CC rounds stay
+    O(diameter) with one doc-keyed shuffle each (no edge/vertex collect),
+    the salted two-stage top-k spreads the hot domain over tasks, and
+    sampling/packing are single-pass.
+    """
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import (
+        dedup_components,
+        domain_topk,
+        mixture_sample,
+        pack_sequences,
+    )
+
+    N = int(n_docs)
+    docs = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        # 90% web (hot), rest across 10 small domains
+        F.when(F.pmod(F.hash("id"), F.lit(10)) < 9, F.lit("web"))
+        .otherwise(F.concat(F.lit("niche"), F.pmod(F.hash("id", F.lit(3)), F.lit(10)).cast("string")))
+        .alias("source"),
+        (F.pmod(F.hash("id", F.lit(7)), F.lit(4000)) + 100).alias("n_chars"),
+    ).localCheckpoint(eager=True)
+
+    # Pair graph: ~5% of docs form dup chains of length 4 (diameter 3) —
+    # shape-typical near-dup output at corpus scale.
+    chains = N // 80
+    pairs = (
+        spark.range(chains * 3)
+        .select(
+            (F.col("id") / 3).cast("long").alias("c"),
+            F.pmod(F.col("id"), F.lit(3)).alias("k"),
+        )
+        .select(
+            (F.col("c") * 4 + F.col("k")).alias("a"),
+            (F.col("c") * 4 + F.col("k") + 1).alias("b"),
+        )
+    )
+    t = time.time()
+    cc = dedup_components(pairs, docs)
+    n_clustered = cc.where(F.col("doc") != F.col("component")).count()
+    print(
+        f"CORPUS dedup_components {N:,} docs, {chains*3:,} pair edges "
+        f"(chains of 4): {time.time()-t:.1f}s non-keeper rows={n_clustered:,}"
+    )
+    assert n_clustered == chains * 3
+
+    t = time.time()
+    k = domain_topk(docs, k=100).count()
+    print(f"CORPUS domain_topk k=100, 90%-hot domain: {time.time()-t:.1f}s rows={k:,}")
+
+    t = time.time()
+    kept = mixture_sample(docs, {"web": 30}, default_rate=100).count()
+    print(f"CORPUS mixture_sample web@30%: {time.time()-t:.1f}s kept={kept:,}")
+
+    t = time.time()
+    packs = pack_sequences(docs, budget=8192).agg(F.max("pack")).first()[0]
+    print(f"CORPUS pack_sequences budget=8192: {time.time()-t:.1f}s max_pack/grp={packs:,}")
 
 
 def main() -> None:
@@ -236,6 +304,10 @@ def main() -> None:
     hc = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     if hc:
         high_cardinality_phase(spark, n_series=hc)
+
+    nd = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
+    if nd:
+        corpus_phase(spark, n_docs=nd)
 
 
 if __name__ == "__main__":
