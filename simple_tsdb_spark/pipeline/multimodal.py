@@ -4,10 +4,13 @@ Pattern for image/audio/video at 100 TB: store the raw bytes as a
 ``binary`` column (or a reference to object storage for very large blobs)
 next to a typed metadata struct; run decode / feature-extraction as
 Arrow-batched ``mapInPandas`` so each Python worker sees columnar batches,
-never rows.  The decode step itself is STUBBED here (no image/audio libs
-in this container — see ``DecoderNotAvailable``), with a deterministic
-fake decoder so the Spark-side plumbing — schema, batch iteration,
-partition-parallelism — is real and tested.
+never rows.  Formats decodable with stdlib+numpy decode for REAL
+(PPM/PGM, uncompressed 24-bit BMP, PCM WAV — parse, feature-extract,
+nearest-neighbor resize); codec-requiring formats (jpeg/png/mp4) raise
+``DecoderNotAvailable`` because their libraries are not bundled in this
+container.  A deterministic fake decoder covers non-media payloads so the
+Spark-side plumbing — schema, batch iteration, partition-parallelism —
+is exercised (and DuckDB-oracle-checked) on the driver's text blobs too.
 
 ``attach_blob``/``extract_blob_features`` use the documents table's text
 bytes as the stand-in payload, which also gives them a DuckDB oracle
@@ -25,7 +28,10 @@ from pyspark.sql import functions as F
 
 
 class DecoderNotAvailable(NotImplementedError):
-    """Raised by the real decode path: media libraries are not bundled."""
+    """Raised by the real decode path for formats that need external
+    codec libraries (jpeg/png/mp4/...) — not bundled in this container.
+    Formats decodable with stdlib+numpy alone (PPM/PGM, uncompressed BMP,
+    PCM WAV) decode for real."""
 
 
 def attach_blob(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -49,12 +55,124 @@ FROM {table}
 """
 
 
+def _decode_pnm(payload: bytes):
+    """P5 (graymap) / P6 (pixmap) binary PNM → uint8 ndarray (H,W[,3])."""
+    import numpy as np
+
+    # Header: magic, whitespace/comment-separated width height maxval.
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic not in (b"P5", b"P6") or maxval > 255:
+        raise DecoderNotAvailable(f"unsupported PNM variant {magic!r}/maxval={maxval}")
+    ch = 3 if magic == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return data.reshape((h, w, 3)) if ch == 3 else data.reshape((h, w))
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP → uint8 ndarray (H,W,3) in RGB order."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise DecoderNotAvailable("not a BMP stream")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise DecoderNotAvailable(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    flip = h > 0  # positive height ⇒ bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
+    img = rows.reshape((h, stride))[:, : w * 3].reshape((h, w, 3))
+    if flip:
+        img = img[::-1]
+    return img[..., ::-1]  # BGR → RGB
+
+
+def _decode_wav(payload: bytes):
+    """PCM WAV → (samples ndarray (N, channels), sample_rate)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            width, nch, rate = wf.getsampwidth(), wf.getnchannels(), wf.getframerate()
+            frames = wf.readframes(wf.getnframes())
+    except wave.Error as e:  # compressed/float variants
+        raise DecoderNotAvailable(f"unsupported WAV: {e}") from e
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
+    if dtype is None:
+        raise DecoderNotAvailable(f"unsupported WAV sample width {width}")
+    data = np.frombuffer(frames, dtype=dtype).reshape((-1, nch))
+    return data, rate
+
+
 def decode_media(payload: bytes, mime: str) -> object:
-    """The real decode hook — image/audio/video libs are not bundled."""
+    """Decode a payload by mime type.
+
+    Stdlib+numpy formats decode for real:
+      - image/x-portable-pixmap, image/x-portable-graymap → uint8 array
+      - image/bmp (uncompressed 24-bit) → uint8 RGB array
+      - audio/wav, audio/x-wav (PCM) → (samples array, sample_rate)
+    Formats needing external codecs raise :class:`DecoderNotAvailable`.
+    """
+    if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+        return _decode_pnm(payload)
+    if mime == "image/bmp":
+        return _decode_bmp(payload)
+    if mime in ("audio/wav", "audio/x-wav"):
+        return _decode_wav(payload)
     raise DecoderNotAvailable(
-        f"no decoder for {mime}: bundle pillow/torchaudio/pyav and replace "
-        "the fake decoder in extract_blob_features"
+        f"no decoder for {mime}: requires external codec libs "
+        "(pillow/torchaudio/pyav) not bundled in this container"
     )
+
+
+def _real_decode_features(payload: bytes, mime: str) -> tuple[int, int, float]:
+    """(width, height, mean) from a real decode.  Images: pixel dims and
+    mean intensity/255; audio: (n_frames, n_channels, mean |sample|
+    normalized to full scale)."""
+    import numpy as np
+
+    decoded = decode_media(payload, mime)
+    if isinstance(decoded, tuple):  # audio: (samples, rate)
+        data, _rate = decoded
+        full = 255.0 if data.dtype == np.uint8 else float(2 ** (8 * data.dtype.itemsize - 1))
+        return int(data.shape[0]), int(data.shape[1]), float(
+            np.abs(data.astype(np.float64)).mean() / full
+        )
+    h, w = decoded.shape[0], decoded.shape[1]
+    return int(w), int(h), float(decoded.astype(np.float64).mean() / 255.0)
+
+
+def _resize_nearest(img, width: int, height: int):
+    """Nearest-neighbor resize with pure numpy indexing."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return img[rows][:, cols]
 
 
 def _fake_decode_features(payload: bytes) -> tuple[int, int, float]:
@@ -70,9 +188,13 @@ def _fake_decode_features(payload: bytes) -> tuple[int, int, float]:
 def resize_images(
     df: DataFrame, *, width: int, height: int, use_real_decoder: bool = False
 ) -> DataFrame:
-    """Resize plumbing over (doc_id, payload, media_meta): real decode is
-    stubbed (DecoderNotAvailable); the fake path emits a deterministic
-    resized-payload digest so schema/batching are exercised end-to-end.
+    """Resize over (doc_id, payload, media_meta).
+
+    With ``use_real_decoder`` the payload is decoded (PNM/BMP for real;
+    codec formats raise DecoderNotAvailable) and nearest-neighbor
+    resized; the digest is of the resized pixel bytes.  Without it, a
+    deterministic payload digest stands in so schema/batching are
+    exercised on non-media payloads (the driver's text blobs).
 
     Output: doc_id, out_width, out_height, resized_md5.
     """
@@ -83,12 +205,19 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if use_real_decoder:
+                digests = []
                 for m, p in zip(pdf["mime"], pdf["payload"]):
-                    decode_media(bytes(p), m)
-            digests = [
-                hashlib.md5(bytes(p) + f":{w}x{h}".encode()).hexdigest()
-                for p in pdf["payload"]
-            ]
+                    img = decode_media(bytes(p), m)
+                    if isinstance(img, tuple):
+                        raise DecoderNotAvailable("resize_images expects an image mime")
+                    digests.append(
+                        hashlib.md5(_resize_nearest(img, w, h).tobytes()).hexdigest()
+                    )
+            else:
+                digests = [
+                    hashlib.md5(bytes(p) + f":{w}x{h}".encode()).hexdigest()
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -162,10 +291,12 @@ def extract_blob_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if use_real_decoder:
-                # Real path: per-mime decode — stubbed in this container.
-                for m, p in zip(pdf["mime"], pdf["payload"]):
-                    decode_media(bytes(p), m)
-            feats = [_fake_decode_features(bytes(p)) for p in pdf["payload"]]
+                feats = [
+                    _real_decode_features(bytes(p), m)
+                    for m, p in zip(pdf["mime"], pdf["payload"])
+                ]
+            else:
+                feats = [_fake_decode_features(bytes(p)) for p in pdf["payload"]]
             out = pdf[["doc_id", "n_bytes", "payload_md5"]].copy()
             out["width"] = [f[0] for f in feats]
             out["height"] = [f[1] for f in feats]
