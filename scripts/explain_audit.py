@@ -115,6 +115,26 @@ def main() -> int:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    # curation ops: splits/samples are pure expressions (no Exchange at
+    # all — at 100 TB a shuffle here would be pure waste), and domain_topk
+    # must show the two-stage salted ranking (two window sorts: first
+    # keyed (domain, salt), then domain) so a hot domain can't pin a task.
+    from simple_tsdb_spark.pipeline import domain_topk, hash_split, mixture_sample
+
+    p = plan_of(hash_split(docs))
+    ok &= check("hash_split: shuffle-free (no Exchange)", "Exchange" not in p)
+    p = plan_of(mixture_sample(docs, {"web": 30}, default_rate=50))
+    ok &= check("mixture_sample: shuffle-free (no Exchange)", "Exchange" not in p)
+    p = plan_of(domain_topk(docs, k=25))
+    ok &= check(
+        "domain_topk: stage-1 rank keyed (domain, salt)",
+        bool(re.search(r"hashpartitioning\(domain#\d+, _salt#\d+", p)),
+    )
+    ok &= check(
+        "domain_topk: stage-2 exact rank keyed domain only",
+        bool(re.search(r"hashpartitioning\(domain#\d+, \d+\)", p)),
+    )
+
     # knn_ivf: the corpus must NEVER shuffle on list_id — its only join is
     # against the hint-broadcast (tiny) probe set; the shuffles in the plan
     # are the query-side ranking windows keyed by query_id.

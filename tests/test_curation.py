@@ -65,6 +65,45 @@ def test_cc_max_iter_raises(spark):
         dedup_components(pairs, max_iter=2)
 
 
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member id
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(ms) for r, ms in comp.items() for n in ms}
+
+
+def test_cc_random_graphs_vs_union_find(spark):
+    """Randomized model check: hash-to-min must agree with union-find on
+    arbitrary graph shapes (cycles, stars, chains, self-loops, dups)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(0, 2 * n))
+        ]
+        want = _union_find(edges, nodes)
+        got = _components(spark, edges or [(0, 0)], docs=nodes)
+        assert got == want, f"trial {trial}: n={n} edges={edges}"
+
+
 def _py_bucket(doc_id: int, salt: str = "split-v1") -> int:
     h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
     return int(h[:15], 16) % 100
