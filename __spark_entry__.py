@@ -214,6 +214,20 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+INTERVAL_TOL_NS = 3600 * 1_000_000_000  # 1 h: clicks near an error
+
+
+def _q_interval_join(spark, sf_dir):
+    from simple_tsdb_spark.operators import interval_join
+
+    return interval_join(
+        _user_series(spark, sf_dir, "click"),
+        _user_series(spark, sf_dir, "error"),
+        tol_ns=INTERVAL_TOL_NS,
+        right_fields=["value"],
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     from simple_tsdb_spark.operators import sessionize
 
@@ -474,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": _q_counter_rate,
         # time-series breadth
         "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
         "sessionize": _q_sessionize,
         "moving_avg": _q_moving_avg,
         "histogram": _q_histogram,
@@ -766,6 +781,7 @@ def _timeseries_oracles() -> dict[str, str]:
     from simple_tsdb_spark.operators.timeseries import (
         asof_join_oracle,
         distinct_count_oracle,
+        interval_join_oracle,
         moving_avg_oracle,
         sessionize_oracle,
         value_histogram_oracle,
@@ -780,6 +796,9 @@ def _timeseries_oracles() -> dict[str, str]:
         "ewma": ewma_oracle(_M, field="value", alpha=EWMA_ALPHA),
         "counter_rate": counter_rate_oracle(ranged, field="value"),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
+        "interval_join": interval_join_oracle(
+            _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]
+        ),
         "sessionize": sessionize_oracle(_M, gap_ns=SESSION_GAP_NS),
         "moving_avg": moving_avg_oracle(ranged, field="value", n_points=MAVG_N),
         "histogram": value_histogram_oracle(

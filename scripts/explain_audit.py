@@ -115,6 +115,27 @@ def main() -> int:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    # interval_join: the range predicate must ride a bucketed EQUI-join —
+    # a naive |Δt| <= tol predicate plans as BroadcastNestedLoopJoin
+    # (O(L×R) per series), the classic Spark range-join scale killer.
+    from __spark_entry__ import _user_series
+
+    from simple_tsdb_spark.operators import interval_join
+
+    ev_l = _user_series(spark, SF, "click")
+    ev_r = _user_series(spark, SF, "error")
+    p = plan_of(
+        interval_join(ev_l, ev_r, tol_ns=3_600_000_000_000, right_fields=["value"])
+    )
+    ok &= check(
+        "interval_join: no BroadcastNestedLoopJoin", "BroadcastNestedLoopJoin" not in p
+    )
+    ok &= check(
+        "interval_join: bucketed equi-join on (series, _b)",
+        bool(re.search(r"hashpartitioning\(series#\d+, _b#\d+", p))
+        or "BroadcastHashJoin" in p,  # AQE may broadcast the small side
+    )
+
     # curation ops: splits/samples are pure expressions (no Exchange at
     # all — at 100 TB a shuffle here would be pure waste), and domain_topk
     # must show the two-stage salted ranking (two window sorts: first

@@ -24,6 +24,7 @@ from simple_tsdb_spark.operators.rollup import (
 from simple_tsdb_spark.operators.fill import fill_windows, ewma
 from simple_tsdb_spark.operators.timeseries import (
     asof_join,
+    interval_join,
     sessionize,
     moving_avg,
     value_histogram,
@@ -59,6 +60,7 @@ __all__ = [
     "fill_windows",
     "ewma",
     "asof_join",
+    "interval_join",
     "sessionize",
     "moving_avg",
     "value_histogram",

@@ -104,6 +104,64 @@ FROM ({base})
 """
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    tol_ns: int,
+    right_fields: Sequence[str],
+) -> DataFrame:
+    """All same-series (left, right) pairs with |Δtime| ≤ ``tol_ns``.
+
+    Output: every left column, plus ``match_time_ns``, each right field
+    as ``{f}_match``, and ``delta_ns`` (left − right; inner join — only
+    matching pairs).
+
+    A naive range predicate degenerates to BroadcastNestedLoopJoin in
+    Spark (O(|L|·|R|) per series — the scale killer).  This plan blocks
+    both sides by tol-width time buckets: a left row in bucket b can only
+    match right rows in buckets {b−1, b, b+1}, so the right side
+    replicates ×3 into adjacent buckets and the join is a plain
+    equi-join on (series, bucket) + a residual |Δ| filter.  Shuffle
+    volume is |L| + 3·|R|; candidate pairs are bounded by the true pair
+    density over a 3·tol window (AQE skew-split handles hot buckets).
+    Each true pair emerges exactly once (the right row's three bucket
+    copies are distinct, the left row has one bucket).
+    """
+    B = int(tol_ns)
+    if B <= 0:
+        raise ValueError("tol_ns must be positive")
+    lb = left.withColumn("_b", F.floor(F.col("time_ns") / F.lit(B)))
+    rb = (
+        right.select(
+            "series",
+            F.col("time_ns").alias("match_time_ns"),
+            *[F.col(f).alias(f"{f}_match") for f in right_fields],
+        )
+        .withColumn("_b0", F.floor(F.col("match_time_ns") / F.lit(B)))
+        .withColumn("_b", F.explode(F.expr("array(_b0 - 1L, _b0, _b0 + 1L)")))
+        .drop("_b0")
+    )
+    return (
+        lb.join(rb, ["series", "_b"])
+        .where(F.abs(F.col("time_ns") - F.col("match_time_ns")) <= B)
+        .drop("_b")
+        .withColumn("delta_ns", F.col("time_ns") - F.col("match_time_ns"))
+    )
+
+
+def interval_join_oracle(
+    left_sql: str, right_sql: str, *, tol_ns: int, right_fields: Sequence[str]
+) -> str:
+    rv = ", ".join(f"r.{f} AS {f}_match" for f in right_fields)
+    return f"""
+SELECT l.*, r.time_ns AS match_time_ns, {rv},
+       l.time_ns - r.time_ns AS delta_ns
+FROM ({left_sql}) l JOIN ({right_sql}) r
+  ON l.series = r.series AND ABS(l.time_ns - r.time_ns) <= {int(tol_ns)}
+"""
+
+
 def sessionize(df: DataFrame, *, gap_ns: int) -> DataFrame:
     """Gap-based sessions per series: a new session starts when the gap to
     the previous point exceeds ``gap_ns``.  Returns per-session

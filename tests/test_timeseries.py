@@ -48,6 +48,62 @@ def test_asof_tolerance(spark):
     assert got.v_asof.iloc[0] == 5.0
 
 
+def test_interval_join_vs_brute_force(spark):
+    from simple_tsdb_spark.operators import interval_join
+
+    rng = np.random.default_rng(5)
+    lrows = [
+        ("a" if i % 3 else "b", int(t), float(i))
+        for i, t in enumerate(np.sort(rng.integers(0, 10_000, size=60)))
+    ]
+    rrows = [
+        ("a" if i % 2 else "b", int(t), float(100 + i))
+        for i, t in enumerate(np.sort(rng.integers(0, 10_000, size=40)))
+    ]
+    tol = 500
+    got = sorted(
+        map(
+            tuple,
+            interval_join(mk(spark, lrows), mk(spark, rrows), tol_ns=tol, right_fields=["v"])
+            .select("series", "time_ns", "v", "match_time_ns", "v_match", "delta_ns")
+            .collect(),
+        )
+    )
+    want = sorted(
+        (ls, lt, lv, rt, rv, lt - rt)
+        for ls, lt, lv in lrows
+        for rs, rt, rv in rrows
+        if ls == rs and abs(lt - rt) <= tol
+    )
+    assert got == want
+
+
+def test_interval_join_bucket_boundaries(spark):
+    """Pairs exactly at ±tol and across bucket edges appear exactly once."""
+    from simple_tsdb_spark.operators import interval_join
+
+    tol = 100
+    left = mk(spark, [("a", 100, 1.0), ("a", 199, 2.0), ("a", 301, 3.0)])
+    right = mk(spark, [("a", 200, 9.0), ("a", 0, 8.0)])
+    got = (
+        interval_join(left, right, tol_ns=tol, right_fields=["v"])
+        .select("time_ns", "match_time_ns")
+        .collect()
+    )
+    pairs = sorted((r.time_ns, r.match_time_ns) for r in got)
+    # 100↔200 (Δ=100 inclusive), 100↔0 (Δ=100), 199↔200, 301↔200 (Δ=101 out)
+    assert pairs == [(100, 0), (100, 200), (199, 200)]
+    assert len(pairs) == len(set(pairs))  # no duplicate emissions
+
+
+def test_interval_join_rejects_bad_tol(spark):
+    from simple_tsdb_spark.operators import interval_join
+
+    left = mk(spark, [("a", 1, 1.0)])
+    with pytest.raises(ValueError):
+        interval_join(left, left, tol_ns=0, right_fields=["v"])
+
+
 def test_sessionize(spark):
     rows = [("a", t, 1.0) for t in [0, 10, 20, 1000, 1010, 5000]]
     got = sessionize(mk(spark, rows), gap_ns=100).toPandas()
