@@ -78,12 +78,19 @@ def dedup_components(
     # Materialize the pair graph once: its lineage (often a full LSH plan)
     # would otherwise be recomputed by every propagation round.
     edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("doc")).distinct()
+    nodes = edges.select(F.col("src").alias("doc")).distinct()
     if docs is not None:
-        labels = labels.unionByName(
-            docs.select(F.col(id_col).alias("doc"))
-        ).distinct()
-    labels = labels.withColumn("lbl", F.col("doc")).localCheckpoint(eager=False)
+        nodes = nodes.unionByName(docs.select(F.col(id_col).alias("doc"))).distinct()
+    # Fuse round 1 into initialization: label = min(self, direct
+    # neighbors).  Same fixpoint, one fewer propagation round — for the
+    # common shallow dup-cluster graphs (diameter ≤ 2) the loop then only
+    # runs the convergence-confirming round.
+    nbr_min = edges.groupBy(F.col("dst").alias("doc")).agg(F.min("src").alias("nlbl"))
+    labels = (
+        nodes.join(nbr_min, "doc", "left")
+        .select("doc", F.least("doc", F.coalesce("nlbl", "doc")).alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
 
     for _ in range(max_iter):
         msg = (
