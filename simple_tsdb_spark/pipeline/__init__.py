@@ -32,7 +32,13 @@ from simple_tsdb_spark.pipeline.curation import (
     mixture_sample,
     pack_sequences,
 )
-from simple_tsdb_spark.pipeline.similarity import knn_brute, knn_ivf, knn_lsh
+from simple_tsdb_spark.pipeline.similarity import (
+    default_centroids,
+    knn_brute,
+    knn_ivf,
+    knn_lsh,
+    train_ivf_centroids,
+)
 from simple_tsdb_spark.pipeline.multimodal import (
     attach_blob,
     extract_blob_features,
@@ -55,9 +61,11 @@ __all__ = [
     "domain_topk",
     "mixture_sample",
     "pack_sequences",
+    "default_centroids",
     "knn_brute",
     "knn_ivf",
     "knn_lsh",
+    "train_ivf_centroids",
     "attach_blob",
     "extract_blob_features",
     "resize_images",

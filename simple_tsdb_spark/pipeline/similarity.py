@@ -223,7 +223,14 @@ def _centroid_norm(l: int, dim: int) -> float:
     return sum(_centroid(l, d) ** 2 for d in range(dim)) ** 0.5
 
 
-def _score_array_spark(emb: str, dim: int) -> str:
+def default_centroids(nlist: int = N_LISTS, dim: int = 64) -> list[list[float]]:
+    """The deterministic pseudo-random centroid table (k-means init)."""
+    return [[_centroid(l, d) for d in range(dim)] for l in range(nlist)]
+
+
+def _score_array_spark(
+    emb: str, dim: int, centroids: Sequence[Sequence[float]] | None = None
+) -> str:
     """ONE array of the nlist quantizer scores: cos-to-centroid = dot/|c|
     (|emb| is a shared factor, irrelevant to the argmax), rounded to 6
     decimals so ranking ties break identically on every engine.  A single
@@ -231,24 +238,76 @@ def _score_array_spark(emb: str, dim: int) -> str:
     columns re-inline under CollapseProject into an argmax CASE that
     re-evaluates every 64-dim dot nlist+1 times (measured: optimizer
     stalls outright on the collapsed tree)."""
+    cs = centroids if centroids is not None else default_centroids(N_LISTS, dim)
     scores = []
-    for l in range(N_LISTS):
-        w = ", ".join(f"CAST({_centroid(l, d)!r} AS DOUBLE)" for d in range(dim))
+    for c in cs:
+        w = ", ".join(f"CAST({c[d]!r} AS DOUBLE)" for d in range(dim))
+        nrm = sum(x * x for x in c) ** 0.5
         dot = (
             f"aggregate(zip_with({emb}, array({w}), (p, q) -> CAST(p AS DOUBLE) * q), "
             f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
         )
-        scores.append(f"round(({dot}) / CAST({_centroid_norm(l, dim)!r} AS DOUBLE), 6)")
+        scores.append(f"round(({dot}) / CAST({nrm!r} AS DOUBLE), 6)")
     return "array(" + ", ".join(scores) + ")"
 
 
-def _score_array_duck(emb: str, dim: int) -> str:
+def _score_array_duck(
+    emb: str, dim: int, centroids: Sequence[Sequence[float]] | None = None
+) -> str:
+    cs = centroids if centroids is not None else default_centroids(N_LISTS, dim)
     scores = []
-    for l in range(N_LISTS):
-        w = ", ".join(repr(_centroid(l, d)) for d in range(dim))
+    for c in cs:
+        w = ", ".join(repr(c[d]) for d in range(dim))
+        nrm = sum(x * x for x in c) ** 0.5
         dot = f"list_dot_product({emb}, [{w}]::DOUBLE[])"
-        scores.append(f"round(({dot}) / {_centroid_norm(l, dim)!r}, 6)")
+        scores.append(f"round(({dot}) / {nrm!r}, 6)")
     return "[" + ", ".join(scores) + "]"
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    *,
+    nlist: int = N_LISTS,
+    dim: int = 64,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical-k-means refinement of the IVF coarse quantizer (Lloyd's).
+
+    Starts from :func:`default_centroids`, then per iteration: assign
+    every vector to its argmax-cos list (one projection — the same
+    quantizer expression the read path uses), and recompute each centroid
+    as the mean of its assigned vectors (one groupBy; only nlist rows of
+    dim sums ever reach the driver, so the driver payload is
+    nlist×dim floats per iteration regardless of corpus size).  Empty
+    lists keep their previous centroid.  The result is a plain Python
+    list of literals — exactly what ``knn_ivf``/its DuckDB oracle take,
+    so a trained quantizer stays hash-checkable.
+    """
+    cs = default_centroids(nlist, dim)
+    emb = df.select(
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb")
+    ).localCheckpoint(eager=True)
+    for _ in range(int(iters)):
+        assigned = emb.withColumn(
+            "_sarr", F.expr(_score_array_spark("emb", dim, cs))
+        ).withColumn(
+            "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
+        )
+        rows = (
+            assigned.groupBy("list_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("emb")[d]).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()  # ≤ nlist rows — bounded, corpus-size independent
+        )
+        nxt = [list(c) for c in cs]
+        for r in rows:
+            if r["n"]:
+                nxt[r["list_id"]] = [r[f"s{d}"] / r["n"] for d in range(dim)]
+        cs = nxt
+    return cs
 
 
 def knn_ivf(
@@ -260,19 +319,24 @@ def knn_ivf(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer.
 
     Corpus assignment is the argmax quantizer score (smallest list id on
     ties) — a single projection, so the corpus's only movement is the
-    shuffle-join on list_id.  Queries rank all ``N_LISTS`` scores and
-    probe the top ``nprobe`` (ranking window over queries × lists — tiny).
+    shuffle-join on list_id.  Queries rank all list scores and probe the
+    top ``nprobe`` (ranking window over queries × lists — tiny).
     Output: (query_id, neighbor_id, cos, rank), dedup-free by
     construction (each corpus vector lives in exactly one list).
+    ``centroids`` overrides the deterministic default table — pass
+    :func:`train_ivf_centroids` output for a k-means-refined quantizer
+    (same literals go to the oracle, so it stays hash-checkable).
     """
-    if not 1 <= nprobe <= N_LISTS:
-        raise ValueError(f"nprobe must be in [1, {N_LISTS}]")
-    sarr = _score_array_spark("emb", dim)
+    nlist = len(centroids) if centroids is not None else N_LISTS
+    if not 1 <= nprobe <= nlist:
+        raise ValueError(f"nprobe must be in [1, {nlist}]")
+    sarr = _score_array_spark("emb", dim, centroids)
     escore = df.select(
         F.col(id_col).alias("nid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
@@ -316,13 +380,14 @@ def knn_ivf(
 def knn_ivf_oracle(
     table: str = "embeddings", *, query_ids: Sequence[int] = (), k: int = 10,
     dim: int = 64, nprobe: int = 4,
+    centroids: Sequence[Sequence[float]] | None = None,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     cos = _COS_DUCK.format(a="q2.qemb", b="e.emb")
     return f"""
 WITH e0 AS (
   SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
-         {_score_array_duck("embedding::DOUBLE[]", dim)} AS sarr
+         {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
   FROM {table}),
 e AS (
   SELECT nid, emb, sarr,

@@ -157,3 +157,54 @@ def test_resize_and_frame_sample(spark, docs):
     fr = sample_frames(blobs, every_n_bytes=64, max_frames=4).toPandas()
     assert fr.groupby("doc_id").frame_idx.max().max() <= 3
     assert (fr.frame_offset == fr.frame_idx * 64).all()
+
+
+def test_train_ivf_centroids_improves_quantizer(spark, embs):
+    """Lloyd's refinement must (a) keep the literal-oracle contract —
+    Spark knn_ivf with trained centroids equals the DuckDB oracle built
+    from the SAME literals — and (b) not hurt recall vs knn_brute
+    compared to the default pseudo-centroids."""
+    import duckdb
+
+    from simple_tsdb_spark.pipeline import (
+        default_centroids,
+        knn_brute,
+        knn_ivf,
+        train_ivf_centroids,
+    )
+    from simple_tsdb_spark.pipeline.similarity import knn_ivf_oracle
+
+    trained = train_ivf_centroids(embs, iters=2)
+    assert len(trained) == len(default_centroids())
+    assert trained != default_centroids()  # it actually moved
+
+    qids = (0, 1, 2)
+    got = (
+        knn_ivf(embs, query_ids=qids, k=5, centroids=trained)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(knn_ivf_oracle(query_ids=qids, k=5, centroids=trained))
+        .df()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert list(got.neighbor_id) == list(want.neighbor_id)
+    assert np.allclose(got.cos, want.cos)
+
+    def recall(centroids):
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_brute(embs, query_ids=qids, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_ivf(embs, query_ids=qids, k=5, centroids=centroids).collect()
+        }
+        return len(truth & approx) / len(truth)
+
+    assert recall(trained) >= recall(None) - 0.15  # no recall collapse
