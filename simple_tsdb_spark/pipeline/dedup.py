@@ -412,6 +412,7 @@ def embedding_dup_pairs(
     dim: int = 64,
     extra_block_col: str | None = None,
     salt_buckets: int = 8,
+    centroids=None,
 ) -> DataFrame:
     """Cosine near-dup pairs within a coarse-quantizer block.
 
@@ -422,9 +423,10 @@ def embedding_dup_pairs(
     like ``label`` makes the operator quadratic at 10⁹ docs no matter how
     the join is executed.  The default block key is therefore the IVF
     coarse-quantizer assignment (nearest-centroid list id — the same
-    expression ``similarity.knn_ivf`` uses; in production the centroids
-    come from a k-means fit with nlist ~ √N, here deterministic literals
-    keep the oracle bit-exact).  ``extra_block_col`` (e.g. label / lang)
+    expression ``similarity.knn_ivf`` uses; pass ``centroids`` from
+    ``similarity.train_ivf_centroids`` for a k-means fit with
+    nlist ~ √N — the literal table keeps the oracle bit-exact either
+    way; the default is the deterministic init table).  ``extra_block_col`` (e.g. label / lang)
     optionally ANDs an attribute-equality predicate on top.
 
     The join itself is *salted*: the probe side keeps one deterministic
@@ -445,7 +447,7 @@ def embedding_dup_pairs(
         cols.append(F.col(extra_block_col).alias("xblk"))
     e = (
         df.select(*cols)
-        .withColumn("_sarr", F.expr(_score_array_spark("emb", dim)))
+        .withColumn("_sarr", F.expr(_score_array_spark("emb", dim, centroids)))
         .withColumn(
             "blk", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
         )
@@ -477,6 +479,7 @@ def embedding_dup_oracle(
     threshold: float = 0.3,
     dim: int = 64,
     extra_block_col: str | None = None,
+    centroids=None,
 ) -> str:
     from simple_tsdb_spark.pipeline.similarity import _score_array_duck
 
@@ -486,7 +489,7 @@ def embedding_dup_oracle(
     return f"""
 WITH e0 AS (
   SELECT vec_id AS doc, embedding::DOUBLE[] AS emb{xsel},
-         {_score_array_duck("embedding::DOUBLE[]", dim)} AS sarr
+         {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
   FROM {table}),
 e AS (
   SELECT doc, emb{', xblk' if extra_block_col else ''},

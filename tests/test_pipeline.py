@@ -208,3 +208,31 @@ def test_train_ivf_centroids_improves_quantizer(spark, embs):
         return len(truth & approx) / len(truth)
 
     assert recall(trained) >= recall(None) - 0.15  # no recall collapse
+
+
+def test_embedding_dup_trained_centroids_oracle_exact(spark, embs):
+    """Trained quantizer blocks stay oracle-exact for embedding_dup too
+    (the pair set CHANGES with the blocking — both engines must change
+    identically)."""
+    import duckdb
+
+    from simple_tsdb_spark.pipeline import embedding_dup_pairs, train_ivf_centroids
+    from simple_tsdb_spark.pipeline.dedup import embedding_dup_oracle
+
+    cs = train_ivf_centroids(embs, iters=2)
+    got = (
+        embedding_dup_pairs(embs, threshold=0.3, centroids=cs)
+        .toPandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(embedding_dup_oracle(threshold=0.3, centroids=cs))
+        .df()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    assert list(got.a) == list(want.a) and list(got.b) == list(want.b)
+    assert np.allclose(got.cos, want.cos)
