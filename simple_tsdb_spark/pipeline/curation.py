@@ -78,9 +78,10 @@ def dedup_components(
     # Materialize the pair graph once: its lineage (often a full LSH plan)
     # would otherwise be recomputed by every propagation round.
     edges = edges.localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("doc")).distinct()
+    nodes = edges.select(F.col("src").alias("doc"))
     if docs is not None:
-        nodes = nodes.unionByName(docs.select(F.col(id_col).alias("doc"))).distinct()
+        nodes = nodes.unionByName(docs.select(F.col(id_col).alias("doc")))
+    nodes = nodes.distinct()  # one distinct over the union, one shuffle
     # Fuse round 1 into initialization: label = min(self, direct
     # neighbors).  Same fixpoint, one fewer propagation round — for the
     # common shallow dup-cluster graphs (diameter ≤ 2) the loop then only
@@ -323,16 +324,18 @@ def pack_sequences(
     """Assign docs to fixed-budget training packs:
     (doc_id, grp, pack, length).
 
-    Contiguous greedy packing, parallelized by hashing docs into
-    ``n_groups`` independent streams: within a group (ordered by id) a
-    doc joins the current pack iff the pack's running total stays under
-    ``budget`` — i.e. ``pack = floor(cumsum_before / budget)`` — the
-    sequential packing used by training-data loaders (docs longer than
-    the budget get a pack of their own and overflow it, they are not
-    split).  One shuffle keyed by the hash group; packs are deterministic
-    because group assignment and intra-group order are both pure
-    functions of the id.  ``n_groups`` bounds per-task state: each task
-    windows over ~N/n_groups rows with an external sort.
+    Offset packing, parallelized by hashing docs into ``n_groups``
+    independent streams: within a group (ordered by id) docs are
+    conceptually concatenated and the stream is chunked every ``budget``
+    units — a doc belongs to the pack its START offset falls in
+    (``pack = floor(cumsum_before / budget)``).  A pack's total can
+    therefore exceed the budget by up to its last doc's length (that doc
+    straddles the chunk edge; docs are never split) — the invariant is
+    "a pack was under budget before its final doc joined", pinned in
+    test_curation.  One shuffle keyed by the hash group; packs are
+    deterministic because group assignment and intra-group order are both
+    pure functions of the id.  ``n_groups`` bounds per-task state: each
+    task windows over ~N/n_groups rows with an external sort.
 
     Note cross-group packs never mix — the price of parallelism is at
     most one under-filled tail pack per group.

@@ -4,9 +4,13 @@ Round 3 shipped a 26-query regression because one fixture column changed
 physical dtype under us (``events.ts``: ns-INT64 → ``timestamp[us]``) and
 every reader assumed the old type.  This module is the single place that
 owns the fixture dtype contract: ``read_fixture`` loads a driver table and
-casts any drifted column back to the dtypes the engine (and its DuckDB
-oracles) were validated against — so a future regeneration of
-``/root/testdata`` is a no-op for every downstream operator.
+losslessly WIDENS any drifted column back to the dtypes the engine (and
+its DuckDB oracles) were validated against.  Narrowing casts are
+deliberately NOT applied: the oracles read the raw parquet, so a
+value-changing cast on the Spark side (double→float) would diverge the
+engines; drifted-wide columns stay as shipped and engine expressions are
+written dtype-tolerant (explicit CAST-to-double in similarity/dedup,
+integer-width-independent string renders in the hash operators).
 
 ``events.ts`` is deliberately *not* in the contract: it is the one column
 whose drift carries semantics (epoch-ns long vs µs timestamp vs NTZ wall
@@ -93,13 +97,50 @@ FIXTURE_CONTRACTS: dict[str, dict[str, str]] = {
 }
 
 
+#: numeric widening ranks — a cast is applied only when it is lossless
+#: (smaller rank → larger rank within a class).
+_NUM_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLT_RANK = {"float": 0, "double": 1}
+
+
+def _widening(src: str, dst: str) -> bool:
+    """True iff casting src → dst cannot change any value.
+
+    The DuckDB oracles read the RAW parquet, so a value-changing cast on
+    the Spark side (e.g. array<double> → array<float>) would silently
+    diverge the two engines — worse than leaving the drifted dtype in
+    place (engine expressions are written dtype-tolerant: explicit
+    CAST-to-double in similarity/dedup, string renders identical for any
+    int width).  Only lossless widenings are normalized.
+    """
+    if src.startswith("array<") and dst.startswith("array<"):
+        return _widening(src[6:-1], dst[6:-1])
+    if src in _NUM_RANK and dst in _NUM_RANK:
+        return _NUM_RANK[src] < _NUM_RANK[dst]
+    if src in _FLT_RANK and dst in _FLT_RANK:
+        return _FLT_RANK[src] < _FLT_RANK[dst]
+    if src in _NUM_RANK and dst == "double":
+        return _NUM_RANK[src] <= 2  # int32 and below fit a double exactly
+    return False
+
+
 def normalize_fixture(df: DataFrame, name: str) -> DataFrame:
-    """Cast drifted columns back to the contract; no-op when conforming."""
+    """Widen drifted columns back to the contract; no-op when conforming.
+
+    Narrowing or cross-class drifts are left as shipped (see
+    :func:`_widening`); semantic drifts — like ``events.ts`` changing
+    physical type — need a dispatching adapter (``adapt_raw_ts``), not a
+    cast.
+    """
     contract = FIXTURE_CONTRACTS.get(name)
     if not contract:
         return df
     dtypes = dict(df.dtypes)
-    drifted = {c: want for c, want in contract.items() if c in dtypes and dtypes[c] != want}
+    drifted = {
+        c: want
+        for c, want in contract.items()
+        if c in dtypes and dtypes[c] != want and _widening(dtypes[c], want)
+    }
     if not drifted:
         return df
     return df.select(

@@ -35,7 +35,11 @@ def streaming_sum_points(
     measurement DataFrame.  Append-mode compatible (finalized windows only
     once the watermark passes)."""
     w = int(window_ns)
-    ts = F.timestamp_micros((F.col("time_ns") / F.lit(1000)).cast("long"))
+    # Integer division: a double division of a ~1.7e18 ns value exceeds
+    # 2^53 and rounds, shifting the event clock by ±1 µs — a boundary
+    # point would then land in the wrong F.window group while its integer
+    # wstart stays put, splitting one (series, wstart) result into two.
+    ts = F.expr("timestamp_micros(time_ns div 1000)")
     src = stream.withColumn("_event_ts", ts).withWatermark("_event_ts", watermark_delay)
     bucket = (F.col("time_ns") - (F.col("time_ns") % F.lit(w))).alias("wstart")
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("window_npoints")]

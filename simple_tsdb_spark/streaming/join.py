@@ -45,7 +45,10 @@ def streaming_interval_join(
         raise ValueError("tol_ns must be positive and µs-aligned (tol % 1000 == 0)")
 
     def clocked(df: DataFrame, src_col: str, ts_name: str) -> DataFrame:
-        ts = F.timestamp_micros((F.col(src_col) / F.lit(1000)).cast("long"))
+        # Integer division: a double division of a ~1.7e18 ns value
+        # exceeds 2^53 and rounds, shifting clocks by ±1 µs and breaking
+        # the exact-tol boundary vs the batch operator.
+        ts = F.expr(f"timestamp_micros({src_col} div 1000)")
         return df.withColumn(ts_name, ts).withWatermark(ts_name, watermark_delay)
 
     lcols = left.columns

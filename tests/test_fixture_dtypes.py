@@ -125,9 +125,12 @@ def test_normalize_fixture_noop_when_conforming(spark):
     assert normalize_fixture(df, "documents") is df
 
 
-def test_normalize_fixture_casts_drifted_columns(spark, tmp_path):
-    """A regenerated fixture with drifted dtypes must come back at the
-    contract dtypes (the round-3 failure mode, generalized per VERDICT #5)."""
+def test_normalize_fixture_widens_but_never_narrows(spark, tmp_path):
+    """A regenerated fixture with drifted dtypes: lossless widenings are
+    normalized back to the contract (the round-3 failure class); drifts
+    WIDER than the contract stay as shipped — the DuckDB oracles read the
+    raw parquet, so a narrowing cast (double→float) would silently
+    diverge the engines (VERDICT #5, refined)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -135,19 +138,21 @@ def test_normalize_fixture_casts_drifted_columns(spark, tmp_path):
 
     drifted = pa.table(
         {
-            "doc_id": pa.array([1, 2], type=pa.int32()),  # contract: bigint
+            "doc_id": pa.array([1, 2], type=pa.int32()),  # contract: bigint — widen
             "text": pa.array(["a", "b"]),
             "lang": pa.array(["en", "de"]),
             "source": pa.array(["web", "web"]),
-            "n_chars": pa.array([1, 1], type=pa.int32()),  # contract: bigint
+            "n_chars": pa.array([1, 1], type=pa.int32()),  # contract: bigint — widen
         }
     )
     pq.write_table(drifted, str(tmp_path / "documents.parquet"))
     emb = pa.table(
         {
             "vec_id": pa.array([1, 2], type=pa.int64()),
-            "embedding": pa.array([[0.1, 0.2], [0.3, 0.4]], type=pa.list_(pa.float64())),  # contract: array<float>
-            "label": pa.array([0, 1], type=pa.int64()),  # contract: int
+            # contract array<float>: narrowing — must stay double
+            "embedding": pa.array([[0.1, 0.2], [0.3, 0.4]], type=pa.list_(pa.float64())),
+            # contract int: narrowing — must stay bigint
+            "label": pa.array([0, 1], type=pa.int64()),
         }
     )
     pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
@@ -156,8 +161,22 @@ def test_normalize_fixture_casts_drifted_columns(spark, tmp_path):
     assert dict(docs.dtypes)["doc_id"] == "bigint"
     assert dict(docs.dtypes)["n_chars"] == "bigint"
     embs = read_fixture(spark, str(tmp_path), "embeddings")
-    assert dict(embs.dtypes)["embedding"] == "array<float>"
-    assert dict(embs.dtypes)["label"] == "int"
+    assert dict(embs.dtypes)["embedding"] == "array<double>"  # untouched
+    assert dict(embs.dtypes)["label"] == "bigint"  # untouched
+
+
+def test_widening_classifier():
+    from simple_tsdb_spark.sources.fixtures import _widening
+
+    assert _widening("int", "bigint")
+    assert _widening("float", "double")
+    assert _widening("array<float>", "array<double>")
+    assert _widening("int", "double")
+    assert not _widening("bigint", "int")
+    assert not _widening("double", "float")
+    assert not _widening("array<double>", "array<float>")
+    assert not _widening("bigint", "double")  # 2^63 doesn't fit a double
+    assert not _widening("string", "timestamp_ntz")
 
 
 def test_adapt_raw_ts_rejects_unknown_dtype(spark):

@@ -101,6 +101,6 @@ def test_streaming_join_is_stateful_with_watermarks(spark, tmp_path):
     # stateful symmetric-hash join with a non-zero event-time watermark
     assert progresses, "no stateOperators reported — join did not run stateful"
     op = progresses[-1]["stateOperators"][0]
-    assert op.get("operatorName", "").startswith("symmetricHashJoin") or op["numRowsTotal"] >= 0
+    assert op.get("operatorName", "").startswith("symmetricHashJoin"), op
     wm = progresses[-1].get("eventTime", {}).get("watermark", "")
     assert wm and not wm.startswith("1970"), f"watermark never advanced: {wm!r}"
