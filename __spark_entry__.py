@@ -420,6 +420,20 @@ def _q_knn_ivf(spark, sf_dir):
     return knn_ivf(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
 
 
+TRAIN_IVF_ITERS = 2
+
+
+def _q_knn_ivf_trained(spark, sf_dir):
+    """IVF search behind a quantizer TRAINED on the corpus (2 Lloyd's
+    iterations, exact floor-quantized integer accumulation) — the oracle
+    independently fits identical centroid literals in DuckDB, so the
+    training path itself sits inside the hash gate."""
+    from simple_tsdb_spark.pipeline import knn_ivf, train_ivf_centroids
+
+    cs = train_ivf_centroids(_embs(spark, sf_dir), iters=TRAIN_IVF_ITERS)
+    return knn_ivf(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10, centroids=cs)
+
+
 def _q_multimodal_meta(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -516,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
         "multimodal_meta": _q_multimodal_meta,
         "blob_features": _q_blob_features,  # mapInPandas — rows-only check
         # relational breadth (joins / grouped agg / top-k)
@@ -809,6 +824,31 @@ def _timeseries_oracles() -> dict[str, str]:
     }
 
 
+def _knn_ivf_trained_oracle() -> str:
+    """Fit the quantizer in DuckDB (bit-identical to the Spark fit by
+    construction — see train_ivf_centroids_duck) on the driver's oracle
+    tables, then emit the standard knn_ivf oracle over those literals.
+    The driver evaluates oracles at sf0.01; SPARK_GRAFT_ORACLE_SF lets
+    local check_oracle runs point the fit at another sf dir."""
+    import os
+
+    import duckdb
+
+    from simple_tsdb_spark.pipeline import train_ivf_centroids_duck
+    from simple_tsdb_spark.pipeline.similarity import knn_ivf_oracle
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        cs = train_ivf_centroids_duck(con, iters=TRAIN_IVF_ITERS)
+    finally:
+        con.close()
+    return knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10, centroids=cs)
+
+
 def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.curation import (
         dedup_components_oracle,
@@ -821,6 +861,7 @@ def _pipeline_oracles() -> dict[str, str]:
         embedding_dup_oracle,
         exact_dedup_oracle,
         minhash_lsh_oracle,
+        minhash_lsh_oracle_parts,
         ngram_jaccard_oracle,
         simhash_pairs_oracle,
     )
@@ -857,7 +898,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "minhash_lsh": minhash_lsh_oracle(),
         "simhash_pairs": simhash_pairs_oracle(max_hamming=SIMHASH_MAX_HAMMING),
         "embedding_dup": embedding_dup_oracle(threshold=EMB_COS_THRESHOLD),
-        "dedup_clusters": dedup_components_oracle(minhash_lsh_oracle()),
+        "dedup_clusters": dedup_components_oracle(minhash_lsh_oracle_parts()),
         "hash_split": hash_split_oracle(),
         "domain_topk": domain_topk_oracle(k=DOMAIN_TOPK_K),
         "mixture_sample": mixture_sample_oracle(rates=MIXTURE_RATES, default_rate=50),
@@ -865,6 +906,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "knn_brute": knn_brute_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
+        "knn_ivf_trained": _knn_ivf_trained_oracle(),
         "multimodal_meta": attach_blob_meta_oracle(),
         "blob_features": blob_features_oracle(),
         "pricing_summary": pricing_summary_oracle(),

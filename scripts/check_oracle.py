@@ -80,6 +80,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
+    # Data-dependent oracle builders (knn_ivf_trained fits its quantizer
+    # from the oracle tables) must train at the sf under test; the real
+    # driver always evaluates at sf0.01, the builder's default.
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import __spark_entry__ as entry_mod
     from simple_tsdb_spark import get_spark
 

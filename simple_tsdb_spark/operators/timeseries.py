@@ -131,14 +131,19 @@ def interval_join(
     B = int(tol_ns)
     if B <= 0:
         raise ValueError("tol_ns must be positive")
-    lb = left.withColumn("_b", F.floor(F.col("time_ns") / F.lit(B)))
+    # Integer `div`, not F.floor(x / B): `/` is double division and epoch-ns
+    # values (~1.7e18) exceed 2^53, so rows at exact tol multiples could land
+    # in the wrong bucket and a |Δt|==tol pair could silently miss the ±1
+    # replication window.  time_ns is non-negative epoch ns, so `div` ==
+    # floordiv here.
+    lb = left.withColumn("_b", F.expr(f"time_ns div {B}"))
     rb = (
         right.select(
             "series",
             F.col("time_ns").alias("match_time_ns"),
             *[F.col(f).alias(f"{f}_match") for f in right_fields],
         )
-        .withColumn("_b0", F.floor(F.col("match_time_ns") / F.lit(B)))
+        .withColumn("_b0", F.expr(f"match_time_ns div {B}"))
         .withColumn("_b", F.explode(F.expr("array(_b0 - 1L, _b0, _b0 + 1L)")))
         .drop("_b0")
     )

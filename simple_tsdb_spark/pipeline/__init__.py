@@ -38,6 +38,7 @@ from simple_tsdb_spark.pipeline.similarity import (
     knn_ivf,
     knn_lsh,
     train_ivf_centroids,
+    train_ivf_centroids_duck,
 )
 from simple_tsdb_spark.pipeline.multimodal import (
     attach_blob,
@@ -66,6 +67,7 @@ __all__ = [
     "knn_ivf",
     "knn_lsh",
     "train_ivf_centroids",
+    "train_ivf_centroids_duck",
     "attach_blob",
     "extract_blob_features",
     "resize_images",

@@ -120,22 +120,21 @@ def dedup_components(
     )
 
 
-def dedup_components_oracle(pairs_sql: str, table: str = "documents") -> str:
+def dedup_components_oracle(pairs_parts: tuple[str, str], table: str = "documents") -> str:
     """Recursive-CTE twin: min label reachable through the pair graph.
 
-    ``pairs_sql`` must be a complete SELECT producing columns (a, b[, ...])
-    — e.g. :func:`simple_tsdb_spark.pipeline.dedup.minhash_lsh_oracle`.
-    The recursive UNION deduplicates (doc, lbl) states, so the fixpoint is
-    the full reach set; MIN over it equals the component min.
+    ``pairs_parts`` is the structured ``(cte_list, final_select)`` pair a
+    pairs oracle exposes (e.g.
+    :func:`simple_tsdb_spark.pipeline.dedup.minhash_lsh_oracle_parts`);
+    the final SELECT must produce columns (a, b[, ...]).  Taking the two
+    halves separately — DuckDB allows only one WITH RECURSIVE clause, so
+    the pairs CTEs must fold into ours — avoids reverse-parsing assembled
+    SQL, which silently corrupts if a pairs oracle ever indents its final
+    SELECT or embeds a column-0 SELECT in a subquery.  The recursive
+    UNION deduplicates (doc, lbl) states, so the fixpoint is the full
+    reach set; MIN over it equals the component min.
     """
-    # DuckDB allows only one WITH RECURSIVE clause: fold the pairs query's
-    # own CTEs into the recursive WITH by stripping its "WITH" keyword.
-    body = pairs_sql.strip()
-    assert body.upper().startswith("WITH "), "pairs_sql must start with WITH"
-    pair_ctes = body[5:]  # keep its CTE list; its final SELECT becomes `p`
-    # Split the trailing top-level SELECT off the CTE list.
-    idx = pair_ctes.upper().rindex("\nSELECT ")
-    cte_list, final_select = pair_ctes[:idx], pair_ctes[idx:]
+    cte_list, final_select = pairs_parts
     return f"""
 WITH RECURSIVE {cte_list},
 p AS ({final_select}),
@@ -294,14 +293,21 @@ def mixture_sample_oracle(
     id_col: str = "doc_id",
     salt: str = "mix-v1",
 ) -> str:
-    cases = " ".join(
-        f"WHEN {domain_col} = '{dom}' THEN {r}" for dom, r in sorted(rates.items())
-    )
+    if rates:
+        cases = " ".join(
+            f"WHEN {domain_col} = '{dom}' THEN {r}" for dom, r in sorted(rates.items())
+        )
+        rate_expr = f"CASE {cases} ELSE {default_rate} END"
+    else:
+        # Mirror the Spark builder, which starts from F.lit(default_rate):
+        # an empty rates dict is valid (pure default_rate), but
+        # "CASE  ELSE x END" is a DuckDB syntax error.
+        rate_expr = str(default_rate)
     return f"""
 SELECT {id_col}, domain, bucket FROM (
   SELECT {id_col}, {domain_col} AS domain,
          {_hash60_duck(f"concat('{salt}:', CAST({id_col} AS VARCHAR))")} % {SPLIT_BUCKETS} AS bucket,
-         CASE {cases} ELSE {default_rate} END AS rate
+         {rate_expr} AS rate
   FROM {table})
 WHERE bucket < rate
 """

@@ -254,7 +254,11 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def minhash_lsh_oracle(table: str = "documents") -> str:
+def minhash_lsh_oracle_parts(table: str = "documents") -> tuple[str, str]:
+    """(cte_list, final_select) halves of the oracle, kept separate so
+    consumers that must embed the pairs query inside their own WITH
+    RECURSIVE (``curation.dedup_components_oracle``) can compose SQL
+    structurally instead of reverse-parsing the assembled string."""
     rows_per_band = N_HASHES // N_BANDS
     sig_cols = ",\n         ".join(
         f"MIN(({_MINHASH_A[j]} * hb + {_MINHASH_B[j]}) % {MERSENNE31}) AS h{j}"
@@ -266,19 +270,25 @@ def minhash_lsh_oracle(table: str = "documents") -> str:
             f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
         )
         band_exprs.append(f"SELECT doc, {b} AS band_id, {parts} AS key FROM sig")
-    return f"""
-WITH sh0 AS (
+    cte_list = f"""sh0 AS (
   SELECT doc_id AS doc, UNNEST({_shingles_duck('text', MINHASH_STRIDE)}) AS sh FROM {table}),
 sh AS (SELECT doc, {_hash60_duck('sh')} % {MERSENNE31} AS hb FROM sh0),
 sig AS (
   SELECT doc,
          {sig_cols}
   FROM sh GROUP BY doc),
-buckets AS ({' UNION ALL '.join(band_exprs)})
+buckets AS ({' UNION ALL '.join(band_exprs)})"""
+    final_select = """
 SELECT x.doc AS a, y.doc AS b, COUNT(*) AS n_bands
 FROM buckets x JOIN buckets y ON x.band_id = y.band_id AND x.key = y.key AND x.doc < y.doc
 GROUP BY x.doc, y.doc
 """
+    return cte_list, final_select
+
+
+def minhash_lsh_oracle(table: str = "documents") -> str:
+    cte_list, final_select = minhash_lsh_oracle_parts(table)
+    return f"WITH {cte_list}{final_select}"
 
 
 # -- simhash ----------------------------------------------------------------

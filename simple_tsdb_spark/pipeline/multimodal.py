@@ -65,6 +65,8 @@ def _decode_pnm(payload: bytes):
     while len(tokens) < 4:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
+        if i >= len(payload):
+            raise DecoderNotAvailable("truncated PNM header")
         if payload[i : i + 1] == b"#":  # comment to end of line
             while i < len(payload) and payload[i : i + 1] != b"\n":
                 i += 1
@@ -75,10 +77,15 @@ def _decode_pnm(payload: bytes):
         tokens.append(payload[i:j])
         i = j
     i += 1  # single whitespace after maxval, then raster
-    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    try:
+        magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    except ValueError as e:
+        raise DecoderNotAvailable(f"malformed PNM header: {e}") from e
     if magic not in (b"P5", b"P6") or maxval > 255:
         raise DecoderNotAvailable(f"unsupported PNM variant {magic!r}/maxval={maxval}")
     ch = 3 if magic == b"P6" else 1
+    if w <= 0 or h <= 0 or len(payload) - i < w * h * ch:
+        raise DecoderNotAvailable("truncated PNM raster")
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
     return data.reshape((h, w, 3)) if ch == 3 else data.reshape((h, w))
 
@@ -91,15 +98,20 @@ def _decode_bmp(payload: bytes):
 
     if payload[:2] != b"BM":
         raise DecoderNotAvailable("not a BMP stream")
-    (pix_off,) = struct.unpack_from("<I", payload, 10)
-    w, h = struct.unpack_from("<ii", payload, 18)
-    (bpp,) = struct.unpack_from("<H", payload, 28)
-    (compression,) = struct.unpack_from("<I", payload, 30)
+    try:
+        (pix_off,) = struct.unpack_from("<I", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+    except struct.error as e:
+        raise DecoderNotAvailable(f"truncated BMP header: {e}") from e
     if bpp != 24 or compression != 0:
         raise DecoderNotAvailable(f"only uncompressed 24-bit BMP (got bpp={bpp})")
     flip = h > 0  # positive height ⇒ bottom-up row order
     h = abs(h)
     stride = (w * 3 + 3) // 4 * 4
+    if w <= 0 or h == 0 or pix_off < 0 or len(payload) < pix_off + stride * h:
+        raise DecoderNotAvailable("truncated BMP raster")
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
     img = rows.reshape((h, stride))[:, : w * 3].reshape((h, w, 3))
     if flip:
@@ -123,6 +135,8 @@ def _decode_wav(payload: bytes):
     dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
     if dtype is None:
         raise DecoderNotAvailable(f"unsupported WAV sample width {width}")
+    if nch <= 0 or len(frames) % (width * nch):
+        raise DecoderNotAvailable("truncated WAV frame data")
     data = np.frombuffer(frames, dtype=dtype).reshape((-1, nch))
     return data, rate
 

@@ -264,6 +264,37 @@ def _score_array_duck(
     return "[" + ", ".join(scores) + "]"
 
 
+#: fixed-point grid for centroid-mean accumulation: per-dim contributions
+#: quantize to floor(x·1e9) BIGINTs so the cross-partition sum is exact
+#: integer math — bit-identical for ANY row/partition order and for any
+#: engine.  floor() avoids rounding-mode divergence (Spark casts HALF_UP,
+#: DuckDB HALF_EVEN); the 1e-9 resolution loss is immaterial to k-means.
+_TRAIN_QUANT = 1_000_000_000
+
+
+def _lloyd_refine(sum_rows_fn, nlist: int, dim: int, iters: int) -> list[list[float]]:
+    """Shared Lloyd's driver loop: ``sum_rows_fn(cs)`` returns per-list
+    ``(list_id, n, [quantized long sums])`` for the current centroids;
+    the mean/guard arithmetic runs HERE in plain Python so the Spark and
+    DuckDB trainers produce byte-identical literals whenever their
+    quantized sums agree (which exact integer math guarantees)."""
+    cs = default_centroids(nlist, dim)
+    for _ in range(int(iters)):
+        nxt = [list(c) for c in cs]
+        for list_id, n, sums in sum_rows_fn(cs):
+            if n:
+                mean = [(s / _TRAIN_QUANT) / n for s in sums]
+                # A near-zero-norm mean (opposing vectors cancel) would
+                # make the quantizer score dot/|c| divide by ~0 — NULL in
+                # Spark, inf/nan in DuckDB — so argmax assignment would
+                # diverge between engines.  Treat it like an empty list:
+                # keep the previous centroid.
+                if sum(x * x for x in mean) >= 1e-12:
+                    nxt[list_id] = mean
+        cs = nxt
+    return cs
+
+
 def train_ivf_centroids(
     df: DataFrame,
     *,
@@ -279,16 +310,23 @@ def train_ivf_centroids(
     quantizer expression the read path uses), and recompute each centroid
     as the mean of its assigned vectors (one groupBy; only nlist rows of
     dim sums ever reach the driver, so the driver payload is
-    nlist×dim floats per iteration regardless of corpus size).  Empty
+    nlist×dim values per iteration regardless of corpus size).  Empty
     lists keep their previous centroid.  The result is a plain Python
     list of literals — exactly what ``knn_ivf``/its DuckDB oracle take,
     so a trained quantizer stays hash-checkable.
+
+    The fit is fully deterministic: per-dim contributions quantize to
+    ``floor(x·1e9)`` BIGINTs before summing (see ``_TRAIN_QUANT``), so
+    the result is independent of partitioning/row order and
+    :func:`train_ivf_centroids_duck` reproduces it bit-for-bit — which
+    is what lets a *trained* quantizer sit inside the driver's hash gate
+    (both engines independently fit the same literals from the data).
     """
-    cs = default_centroids(nlist, dim)
     emb = df.select(
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb")
     ).localCheckpoint(eager=True)
-    for _ in range(int(iters)):
+
+    def sum_rows(cs):
         assigned = emb.withColumn(
             "_sarr", F.expr(_score_array_spark("emb", dim, cs))
         ).withColumn(
@@ -298,16 +336,51 @@ def train_ivf_centroids(
             assigned.groupBy("list_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("emb")[d]).alias(f"s{d}") for d in range(dim)],
+                *[
+                    F.sum(
+                        F.expr(f"CAST(floor(emb[{d}] * CAST({_TRAIN_QUANT} AS DOUBLE)) AS BIGINT)")
+                    ).alias(f"s{d}")
+                    for d in range(dim)
+                ],
             )
             .collect()  # ≤ nlist rows — bounded, corpus-size independent
         )
-        nxt = [list(c) for c in cs]
-        for r in rows:
-            if r["n"]:
-                nxt[r["list_id"]] = [r[f"s{d}"] / r["n"] for d in range(dim)]
-        cs = nxt
-    return cs
+        return [(r["list_id"], r["n"], [r[f"s{d}"] for d in range(dim)]) for r in rows]
+
+    return _lloyd_refine(sum_rows, nlist, dim, iters)
+
+
+def train_ivf_centroids_duck(
+    con,
+    *,
+    table: str = "embeddings",
+    nlist: int = N_LISTS,
+    dim: int = 64,
+    iters: int = 3,
+) -> list[list[float]]:
+    """DuckDB twin of :func:`train_ivf_centroids` — same init, same
+    argmax-of-rounded-scores assignment, same floor-quantized integer
+    sums, same shared Python mean loop — so both engines fit identical
+    centroid literals from the same data.  Used by the oracle builder to
+    embed a trained quantizer without touching Spark."""
+
+    def sum_rows(cs):
+        sarr = _score_array_duck("embedding::DOUBLE[]", dim, cs)
+        scols = ", ".join(
+            f"SUM(CAST(floor(emb[{d + 1}] * CAST({_TRAIN_QUANT} AS DOUBLE)) AS BIGINT)) AS s{d}"
+            for d in range(dim)
+        )
+        q = f"""
+WITH e AS (
+  SELECT embedding::DOUBLE[] AS emb, {sarr} AS sarr FROM {table}),
+a AS (
+  SELECT emb, CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
+  FROM e)
+SELECT list_id, COUNT(*) AS n, {scols} FROM a GROUP BY list_id
+"""
+        return [(r[0], r[1], list(r[2:])) for r in con.execute(q).fetchall()]
+
+    return _lloyd_refine(sum_rows, nlist, dim, iters)
 
 
 def knn_ivf(

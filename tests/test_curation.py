@@ -217,6 +217,28 @@ def test_mixture_sample_rejects_bad_rate(spark):
         mixture_sample(df, {"web": 150})
 
 
+def test_mixture_sample_empty_rates_matches_oracle(spark):
+    """Empty rates (pure default_rate) is a valid input for BOTH the
+    operator and its oracle — the oracle must emit a plain literal, not a
+    clause-less CASE (DuckDB syntax error)."""
+    import duckdb
+
+    from simple_tsdb_spark.pipeline.curation import mixture_sample_oracle
+
+    pdf = _skewed_corpus()
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (r.doc_id, r.domain, r.bucket)
+        for r in mixture_sample(df, {}, default_rate=40).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        map(tuple, con.execute(mixture_sample_oracle(rates={}, default_rate=40)).fetchall())
+    )
+    assert got == want and len(got) > 0
+
+
 def _pack_model(pdf: pd.DataFrame, budget: int, n_groups: int, salt: str = "pack-v1"):
     """Python reimplementation: greedy contiguous packing per hash group."""
     out = {}

@@ -144,3 +144,27 @@ def test_resize_real_decoder_rejects_audio(spark):
     with pytest.raises(Exception) as exc:
         resize_images(df, width=2, height=2, use_real_decoder=True).collect()
     assert "image" in str(exc.value)
+
+
+def test_truncated_payloads_raise_decoder_not_available():
+    """Malformed/truncated media must signal DecoderNotAvailable, not
+    escape as raw ValueError/struct.error (one bad blob would otherwise
+    kill the whole mapInPandas task)."""
+    img = _img(4, 4, seed=7)
+    full_ppm = _ppm_bytes(img)
+    full_bmp = _bmp_bytes(img)
+    samples = np.arange(-8, 8, dtype=np.int16).reshape(-1, 2)
+    full_wav = _wav_bytes(samples)
+    cases = [
+        (b"P6", "image/x-portable-pixmap"),            # header cut mid-token
+        (b"P6\n4 4\n255\n" + b"\x00" * 5, "image/x-portable-pixmap"),  # short raster
+        (b"P6\n4 x\n255\n", "image/x-portable-pixmap"),  # non-numeric dim
+        (full_ppm[:10], "image/x-portable-pixmap"),
+        (full_bmp[:20], "image/bmp"),                  # header truncated
+        (full_bmp[:-30], "image/bmp"),                 # raster truncated
+        (full_wav[:-3], "audio/wav"),                  # frame data truncated
+        (b"", "image/bmp"),
+    ]
+    for payload, mime in cases:
+        with pytest.raises(DecoderNotAvailable):
+            decode_media(payload, mime)

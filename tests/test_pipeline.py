@@ -236,3 +236,38 @@ def test_embedding_dup_trained_centroids_oracle_exact(spark, embs):
     )
     assert list(got.a) == list(want.a) and list(got.b) == list(want.b)
     assert np.allclose(got.cos, want.cos)
+
+
+def test_train_ivf_zero_norm_mean_keeps_previous_centroid(spark):
+    """A list whose assigned vectors cancel to a ~zero mean must keep its
+    previous centroid — a zero centroid would make the quantizer score
+    dot/|c| divide by zero (NULL in Spark, inf/nan in DuckDB) and the
+    engines' argmax assignment would diverge."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import train_ivf_centroids
+    from simple_tsdb_spark.pipeline.similarity import default_centroids
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    pdf = pd.DataFrame({"vec_id": [1, 2], "embedding": [v, [-x for x in v]]})
+    df = spark.createDataFrame(pdf)
+    # nlist=1: both vectors land in list 0 and their mean is exactly zero.
+    cs = train_ivf_centroids(df, nlist=1, dim=4, iters=2)
+    assert cs == default_centroids(1, 4)
+
+
+def test_train_ivf_spark_and_duck_fits_identical(spark, embs):
+    """The crux of the trained-quantizer hash gate: the Spark fit and the
+    DuckDB fit must produce byte-identical centroid literals (exact
+    floor-quantized integer accumulation makes both order-independent)."""
+    import duckdb
+
+    from simple_tsdb_spark.pipeline import train_ivf_centroids, train_ivf_centroids_duck
+
+    got = train_ivf_centroids(embs, iters=2)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = train_ivf_centroids_duck(con, iters=2)
+    assert got == want  # exact float equality, not allclose

@@ -96,6 +96,26 @@ def test_interval_join_bucket_boundaries(spark):
     assert len(pairs) == len(set(pairs))  # no duplicate emissions
 
 
+def test_interval_join_epoch_ns_precision(spark):
+    """Bucket ids must use integer division: epoch-ns magnitudes (~1.7e18)
+    exceed 2^53, so a double-division floor can misbucket rows at exact
+    tol multiples and silently drop a |Δt|==tol pair."""
+    from simple_tsdb_spark.operators import interval_join
+
+    tol = 100  # ns — far below double resolution at 1.7e18
+    t = 1_700_000_000_000_000_000
+    left = mk(spark, [("a", t, 1.0)])
+    right = mk(
+        spark,
+        [("a", t - tol, 9.0), ("a", t + tol, 8.0), ("a", t - tol - 1, 7.0)],
+    )
+    got = sorted(
+        (r.time_ns, r.match_time_ns)
+        for r in interval_join(left, right, tol_ns=tol, right_fields=["v"]).collect()
+    )
+    assert got == [(t, t - tol), (t, t + tol)]
+
+
 def test_interval_join_rejects_bad_tol(spark):
     from simple_tsdb_spark.operators import interval_join
 
