@@ -22,6 +22,7 @@ from simple_tsdb_spark.pipeline.dedup import (
     exact_dedup,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
+    simhash_band_dedup,
     simhash_pairs,
     embedding_dup_pairs,
 )
@@ -55,6 +56,7 @@ __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "simhash_band_dedup",
     "simhash_pairs",
     "embedding_dup_pairs",
     "dedup_components",

@@ -326,15 +326,16 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_groups: int = PACK_GROUPS,
     salt: str = "pack-v1",
+    strict: bool = False,
 ) -> DataFrame:
     """Assign docs to fixed-budget training packs:
     (doc_id, grp, pack, length).
 
-    Offset packing, parallelized by hashing docs into ``n_groups``
-    independent streams: within a group (ordered by id) docs are
-    conceptually concatenated and the stream is chunked every ``budget``
-    units — a doc belongs to the pack its START offset falls in
-    (``pack = floor(cumsum_before / budget)``).  A pack's total can
+    Default mode is offset packing, parallelized by hashing docs into
+    ``n_groups`` independent streams: within a group (ordered by id) docs
+    are conceptually concatenated and the stream is chunked every
+    ``budget`` units — a doc belongs to the pack its START offset falls
+    in (``pack = floor(cumsum_before / budget)``).  A pack's total can
     therefore exceed the budget by up to its last doc's length (that doc
     straddles the chunk edge; docs are never split) — the invariant is
     "a pack was under budget before its final doc joined", pinned in
@@ -343,12 +344,53 @@ def pack_sequences(
     pure functions of the id.  ``n_groups`` bounds per-task state: each
     task windows over ~N/n_groups rows with an external sort.
 
+    ``strict=True`` is the never-exceed variant a token-budgeted trainer
+    wants: first-fit in id order within the hash group (each doc joins
+    the lowest-numbered open pack with enough remaining capacity, else
+    opens a new pack) via ``applyInPandas`` — same one shuffle on the
+    hash group, Arrow-batched Python per group instead of a window.  A
+    doc longer than ``budget`` can never fit a pack and raises
+    ``ValueError`` (filter or truncate upstream).  Sequential by nature
+    (each placement depends on all prior ones), so there is no
+    window-function form; ``n_groups`` is the parallelism dial.
+
     Note cross-group packs never mix — the price of parallelism is at
-    most one under-filled tail pack per group.
+    most one under-filled tail pack per group (default) / a few open
+    tails (strict).
     """
     grp = F.expr(
         f"{_hash60(f'''concat('{salt}:', CAST({id_col} AS STRING))''')} % {n_groups}"
     )
+    base = df.select(F.col(id_col), F.col(length_col).alias("length"), grp.alias("grp"))
+    if strict:
+        import pandas as pd
+
+        b = int(budget)
+
+        def first_fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            remaining: list[int] = []  # open-pack capacities, index = pack id
+            packs: list[int] = []
+            for length in pdf["length"]:
+                if length > b:
+                    raise ValueError(
+                        f"pack_sequences(strict=True): doc length {length} "
+                        f"exceeds budget {b}"
+                    )
+                for i, rem in enumerate(remaining):
+                    if rem >= length:
+                        remaining[i] = rem - length
+                        packs.append(i)
+                        break
+                else:
+                    remaining.append(b - length)
+                    packs.append(len(remaining) - 1)
+            pdf["pack"] = pd.Series(packs, dtype="int64")
+            return pdf[[id_col, "grp", "pack", "length"]]
+
+        return base.groupBy("grp").applyInPandas(
+            first_fit, schema=f"{id_col} long, grp long, pack long, length long"
+        )
     from pyspark.sql import Window
 
     w = (
@@ -357,8 +399,7 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.select(F.col(id_col), F.col(length_col).alias("length"), grp.alias("grp"))
-        .withColumn("_cum", F.sum("length").over(w))
+        base.withColumn("_cum", F.sum("length").over(w))
         .select(
             id_col,
             "grp",

@@ -381,6 +381,57 @@ WHERE hamming <= {max_hamming}
 """
 
 
+def simhash_band_dedup(
+    df: DataFrame,
+    *,
+    max_hamming: int = 6,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy band-ownership near-dup FILTER (keep/drop per doc), the
+    batch twin of ``streaming.streaming_simhash_dedup``.
+
+    Processing docs in ``order_col`` order with a running set of seen
+    (band_id, band value) keys — every doc inserts all of its
+    ``max_hamming+1`` band keys; a doc SURVIVES iff all of its keys were
+    unseen — is order-equivalent to: a doc survives iff it is the
+    minimum-``order_col`` presenter of every one of its band keys.  That
+    reformulation is a plain window min, so the batch twin is two
+    shuffles (band key, then doc) with no sequential pass.
+
+    Recall is total by pigeonhole: two docs at hamming ≤ ``max_hamming``
+    share ≥1 band, so the later one can never survive.  Precision is the
+    trade: docs sharing a band at hamming > ``max_hamming`` also drop —
+    this is a streaming-grade PRE-filter; exact pair finding stays with
+    ``simhash_pairs``.  Output: (doc, order, sh, survives).
+    """
+    fp = simhash_df(df, text_col=text_col, id_col=id_col, carry=(order_col,) if order_col != id_col else ())
+    if order_col == id_col:
+        fp = fp.withColumn("_ord", F.col("doc"))
+    else:
+        fp = fp.withColumnRenamed(order_col, "_ord")
+    bands = _simhash_bands(max_hamming)
+    stack = ", ".join(
+        f"{i}, CAST(shiftright(sh, {shift}) & {(1 << width) - 1} AS BIGINT)"
+        for i, (shift, width) in enumerate(bands)
+    )
+    banded = fp.selectExpr("doc", "_ord", "sh", f"stack({len(bands)}, {stack}) AS (band_id, key)")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "key")
+    owned = banded.withColumn("_first", F.min("_ord").over(w))
+    return (
+        owned.groupBy("doc")
+        .agg(
+            F.first("_ord").alias("order"),
+            F.first("sh").alias("sh"),
+            F.min((F.col("_first") == F.col("_ord")).cast("int")).alias("_all_first"),
+        )
+        .select("doc", "order", "sh", (F.col("_all_first") == 1).alias("survives"))
+    )
+
+
 # -- embedding cosine -------------------------------------------------------
 
 def _dot(u: str, v: str) -> str:

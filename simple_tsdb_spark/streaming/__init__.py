@@ -1,4 +1,4 @@
-from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup
+from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup, streaming_simhash_dedup
 from simple_tsdb_spark.streaming.ingest import start_ingest, start_ingest_with_rollup
 from simple_tsdb_spark.streaming.join import streaming_interval_join
 from simple_tsdb_spark.streaming.stateful import streaming_ewma
@@ -8,5 +8,6 @@ __all__ = [
     "start_ingest_with_rollup",
     "streaming_ewma",
     "streaming_exact_dedup",
+    "streaming_simhash_dedup",
     "streaming_interval_join",
 ]

@@ -279,3 +279,56 @@ def test_pack_sequences_overflow_bounded_by_last_doc(spark):
     for _, g in out.groupby("grp"):
         packs = sorted(g["pack"].unique())
         assert packs == list(range(len(packs)))
+
+
+def _first_fit_model(pdf: pd.DataFrame, budget: int, n_groups: int, salt: str = "pack-v1"):
+    """Python first-fit model: id order within hash group."""
+    out = {}
+    grp = {
+        i: int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16) % n_groups
+        for i in pdf.doc_id
+    }
+    lens = dict(zip(pdf.doc_id, pdf.n_chars))
+    for g in sorted(set(grp.values())):
+        remaining = []
+        for i in sorted(i for i in pdf.doc_id if grp[i] == g):
+            for p, rem in enumerate(remaining):
+                if rem >= lens[i]:
+                    remaining[p] -= lens[i]
+                    out[i] = (g, p)
+                    break
+            else:
+                remaining.append(budget - lens[i])
+                out[i] = (g, len(remaining) - 1)
+    return out
+
+
+def test_pack_sequences_strict_matches_python_model(spark):
+    pdf = _skewed_corpus()
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id: (r.grp, r.pack)
+        for r in pack_sequences(df, budget=2600, n_groups=4, strict=True).collect()
+    }
+    assert got == _first_fit_model(pdf, budget=2600, n_groups=4)
+
+
+def test_pack_sequences_strict_never_exceeds_budget(spark):
+    budget = 3000
+    df = spark.createDataFrame(_skewed_corpus())
+    out = pack_sequences(df, budget=budget, strict=True, n_groups=2).toPandas()
+    assert (out.groupby(["grp", "pack"])["length"].sum() <= budget).all()
+    # every doc still packed exactly once
+    assert len(out) == len(_skewed_corpus())
+    # packs are contiguous ints per group starting at 0
+    for _, g in out.groupby("grp"):
+        packs = sorted(g["pack"].unique())
+        assert packs == list(range(len(packs)))
+
+
+def test_pack_sequences_strict_rejects_oversized_doc(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "source": ["web"], "n_chars": [99]})
+    )
+    with pytest.raises(Exception, match="exceeds budget"):
+        pack_sequences(df, budget=50, strict=True).collect()

@@ -1,0 +1,110 @@
+"""Streaming near-dup filter (simhash band ownership): equality with the
+batch twin on survivors, total recall on exact duplicates, and bounded
+stateful execution (two chained stateful operators, append mode)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from simple_tsdb_spark.pipeline import simhash_band_dedup
+from simple_tsdb_spark.streaming import streaming_simhash_dedup
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("event_ts", T.TimestampType(), False),
+    ]
+)
+
+def _docs() -> list[tuple[int, str]]:
+    # Distinct per-doc vocabularies (simhash is order-independent, so
+    # texts must differ in their word BAGS, not just order); doc 3 is an
+    # exact dup of doc 1, doc 5 a one-word edit of doc 2.
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(24))) for i in range(8)]
+    docs[3] = (3, docs[1][1])
+    near = docs[2][1].split()
+    near[5] = "feline"
+    docs[5] = (5, " ".join(near))
+    return docs
+
+
+def _write_one_doc_files(src: str, docs, base_ts: pd.Timestamp):
+    """One parquet file per doc with strictly increasing mtimes so the
+    file source replays them in doc order, one micro-batch each."""
+    os.makedirs(src, exist_ok=True)
+    for j, (i, text) in enumerate(docs):
+        path = os.path.join(src, f"doc_{j:03d}.parquet")
+        ts = base_ts + pd.Timedelta(seconds=i)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([i], pa.int64()),
+                    "text": pa.array([text], pa.string()),
+                    "event_ts": pa.array([ts.to_pydatetime()], pa.timestamp("us")),
+                }
+            ),
+            path,
+        )
+        mt = 1_700_000_000 + 10 * j
+        os.utime(path, (mt, mt))
+
+
+def test_streaming_simhash_dedup_equals_batch_twin(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    docs = _docs()
+    src = str(tmp_path / "near_src")
+    flush = [(999, "totally unrelated flush content zzz qqq")]
+    _write_one_doc_files(src, docs, base)
+    # flush doc a day later advances the watermark past every real window
+    _write_one_doc_files(str(tmp_path / "flush"), flush, base + pd.Timedelta(days=1))
+    os.rename(
+        str(tmp_path / "flush" / "doc_000.parquet"),
+        os.path.join(src, "zzz_flush.parquet"),
+    )
+    mt = 1_700_000_000 + 10 * 50
+    os.utime(os.path.join(src, "zzz_flush.parquet"), (mt, mt))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_simhash_dedup(
+        stream, max_hamming=3, watermark_delay="1 hour", finalize_window="1 minute"
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("near_dedup").start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT doc_id, simhash FROM near_dedup").toPandas()
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    twin = simhash_band_dedup(
+        spark.createDataFrame(pdf), max_hamming=3, order_col="doc_id"
+    ).toPandas()
+    want_survivors = set(twin[twin.survives].doc)
+    assert set(got.doc_id) == want_survivors
+    # exact duplicate (doc 3 == doc 1) can never survive
+    assert 1 in want_survivors and 3 not in set(got.doc_id)
+    # fingerprints agree between the streaming (pure-expression) and
+    # batch (codegen aggregation) simhash forms
+    sh_twin = dict(zip(twin.doc, twin.sh))
+    assert all(sh_twin[r.doc_id] == r.simhash for r in got.itertuples())
+
+
+def test_simhash_band_dedup_total_recall(spark):
+    """No surviving pair may be within max_hamming of each other —
+    pigeonhole guarantees the later one drops."""
+    pdf = pd.DataFrame(_docs(), columns=["doc_id", "text"])
+    out = simhash_band_dedup(spark.createDataFrame(pdf), max_hamming=3, order_col="doc_id").toPandas()
+    surv = out[out.survives]
+    fps = list(zip(surv.doc, surv.sh))
+    for i, (da, a) in enumerate(fps):
+        for db, b in fps[i + 1 :]:
+            assert bin(int(a) ^ int(b)).count("1") > 3, (da, db)
