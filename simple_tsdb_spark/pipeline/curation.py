@@ -55,6 +55,7 @@ def dedup_components(
     b_col: str = "b",
     id_col: str = "doc_id",
     max_iter: int = CC_MAX_ITER,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Collapse near-dup pairs into clusters: (doc, component).
 
@@ -63,12 +64,24 @@ def dedup_components(
     ``docs`` is given, every document appears in the output; docs in no
     pair form singleton clusters (component = own id).
 
-    Hash-to-min label propagation: each round every node's label becomes
-    the min of its own and its neighbors' labels.  Monotone (labels only
-    decrease, bounded below by the component min) and exact on
-    convergence, which takes at most ``diameter`` rounds.  Raises
+    Hash-to-min label propagation with a pointer-jumping shortcut: each
+    round (1) every node's label becomes the min of its own and its
+    neighbors' labels, then (2) labels join labels — the large-star
+    contraction — so a node inherits its LABEL's label
+    (``lbl ← lbl(lbl(doc))``).  Step 2 halves label-chain depth per
+    round, cutting convergence from O(diameter) to O(log diameter)
+    rounds on chain/star-shaped dup graphs at the cost of one extra
+    label-keyed hash join per round (both relations already
+    materialized; still exactly one ``localCheckpoint`` + one driver
+    scalar per round).  Labels only decrease and always name a node of
+    the same component (a neighbor's min or a label's label), so the
+    fixpoint is exact: a round with zero changes means neighbor-min
+    stability, the hash-to-min convergence condition.  Raises
     ``RuntimeError`` if ``max_iter`` rounds don't converge rather than
     returning partially-merged clusters.
+
+    ``stats``, when given, receives ``{"rounds": n}`` for observability
+    (the scale smoke asserts round counts stay flat as the corpus grows).
     """
     a = F.col(a_col).alias("src")
     b = F.col(b_col).alias("dst")
@@ -93,26 +106,38 @@ def dedup_components(
         .localCheckpoint(eager=False)
     )
 
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         msg = (
             edges.join(labels, edges["src"] == labels["doc"])
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        stepped = (
-            labels.join(msg, "doc", "left")
+        stepped = labels.join(msg, "doc", "left").select(
+            "doc",
+            F.col("lbl").alias("old"),
+            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+        )
+        # Large-star contraction: inherit the label's own label.  The
+        # left join is belt-and-braces — every label names a node, so a
+        # match always exists.  `stepped` is evaluated twice inside this
+        # one job (both join sides); the round still materializes once.
+        ptr = stepped.select(F.col("doc").alias("_pd"), F.col("lbl").alias("_plbl"))
+        jumped = (
+            stepped.join(ptr, stepped["lbl"] == ptr["_pd"], "left")
             .select(
                 "doc",
-                F.col("lbl").alias("old"),
-                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+                "old",
+                F.least("lbl", F.coalesce("_plbl", "lbl")).alias("lbl"),
             )
             # Truncate lineage each round: without this the plan doubles
             # per iteration and analysis time dominates at depth > ~10.
             .localCheckpoint(eager=True)
         )
-        changed = stepped.where(F.col("lbl") != F.col("old")).count()
-        labels = stepped.select("doc", "lbl")
+        changed = jumped.where(F.col("lbl") != F.col("old")).count()
+        labels = jumped.select("doc", "lbl")
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels.select("doc", F.col("lbl").alias("component"))
     raise RuntimeError(
         f"dedup_components: pair graph did not converge in {max_iter} rounds "

@@ -34,8 +34,14 @@ def _components(spark, edges, docs=None):
 def test_cc_chain_needs_multiple_rounds(spark):
     # 0-1-2-3-4-5-6-7: diameter 7, exercises >1 hash-to-min round.
     edges = [(i, i + 1) for i in range(7)]
-    got = _components(spark, edges)
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    stats = {}
+    out = dedup_components(pairs, stats=stats)
+    got = {r.doc: r.component for r in out.collect()}
     assert got == {i: 0 for i in range(8)}
+    # pointer jumping: O(log diameter) rounds, not O(diameter) — plain
+    # hash-to-min would need 7+ rounds on this chain.
+    assert stats["rounds"] <= 4
 
 
 def test_cc_two_components_and_singletons(spark):
