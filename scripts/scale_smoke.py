@@ -186,6 +186,146 @@ def corpus_phase(spark, n_docs: int = 1_000_000) -> None:
     print(f"CORPUS pack_sequences budget=8192: {time.time()-t:.1f}s max_pack/grp={packs:,}")
 
 
+def _shuffle_bytes(spark) -> tuple[int, int]:
+    """(shuffle_read, shuffle_write) bytes summed over all completed
+    stages, via the UI REST API.  (-1, -1) when the UI is off."""
+    import json
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = sc.uiWebUrl
+    if not url:
+        return -1, -1
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return -1, -1
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def heavy_chain_phase(spark, n_docs: int) -> dict[str, dict]:
+    """End-to-end HEAVY curation chain at ``n_docs`` scale:
+    text gen → char-shingle minhash+LSH pair finding → connected-component
+    clustering → split / top-k / packing, with per-stage wall time and
+    shuffle read/write bytes (UI REST).  Returns {stage: metrics}.
+
+    Synthetic corpus with PLANTED near-dups: every doc is 40 pseudo-random
+    words from a 50k vocabulary (pure hash expressions — fully
+    distributed generation); docs with id % 20 == 1 share their first 36
+    words with doc id−1 (char-shingle jaccard ≈ 0.9), so the true pair
+    count grows LINEARLY with the corpus — which is what makes the
+    1M-vs-10M growth ratios below meaningful: a quadratic stage would
+    show ~100x, a healthy one ~10x.
+    """
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import (
+        dedup_components,
+        domain_topk,
+        hash_split,
+        minhash_lsh_pairs,
+        pack_sequences,
+    )
+
+    N = int(n_docs)
+    metrics: dict[str, dict] = {}
+
+    def stage(label, fn):
+        r0, w0 = _shuffle_bytes(spark)
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        r1, w1 = _shuffle_bytes(spark)
+        metrics[label] = {
+            "sec": round(dt, 1),
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 1) if r0 >= 0 else -1,
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 1) if w0 >= 0 else -1,
+            "out": out,
+        }
+        print(
+            f"HEAVY[{N:,}] {label}: {dt:.1f}s out={out:,} "
+            f"shuffle r/w MB={metrics[label]['shuffle_read_mb']}/{metrics[label]['shuffle_write_mb']}"
+        )
+        return out
+
+    # 40 words/doc; near-dup docs (id%20==1) reuse doc id-1's seed for
+    # words 0..35 and their own for 36..39.  Words are base36 of a ~2e9
+    # keyspace: a small structured vocabulary (e.g. 'w'+5 digits) gives
+    # EVERY doc pair jaccard ~0.008 and the 4-band LSH then has a
+    # quadratically-growing noise floor (~12k false candidates at 1M) —
+    # an artifact of the generator, not the operator; diverse shingles
+    # drop it to ~zero (11 at 1M), like natural text.
+    word = (
+        "conv(CAST(pmod(hash(CASE WHEN pmod(id, 20) = 1 AND j < 36 "
+        "THEN id - 1 ELSE id END, j), 2000000000) AS STRING), 10, 36)"
+    )
+    docs = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(f"concat_ws(' ', transform(sequence(0, 39), j -> {word}))").alias("text"),
+            F.when(F.pmod(F.hash("id"), F.lit(10)) < 9, F.lit("web"))
+            .otherwise(
+                F.concat(F.lit("niche"), F.pmod(F.hash("id", F.lit(3)), F.lit(10)).cast("string"))
+            )
+            .alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        # Round-robin away spark.range's id-range partitioning (it
+        # survives localCheckpoint and would make every doc-keyed
+        # aggregation exchange-free — correct, but unrepresentative of a
+        # parquet-read corpus, and this phase is here to MEASURE the
+        # shuffles).
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    ckpt = {}
+
+    def gen():
+        ckpt["docs"] = docs.localCheckpoint(eager=True)
+        return ckpt["docs"].count()
+
+    stage("gen+checkpoint", gen)
+    docs = ckpt["docs"]
+
+    pairs_df = {}
+
+    def find_pairs():
+        p = minhash_lsh_pairs(docs).localCheckpoint(eager=True)
+        pairs_df["p"] = p
+        return p.count()
+
+    n_pairs = stage("minhash_lsh_pairs", find_pairs)
+    planted = N // 20
+    # LSH recall on the planted pairs must hold at every scale; random
+    # band collisions must not blow the pair count up super-linearly.
+    assert n_pairs >= 0.85 * planted, (n_pairs, planted)
+    assert n_pairs <= 1.5 * planted + 1000, (n_pairs, planted)
+
+    cc_stats: dict = {}
+
+    def cluster():
+        cc = dedup_components(pairs_df["p"], docs, stats=cc_stats)
+        return cc.where(F.col("doc") != F.col("component")).count()
+
+    n_non_keeper = stage("dedup_components", cluster)
+    metrics["dedup_components"]["rounds"] = cc_stats.get("rounds")
+    print(f"HEAVY[{N:,}] CC rounds={cc_stats.get('rounds')}")
+    assert cc_stats.get("rounds", 99) <= 4, cc_stats
+    assert n_non_keeper == n_pairs or abs(n_non_keeper - planted) <= 0.2 * planted
+
+    stage("hash_split", lambda: hash_split(docs).where(F.col("split") == "train").count())
+    stage("domain_topk", lambda: domain_topk(docs, k=100).count())
+    stage("pack_sequences", lambda: int(pack_sequences(docs, budget=8192).agg(F.max("pack")).first()[0]))
+    return metrics
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_series = int(sys.argv[2]) if len(sys.argv) > 2 else 200
@@ -204,7 +344,7 @@ def main() -> None:
         tare,
     )
 
-    spark = get_spark("scale_smoke")
+    spark = get_spark("scale_smoke", ui=True)  # ui → shuffle-byte accounting
     path = tempfile.mkdtemp() + "/m"
 
     t0 = time.time()
@@ -308,6 +448,39 @@ def main() -> None:
     nd = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
     if nd:
         corpus_phase(spark, n_docs=nd)
+
+    hv = int(sys.argv[5]) if len(sys.argv) > 5 else 10_000_000
+    if hv:
+        base_n = max(hv // 10, 1)
+        m1 = heavy_chain_phase(spark, base_n)
+        m2 = heavy_chain_phase(spark, hv)
+        print(
+            f"\nHEAVY chain growth {base_n:,} -> {hv:,} docs "
+            "(10x data: healthy ~10x, quadratic ~100x):"
+        )
+        for k in m1:
+            r_t = m2[k]["sec"] / max(m1[k]["sec"], 0.1)
+            w1, w2 = m1[k]["shuffle_write_mb"], m2[k]["shuffle_write_mb"]
+            # dedup_components shuffles once per round and the round count
+            # is a graph-diameter property, not a data-volume one (a few
+            # noise pairs can add a round); normalize to per-round bytes
+            # so the gate measures volume growth.
+            if k == "dedup_components":
+                w1 = w1 / max(m1[k].get("rounds") or 1, 1)
+                w2 = w2 / max(m2[k].get("rounds") or 1, 1)
+            r_w = (w2 / max(w1, 0.1)) if w1 >= 0 and w2 >= 0 else -1.0
+            print(
+                f"  {k:20s} time x{r_t:5.1f}  shuffle-write x{r_w:5.1f}  "
+                f"out {m1[k]['out']:,} -> {m2[k]['out']:,}"
+            )
+            # sub-quadratic gate: no stage may grow super-linearly by more
+            # than small-constant slack on 10x data (quadratic ~ x100).
+            # Bytes gate only above a volume floor: below ~50 MB the ratio
+            # measures an AQE plan transition (broadcast -> shuffle join),
+            # not data growth.
+            assert r_t <= 20, (k, r_t)
+            if 50 <= w1 <= w2:
+                assert r_w <= 14, (k, r_w)
 
 
 if __name__ == "__main__":

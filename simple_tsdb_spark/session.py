@@ -33,7 +33,14 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "simple_tsdb_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "simple_tsdb_spark",
+    *,
+    shuffle_partitions: int | None = None,
+    ui: bool = False,
+) -> SparkSession:
+    """``ui=True`` keeps the Spark UI (REST API) up — scale_smoke reads
+    per-stage shuffle bytes from it; everything else runs UI-less."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
@@ -47,7 +54,7 @@ def get_spark(app_name: str = "simple_tsdb_spark", *, shuffle_partitions: int | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Read INT64(TIMESTAMP(NANOS)) parquet columns as raw nanosecond
         # longs — exactly the canonical time_ns representation (the driver's
