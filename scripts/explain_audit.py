@@ -169,6 +169,38 @@ def main() -> int:
         "corpus shuffled by list_id",
     )
 
+    # interval_join bucket ids must be integer `div` arithmetic — a double
+    # division of epoch-ns (~1.7e18 > 2^53) rounds, and rows at exact tol
+    # multiples could misbucket (silent false negatives at |Δt|==tol).
+    p = plan_of(
+        interval_join(ev_l, ev_r, tol_ns=3_600_000_000_000, right_fields=["value"])
+    )
+    ok &= check(
+        "interval_join: bucket ids via integer div (no double rounding)",
+        " div " in p and not re.search(r"FLOOR\(\(cast\(time_ns#\d+ as double\)", p, re.I),
+    )
+
+    # pack_sequences strict: exactly the one hash-group shuffle the
+    # default mode has — first-fit runs inside applyInPandas per group.
+    from simple_tsdb_spark.pipeline import pack_sequences
+
+    p = plan_of(pack_sequences(docs, budget=4096, strict=True))
+    ok &= check(
+        "pack_sequences strict: single grp-keyed shuffle",
+        len(re.findall(r"Arguments: hashpartitioning\(", p)) == 1
+        and bool(re.search(r"hashpartitioning\(grp#\d+", p)),
+    )
+
+    # simhash_band_dedup (streaming twin): band-key window + doc agg only;
+    # the corpus must not be broadcast for the ownership computation.
+    from simple_tsdb_spark.pipeline import simhash_band_dedup
+
+    p = plan_of(simhash_band_dedup(docs, max_hamming=3))
+    ok &= check(
+        "simhash_band_dedup: no corpus broadcast",
+        "BroadcastExchange" not in p,
+    )
+
     # native writer layout: time_ns is a stored column → direct pushdown +
     # series partition pruning, no adapter hint needed
     import tempfile
