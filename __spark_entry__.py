@@ -334,6 +334,12 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from simple_tsdb_spark.pipeline import exact_dedup
 
@@ -517,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "repetition_stats": _q_repetition_stats,  # Gopher-style repetition signals
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
@@ -878,6 +885,7 @@ def _pipeline_oracles() -> dict[str, str]:
         fingerprint_oracle,
         lang_id_oracle,
         quality_score_oracle,
+        repetition_stats_oracle,
         token_counts_oracle,
     )
     from simple_tsdb_spark.plans.analytics import (
@@ -893,6 +901,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "quality_score": quality_score_oracle(),
         "lang_id": lang_id_oracle(),
         "fingerprint": fingerprint_oracle(),
+        "repetition_stats": repetition_stats_oracle(),
         "dedup_exact": exact_dedup_oracle(),
         "ngram_jaccard": ngram_jaccard_oracle(threshold=JACCARD_THRESHOLD),
         "minhash_lsh": minhash_lsh_oracle(),

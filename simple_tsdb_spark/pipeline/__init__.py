@@ -15,6 +15,7 @@ both engines) rather than engine-private hash functions.
 from simple_tsdb_spark.pipeline.text import (
     token_counts,
     quality_score,
+    repetition_stats,
     lang_id,
     fingerprint,
 )
@@ -51,6 +52,7 @@ from simple_tsdb_spark.pipeline.multimodal import (
 __all__ = [
     "token_counts",
     "quality_score",
+    "repetition_stats",
     "lang_id",
     "fingerprint",
     "exact_dedup",

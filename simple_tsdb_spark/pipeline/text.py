@@ -222,6 +222,95 @@ def _simhash_hashes_sql(text_col: str = "text") -> str:
     )
 
 
+def repetition_stats(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_word_frac``: 1 − distinct words / words — gross repetition.
+    - ``top_bigram_n`` / ``top_bigram_frac``: occurrences of the most
+      frequent word 2-gram and its share of all 2-grams — catches looping
+      boilerplate that survives a distinct-word check.
+
+    Relational formulation (explode bigrams → count → max) rather than a
+    higher-order-function mode computation: identical SQL shape on both
+    engines (bit-exact oracle), and at scale the bigram stream aggregates
+    map-side first, so the shuffle carries ≤ one row per (doc, distinct
+    bigram) per map partition — the shingle-stream pattern the pair
+    operators already use.  One-word docs have zero bigrams: n=0, frac=0.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+    ).withColumn(
+        "dup_word_frac",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words").cast("double"), 6
+        ),
+    )
+    # Guard size<2 explicitly: Spark's sequence(1, 0) is the DESCENDING
+    # sequence [1, 0] (DuckDB's generate_series(1, 0) is empty), so a
+    # greatest()-clamped bound would both diverge from the oracle and
+    # index out of bounds on one-word docs.
+    bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"IF(size(split({text_col}, ' ')) < 2, CAST(array() AS ARRAY<STRING>), "
+                f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+                f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
+                f"element_at(split({text_col}, ' '), i + 1))))"
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bg.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            "dup_word_frac",
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_n") / F.col("n_bigrams").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_oracle(table: str = "documents") -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+  FROM {table}),
+bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+  FROM {table}),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+top AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams FROM cnt GROUP BY doc_id)
+SELECT base.doc_id, n_words, n_distinct_words,
+       round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+       COALESCE(top_bigram_n, 0) AS top_bigram_n,
+       round(COALESCE(top_bigram_n / CAST(n_bigrams AS DOUBLE), 0.0), 6) AS top_bigram_frac
+FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+"""
+
+
 def fingerprint(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: full-content md5 + 32-bit SimHash (for
     near-dup hamming comparison, see dedup.simhash_pairs)."""

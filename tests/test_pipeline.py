@@ -271,3 +271,38 @@ def test_train_ivf_spark_and_duck_fits_identical(spark, embs):
     )
     want = train_ivf_centroids_duck(con, iters=2)
     assert got == want  # exact float equality, not allclose
+
+
+def test_repetition_stats_python_model(spark):
+    """Repetition signals vs a direct python recomputation, including the
+    looping-boilerplate case and the no-bigram edge."""
+    from collections import Counter
+
+    from simple_tsdb_spark.pipeline import repetition_stats
+
+    texts = {
+        1: "a b c d e",
+        2: "spam spam spam spam",          # one repeated word/bigram
+        3: "x y x y x y x y z",            # dominant alternating bigram
+        4: "single",                       # no bigrams
+        5: "",                             # empty string -> [''] token
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, t in texts.items():
+        w = t.split(" ")
+        bgs = [f"{w[j]} {w[j+1]}" for j in range(len(w) - 1)]
+        top = max(Counter(bgs).values()) if bgs else 0
+        r = got[i]
+        assert r.n_words == len(w)
+        assert r.n_distinct_words == len(set(w))
+        assert r.dup_word_frac == pytest.approx(round(1 - len(set(w)) / len(w), 6))
+        assert r.top_bigram_n == top
+        assert r.top_bigram_frac == pytest.approx(
+            round(top / len(bgs), 6) if bgs else 0.0
+        )
+    # sanity: the boilerplate docs score worse than the clean one
+    assert got[2].dup_word_frac > got[1].dup_word_frac
+    assert got[3].top_bigram_frac > got[1].top_bigram_frac
