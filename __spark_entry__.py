@@ -440,6 +440,17 @@ def _q_knn_ivf_trained(spark, sf_dir):
     return knn_ivf(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10, centroids=cs)
 
 
+def _q_knn_ivf_pq(spark, sf_dir):
+    """IVF-PQ: coarse lists bound candidates, product-quantized codes +
+    per-query LUT give O(M) asymmetric distances — the memory-resident
+    index shape for 10⁹-vector corpora.  Gate uses the deterministic
+    default codebooks; the TRAINED path (per-subspace Lloyd's, duck-refit
+    identical literals) is pinned in tests/test_pipeline.py."""
+    from simple_tsdb_spark.pipeline import knn_ivf_pq
+
+    return knn_ivf_pq(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
+
+
 def _q_multimodal_meta(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -538,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
+        "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
         "multimodal_meta": _q_multimodal_meta,
         "blob_features": _q_blob_features,  # mapInPandas — rows-only check
         # relational breadth (joins / grouped agg / top-k)
@@ -879,6 +891,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.similarity import (
         knn_brute_oracle,
         knn_ivf_oracle,
+        knn_ivf_pq_oracle,
         knn_lsh_oracle,
     )
     from simple_tsdb_spark.pipeline.text import (
@@ -916,6 +929,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf_trained": _knn_ivf_trained_oracle(),
+        "knn_ivf_pq": knn_ivf_pq_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "multimodal_meta": attach_blob_meta_oracle(),
         "blob_features": blob_features_oracle(),
         "pricing_summary": pricing_summary_oracle(),

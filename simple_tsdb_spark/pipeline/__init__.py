@@ -37,8 +37,13 @@ from simple_tsdb_spark.pipeline.curation import (
 from simple_tsdb_spark.pipeline.similarity import (
     default_centroids,
     knn_brute,
+    knn_ivf_pq,
     knn_ivf,
     knn_lsh,
+    pq_codebooks,
+    pq_encode,
+    train_pq_codebooks,
+    train_pq_codebooks_duck,
     train_ivf_centroids,
     train_ivf_centroids_duck,
 )
@@ -68,8 +73,13 @@ __all__ = [
     "pack_sequences",
     "default_centroids",
     "knn_brute",
+    "knn_ivf_pq",
     "knn_ivf",
     "knn_lsh",
+    "pq_codebooks",
+    "pq_encode",
+    "train_pq_codebooks",
+    "train_pq_codebooks_duck",
     "train_ivf_centroids",
     "train_ivf_centroids_duck",
     "attach_blob",

@@ -383,6 +383,450 @@ SELECT list_id, COUNT(*) AS n, {scols} FROM a GROUP BY list_id
     return _lloyd_refine(sum_rows, nlist, dim, iters)
 
 
+# -- IVF-PQ (product quantization) ------------------------------------------
+
+PQ_M = 8     # subvectors
+PQ_K = 16    # centroids per subspace (4-bit codes)
+
+
+def _pq_centroid(m: int, k: int, d: int) -> float:
+    """Deterministic pseudo-random PQ codebook component in [-0.125,
+    0.125) — scaled to the per-dim spread of L2-NORMALIZED vectors
+    (~1/sqrt(dim)), which is what pq_encode quantizes."""
+    u = (((d + 1) * 2654435761 + (k + 1) * 97911 + (m + 1) * 40503 + 777) % _W_MOD) / _W_MOD - 0.5
+    return u * 0.25
+
+
+def pq_codebooks(
+    m: int = PQ_M, k: int = PQ_K, dim: int = 64
+) -> list[list[list[float]]]:
+    """codebooks[m][k] = centroid vector of subspace m (dim/m components).
+    Deterministic literals — the PQ analog of :func:`default_centroids`
+    (a trained codebook drops into the same expressions)."""
+    sub = dim // m
+    return [
+        [[_pq_centroid(mi, ki, d) for d in range(sub)] for ki in range(k)]
+        for mi in range(m)
+    ]
+
+
+def _pq_dist_terms(emb: str, cb: Sequence[Sequence[float]], off: int) -> list[str]:
+    """Spark SQL: squared L2 distance from ``emb[off:off+sub]`` to every
+    centroid of one subspace, expanded (no lambda) for codegen."""
+    out = []
+    for c in cb:
+        terms = " + ".join(
+            f"(({emb}[{off + d}] - CAST({c[d]!r} AS DOUBLE)) * "
+            f"({emb}[{off + d}] - CAST({c[d]!r} AS DOUBLE)))"
+            for d in range(len(c))
+        )
+        out.append(f"({terms})")
+    return out
+
+
+def _pq_dist_terms_duck(emb: str, cb: Sequence[Sequence[float]], off: int) -> list[str]:
+    out = []
+    for c in cb:
+        terms = " + ".join(
+            f"(({emb}[{off + d + 1}] - {c[d]!r}) * ({emb}[{off + d + 1}] - {c[d]!r}))"
+            for d in range(len(c))
+        )
+        out.append(f"({terms})")
+    return out
+
+
+#: Spark SQL fragment: L2-normalize a double array (sequential-fold dot,
+#: the engine-portable op order used everywhere else).
+def _norm_expr(emb: str) -> str:
+    return (
+        f"transform({emb}, x -> x / sqrt(aggregate(zip_with({emb}, {emb}, "
+        f"(p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"
+    )
+
+
+def _norm_expr_duck(emb: str) -> str:
+    return f"list_transform({emb}, x -> x / sqrt(list_dot_product({emb}, {emb})))"
+
+
+def pq_encode(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantize vectors: (vec_id, codes array<int> of length M).
+
+    Vectors are L2-normalized first, so squared-L2 ADC ranking is
+    cosine ranking (‖q−x‖² = 2−2·cos on unit vectors) — the metric the
+    rest of the similarity suite uses.  Each subspace's code is the
+    argmin-squared-L2 centroid (smallest code on ties, via
+    array_position on the rounded distance array — the same
+    engine-portable argmin idiom the IVF quantizer uses).  This is the
+    index-BUILD step: at 10⁹ vectors it is one embarrassingly parallel
+    scan, and the output is M small ints per vector instead of dim
+    floats — the compression that lets an ANN index stay
+    memory-resident.
+    """
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim=dim)
+    base = df.select(
+        F.col(id_col).alias("_pqid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    return _pq_encode_relational(base, cbs, dim, carry=()).withColumnRenamed(
+        "_pqid", id_col
+    )
+
+
+def _subvec_rows_expr(emb: str, m: int, sub: int) -> str:
+    """One (subspace, subvector) struct per subspace per row, with the
+    L2-normalized vector lambda-bound ONCE (the `_simhash_expr`
+    aggregate-wrapper trick) so CollapseProject cannot inline the
+    normalization fold into every slice."""
+    return (
+        f"aggregate(array({_norm_expr(emb)}), "
+        f"CAST(NULL AS ARRAY<STRUCT<m: INT, sv: ARRAY<DOUBLE>>>), "
+        f"(acc, _nv) -> transform(sequence(0, {m - 1}), mi -> "
+        f"named_struct('m', CAST(mi AS INT), 'sv', slice(_nv, mi * {sub} + 1, {sub}))))"
+    )
+
+
+def _pq_encode_relational(base: DataFrame, cbs, dim: int, *, carry: tuple[str, ...]):
+    """codes via a RELATIONAL plan instead of per-row interpreted HOF
+    distance arrays (which cost ~8k interpreted expression evals per
+    vector — measured ~5× slower): explode M (subspace, subvector) rows,
+    broadcast-join the M×K literal codebook table, compute each squared
+    L2 distance as unrolled codegen arithmetic, and take each subspace's
+    argmin with a filtered ``min_by(k, struct(dist, k))`` — the same
+    rounded-(dist, k) tiebreak as the oracle's list_position-of-min.
+    One shuffle keyed by vector id; everything stays in whole-stage
+    codegen.  ``base`` must have columns (_pqid, emb[, carry…])."""
+    m = len(cbs)
+    kk = len(cbs[0])
+    sub = dim // m
+    spark = base.sparkSession
+    cb_rows = [
+        (mi, ki, *[float(c) for c in cbs[mi][ki]]) for mi in range(m) for ki in range(kk)
+    ]
+    cb_schema = "m int, k int, " + ", ".join(f"c{d} double" for d in range(sub))
+    cb_df = spark.createDataFrame(cb_rows, cb_schema)
+    rows = base.select(
+        "_pqid",
+        *carry,
+        F.explode(F.expr(_subvec_rows_expr("emb", m, sub))).alias("r"),
+    ).select("_pqid", *carry, F.col("r.m").alias("m"), F.col("r.sv").alias("sv"))
+    dist = " + ".join(f"((sv[{d}] - c{d}) * (sv[{d}] - c{d}))" for d in range(sub))
+    scored = rows.join(F.broadcast(cb_df), "m").withColumn(
+        "d", F.expr(f"round({dist}, 6)")
+    )
+    aggs = [
+        F.expr(f"min_by(k, struct(d, k)) FILTER (WHERE m = {mi})").alias(f"_c{mi}")
+        for mi in range(m)
+    ]
+    if carry:
+        aggs = [F.first(c).alias(c) for c in carry] + aggs
+    return (
+        scored.groupBy("_pqid")
+        .agg(*aggs)
+        .select(
+            "_pqid",
+            *carry,
+            F.expr("array(" + ", ".join(f"_c{mi}" for mi in range(m)) + ")").alias("codes"),
+        )
+    )
+
+
+def _pq_codes_expr(emb: str, cbs, dim: int) -> str:
+    """Spark SQL: array<int> of per-subspace argmin codes (smallest code
+    on ties via array_position on the rounded distance array — the same
+    engine-portable argmin idiom the IVF quantizer uses)."""
+    m = len(cbs)
+    sub = dim // m
+    code_exprs = []
+    for mi, cb in enumerate(cbs):
+        darr = ", ".join(f"round({t}, 6)" for t in _pq_dist_terms(emb, cb, mi * sub))
+        code_exprs.append(
+            f"CAST(array_position(array({darr}), array_min(array({darr}))) - 1 AS INT)"
+        )
+    return "array(" + ", ".join(code_exprs) + ")"
+
+
+def _pq_lloyd(sum_rows_fn, cbs0, iters: int):
+    """Shared per-subspace Lloyd's loop for PQ codebooks:
+    ``sum_rows_fn(cbs)`` returns rows ``(m, code, n, [quantized long
+    sums])`` over the current codebooks; means compute HERE in Python so
+    the Spark and DuckDB trainers emit identical literals (the exact
+    integer sums make both order-independent).  Empty codes keep their
+    centroid; a zero mean is fine for L2 codebooks (nothing divides by a
+    centroid norm)."""
+    cbs = [[list(c) for c in cb] for cb in cbs0]
+    for _ in range(int(iters)):
+        nxt = [[list(c) for c in cb] for cb in cbs]
+        for m, code, n, sums in sum_rows_fn(cbs):
+            if n:
+                nxt[m][code] = [(s / _TRAIN_QUANT) / n for s in sums]
+        cbs = nxt
+    return cbs
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace k-means refinement of the PQ codebooks (Lloyd's),
+    bit-deterministic like :func:`train_ivf_centroids`: assignments use
+    the engine-portable rounded-argmin expression, per-(subspace, code)
+    component sums quantize to ``floor(x·1e9)`` BIGINTs, and the mean
+    arithmetic runs in shared Python — so
+    :func:`train_pq_codebooks_duck` reproduces identical literals and a
+    TRAINED PQ index sits inside the driver's hash gate.  One shuffle
+    per iteration (≤ m×k groups); driver payload m×k×(dim/m) values."""
+    sub = dim // m
+    nemb = df.select(
+        F.expr(f"{_norm_expr(f'transform({vec_col}, x -> CAST(x AS DOUBLE))')}").alias("_n")
+    ).localCheckpoint(eager=True)
+
+    def sum_rows(cbs):
+        # One expression binds the unit vector once, yielding one
+        # (subspace, code, subvector) struct per subspace per row.
+        inner_codes = _pq_codes_expr("_nv", cbs, dim)
+        rows_expr = (
+            f"aggregate(array(_n), CAST(NULL AS ARRAY<STRUCT<m: INT, code: INT, sv: ARRAY<DOUBLE>>>), "
+            f"(acc, _nv) -> transform(sequence(0, {m - 1}), mi -> "
+            f"named_struct('m', CAST(mi AS INT), "
+            f"'code', element_at({inner_codes}, CAST(mi AS INT) + 1), "
+            f"'sv', slice(_nv, CAST(mi AS INT) * {sub} + 1, {sub}))))"
+        )
+        rows = nemb.select(F.explode(F.expr(rows_expr)).alias("r")).select(
+            F.col("r.m").alias("m"), F.col("r.code").alias("code"), F.col("r.sv").alias("sv")
+        )
+        agg = (
+            rows.groupBy("m", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.expr(f"CAST(floor(sv[{d}] * CAST({_TRAIN_QUANT} AS DOUBLE)) AS BIGINT)")
+                    ).alias(f"s{d}")
+                    for d in range(sub)
+                ],
+            )
+            .collect()  # ≤ m×k rows
+        )
+        return [
+            (r["m"], r["code"], r["n"], [r[f"s{d}"] for d in range(sub)]) for r in agg
+        ]
+
+    return _pq_lloyd(sum_rows, pq_codebooks(m, k, dim), iters)
+
+
+def train_pq_codebooks_duck(
+    con,
+    *,
+    table: str = "embeddings",
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """DuckDB twin of :func:`train_pq_codebooks` — identical assignment
+    expressions, identical quantized sums, shared mean loop."""
+    sub = dim // m
+
+    def sum_rows(cbs):
+        code_exprs = []
+        for mi, cb in enumerate(cbs):
+            darr = ", ".join(
+                f"round({t}, 6)" for t in _pq_dist_terms_duck("nemb", cb, mi * sub)
+            )
+            code_exprs.append(
+                f"CAST(list_position([{darr}], list_min([{darr}])) - 1 AS INTEGER)"
+            )
+        codes = "[" + ", ".join(code_exprs) + "]"
+        scols = ", ".join(
+            f"SUM(CAST(floor(sv[{d + 1}] * CAST({_TRAIN_QUANT} AS DOUBLE)) AS BIGINT)) AS s{d}"
+            for d in range(sub)
+        )
+        q = f"""
+WITH e AS (
+  SELECT {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb FROM {table}),
+c AS (SELECT nemb, {codes} AS codes FROM e),
+rows AS (
+  SELECT t.m AS m, codes[t.m + 1] AS code,
+         nemb[t.m * {sub} + 1 : t.m * {sub} + {sub}] AS sv
+  FROM c, (SELECT UNNEST(generate_series(0, {m - 1})) AS m) t)
+SELECT m, code, COUNT(*) AS n, {scols} FROM rows GROUP BY m, code
+"""
+        return [(r[0], r[1], r[2], list(r[3:])) for r in con.execute(q).fetchall()]
+
+    return _pq_lloyd(sum_rows, pq_codebooks(m, k, dim), iters)
+
+
+def knn_ivf_pq(
+    df: DataFrame,
+    *,
+    query_ids: Sequence[int],
+    k: int = 10,
+    dim: int = 64,
+    nprobe: int = 4,
+    codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
+    centroids: Sequence[Sequence[float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF coarse lists bound the candidates,
+    PQ codes + a per-query lookup table give O(M) asymmetric distance
+    computation (ADC) per candidate instead of O(dim).
+
+    Scale story (the FAISS IVF-PQ shape): the corpus carries only
+    (list_id, codes[M]) — M bytes/vector — so the candidate scan reads
+    ~dim/M× less data and each distance is M array lookups + adds.  The
+    query side precomputes lut[m·K + k] = ||q_m − c_{m,k}||² (M×K doubles
+    per query, broadcast with the probes); approx dist =
+    Σ_m lut[m·K + codes_m].  Ranking: (rounded adist asc, neighbor id) —
+    engine-portable; exact re-ranking of the top candidates is the
+    standard refinement and is what ``knn_brute`` provides.
+
+    Output: (query_id, neighbor_id, adist, rank).
+    """
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim=dim)
+    m = len(cbs)
+    sub = dim // m
+    kk = len(cbs[0])
+    nlist = len(centroids) if centroids is not None else N_LISTS
+    if not 1 <= nprobe <= nlist:
+        raise ValueError(f"nprobe must be in [1, {nlist}]")
+
+    sarr = _score_array_spark("emb", dim, centroids)
+    e = (
+        df.select(
+            F.col(id_col).alias("nid"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("_sarr", F.expr(sarr))
+        .withColumn(
+            "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
+        )
+    )
+    # codes via the relational codegen encode, list_id carried through the
+    # same pipeline — one vector-id-keyed shuffle, no corpus self-join;
+    # the probe join's corpus side carries only (nid, list_id, codes).
+    corpus = _pq_encode_relational(
+        e.drop("_sarr").withColumnRenamed("nid", "_pqid"), cbs, dim, carry=("list_id",)
+    ).withColumnRenamed("_pqid", "nid")
+
+    lut_terms = []
+    for mi, cb in enumerate(cbs):
+        lut_terms += [f"round({t}, 6)" for t in _pq_dist_terms("_nv", cb, mi * sub)]
+    lut_bound = (
+        f"aggregate(array({_norm_expr('qemb')}), CAST(NULL AS ARRAY<DOUBLE>), "
+        f"(acc, _nv) -> array(" + ", ".join(lut_terms) + "))"
+    )
+    qlists = e.where(F.col("nid").isin(list(query_ids))).select(
+        F.col("nid").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.posexplode("_sarr").alias("list_id", "s"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("list_id"))
+    probes = (
+        qlists.withColumn("prank", F.row_number().over(pw))
+        .where(F.col("prank") <= nprobe)
+        .select(
+            "query_id",
+            F.expr(lut_bound).alias("lut"),
+            "list_id",
+        )
+    )
+    adist = " + ".join(
+        f"element_at(lut, {mi} * {kk} + codes[{mi}] + 1)" for mi in range(m)
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .where(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(F.expr(adist), 6).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_ivf_pq_oracle(
+    table: str = "embeddings",
+    *,
+    query_ids: Sequence[int] = (),
+    k: int = 10,
+    dim: int = 64,
+    nprobe: int = 4,
+    codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
+    centroids: Sequence[Sequence[float]] | None = None,
+) -> str:
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim=dim)
+    m = len(cbs)
+    sub = dim // m
+    kk = len(cbs[0])
+    ids = ", ".join(str(i) for i in query_ids)
+
+    code_exprs = []
+    for mi, cb in enumerate(cbs):
+        darr = ", ".join(f"round({t}, 6)" for t in _pq_dist_terms_duck("nemb", cb, mi * sub))
+        code_exprs.append(
+            f"CAST(list_position([{darr}], list_min([{darr}])) - 1 AS INTEGER)"
+        )
+    codes = "[" + ", ".join(code_exprs) + "]"
+    lut_terms = []
+    for mi, cb in enumerate(cbs):
+        lut_terms += [f"round({t}, 6)" for t in _pq_dist_terms_duck("qnemb", cb, mi * sub)]
+    lut = "[" + ", ".join(lut_terms) + "]"
+    adist = " + ".join(f"lut[{mi} * {kk} + codes[{mi + 1}] + 1]" for mi in range(m))
+    return f"""
+WITH e0 AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
+         {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb,
+         {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
+  FROM {table}),
+e AS (
+  SELECT nid, emb, nemb, sarr,
+         CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
+  FROM e0),
+corpus AS (SELECT nid, list_id, {codes} AS codes FROM e),
+q AS (SELECT nid AS query_id, nemb AS qnemb, sarr FROM e WHERE nid IN ({ids})),
+qscore AS (
+  SELECT query_id,
+         CAST(generate_subscripts(sarr, 1) - 1 AS INTEGER) AS list_id,
+         UNNEST(sarr) AS s
+  FROM q),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT query_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, list_id) AS prank
+    FROM qscore)
+  WHERE prank <= {nprobe}),
+q2 AS (SELECT q.query_id, {lut} AS lut, probes.list_id
+       FROM q JOIN probes ON q.query_id = probes.query_id),
+scored AS (
+  SELECT q2.query_id, corpus.nid AS neighbor_id, round({adist}, 6) AS adist
+  FROM corpus JOIN q2 USING (list_id) WHERE corpus.nid <> q2.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def knn_ivf(
     df: DataFrame,
     *,
