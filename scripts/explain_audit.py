@@ -201,6 +201,26 @@ def main() -> int:
         "BroadcastExchange" not in p,
     )
 
+    # knn_ivf_pq: the only broadcasts are the tiny literal codebook table
+    # and the probe/LUT set — the corpus side must reach the ADC join as
+    # a shuffle-free scan plus its one encode groupBy.
+    from simple_tsdb_spark.pipeline import knn_ivf_pq
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        p = plan_of(knn_ivf_pq(embs, query_ids=(0, 1, 2, 3, 4), k=10))
+        ok &= check(
+            "knn_ivf_pq: corpus never shuffles on list_id",
+            "hashpartitioning(list_id" not in p,
+        )
+        ok &= check(
+            "knn_ivf_pq: encode argmin is codegen min_by (no interpreted dist arrays)",
+            "min_by" in p,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     # native writer layout: time_ns is a stored column → direct pushdown +
     # series partition pruning, no adapter hint needed
     import tempfile
