@@ -451,6 +451,28 @@ def _q_knn_ivf_pq(spark, sf_dir):
     return knn_ivf_pq(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
 
 
+def _q_pq_encode(spark, sf_dir):
+    """PQ index build as a first-class gate query: codes as a joined
+    string (the driver's value hash can't compare raw array columns)."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import pq_encode
+
+    return pq_encode(_embs(spark, sf_dir)).select(
+        "vec_id", F.concat_ws(",", F.col("codes")).alias("pq_code")
+    )
+
+
+def _q_simhash_band_dedup(spark, sf_dir):
+    """Batch twin of the streaming near-dup filter, in the hash gate:
+    greedy band-ownership keep/drop per doc."""
+    from simple_tsdb_spark.pipeline import simhash_band_dedup
+
+    return simhash_band_dedup(
+        _docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING, order_col="doc_id"
+    )
+
+
 def _q_multimodal_meta(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -550,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
         "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
+        "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
+        "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
         "multimodal_meta": _q_multimodal_meta,
         "blob_features": _q_blob_features,  # mapInPandas — rows-only check
         # relational breadth (joins / grouped agg / top-k)
@@ -882,6 +906,7 @@ def _pipeline_oracles() -> dict[str, str]:
         minhash_lsh_oracle,
         minhash_lsh_oracle_parts,
         ngram_jaccard_oracle,
+        simhash_band_dedup_oracle,
         simhash_pairs_oracle,
     )
     from simple_tsdb_spark.pipeline.multimodal import (
@@ -893,6 +918,7 @@ def _pipeline_oracles() -> dict[str, str]:
         knn_ivf_oracle,
         knn_ivf_pq_oracle,
         knn_lsh_oracle,
+        pq_encode_oracle,
     )
     from simple_tsdb_spark.pipeline.text import (
         fingerprint_oracle,
@@ -930,6 +956,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf_trained": _knn_ivf_trained_oracle(),
         "knn_ivf_pq": knn_ivf_pq_oracle(query_ids=KNN_QUERY_IDS, k=10),
+        "pq_encode": pq_encode_oracle(),
+        "simhash_band_dedup": simhash_band_dedup_oracle(max_hamming=SIMHASH_MAX_HAMMING),
         "multimodal_meta": attach_blob_meta_oracle(),
         "blob_features": blob_features_oracle(),
         "pricing_summary": pricing_summary_oracle(),

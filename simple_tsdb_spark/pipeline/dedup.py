@@ -432,6 +432,38 @@ def simhash_band_dedup(
     )
 
 
+def simhash_band_dedup_oracle(
+    table: str = "documents",
+    *,
+    max_hamming: int = 6,
+    order_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`simhash_band_dedup`: window-min band
+    ownership over the same pigeonhole bands."""
+    from simple_tsdb_spark.pipeline.text import _simhash_hashes_sql, _simhash_sql
+
+    bands = _simhash_bands(max_hamming)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc, _ord, sh, {i} AS band_id, "
+        f"CAST((sh >> {shift}) & {(1 << width) - 1} AS BIGINT) AS key FROM fp"
+        for i, (shift, width) in enumerate(bands)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id AS doc, {order_col} AS _ord, {_simhash_hashes_sql('text')} AS _hs
+  FROM {table}),
+fp AS (SELECT doc, _ord, {_simhash_sql('text')} AS sh FROM h),
+banded AS ({band_rows}),
+owned AS (
+  SELECT doc, _ord, sh,
+         MIN(_ord) OVER (PARTITION BY band_id, key) AS _first
+  FROM banded)
+SELECT doc, MIN(_ord) AS "order", MIN(sh) AS sh,
+       CAST(MIN(CASE WHEN _first = _ord THEN 1 ELSE 0 END) AS BOOLEAN) AS survives
+FROM owned GROUP BY doc
+"""
+
+
 # -- embedding cosine -------------------------------------------------------
 
 def _dot(u: str, v: str) -> str:

@@ -668,6 +668,34 @@ SELECT m, code, COUNT(*) AS n, {scols} FROM rows GROUP BY m, code
     return _pq_lloyd(sum_rows, pq_codebooks(m, k, dim), iters)
 
 
+def pq_encode_oracle(
+    table: str = "embeddings",
+    *,
+    dim: int = 64,
+    codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`pq_encode`, codes emitted as a
+    comma-joined string (engine-portable; the driver's value hash can't
+    compare raw array columns)."""
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim=dim)
+    sub = dim // len(cbs)
+    code_exprs = []
+    for mi, cb in enumerate(cbs):
+        darr = ", ".join(
+            f"round({t}, 6)" for t in _pq_dist_terms_duck("nemb", cb, mi * sub)
+        )
+        code_exprs.append(
+            f"CAST(list_position([{darr}], list_min([{darr}])) - 1 AS INTEGER)"
+        )
+    codes = "[" + ", ".join(code_exprs) + "]"
+    return f"""
+WITH e AS (
+  SELECT {id_col}, {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb FROM {table})
+SELECT {id_col}, array_to_string({codes}, ',') AS pq_code FROM e
+"""
+
+
 def knn_ivf_pq(
     df: DataFrame,
     *,
