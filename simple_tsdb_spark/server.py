@@ -1,0 +1,574 @@
+"""TsdbServer — the reference's TCP wire protocol served by the Spark engine.
+
+Closes the one deployment gap the in-process ``TsdbClient`` left open: a
+network listener byte-compatible with the reference's own Python client
+(``/root/reference/python/simple_tsdb/simple_tsdb/client.py``), so the
+reference's tooling (Grafana bridge, push_queue, CLI scripts) can point at
+this engine unchanged.
+
+Wire contract (all little-endian, framed by 32-bit tokens):
+
+* command/data token values — ``/root/reference/src/tsdbserver/tokens.h:13-60``
+* command grammars (fixed token sequences per command) —
+  ``server.cc:245-327``; string payloads are ``u16 len + bytes`` with
+  ``len < 1024``, times/limits are ``u64`` (``tokens.h:parse_cmd``)
+* every command ends with ``DT_STATUS_CODE + i32`` — 0 on success, the
+  tsdb status code on engine errors (``tokens.h:parse_and_exec``)
+* SELECT streams ``DT_CHUNK (npoints, bitmap_offset, data_len)`` frames:
+  ``u64 ts[n]``, then per field ``u64 bitmap[] + values + pad8``
+  (``server.cc:628-733``, client ``RXChunk``)
+* WRITE_POINTS: server offers ``DT_READY_FOR_CHUNK + 10 MiB`` before each
+  chunk; client ends with ``DT_END`` (``server.cc:556-607``)
+* SUM streams ``DT_SUMS_CHUNK (u16 n)``: ``ts[n]`` + per-field sums f64 +
+  mins + maxs + npoints u64, 1024 windows per frame (``server.cc:794-931``)
+* the authenticated listener wraps the socket in TLS and requires
+  ``CT_AUTHENTICATE`` as the first command; on auth failure the connection
+  is closed without a status frame (``server.cc:963-1069``)
+
+The engine behind the socket is the same ``TsdbClient`` used in-process;
+the server is purely a codec + dispatch layer, so wire results inherit the
+oracle-checked operator semantics.  Per-point Python cost lives only at
+this network edge (bounded by the 10 MiB chunk contract), never in a Spark
+job — cluster-side plans are untouched.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import ssl
+import struct
+import threading
+from decimal import Decimal
+
+import numpy as np
+
+from simple_tsdb_spark.client import TsdbClient
+from simple_tsdb_spark.errors import TsdbError
+
+# -- wire constants (tokens.h:13-60; public protocol identifiers) --------
+CT_CREATE_DATABASE = 0x60545A42
+CT_CREATE_MEASUREMENT = 0xBB632CE1
+CT_WRITE_POINTS = 0xEAF5E003
+CT_SELECT_POINTS_LIMIT = 0x7446C560
+CT_SELECT_POINTS_LAST = 0x76CF2220
+CT_DELETE_POINTS = 0xD9082F2C
+CT_GET_SCHEMA = 0x87E5A959
+CT_LIST_DATABASES = 0x29200D6D
+CT_LIST_MEASUREMENTS = 0x0FEB1399
+CT_LIST_SERIES = 0x7B8238D6
+CT_ACTIVE_SERIES = 0xF3B5093D
+CT_COUNT_POINTS = 0x0E329B19
+CT_SUM_POINTS = 0x90305A39
+CT_INTEGRATE_POINTS = 0x75120AD9
+CT_NOP = 0x22CF1296
+CT_AUTHENTICATE = 0x0995EBDA
+
+DT_DATABASE = 0x39385A4F
+DT_MEASUREMENT = 0xDC1F48F3
+DT_SERIES = 0x4E873749
+DT_TYPED_FIELDS = 0x02AC7330
+DT_FIELD_LIST = 0xBB62ACC3
+DT_CHUNK = 0xE4E8518F
+DT_TIME_FIRST = 0x55BA37B4
+DT_TIME_LAST = 0xC4EE45BA
+DT_NLIMIT = 0xEEF2BB02
+DT_NLAST = 0xD74F10A3
+DT_END = 0x4E29ADCC
+DT_STATUS_CODE = 0x8C8C07D9
+DT_FIELD_TYPE = 0x7DB40C2A
+DT_FIELD_NAME = 0x5C0D45C1
+DT_READY_FOR_CHUNK = 0x6000531C
+DT_NPOINTS = 0x5F469D08
+DT_WINDOW_NS = 0x76F0C374
+DT_SUMS_CHUNK = 0x53FC76FC
+DT_INTEGRALS = 0x78760A3D
+DT_INTEGRAL_BITMAP = 0xD3760722
+DT_USERNAME = 0x6E39D1DE
+DT_PASSWORD = 0x602E5B01
+
+_STRING_TOKENS = {
+    DT_DATABASE, DT_MEASUREMENT, DT_SERIES, DT_TYPED_FIELDS,
+    DT_FIELD_LIST, DT_USERNAME, DT_PASSWORD,
+}
+_U64_TOKENS = {DT_TIME_FIRST, DT_TIME_LAST, DT_NLIMIT, DT_NLAST, DT_WINDOW_NS}
+
+MAX_CHUNK_DATA_LEN = 10 * 1024 * 1024  # server.cc:582,595
+SELECT_CHUNK_POINTS = 16384
+SUMS_CHUNK_WINDOWS = 1024  # server.cc:817
+
+# engine type name -> (wire id, byte size, numpy dtype); identifiers and
+# sizes from the reference's FIELD_TYPES table (client.py:110-118).
+# u64f (engine extension, full-range u64) rides the u64 wire type.
+_WIRE_TYPES: dict[str, tuple[int, int, str]] = {
+    "bool": (1, 1, "u1"),
+    "u32": (2, 4, "<u4"),
+    "u64": (3, 8, "<u8"),
+    "u64f": (3, 8, "<u8"),
+    "f32": (4, 4, "<f4"),
+    "f64": (5, 8, "<f8"),
+    "i32": (6, 4, "<i4"),
+    "i64": (7, 8, "<i8"),
+}
+
+
+class ProtocolError(Exception):
+    """Malformed frame — the reference tears the connection down (EINVAL
+    from parse_cmd escapes process_stream); we do the same."""
+
+
+def _pad8(n: int) -> int:
+    return (8 - n % 8) % 8
+
+
+def _pack_bitmap(valid: np.ndarray, offset: int = 0) -> bytes:
+    """Validity bitmap: bit ``offset + i`` set when row i is non-NULL,
+    padded to whole u64 words (client.py:160-185 Field.pack)."""
+    bits = np.zeros(offset + len(valid), dtype=bool)
+    bits[offset:] = valid
+    packed = np.packbits(bits, bitorder="little").tobytes()
+    words = -(-len(bits) // 64)
+    return packed.ljust(words * 8, b"\x00")
+
+
+def _unpack_bitmap(buf: bytes, offset: int, n: int) -> np.ndarray:
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), bitorder="little")
+    return bits[offset:offset + n].astype(bool)
+
+
+def _column_wire_arrays(arrow_col, wire_dtype: str) -> tuple[np.ndarray, np.ndarray]:
+    """(values-with-NULLs-as-0, validity) as numpy from an Arrow column.
+
+    Stays in Arrow (fill_null then to_numpy) — the pandas detour would
+    promote int64-with-NULLs to float64 and silently round values >2^53.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = arrow_col.combine_chunks() if hasattr(arrow_col, "combine_chunks") else arrow_col
+    valid = ~np.asarray(arr.is_null())
+    if pa.types.is_decimal(arr.type):  # u64f rides the u64 wire type
+        values = np.array(
+            [0 if v is None else int(v) for v in arr.to_pylist()],
+            dtype=np.dtype(wire_dtype),
+        )
+    else:
+        fill = False if pa.types.is_boolean(arr.type) else 0
+        filled = pc.fill_null(arr, fill).to_numpy(zero_copy_only=False)
+        values = filled.astype(np.dtype(wire_dtype))
+    return values, valid
+
+
+class _Conn:
+    """Blocking recv/send helpers over one (possibly TLS) socket."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+
+    def recvall(self, size: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < size:
+            part = self.sock.recv(size - len(buf))
+            if not part:
+                raise ConnectionError("connection closed")
+            buf.extend(part)
+        return bytes(buf)
+
+    def recv_u32(self) -> int:
+        return struct.unpack("<I", self.recvall(4))[0]
+
+    def recv_u16(self) -> int:
+        return struct.unpack("<H", self.recvall(2))[0]
+
+    def recv_u64(self) -> int:
+        return struct.unpack("<Q", self.recvall(8))[0]
+
+    def send(self, data: bytes) -> None:
+        self.sock.sendall(data)
+
+    def send_status(self, code: int) -> None:
+        self.send(struct.pack("<Ii", DT_STATUS_CODE, code))
+
+
+def _parse_tokens(conn: _Conn, grammar: tuple[int, ...]) -> list:
+    """Fixed-grammar token parse (tokens.h:parse_cmd): strings are
+    ``u16 len < 1024 + bytes``, times/limits ``u64``."""
+    out: list = []
+    for dt in grammar:
+        got = conn.recv_u32()
+        if got != dt:
+            raise ProtocolError(f"expected token {dt:#x} got {got:#x}")
+        if dt in _STRING_TOKENS:
+            ln = conn.recv_u16()
+            if ln >= 1024:
+                raise ProtocolError("string token too long")
+            out.append(conn.recvall(ln).decode())
+        elif dt in _U64_TOKENS:
+            out.append(conn.recv_u64())
+        elif dt == DT_END:
+            pass
+        else:
+            raise ProtocolError(f"unsupported grammar token {dt:#x}")
+    return out
+
+
+class TsdbServer:
+    """Threaded TCP listener speaking the reference wire protocol.
+
+    ``ssl_context``+``require_auth=True`` reproduces the reference's
+    authenticated TLS listener (server.cc:963-1069): the socket is wrapped
+    before any frame, the first command must be CT_AUTHENTICATE, and a
+    failed auth closes the connection without a status frame.  With
+    neither, this is the plaintext local listener (server.cc:952-961).
+    """
+
+    def __init__(
+        self,
+        spark,
+        warehouse: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        *,
+        require_auth: bool = False,
+        ssl_context: ssl.SSLContext | None = None,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.require_auth = require_auth
+        self.ssl_context = ssl_context
+        outer = self
+
+        class _Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:  # pragma: no cover - thin shim
+                outer._handle_socket(self.request)
+
+        class _Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._server = _Server((host, port), _Handler)
+        self.address = self._server.server_address
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ------------------------------------------------------
+    def start(self) -> "TsdbServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="tsdb-server", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "TsdbServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- connection loop ------------------------------------------------
+    def _handle_socket(self, sock: socket.socket) -> None:
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, True)
+        try:
+            if self.ssl_context is not None:
+                sock = self.ssl_context.wrap_socket(sock, server_side=True)
+            conn = _Conn(sock)
+            client = TsdbClient(self.spark, self.warehouse, require_auth=self.require_auth)
+            if self.require_auth:
+                # First command MUST be AUTHENTICATE (server.cc:1028-1035);
+                # on failure: close with no status frame (server.cc:1046-1066).
+                ct = conn.recv_u32()
+                if ct != CT_AUTHENTICATE:
+                    return
+                user, pw = _parse_tokens(
+                    conn, (DT_USERNAME, DT_PASSWORD, DT_END)
+                )
+                if not client.authenticate(user, pw):
+                    return
+                conn.send_status(0)
+            self._command_loop(conn, client)
+        except (ConnectionError, ProtocolError, ssl.SSLError, OSError):
+            pass  # reference: teardown on protocol/socket errors (tokens.h:241-248)
+        finally:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _command_loop(self, conn: _Conn, client: TsdbClient) -> None:
+        handlers = {
+            CT_CREATE_DATABASE: self._h_create_database,
+            CT_LIST_DATABASES: self._h_list_databases,
+            CT_CREATE_MEASUREMENT: self._h_create_measurement,
+            CT_GET_SCHEMA: self._h_get_schema,
+            CT_LIST_MEASUREMENTS: self._h_list_measurements,
+            CT_LIST_SERIES: self._h_list_series,
+            CT_ACTIVE_SERIES: self._h_active_series,
+            CT_COUNT_POINTS: self._h_count_points,
+            CT_WRITE_POINTS: self._h_write_points,
+            CT_DELETE_POINTS: self._h_delete_points,
+            CT_SELECT_POINTS_LIMIT: self._h_select_limit,
+            CT_SELECT_POINTS_LAST: self._h_select_last,
+            CT_SUM_POINTS: self._h_sum_points,
+            CT_INTEGRATE_POINTS: self._h_integrate,
+            CT_NOP: self._h_nop,
+            CT_AUTHENTICATE: self._h_authenticate,
+        }
+        while True:
+            try:
+                ct = conn.recv_u32()
+            except ConnectionError:
+                return
+            handler = handlers.get(ct)
+            if handler is None:
+                return  # unknown command: drop connection (tokens.h:234-238)
+            # parse_and_exec: handler streams its payload, then exactly one
+            # status frame — 0 or the engine error code.
+            try:
+                handler(conn, client)
+                conn.send_status(0)
+            except TsdbError as e:
+                conn.send_status(e.code)
+
+    # -- catalog commands -----------------------------------------------
+    def _h_create_database(self, conn: _Conn, client: TsdbClient) -> None:
+        (db,) = _parse_tokens(conn, (DT_DATABASE, DT_END))
+        client.create_database(db)
+
+    def _h_list_databases(self, conn: _Conn, client: TsdbClient) -> None:
+        _parse_tokens(conn, (DT_END,))
+        for name in client.list_databases():
+            raw = name.encode()
+            conn.send(struct.pack("<IH", DT_DATABASE, len(raw)) + raw)
+
+    def _h_create_measurement(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas, typed = _parse_tokens(
+            conn, (DT_DATABASE, DT_MEASUREMENT, DT_TYPED_FIELDS, DT_END)
+        )
+        fields: dict[str, str] = {}
+        for part in typed.split(","):
+            name, _, ftype = part.partition("/")
+            fields[name] = ftype
+        client.create_measurement(db, meas, fields)
+
+    def _h_get_schema(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas = _parse_tokens(conn, (DT_DATABASE, DT_MEASUREMENT, DT_END))
+        for name, ftype in client.get_schema(db, meas):
+            raw = name.encode()
+            wire_id = _WIRE_TYPES[ftype][0]
+            conn.send(
+                struct.pack("<IIIH", DT_FIELD_TYPE, wire_id, DT_FIELD_NAME, len(raw))
+                + raw
+            )
+
+    def _h_list_measurements(self, conn: _Conn, client: TsdbClient) -> None:
+        (db,) = _parse_tokens(conn, (DT_DATABASE, DT_END))
+        for name in client.list_measurements(db):
+            raw = name.encode()
+            conn.send(struct.pack("<IH", DT_MEASUREMENT, len(raw)) + raw)
+
+    def _h_list_series(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas = _parse_tokens(conn, (DT_DATABASE, DT_MEASUREMENT, DT_END))
+        for name in client.list_series(db, meas):
+            raw = name.encode()
+            conn.send(struct.pack("<IH", DT_SERIES, len(raw)) + raw)
+
+    def _h_active_series(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas, t0, t1 = _parse_tokens(
+            conn, (DT_DATABASE, DT_MEASUREMENT, DT_TIME_FIRST, DT_TIME_LAST, DT_END)
+        )
+        for name in client.active_series(db, meas, t0, t1):
+            raw = name.encode()
+            conn.send(struct.pack("<IH", DT_SERIES, len(raw)) + raw)
+
+    def _h_nop(self, conn: _Conn, client: TsdbClient) -> None:
+        _parse_tokens(conn, (DT_END,))
+        client.nop()
+
+    def _h_authenticate(self, conn: _Conn, client: TsdbClient) -> None:
+        user, pw = _parse_tokens(conn, (DT_USERNAME, DT_PASSWORD, DT_END))
+        if not client.authenticate(user, pw):
+            from simple_tsdb_spark.errors import NotAuthenticated
+
+            raise NotAuthenticated("bad credentials")
+
+    # -- scalar data commands -------------------------------------------
+    def _h_count_points(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas, series, t0, t1 = _parse_tokens(
+            conn,
+            (DT_DATABASE, DT_MEASUREMENT, DT_SERIES, DT_TIME_FIRST, DT_TIME_LAST, DT_END),
+        )
+        row = client.count_points(db, meas, series, t0, t1).collect()[0]
+        # Empty range: engine reports NULL first/last (DIVERGENCES: empty-count
+        # edge); the wire carries 0 there.
+        conn.send(struct.pack("<IQ", DT_TIME_FIRST, row["time_first"] or 0))
+        conn.send(struct.pack("<IQ", DT_TIME_LAST, row["time_last"] or 0))
+        conn.send(struct.pack("<IQ", DT_NPOINTS, row["npoints"]))
+
+    def _h_delete_points(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas, series, t = _parse_tokens(
+            conn, (DT_DATABASE, DT_MEASUREMENT, DT_SERIES, DT_TIME_LAST, DT_END)
+        )
+        client.delete_points(db, meas, series, t)
+
+    def _h_integrate(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas, series, field_list, t0, t1 = _parse_tokens(
+            conn,
+            (DT_DATABASE, DT_MEASUREMENT, DT_SERIES, DT_FIELD_LIST,
+             DT_TIME_FIRST, DT_TIME_LAST, DT_END),
+        )
+        fields = [f for f in field_list.split(",") if f]
+        rows = client.integrate_points(db, meas, series, fields, t0, t1).collect()
+        if rows:
+            row = rows[0]
+            tf, tl = row["t0_ns"], row["t1_ns"]
+            integrals = [row[f"{f}_integral"] for f in fields]
+        else:
+            tf, tl = 0, 0
+            integrals = [None] * len(fields)
+        bitmap = 0
+        vals = []
+        for i, v in enumerate(integrals):
+            if v is None:
+                bitmap |= 1 << i  # NULL-poisoned field (IntegralResult bitmap)
+                vals.append(0.0)
+            else:
+                vals.append(float(v))
+        conn.send(struct.pack("<IQ", DT_TIME_FIRST, tf))
+        conn.send(struct.pack("<IQ", DT_TIME_LAST, tl))
+        conn.send(struct.pack("<IQ", DT_INTEGRAL_BITMAP, bitmap))
+        conn.send(struct.pack("<I", DT_INTEGRALS) + struct.pack(f"<{len(vals)}d", *vals))
+
+    # -- SELECT streaming -----------------------------------------------
+    def _stream_select(self, conn: _Conn, client: TsdbClient, df, db, meas, fields) -> None:
+        schema = dict(client.get_schema(db, meas))
+        tbl = df.toArrow()
+        n_total = tbl.num_rows
+        ts_all = np.asarray(tbl.column("time_ns").combine_chunks()).astype("<u8")
+        cols = []
+        for f in fields:
+            wire_dtype = _WIRE_TYPES[schema[f]][2]
+            cols.append(_column_wire_arrays(tbl.column(f), wire_dtype))
+        for start in range(0, n_total, SELECT_CHUNK_POINTS):
+            n = min(SELECT_CHUNK_POINTS, n_total - start)
+            body = ts_all[start:start + n].tobytes()
+            for values, valid in cols:
+                body += _pack_bitmap(valid[start:start + n])
+                vb = values[start:start + n].tobytes()
+                body += vb + b"\x00" * _pad8(len(vb))
+            conn.send(struct.pack("<IIII", DT_CHUNK, n, 0, len(body)))
+            conn.send(body)
+        conn.send(struct.pack("<I", DT_END))
+
+    def _select_args(self, conn: _Conn, nt: int):
+        return _parse_tokens(
+            conn,
+            (DT_DATABASE, DT_MEASUREMENT, DT_SERIES, DT_FIELD_LIST,
+             DT_TIME_FIRST, DT_TIME_LAST, nt, DT_END),
+        )
+
+    def _h_select_limit(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas, series, field_list, t0, t1, n = self._select_args(conn, DT_NLIMIT)
+        fields = [f for f in field_list.split(",") if f]
+        # The reference client sends NLIMIT=2^64-1 for "unbounded"; Spark's
+        # limit() is int32, so anything past that range means no limit.
+        limit = n if n < 2**31 else None
+        df = client.select_points_limit(db, meas, series, fields or None, t0, t1, limit)
+        self._stream_select(conn, client, df, db, meas, fields or [c for c, _ in client.get_schema(db, meas)])
+
+    def _h_select_last(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas, series, field_list, t0, t1, n = self._select_args(conn, DT_NLAST)
+        fields = [f for f in field_list.split(",") if f]
+        df = client.select_points_last(db, meas, series, fields or None, t0, t1, min(n, 2**31 - 1))
+        self._stream_select(conn, client, df, db, meas, fields or [c for c, _ in client.get_schema(db, meas)])
+
+    # -- SUM streaming ---------------------------------------------------
+    def _h_sum_points(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas, series, field_list, t0, t1, window_ns = _parse_tokens(
+            conn,
+            (DT_DATABASE, DT_MEASUREMENT, DT_SERIES, DT_FIELD_LIST,
+             DT_TIME_FIRST, DT_TIME_LAST, DT_WINDOW_NS, DT_END),
+        )
+        fields = [f for f in field_list.split(",") if f]
+        pdf = client.sum_points(db, meas, series, window_ns, fields, t0, t1).toPandas()
+        n_total = len(pdf)
+        ts = pdf["wstart"].to_numpy(dtype="<u8")
+        sums = [pdf[f"{f}_sum"].fillna(0.0).to_numpy(dtype="<f8") for f in fields]
+        mins = [pdf[f"{f}_min"].fillna(0.0).to_numpy(dtype="<f8") for f in fields]
+        maxs = [pdf[f"{f}_max"].fillna(0.0).to_numpy(dtype="<f8") for f in fields]
+        counts = [pdf[f"{f}_count"].fillna(0).to_numpy(dtype="<u8") for f in fields]
+        for start in range(0, n_total, SUMS_CHUNK_WINDOWS):
+            n = min(SUMS_CHUNK_WINDOWS, n_total - start)
+            sl = slice(start, start + n)
+            body = ts[sl].tobytes()
+            for arrs in (sums, mins, maxs, counts):
+                for a in arrs:
+                    body += a[sl].tobytes()
+            conn.send(struct.pack("<IH", DT_SUMS_CHUNK, n))
+            conn.send(body)
+        conn.send(struct.pack("<I", DT_END))
+
+    # -- WRITE_POINTS ----------------------------------------------------
+    def _h_write_points(self, conn: _Conn, client: TsdbClient) -> None:
+        db, meas, series = _parse_tokens(conn, (DT_DATABASE, DT_MEASUREMENT, DT_SERIES))
+        schema = client.get_schema(db, meas)
+        chunks = []
+        while True:
+            conn.send(struct.pack("<II", DT_READY_FOR_CHUNK, MAX_CHUNK_DATA_LEN))
+            dt = conn.recv_u32()
+            if dt == DT_END:
+                break
+            if dt != DT_CHUNK:
+                raise ProtocolError("expected DT_CHUNK or DT_END")
+            npoints, bitmap_offset, data_len = struct.unpack("<III", conn.recvall(12))
+            if data_len > MAX_CHUNK_DATA_LEN:
+                raise ProtocolError("chunk too large")
+            chunks.append((npoints, bitmap_offset, conn.recvall(data_len)))
+        if not chunks:
+            return
+        rows: list[tuple] = []
+        for npoints, bitmap_offset, data in chunks:
+            rows.extend(self._decode_chunk(schema, series, npoints, bitmap_offset, data))
+        from pyspark.sql import types as T  # noqa: F401 (schema via catalog)
+
+        spark_schema = client.catalog.spark_schema(db, meas)
+        batch = self.spark.createDataFrame(rows, schema=spark_schema)
+        client.write_points(db, meas, batch)
+
+    @staticmethod
+    def _decode_chunk(schema, series: str, npoints: int, bitmap_offset: int, data: bytes):
+        """Inverse of Schema.pack_points (client.py:204-215): ``u64 ts[n]``
+        then per schema field bitmap/values/pad."""
+        off = 0
+        ts = np.frombuffer(data, dtype="<u8", count=npoints, offset=off)
+        off += 8 * npoints
+        columns = []
+        for _name, ftype in schema:
+            _wire_id, size, np_dtype = _WIRE_TYPES[ftype]
+            bm_words = -(-(bitmap_offset + npoints) // 64)
+            valid = _unpack_bitmap(data[off:off + bm_words * 8], bitmap_offset, npoints)
+            off += bm_words * 8
+            values = np.frombuffer(data, dtype=np.dtype(np_dtype), count=npoints, offset=off)
+            nbytes = npoints * size
+            off += nbytes + _pad8(nbytes)
+            columns.append((ftype, values, valid))
+        rows = []
+        for i in range(npoints):
+            row: list = [series, int(ts[i])]
+            for ftype, values, valid in columns:
+                if not valid[i]:
+                    row.append(None)
+                elif ftype == "bool":
+                    row.append(bool(values[i]))
+                elif ftype in ("f32", "f64"):
+                    row.append(float(values[i]))
+                elif ftype == "u64f":
+                    row.append(Decimal(int(values[i])))
+                else:
+                    row.append(int(values[i]))
+            rows.append(tuple(row))
+        return rows
