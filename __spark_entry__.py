@@ -340,6 +340,25 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+#: decontamination benchmark carve-out: ~1% of docs play the eval set.
+DECONTAM_BENCH_FILTER = "doc_id % 97 = 0"
+
+
+def _q_decontaminate(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(DECONTAM_BENCH_FILTER)
+    corpus = docs.where(f"NOT ({DECONTAM_BENCH_FILTER})")
+    return decontaminate(corpus, bench)
+
+
+def _q_boilerplate_spans(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import boilerplate_spans
+
+    return boilerplate_spans(_docs(spark, sf_dir))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from simple_tsdb_spark.pipeline import exact_dedup
 
@@ -557,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition signals
+        "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
+        "boilerplate_spans": _q_boilerplate_spans,  # C4-style span df profile
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
@@ -920,6 +941,10 @@ def _pipeline_oracles() -> dict[str, str]:
         knn_lsh_oracle,
         pq_encode_oracle,
     )
+    from simple_tsdb_spark.pipeline.spans import (
+        boilerplate_spans_oracle,
+        decontaminate_oracle,
+    )
     from simple_tsdb_spark.pipeline.text import (
         fingerprint_oracle,
         lang_id_oracle,
@@ -941,6 +966,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "lang_id": lang_id_oracle(),
         "fingerprint": fingerprint_oracle(),
         "repetition_stats": repetition_stats_oracle(),
+        "decontaminate": decontaminate_oracle(bench_filter=DECONTAM_BENCH_FILTER),
+        "boilerplate_spans": boilerplate_spans_oracle(),
         "dedup_exact": exact_dedup_oracle(),
         "ngram_jaccard": ngram_jaccard_oracle(threshold=JACCARD_THRESHOLD),
         "minhash_lsh": minhash_lsh_oracle(),

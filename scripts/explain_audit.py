@@ -221,6 +221,42 @@ def main() -> int:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    # span ops: decontaminate must broadcast ONLY the benchmark gram set
+    # (the corpus side never shuffles before the doc-keyed agg);
+    # boilerplate_spans must never broadcast the corpus even with
+    # auto-broadcast off (its two shuffles are uniform md5 span keys).
+    from simple_tsdb_spark.pipeline import boilerplate_spans, decontaminate
+    from simple_tsdb_spark.sources.fixtures import read_fixture
+
+    docs = read_fixture(spark, SF, "documents")
+    p = plan_of(decontaminate(docs.where("doc_id % 97 = 0"), docs.where("doc_id % 97 = 0")))
+    ok &= check(
+        "decontaminate: benchmark grams broadcast",
+        "BroadcastExchange" in p and "BroadcastHashJoin" in p,
+    )
+    # Corpus-sized data must reach the broadcast join shuffle-free.  The
+    # allowed exchanges are all small: the bench-side distinct (one
+    # hashpartitioning(g) feeding the BroadcastExchange), and the
+    # post-join countDistinct pair keyed on doc_id — those carry only the
+    # hit set, not the corpus.
+    ok &= check(
+        "decontaminate: only bench-distinct + post-join-hit exchanges",
+        p.count("hashpartitioning(g#") == 1
+        and "BroadcastHashJoin" in p
+        and p.count("hashpartitioning(") <= 3,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        p = plan_of(boilerplate_spans(docs))
+        ok &= check("boilerplate_spans: no corpus broadcast", "BroadcastExchange" not in p)
+        ok &= check(
+            "boilerplate_spans: span-df shuffle keyed on uniform hash",
+            "hashpartitioning(h" in p,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     # native writer layout: time_ns is a stored column → direct pushdown +
     # series partition pruning, no adapter hint needed
     import tempfile

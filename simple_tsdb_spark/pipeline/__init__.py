@@ -27,6 +27,10 @@ from simple_tsdb_spark.pipeline.dedup import (
     simhash_pairs,
     embedding_dup_pairs,
 )
+from simple_tsdb_spark.pipeline.spans import (
+    boilerplate_spans,
+    decontaminate,
+)
 from simple_tsdb_spark.pipeline.curation import (
     dedup_components,
     domain_topk,
@@ -58,6 +62,8 @@ __all__ = [
     "token_counts",
     "quality_score",
     "repetition_stats",
+    "boilerplate_spans",
+    "decontaminate",
     "lang_id",
     "fingerprint",
     "exact_dedup",

@@ -1,0 +1,188 @@
+"""Span-level curation operators: benchmark decontamination and
+boilerplate-span detection.
+
+Both work on word n-gram spans of the space-normalized ``documents``
+corpus and are pure DataFrame compositions with DuckDB oracle twins.
+
+Scale shape (the part that matters at 100 TB):
+
+- ``decontaminate``: the benchmark side is tiny by definition (an eval
+  set, thousands of docs), so its distinct span set broadcasts; the
+  corpus side is a shuffle-free scan + explode + broadcast semi-join,
+  then one groupBy on doc_id.  No corpus-sized shuffle on the span key.
+- ``boilerplate_spans``: global span document-frequency needs one
+  shuffle on the span hash (uniform md5 keys, map-side combine), and
+  the df-join back to spans is a second uniform-key shuffle.  Same
+  two-shuffle posting-list shape as ngram_jaccard, linear in corpus
+  size, no skew (span hashes are uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: decontamination n-gram length (words).  The published convention is
+#: 13-gram (GPT-3 appendix C); the synthetic corpus draws ~30-80-word
+#: docs from a tiny vocabulary whose only long shared n-grams are exact
+#: duplicates, so 4 keeps the same mechanics with a non-empty hit set at
+#: test scale.  Real pipelines pass n=13.
+DECONTAM_N = 4
+
+#: boilerplate span width (words, non-overlapping windows — C4 dedups at
+#: three-sentence granularity; fixed word windows are this corpus's analog).
+SPAN_WORDS = 10
+
+
+def _gram_expr(text_col: str, n: int) -> str:
+    """Spark SQL fragment: all overlapping word n-grams of ``text_col``."""
+    w = f"split({text_col}, ' ')"
+    return (
+        f"IF(size({w}) < {n}, CAST(array() AS ARRAY<STRING>), "
+        f"transform(sequence(1, size({w}) - {n} + 1), "
+        f"i -> array_join(slice({w}, i, {n}), ' ')))"
+    )
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB twin of ``_gram_expr`` (1-based inclusive list slices)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice(string_split(text, ' '), i, i + {n - 1}), ' '))"
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct word ``n``-grams it shares with any benchmark document.
+
+    Docs with ``n_overlap > 0`` are the contamination candidates a
+    training pipeline drops or audits before training on the corpus.
+    Only flagged docs are returned (the complement is a trivial anti-join
+    the caller owns).
+
+    The benchmark span set is deduplicated and **broadcast** — eval sets
+    are small by construction, so the corpus never shuffles: scan →
+    explode → broadcast hash semi-join → one doc-keyed aggregation.
+    """
+    grams = F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
+    bench_grams = benchmark.select(grams).distinct()
+    corpus_grams = corpus.select(F.col(id_col), grams)
+    hits = corpus_grams.join(F.broadcast(bench_grams), "g")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_overlap"))
+        .orderBy(id_col)
+    )
+
+
+def decontaminate_oracle(
+    *,
+    n: int = DECONTAM_N,
+    table: str = "documents",
+    bench_filter: str = "doc_id % 97 = 0",
+) -> str:
+    """DuckDB twin with the benchmark carved out of ``table`` by
+    ``bench_filter`` (how the driver query builds its benchmark set)."""
+    return f"""
+WITH grams AS (
+  SELECT doc_id, UNNEST({_gram_sql(n)}) AS g FROM {table}),
+bench AS (SELECT DISTINCT g FROM grams WHERE {bench_filter}),
+corpus AS (SELECT doc_id, g FROM grams WHERE NOT ({bench_filter}))
+SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_overlap
+FROM corpus JOIN bench USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def _span_expr(text_col: str, k: int) -> str:
+    """Non-overlapping ``k``-word windows (the last partial window is a
+    span too — a short tail is still dedup-able boilerplate)."""
+    w = f"split({text_col}, ' ')"
+    return (
+        f"transform(sequence(1, size({w}), {k}), "
+        f"i -> array_join(slice({w}, i, {k}), ' '))"
+    )
+
+
+def _span_sql(k: int) -> str:
+    return (
+        f"list_transform(generate_series(1, len(string_split(text, ' ')), {k}), "
+        f"i -> array_to_string(list_slice(string_split(text, ' '), i, i + {k - 1}), ' '))"
+    )
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    *,
+    k: int = SPAN_WORDS,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate-span profile per document: how much of each doc is
+    made of spans that also appear in other documents.
+
+    C4-style span dedup ("remove any three-sentence span occurring more
+    than once") split into the measurement half: span global document
+    frequency → per-doc count of spans with ``df >= min_df`` elsewhere.
+    Emits ``doc_id, n_spans, n_dup_spans, dup_span_frac``; the removal
+    half is a filter/reassembly over the same join the caller applies
+    when materializing cleaned text.
+
+    Span identity is the md5 of the span text — the shuffle key is
+    uniform, so the df-aggregation and the join back are skew-free.
+    A span repeated inside ONE document does not count (document
+    frequency, not term frequency — matching C4's cross-document rule).
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(_span_expr(text_col, k))).alias("pos", "span"),
+    ).withColumn("h", F.md5("span"))
+    span_df = spans.select(id_col, "h").distinct().groupBy("h").agg(
+        F.count(F.lit(1)).alias("span_docs")
+    )
+    joined = spans.join(span_df, "h")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("span_docs") >= min_df).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def boilerplate_spans_oracle(
+    *, k: int = SPAN_WORDS, min_df: int = 2, table: str = "documents"
+) -> str:
+    return f"""
+WITH spans AS (
+  SELECT doc_id, md5(UNNEST({_span_sql(k)})) AS h FROM {table}),
+span_df AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS span_docs FROM spans GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN span_docs >= {min_df} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(SUM(CASE WHEN span_docs >= {min_df} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_span_frac
+FROM spans JOIN span_df USING (h)
+GROUP BY doc_id
+ORDER BY doc_id
+"""

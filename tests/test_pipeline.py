@@ -389,3 +389,64 @@ def test_pq_encode_shape_and_determinism(spark, embs):
     assert all(0 <= v < PQ_K for c in codes.codes for v in c)
     again = pq_encode(embs.limit(50)).toPandas()
     assert list(map(list, codes.codes)) == list(map(list, again.codes))
+
+
+def test_decontaminate_python_model(spark):
+    """Flagged docs and overlap counts vs a direct python n-gram model."""
+    from simple_tsdb_spark.pipeline import decontaminate
+
+    bench_texts = {100: "a b c d e f", 101: "q r s t"}
+    corpus_texts = {
+        1: "x a b c d y",        # shares 4-gram "a b c d"
+        2: "a b c d e f g",      # shares 3 distinct 4-grams with doc 100
+        3: "z z z z z",          # clean
+        4: "q r s t",            # exact benchmark copy, 1 shared 4-gram
+    }
+    mk = lambda d: spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(d), "text": list(d.values())})
+    )
+    got = {r.doc_id: r.n_overlap for r in
+           decontaminate(mk(corpus_texts), mk(bench_texts), n=4).collect()}
+
+    def grams(t, n=4):
+        w = t.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    bench = set().union(*(grams(t) for t in bench_texts.values()))
+    want = {
+        i: len(grams(t) & bench)
+        for i, t in corpus_texts.items()
+        if grams(t) & bench
+    }
+    assert got == want and 3 not in got
+
+
+def test_boilerplate_spans_python_model(spark):
+    """Span df profile vs a python model: cross-document spans only."""
+    from simple_tsdb_spark.pipeline import boilerplate_spans
+
+    texts = {
+        1: "a b c d",        # k=2 spans: "a b", "c d"
+        2: "a b x y",        # shares "a b" with doc 1
+        3: "c d c d",        # "c d" twice in ONE doc + doc 1 -> dup by df
+        4: "solo",           # single partial span, unique
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {r.doc_id: r for r in boilerplate_spans(df, k=2).collect()}
+
+    spans = {i: [" ".join(t.split(" ")[j:j + 2]) for j in range(0, len(t.split(" ")), 2)]
+             for i, t in texts.items()}
+    docfreq = {}
+    for i, ss in spans.items():
+        for s in set(ss):
+            docfreq[s] = docfreq.get(s, 0) + 1
+    for i, ss in spans.items():
+        r = got[i]
+        assert r.n_spans == len(ss)
+        assert r.n_dup_spans == sum(1 for s in ss if docfreq[s] >= 2)
+    # doc 3's internal repetition alone must NOT count as boilerplate:
+    # "c d" is dup only because doc 1 also has it.
+    assert got[3].n_dup_spans == 2
+    assert got[4].n_dup_spans == 0
