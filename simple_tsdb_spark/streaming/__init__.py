@@ -1,3 +1,4 @@
+from simple_tsdb_spark.streaming.decontam import streaming_decontaminate_flags
 from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup, streaming_simhash_dedup
 from simple_tsdb_spark.streaming.ingest import start_ingest, start_ingest_with_rollup
 from simple_tsdb_spark.streaming.join import streaming_interval_join
@@ -7,6 +8,7 @@ __all__ = [
     "start_ingest",
     "start_ingest_with_rollup",
     "streaming_ewma",
+    "streaming_decontaminate_flags",
     "streaming_exact_dedup",
     "streaming_simhash_dedup",
     "streaming_interval_join",

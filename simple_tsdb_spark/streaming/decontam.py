@@ -1,0 +1,51 @@
+"""Streaming benchmark decontamination — flag contaminated documents on
+ingest instead of in a batch sweep.
+
+Batch twin: ``pipeline.spans.decontaminate``.  The benchmark span set is
+a STATIC DataFrame (eval sets change rarely and are tiny); the stream
+side explodes each document's word n-grams and stream-static joins them
+against the benchmark grams — a stateless broadcast join, so the only
+state in the query is the final per-doc dedup, bounded by the watermark.
+
+Emitting flags (doc_id of contaminated docs) rather than dropping rows
+keeps the operator composable: the ingest pipeline anti-joins flags
+against the document stream, while an audit sink can persist them —
+the same split the batch operator makes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simple_tsdb_spark.pipeline.spans import DECONTAM_N, _gram_expr
+
+
+def streaming_decontaminate_flags(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: str = "event_ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """(doc_id,) stream of documents sharing ≥1 word ``n``-gram with the
+    static ``benchmark`` table.
+
+    One stream-static inner join (benchmark grams broadcast — no stream
+    state) + one ``dropDuplicatesWithinWatermark`` on the doc id so each
+    contaminated doc is flagged once.  State is one entry per flagged doc
+    inside the horizon — far smaller than the dedup operators' band
+    state, since contamination is rare by construction.
+    """
+    bench_grams = benchmark.select(
+        F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
+    ).distinct()
+    hits = (
+        stream.withWatermark(event_time_col, watermark_delay)
+        .select(F.col(id_col), F.col(event_time_col), F.explode(F.expr(_gram_expr(text_col, n))).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+    )
+    return hits.dropDuplicatesWithinWatermark([id_col]).select(id_col)
