@@ -249,6 +249,14 @@ class TsdbServer:
         self._server = _Server((host, port), _Handler)
         self.address = self._server.server_address
         self._thread: threading.Thread | None = None
+        # Writer serialization, the analog of the reference's
+        # open_or_create_and_lock_series (server.cc:578).  Keyed per
+        # MEASUREMENT (coarser than the reference's per-series lock):
+        # our writer maintains measurement-level sidecars (layout,
+        # watermarks) that concurrent same-measurement writes would race
+        # on.  Reads never take a lock (snapshot reads).
+        self._write_locks: dict[tuple[str, str], threading.Lock] = {}
+        self._write_locks_guard = threading.Lock()
 
     # -- lifecycle ------------------------------------------------------
     def start(self) -> "TsdbServer":
@@ -513,8 +521,18 @@ class TsdbServer:
         conn.send(struct.pack("<I", DT_END))
 
     # -- WRITE_POINTS ----------------------------------------------------
+    def _write_lock(self, db: str, meas: str) -> threading.Lock:
+        with self._write_locks_guard:
+            return self._write_locks.setdefault((db, meas), threading.Lock())
+
     def _h_write_points(self, conn: _Conn, client: TsdbClient) -> None:
         db, meas, series = _parse_tokens(conn, (DT_DATABASE, DT_MEASUREMENT, DT_SERIES))
+        with self._write_lock(db, meas):
+            self._write_points_locked(conn, client, db, meas, series)
+
+    def _write_points_locked(
+        self, conn: _Conn, client: TsdbClient, db: str, meas: str, series: str
+    ) -> None:
         schema = client.get_schema(db, meas)
         chunks = []
         while True:

@@ -299,3 +299,55 @@ def test_unknown_command_drops_connection(server):
         assert sock.recv(1) == b""  # tokens.h:234-238 — no reply, teardown
     finally:
         sock.close()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CLIENT), reason="reference tree absent")
+def test_concurrent_connections(server):
+    """Parallel connections: concurrent reads interleave freely, and two
+    clients writing the SAME measurement serialize on the writer lock
+    (the per-measurement analog of the reference's series write lock)."""
+    import threading
+
+    ref = _load_ref_client()
+    results: dict[str, object] = {}
+
+    def reader(tag: str):
+        conn = ref.Connection(host="127.0.0.1", port=server.address[1])
+        try:
+            got = []
+            for _ in range(3):
+                got.append(conn.count_points("db", "m", "s1", 0, 2**64 - 1).npoints)
+            results[tag] = got
+        finally:
+            conn.close()
+
+    def writer(tag: str, series: str, t_base: int):
+        conn = ref.Connection(host="127.0.0.1", port=server.address[1])
+        try:
+            schema = conn.get_schema("db", "m")
+            points = [{"time_ns": t_base + 10 * i, "v": float(i), "n": i}
+                      for i in range(50)]
+            conn.write_points("db", "m", series, schema, points)
+            results[tag] = "ok"
+        finally:
+            conn.close()
+
+    threads = [
+        threading.Thread(target=reader, args=("r1",)),
+        threading.Thread(target=reader, args=("r2",)),
+        threading.Thread(target=writer, args=("w1", "w_a", 10_000_000)),
+        threading.Thread(target=writer, args=("w2", "w_b", 20_000_000)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results["r1"] == [300, 300, 300] and results["r2"] == [300, 300, 300]
+    assert results["w1"] == "ok" and results["w2"] == "ok"
+
+    conn = ref.Connection(host="127.0.0.1", port=server.address[1])
+    try:
+        assert conn.count_points("db", "m", "w_a", 0, 2**64 - 1).npoints == 50
+        assert conn.count_points("db", "m", "w_b", 0, 2**64 - 1).npoints == 50
+    finally:
+        conn.close()
