@@ -226,6 +226,8 @@ def heavy_chain_phase(spark, n_docs: int) -> dict[str, dict]:
     from pyspark.sql import functions as F
 
     from simple_tsdb_spark.pipeline import (
+        boilerplate_spans,
+        decontaminate,
         dedup_components,
         domain_topk,
         hash_split,
@@ -323,6 +325,25 @@ def heavy_chain_phase(spark, n_docs: int) -> dict[str, dict]:
     stage("hash_split", lambda: hash_split(docs).where(F.col("split") == "train").count())
     stage("domain_topk", lambda: domain_topk(docs, k=100).count())
     stage("pack_sequences", lambda: int(pack_sequences(docs, budget=8192).agg(F.max("pack")).first()[0]))
+
+    # Span ops on the same corpus.  Benchmark = ~N/10k docs: the bench
+    # gram set stays broadcast-sized at any corpus scale (the operator's
+    # contract), so decontaminate's shuffle bytes should stay near the
+    # hit-set size while the scan grows 10x.  Every planted near-dup doc
+    # (id%20==1) shares 8-grams with its source doc, so hits grow
+    # linearly.  boilerplate_spans is the posting-list path: two
+    # md5-keyed shuffles ~ linear in span count.
+    def decon():
+        bench = docs.where("doc_id % 9973 = 0")
+        return decontaminate(docs.where("doc_id % 9973 <> 0"), bench, n=8).count()
+
+    stage("decontaminate", decon)
+    stage(
+        "boilerplate_spans",
+        lambda: int(
+            boilerplate_spans(docs, k=10).agg(F.sum("n_dup_spans")).first()[0]
+        ),
+    )
     return metrics
 
 

@@ -453,6 +453,15 @@ class TsdbServer:
 
     # -- SELECT streaming -----------------------------------------------
     def _stream_select(self, conn: _Conn, client: TsdbClient, df, db, meas, fields) -> None:
+        """Chunked DT_CHUNK frames from the result DataFrame.
+
+        The result materializes on the driver (toArrow) before chunking —
+        the right trade for a wire endpoint serving dashboard-scale
+        selects (a point query over one series' time range), which is
+        what this protocol exists for.  Corpus-scale reads belong on the
+        DataFrame API, not a single socket; the reference server has the
+        same single-connection funnel, it just pipelines the buffer.
+        """
         schema = dict(client.get_schema(db, meas))
         tbl = df.toArrow()
         n_total = tbl.num_rows
