@@ -351,3 +351,132 @@ def test_concurrent_connections(server):
         assert conn.count_points("db", "m", "w_b", 0, 2**64 - 1).npoints == 50
     finally:
         conn.close()
+
+
+# -- codec round-trip property (no server needed) ------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _pack_like_reference(schema, points, bitmap_offset=0):
+    """Pack points exactly as the reference client's Schema.pack_points
+    (client.py:204-215): u64 ts, then per field u64 bitmap + values + pad."""
+    import numpy as np
+
+    n = len(points)
+    data = np.array([p["time_ns"] for p in points], dtype="<u8").tobytes()
+    np_types = {"bool": "u1", "u32": "<u4", "u64": "<u8", "f32": "<f4",
+                "f64": "<f8", "i32": "<i4", "i64": "<i8"}
+    for name, ftype in schema:
+        words = [0xFFFFFFFFFFFFFFFF] * (-(-(bitmap_offset + n) // 64))
+        vals = []
+        for i, p in enumerate(points):
+            v = p[name]
+            if v is None:
+                vals.append(0)
+                words[(bitmap_offset + i) // 64] ^= 1 << ((bitmap_offset + i) % 64)
+            else:
+                vals.append(v)
+        data += np.array(words, dtype="<u8").tobytes()
+        vb = np.array(vals, dtype=np_types[ftype]).tobytes()
+        data += vb + b"\x00" * ((8 - len(vb) % 8) % 8)
+    return data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=1, max_value=130),
+    bitmap_offset=st.integers(min_value=0, max_value=63),
+)
+def test_chunk_decode_roundtrip_property(data, n, bitmap_offset):
+    """decode(reference-pack(points)) == points for random schemas,
+    values, NULL patterns, and bitmap offsets."""
+    types = ["bool", "u32", "u64", "f32", "f64", "i32", "i64"]
+    nf = data.draw(st.integers(min_value=1, max_value=4))
+    schema = [(f"f{i}", data.draw(st.sampled_from(types))) for i in range(nf)]
+    rng = {
+        "bool": st.booleans().map(int),
+        "u32": st.integers(min_value=0, max_value=2**32 - 1),
+        "u64": st.integers(min_value=0, max_value=2**63 - 1),
+        "f32": st.floats(width=32, allow_nan=False),
+        "f64": st.floats(allow_nan=False),
+        "i32": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "i64": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    }
+    points = []
+    for i in range(n):
+        p = {"time_ns": 1000 + i}
+        for name, ftype in schema:
+            p[name] = data.draw(st.none() | rng[ftype])
+        points.append(p)
+
+    packed = _pack_like_reference(schema, points, bitmap_offset)
+    rows = TsdbServer._decode_chunk(schema, "s", n, bitmap_offset, packed)
+    assert len(rows) == n
+    for i, row in enumerate(rows):
+        assert row[0] == "s" and row[1] == points[i]["time_ns"]
+        for j, (name, ftype) in enumerate(schema):
+            want = points[i][name]
+            got = row[2 + j]
+            if want is None:
+                assert got is None
+            elif ftype in ("f32", "f64"):
+                import numpy as np
+
+                expected = float(np.float32(want)) if ftype == "f32" else want
+                assert got == expected
+            elif ftype == "bool":
+                assert got == bool(want)
+            else:
+                assert got == want
+
+
+# -- malformed frames tear the connection down (tokens.h behavior) -------
+def _assert_dropped(sock):
+    """Closed cleanly (b"") or reset (RST when our unread bytes remain)."""
+    try:
+        assert sock.recv(1) == b""
+    except ConnectionError:
+        pass
+
+
+def test_overlong_string_token_drops_connection(server):
+    sock = _connect(server)
+    try:
+        # DT_DATABASE with len 2000 >= 1024 — reference throws EINVAL
+        sock.sendall(struct.pack("<IIH", srv.CT_CREATE_DATABASE, srv.DT_DATABASE, 2000))
+        sock.sendall(b"x" * 2000)
+        _assert_dropped(sock)
+    finally:
+        sock.close()
+
+
+def test_wrong_token_order_drops_connection(server):
+    sock = _connect(server)
+    try:
+        # CREATE_DATABASE grammar expects DT_DATABASE, send DT_SERIES
+        sock.sendall(struct.pack("<IIH2s", srv.CT_CREATE_DATABASE, srv.DT_SERIES, 2, b"db"))
+        _assert_dropped(sock)
+    finally:
+        sock.close()
+
+
+def test_oversized_write_chunk_drops_connection(server):
+    sock = _connect(server)
+    try:
+        db, meas, series = b"db", b"m", b"sx"
+        sock.sendall(struct.pack(
+            "<IIH%dsIH%dsIH%ds" % (len(db), len(meas), len(series)),
+            srv.CT_WRITE_POINTS,
+            srv.DT_DATABASE, len(db), db,
+            srv.DT_MEASUREMENT, len(meas), meas,
+            srv.DT_SERIES, len(series), series,
+        ))
+        dt, max_len = struct.unpack("<II", _recvall(sock, 8))
+        assert dt == srv.DT_READY_FOR_CHUNK and max_len == srv.MAX_CHUNK_DATA_LEN
+        # data_len over the 10 MiB contract: connection dropped (ENOMEM path)
+        sock.sendall(struct.pack("<IIII", srv.DT_CHUNK, 1, 0, srv.MAX_CHUNK_DATA_LEN + 1))
+        _assert_dropped(sock)
+    finally:
+        sock.close()
