@@ -35,12 +35,18 @@ SPAN_WORDS = 10
 
 
 def _gram_expr(text_col: str, n: int) -> str:
-    """Spark SQL fragment: all overlapping word n-grams of ``text_col``."""
-    w = f"split({text_col}, ' ')"
+    """Spark SQL fragment: all overlapping word n-grams of ``text_col``.
+
+    The word array binds ONCE per row as a lambda variable (the
+    single-element-array shim, same trick as text._simhash_expr) —
+    inlining ``split()`` at every position instead measures ~2x slower
+    at 1M docs and compiles far more codegen.
+    """
     return (
-        f"IF(size({w}) < {n}, CAST(array() AS ARRAY<STRING>), "
-        f"transform(sequence(1, size({w}) - {n} + 1), "
-        f"i -> array_join(slice({w}, i, {n}), ' ')))"
+        f"flatten(transform(array(split({text_col}, ' ')), "
+        f"w -> IF(size(w) < {n}, CAST(array() AS ARRAY<STRING>), "
+        f"transform(sequence(1, size(w) - {n} + 1), "
+        f"i -> array_join(slice(w, i, {n}), ' ')))))"
     )
 
 
@@ -105,11 +111,12 @@ ORDER BY doc_id
 
 def _span_expr(text_col: str, k: int) -> str:
     """Non-overlapping ``k``-word windows (the last partial window is a
-    span too — a short tail is still dedup-able boilerplate)."""
-    w = f"split({text_col}, ' ')"
+    span too — a short tail is still dedup-able boilerplate).  Words
+    bind once per row (see ``_gram_expr``)."""
     return (
-        f"transform(sequence(1, size({w}), {k}), "
-        f"i -> array_join(slice({w}, i, {k}), ' '))"
+        f"flatten(transform(array(split({text_col}, ' ')), "
+        f"w -> transform(sequence(1, size(w), {k}), "
+        f"i -> array_join(slice(w, i, {k}), ' '))))"
     )
 
 

