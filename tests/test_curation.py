@@ -338,3 +338,72 @@ def test_pack_sequences_strict_rejects_oversized_doc(spark):
     )
     with pytest.raises(Exception, match="exceeds budget"):
         pack_sequences(df, budget=50, strict=True).collect()
+
+
+def test_end_to_end_curation_chain(spark):
+    """The full curation composition on real fixture data: decontaminate
+    → near-dup cluster → keep representatives → split → sample → pack.
+    Pins the cross-operator invariants a training pipeline relies on,
+    not any single operator's output."""
+    import pyspark.sql.functions as F
+
+    from simple_tsdb_spark.pipeline import (
+        dedup_components,
+        decontaminate,
+        hash_split,
+        minhash_lsh_pairs,
+        mixture_sample,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id % 97 = 0")
+    corpus = docs.where("doc_id % 97 <> 0")
+
+    # 1. decontaminate: drop docs sharing 4-grams with the benchmark
+    flagged = decontaminate(corpus, bench, n=4)
+    clean = corpus.join(flagged, "doc_id", "left_anti").cache()
+    n_clean = clean.count()
+    assert 0 < n_clean < corpus.count()
+
+    # 2. near-dup pairs -> components -> keep the component representative
+    pairs = minhash_lsh_pairs(clean)
+    comp = dedup_components(pairs, clean)
+    kept = clean.join(
+        comp.where(F.col("doc") == F.col("component")).select(
+            F.col("doc").alias("doc_id")
+        ),
+        "doc_id",
+    ).cache()
+    n_kept = kept.count()
+    assert n_kept < n_clean  # fixture plants near-dups, some must collapse
+    # no two kept docs may be exact duplicates
+    assert kept.select(F.md5("text")).distinct().count() == n_kept
+
+    # 3. reproducible split: partition of kept, nothing lost or invented
+    split = hash_split(kept)
+    sizes = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == n_kept
+    assert sizes.get("train", 0) > sizes.get("valid", 0)
+
+    # 4. mixture-sample the train split per source domain
+    train = kept.join(split.where("split = 'train'").select("doc_id"), "doc_id")
+    sampled = mixture_sample(train.withColumnRenamed("source", "domain"),
+                             {"src0": 50}, default_rate=100, domain_col="domain")
+    n_train = train.count()
+    n_sampled = sampled.count()
+    assert n_sampled <= n_train
+    # contaminated docs can never reach the sampled train set
+    assert sampled.join(flagged, "doc_id").count() == 0
+
+    # 5. pack: every sampled doc appears in exactly one pack, and packs
+    # respect the budget up to the documented last-doc overflow
+    packs = pack_sequences(sampled.join(docs.select("doc_id", "n_chars"), "doc_id"),
+                           budget=4096)
+    assert packs.count() == n_sampled
+    assert packs.select("doc_id").distinct().count() == n_sampled
+    over = (
+        packs.groupBy("grp", "pack").agg(F.sum("length").alias("tot"), F.max("length").alias("mx"))
+        .where(F.col("tot") - F.col("mx") >= 4096)
+    )
+    assert over.count() == 0
