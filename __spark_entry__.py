@@ -353,6 +353,15 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench)
 
 
+def _q_decontaminate_pairs(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import decontaminate_pairs
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(DECONTAM_BENCH_FILTER)
+    corpus = docs.where(f"NOT ({DECONTAM_BENCH_FILTER})")
+    return decontaminate_pairs(corpus, bench)
+
+
 def _q_boilerplate_spans(spark, sf_dir):
     from simple_tsdb_spark.pipeline import boilerplate_spans
 
@@ -577,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition signals
         "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
+        "decontaminate_pairs": _q_decontaminate_pairs,  # leak attribution
         "boilerplate_spans": _q_boilerplate_spans,  # C4-style span df profile
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -944,6 +954,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.spans import (
         boilerplate_spans_oracle,
         decontaminate_oracle,
+        decontaminate_pairs_oracle,
     )
     from simple_tsdb_spark.pipeline.text import (
         fingerprint_oracle,
@@ -967,6 +978,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "fingerprint": fingerprint_oracle(),
         "repetition_stats": repetition_stats_oracle(),
         "decontaminate": decontaminate_oracle(bench_filter=DECONTAM_BENCH_FILTER),
+        "decontaminate_pairs": decontaminate_pairs_oracle(bench_filter=DECONTAM_BENCH_FILTER),
         "boilerplate_spans": boilerplate_spans_oracle(),
         "dedup_exact": exact_dedup_oracle(),
         "ngram_jaccard": ngram_jaccard_oracle(threshold=JACCARD_THRESHOLD),

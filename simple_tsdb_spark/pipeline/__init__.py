@@ -30,6 +30,7 @@ from simple_tsdb_spark.pipeline.dedup import (
 from simple_tsdb_spark.pipeline.spans import (
     boilerplate_spans,
     decontaminate,
+    decontaminate_pairs,
 )
 from simple_tsdb_spark.pipeline.curation import (
     dedup_components,
@@ -64,6 +65,7 @@ __all__ = [
     "repetition_stats",
     "boilerplate_spans",
     "decontaminate",
+    "decontaminate_pairs",
     "lang_id",
     "fingerprint",
     "exact_dedup",

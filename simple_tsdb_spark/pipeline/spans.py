@@ -109,6 +109,54 @@ ORDER BY doc_id
 """
 
 
+def decontaminate_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination ATTRIBUTION: which benchmark document leaked into
+    which corpus document, and through how many distinct ``n``-grams.
+
+    The audit-trail companion to ``decontaminate`` (which only counts):
+    eval-set owners trace a leak to its source with this.  Same scale
+    shape — the benchmark's (bench_id, gram) pairs stay bench-sized and
+    broadcast; the corpus side is a shuffle-free scan into the broadcast
+    join, then one aggregation keyed on the (corpus, bench) hit pairs.
+
+    Output: (doc_id, bench_id, n_shared), ordered.
+    """
+    grams = F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
+    bench_grams = benchmark.select(F.col(id_col).alias("bench_id"), grams).distinct()
+    corpus_grams = corpus.select(F.col(id_col), grams)
+    hits = corpus_grams.join(F.broadcast(bench_grams), "g")
+    return (
+        hits.groupBy(id_col, "bench_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .orderBy(id_col, "bench_id")
+    )
+
+
+def decontaminate_pairs_oracle(
+    *,
+    n: int = DECONTAM_N,
+    table: str = "documents",
+    bench_filter: str = "doc_id % 97 = 0",
+) -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id, UNNEST({_gram_sql(n)}) AS g FROM {table}),
+bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE {bench_filter}),
+corpus AS (SELECT doc_id, g FROM grams WHERE NOT ({bench_filter}))
+SELECT doc_id, bench_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared
+FROM corpus JOIN bench USING (g)
+GROUP BY doc_id, bench_id
+ORDER BY doc_id, bench_id
+"""
+
+
 def _span_expr(text_col: str, k: int) -> str:
     """Non-overlapping ``k``-word windows (the last partial window is a
     span too — a short tail is still dedup-able boilerplate).  Words

@@ -450,3 +450,43 @@ def test_boilerplate_spans_python_model(spark):
     # "c d" is dup only because doc 1 also has it.
     assert got[3].n_dup_spans == 2
     assert got[4].n_dup_spans == 0
+
+
+def test_decontaminate_pairs_python_model(spark):
+    """Leak attribution (corpus doc, bench doc, shared-gram count) vs a
+    direct python model; agreement with the count-only operator."""
+    from simple_tsdb_spark.pipeline import decontaminate, decontaminate_pairs
+
+    bench_texts = {100: "a b c d e f", 101: "q r s t", 102: "a b c d"}
+    corpus_texts = {
+        1: "x a b c d y",        # hits bench 100 AND 102 via "a b c d"
+        2: "a b c d e f g",      # 3 grams with 100, 1 with 102
+        3: "z z z z z",          # clean
+    }
+    mk = lambda d: spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(d), "text": list(d.values())})
+    )
+    got = {(r.doc_id, r.bench_id): r.n_shared for r in
+           decontaminate_pairs(mk(corpus_texts), mk(bench_texts), n=4).collect()}
+
+    def grams(t, n=4):
+        w = t.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    want = {}
+    for ci, ct in corpus_texts.items():
+        for bi, bt in bench_texts.items():
+            shared = grams(ct) & grams(bt)
+            if shared:
+                want[(ci, bi)] = len(shared)
+    assert got == want
+    assert got[(1, 100)] == 1 and got[(1, 102)] == 1 and got[(2, 100)] == 3
+
+    # per-doc distinct-gram counts agree with the count-only operator
+    counts = {r.doc_id: r.n_overlap for r in
+              decontaminate(mk(corpus_texts), mk(bench_texts), n=4).collect()}
+    for ci in counts:
+        union = set()
+        for bi, bt in bench_texts.items():
+            union |= grams(corpus_texts[ci]) & grams(bt)
+        assert counts[ci] == len(union)
