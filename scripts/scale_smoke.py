@@ -347,6 +347,73 @@ def heavy_chain_phase(spark, n_docs: int) -> dict[str, dict]:
     return metrics
 
 
+def ann_phase(spark, n_vecs: int) -> dict[str, dict]:
+    """Similarity-search growth: IVF search and PQ index build at
+    ``n_vecs`` scale, with the same per-stage wall/shuffle accounting as
+    the heavy chain.  The corpus is a pure hash-expression embedding
+    table (64-dim), so generation is distributed and deterministic.
+
+    What must hold at 10x vectors: knn_ivf's only corpus movement is the
+    probe join (probes broadcast — corpus never shuffles on list_id), so
+    its shuffle bytes track the CANDIDATE set, not the corpus; pq_encode
+    is one id-keyed aggregation whose shuffle is ~codes-sized (M small
+    ints + id per vector)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import knn_ivf, pq_encode
+
+    N = int(n_vecs)
+    metrics: dict[str, dict] = {}
+
+    def stage(label, fn):
+        r0, w0 = _shuffle_bytes(spark)
+        t0 = _t.time()
+        out = fn()
+        dt = _t.time() - t0
+        r1, w1 = _shuffle_bytes(spark)
+        metrics[label] = {
+            "sec": round(dt, 1),
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 1) if r0 >= 0 else -1,
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 1) if w0 >= 0 else -1,
+            "out": out,
+        }
+        print(
+            f"ANN[{N:,}] {label}: {dt:.1f}s out={out:,} "
+            f"shuffle r/w MB={metrics[label]['shuffle_read_mb']}/{metrics[label]['shuffle_write_mb']}"
+        )
+        return out
+
+    vecs = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), d -> "
+                "CAST((pmod(hash(id, d), 1000) - 500) / 500.0 AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    ckpt = {}
+
+    def gen():
+        ckpt["v"] = vecs.localCheckpoint(eager=True)
+        return ckpt["v"].count()
+
+    stage("gen+checkpoint", gen)
+    v = ckpt["v"]
+
+    n_q = stage(
+        "knn_ivf",
+        lambda: knn_ivf(v, query_ids=(0, 1, 2, 3, 4), k=10, nprobe=4).count(),
+    )
+    assert n_q == 5 * 10, n_q
+    stage("pq_encode", lambda: pq_encode(v).count())
+    return metrics
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_series = int(sys.argv[2]) if len(sys.argv) > 2 else 200
@@ -499,6 +566,23 @@ def main() -> None:
             # Bytes gate only above a volume floor: below ~50 MB the ratio
             # measures an AQE plan transition (broadcast -> shuffle join),
             # not data growth.
+            assert r_t <= 20, (k, r_t)
+            if 50 <= w1 <= w2:
+                assert r_w <= 14, (k, r_w)
+
+    av = int(sys.argv[6]) if len(sys.argv) > 6 else 10_000_000
+    if av:
+        a1 = ann_phase(spark, max(av // 10, 1))
+        a2 = ann_phase(spark, av)
+        print(f"\nANN growth {max(av // 10, 1):,} -> {av:,} vectors:")
+        for k in a1:
+            r_t = a2[k]["sec"] / max(a1[k]["sec"], 0.1)
+            w1, w2 = a1[k]["shuffle_write_mb"], a2[k]["shuffle_write_mb"]
+            r_w = (w2 / max(w1, 0.1)) if w1 >= 0 and w2 >= 0 else -1.0
+            print(
+                f"  {k:20s} time x{r_t:5.1f}  shuffle-write x{r_w:5.1f}  "
+                f"out {a1[k]['out']:,} -> {a2[k]['out']:,}"
+            )
             assert r_t <= 20, (k, r_t)
             if 50 <= w1 <= w2:
                 assert r_w <= 14, (k, r_w)
