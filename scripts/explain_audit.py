@@ -245,6 +245,18 @@ def main() -> int:
         and "BroadcastHashJoin" in p
         and p.count("hashpartitioning(") <= 3,
     )
+    from simple_tsdb_spark.pipeline import decontaminate_pairs
+
+    p = plan_of(
+        decontaminate_pairs(docs.where("doc_id % 97 = 0"), docs.where("doc_id % 97 = 0"))
+    )
+    ok &= check(
+        "decontaminate_pairs: bench (bench_id, gram) pairs broadcast, corpus exchange-free",
+        "BroadcastHashJoin" in p
+        and p.count("hashpartitioning(bench_id") == 1  # bench-side distinct only
+        and p.count("hashpartitioning(") <= 3,
+    )
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try:

@@ -480,3 +480,21 @@ def test_oversized_write_chunk_drops_connection(server):
         _assert_dropped(sock)
     finally:
         sock.close()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CLIENT), reason="reference tree absent")
+def test_write_points_error_status(server):
+    """WRITE_POINTS to a missing measurement answers with a status frame
+    in place of DT_READY_FOR_CHUNK (the reference client's
+    _write_points_begin path), and the connection stays usable."""
+    ref = _load_ref_client()
+    conn = ref.Connection(host="127.0.0.1", port=server.address[1])
+    try:
+        schema = conn.get_schema("db", "m")
+        points = [{"time_ns": 1, "v": 1.0, "n": 1}]
+        with pytest.raises(ref.StatusException) as ei:
+            conn.write_points("db", "nope", "s1", schema, points)
+        assert ei.value.status_code == ref.StatusCode.NO_SUCH_MEASUREMENT
+        assert conn.list_databases() == ["db"]
+    finally:
+        conn.close()
