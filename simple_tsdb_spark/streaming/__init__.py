@@ -1,3 +1,4 @@
+from simple_tsdb_spark.streaming.curate import streaming_curate
 from simple_tsdb_spark.streaming.decontam import streaming_decontaminate_flags
 from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup, streaming_simhash_dedup
 from simple_tsdb_spark.streaming.ingest import start_ingest, start_ingest_with_rollup
@@ -8,6 +9,7 @@ __all__ = [
     "start_ingest",
     "start_ingest_with_rollup",
     "streaming_ewma",
+    "streaming_curate",
     "streaming_decontaminate_flags",
     "streaming_exact_dedup",
     "streaming_simhash_dedup",
