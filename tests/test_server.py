@@ -498,3 +498,30 @@ def test_write_points_error_status(server):
         assert conn.list_databases() == ["db"]
     finally:
         conn.close()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CLIENT), reason="reference tree absent")
+def test_reference_client_grafana_mean_path(server, spark, tmp_path):
+    """The reference's high-level Client.get_all_points_mean — its
+    Grafana query path (windowed sums/npoints folded to means) — against
+    our server, compared to the engine's own mean_points."""
+    ref = _load_ref_client()
+    cl = ref.Client(host="127.0.0.1", port=server.address[1])
+    try:
+        res = cl.get_all_points_mean("db", "m", "s1", ["v"], 0, 2**64 - 1, 10_000)
+        got = {int(t): v for t, v in zip(res.time_ns, res.columns["v"])}
+
+        eng = TsdbClient(spark, str(tmp_path / "wh"))
+        want_pdf = eng.mean_points("db", "m", "s1", window_ns=10_000).toPandas()
+        want = dict(zip(want_pdf.wstart, want_pdf.v_mean))
+        assert set(got) == set(int(w) for w in want)
+        import math as _m
+
+        for w, v in want.items():
+            g = got[int(w)]
+            if v is None or (isinstance(v, float) and _m.isnan(v)):
+                assert _m.isnan(g)  # empty window: 0/0 on the wire
+            else:
+                assert g == pytest.approx(v)
+    finally:
+        cl.close()
