@@ -412,24 +412,25 @@ def test_chunk_decode_roundtrip_property(data, n, bitmap_offset):
         points.append(p)
 
     packed = _pack_like_reference(schema, points, bitmap_offset)
-    rows = TsdbServer._decode_chunk(schema, "s", n, bitmap_offset, packed)
-    assert len(rows) == n
-    for i, row in enumerate(rows):
-        assert row[0] == "s" and row[1] == points[i]["time_ns"]
-        for j, (name, ftype) in enumerate(schema):
+    pdf = TsdbServer._decode_chunk(schema, "s", n, bitmap_offset, packed)
+    assert len(pdf) == n
+    assert (pdf["series"] == "s").all()
+    for i in range(n):
+        assert int(pdf["time_ns"].iloc[i]) == points[i]["time_ns"]
+        for name, ftype in schema:
             want = points[i][name]
-            got = row[2 + j]
+            got = pdf[name].iloc[i]
             if want is None:
-                assert got is None
+                assert pd.isna(got)
             elif ftype in ("f32", "f64"):
                 import numpy as np
 
                 expected = float(np.float32(want)) if ftype == "f32" else want
-                assert got == expected
+                assert float(got) == expected
             elif ftype == "bool":
-                assert got == bool(want)
+                assert bool(got) == bool(want)
             else:
-                assert got == want
+                assert int(got) == want
 
 
 # -- malformed frames tear the connection down (tokens.h behavior) -------
