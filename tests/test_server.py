@@ -526,3 +526,33 @@ def test_reference_client_grafana_mean_path(server, spark, tmp_path):
                 assert g == pytest.approx(v)
     finally:
         cl.close()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CLIENT), reason="reference tree absent")
+def test_u64f_full_range_over_the_wire(spark, tmp_path):
+    """u64f (DECIMAL(20,0), the engine's full-range u64 extension) rides
+    the wire as type u64: values above 2^63 round-trip exactly through
+    the reference client's uint64 packing and our Decimal decode."""
+    wh = str(tmp_path / "wh")
+    c = TsdbClient(spark, wh)
+    c.create_database("db")
+    c.create_measurement("db", "m", {"big": "u64f"})
+
+    ref = _load_ref_client()
+    with TsdbServer(spark, wh, port=0) as s:
+        conn = ref.Connection(host="127.0.0.1", port=s.address[1])
+        try:
+            schema = conn.get_schema("db", "m")
+            assert [(f.name, f.field_type.name) for f in schema.fields] == [("big", "u64")]
+            vals = [2**64 - 1, 2**63 + 12345, 7, None]
+            points = [{"time_ns": 1000 + i, "big": v} for i, v in enumerate(vals)]
+            conn.write_points("db", "m", "s1", schema, points)
+
+            op = conn.select_points("db", "m", "s1", schema, ["big"], 0,
+                                    2**64 - 1, 2**64 - 1)
+            chunk = op.read_chunk()
+            got = [chunk.fields["big"].to_idb_type(i) for i in range(chunk.npoints)]
+            assert op.read_chunk() is None
+            assert got == vals
+        finally:
+            conn.close()
