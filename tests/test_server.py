@@ -556,3 +556,45 @@ def test_u64f_full_range_over_the_wire(spark, tmp_path):
             assert got == vals
         finally:
             conn.close()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CLIENT), reason="reference tree absent")
+def test_sum_points_bool_field_over_wire(spark, tmp_path):
+    """Windowed SUM over a bool field through the wire: sums count the
+    Trues, npoints count the non-NULLs, min/max coerce to the f64 slots
+    the client skips."""
+    wh = str(tmp_path / "wh")
+    c = TsdbClient(spark, wh)
+    c.create_database("db")
+    c.create_measurement("db", "m", {"flag": "bool"})
+    schema_t = T.StructType(
+        [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("time_ns", T.LongType(), False),
+            T.StructField("flag", T.BooleanType(), True),
+        ]
+    )
+    rows = [("s1", 1000 + 10 * i, None if i == 7 else i % 3 == 0) for i in range(50)]
+    c.write_points(
+        "db", "m",
+        spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "flag"]), schema_t),
+    )
+
+    ref = _load_ref_client()
+    with TsdbServer(spark, wh, port=0) as s:
+        conn = ref.Connection(host="127.0.0.1", port=s.address[1])
+        try:
+            op = conn.sum_points("db", "m", "s1", ["flag"], 0, 2**64 - 1, 100)
+            sums, counts = [], []
+            while (chunk := op.read_chunk()) is not None:
+                sums.extend(float(x) for x in chunk.sums[0])
+                counts.extend(int(x) for x in chunk.npoints[0])
+            want = {}
+            for i, (_s, t, v) in enumerate(rows):
+                w = t - t % 100
+                tot, n = want.get(w, (0.0, 0))
+                want[w] = (tot + (1.0 if v else 0.0), n + (v is not None))
+            assert sums == [want[w][0] for w in sorted(want)]
+            assert counts == [want[w][1] for w in sorted(want)]
+        finally:
+            conn.close()
