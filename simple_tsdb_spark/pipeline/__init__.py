@@ -27,6 +27,7 @@ from simple_tsdb_spark.pipeline.dedup import (
     simhash_pairs,
     embedding_dup_pairs,
 )
+from simple_tsdb_spark.pipeline.export import write_training_shards
 from simple_tsdb_spark.pipeline.spans import (
     boilerplate_spans,
     decontaminate,
@@ -66,6 +67,7 @@ __all__ = [
     "boilerplate_spans",
     "decontaminate",
     "decontaminate_pairs",
+    "write_training_shards",
     "lang_id",
     "fingerprint",
     "exact_dedup",

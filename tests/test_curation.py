@@ -407,3 +407,50 @@ def test_end_to_end_curation_chain(spark):
         .where(F.col("tot") - F.col("mx") >= 4096)
     )
     assert over.count() == 0
+
+
+def test_write_training_shards(spark, tmp_path):
+    """Shard export: membership is a pure function of the pack key
+    (deterministic across rewrites), packs never tear across shards,
+    shards balance, and exactly one file lands per non-empty shard."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from simple_tsdb_spark.pipeline import pack_sequences, write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(docs, budget=4096).cache()
+    n_docs = packed.count()
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, path, n_shards=8)
+
+    assert sum(m["n_rows"] for m in manifest) == n_docs
+    # balance: no shard more than 3x the smallest non-empty shard
+    sizes = [m["n_rows"] for m in manifest]
+    assert max(sizes) <= 3 * min(sizes), sizes
+    # one file per non-empty shard
+    for m in manifest:
+        files = glob.glob(f"{path}/shard={m['shard']}/*.parquet")
+        assert len(files) == 1, (m, files)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n_docs
+    assert back.select("doc_id").distinct().count() == n_docs
+    # packs intact: each (grp, pack) in exactly one shard
+    torn = (
+        back.groupBy("grp", "pack")
+        .agg(F.countDistinct("shard").alias("ns"))
+        .where("ns > 1")
+    )
+    assert torn.count() == 0
+
+    # deterministic membership: a second write yields identical shard sets
+    path2 = str(tmp_path / "shards2")
+    manifest2 = write_training_shards(packed, path2, n_shards=8)
+    assert manifest == manifest2
+    back2 = spark.read.parquet(path2)
+    a = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in back2.select("doc_id", "shard").collect()}
+    assert a == b
+    packed.unpersist()
