@@ -408,6 +408,17 @@ def test_end_to_end_curation_chain(spark):
     )
     assert over.count() == 0
 
+    # 6. export: the packed corpus lands as balanced deterministic shards
+    import tempfile
+
+    from simple_tsdb_spark.pipeline import write_training_shards
+
+    out = tempfile.mkdtemp() + "/shards"
+    manifest = write_training_shards(packs, out, n_shards=4)
+    assert sum(m["n_rows"] for m in manifest) == n_sampled
+    back = spark.read.parquet(out)
+    assert back.select("doc_id").distinct().count() == n_sampled
+
 
 def test_write_training_shards(spark, tmp_path):
     """Shard export: membership is a pure function of the pack key
