@@ -551,7 +551,21 @@ def _q_revenue_rollup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Rotation (round 6): the 8 entries that fell past the driver's
+    # 50-slot gate in round 5 (CORRECTNESS_r05 checked dict order) come
+    # FIRST this round so every declared query has fresh driver
+    # evidence.  Keep rotating: whichever entries went unchecked last
+    # round lead the next round's dict.
     return {
+        "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
+        "multimodal_meta": _q_multimodal_meta,
+        "blob_features": _q_blob_features,  # mapInPandas — rows-only check
+        # relational breadth (joins / grouped agg / top-k)
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
+        "daily_pivot": _q_daily_pivot,
+        "revenue_rollup": _q_revenue_rollup,
         "select_points": _q_select_points,
         "select_last": _q_select_last,
         "select_last_per_series": _q_select_last_per_series,
@@ -604,15 +618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
         "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
         "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
-        "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
-        "multimodal_meta": _q_multimodal_meta,
-        "blob_features": _q_blob_features,  # mapInPandas — rows-only check
-        # relational breadth (joins / grouped agg / top-k)
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_customers": _q_top_customers,
-        "daily_pivot": _q_daily_pivot,
-        "revenue_rollup": _q_revenue_rollup,
     }
 
 
