@@ -115,6 +115,23 @@ class TsdbClient:
             self.spark, self.catalog.measurement_path(database, measurement), batch, mode=mode
         )
 
+    def write_points_pandas(
+        self, database: str, measurement: str, pdf, *, mode: str = "strict"
+    ):
+        """Driver-resident (pandas) batch append — one-Spark-job fast
+        lane for the wire server's point-scale writes; semantics
+        identical to ``write_points``."""
+        self._check_auth()
+        from simple_tsdb_spark.sources.writer import write_points_pandas
+
+        return write_points_pandas(
+            self.spark,
+            self.catalog.measurement_path(database, measurement),
+            pdf,
+            self.catalog.spark_schema(database, measurement),
+            mode=mode,
+        )
+
     def delete_points(self, database: str, measurement: str, series: str, t: int):
         self._check_auth()
         from simple_tsdb_spark.operators import delete_points

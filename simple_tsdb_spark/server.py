@@ -112,6 +112,57 @@ _WIRE_TYPES: dict[str, tuple[int, int, str]] = {
 }
 
 
+# Empty-window min/max sentinels, matching the reference's accumulator
+# init values that reach the wire untouched when a bucket has no points
+# (sum_op.cc:40-71): (min_sentinel, max_sentinel) per field type.
+_SUM_SENTINELS: dict[str, tuple] = {
+    "bool": (1, 0),
+    "u32": (2**32 - 1, 0),
+    "u64": (2**64 - 1, 0),
+    "u64f": (2**64 - 1, 0),
+    "f32": (float("inf"), float("-inf")),
+    "f64": (float("inf"), float("-inf")),
+    "i32": (2**31 - 1, -(2**31)),
+    "i64": (2**63 - 1, -(2**63)),
+}
+
+
+def _pack_walfields(vals: list, ftype: str, kind: int) -> bytes:
+    """Encode one field's min (kind=0) or max (kind=1) column as
+    wal_field words: the native-typed value occupies the LOW bytes of an
+    8-byte little-endian word, high bytes zero — the memory layout of
+    the reference's ``field_vector<wal_field>`` that tsdbserver sends
+    verbatim (sum_op.h:32-33).  ``None`` (empty bucket) becomes the
+    type's untouched accumulator sentinel."""
+    _wire_id, size, np_dtype = _WIRE_TYPES[ftype]
+    sentinel = _SUM_SENTINELS[ftype][kind]
+    n = len(vals)
+    words = np.zeros(n, dtype="<u8")
+    view = words.view(np_dtype)
+    step = 8 // size
+    if ftype == "bool":
+        native = np.fromiter(
+            (sentinel if v is None else int(v) for v in vals), dtype="u1", count=n
+        )
+    elif ftype in ("u64", "u64f"):
+        # int() handles Decimal (u64f) and plain ints; mask keeps the
+        # two's-complement bytes for any stored-as-signed u64 value.
+        native = np.fromiter(
+            (
+                sentinel if v is None else int(v) & 0xFFFFFFFFFFFFFFFF
+                for v in vals
+            ),
+            dtype="<u8",
+            count=n,
+        )
+    else:
+        native = np.fromiter(
+            (sentinel if v is None else v for v in vals), dtype=np_dtype, count=n
+        )
+    view[::step] = native
+    return words.tobytes()
+
+
 class ProtocolError(Exception):
     """Malformed frame — the reference tears the connection down (EINVAL
     from parse_cmd escapes process_stream); we do the same."""
@@ -231,11 +282,13 @@ class TsdbServer:
         *,
         require_auth: bool = False,
         ssl_context: ssl.SSLContext | None = None,
+        write_flush_bytes: int = 32 * 1024 * 1024,
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.require_auth = require_auth
         self.ssl_context = ssl_context
+        self.write_flush_bytes = int(write_flush_bytes)
         outer = self
 
         class _Handler(socketserver.BaseRequestHandler):
@@ -505,29 +558,58 @@ class TsdbServer:
 
     # -- SUM streaming ---------------------------------------------------
     def _h_sum_points(self, conn: _Conn, client: TsdbClient) -> None:
+        """Stream DT_SUMS_CHUNK frames incrementally.
+
+        The result is consumed through ``toLocalIterator`` in
+        ``SUMS_CHUNK_WINDOWS``-sized batches, so a year-long 1 s-window
+        SUM (~3e7 windows) never materializes as one driver-side frame —
+        peak driver memory is one result partition + one chunk.  The
+        windowed aggregate is globally ordered (``orderBy(series,
+        wstart)``) so partition-order iteration preserves window order.
+        """
         db, meas, series, field_list, t0, t1, window_ns = _parse_tokens(
             conn,
             (DT_DATABASE, DT_MEASUREMENT, DT_SERIES, DT_FIELD_LIST,
              DT_TIME_FIRST, DT_TIME_LAST, DT_WINDOW_NS, DT_END),
         )
         fields = [f for f in field_list.split(",") if f]
-        pdf = client.sum_points(db, meas, series, window_ns, fields, t0, t1).toPandas()
-        n_total = len(pdf)
-        ts = pdf["wstart"].to_numpy(dtype="<u8")
-        sums = [pdf[f"{f}_sum"].fillna(0.0).to_numpy(dtype="<f8") for f in fields]
-        mins = [pdf[f"{f}_min"].fillna(0.0).to_numpy(dtype="<f8") for f in fields]
-        maxs = [pdf[f"{f}_max"].fillna(0.0).to_numpy(dtype="<f8") for f in fields]
-        counts = [pdf[f"{f}_count"].fillna(0).to_numpy(dtype="<u8") for f in fields]
-        for start in range(0, n_total, SUMS_CHUNK_WINDOWS):
-            n = min(SUMS_CHUNK_WINDOWS, n_total - start)
-            sl = slice(start, start + n)
-            body = ts[sl].tobytes()
-            for arrs in (sums, mins, maxs, counts):
-                for a in arrs:
-                    body += a[sl].tobytes()
-            conn.send(struct.pack("<IH", DT_SUMS_CHUNK, n))
-            conn.send(body)
+        schema = dict(client.get_schema(db, meas))
+        df = client.sum_points(db, meas, series, window_ns, fields, t0, t1)
+        batch: list = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            batch.append(row)
+            if len(batch) == SUMS_CHUNK_WINDOWS:
+                self._send_sums_chunk(conn, batch, fields, schema)
+                batch = []
+        if batch:
+            self._send_sums_chunk(conn, batch, fields, schema)
         conn.send(struct.pack("<I", DT_END))
+
+    @staticmethod
+    def _send_sums_chunk(conn: _Conn, rows: list, fields: list, schema: dict) -> None:
+        """One DT_SUMS_CHUNK: ``ts[n]`` + per-field sums f64 + mins + maxs
+        + counts u64.  Min/max are wal_field words — the field's native
+        wire dtype in the LOW bytes of an 8-byte little-endian word
+        (``sum_op.h:31-34``; the Grafana datasource decodes them natively,
+        ``datasource.go:1841-1916``) — NOT f64 for every type."""
+        n = len(rows)
+        body = np.fromiter((r["wstart"] for r in rows), dtype="<u8", count=n).tobytes()
+        for f in fields:
+            body += np.fromiter(
+                (float(r[f + "_sum"] or 0.0) for r in rows), dtype="<f8", count=n
+            ).tobytes()
+        for kind in (0, 1):  # 0 = mins, 1 = maxs
+            suffix = "_min" if kind == 0 else "_max"
+            for f in fields:
+                body += _pack_walfields(
+                    [r[f + suffix] for r in rows], schema[f], kind
+                )
+        for f in fields:
+            body += np.fromiter(
+                (r[f + "_count"] for r in rows), dtype="<u8", count=n
+            ).tobytes()
+        conn.send(struct.pack("<IH", DT_SUMS_CHUNK, n))
+        conn.send(body)
 
     # -- WRITE_POINTS ----------------------------------------------------
     def _write_lock(self, db: str, meas: str) -> threading.Lock:
@@ -542,8 +624,38 @@ class TsdbServer:
     def _write_points_locked(
         self, conn: _Conn, client: TsdbClient, db: str, meas: str, series: str
     ) -> None:
+        """Receive DT_CHUNK frames, committing in bounded groups.
+
+        Staged chunk bytes are capped at ``write_flush_bytes``: once the
+        cap is reached the group is validated and committed BEFORE the
+        next DT_READY_FOR_CHUNK credit goes out, so an unbounded backfill
+        (e.g. the reference push_queue draining history) can never grow
+        driver memory past one group + one chunk.  This is the
+        reference's own shape — chunks land in the WAL as they arrive
+        (wal.cc), so a later chunk retransmitting points committed by an
+        earlier group verifies-and-drops (wal.cc:87-246) rather than
+        rejecting as an intra-batch duplicate.
+        """
+        import pandas as pd
+
         schema = client.get_schema(db, meas)
-        chunks = []
+        chunks: list = []
+        staged = 0
+
+        def _flush() -> None:
+            nonlocal chunks, staged
+            if not chunks:
+                return
+            frames = [
+                self._decode_chunk(schema, series, npoints, bitmap_offset, data)
+                for npoints, bitmap_offset, data in chunks
+            ]
+            pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+            # pandas fast lane: pass-1 validation on the driver, ONE Spark
+            # job for a monotone append (writer.py::write_points_pandas)
+            client.write_points_pandas(db, meas, pdf)
+            chunks, staged = [], 0
+
         while True:
             conn.send(struct.pack("<II", DT_READY_FOR_CHUNK, MAX_CHUNK_DATA_LEN))
             dt = conn.recv_u32()
@@ -555,18 +667,10 @@ class TsdbServer:
             if data_len > MAX_CHUNK_DATA_LEN:
                 raise ProtocolError("chunk too large")
             chunks.append((npoints, bitmap_offset, conn.recvall(data_len)))
-        if not chunks:
-            return
-        import pandas as pd
-
-        frames = [
-            self._decode_chunk(schema, series, npoints, bitmap_offset, data)
-            for npoints, bitmap_offset, data in chunks
-        ]
-        pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
-        spark_schema = client.catalog.spark_schema(db, meas)
-        batch = self.spark.createDataFrame(pdf, schema=spark_schema)
-        client.write_points(db, meas, batch)
+            staged += data_len
+            if staged >= self.write_flush_bytes:
+                _flush()
+        _flush()
 
     @staticmethod
     def _decode_chunk(schema, series: str, npoints: int, bitmap_offset: int, data: bytes):

@@ -52,12 +52,22 @@ from simple_tsdb_spark.errors import OutOfOrderTimestamps, OverwriteMismatch
 
 __all__ = [
     "write_points",
+    "write_points_pandas",
+    "TimeLastMarks",
     "compact_measurement",
     "series_bucket_expr",
     "series_bucket_pred",
     "OutOfOrderTimestamps",
     "OverwriteMismatch",
 ]
+
+
+import re
+
+# Series names that Spark writes as their literal partition-directory
+# name (no %XX escaping) — lets the writer prove "no committed data"
+# from a directory listing alone.
+_PLAIN_SERIES_RE = re.compile(r"^[A-Za-z0-9_.\-]+$")
 
 
 def series_bucket_expr(n_buckets: int, col: str = "series"):
@@ -81,6 +91,40 @@ def series_bucket_pred(series, n_buckets: int):
         ).cast("int")
         pred = c if pred is None else (pred | c)
     return pred if pred is not None else F.lit(True)
+
+
+class TimeLastMarks:
+    """Per-series committed ``time_last`` sidecar — the reference keeps
+    this in the per-series index metadata and checks incoming timestamps
+    against it in memory (wal.cc:87-110) so the append-only fast path
+    never touches stored data.  Advanced to the incoming batch max
+    BEFORE the append publishes; see the crash-safety note at the call
+    site."""
+
+    def __init__(self, measurement_path: str):
+        import json
+
+        from simple_tsdb_spark.fs import get_fs
+
+        self.path = f"{measurement_path}/_tsdb_meta/time_last.json"
+        self._fs = get_fs(self.path)
+        self._marks: dict[str, int] = {}
+        if self._fs.exists(self.path):
+            self._marks = {
+                k: int(v) for k, v in json.loads(self._fs.read_text(self.path)).items()
+            }
+
+    def get(self, series: str) -> int | None:
+        """None = unknown (pre-sidecar data may exist → caller must
+        verify against the store)."""
+        return self._marks.get(series)
+
+    def advance_many(self, highs: dict[str, int]) -> None:
+        import json
+
+        for s, t in highs.items():
+            self._marks[s] = max(self._marks.get(s, 0), int(t))
+        self._fs.write_text_atomic(self.path, json.dumps(self._marks))
 
 
 def _layout(measurement_path: str) -> dict:
@@ -149,12 +193,144 @@ def write_points(
     # action reads memory, not the source.
     cached = batch = batch.persist()
     try:
+        marks = RetentionWatermarks(measurement_path)
+        stats, batch = _prepass_spark(spark, batch, marks)
         return _write_points_body(
-            spark, measurement_path, batch, fields, mode=mode,
+            spark, measurement_path, batch, fields, stats, mode=mode,
             time_bucket_ns=time_bucket_ns, series_buckets=series_buckets,
         )
     finally:
         cached.unpersist()
+
+
+def write_points_pandas(
+    spark: SparkSession,
+    measurement_path: str,
+    pdf,
+    spark_schema,
+    *,
+    mode: str = "strict",
+    time_bucket_ns: int | None = None,
+    series_buckets: int | None = None,
+) -> dict[str, int]:
+    """``write_points`` for a driver-resident pandas batch (the wire
+    server's WRITE_POINTS path).
+
+    Semantics are identical to ``write_points`` — same checks, same
+    errors, same counters — but pass 1 (intra-batch ordering + watermark
+    classification + counters) runs in pandas on the driver instead of
+    as a Spark job, so a monotone point-scale append costs exactly ONE
+    Spark job (the partitioned write).  Equivalence to the DataFrame
+    path is pinned in test_ingest.
+    """
+    marks = RetentionWatermarks(measurement_path)
+    stats, kept = _prepass_pandas(pdf, marks)
+    fields = [f.name for f in spark_schema.fields if f.name not in ("series", "time_ns")]
+    if stats.n_after_wm == 0:
+        return {
+            "rows_in": stats.n_in,
+            "dropped_below_watermark": stats.n_in,
+            "dropped_overlap": 0,
+            "appended": 0,
+        }
+    batch = spark.createDataFrame(kept, schema=spark_schema)
+    return _write_points_body(
+        spark, measurement_path, batch, fields, stats, mode=mode,
+        time_bucket_ns=time_bucket_ns, series_buckets=series_buckets,
+        # A driver-resident batch is point-scale by definition (it came
+        # through ≤10 MiB wire chunks): one task sorts and fans out to
+        # the partition dirs — no shuffle.
+        single_task_append=len(kept) <= 2_000_000,
+    )
+
+
+class _PrePass:
+    """Pass-1 result: counters plus per-series kept (lo, hi) ranges."""
+
+    __slots__ = ("n_in", "n_after_wm", "per_series")
+
+    def __init__(self, n_in: int, n_after_wm: int, per_series: dict[str, tuple[int, int]]):
+        self.n_in = n_in
+        self.n_after_wm = n_after_wm
+        self.per_series = per_series  # series -> (min kept ts, max kept ts)
+
+    @property
+    def lo(self) -> int | None:
+        return min((t[0] for t in self.per_series.values()), default=None)
+
+    @property
+    def touched(self) -> list[str]:
+        return list(self.per_series)
+
+
+def _prepass_spark(
+    spark: SparkSession, batch: DataFrame, marks: RetentionWatermarks
+) -> tuple[_PrePass, DataFrame]:
+    """Pass 1 as ONE grouped aggregate: fuses the intra-batch ordering
+    check (duplicate (series, time_ns) ≙ non-increasing timestamp run,
+    wal.cc:63-68), the retention-watermark classification (wal.cc:70-85),
+    the row counters and the per-series kept time ranges — previously
+    four separate actions; each action on a micro-batch is a full job
+    with fixed scheduling latency, which dominated wire write throughput
+    (SCALE.md "Wire server throughput").  Returns (stats,
+    watermark-filtered batch)."""
+    if marks._marks:
+        wm_rows = [(s, t) for s, t in marks._marks.items()]
+        wm = spark.createDataFrame(wm_rows, "series string, _wm long")
+        pre = batch.join(F.broadcast(wm), "series", "left")
+        below = F.col("_wm").isNotNull() & (F.col("time_ns") < F.col("_wm"))
+    else:
+        pre = batch
+        below = F.lit(False)
+    per_key = pre.groupBy("series", "time_ns").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(below.cast("int")).alias("_below"),  # constant within the key
+    )
+    rows = per_key.groupBy("series").agg(
+        F.sum("_c").alias("_n_in"),
+        F.min(F.when(F.col("_c") > 1, F.col("time_ns"))).alias("_dup_ts"),
+        F.sum(F.when(F.col("_below") == 0, F.col("_c")).otherwise(F.lit(0))).alias("_n_keep"),
+        F.min(F.when(F.col("_below") == 0, F.col("time_ns"))).alias("_lo"),
+        F.max(F.when(F.col("_below") == 0, F.col("time_ns"))).alias("_hi"),
+    ).collect()
+    for r in rows:
+        if r["_dup_ts"] is not None:
+            raise OutOfOrderTimestamps(
+                f"duplicate timestamp in batch: series={r['series']} time_ns={r['_dup_ts']}"
+            )
+    stats = _PrePass(
+        n_in=sum(r["_n_in"] for r in rows),
+        n_after_wm=sum(r["_n_keep"] for r in rows),
+        per_series={
+            r["series"]: (r["_lo"], r["_hi"]) for r in rows if r["_lo"] is not None
+        },
+    )
+    if marks._marks:
+        batch = pre.where(~below).drop("_wm")
+    return stats, batch
+
+
+def _prepass_pandas(pdf, marks: RetentionWatermarks) -> tuple[_PrePass, object]:
+    """Driver-side twin of ``_prepass_spark`` for pandas batches — no
+    Spark job.  Returns (stats, watermark-filtered pandas frame)."""
+    n_in = len(pdf)
+    dup = pdf[pdf.duplicated(["series", "time_ns"], keep=False)]
+    if len(dup):
+        r = dup.iloc[0]
+        raise OutOfOrderTimestamps(
+            f"duplicate timestamp in batch: series={r['series']} time_ns={int(r['time_ns'])}"
+        )
+    kept = pdf
+    if marks._marks:
+        wm = pdf["series"].map(marks._marks)
+        below = wm.notna() & (pdf["time_ns"] < wm)
+        if below.any():
+            kept = pdf[~below]
+    per_series = {
+        s: (int(g.min()), int(g.max()))
+        for s, g in kept.groupby("series", sort=False)["time_ns"]
+    }
+    return _PrePass(n_in=n_in, n_after_wm=len(kept), per_series=per_series), kept
 
 
 def _write_points_body(
@@ -162,111 +338,142 @@ def _write_points_body(
     measurement_path: str,
     batch: DataFrame,
     fields: list[str],
+    stats: _PrePass,
     *,
     mode: str,
     time_bucket_ns: int | None,
     series_buckets: int | None,
+    single_task_append: bool = False,
 ) -> dict[str, int]:
-    n_in = batch.count()
-
-    # (1) intra-batch ordering: duplicate (series, time_ns) within one
-    # write is the DataFrame equivalent of a non-increasing timestamp run.
-    dup = (
-        batch.groupBy("series", "time_ns").count().where(F.col("count") > 1).limit(1).collect()
-    )
-    if dup:
-        raise OutOfOrderTimestamps(
-            f"duplicate timestamp in batch: series={dup[0]['series']} time_ns={dup[0]['time_ns']}"
-        )
-
-    # (2) retention watermark drop (silent, wal.cc:70-85).
+    n_in, n_after_wm = stats.n_in, stats.n_after_wm
+    lo, touched = stats.lo, stats.touched
     marks = RetentionWatermarks(measurement_path)
-    if marks._marks:
-        wm_rows = [(s, t) for s, t in marks._marks.items()]
-        wm = spark.createDataFrame(wm_rows, "series string, _wm long")
-        batch = (
-            batch.join(F.broadcast(wm), "series", "left")
-            .where((F.col("_wm").isNull()) | (F.col("time_ns") >= F.col("_wm")))
-            .drop("_wm")
-        )
-    n_after_wm = batch.count()
 
-    # (3) overlap with the committed tail.
+    layout = _layout(measurement_path)
+    sbuckets_cur = layout.get("series_buckets")
+
+    # --- Pass 2 (only when the batch can overlap committed data): ONE
+    # joined aggregate fuses the retransmit-verify, overlap count,
+    # committed-time_last ordering check, append count and per-series
+    # first timestamps (previously four more actions).  The tail scan
+    # prunes to time_ns ≥ lo AND the batch's touched series (partition
+    # pruning on the series layout, series_bucket pruning on the hashed
+    # layout).  The ``time_last`` sidecar (advanced BEFORE every append,
+    # so it can only ever be too high — the safe direction) lets the
+    # common monotone append skip this pass entirely: lo strictly above
+    # every touched series' committed time_last means no overlap and no
+    # stale point can exist, the reference's own in-memory time_last
+    # short-circuit (wal.cc:87-110).
     dropped_overlap = 0
+    n_append = n_after_wm
+    firsts = {s: t[0] for s, t in stats.per_series.items()}
     root = data_root(measurement_path)
     from simple_tsdb_spark.fs import get_fs
 
     _fs = get_fs(root)
-    exists = _fs.isdir(root) and any(
-        e.startswith(("series=", "series_bucket=")) for e in _fs.listdir(root)
+    entries = _fs.listdir(root) if _fs.isdir(root) else []
+    exists = any(e.startswith(("series=", "series_bucket=")) for e in entries)
+    tl = TimeLastMarks(measurement_path)
+    # A series with no recorded time_last AND no partition directory has
+    # no committed data — nothing to verify against.  The directory test
+    # only applies to the plain series layout with escape-free names
+    # (Spark %XX-escapes special chars in partition values); anything
+    # else conservatively verifies.
+    plain_dirs = (
+        {e[len("series="):] for e in entries if e.startswith("series=")}
+        if not sbuckets_cur
+        else None
     )
-    if exists:
-        lo = batch.agg(F.min("time_ns")).first()[0]
-        if lo is not None:
-            stored_tail = (
-                spark.read.parquet(root)
-                .where(F.col("time_ns") >= lo)  # stat/partition-pruned tail scan
-                .select("series", "time_ns", *fields)
+
+    def _known_tl(s: str) -> int | None:
+        v = tl.get(s)
+        if v is not None:
+            return v
+        if plain_dirs is not None and _PLAIN_SERIES_RE.match(s) and s not in plain_dirs:
+            return -1  # provably no committed data for this series
+        return None
+
+    need_verify = exists and lo is not None and any(
+        _known_tl(s) is None or s_lo <= _known_tl(s)
+        for s, (s_lo, _s_hi) in stats.per_series.items()
+    )
+    if need_verify:
+        stored = spark.read.parquet(root).where(F.col("time_ns") >= lo)
+        if touched and len(touched) <= 256:
+            stored = stored.where(F.col("series").isin(touched))
+            if sbuckets_cur:
+                stored = stored.where(series_bucket_pred(touched, sbuckets_cur))
+        stored_tail = stored.select("series", "time_ns", *fields)
+        j = batch.join(
+            stored_tail.select(
+                F.col("series"),
+                F.col("time_ns"),
+                F.lit(1).alias("_ov"),
+                *[F.col(f).alias(f"_stored_{f}") for f in fields],
+            ),
+            ["series", "time_ns"],
+            "left",
+        )
+        tails = stored_tail.groupBy("series").agg(F.max("time_ns").alias("_tl"))
+        j = j.join(F.broadcast(tails), "series", "left")
+        is_ov = F.col("_ov").isNotNull()
+        mismatch_cond = None
+        if mode == "strict" and fields:
+            for f in fields:
+                c = ~F.col(f).eqNullSafe(F.col(f"_stored_{f}"))
+                mismatch_cond = c if mismatch_cond is None else (mismatch_cond | c)
+        stale_cond = (~is_ov) & F.col("_tl").isNotNull() & (F.col("time_ns") <= F.col("_tl"))
+        aggs = [
+            F.sum(F.when(is_ov, 1).otherwise(0)).alias("_n_ov"),
+            F.sum(F.when(~is_ov, 1).otherwise(0)).alias("_n_app"),
+            F.min(F.when(~is_ov, F.col("time_ns"))).alias("_first_ts"),
+            F.min(F.when(stale_cond, F.col("time_ns"))).alias("_stale_ts"),
+        ]
+        if mismatch_cond is not None:
+            aggs.append(
+                F.min(F.when(is_ov & mismatch_cond, F.col("time_ns"))).alias("_mm_ts")
             )
-            overlap = batch.join(
-                stored_tail.withColumnRenamed("time_ns", "time_ns").select(
-                    F.col("series"),
-                    F.col("time_ns"),
-                    *[F.col(f).alias(f"_stored_{f}") for f in fields],
-                ),
-                ["series", "time_ns"],
-                "inner",
-            )
-            if mode == "strict":
-                mismatch_cond = None
-                for f in fields:
-                    c = ~(
-                        (F.col(f) == F.col(f"_stored_{f}"))
-                        | (F.col(f).isNull() & F.col(f"_stored_{f}").isNull())
-                    )
-                    mismatch_cond = c if mismatch_cond is None else (mismatch_cond | c)
-                bad = overlap.where(mismatch_cond).limit(1).collect() if fields else []
-                if bad:
-                    r = bad[0]
+        res = j.groupBy("series").agg(*aggs).collect()
+        if mismatch_cond is not None:
+            for r in res:
+                if r["_mm_ts"] is not None:
                     raise OverwriteMismatch(
                         f"retransmit differs from stored point at series={r['series']} "
-                        f"time_ns={r['time_ns']}"
+                        f"time_ns={r['_mm_ts']}"
                     )
-            dropped_overlap = overlap.count()
-            batch = batch.join(
-                stored_tail.select("series", "time_ns"), ["series", "time_ns"], "left_anti"
-            )
+        if mode == "strict":
             # Reference additionally rejects *new* timestamps at or below
             # time_last (out-of-order vs the committed store) unless they
             # are exact retransmits; enforce per touched series.
-            if mode == "strict":
-                tails = (
-                    stored_tail.groupBy("series").agg(F.max("time_ns").alias("_tl"))
-                )
-                stale = (
-                    batch.join(F.broadcast(tails), "series")
-                    .where(F.col("time_ns") <= F.col("_tl"))
-                    .limit(1)
-                    .collect()
-                )
-                if stale:
+            for r in res:
+                if r["_stale_ts"] is not None:
                     raise OutOfOrderTimestamps(
-                        f"new point not after committed time_last: series={stale[0]['series']} "
-                        f"time_ns={stale[0]['time_ns']}"
+                        f"new point not after committed time_last: series={r['series']} "
+                        f"time_ns={r['_stale_ts']}"
                     )
+        dropped_overlap = sum(r["_n_ov"] for r in res)
+        n_append = sum(r["_n_app"] for r in res)
+        firsts = {r["series"]: r["_first_ts"] for r in res if r["_first_ts"] is not None}
+        batch = batch.join(
+            stored_tail.select("series", "time_ns"), ["series", "time_ns"], "left_anti"
+        )
 
-    # (4) append, partitioned by series (and optionally a coarse time
-    # bucket: directory-level time pruning before any footer is read —
-    # the first write fixes the layout, later writes follow it).
-    layout = _layout(measurement_path)
+    # --- Pass 3: the append itself, partitioned by series (and
+    # optionally a coarse time bucket: directory-level time pruning
+    # before any footer is read — the first write fixes the layout,
+    # later writes follow it).
     if "time_bucket_ns" not in layout or "series_buckets" not in layout:
         layout.setdefault("time_bucket_ns", int(time_bucket_ns) if time_bucket_ns else None)
         layout.setdefault("series_buckets", int(series_buckets) if series_buckets else None)
         _save_layout(measurement_path, layout)
     bucket_ns = layout.get("time_bucket_ns")
     sbuckets = layout.get("series_buckets")
-    n_append = batch.count()
     if n_append:
+        # Advance time_last BEFORE publishing the append: a crash between
+        # the two leaves the sidecar too high, which only costs a future
+        # overlapping write its verify scan; too low would skip a needed
+        # retransmit-verify (unsafe).
+        tl.advance_many({s: t[1] for s, t in stats.per_series.items()})
         out = batch
         if sbuckets:
             # hashed-series layout: directory count independent of #series
@@ -281,20 +488,24 @@ def _write_points_body(
                 "time_bucket", F.col("time_ns") - (F.col("time_ns") % F.lit(int(bucket_ns)))
             )
             part_cols.append("time_bucket")
+        if single_task_append:
+            # Point-scale batch: one task, no shuffle; sorting by
+            # (series, time_ns) keeps every partition dir's file
+            # time-ordered.
+            out = out.coalesce(1).sortWithinPartitions("series", "time_ns")
+        else:
+            out = out.repartition(*[F.col(c) for c in shuffle_cols]).sortWithinPartitions(
+                *sort_cols
+            )
         (
-            out.repartition(*[F.col(c) for c in shuffle_cols])
-            .sortWithinPartitions(*sort_cols)
-            .write.mode("append")
+            out.write.mode("append")
             .partitionBy(*part_cols)
             .parquet(data_root(measurement_path))
         )
         # Record time_first for series seen for the first time (the
         # reference's time_first metadata file) so windowed reads can skip
         # the full-series min scan; retention deletes advance it later.
-        firsts = {
-            r["series"]: r["_m"]
-            for r in batch.groupBy("series").agg(F.min("time_ns").alias("_m")).collect()
-        }
+        # (firsts came free from the validation aggregates above.)
         for s, m in firsts.items():
             if s not in marks._marks:
                 marks.advance(s, int(m))
