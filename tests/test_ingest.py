@@ -330,3 +330,106 @@ def test_watermark_broadcast_join_path(spark, tmp_path):
     got = df.groupBy("series").count().toPandas().set_index("series")["count"]
     for i in range(40):
         assert got[f"s{i}"] == (2 if i % 2 == 0 else 3)
+
+
+# -- write_points_pandas: the wire server's one-job fast lane ------------
+
+def mkpdf(rows):
+    return pd.DataFrame(rows, columns=["series", "time_ns", "v"])
+
+
+class TestPandasWriteLane:
+    """write_points_pandas must be semantics-identical to write_points:
+    same errors, same counters, same stored bytes."""
+
+    def test_counters_and_data_match_dataframe_path(self, spark, tmp_path):
+        from simple_tsdb_spark.sources.writer import write_points_pandas
+
+        rows1 = [("a", 10, 1.0), ("a", 20, None), ("b", 5, 9.0)]
+        rows2 = [("a", 20, None), ("a", 30, 3.0), ("b", 7, 8.0)]  # partial retransmit
+        p_df = str(tmp_path / "viadf")
+        p_pd = str(tmp_path / "viapd")
+        r_df1 = write_points(spark, p_df, mk(spark, rows1))
+        r_pd1 = write_points_pandas(spark, p_pd, mkpdf(rows1), SCHEMA)
+        r_df2 = write_points(spark, p_df, mk(spark, rows2))
+        r_pd2 = write_points_pandas(spark, p_pd, mkpdf(rows2), SCHEMA)
+        assert r_df1 == r_pd1 and r_df2 == r_pd2
+        a = spark.read.parquet(p_df).orderBy("series", "time_ns").collect()
+        b = spark.read.parquet(p_pd).orderBy("series", "time_ns").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_duplicate_rejected(self, spark, tmp_path):
+        from simple_tsdb_spark.sources.writer import write_points_pandas
+
+        with pytest.raises(OutOfOrderTimestamps):
+            write_points_pandas(
+                spark, str(tmp_path / "m"), mkpdf([("a", 10, 1.0), ("a", 10, 2.0)]), SCHEMA
+            )
+
+    def test_mismatch_and_stale_rejected(self, spark, tmp_path):
+        from simple_tsdb_spark.sources.writer import write_points_pandas
+
+        path = str(tmp_path / "m")
+        write_points_pandas(spark, path, mkpdf([("a", 10, 1.0), ("a", 20, 2.0)]), SCHEMA)
+        with pytest.raises(OverwriteMismatch):
+            write_points_pandas(spark, path, mkpdf([("a", 20, 99.0)]), SCHEMA)
+        with pytest.raises(OutOfOrderTimestamps):
+            write_points_pandas(spark, path, mkpdf([("a", 15, 1.5)]), SCHEMA)
+
+    def test_watermark_drop(self, spark, tmp_path):
+        from simple_tsdb_spark.sources.writer import write_points_pandas
+
+        path = str(tmp_path / "m")
+        write_points_pandas(spark, path, mkpdf([("a", 10, 1.0), ("a", 20, 2.0)]), SCHEMA)
+        delete_points(spark, path, series="a", t=15)
+        r = write_points_pandas(spark, path, mkpdf([("a", 12, 9.9), ("a", 30, 3.0)]), SCHEMA)
+        assert r == {
+            "rows_in": 2,
+            "dropped_below_watermark": 1,
+            "dropped_overlap": 0,
+            "appended": 1,
+        }
+
+    def test_all_below_watermark_short_circuits(self, spark, tmp_path):
+        from simple_tsdb_spark.sources.writer import write_points_pandas
+
+        path = str(tmp_path / "m")
+        write_points_pandas(spark, path, mkpdf([("a", 100, 1.0)]), SCHEMA)
+        delete_points(spark, path, series="a", t=100)
+        r = write_points_pandas(spark, path, mkpdf([("a", 50, 0.5)]), SCHEMA)
+        assert r["appended"] == 0 and r["dropped_below_watermark"] == 1
+
+
+class TestTimeLastSidecar:
+    """The time_last fast path must never skip a needed verify."""
+
+    def test_monotone_append_then_retransmit_still_verifies(self, spark, tmp_path):
+        path = str(tmp_path / "m")
+        write_points(spark, path, mk(spark, [("a", 10, 1.0)]))
+        write_points(spark, path, mk(spark, [("a", 20, 2.0)]))  # fast path
+        # overlap after fast-path appends must still byte-verify
+        with pytest.raises(OverwriteMismatch):
+            write_points(spark, path, mk(spark, [("a", 20, 99.0)]))
+        r = write_points(spark, path, mk(spark, [("a", 20, 2.0), ("a", 30, 3.0)]))
+        assert r["dropped_overlap"] == 1 and r["appended"] == 1
+
+    def test_missing_sidecar_falls_back_to_store_scan(self, spark, tmp_path):
+        import os
+
+        path = str(tmp_path / "m")
+        write_points(spark, path, mk(spark, [("a", 10, 1.0), ("a", 20, 2.0)]))
+        os.remove(f"{path}/_tsdb_meta/time_last.json")  # e.g. pre-sidecar store
+        with pytest.raises(OverwriteMismatch):
+            write_points(spark, path, mk(spark, [("a", 20, 99.0)]))
+        with pytest.raises(OutOfOrderTimestamps):
+            write_points(spark, path, mk(spark, [("a", 15, 1.5)]))
+        r = write_points(spark, path, mk(spark, [("a", 30, 3.0)]))
+        assert r["appended"] == 1
+
+    def test_new_series_skips_verify_but_lands(self, spark, tmp_path):
+        path = str(tmp_path / "m")
+        write_points(spark, path, mk(spark, [("a", 10, 1.0)]))
+        r = write_points(spark, path, mk(spark, [("zz-new.series", 5, 7.0)]))
+        assert r["appended"] == 1
+        got = spark.read.parquet(path).orderBy("series").collect()
+        assert [r["series"] for r in got] == ["a", "zz-new.series"]

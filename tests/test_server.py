@@ -561,8 +561,8 @@ def test_u64f_full_range_over_the_wire(spark, tmp_path):
 @pytest.mark.skipif(not os.path.exists(REF_CLIENT), reason="reference tree absent")
 def test_sum_points_bool_field_over_wire(spark, tmp_path):
     """Windowed SUM over a bool field through the wire: sums count the
-    Trues, npoints count the non-NULLs, min/max coerce to the f64 slots
-    the client skips."""
+    Trues, npoints count the non-NULLs (min/max ride native wal_field
+    words — see test_sums_minmax_native_wal_field)."""
     wh = str(tmp_path / "wh")
     c = TsdbClient(spark, wh)
     c.create_database("db")
@@ -598,3 +598,253 @@ def test_sum_points_bool_field_over_wire(spark, tmp_path):
             assert counts == [want[w][1] for w in sorted(want)]
         finally:
             conn.close()
+
+
+def _sum_cmd(db=b"db", meas=b"m", series=b"s1", fl=b"", t0=0, t1=2**64 - 1, window=100):
+    return struct.pack(
+        "<IIH%dsIH%dsIH%dsIH%dsIQIQIQI" % (len(db), len(meas), len(series), len(fl)),
+        srv.CT_SUM_POINTS,
+        srv.DT_DATABASE, len(db), db,
+        srv.DT_MEASUREMENT, len(meas), meas,
+        srv.DT_SERIES, len(series), series,
+        srv.DT_FIELD_LIST, len(fl), fl,
+        srv.DT_TIME_FIRST, t0,
+        srv.DT_TIME_LAST, t1,
+        srv.DT_WINDOW_NS, window,
+        srv.DT_END,
+    )
+
+
+def test_sums_minmax_native_wal_field(spark, tmp_path):
+    """DT_SUMS_CHUNK min/max words carry the field's NATIVE dtype in the
+    low bytes of each 8-byte wal_field (sum_op.h:32-33), with the
+    reference's untouched-accumulator sentinels in empty windows
+    (sum_op.cc:40-71) — decoded here exactly like the Grafana
+    datasource does (datasource.go:1841-1916)."""
+    wh = str(tmp_path / "wh")
+    c = TsdbClient(spark, wh)
+    c.create_database("db")
+    fields = {"a": "i32", "b": "u32", "c": "bool", "d": "f32", "e": "i64"}
+    c.create_measurement("db", "m", fields)
+    schema_t = c.catalog.spark_schema("db", "m")
+    rows = [
+        ("s1", 0, -5, 7, True, 1.5, -(2**40)),
+        ("s1", 10, 3, 1, False, -2.25, 5),
+        ("s1", 20, None, 2, None, 0.5, 9),
+        ("s1", 200, 100, 9, True, 8.0, -1),
+        ("s1", 210, -100, 3, True, -8.0, 2**40),
+    ]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", *fields])
+    c.write_points("db", "m", spark.createDataFrame(pdf, schema_t))
+
+    with TsdbServer(spark, wh, port=0) as s:
+        sock = _connect(s)
+        try:
+            sock.sendall(_sum_cmd(fl=b"a,b,c,d,e", t0=0, t1=299, window=100))
+            dt = struct.unpack("<I", _recvall(sock, 4))[0]
+            assert dt == srv.DT_SUMS_CHUNK
+            n = struct.unpack("<H", _recvall(sock, 2))[0]
+            assert n == 3  # windows 0, 100 (empty), 200
+            nf = 5
+            body = _recvall(sock, n * 8 * (1 + 4 * nf))
+            ts = struct.unpack("<3Q", body[:24])
+            assert ts == (0, 100, 200)
+            off = 24
+            sums = {}
+            for f in fields:
+                sums[f] = struct.unpack("<3d", body[off:off + 24])
+                off += 24
+            min_words, max_words = {}, {}
+            for d in (min_words, max_words):
+                for f in fields:
+                    d[f] = [body[off + 8 * i: off + 8 * (i + 1)] for i in range(3)]
+                    off += 24
+            counts = {}
+            for f in fields:
+                counts[f] = struct.unpack("<3Q", body[off:off + 24])
+                off += 24
+            dt = struct.unpack("<I", _recvall(sock, 4))[0]
+            assert dt == srv.DT_END
+            dt, code = struct.unpack("<Ii", _recvall(sock, 8))
+            assert dt == srv.DT_STATUS_CODE and code == 0
+        finally:
+            sock.close()
+
+    def dec(word, fmt):
+        return struct.unpack_from("<" + fmt, word, 0)[0]
+
+    # window 0 and 2: native-typed min/max of the stored values
+    assert dec(min_words["a"][0], "i") == -5 and dec(max_words["a"][0], "i") == 3
+    assert dec(min_words["a"][2], "i") == -100 and dec(max_words["a"][2], "i") == 100
+    assert dec(min_words["b"][0], "I") == 1 and dec(max_words["b"][0], "I") == 7
+    assert dec(min_words["c"][0], "B") == 0 and dec(max_words["c"][0], "B") == 1
+    assert dec(min_words["c"][2], "B") == 1 and dec(max_words["c"][2], "B") == 1
+    assert dec(min_words["d"][0], "f") == -2.25 and dec(max_words["d"][0], "f") == 1.5
+    assert dec(min_words["e"][0], "q") == -(2**40) and dec(max_words["e"][0], "q") == 9
+    assert dec(min_words["e"][2], "q") == -1 and dec(max_words["e"][2], "q") == 2**40
+    # empty middle window: the reference's untouched accumulator sentinels
+    assert dec(min_words["a"][1], "i") == 2**31 - 1 and dec(max_words["a"][1], "i") == -(2**31)
+    assert dec(min_words["b"][1], "I") == 2**32 - 1 and dec(max_words["b"][1], "I") == 0
+    assert dec(min_words["c"][1], "B") == 1 and dec(max_words["c"][1], "B") == 0
+    assert dec(min_words["d"][1], "f") == float("inf") and dec(max_words["d"][1], "f") == float("-inf")
+    assert dec(min_words["e"][1], "q") == 2**63 - 1 and dec(max_words["e"][1], "q") == -(2**63)
+    # high bytes of every narrow-typed word are zero
+    for f, w in (("a", 4), ("b", 4), ("c", 1), ("d", 4)):
+        for i in range(3):
+            assert min_words[f][i][w:] == b"\x00" * (8 - w)
+            assert max_words[f][i][w:] == b"\x00" * (8 - w)
+    # counts and sums still correct alongside
+    assert counts["a"] == (2, 0, 2) and counts["b"] == (3, 0, 2)
+    assert sums["a"] == (-2.0, 0.0, 0.0)
+
+
+def test_sums_stream_many_chunks(spark, tmp_path):
+    """A window count past SUMS_CHUNK_WINDOWS streams as multiple
+    incrementally generated chunks (toLocalIterator path), in window
+    order, without materializing the whole result on the driver."""
+    wh = str(tmp_path / "wh")
+    c = TsdbClient(spark, wh)
+    c.create_database("db")
+    c.create_measurement("db", "m", {"v": "f64"})
+    schema_t = c.catalog.spark_schema("db", "m")
+    n_windows = 1500
+    pdf = pd.DataFrame(
+        {
+            "series": ["s1", "s1"],
+            "time_ns": [5, (n_windows - 1) * 100 + 5],
+            "v": [2.5, 7.5],
+        }
+    )
+    c.write_points("db", "m", spark.createDataFrame(pdf, schema_t))
+
+    ref = _load_ref_client()
+    with TsdbServer(spark, wh, port=0) as s:
+        conn = ref.Connection(host="127.0.0.1", port=s.address[1])
+        try:
+            op = conn.sum_points("db", "m", "s1", ["v"], 0, 2**64 - 1, 100)
+            sizes, ts, sums = [], [], []
+            while (chunk := op.read_chunk()) is not None:
+                sizes.append(len(chunk.timestamps))
+                ts.extend(int(x) for x in chunk.timestamps)
+                sums.extend(float(x) for x in chunk.sums[0])
+        finally:
+            conn.close()
+    assert sizes == [srv.SUMS_CHUNK_WINDOWS, n_windows - srv.SUMS_CHUNK_WINDOWS]
+    assert ts == [100 * i for i in range(n_windows)]
+    assert sums[0] == 2.5 and sums[-1] == 7.5 and sum(sums) == 10.0
+
+
+def _pack_f64_chunk(ts_vals):
+    """One DT_CHUNK body for a single-f64-field measurement, all valid."""
+    n = len(ts_vals)
+    body = struct.pack("<%dQ" % n, *[t for t, _ in ts_vals])
+    words = -(-n // 64)
+    bitmap = [0] * words
+    for i in range(n):
+        bitmap[i // 64] |= 1 << (i % 64)
+    body += struct.pack("<%dQ" % words, *bitmap)
+    body += struct.pack("<%dd" % n, *[v for _, v in ts_vals])
+    return body
+
+
+def test_write_points_bounded_group_flush(spark, tmp_path):
+    """With a small write_flush_bytes every chunk commits as it arrives
+    (bounded driver staging), and a later chunk retransmitting an
+    earlier group's points verifies-and-drops like the reference WAL
+    (wal.cc:87-246) instead of erroring."""
+    wh = str(tmp_path / "wh")
+    c = TsdbClient(spark, wh)
+    c.create_database("db")
+    c.create_measurement("db", "m", {"v": "f64"})
+
+    with TsdbServer(spark, wh, port=0, write_flush_bytes=1) as s:
+        sock = _connect(s)
+        try:
+            db, meas, series = b"db", b"m", b"sx"
+            sock.sendall(
+                struct.pack(
+                    "<IIH%dsIH%dsIH%ds" % (len(db), len(meas), len(series)),
+                    srv.CT_WRITE_POINTS,
+                    srv.DT_DATABASE, len(db), db,
+                    srv.DT_MEASUREMENT, len(meas), meas,
+                    srv.DT_SERIES, len(series), series,
+                )
+            )
+            groups = [
+                [(100 + 10 * i, float(i)) for i in range(5)],
+                [(200 + 10 * i, float(50 + i)) for i in range(5)],
+                # retransmit of group 2 — must verify-and-drop, not error
+                [(200 + 10 * i, float(50 + i)) for i in range(5)],
+                [(300 + 10 * i, float(90 + i)) for i in range(5)],
+            ]
+            for g in groups:
+                dt, maxlen = struct.unpack("<II", _recvall(sock, 8))
+                assert dt == srv.DT_READY_FOR_CHUNK and maxlen > 0
+                body = _pack_f64_chunk(g)
+                sock.sendall(struct.pack("<IIII", srv.DT_CHUNK, len(g), 0, len(body)) + body)
+            dt, maxlen = struct.unpack("<II", _recvall(sock, 8))
+            assert dt == srv.DT_READY_FOR_CHUNK
+            sock.sendall(struct.pack("<I", srv.DT_END))
+            dt, code = struct.unpack("<Ii", _recvall(sock, 8))
+            assert dt == srv.DT_STATUS_CODE and code == 0
+        finally:
+            sock.close()
+
+    got = (
+        c.select_points_limit("db", "m", "sx", ["v"], 0, 2**64 - 1, None)
+        .orderBy("time_ns")
+        .collect()
+    )
+    assert len(got) == 15
+    assert [r["time_ns"] for r in got[:5]] == [100, 110, 120, 130, 140]
+    assert [r["v"] for r in got[5:10]] == [50.0, 51.0, 52.0, 53.0, 54.0]
+    assert [r["v"] for r in got[10:]] == [90.0, 91.0, 92.0, 93.0, 94.0]
+
+
+def test_write_points_bounded_group_mismatch_rejects(spark, tmp_path):
+    """A cross-group retransmit with DIFFERENT values still errors
+    (byte-verified retransmit, wal.cc:87-246)."""
+    wh = str(tmp_path / "wh")
+    c = TsdbClient(spark, wh)
+    c.create_database("db")
+    c.create_measurement("db", "m", {"v": "f64"})
+
+    with TsdbServer(spark, wh, port=0, write_flush_bytes=1) as s:
+        sock = _connect(s)
+        try:
+            db, meas, series = b"db", b"m", b"sy"
+            sock.sendall(
+                struct.pack(
+                    "<IIH%dsIH%dsIH%ds" % (len(db), len(meas), len(series)),
+                    srv.CT_WRITE_POINTS,
+                    srv.DT_DATABASE, len(db), db,
+                    srv.DT_MEASUREMENT, len(meas), meas,
+                    srv.DT_SERIES, len(series), series,
+                )
+            )
+            groups = [
+                [(100 + 10 * i, float(i)) for i in range(5)],
+                [(100 + 10 * i, float(999 + i)) for i in range(5)],  # corrupt retransmit
+            ]
+            for g in groups:
+                dt, _ = struct.unpack("<II", _recvall(sock, 8))
+                assert dt == srv.DT_READY_FOR_CHUNK
+                body = _pack_f64_chunk(g)
+                sock.sendall(struct.pack("<IIII", srv.DT_CHUNK, len(g), 0, len(body)) + body)
+            # server commits per chunk: the corrupt group fails the
+            # byte-verify and the command answers a non-zero status.
+            sock.sendall(struct.pack("<I", srv.DT_END))
+            frames = b""
+            while True:
+                part = sock.recv(4096)
+                if not part:
+                    break
+                frames += part
+            # last 8 bytes on the stream are DT_STATUS_CODE + code
+            dt, code = struct.unpack("<Ii", frames[-8:])
+            assert dt == srv.DT_STATUS_CODE and code != 0
+        finally:
+            sock.close()
+    # the first group committed (reference WAL shape); the corrupt one did not
+    got = c.select_points_limit("db", "m", "sy", ["v"], 0, 2**64 - 1, None).collect()
+    assert len(got) == 5
