@@ -41,8 +41,10 @@ def write_training_shards(
     deterministic.  Output layout: ``path/shard=<k>/part-*.parquet``
     with exactly one file per shard.
 
-    Manifest: one dict per shard — ``{"shard", "n_rows", "n_packs"}`` —
-    the index a data loader uses to assign shards to workers.
+    Manifest: exactly ``n_shards`` dicts — ``{"shard", "n_rows",
+    "n_packs"}`` — the index a data loader uses to assign shards to
+    workers; shards that received no rows report zero counts (so a
+    loader assigning ``n_shards`` workers never sees a missing id).
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
@@ -56,16 +58,25 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    # Manifest from the WRITTEN output, not the input lineage: at 100 TB
+    # a second evaluation of ``df`` would repeat the whole upstream chain;
+    # reading back prunes to the pack-key columns + the shard partition
+    # value, a sliver of the written bytes.
     manifest_rows = (
-        out.groupBy("shard")
+        df.sparkSession.read.parquet(path)
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct(*pack_cols).alias("n_packs"),
         )
-        .orderBy("shard")
-        .collect()  # n_shards rows — bounded, corpus-size independent
+        .collect()  # ≤ n_shards rows — bounded, corpus-size independent
     )
+    got = {int(r["shard"]): r for r in manifest_rows}
     return [
-        {"shard": r["shard"], "n_rows": r["n_rows"], "n_packs": r["n_packs"]}
-        for r in manifest_rows
+        {
+            "shard": k,
+            "n_rows": got[k]["n_rows"] if k in got else 0,
+            "n_packs": got[k]["n_packs"] if k in got else 0,
+        }
+        for k in range(n_shards)
     ]

@@ -437,13 +437,14 @@ def test_write_training_shards(spark, tmp_path):
     manifest = write_training_shards(packed, path, n_shards=8)
 
     assert sum(m["n_rows"] for m in manifest) == n_docs
+    assert [m["shard"] for m in manifest] == list(range(8))
     # balance: no shard more than 3x the smallest non-empty shard
-    sizes = [m["n_rows"] for m in manifest]
+    sizes = [m["n_rows"] for m in manifest if m["n_rows"]]
     assert max(sizes) <= 3 * min(sizes), sizes
     # one file per non-empty shard
     for m in manifest:
         files = glob.glob(f"{path}/shard={m['shard']}/*.parquet")
-        assert len(files) == 1, (m, files)
+        assert len(files) == (1 if m["n_rows"] else 0), (m, files)
 
     back = spark.read.parquet(path)
     assert back.count() == n_docs
@@ -465,3 +466,24 @@ def test_write_training_shards(spark, tmp_path):
     b = {(r.doc_id, r.shard) for r in back2.select("doc_id", "shard").collect()}
     assert a == b
     packed.unpersist()
+
+
+def test_write_training_shards_empty_shards_in_manifest(spark, tmp_path):
+    """n_shards greater than the number of distinct pack keys: every
+    shard id still appears in the manifest (zero counts), so a loader
+    assigning one worker per manifest entry never sees a missing id."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import write_training_shards
+
+    pdf = pd.DataFrame(
+        {"grp": [0, 0, 1], "pack": [0, 0, 0], "doc_id": ["a", "b", "c"]}
+    )
+    path = str(tmp_path / "tiny_shards")
+    manifest = write_training_shards(spark.createDataFrame(pdf), path, n_shards=16)
+    assert [m["shard"] for m in manifest] == list(range(16))
+    assert sum(m["n_rows"] for m in manifest) == 3
+    assert sum(m["n_packs"] for m in manifest) == 2
+    empties = [m for m in manifest if m["n_rows"] == 0]
+    assert len(empties) >= 14
+    assert all(m["n_packs"] == 0 for m in empties)
