@@ -295,6 +295,22 @@ def _lloyd_refine(sum_rows_fn, nlist: int, dim: int, iters: int) -> list[list[fl
     return cs
 
 
+def _cache_train_input(df: DataFrame, cache: str | None) -> DataFrame:
+    """Materialization policy for iterative quantizer fits: ``"local"``
+    = eager localCheckpoint (executor storage, fastest per iteration),
+    ``"disk"`` = DISK_ONLY persist, ``None`` = recompute per iteration
+    (zero storage).  See ``train_ivf_centroids`` for the trade."""
+    if cache == "local":
+        return df.localCheckpoint(eager=True)
+    if cache == "disk":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    if cache is None:
+        return df
+    raise ValueError(f"cache must be 'local', 'disk' or None, got {cache!r}")
+
+
 def train_ivf_centroids(
     df: DataFrame,
     *,
@@ -302,6 +318,7 @@ def train_ivf_centroids(
     dim: int = 64,
     iters: int = 3,
     vec_col: str = "embedding",
+    cache: str | None = "local",
 ) -> list[list[float]]:
     """Spherical-k-means refinement of the IVF coarse quantizer (Lloyd's).
 
@@ -321,10 +338,21 @@ def train_ivf_centroids(
     :func:`train_ivf_centroids_duck` reproduces it bit-for-bit — which
     is what lets a *trained* quantizer sit inside the driver's hash gate
     (both engines independently fit the same literals from the data).
+
+    ``cache`` sizes the fit for the corpus: ``"local"`` (default) pins
+    the double-cast vectors in executor storage via an eager
+    localCheckpoint — fastest for bench-scale, but at 10⁹×64-dim that
+    is ~0.5 TB held across a 2-3 iteration fit; ``"disk"`` persists
+    DISK_ONLY (spill instead of RAM); ``None`` materializes nothing and
+    recomputes the projection each iteration (iters extra corpus scans,
+    zero storage — the right trade when the scan is cheap or storage is
+    scarce).  The fit is bit-identical in every mode (the quantized
+    sums are partitioning-independent).
     """
-    emb = df.select(
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb")
-    ).localCheckpoint(eager=True)
+    emb = _cache_train_input(
+        df.select(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb")),
+        cache,
+    )
 
     def sum_rows(cs):
         assigned = emb.withColumn(
@@ -578,6 +606,7 @@ def train_pq_codebooks(
     k: int = PQ_K,
     iters: int = 3,
     vec_col: str = "embedding",
+    cache: str | None = "local",
 ) -> list[list[list[float]]]:
     """Per-subspace k-means refinement of the PQ codebooks (Lloyd's),
     bit-deterministic like :func:`train_ivf_centroids`: assignments use
@@ -586,11 +615,16 @@ def train_pq_codebooks(
     arithmetic runs in shared Python — so
     :func:`train_pq_codebooks_duck` reproduces identical literals and a
     TRAINED PQ index sits inside the driver's hash gate.  One shuffle
-    per iteration (≤ m×k groups); driver payload m×k×(dim/m) values."""
+    per iteration (≤ m×k groups); driver payload m×k×(dim/m) values.
+    ``cache`` as in :func:`train_ivf_centroids` (``"local"`` /
+    ``"disk"`` / ``None``) — every mode fits bit-identical literals."""
     sub = dim // m
-    nemb = df.select(
-        F.expr(f"{_norm_expr(f'transform({vec_col}, x -> CAST(x AS DOUBLE))')}").alias("_n")
-    ).localCheckpoint(eager=True)
+    nemb = _cache_train_input(
+        df.select(
+            F.expr(f"{_norm_expr(f'transform({vec_col}, x -> CAST(x AS DOUBLE))')}").alias("_n")
+        ),
+        cache,
+    )
 
     def sum_rows(cbs):
         # One expression binds the unit vector once, yielding one

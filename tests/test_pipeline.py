@@ -490,3 +490,23 @@ def test_decontaminate_pairs_python_model(spark):
         for bi, bt in bench_texts.items():
             union |= grams(corpus_texts[ci]) & grams(bt)
         assert counts[ci] == len(union)
+
+
+def test_train_cache_modes_fit_identical(spark, embs):
+    """cache='local' | 'disk' | None must fit byte-identical literals —
+    the materialization policy is a storage trade, never a result
+    change (the quantized sums are partitioning-independent)."""
+    from simple_tsdb_spark.pipeline import train_ivf_centroids, train_pq_codebooks
+
+    base_c = train_ivf_centroids(embs, iters=2, cache="local")
+    assert train_ivf_centroids(embs, iters=2, cache="disk") == base_c
+    assert train_ivf_centroids(embs, iters=2, cache=None) == base_c
+
+    base_p = train_pq_codebooks(embs, iters=1, cache="local")
+    assert train_pq_codebooks(embs, iters=1, cache="disk") == base_p
+    assert train_pq_codebooks(embs, iters=1, cache=None) == base_p
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        train_ivf_centroids(embs, iters=1, cache="ram")
