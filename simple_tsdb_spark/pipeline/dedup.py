@@ -69,6 +69,32 @@ def _shingle_rows(df: DataFrame, *, text_col: str, id_col: str, stride: int) -> 
     return pos.select("doc", F.expr(f"substring(_t, _i, {SHINGLE_LEN})").alias("sh"))
 
 
+def _doc_shingle_sets(df: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc DISTINCT shingle sets via an Arrow-batched pandas_udf —
+    a pure projection (no explode, no collect_set shuffle).  Python
+    str slicing is code-point based like SQL ``substring``, and the
+    ``max(len-K+1, 1)`` floor keeps the short-text behavior of the
+    sequence expression in :func:`_shingle_rows` (a doc shorter than
+    the shingle length yields its whole text), so the sets are
+    identical to ``collect_set`` over the exploded stream."""
+    from pyspark.sql.functions import pandas_udf
+
+    k = SHINGLE_LEN
+
+    @pandas_udf("array<string>")
+    def _sets(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            t = t or ""
+            n = max(len(t) - k + 1, 1)
+            out.append(list({t[i:i + k] for i in range(n)}))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc"), _sets(F.col(text_col)).alias("shs"))
+
+
 def _shingles_duck(text_col: str, stride: int) -> str:
     return (
         f"list_distinct(list_transform(generate_series(1, greatest(length({text_col}) - {SHINGLE_LEN - 1}, 1), {stride}), "
@@ -111,6 +137,7 @@ def ngram_jaccard_pairs(
     max_df: int = MAX_DF,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: str = "explode",
 ) -> DataFrame:
     """Exact Jaccard similarity over (df-capped) char-shingle sets.
 
@@ -143,8 +170,14 @@ def ngram_jaccard_pairs(
     # The docsets exchange is reused by both downstream consumers.
     from pyspark.sql import Window
 
-    raw = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=1)
-    docsets = raw.groupBy("doc").agg(F.collect_set("sh").alias("shs"))
+    if shingles == "arrow":
+        # Arrow path: per-doc distinct sets as a projection — replaces
+        # the exploded raw stream + collect_set shuffle; downstream the
+        # doc-window then needs one exchange on doc instead.
+        docsets = _doc_shingle_sets(df, text_col=text_col, id_col=id_col)
+    else:
+        raw = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=1)
+        docsets = raw.groupBy("doc").agg(F.collect_set("sh").alias("shs"))
     sh0 = docsets.select("doc", F.explode("shs").alias("sh"))
     hot = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
     sh = sh0.join(hot, "sh", "left_anti")

@@ -510,3 +510,21 @@ def test_train_cache_modes_fit_identical(spark, embs):
 
     with _pytest.raises(ValueError):
         train_ivf_centroids(embs, iters=1, cache="ram")
+
+
+def test_ngram_jaccard_arrow_shingles_identical(spark, docs):
+    """shingles='arrow' (pandas_udf distinct sets) must produce the
+    exact result of the default exploded-stream plan — it is a measured
+    alternative (a wash at sf0.1, see ROADMAP), kept as an option for
+    corpora where Python slicing beats codegen substring."""
+    from simple_tsdb_spark.pipeline import ngram_jaccard_pairs
+
+    a = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    b = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, shingles="arrow").collect()
+    )
+    assert a == b and len(a) > 0
