@@ -299,6 +299,26 @@ def main() -> int:
     )
     ok &= check("native: series partition pruning", "PartitionFilters: [isnotnull(series" in p)
 
+    # Wire write fast lane: a monotone driver-resident append must cost
+    # exactly ONE Spark job (pandas pass-1 + time_last sidecar skip the
+    # validation jobs entirely — writer.py).
+    from simple_tsdb_spark.sources.writer import write_points_pandas
+
+    sc = spark.sparkContext
+    pdf2 = pd.DataFrame(
+        [("s1", 1000 + i, float(i)) for i in range(50)],
+        columns=["series", "time_ns", "v"],
+    )
+    sc.setJobGroup("audit_fastwrite", "audit")
+    write_points_pandas(spark, path, pdf2, schema)
+    sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("audit_fastwrite")
+    ok &= check(
+        "write fast lane: monotone pandas append = 1 Spark job",
+        len(jobs) == 1,
+        f"{len(jobs)} jobs",
+    )
+
     print("==", "ALL PASS" if ok else "SOME FAILED", "==")
     return 0 if ok else 1
 
