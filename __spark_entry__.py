@@ -334,6 +334,18 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import dsir_logweights
+
+    return dsir_logweights(_docs(spark, sf_dir), target_pred="lang = 'en'")
+
+
 def _q_repetition_stats(spark, sf_dir):
     from simple_tsdb_spark.pipeline import repetition_stats
 
@@ -557,6 +569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidence.  Keep rotating: whichever entries went unchecked last
     # round lead the next round's dict.
     return {
+        # round-6 additions lead (new entries need driver evidence first)
+        "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
+        "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
         "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
         "multimodal_meta": _q_multimodal_meta,
         "blob_features": _q_blob_features,  # mapInPandas — rows-only check
@@ -962,10 +977,12 @@ def _pipeline_oracles() -> dict[str, str]:
         decontaminate_pairs_oracle,
     )
     from simple_tsdb_spark.pipeline.text import (
+        dsir_logweights_oracle,
         fingerprint_oracle,
         lang_id_oracle,
         quality_score_oracle,
         repetition_stats_oracle,
+        tfidf_topk_oracle,
         token_counts_oracle,
     )
     from simple_tsdb_spark.plans.analytics import (
@@ -977,6 +994,8 @@ def _pipeline_oracles() -> dict[str, str]:
     )
 
     return {
+        "tfidf_topk": tfidf_topk_oracle(k=5),
+        "dsir_weights": dsir_logweights_oracle(target_pred="lang = 'en'"),
         "token_counts": token_counts_oracle(),
         "quality_score": quality_score_oracle(),
         "lang_id": lang_id_oracle(),

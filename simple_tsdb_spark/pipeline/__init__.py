@@ -18,6 +18,8 @@ from simple_tsdb_spark.pipeline.text import (
     repetition_stats,
     lang_id,
     fingerprint,
+    tfidf_topk,
+    dsir_logweights,
 )
 from simple_tsdb_spark.pipeline.dedup import (
     exact_dedup,
@@ -70,6 +72,8 @@ __all__ = [
     "write_training_shards",
     "lang_id",
     "fingerprint",
+    "tfidf_topk",
+    "dsir_logweights",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

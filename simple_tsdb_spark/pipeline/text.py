@@ -329,3 +329,177 @@ WITH h AS (SELECT doc_id, text, {_simhash_hashes_sql('text')} AS _hs FROM {table
 SELECT doc_id, md5(text) AS content_md5, {_simhash_sql('text')} AS simhash
 FROM h
 """
+
+
+# -- TF-IDF top terms -------------------------------------------------------
+
+def tfidf_topk(
+    df: DataFrame, *, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms.
+
+    Output ``(doc_id, term, tf, df_term, rnk)`` — integer statistics
+    only; the float score (``tf · ln((N+1)/(df+1))``, smoothed IDF) is
+    used solely to rank, quantized to 9 decimals so a last-ulp ``ln``
+    difference between engines cannot flip an ordering (mathematically
+    equal scores — e.g. ``2·ln 3`` vs ``ln 9`` — tie exactly and fall
+    to the deterministic term tiebreak).
+
+    At 100 TB: term stats aggregate map-side (one row per distinct
+    (doc, term) per partition); the doc-frequency table joins on term;
+    the rank is one window over doc — all keyed on uniform columns, no
+    broadcast of anything corpus-sized (the 1-row N aggregate is the
+    only broadcast).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(_tokens(F.col(text_col))).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    w = Window.partitionBy("doc").orderBy(F.col("_score").desc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n") + 1) / (F.col("df_term") + 1).cast("double")),
+                9,
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(k))
+        .select(F.col("doc").alias("doc_id"), "term", "tf", "df_term", "rnk")
+    )
+
+
+def tfidf_topk_oracle(table: str = "documents", *, k: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, UNNEST(string_split(text, ' ')) AS term FROM {table}),
+tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY doc, term),
+dfreq AS (SELECT term, COUNT(*) AS df_term FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS _n FROM {table}),
+scored AS (
+  SELECT doc, term, tf, df_term,
+         round(tf * ln((_n + 1) / CAST(df_term + 1 AS DOUBLE)), 9) AS _score
+  FROM tf JOIN dfreq USING (term), n),
+ranked AS (
+  SELECT doc AS doc_id, term, tf, df_term,
+         row_number() OVER (PARTITION BY doc ORDER BY _score DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, df_term, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+# -- DSIR importance weights ------------------------------------------------
+
+DSIR_BUCKETS = 4999  # prime; the hashed-feature dimensionality
+
+
+def _bigrams_expr(text_col: str) -> str:
+    """Word-bigram array via the zip-slice form (see repetition_stats —
+    ~6x faster codegen than indexed element_at)."""
+    return (
+        f"transform(arrays_zip("
+        f"slice(split({text_col}, ' '), 1, greatest(size(split({text_col}, ' ')) - 1, 0)), "
+        f"slice(split({text_col}, ' '), 2, greatest(size(split({text_col}, ' ')) - 1, 0))), "
+        f"p -> concat(p['0'], ' ', p['1']))"
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    *,
+    target_pred: str,
+    buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each document for how target-like it is under hashed word-bigram
+    bag-of-ngrams models of the target slice vs the whole corpus.
+
+    ``target_pred`` is a SQL boolean over the table's columns (e.g.
+    ``"lang = 'en'"``) selecting the target slice.  Each bigram hashes
+    into ``buckets`` (portable md5 hash, so DuckDB reproduces it); per
+    bucket the add-one-smoothed log probability ratio quantizes to
+    ``floor(1e6·Δln)`` BIGINTs (the similarity.py ``_TRAIN_QUANT``
+    trick), and a document's weight is the INTEGER sum ``Σ n_b · lr_b``
+    over its bigram occurrences — bit-exact across engines.  Documents
+    with no bigram get weight 0.
+
+    At 100 TB: one corpus-wide bucket aggregate (≤ ``buckets`` rows
+    after map-side combine), the ratio table broadcasts (bounded by
+    ``buckets``, corpus-size independent), and one doc-keyed shuffle of
+    (doc, lr) partial sums.  The corpus is never broadcast and never
+    shuffles its text.
+    """
+    B = int(buckets)
+    occ = df.selectExpr(
+        f"{id_col} AS doc",
+        f"CAST(({target_pred}) AS BOOLEAN) AS _t",
+        f"explode_outer({_bigrams_expr(text_col)}) AS g",
+    ).withColumn(
+        "b",
+        F.when(
+            F.col("g").isNotNull(),
+            F.expr(
+                f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % {B}"
+            ),
+        ),
+    )
+    cs = (
+        occ.where(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+        )
+    )
+    tot = cs.agg(F.sum("cs").alias("ns"), F.sum("ct").alias("nt"))
+    ratios = cs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST(floor(1e6 * (ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(nt + {B} AS DOUBLE)) "
+            f"- ln(CAST(cs + 1 AS DOUBLE)) + ln(CAST(ns + {B} AS DOUBLE)))) AS BIGINT)"
+        ).alias("lr"),
+    )
+    docw = (
+        occ.join(F.broadcast(ratios), "b")
+        .groupBy("doc")
+        .agg(F.sum("lr").alias("logw"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(docw.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("logw", F.lit(0)).cast("long").alias("logw"))
+    )
+
+
+def dsir_logweights_oracle(
+    table: str = "documents", *, target_pred: str = "lang = 'en'", buckets: int = DSIR_BUCKETS
+) -> str:
+    B = int(buckets)
+    return f"""
+WITH occ AS (
+  SELECT doc_id AS doc, ({target_pred}) AS _t,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {B} AS b
+  FROM (SELECT d.*,
+               UNNEST(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS g
+        FROM {table} d)),
+cs AS (SELECT b, COUNT(*) AS cs, SUM(CASE WHEN _t THEN 1 ELSE 0 END) AS ct FROM occ GROUP BY b),
+tot AS (SELECT SUM(cs) AS ns, SUM(ct) AS nt FROM cs),
+r AS (SELECT b, CAST(floor(1e6 * (ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(nt + {B} AS DOUBLE))
+                                  - ln(CAST(cs + 1 AS DOUBLE)) + ln(CAST(ns + {B} AS DOUBLE)))) AS BIGINT) AS lr
+       FROM cs, tot),
+dw AS (SELECT doc, CAST(SUM(lr) AS BIGINT) AS logw FROM occ JOIN r USING (b) GROUP BY doc)
+SELECT d.doc_id, COALESCE(dw.logw, 0) AS logw
+FROM {table} d LEFT JOIN dw ON dw.doc = d.doc_id
+"""

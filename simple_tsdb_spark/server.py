@@ -96,6 +96,7 @@ _U64_TOKENS = {DT_TIME_FIRST, DT_TIME_LAST, DT_NLIMIT, DT_NLAST, DT_WINDOW_NS}
 MAX_CHUNK_DATA_LEN = 10 * 1024 * 1024  # server.cc:582,595
 SELECT_CHUNK_POINTS = 16384
 SUMS_CHUNK_WINDOWS = 1024  # server.cc:817
+SELECT_SEGMENT_POINTS = 1 << 20  # driver-memory bound per SELECT page
 
 # engine type name -> (wire id, byte size, numpy dtype); identifiers and
 # sizes from the reference's FIELD_TYPES table (client.py:110-118).
@@ -505,19 +506,11 @@ class TsdbServer:
         conn.send(struct.pack("<I", DT_INTEGRALS) + struct.pack(f"<{len(vals)}d", *vals))
 
     # -- SELECT streaming -----------------------------------------------
-    def _stream_select(self, conn: _Conn, client: TsdbClient, df, db, meas, fields) -> None:
-        """Chunked DT_CHUNK frames from the result DataFrame.
-
-        The result materializes on the driver (toArrow) before chunking —
-        the right trade for a wire endpoint serving dashboard-scale
-        selects (a point query over one series' time range), which is
-        what this protocol exists for.  Corpus-scale reads belong on the
-        DataFrame API, not a single socket; the reference server has the
-        same single-connection funnel, it just pipelines the buffer.
-        """
-        schema = dict(client.get_schema(db, meas))
-        tbl = df.toArrow()
+    def _send_select_chunks(self, conn: _Conn, tbl, fields, schema) -> int:
+        """Pack one Arrow table as DT_CHUNK frames; returns rows sent."""
         n_total = tbl.num_rows
+        if n_total == 0:
+            return 0
         ts_all = np.asarray(tbl.column("time_ns").combine_chunks()).astype("<u8")
         cols = []
         for f in fields:
@@ -532,6 +525,14 @@ class TsdbServer:
                 body += vb + b"\x00" * _pad8(len(vb))
             conn.send(struct.pack("<IIII", DT_CHUNK, n, 0, len(body)))
             conn.send(body)
+        return n_total
+
+    def _stream_select(self, conn: _Conn, client: TsdbClient, df, db, meas, fields) -> None:
+        """Chunked DT_CHUNK frames from a bounded result DataFrame
+        (LAST-N path: the client names N explicitly, so one driver-side
+        Arrow materialization is the memory contract the caller chose)."""
+        schema = dict(client.get_schema(db, meas))
+        self._send_select_chunks(conn, df.toArrow(), fields, schema)
         conn.send(struct.pack("<I", DT_END))
 
     def _select_args(self, conn: _Conn, nt: int):
@@ -542,13 +543,40 @@ class TsdbServer:
         )
 
     def _h_select_limit(self, conn: _Conn, client: TsdbClient) -> None:
+        """SELECT streams in time-paginated segments: each segment is an
+        ordered LIMIT query whose time predicate pushes to the parquet
+        scan (sorted row groups → stat pruning), materialized via Arrow
+        and packed vectorized — so an UNBOUNDED select over a huge
+        series holds at most ``SELECT_SEGMENT_POINTS`` rows on the
+        driver.  Pagination on ``time_ns`` is exact because timestamps
+        are unique within a series (the reference's own invariant).  A
+        dashboard-scale select fits one segment = one job, identical to
+        the unpaginated path."""
         db, meas, series, field_list, t0, t1, n = self._select_args(conn, DT_NLIMIT)
         fields = [f for f in field_list.split(",") if f]
         # The reference client sends NLIMIT=2^64-1 for "unbounded"; Spark's
         # limit() is int32, so anything past that range means no limit.
-        limit = n if n < 2**31 else None
-        df = client.select_points_limit(db, meas, series, fields or None, t0, t1, limit)
-        self._stream_select(conn, client, df, db, meas, fields or [c for c, _ in client.get_schema(db, meas)])
+        remaining = n if n < 2**31 else None
+        fields_out = fields or [c for c, _ in client.get_schema(db, meas)]
+        schema = dict(client.get_schema(db, meas))
+        seg_t0 = t0
+        while True:
+            n_seg = (
+                SELECT_SEGMENT_POINTS
+                if remaining is None
+                else min(remaining, SELECT_SEGMENT_POINTS)
+            )
+            df = client.select_points_limit(
+                db, meas, series, fields or None, seg_t0, t1, n_seg
+            )
+            tbl = df.toArrow()
+            sent = self._send_select_chunks(conn, tbl, fields_out, schema)
+            if remaining is not None:
+                remaining -= sent
+            if sent < n_seg or (remaining is not None and remaining <= 0):
+                break
+            seg_t0 = int(tbl.column("time_ns")[-1].as_py()) + 1
+        conn.send(struct.pack("<I", DT_END))
 
     def _h_select_last(self, conn: _Conn, client: TsdbClient) -> None:
         db, meas, series, field_list, t0, t1, n = self._select_args(conn, DT_NLAST)

@@ -223,6 +223,9 @@ def write_points_pandas(
     Spark job (the partitioned write).  Equivalence to the DataFrame
     path is pinned in test_ingest.
     """
+    missing = [f.name for f in spark_schema.fields if f.name not in pdf.columns]
+    if missing:
+        raise ValueError(f"pandas batch missing measurement columns: {missing}")
     marks = RetentionWatermarks(measurement_path)
     stats, kept = _prepass_pandas(pdf, marks)
     fields = [f.name for f in spark_schema.fields if f.name not in ("series", "time_ns")]

@@ -528,3 +528,66 @@ def test_ngram_jaccard_arrow_shingles_identical(spark, docs):
         for r in ngram_jaccard_pairs(docs, threshold=0.5, shingles="arrow").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_tfidf_topk_python_model(spark):
+    """tfidf_topk vs a direct python recomputation on a tiny corpus,
+    including the mathematically-tied-score case (2·ln3 vs ln9 style)
+    falling to the term tiebreak."""
+    import math
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import tfidf_topk
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry dates"),
+        (3, "apple dates eggs eggs eggs"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {
+        (r.doc_id, r.rnk): (r.term, r.tf, r.df_term)
+        for r in tfidf_topk(df, k=2).collect()
+    }
+
+    # python model
+    from collections import Counter
+
+    tfs = {d: Counter(t.split()) for d, t in docs}
+    dfreq = Counter(term for c in tfs.values() for term in c)
+    n = len(docs)
+    want = {}
+    for d, c in tfs.items():
+        scored = sorted(
+            (
+                (-round(tf * math.log((n + 1) / (dfreq[t] + 1)), 9), t, tf)
+                for t, tf in c.items()
+            )
+        )
+        for rnk, (neg, t, tf) in enumerate(scored[:2], start=1):
+            want[(d, rnk)] = (t, tf, dfreq[t])
+    assert got == want
+
+
+def test_dsir_logweights_separates_target(spark):
+    """DSIR weights: target-slice docs must score higher on average
+    than off-target docs (that is the whole point of the method), and a
+    doc with no bigram scores exactly 0."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import dsir_logweights
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "the quick brown fox jumps over the lazy dog", "en"))
+    for i in range(40, 80):
+        rows.append((i, "le renard brun rapide saute par dessus le chien", "fr"))
+    rows.append((80, "singleword", "en"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    got = {r.doc_id: r.logw for r in dsir_logweights(df, target_pred="lang = 'en'").collect()}
+    assert len(got) == 81
+    en = sum(got[i] for i in range(40)) / 40
+    fr = sum(got[i] for i in range(40, 80)) / 40
+    assert en > fr
+    assert got[80] == 0

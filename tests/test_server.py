@@ -848,3 +848,46 @@ def test_write_points_bounded_group_mismatch_rejects(spark, tmp_path):
     # the first group committed (reference WAL shape); the corrupt one did not
     got = c.select_points_limit("db", "m", "sy", ["v"], 0, 2**64 - 1, None).collect()
     assert len(got) == 5
+
+
+def test_select_unbounded_paginates(spark, tmp_path, monkeypatch):
+    """An unbounded SELECT streams in time-paginated segments (driver
+    memory bounded by SELECT_SEGMENT_POINTS) with no row lost or
+    reordered across segment seams, and a bounded NLIMIT still honors
+    the limit across segments."""
+    monkeypatch.setattr(srv, "SELECT_SEGMENT_POINTS", 100)
+    wh = str(tmp_path / "wh")
+    c = TsdbClient(spark, wh)
+    c.create_database("db")
+    c.create_measurement("db", "m", {"v": "f64"})
+    n = 337
+    pdf = pd.DataFrame(
+        {
+            "series": ["s1"] * n,
+            "time_ns": [10 * i for i in range(n)],
+            "v": [float(i) for i in range(n)],
+        }
+    )
+    c.write_points("db", "m", spark.createDataFrame(pdf, c.catalog.spark_schema("db", "m")))
+
+    ref = _load_ref_client()
+    with TsdbServer(spark, wh, port=0) as s:
+        conn = ref.Connection(host="127.0.0.1", port=s.address[1])
+        try:
+            schema = conn.get_schema("db", "m")
+            op = conn.select_points("db", "m", "s1", schema, ["v"], 0, 2**64 - 1, 2**64 - 1)
+            ts, vs = [], []
+            while (chunk := op.read_chunk()) is not None:
+                ts.extend(int(t) for t in chunk.timestamps)
+                vs.extend(chunk.fields["v"].to_idb_type(i) for i in range(chunk.npoints))
+            assert ts == [10 * i for i in range(n)]
+            assert vs == [float(i) for i in range(n)]
+
+            # bounded limit that crosses a segment boundary
+            op = conn.select_points("db", "m", "s1", schema, ["v"], 0, 2**64 - 1, 250)
+            ts = []
+            while (chunk := op.read_chunk()) is not None:
+                ts.extend(int(t) for t in chunk.timestamps)
+            assert ts == [10 * i for i in range(250)]
+        finally:
+            conn.close()
