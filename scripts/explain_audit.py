@@ -156,6 +156,28 @@ def main() -> int:
         bool(re.search(r"hashpartitioning\(domain#\d+, \d+\)", p)),
     )
 
+    # dsir_logweights: the bucket-ratio table (bounded by `buckets`) must
+    # broadcast; the corpus text itself must never sit under a
+    # BroadcastExchange (only bucket/ratio/total columns may).
+    from simple_tsdb_spark.pipeline import dsir_logweights, tfidf_topk
+
+    p = plan_of(dsir_logweights(docs, target_pred="lang = 'en'"))
+    ok &= check("dsir: ratio table broadcast-joined", "BroadcastHashJoin" in p)
+    ok &= check(
+        "dsir: corpus text never broadcast",
+        not re.search(r"BroadcastExchange[^\n]*\n[^\n]*text#", p),
+    )
+    ok &= check("dsir: doc aggregate map-side partial", "partial_sum" in p or "Partial" in p)
+
+    # tfidf_topk: the only broadcast is the 1-row N aggregate; term and
+    # doc aggregations are plain hash exchanges on uniform keys.
+    p = plan_of(tfidf_topk(docs, k=5))
+    ok &= check(
+        "tfidf: corpus text never broadcast",
+        not re.search(r"BroadcastExchange[^\n]*\n[^\n]*text#", p),
+    )
+    ok &= check("tfidf: partial term aggregation", "partial_count" in p or "Partial" in p)
+
     # knn_ivf: the corpus must NEVER shuffle on list_id — its only join is
     # against the hint-broadcast (tiny) probe set; the shuffles in the plan
     # are the query-side ranking windows keyed by query_id.
