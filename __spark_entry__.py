@@ -404,6 +404,15 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
 
 
+SEMDEDUP_THRESHOLD = 0.8
+
+
+def _q_semdedup(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import semdedup
+
+    return semdedup(_embs(spark, sf_dir), threshold=SEMDEDUP_THRESHOLD)
+
+
 def _q_embedding_dup(spark, sf_dir):
     from simple_tsdb_spark.pipeline import embedding_dup_pairs
 
@@ -571,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-6 additions lead (new entries need driver evidence first)
         "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
+        "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
         "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
         "multimodal_meta": _q_multimodal_meta,
@@ -976,6 +986,7 @@ def _pipeline_oracles() -> dict[str, str]:
         decontaminate_oracle,
         decontaminate_pairs_oracle,
     )
+    from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
     from simple_tsdb_spark.pipeline.text import (
         dsir_logweights_oracle,
         fingerprint_oracle,
@@ -995,6 +1006,7 @@ def _pipeline_oracles() -> dict[str, str]:
 
     return {
         "tfidf_topk": tfidf_topk_oracle(k=5),
+        "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),
         "dsir_weights": dsir_logweights_oracle(target_pred="lang = 'en'"),
         "token_counts": token_counts_oracle(),
         "quality_score": quality_score_oracle(),

@@ -23,6 +23,7 @@ from simple_tsdb_spark.pipeline.text import (
 )
 from simple_tsdb_spark.pipeline.dedup import (
     exact_dedup,
+    semdedup,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_band_dedup,
@@ -80,6 +81,7 @@ __all__ = [
     "simhash_band_dedup",
     "simhash_pairs",
     "embedding_dup_pairs",
+    "semdedup",
     "dedup_components",
     "hash_split",
     "domain_topk",

@@ -626,3 +626,134 @@ SELECT a, b, cos FROM (
   FROM e x JOIN e y ON x.blk = y.blk AND x.doc < y.doc{xcond})
 WHERE cos >= {threshold}
 """
+
+
+# -- SemDeDup ---------------------------------------------------------------
+
+def semdedup(
+    df: DataFrame,
+    *,
+    threshold: float = 0.8,
+    centroids=None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by pairwise cosine within coarse-quantizer clusters.
+
+    Output ``(vec_id, cluster, centroid_cos, keep)`` for EVERY vector.
+    Keep rule — the paper's best-performing variant: within a duplicate
+    pair the vector FARTHER from its cluster centroid is kept
+    preferentially, so a vector is dropped iff some ≥ ``threshold``
+    partner in its cluster outranks it (lower ``centroid_cos``, ties by
+    id).  Greedy-by-rank like the paper's implementation, not a
+    transitive closure (``dedup_components`` provides that graph
+    semantics when wanted).
+
+    Scale design: pair generation reuses :func:`embedding_dup_pairs`
+    (salted within-cluster join, no corpus broadcast, block cardinality
+    scales with the corpus via the quantizer — pass ``centroids`` from
+    ``train_ivf_centroids`` with nlist ~ √N); the rank joins key on
+    vector id (uniform) and the duplicate-pair stream is output-sized,
+    far smaller than the corpus at any realistic threshold.
+    """
+    from simple_tsdb_spark.pipeline.similarity import _score_array_spark
+
+    e = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("_sarr", F.expr(_score_array_spark("emb", dim, centroids)))
+        .withColumn(
+            "cluster",
+            F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int"),
+        )
+        .withColumn("_nrm", _norm("emb"))
+        .withColumn(
+            "centroid_cos",
+            F.when(
+                F.col("_nrm") > 0,
+                F.round(F.expr("array_max(_sarr)") / F.col("_nrm"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("doc", "cluster", "centroid_cos")
+    )
+    pr = embedding_dup_pairs(
+        df,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        dim=dim,
+        salt_buckets=salt_buckets,
+        centroids=centroids,
+    )
+    sym = pr.select(F.col("a").alias("doc"), F.col("b").alias("other")).unionByName(
+        pr.select(F.col("b").alias("doc"), F.col("a").alias("other"))
+    )
+    ranked = sym.join(
+        e.select("doc", F.col("centroid_cos").alias("_rc")), "doc"
+    ).join(
+        e.select(F.col("doc").alias("other"), F.col("centroid_cos").alias("_ro")),
+        "other",
+    )
+    dropped = (
+        ranked.where(
+            (F.col("_ro") < F.col("_rc"))
+            | ((F.col("_ro") == F.col("_rc")) & (F.col("other") < F.col("doc")))
+        )
+        .select("doc")
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        e.join(dropped, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "cluster",
+            "centroid_cos",
+            F.col("_d").isNull().alias("keep"),
+        )
+    )
+
+
+def semdedup_oracle(
+    table: str = "embeddings",
+    *,
+    threshold: float = 0.8,
+    dim: int = 64,
+    centroids=None,
+) -> str:
+    from simple_tsdb_spark.pipeline.similarity import _score_array_duck
+
+    cos = _COS_DUCK.format(a="x.emb", b="y.emb")
+    return f"""
+WITH e0 AS (
+  SELECT vec_id AS doc, embedding::DOUBLE[] AS emb,
+         {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
+  FROM {table}),
+e AS (
+  SELECT doc, emb,
+         CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS cluster,
+         CASE WHEN sqrt(list_dot_product(emb, emb)) > 0
+              THEN round(list_max(sarr) / sqrt(list_dot_product(emb, emb)), 6)
+              ELSE 0.0 END AS centroid_cos
+  FROM e0),
+pr AS (
+  SELECT a, b FROM (
+    SELECT x.doc AS a, y.doc AS b, round({cos}, 6) AS cos
+    FROM e x JOIN e y ON x.cluster = y.cluster AND x.doc < y.doc)
+  WHERE cos >= {threshold}),
+sym AS (SELECT a AS doc, b AS other FROM pr UNION ALL SELECT b AS doc, a AS other FROM pr),
+dropped AS (
+  SELECT DISTINCT sym.doc FROM sym
+  JOIN e ra ON ra.doc = sym.doc
+  JOIN e rb ON rb.doc = sym.other
+  WHERE rb.centroid_cos < ra.centroid_cos
+     OR (rb.centroid_cos = ra.centroid_cos AND sym.other < sym.doc))
+SELECT e.doc AS vec_id, cluster, centroid_cos,
+       (dropped.doc IS NULL) AS keep
+FROM e LEFT JOIN dropped ON dropped.doc = e.doc
+"""

@@ -591,3 +591,28 @@ def test_dsir_logweights_separates_target(spark):
     fr = sum(got[i] for i in range(40, 80)) / 40
     assert en > fr
     assert got[80] == 0
+
+
+def test_semdedup_keep_semantics(spark, embs):
+    """semdedup: keep flags are exactly 'no outranking >=threshold
+    partner in my cluster' — verified against a direct recomputation
+    from the pair list and ranks."""
+    from simple_tsdb_spark.pipeline import embedding_dup_pairs, semdedup
+
+    out = semdedup(embs, threshold=0.8).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == embs.count()
+
+    pairs = embedding_dup_pairs(embs, threshold=0.8, salt_buckets=4).collect()
+    rank = {r.vec_id: (r.centroid_cos, r.vec_id) for r in out}
+    expect_dropped = set()
+    for p in pairs:
+        ra, rb = rank[p.a], rank[p.b]
+        if ra < rb:
+            expect_dropped.add(p.b)
+        else:
+            expect_dropped.add(p.a)
+    got_dropped = {r.vec_id for r in out if not r.keep}
+    assert got_dropped == expect_dropped
+    # every doc appears with its cluster assignment
+    assert all(r.cluster >= 0 for r in out)
