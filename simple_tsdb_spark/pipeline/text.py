@@ -412,6 +412,63 @@ def _bigrams_expr(text_col: str) -> str:
     )
 
 
+def _dsir_occurrences(
+    df: DataFrame,
+    *,
+    target_pred: str,
+    buckets: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(doc, _t, g, b) bigram-occurrence stream with the portable md5
+    bucket id; docs with no bigram keep one row with NULL g/b."""
+    B = int(buckets)
+    return df.selectExpr(
+        f"{id_col} AS doc",
+        f"CAST(({target_pred}) AS BOOLEAN) AS _t",
+        f"explode_outer({_bigrams_expr(text_col)}) AS g",
+    ).withColumn(
+        "b",
+        F.when(
+            F.col("g").isNotNull(),
+            F.expr(f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % {B}"),
+        ),
+    )
+
+
+def dsir_ratio_table(
+    df: DataFrame,
+    *,
+    target_pred: str,
+    buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The fitted DSIR model: per-bucket quantized log probability
+    ratios ``(b, lr)`` — ≤ ``buckets`` rows, broadcastable at any
+    corpus size.  Fit once over a reference corpus, then score batches
+    with :func:`dsir_logweights` or a document stream with
+    ``streaming.scores.streaming_dsir_scores``."""
+    B = int(buckets)
+    occ = _dsir_occurrences(df, target_pred=target_pred, buckets=B, text_col=text_col, id_col=id_col)
+    cs = (
+        occ.where(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+        )
+    )
+    tot = cs.agg(F.sum("cs").alias("ns"), F.sum("ct").alias("nt"))
+    return cs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST(floor(1e6 * (ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(nt + {B} AS DOUBLE)) "
+            f"- ln(CAST(cs + 1 AS DOUBLE)) + ln(CAST(ns + {B} AS DOUBLE)))) AS BIGINT)"
+        ).alias("lr"),
+    )
+
+
 def dsir_logweights(
     df: DataFrame,
     *,
@@ -441,34 +498,9 @@ def dsir_logweights(
     shuffles its text.
     """
     B = int(buckets)
-    occ = df.selectExpr(
-        f"{id_col} AS doc",
-        f"CAST(({target_pred}) AS BOOLEAN) AS _t",
-        f"explode_outer({_bigrams_expr(text_col)}) AS g",
-    ).withColumn(
-        "b",
-        F.when(
-            F.col("g").isNotNull(),
-            F.expr(
-                f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % {B}"
-            ),
-        ),
-    )
-    cs = (
-        occ.where(F.col("b").isNotNull())
-        .groupBy("b")
-        .agg(
-            F.count(F.lit(1)).alias("cs"),
-            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
-        )
-    )
-    tot = cs.agg(F.sum("cs").alias("ns"), F.sum("ct").alias("nt"))
-    ratios = cs.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.expr(
-            f"CAST(floor(1e6 * (ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(nt + {B} AS DOUBLE)) "
-            f"- ln(CAST(cs + 1 AS DOUBLE)) + ln(CAST(ns + {B} AS DOUBLE)))) AS BIGINT)"
-        ).alias("lr"),
+    occ = _dsir_occurrences(df, target_pred=target_pred, buckets=B, text_col=text_col, id_col=id_col)
+    ratios = dsir_ratio_table(
+        df, target_pred=target_pred, buckets=B, text_col=text_col, id_col=id_col
     )
     docw = (
         occ.join(F.broadcast(ratios), "b")
