@@ -162,6 +162,12 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+def _q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simple_tsdb_spark.operators import zscore_outliers
+
+    return zscore_outliers(_events(spark, sf_dir), field="value", k=2.0, t0=T0, t1=T1)
+
+
 def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3+resets
     from simple_tsdb_spark.operators import counter_rate
 
@@ -374,6 +380,12 @@ def _q_decontaminate_pairs(spark, sf_dir):
     return decontaminate_pairs(corpus, bench)
 
 
+def _q_exact_substr_spans(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import exact_substr_spans
+
+    return exact_substr_spans(_docs(spark, sf_dir))
+
+
 def _q_boilerplate_spans(spark, sf_dir):
     from simple_tsdb_spark.pipeline import boilerplate_spans
 
@@ -581,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 additions lead (new entries need driver evidence first)
         "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
         "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
+        "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
+        "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
         "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
         "multimodal_meta": _q_multimodal_meta,
@@ -902,6 +916,7 @@ def _timeseries_oracles() -> dict[str, str]:
         distinct_count_oracle,
         interval_join_oracle,
         moving_avg_oracle,
+        zscore_outliers_oracle,
         sessionize_oracle,
         value_histogram_oracle,
         value_quantiles_oracle,
@@ -914,6 +929,7 @@ def _timeseries_oracles() -> dict[str, str]:
     return {
         "ewma": ewma_oracle(_M, field="value", alpha=EWMA_ALPHA),
         "counter_rate": counter_rate_oracle(ranged, field="value"),
+        "zscore_outliers": zscore_outliers_oracle(ranged, field="value", k=2.0),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "interval_join": interval_join_oracle(
             _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]
@@ -982,6 +998,7 @@ def _pipeline_oracles() -> dict[str, str]:
         pq_encode_oracle,
     )
     from simple_tsdb_spark.pipeline.spans import (
+        exact_substr_spans_oracle,
         boilerplate_spans_oracle,
         decontaminate_oracle,
         decontaminate_pairs_oracle,
@@ -1016,6 +1033,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "decontaminate": decontaminate_oracle(bench_filter=DECONTAM_BENCH_FILTER),
         "decontaminate_pairs": decontaminate_pairs_oracle(bench_filter=DECONTAM_BENCH_FILTER),
         "boilerplate_spans": boilerplate_spans_oracle(),
+        "exact_substr_spans": exact_substr_spans_oracle(),
         "dedup_exact": exact_dedup_oracle(),
         "ngram_jaccard": ngram_jaccard_oracle(threshold=JACCARD_THRESHOLD),
         "minhash_lsh": minhash_lsh_oracle(),

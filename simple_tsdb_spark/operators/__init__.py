@@ -28,6 +28,7 @@ from simple_tsdb_spark.operators.timeseries import (
     sessionize,
     moving_avg,
     value_histogram,
+    zscore_outliers,
     value_quantiles,
     distinct_count,
     approx_distinct_count,
@@ -65,6 +66,7 @@ __all__ = [
     "moving_avg",
     "value_histogram",
     "value_quantiles",
+    "zscore_outliers",
     "distinct_count",
     "approx_distinct_count",
     "approx_quantiles",

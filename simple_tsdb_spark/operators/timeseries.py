@@ -323,3 +323,66 @@ def approx_quantiles(
         for q in qs
     ]
     return df.groupBy("series").agg(*cols).orderBy("series")
+
+
+def zscore_outliers(
+    df: DataFrame, *, field: str, k: float = 3.0, t0: int = 0, t1: int = 2**63 - 1
+) -> DataFrame:
+    """Per-series z-score outliers: points with ``|v − mean| > k·std``
+    over the series' points in range (sample std, n ≥ 2).
+
+    Float determinism: the per-series moments accumulate EXACTLY
+    (``decimal(28,6)`` values, decimal(38) sums — the engine's
+    ``exact=True`` trick), then mean/var/std derive in double from those
+    exact sums, so both engines compute identical IEEE doubles in
+    identical order and the rounded z-scores hash-match bit-for-bit.
+    A naive distributed ``stddev_samp`` is accumulation-order-dependent
+    and would not.
+
+    At 100 TB: one map-side-combined aggregate per series (two decimal
+    sums + a count), broadcast back onto the scan — no second
+    corpus-sized shuffle.
+    """
+    src = df.where(
+        (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
+    )
+    q = F.col(field).cast("decimal(28,6)")
+    stats = src.groupBy("series").agg(
+        F.sum(q).alias("_s"),
+        F.sum((q * q).cast("decimal(38,12)")).alias("_ss"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = src.join(F.broadcast(stats), "series").where(F.col("_n") >= 2)
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = (
+        F.col("_ss").cast("double") - F.col("_s").cast("double") * mean
+    ) / (F.col("_n") - 1)
+    std = F.sqrt(var)
+    z = F.round((F.col(field).cast("double") - mean) / std, 6)
+    return (
+        j.withColumn("zscore", z)
+        .where(F.abs(F.col("zscore")) > float(k))
+        .select("series", "time_ns", F.col(field).cast("double").alias(field), "zscore")
+        .orderBy("series", "time_ns")
+    )
+
+
+def zscore_outliers_oracle(
+    measurement_sql: str, *, field: str, k: float = 3.0
+) -> str:
+    return f"""
+WITH m AS ({measurement_sql}),
+src AS (SELECT series, time_ns, {field} FROM m WHERE {field} IS NOT NULL),
+stats AS (
+  SELECT series,
+         SUM(CAST({field} AS DECIMAL(28,6))) AS _s,
+         SUM(CAST(CAST({field} AS DECIMAL(28,6)) * CAST({field} AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS _ss,
+         COUNT(*) AS _n
+  FROM src GROUP BY series),
+z AS (
+  SELECT src.series, time_ns, CAST({field} AS DOUBLE) AS {field},
+         round((CAST({field} AS DOUBLE) - CAST(_s AS DOUBLE) / _n)
+               / sqrt((CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * (CAST(_s AS DOUBLE) / _n)) / (_n - 1)), 6) AS zscore
+  FROM src JOIN stats ON stats.series = src.series WHERE _n >= 2)
+SELECT series, time_ns, {field}, zscore FROM z WHERE abs(zscore) > {k}
+"""

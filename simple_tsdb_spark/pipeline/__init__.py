@@ -33,6 +33,7 @@ from simple_tsdb_spark.pipeline.dedup import (
 from simple_tsdb_spark.pipeline.export import write_training_shards
 from simple_tsdb_spark.pipeline.spans import (
     boilerplate_spans,
+    exact_substr_spans,
     decontaminate,
     decontaminate_pairs,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "quality_score",
     "repetition_stats",
     "boilerplate_spans",
+    "exact_substr_spans",
     "decontaminate",
     "decontaminate_pairs",
     "write_training_shards",

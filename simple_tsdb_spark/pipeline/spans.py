@@ -241,3 +241,113 @@ FROM spans JOIN span_df USING (h)
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# -- ExactSubstr-style duplicated regions -----------------------------------
+
+EXSUB_N = 8  # anchor n-gram length (words)
+
+
+def _pos_gram_expr(text_col: str, n: int) -> str:
+    """(pos, g) structs for every overlapping word n-gram, 1-based; the
+    word array binds once per row (same shim as ``_gram_expr``)."""
+    return (
+        f"flatten(transform(array(split({text_col}, ' ')), "
+        f"w -> IF(size(w) < {n}, CAST(array() AS ARRAY<STRUCT<pos: INT, g: STRING>>), "
+        f"transform(sequence(1, size(w) - {n} + 1), "
+        f"i -> named_struct('pos', CAST(i AS INT), 'g', array_join(slice(w, i, {n}), ' '))))))"
+    )
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    *,
+    n: int = EXSUB_N,
+    min_count: int = 2,
+    gap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated regions per document — the ExactSubstr dedup
+    shape (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") approximated with fixed-length word n-gram anchors
+    instead of a suffix array.
+
+    An anchor (a word ``n``-gram occurrence) is *duplicated* when its
+    gram occurs ≥ ``min_count`` times corpus-wide (any doc, including
+    its own — ExactSubstr counts self-repeats).  Per document,
+    duplicated anchors whose windows overlap or touch (position gap ≤
+    ``gap``, default ``n``) merge into one maximal span, reported as
+    word coordinates ``(doc_id, span_start, span_end, n_anchors)`` —
+    1-based inclusive, ``span_end = last_anchor + n − 1``.
+
+    At 100 TB: gram occurrences key on their md5 digest (uniform,
+    32-char — the gram text itself never shuffles), the duplicate
+    filter is one map-side-combined count + an h-keyed join, and the
+    span merge is a per-doc window (gaps-and-islands) over the
+    duplicated anchors only — output-sized, far below corpus scale.
+    (The 128-bit digest keeps false merges negligible at 10¹² grams;
+    the suffix-array construction the paper uses is the exact-longest-
+    match refinement, not needed for fixed-``n`` anchors.)
+    """
+    from pyspark.sql import Window
+
+    g = int(gap) if gap is not None else int(n)
+    occ = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(_pos_gram_expr(text_col, n))).alias("pg"),
+    ).select("doc", F.col("pg.pos").alias("pos"), F.md5(F.col("pg.g")).alias("h"))
+    dup = occ.groupBy("h").agg(F.count(F.lit(1)).alias("_c")).where(
+        F.col("_c") >= int(min_count)
+    )
+    anchors = occ.join(dup.select("h"), "h").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    islands = (
+        anchors.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > g), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        islands.groupBy("doc", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(int(n) - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "span_start", "span_end", "n_anchors"
+        )
+    )
+
+
+def exact_substr_spans_oracle(
+    table: str = "documents",
+    *,
+    n: int = EXSUB_N,
+    min_count: int = 2,
+    gap: int | None = None,
+) -> str:
+    g = int(gap) if gap is not None else int(n)
+    return f"""
+WITH occ AS (
+  SELECT doc_id AS doc, struct_extract(pg, 'pos') AS pos, md5(struct_extract(pg, 'g')) AS h
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - {n} + 1, 0)),
+                      i -> struct_pack(pos := i, g := array_to_string(string_split(text, ' ')[i : i + {n} - 1], ' ')))) AS pg
+        FROM {table})),
+dup AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= {min_count}),
+anchors AS (SELECT doc, pos FROM occ JOIN dup USING (h)),
+isl AS (
+  SELECT doc, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {g} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc ORDER BY pos) AS _isl
+  FROM (SELECT doc, pos, LAG(pos) OVER (PARTITION BY doc ORDER BY pos) AS prev FROM anchors))
+SELECT doc AS doc_id, MIN(pos) AS span_start, MAX(pos) + {n} - 1 AS span_end,
+       COUNT(*) AS n_anchors
+FROM isl GROUP BY doc, _isl
+"""

@@ -616,3 +616,54 @@ def test_semdedup_keep_semantics(spark, embs):
     assert got_dropped == expect_dropped
     # every doc appears with its cluster assignment
     assert all(r.cluster >= 0 for r in out)
+
+
+def test_exact_substr_spans_model(spark):
+    """exact_substr_spans vs a direct python recomputation: planted
+    shared region across two docs, within-doc repeat, merge-vs-split of
+    nearby anchors."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import exact_substr_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = [
+        (1, f"{shared} alpha beta gamma delta epsilon zeta eta theta"),
+        (2, f"prefix words here also fill {shared}"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8"),  # self-repeat
+        (4, "totally unique words that appear nowhere else at all ok"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_anchors)
+        for r in exact_substr_spans(df, n=8).collect()
+    }
+
+    # python model with the same rule
+    from collections import Counter
+
+    n, gap = 8, 8
+    grams = {}
+    for d, t in docs:
+        w = t.split()
+        grams[d] = [(i + 1, " ".join(w[i:i + n])) for i in range(len(w) - n + 1)]
+    counts = Counter(g for v in grams.values() for _, g in v)
+    want = set()
+    for d, v in grams.items():
+        pos = [p for p, g in v if counts[g] >= 2]
+        if not pos:
+            continue
+        runs, cur = [], [pos[0]]
+        for p in pos[1:]:
+            if p - cur[-1] > gap:
+                runs.append(cur)
+                cur = [p]
+            else:
+                cur.append(p)
+        runs.append(cur)
+        for r in runs:
+            want.add((d, r[0], r[-1] + n - 1, len(r)))
+    assert got == want
+    assert any(d == 1 for d, *_ in got) and any(d == 2 for d, *_ in got)
+    assert any(d == 3 for d, *_ in got)      # self-repeat counts
+    assert not any(d == 4 for d, *_ in got)  # unique doc clean

@@ -182,3 +182,34 @@ def test_approx_variants_bounded_error(spark, f2):
     aq = approx_quantiles(f2, field="value", qs=(0.5,)).toPandas().set_index("series")
     for s in eq.index:
         assert abs(eq.loc[s, "p5"] - aq.loc[s, "p5"]) < 2.0  # values span ~[0,100]
+
+
+def test_zscore_outliers_numpy_model(spark):
+    """zscore_outliers vs a direct numpy recomputation (sample std),
+    including the all-inliers and n<2 edge cases."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import zscore_outliers
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(10.0, 2.0, 200).round(3)
+    vals[17] = 95.0   # gross outliers
+    vals[120] = -60.0
+    rows = [("s1", 1000 + i, float(v)) for i, v in enumerate(vals)]
+    rows.append(("lonely", 1, 5.0))  # n=1 → excluded entirely
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "v"])
+    df = spark.createDataFrame(pdf)
+
+    got = {(r.series, r.time_ns): r.zscore for r in zscore_outliers(df, field="v", k=3.0).collect()}
+
+    mu, sd = vals.mean(), vals.std(ddof=1)
+    want = {
+        ("s1", 1000 + i): round((v - mu) / sd, 6)
+        for i, v in enumerate(vals)
+        if abs(round((v - mu) / sd, 6)) > 3.0
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=2e-6)
+    assert ("lonely", 1) not in got and len(got) >= 2
