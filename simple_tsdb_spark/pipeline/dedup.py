@@ -580,11 +580,24 @@ def embedding_dup_pairs(
         .drop("_sarr")
         .withColumn("nrm", _norm("emb"))
     )
+    return _salted_block_pairs(
+        e, threshold=threshold, salt_buckets=salt_buckets, xblk=bool(extra_block_col)
+    )
+
+
+def _salted_block_pairs(
+    e: DataFrame, *, threshold: float, salt_buckets: int, xblk: bool = False
+) -> DataFrame:
+    """(a, b, cos) within-block pairs from a precomputed assignment
+    ``e = (doc, emb, blk, nrm[, xblk])`` — the salted join of
+    ``embedding_dup_pairs``, reusable so callers that already computed
+    the quantizer assignment (``semdedup``) don't evaluate the literal
+    centroid expressions twice."""
     r = int(salt_buckets)
     x = e.withColumn("salt", F.pmod(F.hash("doc"), F.lit(r)))
     y = e.withColumn("salt", F.explode(F.expr(f"sequence(0, {r - 1})")))
     cond = F.col("x.doc") < F.col("y.doc")
-    if extra_block_col:
+    if xblk:
         cond = cond & (F.col("x.xblk") == F.col("y.xblk"))
     return (
         x.alias("x")
@@ -661,34 +674,32 @@ def semdedup(
     """
     from simple_tsdb_spark.pipeline.similarity import _score_array_spark
 
-    e = (
+    base = (
         df.select(
             F.col(id_col).alias("doc"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
         .withColumn("_sarr", F.expr(_score_array_spark("emb", dim, centroids)))
         .withColumn(
-            "cluster",
+            "blk",
             F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int"),
         )
-        .withColumn("_nrm", _norm("emb"))
+        .withColumn("nrm", _norm("emb"))
         .withColumn(
             "centroid_cos",
             F.when(
-                F.col("_nrm") > 0,
-                F.round(F.expr("array_max(_sarr)") / F.col("_nrm"), 6),
+                F.col("nrm") > 0,
+                F.round(F.expr("array_max(_sarr)") / F.col("nrm"), 6),
             ).otherwise(F.lit(0.0)),
         )
-        .select("doc", "cluster", "centroid_cos")
+        .drop("_sarr")
     )
-    pr = embedding_dup_pairs(
-        df,
+    e = base.select("doc", F.col("blk").alias("cluster"), "centroid_cos")
+    # one quantizer evaluation: the pair join reuses base's assignment
+    pr = _salted_block_pairs(
+        base.select("doc", "emb", "blk", "nrm"),
         threshold=threshold,
-        vec_col=vec_col,
-        id_col=id_col,
-        dim=dim,
         salt_buckets=salt_buckets,
-        centroids=centroids,
     )
     sym = pr.select(F.col("a").alias("doc"), F.col("b").alias("other")).unionByName(
         pr.select(F.col("b").alias("doc"), F.col("a").alias("other"))
