@@ -339,6 +339,12 @@ def zscore_outliers(
     A naive distributed ``stddev_samp`` is accumulation-order-dependent
     and would not.
 
+    Domain contract: ``|v| < ~1.3e13`` (the square must fit
+    DECIMAL(38,12)).  Beyond it Spark's non-ANSI decimal overflow nulls
+    the square (silently wrong std) while DuckDB raises — sensor-value
+    fields are far inside the bound; for astronomical counters cast the
+    field down (e.g. to seconds) first.
+
     At 100 TB: one map-side-combined aggregate per series (two decimal
     sums + a count), broadcast back onto the scan — no second
     corpus-sized shuffle.

@@ -173,8 +173,13 @@ def ngram_jaccard_pairs(
     if shingles == "arrow":
         # Arrow path: per-doc distinct sets as a projection — replaces
         # the exploded raw stream + collect_set shuffle; downstream the
-        # doc-window then needs one exchange on doc instead.
-        docsets = _doc_shingle_sets(df, text_col=text_col, id_col=id_col)
+        # doc-window then needs one exchange on doc instead.  NULL-text
+        # docs are filtered first: the explode path drops them (NULL
+        # substring rows never reach collect_set), and the projection
+        # would otherwise emit them with the {""} set.
+        docsets = _doc_shingle_sets(
+            df.where(F.col(text_col).isNotNull()), text_col=text_col, id_col=id_col
+        )
     else:
         raw = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=1)
         docsets = raw.groupBy("doc").agg(F.collect_set("sh").alias("shs"))

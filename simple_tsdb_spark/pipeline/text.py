@@ -451,6 +451,12 @@ def dsir_ratio_table(
     ``streaming.scores.streaming_dsir_scores``."""
     B = int(buckets)
     occ = _dsir_occurrences(df, target_pred=target_pred, buckets=B, text_col=text_col, id_col=id_col)
+    return _dsir_ratios_from(occ, B)
+
+
+def _dsir_ratios_from(occ: DataFrame, B: int) -> DataFrame:
+    """The (b, lr) ratio aggregation over a prebuilt occurrence stream
+    — shared so ``dsir_logweights`` tokenizes the corpus exactly once."""
     cs = (
         occ.where(F.col("b").isNotNull())
         .groupBy("b")
@@ -499,8 +505,13 @@ def dsir_logweights(
     """
     B = int(buckets)
     occ = _dsir_occurrences(df, target_pred=target_pred, buckets=B, text_col=text_col, id_col=id_col)
-    ratios = dsir_ratio_table(
-        df, target_pred=target_pred, buckets=B, text_col=text_col, id_col=id_col
+    # Fit, then score: the FIT pass reduces the corpus to ≤ B (b, lr)
+    # rows, materialized eagerly (like the trained-quantizer fits) so
+    # the SCORE pass joins a driver-built literal table — exactly two
+    # corpus passes total, never a doubled lineage inside one job.
+    ratio_rows = _dsir_ratios_from(occ, B).collect()
+    ratios = df.sparkSession.createDataFrame(
+        [(int(r["b"]), int(r["lr"])) for r in ratio_rows], "b long, lr long"
     )
     docw = (
         occ.join(F.broadcast(ratios), "b")

@@ -99,7 +99,13 @@ class TimeLastMarks:
     against it in memory (wal.cc:87-110) so the append-only fast path
     never touches stored data.  Advanced to the incoming batch max
     BEFORE the append publishes; see the crash-safety note at the call
-    site."""
+    site.
+
+    Like every measurement sidecar (layout, watermarks), this inherits
+    the single-writer-per-measurement contract (DIVERGENCES #6; the
+    wire server enforces it with a per-measurement lock) — two
+    uncoordinated writer PROCESSES interleaving on one measurement
+    could publish a stale snapshot and roll a mark backward."""
 
     def __init__(self, measurement_path: str):
         import json
@@ -236,6 +242,10 @@ def write_points_pandas(
             "dropped_overlap": 0,
             "appended": 0,
         }
+    # createDataFrame maps pandas columns to the schema POSITIONALLY —
+    # reindex so a caller's column order can never land values in the
+    # wrong field.
+    kept = kept[[f.name for f in spark_schema.fields]]
     batch = spark.createDataFrame(kept, schema=spark_schema)
     return _write_points_body(
         spark, measurement_path, batch, fields, stats, mode=mode,
@@ -325,8 +335,17 @@ def _prepass_pandas(pdf, marks: RetentionWatermarks) -> tuple[_PrePass, object]:
         )
     kept = pdf
     if marks._marks:
-        wm = pdf["series"].map(marks._marks)
-        below = wm.notna() & (pdf["time_ns"] < wm)
+        import numpy as np
+
+        # int64 end to end — Series.map would yield float64 when any
+        # series lacks a mark, rounding epoch-ns above 2^53 and
+        # diverging from the Spark path's exact long comparison.
+        wm_i = np.fromiter(
+            (marks._marks.get(s, -1) for s in pdf["series"]),
+            dtype=np.int64,
+            count=len(pdf),
+        )
+        below = (wm_i >= 0) & (pdf["time_ns"].to_numpy() < wm_i)
         if below.any():
             kept = pdf[~below]
     per_series = {
@@ -370,6 +389,7 @@ def _write_points_body(
     dropped_overlap = 0
     n_append = n_after_wm
     firsts = {s: t[0] for s, t in stats.per_series.items()}
+    stored_tls: dict[str, int] = {}
     root = data_root(measurement_path)
     from simple_tsdb_spark.fs import get_fs
 
@@ -431,6 +451,7 @@ def _write_points_body(
             F.sum(F.when(~is_ov, 1).otherwise(0)).alias("_n_app"),
             F.min(F.when(~is_ov, F.col("time_ns"))).alias("_first_ts"),
             F.min(F.when(stale_cond, F.col("time_ns"))).alias("_stale_ts"),
+            F.max("_tl").alias("_tl"),  # committed tail max (constant per series)
         ]
         if mismatch_cond is not None:
             aggs.append(
@@ -457,6 +478,14 @@ def _write_points_body(
         dropped_overlap = sum(r["_n_ov"] for r in res)
         n_append = sum(r["_n_app"] for r in res)
         firsts = {r["series"]: r["_first_ts"] for r in res if r["_first_ts"] is not None}
+        # The verify scan revealed each series' true committed tail max
+        # (every stored row ≥ lo was scanned, and any committed
+        # time_last ≥ lo is in that set; a series absent from `tails`
+        # has committed time_last < lo).  Fold it into the sidecar
+        # advance so a first write over PRE-SIDECAR data can never
+        # initialize time_last below the true committed value (which
+        # would let a later write skip a needed verify).
+        stored_tls = {r["series"]: r["_tl"] for r in res if r["_tl"] is not None}
         batch = batch.join(
             stored_tail.select("series", "time_ns"), ["series", "time_ns"], "left_anti"
         )
@@ -475,8 +504,16 @@ def _write_points_body(
         # Advance time_last BEFORE publishing the append: a crash between
         # the two leaves the sidecar too high, which only costs a future
         # overlapping write its verify scan; too low would skip a needed
-        # retransmit-verify (unsafe).
-        tl.advance_many({s: t[1] for s, t in stats.per_series.items()})
+        # retransmit-verify (unsafe).  Each advance takes the max of the
+        # batch's kept high AND the verify scan's committed tail, so a
+        # first write over pre-sidecar data records the TRUE committed
+        # time_last, never just the batch max.
+        tl.advance_many(
+            {
+                s: max(t[1], stored_tls.get(s, t[1]))
+                for s, t in stats.per_series.items()
+            }
+        )
         out = batch
         if sbuckets:
             # hashed-series layout: directory count independent of #series

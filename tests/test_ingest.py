@@ -433,3 +433,75 @@ class TestTimeLastSidecar:
         assert r["appended"] == 1
         got = spark.read.parquet(path).orderBy("series").collect()
         assert [r["series"] for r in got] == ["a", "zz-new.series"]
+
+
+class TestReviewRegressions:
+    """Round-6 review findings: sidecar init from pre-sidecar stores,
+    exact watermark comparison at >2^53 epoch-ns, positional pandas
+    column mapping."""
+
+    def test_time_last_init_covers_presidecar_store(self, spark, tmp_path):
+        import os
+
+        path = str(tmp_path / "m")
+        write_points(spark, path, mk(spark, [("a", 10, 1.0), ("a", 60, 6.0), ("a", 100, 10.0)]))
+        os.remove(f"{path}/_tsdb_meta/time_last.json")  # pre-sidecar store
+        # dedup write below the committed tail: verify path runs, and the
+        # sidecar must initialize to the TRUE committed time_last (100),
+        # not the batch max (50)
+        r = write_points(spark, path, mk(spark, [("a", 50, 0.5)]), mode="dedup")
+        assert r["appended"] == 1
+        # an overlapping strict write must STILL verify (no fast-lane skip)
+        with pytest.raises(OverwriteMismatch):
+            write_points(spark, path, mk(spark, [("a", 60, 99.0)]))
+        with pytest.raises(OutOfOrderTimestamps):
+            write_points(spark, path, mk(spark, [("a", 70, 7.0)]))
+
+    def test_pandas_watermark_exact_at_large_epoch(self, spark, tmp_path):
+        from simple_tsdb_spark.operators.delete import RetentionWatermarks
+        from simple_tsdb_spark.sources.writer import write_points_pandas
+
+        path = str(tmp_path / "m")
+        base = 1_700_000_000_000_000_000  # > 2^53: float64 ulp here is 256
+        RetentionWatermarks(path).advance("a", base)
+        pdf = mkpdf([("a", base - 100, 1.0), ("a", base + 100, 2.0)])
+        r = write_points_pandas(spark, path, pdf, SCHEMA)
+        # base-100 rounds UP to base in float64 and would sneak past a
+        # float comparison; the int64 path drops it
+        assert r == {
+            "rows_in": 2,
+            "dropped_below_watermark": 1,
+            "dropped_overlap": 0,
+            "appended": 1,
+        }
+        got = spark.read.parquet(path).collect()
+        assert [g["time_ns"] for g in got] == [base + 100]
+
+    def test_pandas_column_order_independent(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from simple_tsdb_spark.sources.writer import write_points_pandas
+
+        schema2 = T.StructType(
+            [
+                T.StructField("series", T.StringType(), False),
+                T.StructField("time_ns", T.LongType(), False),
+                T.StructField("v", T.DoubleType(), True),
+                T.StructField("w", T.DoubleType(), True),
+            ]
+        )
+        # pdf columns deliberately reordered (w before v) + an extra col
+        pdf = pd.DataFrame(
+            {
+                "w": [10.0, 20.0],
+                "extra": ["x", "y"],
+                "series": ["a", "a"],
+                "v": [1.0, 2.0],
+                "time_ns": [100, 200],
+            }
+        )
+        path = str(tmp_path / "m")
+        write_points_pandas(spark, path, pdf, schema2)
+        got = {r["time_ns"]: (r["v"], r["w"]) for r in spark.read.parquet(path).collect()}
+        assert got == {100: (1.0, 10.0), 200: (2.0, 20.0)}

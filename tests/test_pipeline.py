@@ -667,3 +667,32 @@ def test_exact_substr_spans_model(spark):
     assert any(d == 1 for d, *_ in got) and any(d == 2 for d, *_ in got)
     assert any(d == 3 for d, *_ in got)      # self-repeat counts
     assert not any(d == 4 for d, *_ in got)  # unique doc clean
+
+
+def test_ngram_arrow_null_text_matches_explode(spark):
+    """NULL-text docs: both shingle paths must agree (explode drops
+    them; the arrow path now filters them instead of emitting {''})."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from simple_tsdb_spark.pipeline import ngram_jaccard_pairs
+
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [None, None, "shared words run along here fine", "shared words run along here fine"],
+        }
+    )
+    df = spark.createDataFrame(pdf, sch)
+    a = sorted((r.a, r.b) for r in ngram_jaccard_pairs(df, threshold=0.5).collect())
+    b = sorted(
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(df, threshold=0.5, shingles="arrow").collect()
+    )
+    assert a == b == [(3, 4)]  # the NULL pair must NOT appear
