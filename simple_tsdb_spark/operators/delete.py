@@ -54,6 +54,14 @@ class RetentionWatermarks:
         # atomic publish, like the reference's rename
         self._fs.write_text_atomic(self.path, json.dumps(self._marks))
 
+    def advance_many(self, firsts: dict[str, int]) -> None:
+        """Batch advance with ONE atomic publish — a first write touching
+        S new series must not rewrite the sidecar S times (O(S²) bytes
+        at 10⁵ series)."""
+        for s, t in firsts.items():
+            self._marks[s] = max(self.get(s), int(t))
+        self._fs.write_text_atomic(self.path, json.dumps(self._marks))
+
     def apply(self, df: DataFrame) -> DataFrame:
         """Read-path filter: hide rows below any series' watermark.
 

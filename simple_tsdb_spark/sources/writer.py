@@ -545,10 +545,13 @@ def _write_points_body(
         # Record time_first for series seen for the first time (the
         # reference's time_first metadata file) so windowed reads can skip
         # the full-series min scan; retention deletes advance it later.
-        # (firsts came free from the validation aggregates above.)
-        for s, m in firsts.items():
-            if s not in marks._marks:
-                marks.advance(s, int(m))
+        # (firsts came free from the validation aggregates above; ONE
+        # sidecar publish regardless of how many series the batch touches.)
+        new_firsts = {
+            s: int(m) for s, m in firsts.items() if s not in marks._marks
+        }
+        if new_firsts:
+            marks.advance_many(new_firsts)
     return {
         "rows_in": n_in,
         "dropped_below_watermark": n_in - n_after_wm,
