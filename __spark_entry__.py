@@ -340,6 +340,12 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir))
+
+
 def _q_tfidf_topk(spark, sf_dir):
     from simple_tsdb_spark.pipeline import tfidf_topk
 
@@ -592,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-6 additions lead (new entries need driver evidence first)
         "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
+        "pii_scrub": _q_pii_scrub,  # email/IP/phone redaction
         "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
         "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
         "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
@@ -1006,6 +1013,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
     from simple_tsdb_spark.pipeline.text import (
         dsir_logweights_oracle,
+        pii_scrub_oracle,
         fingerprint_oracle,
         lang_id_oracle,
         quality_score_oracle,
@@ -1023,6 +1031,7 @@ def _pipeline_oracles() -> dict[str, str]:
 
     return {
         "tfidf_topk": tfidf_topk_oracle(k=5),
+        "pii_scrub": pii_scrub_oracle(),
         "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),
         "dsir_weights": dsir_logweights_oracle(target_pred="lang = 'en'"),
         "token_counts": token_counts_oracle(),

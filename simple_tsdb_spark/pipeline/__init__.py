@@ -20,6 +20,7 @@ from simple_tsdb_spark.pipeline.text import (
     fingerprint,
     tfidf_topk,
     dsir_logweights,
+    pii_scrub,
 )
 from simple_tsdb_spark.pipeline.dedup import (
     exact_dedup,
@@ -77,6 +78,7 @@ __all__ = [
     "fingerprint",
     "tfidf_topk",
     "dsir_logweights",
+    "pii_scrub",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

@@ -546,3 +546,56 @@ dw AS (SELECT doc, CAST(SUM(lr) AS BIGINT) AS logw FROM occ JOIN r USING (b) GRO
 SELECT d.doc_id, COALESCE(dw.logw, 0) AS logw
 FROM {table} d LEFT JOIN dw ON dw.doc = d.doc_id
 """
+
+
+# -- PII scrubbing ----------------------------------------------------------
+
+#: Conservative patterns written in the common Java-regex/RE2 subset
+#: (no backreferences, no lazy quantifiers) so Spark and DuckDB match
+#: identically.  Applied in order: email, IPv4, phone.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+_PII_ORDER = (
+    (PII_EMAIL, "<EMAIL>", "n_emails"),
+    (PII_IPV4, "<IP>", "n_ips"),
+    (PII_PHONE, "<PHONE>", "n_phones"),
+)
+
+
+def pii_scrub(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-shaped numbers — the
+    standard pre-training scrub pass.
+
+    Output ``(doc_id, clean_text, n_emails, n_ips, n_phones)``: the
+    counts are per-pattern matches on the ORIGINAL text (a string can
+    legitimately count under two patterns), while the replacements
+    apply sequentially in the fixed order above — both engines do the
+    same, so the oracle is exact.  Pure codegen ``regexp_replace`` /
+    ``regexp_extract_all`` expressions: an embarrassingly parallel scan
+    with no shuffle at any corpus size.
+    """
+    clean = F.col(text_col)
+    counts = []
+    for pat, repl, cname in _PII_ORDER:
+        clean = F.regexp_replace(clean, pat, repl)
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(cname)
+        )
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+
+
+def pii_scrub_oracle(table: str = "documents") -> str:
+    e, i, p = PII_EMAIL, PII_IPV4, PII_PHONE
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'),
+                                     '{i}', '<IP>', 'g'),
+                      '{p}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones
+FROM {table}
+"""

@@ -696,3 +696,41 @@ def test_ngram_arrow_null_text_matches_explode(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.5, shingles="arrow").collect()
     )
     assert a == b == [(3, 4)]  # the NULL pair must NOT appear
+
+
+def test_pii_scrub_planted_cross_engine(spark):
+    """pii_scrub on planted PII: Spark output must equal the DuckDB
+    oracle byte-for-byte (the regexes live in the Java-regex/RE2 common
+    subset — this is the test that proves it), and redactions behave."""
+    import duckdb
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import pii_scrub
+    from simple_tsdb_spark.pipeline.text import pii_scrub_oracle
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "contact me at john.doe+x@example.co.uk or 555-867-5309 now",
+                "server 192.168.1.254 and 10.0.0.1 ok",
+                "no pii here at all",
+                "a@b.io plus 123.456.7890",
+                "crossover 555-867-5309@weird.example.com case",
+            ],
+        }
+    )
+    got = (
+        pii_scrub(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(pii_scrub_oracle() + " ORDER BY doc_id").df()
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
+    for c in ("n_emails", "n_ips", "n_phones"):
+        assert got[c].tolist() == want[c].tolist(), c
+    assert got.loc[0, "clean_text"] == "contact me at <EMAIL> or <PHONE> now"
+    assert got.loc[1, "clean_text"] == "server <IP> and <IP> ok"
+    assert got.loc[2, "clean_text"] == "no pii here at all"
