@@ -185,6 +185,55 @@ def corpus_phase(spark, n_docs: int = 1_000_000) -> None:
     packs = pack_sequences(docs, budget=8192).agg(F.max("pack")).first()[0]
     print(f"CORPUS pack_sequences budget=8192: {time.time()-t:.1f}s max_pack/grp={packs:,}")
 
+    # Round-6 text operators at the same corpus scale, over generated
+    # text (~25 words/doc, 2k vocab so TF-IDF df-stats and DSIR bucket
+    # counts see realistic reuse; 2% of docs carry a planted email).
+    from simple_tsdb_spark.pipeline import (
+        dsir_logweights,
+        exact_substr_spans,
+        pii_scrub,
+        tfidf_topk,
+    )
+
+    # docs with id % 100 == 1 share words 0..14 with doc id-1 (a planted
+    # 15-word duplicated region → one maximal exact-substr span each)
+    word = (
+        "conv(CAST(pmod(hash(CASE WHEN pmod(id, 100) = 1 AND j < 15 "
+        "THEN id - 1 ELSE id END, j), 2000) AS STRING), 10, 36)"
+    )
+    tdocs = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat(concat_ws(' ', transform(sequence(0, 24), j -> {word})), "
+            "IF(pmod(id, 50) = 0, ' reach me a.user@example.com ok', ''))"
+        ).alias("text"),
+        F.when(F.pmod(F.hash("id", F.lit(9)), F.lit(2)) == 0, F.lit("en"))
+        .otherwise(F.lit("fr"))
+        .alias("lang"),
+    ).localCheckpoint(eager=True)
+
+    t = time.time()
+    n = tfidf_topk(tdocs, k=3).count()
+    print(f"CORPUS tfidf_topk k=3: {time.time()-t:.1f}s rows={n:,}")
+    assert n == 3 * N
+
+    t = time.time()
+    n = dsir_logweights(tdocs, target_pred="lang = 'en'").count()
+    print(f"CORPUS dsir_logweights: {time.time()-t:.1f}s rows={n:,}")
+    assert n == N
+
+    t = time.time()
+    n = exact_substr_spans(tdocs, n=8).count()
+    print(f"CORPUS exact_substr_spans n=8: {time.time()-t:.1f}s spans={n:,}")
+    # one span in each member of every planted pair (2 per 100 docs);
+    # vocab reuse can add a few organic ones but never a blow-up
+    assert N // 100 * 2 <= n <= N // 100 * 2 + N // 1000, n
+
+    t = time.time()
+    n = pii_scrub(tdocs).where(F.col("n_emails") > 0).count()
+    print(f"CORPUS pii_scrub: {time.time()-t:.1f}s flagged={n:,}")
+    assert n == N // 50
+
 
 def _shuffle_bytes(spark) -> tuple[int, int]:
     """(shuffle_read, shuffle_write) bytes summed over all completed
