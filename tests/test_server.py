@@ -891,3 +891,51 @@ def test_select_unbounded_paginates(spark, tmp_path, monkeypatch):
             assert ts == [10 * i for i in range(250)]
         finally:
             conn.close()
+
+
+def test_select_after_compaction_over_wire(spark, tmp_path):
+    """Generation-pointer compaction under a live server: reads through
+    the wire resolve the new generation directory transparently."""
+    from simple_tsdb_spark.sources.writer import compact_measurement
+
+    wh = str(tmp_path / "wh")
+    c = TsdbClient(spark, wh)
+    c.create_database("db")
+    c.create_measurement("db", "m", {"v": "f64"})
+    schema_t = c.catalog.spark_schema("db", "m")
+    for k in range(3):  # several appends → several small files
+        pdf = pd.DataFrame(
+            {
+                "series": ["s1"] * 50,
+                "time_ns": [1000 * k + i for i in range(50)],
+                "v": [float(k * 50 + i) for i in range(50)],
+            }
+        )
+        c.write_points("db", "m", spark.createDataFrame(pdf, schema_t))
+
+    ref = _load_ref_client()
+    with TsdbServer(spark, wh, port=0) as s:
+        conn = ref.Connection(host="127.0.0.1", port=s.address[1])
+        try:
+            schema = conn.get_schema("db", "m")
+
+            def read_all():
+                op = conn.select_points("db", "m", "s1", schema, ["v"], 0, 2**64 - 1, 2**64 - 1)
+                out = []
+                while (chunk := op.read_chunk()) is not None:
+                    out.extend(
+                        (int(t), chunk.fields["v"].to_idb_type(i))
+                        for i, t in enumerate(chunk.timestamps)
+                    )
+                return out
+
+            before = read_all()
+            compact_measurement(spark, c.catalog.measurement_path("db", "m"))
+            after = read_all()
+            assert after == before and len(after) == 150
+            # and the post-compaction store still accepts validated writes
+            pdf = pd.DataFrame({"series": ["s1"], "time_ns": [10**9], "v": [9.0]})
+            c.write_points("db", "m", spark.createDataFrame(pdf, schema_t))
+            assert len(read_all()) == 151
+        finally:
+            conn.close()
