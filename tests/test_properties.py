@@ -131,3 +131,123 @@ def test_ewma_oracle_sql_matches_pandas_with_nulls(vals, alpha):
             got[~np.isnan(got)].view(np.uint64), ref[~np.isnan(ref)].view(np.uint64)
         )
     )
+
+
+def test_writer_randomized_model(spark, tmp_path):
+    """Randomized interleaving of strict/dedup writes (DataFrame AND
+    pandas lanes) and physical deletes vs a python model of the
+    reference WAL semantics (wal.cc:54-347): intra-batch dup rejection,
+    watermark drop, byte-verified retransmit, committed-time_last
+    ordering, dedup-mode idempotence.  Exercises the round-6 fast lane
+    (time_last sidecar, pandas pre-pass, single-task append) across
+    states a hand-written test can't enumerate."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from simple_tsdb_spark.operators import delete_points
+    from simple_tsdb_spark.sources.writer import (
+        OutOfOrderTimestamps,
+        OverwriteMismatch,
+        write_points,
+        write_points_pandas,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("time_ns", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    path = str(tmp_path / "m")
+    rng = random.Random(20260814)
+    store: dict[str, dict[int, float | None]] = {}
+    wm: dict[str, int] = {}
+    series_pool = ["a", "b", "c"]
+
+    def model_apply(rows, mode):
+        """Returns (error_type | None, appended_count); mutates model on
+        success only."""
+        seen = set()
+        for s, ts, _ in rows:
+            if (s, ts) in seen:
+                return OutOfOrderTimestamps, 0
+            seen.add((s, ts))
+        kept = [(s, ts, v) for s, ts, v in rows if ts >= wm.get(s, 0)]
+        overlaps = [(s, ts, v) for s, ts, v in kept if ts in store.get(s, {})]
+        fresh = [(s, ts, v) for s, ts, v in kept if ts not in store.get(s, {})]
+        if mode == "strict":
+            for s, ts, v in overlaps:
+                if store[s][ts] != v:
+                    return OverwriteMismatch, 0
+            for s, ts, v in fresh:
+                if store.get(s) and ts <= max(store[s]):
+                    return OutOfOrderTimestamps, 0
+        for s, ts, v in fresh:
+            store.setdefault(s, {})[ts] = v
+        # first append to a series records its time_first as the
+        # watermark (the reference's index metadata: points before a
+        # series' first-ever point drop silently, wal.cc:70-85)
+        for s in {s for s, _, _ in fresh}:
+            if s not in wm:
+                wm[s] = min(ts for x, ts, _ in fresh if x == s)
+        return None, len(fresh)
+
+    for step in range(30):
+        kind = rng.choice(["df", "pd", "df", "pd", "delete"])
+        if kind == "delete" and store:
+            s = rng.choice([x for x in series_pool if store.get(x)])
+            t = rng.choice(sorted(store[s]))
+            delete_points(spark, path, series=s, t=t, physical=True)
+            store[s] = {ts: v for ts, v in store[s].items() if ts > t}
+            wm[s] = t + 1
+            continue
+        rows = []
+        for s in rng.sample(series_pool, rng.randint(1, 2)):
+            n = rng.randint(2, 6)
+            if store.get(s) and rng.random() < 0.4:
+                # partial retransmit: copy stored points, maybe corrupt one
+                pts = rng.sample(sorted(store[s]), min(n, len(store[s])))
+                for ts in pts:
+                    v = store[s][ts]
+                    if rng.random() < 0.2:
+                        v = (v or 0.0) + 999.0  # corrupt
+                    rows.append((s, ts, v))
+                rows.append((s, max(store[s]) + rng.randint(1, 50), float(rng.randint(0, 9))))
+            else:
+                base_ts = rng.randint(0, 2000)
+                for i in range(n):
+                    v = None if rng.random() < 0.15 else float(rng.randint(0, 9))
+                    rows.append((s, base_ts + i * rng.randint(1, 30), v))
+        if rng.random() < 0.15 and rows:
+            rows.append(rows[0])  # intra-batch duplicate
+        mode = rng.choice(["strict", "strict", "dedup"])
+        snapshot = {s: dict(d) for s, d in store.items()}
+        want_err, want_app = model_apply(rows, mode)
+        pdf = pd.DataFrame(rows, columns=["series", "time_ns", "v"])
+        try:
+            if kind == "df":
+                r = write_points(spark, path, spark.createDataFrame(pdf, schema), mode=mode)
+            else:
+                r = write_points_pandas(spark, path, pdf, schema, mode=mode)
+            got_err = None
+        except (OutOfOrderTimestamps, OverwriteMismatch) as exc:
+            got_err = type(exc)
+        assert got_err is want_err, (step, kind, mode, rows, got_err, want_err)
+        if want_err is None:
+            assert r["appended"] == want_app, (step, r, want_app)
+        else:
+            store.clear()
+            store.update(snapshot)
+
+    # final store equality (physical deletes → raw parquet == model)
+    import os
+
+    got = {}
+    if os.path.isdir(path) and any(e.startswith("series=") for e in os.listdir(path)):
+        for row in spark.read.parquet(path).collect():
+            got.setdefault(row["series"], {})[row["time_ns"]] = row["v"]
+    want = {s: d for s, d in store.items() if d}
+    assert got == want
