@@ -657,6 +657,7 @@ def semdedup(
     id_col: str = "vec_id",
     dim: int = 64,
     salt_buckets: int = 8,
+    sub_planes: int = 0,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by pairwise cosine within coarse-quantizer clusters.
@@ -701,8 +702,21 @@ def semdedup(
     )
     e = base.select("doc", F.col("blk").alias("cluster"), "centroid_cos")
     # one quantizer evaluation: the pair join reuses base's assignment
+    pair_base = base.select("doc", "emb", "blk", "nrm")
+    if sub_planes:
+        from simple_tsdb_spark.pipeline.similarity import _bucket_expr
+
+        pair_base = base.select(
+            "doc",
+            "emb",
+            (
+                F.col("blk") * (1 << int(sub_planes))
+                + F.expr(_bucket_expr("emb", dim, int(sub_planes)))
+            ).alias("blk"),
+            "nrm",
+        )
     pr = _salted_block_pairs(
-        base.select("doc", "emb", "blk", "nrm"),
+        pair_base,
         threshold=threshold,
         salt_buckets=salt_buckets,
     )
@@ -741,10 +755,15 @@ def semdedup_oracle(
     threshold: float = 0.8,
     dim: int = 64,
     centroids=None,
+    sub_planes: int = 0,
 ) -> str:
-    from simple_tsdb_spark.pipeline.similarity import _score_array_duck
+    from simple_tsdb_spark.pipeline.similarity import _bucket_duck, _score_array_duck
 
     cos = _COS_DUCK.format(a="x.emb", b="y.emb")
+    sb_sel = (
+        f", {_bucket_duck('emb', dim, int(sub_planes))} AS _sb" if sub_planes else ""
+    )
+    sb_cond = " AND x._sb = y._sb" if sub_planes else ""
     return f"""
 WITH e0 AS (
   SELECT vec_id AS doc, embedding::DOUBLE[] AS emb,
@@ -755,12 +774,12 @@ e AS (
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS cluster,
          CASE WHEN sqrt(list_dot_product(emb, emb)) > 0
               THEN round(list_max(sarr) / sqrt(list_dot_product(emb, emb)), 6)
-              ELSE 0.0 END AS centroid_cos
+              ELSE 0.0 END AS centroid_cos{sb_sel}
   FROM e0),
 pr AS (
   SELECT a, b FROM (
     SELECT x.doc AS a, y.doc AS b, round({cos}, 6) AS cos
-    FROM e x JOIN e y ON x.cluster = y.cluster AND x.doc < y.doc)
+    FROM e x JOIN e y ON x.cluster = y.cluster AND x.doc < y.doc{sb_cond})
   WHERE cos >= {threshold}),
 sym AS (SELECT a AS doc, b AS other FROM pr UNION ALL SELECT b AS doc, a AS other FROM pr),
 dropped AS (

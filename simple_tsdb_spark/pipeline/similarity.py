@@ -39,10 +39,10 @@ def _plane_weight(j: int, d: int) -> float:
     return (((d + 1) * 2654435761 + (j + 1) * 40503) % _W_MOD) / _W_MOD - 0.5
 
 
-def _bucket_expr(emb: str, dim: int) -> str:
-    """Spark SQL fragment: LSH bucket id = sign bits of N_PLANES projections."""
+def _bucket_expr(emb: str, dim: int, planes: int = N_PLANES) -> str:
+    """Spark SQL fragment: LSH bucket id = sign bits of ``planes`` projections."""
     bits = []
-    for j in range(N_PLANES):
+    for j in range(planes):
         w = ", ".join(f"CAST({_plane_weight(j, d)!r} AS DOUBLE)" for d in range(dim))
         proj = (
             f"aggregate(zip_with({emb}, array({w}), (p, q) -> CAST(p AS DOUBLE) * q), "
@@ -52,9 +52,9 @@ def _bucket_expr(emb: str, dim: int) -> str:
     return " + ".join(bits)
 
 
-def _bucket_duck(emb: str, dim: int) -> str:
+def _bucket_duck(emb: str, dim: int, planes: int = N_PLANES) -> str:
     bits = []
-    for j in range(N_PLANES):
+    for j in range(planes):
         w = ", ".join(repr(_plane_weight(j, d)) for d in range(dim))
         proj = f"list_dot_product({emb}, [{w}]::DOUBLE[])"
         bits.append(f"CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END")

@@ -734,3 +734,44 @@ def test_pii_scrub_planted_cross_engine(spark):
     assert got.loc[0, "clean_text"] == "contact me at <EMAIL> or <PHONE> now"
     assert got.loc[1, "clean_text"] == "server <IP> and <IP> ok"
     assert got.loc[2, "clean_text"] == "no pii here at all"
+
+
+def test_semdedup_sub_planes_cross_engine_and_recall(spark, embs):
+    """sub_planes composed block key: Spark must equal the DuckDB oracle
+    for the same sub_planes, and EXACT duplicates are always caught
+    (identical vectors share every sign bit)."""
+    import duckdb
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import semdedup
+    from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
+
+    got = sorted(
+        (r.vec_id, r.cluster, r.centroid_cos, r.keep)
+        for r in semdedup(embs, threshold=0.9, sub_planes=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(semdedup_oracle(threshold=0.9, sub_planes=4)).fetchall()
+    )
+    assert got == want
+
+    # planted exact duplicates: 100% recall under any sub_planes
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    vecs[1] = vecs[0]
+    vecs[21] = vecs[20]
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r.vec_id: r.keep for r in semdedup(df, threshold=0.999, sub_planes=6).collect()}
+    assert (out[0], out[1]) in ((True, False), (False, True))
+    assert (out[20], out[21]) in ((True, False), (False, True))
+    assert sum(1 for k in out.values() if not k) == 2
