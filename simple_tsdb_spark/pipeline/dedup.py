@@ -544,6 +544,7 @@ def embedding_dup_pairs(
     extra_block_col: str | None = None,
     salt_buckets: int = 8,
     centroids=None,
+    sub_planes: int = 0,
 ) -> DataFrame:
     """Cosine near-dup pairs within a coarse-quantizer block.
 
@@ -565,6 +566,10 @@ def embedding_dup_pairs(
     the join keys on (block, salt) — every pair still meets exactly once,
     no corpus broadcast, parallelism = #blocks × salt_buckets even when
     a few lists run hot.
+
+    ``sub_planes`` as in :func:`semdedup`: ANDs an LSH sign-bucket into
+    the block key (÷~2^k pair work; exact dups keep 100% recall,
+    near-dups pay the per-plane LSH recall trade).
     """
     # Lazy import: similarity imports dedup's cosine helpers at module
     # level, so the quantizer expressions must be imported at call time.
@@ -585,6 +590,14 @@ def embedding_dup_pairs(
         .drop("_sarr")
         .withColumn("nrm", _norm("emb"))
     )
+    if sub_planes:
+        from simple_tsdb_spark.pipeline.similarity import _bucket_expr
+
+        e = e.withColumn(
+            "blk",
+            F.col("blk") * (1 << int(sub_planes))
+            + F.expr(_bucket_expr("emb", dim, int(sub_planes))),
+        )
     return _salted_block_pairs(
         e, threshold=threshold, salt_buckets=salt_buckets, xblk=bool(extra_block_col)
     )
