@@ -24,6 +24,15 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def tree_of(df) -> str:
+    """Simple-mode explain — one line per node with inline join keys
+    (``BroadcastHashJoin [term#5], [term#20]``), easier to key-match."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
 def check(name: str, ok: bool, detail: str = "") -> bool:
     print(f"{'PASS' if ok else 'FAIL'}  {name}" + (f"  [{detail}]" if detail and not ok else ""))
     return ok
@@ -169,14 +178,54 @@ def main() -> int:
     )
     ok &= check("dsir: doc aggregate map-side partial", "partial_sum" in p or "Partial" in p)
 
-    # tfidf_topk: the only broadcast is the 1-row N aggregate; term and
-    # doc aggregations are plain hash exchanges on uniform keys.
+    # tfidf_topk: skew-proof by construction — the Zipf-skewed term key
+    # never drives a corpus-sized shuffle join alone: hot terms (df above
+    # a corpus fraction, a bounded set) broadcast-join, the tail joins
+    # normally with every key < N·frac rows by definition.  The corpus
+    # text itself must never broadcast (only term/df columns may).
     p = plan_of(tfidf_topk(docs, k=5))
     ok &= check(
         "tfidf: corpus text never broadcast",
         not re.search(r"BroadcastExchange[^\n]*\n[^\n]*text#", p),
     )
     ok &= check("tfidf: partial term aggregation", "partial_count" in p or "Partial" in p)
+    # With auto-broadcast off, the only broadcasts left are the explicit
+    # hints — proving the hot lane is forced (not a small-sf CBO accident)
+    # and the tail lane is a keyed shuffle join whose every key is
+    # < N·hot_df_frac rows wide by construction.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        t = tree_of(tfidf_topk(docs, k=5))
+        ok &= check(
+            "tfidf: bounded hot-term table broadcast-joined (forced, not CBO)",
+            bool(re.search(r"BroadcastHashJoin \[term#\d+", t)),
+        )
+        ok &= check(
+            "tfidf: long tail joins on term with bounded per-key width",
+            bool(re.search(r"(SortMergeJoin|ShuffledHashJoin) \[term#\d+", t)),
+        )
+
+        # zscore_outliers: the per-series stats join must NOT force a
+        # broadcast (10⁷ series in range → multi-GB table on every
+        # executor); default plants no hint so AQE picks from the stats
+        # side's runtime size.  broadcast_stats=True is an explicit opt-in.
+        from simple_tsdb_spark.operators.timeseries import zscore_outliers
+
+        t = tree_of(zscore_outliers(ev, field="value", t0=T0, t1=T1))
+        ok &= check(
+            "zscore: no forced broadcast of per-series stats (AQE decides)",
+            "BroadcastExchange" not in t,
+        )
+        t = tree_of(
+            zscore_outliers(ev, field="value", t0=T0, t1=T1, broadcast_stats=True)
+        )
+        ok &= check(
+            "zscore: broadcast_stats=True still plants the hint",
+            "BroadcastExchange" in t,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     # knn_ivf: the corpus must NEVER shuffle on list_id — its only join is
     # against the hint-broadcast (tiny) probe set; the shuffles in the plan

@@ -326,7 +326,13 @@ def approx_quantiles(
 
 
 def zscore_outliers(
-    df: DataFrame, *, field: str, k: float = 3.0, t0: int = 0, t1: int = 2**63 - 1
+    df: DataFrame,
+    *,
+    field: str,
+    k: float = 3.0,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+    broadcast_stats: bool | None = None,
 ) -> DataFrame:
     """Per-series z-score outliers: points with ``|v − mean| > k·std``
     over the series' points in range (sample std, n ≥ 2).
@@ -346,8 +352,14 @@ def zscore_outliers(
     field down (e.g. to seconds) first.
 
     At 100 TB: one map-side-combined aggregate per series (two decimal
-    sums + a count), broadcast back onto the scan — no second
-    corpus-sized shuffle.
+    sums + a count), joined back onto the scan — no second corpus-sized
+    shuffle when the stats side broadcasts.  ``broadcast_stats`` gates
+    the hint: the stats table is one row per series in range, so at
+    ≥10⁷ series a *forced* broadcast would build a multi-GB table on
+    every executor.  Default ``None`` plants no hint and lets AQE pick
+    at runtime from the stats side's actual size (broadcast when small,
+    shuffle join when huge) — pass ``True`` only when the caller knows
+    the series count is small, ``False`` to force the shuffle join.
     """
     src = df.where(
         (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
@@ -358,7 +370,11 @@ def zscore_outliers(
         F.sum((q * q).cast("decimal(38,12)")).alias("_ss"),
         F.count(F.lit(1)).alias("_n"),
     )
-    j = src.join(F.broadcast(stats), "series").where(F.col("_n") >= 2)
+    if broadcast_stats is True:
+        stats = F.broadcast(stats)
+    elif broadcast_stats is False:
+        stats = stats.hint("shuffle_merge")
+    j = src.join(stats, "series").where(F.col("_n") >= 2)
     mean = F.col("_s").cast("double") / F.col("_n")
     var = (
         F.col("_ss").cast("double") - F.col("_s").cast("double") * mean

@@ -334,7 +334,12 @@ FROM h
 # -- TF-IDF top terms -------------------------------------------------------
 
 def tfidf_topk(
-    df: DataFrame, *, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_df_frac: float = 1e-3,
 ) -> DataFrame:
     """Per-document top-``k`` TF-IDF terms.
 
@@ -346,10 +351,16 @@ def tfidf_topk(
     to the deterministic term tiebreak).
 
     At 100 TB: term stats aggregate map-side (one row per distinct
-    (doc, term) per partition); the doc-frequency table joins on term;
-    the rank is one window over doc — all keyed on uniform columns, no
-    broadcast of anything corpus-sized (the 1-row N aggregate is the
-    only broadcast).
+    (doc, term) per partition); the rank is one window over doc. The
+    ``tf ⋈ df`` join is skew-proof *by construction*, not by AQE luck:
+    the term key is Zipf-distributed (a stop-word carries ~N rows), so
+    terms whose doc frequency exceeds ``ceil(N · hot_df_frac)`` are
+    split out into a bounded "hot" table (≤ avg-distinct-terms-per-doc
+    / hot_df_frac rows regardless of corpus size) and broadcast-joined
+    — the corpus-sized side never shuffles on a hot key.  The long
+    tail joins normally, and every tail key is < ``N · hot_df_frac``
+    rows wide by definition, so no shuffle partition can exceed that
+    bound.  The corpus text itself is never broadcast.
     """
     from pyspark.sql import Window
 
@@ -359,9 +370,25 @@ def tfidf_topk(
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    # Bounded hot-term table: df ≥ max(2, ceil(N·frac)).
+    hot = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .where(
+            F.col("df_term")
+            >= F.greatest(F.lit(2), F.ceil(F.col("_n") * F.lit(float(hot_df_frac))))
+        )
+        .select("term", F.col("df_term").alias("_hot_df"))
+    )
+    tagged = tf.join(F.broadcast(hot), "term", "left")
+    hot_part = (
+        tagged.where(F.col("_hot_df").isNotNull())
+        .withColumn("df_term", F.col("_hot_df"))
+        .drop("_hot_df")
+    )
+    tail_part = tagged.where(F.col("_hot_df").isNull()).drop("_hot_df").join(dfreq, "term")
     w = Window.partitionBy("doc").orderBy(F.col("_score").desc(), F.col("term").asc())
     return (
-        tf.join(dfreq, "term")
+        hot_part.unionByName(tail_part)
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "_score",
