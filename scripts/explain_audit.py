@@ -370,9 +370,11 @@ def main() -> int:
     )
     ok &= check("native: series partition pruning", "PartitionFilters: [isnotnull(series" in p)
 
-    # Wire write fast lane: a monotone driver-resident append must cost
-    # exactly ONE Spark job (pandas pass-1 + time_last sidecar skip the
-    # validation jobs entirely — writer.py).
+    # Wire write WAL lane: a monotone driver-resident append must cost
+    # ZERO Spark jobs — the driver writes the partition parquet files
+    # itself (writer.py::_try_wal_append_pandas), the analog of the
+    # reference WAL absorbing small writes before chunk-store fold-in.
+    # With wal_lane=False the Spark lane must still be exactly ONE job.
     from simple_tsdb_spark.sources.writer import write_points_pandas
 
     sc = spark.sparkContext
@@ -380,12 +382,25 @@ def main() -> int:
         [("s1", 1000 + i, float(i)) for i in range(50)],
         columns=["series", "time_ns", "v"],
     )
-    sc.setJobGroup("audit_fastwrite", "audit")
+    sc.setJobGroup("audit_walwrite", "audit")
     write_points_pandas(spark, path, pdf2, schema)
+    sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("audit_walwrite")
+    ok &= check(
+        "write WAL lane: monotone pandas append = 0 Spark jobs",
+        len(jobs) == 0,
+        f"{len(jobs)} jobs",
+    )
+    pdf3 = pd.DataFrame(
+        [("s1", 2000 + i, float(i)) for i in range(50)],
+        columns=["series", "time_ns", "v"],
+    )
+    sc.setJobGroup("audit_fastwrite", "audit")
+    write_points_pandas(spark, path, pdf3, schema, wal_lane=False)
     sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup("audit_fastwrite")
     ok &= check(
-        "write fast lane: monotone pandas append = 1 Spark job",
+        "write fast lane: monotone pandas Spark append = 1 Spark job",
         len(jobs) == 1,
         f"{len(jobs)} jobs",
     )

@@ -218,6 +218,7 @@ def write_points_pandas(
     mode: str = "strict",
     time_bucket_ns: int | None = None,
     series_buckets: int | None = None,
+    wal_lane: bool = True,
 ) -> dict[str, int]:
     """``write_points`` for a driver-resident pandas batch (the wire
     server's WRITE_POINTS path).
@@ -225,9 +226,22 @@ def write_points_pandas(
     Semantics are identical to ``write_points`` — same checks, same
     errors, same counters — but pass 1 (intra-batch ordering + watermark
     classification + counters) runs in pandas on the driver instead of
-    as a Spark job, so a monotone point-scale append costs exactly ONE
-    Spark job (the partitioned write).  Equivalence to the DataFrame
-    path is pinned in test_ingest.
+    as a Spark job, so a monotone point-scale append costs at most ONE
+    Spark job (the partitioned write).
+
+    When the batch is a *provably monotone* append (every touched
+    series' kept low is strictly above its committed ``time_last`` —
+    the sidecar can prove it without touching stored data) the append
+    takes the **WAL lane**: the driver writes the parquet files
+    directly with pyarrow into the same partition layout, ZERO Spark
+    jobs — the analog of the reference absorbing small writes in its
+    WAL before chunk-store fold-in (doc/WRITES.txt:1-16); here
+    ``compact_measurement`` is the fold-in.  Readers need no union
+    logic: the lane's files land in the table's own directories with
+    identical schema/stats, so every query sees them immediately.
+    ``wal_lane=False`` forces the Spark append (used by the
+    equivalence tests).  Equivalence to the DataFrame path is pinned
+    in test_ingest.
     """
     missing = [f.name for f in spark_schema.fields if f.name not in pdf.columns]
     if missing:
@@ -242,6 +256,13 @@ def write_points_pandas(
             "dropped_overlap": 0,
             "appended": 0,
         }
+    if wal_lane:
+        res = _try_wal_append_pandas(
+            measurement_path, kept, spark_schema, stats, marks,
+            time_bucket_ns=time_bucket_ns, series_buckets=series_buckets,
+        )
+        if res is not None:
+            return res
     # createDataFrame maps pandas columns to the schema POSITIONALLY —
     # reindex so a caller's column order can never land values in the
     # wrong field.
@@ -255,6 +276,189 @@ def write_points_pandas(
         # the partition dirs — no shuffle.
         single_task_append=len(kept) <= 2_000_000,
     )
+
+
+def _pa_type(dt):
+    """Spark→Arrow type for the WAL lane's parquet files — must produce
+    the same parquet physical/logical types Spark's own writer emits so
+    the two lanes' files are indistinguishable to every reader.
+    Returns None for anything unmapped (caller falls back to Spark)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    return None
+
+
+_WAL_LANE_MAX_ROWS = 2_000_000
+
+
+def _try_wal_append_pandas(
+    measurement_path: str,
+    kept,
+    spark_schema,
+    stats: "_PrePass",
+    marks: RetentionWatermarks,
+    *,
+    time_bucket_ns: int | None,
+    series_buckets: int | None,
+) -> dict[str, int] | None:
+    """Zero-Spark-job append of a provably-monotone driver-resident
+    batch: pyarrow writes time-sorted snappy parquet straight into the
+    measurement's partition directories (tmp file + atomic rename per
+    partition).  This is the reference's WAL absorbing small writes
+    before chunk-store fold-in (doc/WRITES.txt:1-16, wal.cc:87-110's
+    in-memory time_last short-circuit); ``compact_measurement`` is the
+    fold-in.  Returns None when ineligible — the caller then runs the
+    Spark commit body:
+
+    * local filesystem only (object stores go through the Spark
+      committer);
+    * plain ``series=`` layout with escape-free series names (the lane
+      does not reimplement Spark's %XX partition-value escaping or
+      xxhash64 bucketing);
+    * every field type Arrow-mappable;
+    * batch low strictly above every touched series' committed
+      ``time_last`` — no overlap, no retransmit-verify, crash between
+      sidecar advance and file publish errs high (safe direction, same
+      order as the Spark lane).
+    """
+    from simple_tsdb_spark.fs import LocalFS, get_fs
+
+    if len(kept) > _WAL_LANE_MAX_ROWS:
+        return None
+    layout = _layout(measurement_path)
+    if layout.get("series_buckets"):
+        return None
+    if series_buckets and "series_buckets" not in layout:
+        return None  # caller selects the hashed layout on first write
+    if not all(_PLAIN_SERIES_RE.match(s) for s in stats.per_series):
+        return None
+    if not isinstance(get_fs(measurement_path), LocalFS):
+        return None
+    pa_fields = [
+        (f.name, _pa_type(f.dataType))
+        for f in spark_schema.fields
+        if f.name != "series"
+    ]
+    if any(t is None for _n, t in pa_fields):
+        return None
+    probe = _StoreProbe(measurement_path, layout)
+    if probe.need_verify(stats):
+        return None
+
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if "time_bucket_ns" not in layout or "series_buckets" not in layout:
+        layout.setdefault("time_bucket_ns", int(time_bucket_ns) if time_bucket_ns else None)
+        layout.setdefault("series_buckets", None)
+        _save_layout(measurement_path, layout)
+    bucket_ns = layout.get("time_bucket_ns")
+    # Sidecar advances BEFORE the files publish (see _write_points_body).
+    probe.tl.advance_many({s: hi for s, (_lo, hi) in stats.per_series.items()})
+    root = probe.root
+    schema = pa.schema(pa_fields)
+    for series, g in kept.groupby("series", sort=False):
+        g = g.sort_values("time_ns", kind="mergesort")
+        if bucket_ns:
+            tb = g["time_ns"].to_numpy() // int(bucket_ns) * int(bucket_ns)
+            parts = [
+                (f"series={series}/time_bucket={int(b)}", g[tb == b])
+                for b in dict.fromkeys(tb.tolist())
+            ]
+        else:
+            parts = [(f"series={series}", g)]
+        for rel, gp in parts:
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.Array.from_pandas(gp[name], type=typ)
+                    for name, typ in pa_fields
+                ],
+                schema=schema,
+            )
+            d = f"{root}/{rel}"
+            os.makedirs(d, exist_ok=True)
+            fname = f"part-00000-{uuid.uuid4()}.c000.snappy.parquet"
+            tmp = f"{d}/.{fname}.tmp"
+            pq.write_table(tbl, tmp, compression="snappy")
+            os.replace(tmp, f"{d}/{fname}")
+    new_firsts = {
+        s: int(lo) for s, (lo, _hi) in stats.per_series.items()
+        if s not in marks._marks
+    }
+    if new_firsts:
+        marks.advance_many(new_firsts)
+    return {
+        "rows_in": stats.n_in,
+        "dropped_below_watermark": stats.n_in - stats.n_after_wm,
+        "dropped_overlap": 0,
+        "appended": stats.n_after_wm,
+    }
+
+
+class _StoreProbe:
+    """Committed-state probe shared by the Spark commit body and the
+    driver-side WAL lane: resolves the data root, whether any committed
+    data exists, the ``time_last`` sidecar, and (plain layout only) the
+    set of series partition directories — enough to decide whether a
+    batch is a provably-monotone append (no retransmit-verify needed,
+    the reference's in-memory time_last short-circuit, wal.cc:87-110)."""
+
+    def __init__(self, measurement_path: str, layout: dict):
+        from simple_tsdb_spark.fs import get_fs
+
+        self.root = data_root(measurement_path)
+        self.fs = get_fs(self.root)
+        entries = self.fs.listdir(self.root) if self.fs.isdir(self.root) else []
+        self.exists = any(
+            e.startswith(("series=", "series_bucket=")) for e in entries
+        )
+        self.tl = TimeLastMarks(measurement_path)
+        # A series with no recorded time_last AND no partition directory
+        # has no committed data — nothing to verify against.  The
+        # directory test only applies to the plain series layout with
+        # escape-free names (Spark %XX-escapes special chars in
+        # partition values); anything else conservatively verifies.
+        self.plain_dirs = (
+            {e[len("series="):] for e in entries if e.startswith("series=")}
+            if not layout.get("series_buckets")
+            else None
+        )
+
+    def known_tl(self, s: str) -> int | None:
+        v = self.tl.get(s)
+        if v is not None:
+            return v
+        if (
+            self.plain_dirs is not None
+            and _PLAIN_SERIES_RE.match(s)
+            and s not in self.plain_dirs
+        ):
+            return -1  # provably no committed data for this series
+        return None
+
+    def need_verify(self, stats: "_PrePass") -> bool:
+        return self.exists and stats.lo is not None and any(
+            self.known_tl(s) is None or s_lo <= self.known_tl(s)
+            for s, (s_lo, _s_hi) in stats.per_series.items()
+        )
 
 
 class _PrePass:
@@ -390,37 +594,9 @@ def _write_points_body(
     n_append = n_after_wm
     firsts = {s: t[0] for s, t in stats.per_series.items()}
     stored_tls: dict[str, int] = {}
-    root = data_root(measurement_path)
-    from simple_tsdb_spark.fs import get_fs
-
-    _fs = get_fs(root)
-    entries = _fs.listdir(root) if _fs.isdir(root) else []
-    exists = any(e.startswith(("series=", "series_bucket=")) for e in entries)
-    tl = TimeLastMarks(measurement_path)
-    # A series with no recorded time_last AND no partition directory has
-    # no committed data — nothing to verify against.  The directory test
-    # only applies to the plain series layout with escape-free names
-    # (Spark %XX-escapes special chars in partition values); anything
-    # else conservatively verifies.
-    plain_dirs = (
-        {e[len("series="):] for e in entries if e.startswith("series=")}
-        if not sbuckets_cur
-        else None
-    )
-
-    def _known_tl(s: str) -> int | None:
-        v = tl.get(s)
-        if v is not None:
-            return v
-        if plain_dirs is not None and _PLAIN_SERIES_RE.match(s) and s not in plain_dirs:
-            return -1  # provably no committed data for this series
-        return None
-
-    need_verify = exists and lo is not None and any(
-        _known_tl(s) is None or s_lo <= _known_tl(s)
-        for s, (s_lo, _s_hi) in stats.per_series.items()
-    )
-    if need_verify:
+    probe = _StoreProbe(measurement_path, layout)
+    root, tl = probe.root, probe.tl
+    if probe.need_verify(stats):
         stored = spark.read.parquet(root).where(F.col("time_ns") >= lo)
         if touched and len(touched) <= 256:
             stored = stored.where(F.col("series").isin(touched))

@@ -505,3 +505,145 @@ class TestReviewRegressions:
         write_points_pandas(spark, path, pdf, schema2)
         got = {r["time_ns"]: (r["v"], r["w"]) for r in spark.read.parquet(path).collect()}
         assert got == {100: (1.0, 10.0), 200: (2.0, 20.0)}
+
+
+# -- WAL lane: zero-Spark-job driver-side parquet append ------------------
+
+class TestWalLane:
+    """The pyarrow WAL lane (writer.py::_try_wal_append_pandas) must be
+    byte-equivalent to the Spark append for every monotone batch, fall
+    back to the Spark commit whenever it cannot PROVE monotonicity, and
+    interoperate with Spark-written files inside one partition dir."""
+
+    def _mkpdf(self, base, series="a", n=50, nulls=True):
+        import numpy as np
+
+        v = np.arange(n, dtype="float64")
+        if nulls:
+            v = v.copy()
+            v[::7] = np.nan  # NULLs ride as NaN, both lanes null them
+        return pd.DataFrame(
+            {"series": series, "time_ns": np.arange(base, base + n, dtype="int64"), "v": v}
+        )
+
+    def test_lane_taken_and_equivalent(self, spark, tmp_path, monkeypatch):
+        from simple_tsdb_spark.sources import writer as W
+
+        taken = []
+        orig = W._try_wal_append_pandas
+
+        def spy(*a, **k):
+            r = orig(*a, **k)
+            taken.append(r is not None)
+            return r
+
+        monkeypatch.setattr(W, "_try_wal_append_pandas", spy)
+        p_wal = str(tmp_path / "wal")
+        p_spk = str(tmp_path / "spk")
+        for k in range(3):
+            ra = W.write_points_pandas(spark, p_wal, self._mkpdf(k * 1000), SCHEMA)
+            rb = W.write_points_pandas(
+                spark, p_spk, self._mkpdf(k * 1000), SCHEMA, wal_lane=False
+            )
+            assert ra == rb
+        assert taken == [True, True, True]
+        a = spark.read.parquet(p_wal).orderBy("time_ns").collect()
+        b = spark.read.parquet(p_spk).orderBy("time_ns").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert spark.read.parquet(p_wal).schema == spark.read.parquet(p_spk).schema
+
+    def test_overlap_falls_back_and_verifies(self, spark, tmp_path):
+        from simple_tsdb_spark.sources import writer as W
+
+        path = str(tmp_path / "m")
+        W.write_points_pandas(spark, path, self._mkpdf(0), SCHEMA)
+        # exact retransmit through the fallback Spark verify: no-op
+        r = W.write_points_pandas(spark, path, self._mkpdf(0), SCHEMA)
+        assert r["dropped_overlap"] == 50 and r["appended"] == 0
+        # value mismatch in the overlap must still reject
+        bad = self._mkpdf(0, nulls=False)
+        bad["v"] = bad["v"] + 1
+        with pytest.raises(OverwriteMismatch):
+            W.write_points_pandas(spark, path, bad, SCHEMA)
+
+    def test_non_plain_series_name_falls_back(self, spark, tmp_path):
+        from simple_tsdb_spark.sources import writer as W
+
+        path = str(tmp_path / "m")
+        pdf = pd.DataFrame(
+            {"series": ["sp ace/slash"], "time_ns": [10], "v": [1.0]}
+        )
+        assert (
+            W._try_wal_append_pandas(
+                path, pdf, SCHEMA,
+                W._PrePass(1, 1, {"sp ace/slash": (10, 10)}),
+                W.RetentionWatermarks(path),
+                time_bucket_ns=None, series_buckets=None,
+            )
+            is None
+        )
+        # the full call still works via the Spark lane (%XX escaping)
+        r = W.write_points_pandas(spark, path, pdf, SCHEMA)
+        assert r["appended"] == 1
+        got = spark.read.parquet(path).collect()
+        assert got[0]["series"] == "sp ace/slash"
+
+    def test_hashed_layout_falls_back(self, spark, tmp_path):
+        from simple_tsdb_spark.sources import writer as W
+
+        path = str(tmp_path / "m")
+        r = W.write_points_pandas(
+            spark, path, self._mkpdf(0), SCHEMA, series_buckets=8
+        )
+        assert r["appended"] == 50
+        import os
+
+        assert any(e.startswith("series_bucket=") for e in os.listdir(path))
+        # follow-up writes keep falling back (layout records the buckets)
+        r = W.write_points_pandas(spark, path, self._mkpdf(1000), SCHEMA)
+        assert r["appended"] == 50
+
+    def test_time_bucket_layout_dirs_match_spark(self, spark, tmp_path):
+        from simple_tsdb_spark.sources import writer as W
+
+        p_wal = str(tmp_path / "wal")
+        p_spk = str(tmp_path / "spk")
+        pdf = pd.DataFrame(
+            {
+                "series": ["a"] * 4,
+                "time_ns": [5, 95, 105, 205],
+                "v": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+        W.write_points_pandas(spark, p_wal, pdf, SCHEMA, time_bucket_ns=100)
+        W.write_points_pandas(
+            spark, p_spk, pdf, SCHEMA, time_bucket_ns=100, wal_lane=False
+        )
+        import os
+
+        dirs = lambda p: sorted(
+            f"{d}/{b}"
+            for d in os.listdir(p) if d.startswith("series=")
+            for b in os.listdir(f"{p}/{d}") if b.startswith("time_bucket=")
+        )
+        assert dirs(p_wal) == dirs(p_spk) == [
+            "series=a/time_bucket=0", "series=a/time_bucket=100", "series=a/time_bucket=200"
+        ]
+        a = spark.read.parquet(p_wal).orderBy("time_ns").collect()
+        b = spark.read.parquet(p_spk).orderBy("time_ns").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_mixed_lanes_compact_and_select(self, spark, tmp_path):
+        from simple_tsdb_spark.sources import writer as W
+
+        path = str(tmp_path / "m")
+        W.write_points_pandas(spark, path, self._mkpdf(0), SCHEMA)  # WAL lane
+        W.write_points_pandas(
+            spark, path, self._mkpdf(1000), SCHEMA, wal_lane=False
+        )  # Spark lane, same partition dir
+        W.write_points_pandas(spark, path, self._mkpdf(2000), SCHEMA)  # WAL lane
+        assert count_points(spark.read.parquet(path)).collect()[0]["npoints"] == 150
+        compact_measurement(spark, path)
+        got = select_points(spark.read.parquet(W.data_root(path))).toPandas()
+        assert len(got) == 150
+        assert list(got["time_ns"])[:3] == [0, 1, 2]
