@@ -247,7 +247,15 @@ def hybrid_sum_points(
     t0_tail = t0
     if series is not None:
         wanted = [series] if isinstance(series, str) else list(series)
-        mrows = {r["series"]: r["_boundary"] for r in marks.select("series", boundary).collect()}
+        # Collect only the REQUESTED series' marks — the driver
+        # materialization is bounded by the caller's series list, never
+        # by the measurement's total series count.
+        mrows = {
+            r["series"]: r["_boundary"]
+            for r in marks.where(F.col("series").isin(wanted))
+            .select("series", boundary)
+            .collect()
+        }
         if all(s in mrows for s in wanted):
             t0_tail = max(t0, min(mrows[s] for s in wanted))
     tail = (

@@ -461,6 +461,28 @@ class _StoreProbe:
         )
 
 
+# Tripwire for pathological batch width: write validation materializes
+# one row per TOUCHED series on the driver (the reference keeps the same
+# per-series state in memory, wal.cc).  A batch touching more series
+# than this still commits, but warns — at ~10⁷ touched series the
+# driver dict and the time_last sidecar rewrite become the bottleneck;
+# split the batch or move the measurement to the hashed-series layout.
+MAX_TOUCHED_SERIES = 1_000_000
+
+
+def _guard_touched(n: int, where: str) -> None:
+    if n > MAX_TOUCHED_SERIES:
+        import warnings
+
+        warnings.warn(
+            f"write batch touches {n} series (> {MAX_TOUCHED_SERIES}); "
+            f"per-series validation state at {where} is driver-resident — "
+            "split the batch by series to bound driver memory",
+            ResourceWarning,
+            stacklevel=3,
+        )
+
+
 class _PrePass:
     """Pass-1 result: counters plus per-series kept (lo, hi) ranges."""
 
@@ -510,6 +532,7 @@ def _prepass_spark(
         F.min(F.when(F.col("_below") == 0, F.col("time_ns"))).alias("_lo"),
         F.max(F.when(F.col("_below") == 0, F.col("time_ns"))).alias("_hi"),
     ).collect()
+    _guard_touched(len(rows), "_prepass_spark")
     for r in rows:
         if r["_dup_ts"] is not None:
             raise OutOfOrderTimestamps(
@@ -556,6 +579,7 @@ def _prepass_pandas(pdf, marks: RetentionWatermarks) -> tuple[_PrePass, object]:
         s: (int(g.min()), int(g.max()))
         for s, g in kept.groupby("series", sort=False)["time_ns"]
     }
+    _guard_touched(len(per_series), "_prepass_pandas")
     return _PrePass(n_in=n_in, n_after_wm=len(kept), per_series=per_series), kept
 
 
@@ -634,6 +658,7 @@ def _write_points_body(
                 F.min(F.when(is_ov & mismatch_cond, F.col("time_ns"))).alias("_mm_ts")
             )
         res = j.groupBy("series").agg(*aggs).collect()
+        _guard_touched(len(res), "retransmit-verify")
         if mismatch_cond is not None:
             for r in res:
                 if r["_mm_ts"] is not None:

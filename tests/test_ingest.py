@@ -647,3 +647,33 @@ class TestWalLane:
         got = select_points(spark.read.parquet(W.data_root(path))).toPandas()
         assert len(got) == 150
         assert list(got["time_ns"])[:3] == [0, 1, 2]
+
+
+def test_wide_batch_guard_warns(spark, tmp_path, monkeypatch):
+    """A batch touching more series than MAX_TOUCHED_SERIES commits but
+    raises the ResourceWarning tripwire (driver-resident per-series
+    validation state)."""
+    import warnings
+
+    from simple_tsdb_spark.sources import writer as W
+
+    monkeypatch.setattr(W, "MAX_TOUCHED_SERIES", 3)
+    pdf = pd.DataFrame(
+        {"series": [f"s{i}" for i in range(5)], "time_ns": [10] * 5, "v": [1.0] * 5}
+    )
+    path = str(tmp_path / "m")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        r = W.write_points_pandas(spark, path, pdf, SCHEMA)
+    assert r["appended"] == 5
+    assert any(
+        issubclass(w.category, ResourceWarning) and "touches 5 series" in str(w.message)
+        for w in rec
+    )
+    # Spark prepass path too
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        pdf2 = pdf.assign(time_ns=[20] * 5)
+        r = W.write_points(spark, str(tmp_path / "m2"), spark.createDataFrame(pdf2, SCHEMA))
+    assert r["appended"] == 5
+    assert any(issubclass(w.category, ResourceWarning) for w in rec)
