@@ -64,8 +64,10 @@ from simple_tsdb_spark.pipeline.multimodal import (
     resize_images,
     sample_frames,
 )
+from simple_tsdb_spark.pipeline.prewarm import prewarm
 
 __all__ = [
+    "prewarm",
     "token_counts",
     "quality_score",
     "repetition_stats",

@@ -775,3 +775,20 @@ def test_semdedup_sub_planes_cross_engine_and_recall(spark, embs):
     assert (out[0], out[1]) in ((True, False), (False, True))
     assert (out[20], out[21]) in ((True, False), (False, True))
     assert sum(1 for k in out.values() if not k) == 2
+
+
+def test_prewarm_compiles_and_warms(spark):
+    """prewarm() runs the literal-heavy plans on a 1-row frame and a
+    subsequent real query with the same literals is a codegen cache
+    hit (asserted indirectly: it returns the warmed-plan count and the
+    operators still produce correct output afterwards)."""
+    import time
+
+    from simple_tsdb_spark.pipeline import knn_ivf, prewarm
+
+    assert prewarm(spark) == 3
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t0 = time.time()
+    out = knn_ivf(embs, query_ids=(0, 1), k=3).collect()
+    assert len(out) > 0
+    assert time.time() - t0 < 60
