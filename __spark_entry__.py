@@ -352,6 +352,24 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def _q_topk_ngrams(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import topk_ngrams
+
+    return topk_ngrams(_docs(spark, sf_dir), n=3, k=100)
+
+
+def _q_winnowing(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir), n=4, w=5)
+
+
+def _q_kmeans_clusters(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import kmeans_clusters
+
+    return kmeans_clusters(_embs(spark, sf_dir))
+
+
 def _q_dsir_weights(spark, sf_dir):
     from simple_tsdb_spark.pipeline import dsir_logweights
 
@@ -597,6 +615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the r6-gated 50 in their previous order.  Whichever entries
     # fall past the gate this round lead the next round's dict.
     return {
+        # round-7 additions lead (new entries need driver evidence first)
+        "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
+        "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
+        "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
         # r6 tail — needs fresh driver evidence first
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
@@ -1000,6 +1022,7 @@ def _pipeline_oracles() -> dict[str, str]:
         blob_features_oracle,
     )
     from simple_tsdb_spark.pipeline.similarity import (
+        kmeans_clusters_oracle,
         knn_brute_oracle,
         knn_ivf_oracle,
         knn_ivf_pq_oracle,
@@ -1015,6 +1038,8 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
     from simple_tsdb_spark.pipeline.text import (
         dsir_logweights_oracle,
+        topk_ngrams_oracle,
+        winnowing_fingerprints_oracle,
         pii_scrub_oracle,
         fingerprint_oracle,
         lang_id_oracle,
@@ -1032,6 +1057,9 @@ def _pipeline_oracles() -> dict[str, str]:
     )
 
     return {
+        "topk_ngrams": topk_ngrams_oracle(n=3, k=100),
+        "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
+        "kmeans_clusters": kmeans_clusters_oracle(),
         "tfidf_topk": tfidf_topk_oracle(k=5),
         "pii_scrub": pii_scrub_oracle(),
         "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),

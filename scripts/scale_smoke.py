@@ -258,11 +258,20 @@ def _shuffle_bytes(spark) -> tuple[int, int]:
     )
 
 
-def heavy_chain_phase(spark, n_docs: int) -> dict[str, dict]:
+def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dict]:
     """End-to-end HEAVY curation chain at ``n_docs`` scale:
     text gen → char-shingle minhash+LSH pair finding → connected-component
     clustering → split / top-k / packing, with per-stage wall time and
     shuffle read/write bytes (UI REST).  Returns {stage: metrics}.
+
+    ``full=False`` is the NARROW variant for the 100M-doc growth step:
+    it drops the two widest/slowest span stages (boilerplate_spans,
+    ~23 GB shuffle at 50M, and decontaminate, ~7 min at 50M) whose
+    inclusion would push peak scratch past this box's ~80 GB free disk
+    — the remaining stages still cover every shuffle shape the chain
+    gates (checkpointed corpus scan, band-join pair-gen, iterative CC,
+    zero-shuffle split, salted top-k, packing).  The dropped stages'
+    growth evidence stands at 5M→50M (SCALE.md round-6 table).
 
     Synthetic corpus with PLANTED near-dups: every doc is 40 pseudo-random
     words from a 50k vocabulary (pure hash expressions — fully
@@ -386,13 +395,23 @@ def heavy_chain_phase(spark, n_docs: int) -> dict[str, dict]:
         bench = docs.where("doc_id % 9973 = 0")
         return decontaminate(docs.where("doc_id % 9973 <> 0"), bench, n=8).count()
 
-    stage("decontaminate", decon)
-    stage(
-        "boilerplate_spans",
-        lambda: int(
-            boilerplate_spans(docs, k=10).agg(F.sum("n_dup_spans")).first()[0]
-        ),
-    )
+    if full:
+        stage("decontaminate", decon)
+        stage(
+            "boilerplate_spans",
+            lambda: int(
+                boilerplate_spans(docs, k=10).agg(F.sum("n_dup_spans")).first()[0]
+            ),
+        )
+    # Release the checkpointed corpus/pairs so ContextCleaner can GC
+    # this phase's shuffle files before the next (bigger) phase runs —
+    # peak scratch then tracks ONE phase, not the sum of both.
+    for df_ in (ckpt.get("docs"), pairs_df.get("p")):
+        if df_ is not None:
+            try:
+                df_.unpersist()
+            except Exception:
+                pass
     return metrics
 
 
@@ -588,9 +607,15 @@ def main() -> None:
 
     hv = int(sys.argv[5]) if len(sys.argv) > 5 else 10_000_000
     if hv:
+        import os
+
+        # SPARK_GRAFT_HEAVY_NARROW=1 → the reduced-width chain (see
+        # heavy_chain_phase docstring) for the 100M step on ~80 GB disk.
+        full = os.environ.get("SPARK_GRAFT_HEAVY_NARROW", "") != "1"
         base_n = max(hv // 10, 1)
-        m1 = heavy_chain_phase(spark, base_n)
-        m2 = heavy_chain_phase(spark, hv)
+        m1 = heavy_chain_phase(spark, base_n, full=full)
+        spark.sparkContext._jvm.System.gc()  # reclaim phase-1 shuffle/checkpoint files
+        m2 = heavy_chain_phase(spark, hv, full=full)
         print(
             f"\nHEAVY chain growth {base_n:,} -> {hv:,} docs "
             "(10x data: healthy ~10x, quadratic ~100x):"

@@ -19,6 +19,8 @@ from simple_tsdb_spark.pipeline.text import (
     lang_id,
     fingerprint,
     tfidf_topk,
+    topk_ngrams,
+    winnowing_fingerprints,
     dsir_logweights,
     pii_scrub,
 )
@@ -47,6 +49,7 @@ from simple_tsdb_spark.pipeline.curation import (
 )
 from simple_tsdb_spark.pipeline.similarity import (
     default_centroids,
+    kmeans_clusters,
     knn_brute,
     knn_ivf_pq,
     knn_ivf,
@@ -68,6 +71,9 @@ from simple_tsdb_spark.pipeline.prewarm import prewarm
 
 __all__ = [
     "prewarm",
+    "kmeans_clusters",
+    "topk_ngrams",
+    "winnowing_fingerprints",
     "token_counts",
     "quality_score",
     "repetition_stats",

@@ -995,3 +995,78 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Sequence[Sequence[float]] | None = None,
+) -> DataFrame:
+    """Per-cluster profile of the corpus under the (optionally trained)
+    coarse quantizer — the "topic clustering" read-out a curation
+    pipeline uses to inspect corpus composition before mixture design
+    (what SemDeDup/SSL-prototype pruning cluster on).
+
+    Output one row per non-empty cluster: ``(cluster, n_vecs, sum_cos,
+    min_id, max_id)`` where ``sum_cos`` accumulates each member's
+    rounded centroid cosine in DECIMAL(28,6) (order-independent exact
+    sum, cast to double at the end — the engine's ``exact=True`` trick)
+    so the result is bit-identical across engines and partitionings.
+
+    At 100 TB: assignment is the same single-projection argmax the IVF
+    read path uses (no data movement), followed by ONE map-side-combined
+    aggregate on ≤ nlist keys; nothing corpus-sized ever shuffles or
+    broadcasts.  Pass ``centroids`` from :func:`train_ivf_centroids`
+    (nlist ~ √N) for data-fitted clusters at scale.
+    """
+    sarr = _score_array_spark("emb", dim, centroids)
+    e = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("_sarr", F.expr(sarr))
+        .select(
+            F.col("vid"),
+            F.expr("CAST(array_position(_sarr, array_max(_sarr)) - 1 AS INT)").alias(
+                "cluster"
+            ),
+            F.expr("array_max(_sarr)").alias("_cos"),
+        )
+    )
+    return (
+        e.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("_cos").cast("decimal(18,6)")).cast("double").alias("sum_cos"),
+            F.min("vid").alias("min_id"),
+            F.max("vid").alias("max_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def kmeans_clusters_oracle(
+    table: str = "embeddings",
+    *,
+    dim: int = 64,
+    centroids: Sequence[Sequence[float]] | None = None,
+) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT vec_id AS vid,
+         {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
+  FROM {table}),
+e AS (
+  SELECT vid,
+         CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS cluster,
+         list_max(sarr) AS _cos
+  FROM e0)
+SELECT cluster, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(_cos AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos,
+       MIN(vid) AS min_id, MAX(vid) AS max_id
+FROM e GROUP BY cluster ORDER BY cluster
+"""

@@ -626,3 +626,132 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones
 FROM {table}
 """
+
+
+# -- corpus-level n-gram mining --------------------------------------------
+
+def _ngrams_expr(text_col: str, n: int) -> str:
+    """Word n-gram array: slice-per-position under one transform; empty
+    when the doc has fewer than ``n`` words (sequence(1,0) would count
+    DOWN in Spark, so the short-doc case is guarded explicitly)."""
+    w = f"split({text_col}, ' ')"
+    return (
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(1, size({w}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({w}, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def topk_ngrams(
+    df: DataFrame, *, n: int = 3, k: int = 100, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most-frequent word ``n``-grams: ``(gram,
+    n_occurrences, n_docs)``, top ``k`` by occurrence count (gram text
+    breaks ties).  The boilerplate/contamination reconnaissance query —
+    what you run before choosing ``boilerplate_spans``/``decontaminate``
+    thresholds.
+
+    At 100 TB: per-doc grams aggregate map-side (partial count +
+    count_distinct partials), ONE shuffle on the uniform gram key, and
+    the global top-k is TakeOrderedAndProject — each partition ships
+    only its local top ``k``, never the full gram table.
+    """
+    grams = df.selectExpr(
+        f"{id_col} AS doc", f"explode({_ngrams_expr(text_col, int(n))}) AS gram"
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(int(k))
+    )
+
+
+def topk_ngrams_oracle(table: str = "documents", *, n: int = 3, k: int = 100) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS w FROM {table}),
+grams AS (
+  SELECT doc, UNNEST(list_transform(generate_series(1, len(w) - {n} + 1),
+                     i -> array_to_string(list_slice(w, i, i + {n} - 1), ' '))) AS gram
+  FROM toks WHERE len(w) >= {n})
+SELECT gram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc) AS n_docs
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC LIMIT {k}
+"""
+
+
+# -- winnowing fingerprints ------------------------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame, *, n: int = 4, w: int = 5, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``n``-gram, then
+    in each window of ``w`` consecutive gram hashes select the minimum
+    (leftmost on ties — both engines' position-of-min is leftmost, so
+    the variant is deterministic and cross-engine identical).  The
+    guarantee: any shared substring of ≥ ``w + n − 1`` words between two
+    documents yields at least one shared fingerprint, at a density of
+    ~2/(w+1) selected grams — local plagiarism/copy detection that
+    exact-hash and simhash fingerprints can't give.
+
+    Output ``(doc_id, pos, fp)`` — 1-based gram position and the 60-bit
+    md5-derived gram hash — distinct per doc, ordered.  Documents
+    shorter than ``n`` words emit nothing; with fewer grams than ``w``
+    the single window covers all grams (standard truncation).
+
+    At 100 TB: a pure per-doc projection (hash array + window scan,
+    all codegen, O(L·w) per doc) followed by one explode — ZERO
+    shuffles; join the output on ``fp`` (uniform md5 key) to find
+    cross-document matches.
+    """
+    words = f"split({text_col}, ' ')"
+    gh = (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(1, size({words}) - {n} + 1), "
+        f"i -> CAST(conv(substring(md5(concat_ws(' ', slice({words}, i, {n}))), 1, 15), 16, 10) AS BIGINT)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    sel = (
+        "CASE WHEN size(_gh) = 0 THEN CAST(array() AS ARRAY<STRUCT<pos: INT, fp: BIGINT>>) ELSE "
+        f"array_distinct(transform(sequence(1, greatest(size(_gh) - {w} + 1, 1)), j -> "
+        f"named_struct("
+        f"'pos', CAST(j + array_position(slice(_gh, j, {w}), array_min(slice(_gh, j, {w}))) - 1 AS INT), "
+        f"'fp', array_min(slice(_gh, j, {w})))))"
+        " END"
+    )
+    return (
+        df.selectExpr(f"{id_col} AS doc_id", f"{gh} AS _gh")
+        .selectExpr("doc_id", f"explode({sel}) AS s")
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .orderBy("doc_id", "pos", "fp")
+    )
+
+
+def winnowing_fingerprints_oracle(
+    table: str = "documents", *, n: int = 4, w: int = 5
+) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {table}),
+gh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ws) - {n} + 1),
+           i -> ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + {n} - 1), ' ')), 1, 15))::BIGINT
+         ) AS g
+  FROM toks WHERE len(ws) >= {n}),
+sel AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(g) - {w} + 1, 1)), j ->
+           {{'pos': j + list_position(list_slice(g, j, j + {w} - 1), list_min(list_slice(g, j, j + {w} - 1))) - 1,
+             'fp': list_min(list_slice(g, j, j + {w} - 1))}}) AS fps
+  FROM gh WHERE len(g) >= 1)
+SELECT DISTINCT doc_id, CAST(f['pos'] AS INTEGER) AS pos, f['fp'] AS fp
+FROM (SELECT doc_id, UNNEST(fps) AS f FROM sel)
+ORDER BY doc_id, pos, fp
+"""

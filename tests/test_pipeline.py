@@ -792,3 +792,109 @@ def test_prewarm_compiles_and_warms(spark):
     out = knn_ivf(embs, query_ids=(0, 1), k=3).collect()
     assert len(out) > 0
     assert time.time() - t0 < 60
+
+
+def test_topk_ngrams_python_model(spark):
+    """topk_ngrams vs direct python recomputation on a tiny corpus."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import topk_ngrams
+
+    docs = [
+        (1, "a b c a b c"),
+        (2, "a b c d"),
+        (3, "x y"),          # shorter than n: contributes nothing
+        (4, "a b c"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {
+        r["gram"]: (r["n_occurrences"], r["n_docs"])
+        for r in topk_ngrams(df, n=3, k=10).collect()
+    }
+    # "a b c": docs 1 (x2), 2, 4 -> 4 occurrences over 3 docs
+    assert got["a b c"] == (4, 3)
+    assert got["b c a"] == (1, 1)
+    assert got["b c d"] == (1, 1)
+    assert "x y" not in got
+
+
+def test_winnowing_guarantee_and_model(spark):
+    """Winnowing must (a) match a direct python model and (b) satisfy
+    the SIGMOD-2003 guarantee: documents sharing a >= w+n-1 word run
+    share at least one fingerprint."""
+    import hashlib
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import winnowing_fingerprints
+
+    n, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words >= w+n-1=6
+    docs = [
+        (1, f"one two {shared} three"),
+        (2, f"{shared} nine ten eleven"),
+        (3, "tiny doc"),  # < n words: no fingerprints
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    rows = winnowing_fingerprints(df, n=n, w=w).collect()
+
+    def model(text):
+        ws = text.split(" ")
+        if len(ws) < n:
+            return set()
+        g = [
+            int(hashlib.md5(" ".join(ws[i:i + n]).encode()).hexdigest()[:15], 16)
+            for i in range(len(ws) - n + 1)
+        ]
+        out = set()
+        for j in range(max(len(g) - w + 1, 1)):
+            win = g[j:j + w]
+            m = min(win)
+            out.add((j + win.index(m) + 1, m))
+        return out
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    assert by_doc.get(1) == model(docs[0][1])
+    assert by_doc.get(2) == model(docs[1][1])
+    assert 3 not in by_doc
+    # guarantee: the shared 7-word run yields a shared fingerprint VALUE
+    fps1 = {fp for _p, fp in by_doc[1]}
+    fps2 = {fp for _p, fp in by_doc[2]}
+    assert fps1 & fps2
+
+
+def test_kmeans_clusters_model(spark):
+    """kmeans_clusters vs recomputing the assignment in python with the
+    same default centroid literals."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import kmeans_clusters
+    from simple_tsdb_spark.pipeline.similarity import default_centroids
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = kmeans_clusters(embs).toPandas()
+    cs = default_centroids(16, 64)
+    norms = [sum(x * x for x in c) ** 0.5 for c in cs]
+    pdf = embs.toPandas()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0, None, None])
+    for _, row in pdf.iterrows():
+        e = [float(x) for x in row["embedding"]]
+        scores = [
+            round(sum(p * q for p, q in zip(e, c)) / nrm, 6)
+            for c, nrm in zip(cs, norms)
+        ]
+        cl = scores.index(max(scores))
+        a = agg[cl]
+        a[0] += 1
+        a[1] += max(scores)
+        a[2] = row["vec_id"] if a[2] is None else min(a[2], row["vec_id"])
+        a[3] = row["vec_id"] if a[3] is None else max(a[3], row["vec_id"])
+    assert len(got) == len(agg)
+    for _, r in got.iterrows():
+        n, s, lo, hi = agg[r["cluster"]]
+        assert r["n_vecs"] == n and r["min_id"] == lo and r["max_id"] == hi
+        assert abs(r["sum_cos"] - s) < 1e-4
