@@ -370,6 +370,15 @@ def _q_kmeans_clusters(spark, sf_dir):
     return kmeans_clusters(_embs(spark, sf_dir))
 
 
+CLUSTER_PRUNE_K = 50
+
+
+def _q_cluster_prune(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import cluster_prune
+
+    return cluster_prune(_embs(spark, sf_dir), k=CLUSTER_PRUNE_K)
+
+
 def _q_dsir_weights(spark, sf_dir):
     from simple_tsdb_spark.pipeline import dsir_logweights
 
@@ -619,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
+        "cluster_prune": _q_cluster_prune,  # SSL-prototype coreset keep-k
         # r6 tail — needs fresh driver evidence first
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
@@ -1022,6 +1032,7 @@ def _pipeline_oracles() -> dict[str, str]:
         blob_features_oracle,
     )
     from simple_tsdb_spark.pipeline.similarity import (
+        cluster_prune_oracle,
         kmeans_clusters_oracle,
         knn_brute_oracle,
         knn_ivf_oracle,
@@ -1060,6 +1071,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "topk_ngrams": topk_ngrams_oracle(n=3, k=100),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
         "kmeans_clusters": kmeans_clusters_oracle(),
+        "cluster_prune": cluster_prune_oracle(k=CLUSTER_PRUNE_K),
         "tfidf_topk": tfidf_topk_oracle(k=5),
         "pii_scrub": pii_scrub_oracle(),
         "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),

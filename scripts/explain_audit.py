@@ -227,6 +227,43 @@ def main() -> int:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    # winnowing_fingerprints: a pure per-doc projection + explode — the
+    # only Exchange allowed is the final presentation ORDER BY (range
+    # partitioning); no hash shuffle, no aggregation, no join.
+    from simple_tsdb_spark.pipeline import (
+        cluster_prune,
+        topk_ngrams,
+        winnowing_fingerprints,
+    )
+
+    t = tree_of(winnowing_fingerprints(docs))
+    ok &= check(
+        "winnowing: zero hash shuffles (projection + explode only)",
+        "hashpartitioning" not in t and "BroadcastExchange" not in t,
+    )
+
+    # topk_ngrams: global top-k must be TakeOrderedAndProject (each
+    # partition ships only its local top k), never a full global sort.
+    p = plan_of(topk_ngrams(docs, n=3, k=100))
+    ok &= check("topk_ngrams: top-k is TakeOrderedAndProject", "TakeOrderedAndProject" in p)
+    ok &= check(
+        "topk_ngrams: gram aggregation map-side partial",
+        "partial_count" in p or "Partial" in p,
+    )
+
+    # cluster_prune: the per-cluster rank must be the salted two-stage
+    # idiom — stage 1 keyed (cluster, salt) so a giant cluster cannot
+    # pin one task, stage 2 exact on the bounded survivors.
+    p = plan_of(cluster_prune(embs, k=10))
+    ok &= check(
+        "cluster_prune: stage-1 rank keyed (cluster, salt)",
+        bool(re.search(r"hashpartitioning\(cluster#\d+, _salt#\d+", p)),
+    )
+    ok &= check(
+        "cluster_prune: stage-2 exact rank keyed cluster only",
+        bool(re.search(r"hashpartitioning\(cluster#\d+, \d+\)", p)),
+    )
+
     # knn_ivf: the corpus must NEVER shuffle on list_id — its only join is
     # against the hint-broadcast (tiny) probe set; the shuffles in the plan
     # are the query-side ranking windows keyed by query_id.

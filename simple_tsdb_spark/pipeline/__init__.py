@@ -48,6 +48,7 @@ from simple_tsdb_spark.pipeline.curation import (
     pack_sequences,
 )
 from simple_tsdb_spark.pipeline.similarity import (
+    cluster_prune,
     default_centroids,
     kmeans_clusters,
     knn_brute,
@@ -72,6 +73,7 @@ from simple_tsdb_spark.pipeline.prewarm import prewarm
 __all__ = [
     "prewarm",
     "kmeans_clusters",
+    "cluster_prune",
     "topk_ngrams",
     "winnowing_fingerprints",
     "token_counts",

@@ -1070,3 +1070,89 @@ SELECT cluster, COUNT(*) AS n_vecs,
        MIN(vid) AS min_id, MAX(vid) AS max_id
 FROM e GROUP BY cluster ORDER BY cluster
 """
+
+
+def cluster_prune(
+    df: DataFrame,
+    *,
+    k: int,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Sequence[Sequence[float]] | None = None,
+    salts: int = 32,
+) -> DataFrame:
+    """Cluster-balanced coreset selection (the SSL-prototypes pruning
+    rule of Sorscher et al. 2022, arXiv:2206.14486): keep the ``k``
+    HARDEST examples per quantizer cluster — lowest centroid cosine =
+    farthest from its prototype, the examples that carry the most
+    marginal information; easy near-prototype duplicates are dropped.
+    Output ``(cluster, vec_id, cos, rk)`` for kept vectors.
+
+    Keep rule: cos ASC, id ASC tiebreak — fully deterministic.
+
+    At 100 TB: assignment is the read path's argmax projection (no
+    movement); ranking reuses the salted two-stage idiom
+    (``curation.domain_topk``) so a giant cluster cannot pin one task —
+    stage 1 ranks within (cluster, salt) and keeps ≤ k rows per salt,
+    stage 2 ranks the ≤ salts·k survivors exactly.  With nlist ~ √N
+    trained centroids the output is nlist·k rows — coreset-sized.
+    """
+    from pyspark.sql import Window
+
+    sarr = _score_array_spark("emb", dim, centroids)
+    e = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("_sarr", F.expr(sarr))
+        .select(
+            "vid",
+            F.expr("CAST(array_position(_sarr, array_max(_sarr)) - 1 AS INT)").alias(
+                "cluster"
+            ),
+            F.expr("array_max(_sarr)").alias("cos"),
+        )
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col("vid")), F.lit(int(salts))))
+    )
+    order = [F.col("cos").asc(), F.col("vid").asc()]
+    w1 = Window.partitionBy("cluster", "_salt").orderBy(*order)
+    survivors = (
+        e.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= int(k))
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("cluster").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= int(k))
+        .select("cluster", F.col("vid").alias(id_col), "cos", "rk")
+        .orderBy("cluster", "rk")
+    )
+
+
+def cluster_prune_oracle(
+    table: str = "embeddings",
+    *,
+    k: int,
+    dim: int = 64,
+    centroids: Sequence[Sequence[float]] | None = None,
+) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT vec_id,
+         {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
+  FROM {table}),
+e AS (
+  SELECT vec_id,
+         CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS cluster,
+         list_max(sarr) AS cos
+  FROM e0),
+ranked AS (
+  SELECT cluster, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY cos ASC, vec_id ASC) AS rk
+  FROM e)
+SELECT cluster, vec_id, cos, rk FROM ranked WHERE rk <= {k}
+ORDER BY cluster, rk
+"""

@@ -898,3 +898,44 @@ def test_kmeans_clusters_model(spark):
         n, s, lo, hi = agg[r["cluster"]]
         assert r["n_vecs"] == n and r["min_id"] == lo and r["max_id"] == hi
         assert abs(r["sum_cos"] - s) < 1e-4
+
+
+def test_cluster_prune_model(spark):
+    """cluster_prune vs python model: keep k hardest (lowest cos) per
+    cluster, deterministic ties."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import cluster_prune
+    from simple_tsdb_spark.pipeline.similarity import default_centroids
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = 5
+    got = cluster_prune(embs, k=k).toPandas()
+    cs = default_centroids(16, 64)
+    norms = [sum(x * x for x in c) ** 0.5 for c in cs]
+    rows = []
+    for _, row in embs.toPandas().iterrows():
+        e = [float(x) for x in row["embedding"]]
+        scores = [
+            round(sum(p * q for p, q in zip(e, c)) / nrm, 6)
+            for c, nrm in zip(cs, norms)
+        ]
+        rows.append((scores.index(max(scores)), int(row["vec_id"]), max(scores)))
+    import itertools
+
+    want = []
+    rows.sort(key=lambda r: (r[0], r[2], r[1]))
+    for cl, grp in itertools.groupby(rows, key=lambda r: r[0]):
+        for rk, (c, vid, cos) in enumerate(list(grp)[:k], 1):
+            want.append((c, vid, cos, rk))
+    got_t = [
+        (int(r["cluster"]), int(r["vec_id"]), float(r["cos"]), int(r["rk"]))
+        for _, r in got.iterrows()
+    ]
+    assert sorted(got_t) == sorted(want)
+    # within each cluster, kept examples are the FARTHEST from prototype
+    per_cl = {c: [cos for (cc, _v, cos, _r) in want if cc == c] for c, *_ in want}
+    for c, kept in per_cl.items():
+        dropped = [cos for (cc, _v, cos) in rows if cc == c][k:]
+        if dropped:
+            assert max(kept) <= min(dropped) + 1e-9
