@@ -348,7 +348,18 @@ def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dic
     ckpt = {}
 
     def gen():
-        ckpt["docs"] = docs.localCheckpoint(eager=True)
+        if full:
+            ckpt["docs"] = docs.localCheckpoint(eager=True)
+        else:
+            # Narrow/100M mode: the corpus materialization goes DISK_ONLY
+            # — a ~30 GB localCheckpoint pins unified memory (checkpoint
+            # blocks are the lineage, so they can't be evicted) and
+            # starves execution even at 64g heap (measured: minhash OOMs
+            # at 100M).  Disk persist gives the same single
+            # materialization + stable measurements without the pin.
+            from pyspark import StorageLevel
+
+            ckpt["docs"] = docs.persist(StorageLevel.DISK_ONLY)
         return ckpt["docs"].count()
 
     stage("gen+checkpoint", gen)
