@@ -139,8 +139,12 @@ def test_writer_randomized_model(spark, tmp_path):
     reference WAL semantics (wal.cc:54-347): intra-batch dup rejection,
     watermark drop, byte-verified retransmit, committed-time_last
     ordering, dedup-mode idempotence.  Exercises the round-6 fast lane
-    (time_last sidecar, pandas pre-pass, single-task append) across
-    states a hand-written test can't enumerate."""
+    (time_last sidecar, pandas pre-pass, single-task append) AND the
+    round-7 zero-job pyarrow WAL lane (monotone pandas batches take it
+    automatically; overlapping ones fall back to the Spark verify) —
+    with wal_lane force-disabled on a random subset so both pandas
+    sub-lanes interleave against the same store — across states a
+    hand-written test can't enumerate."""
     import random
 
     import pandas as pd
@@ -231,7 +235,10 @@ def test_writer_randomized_model(spark, tmp_path):
             if kind == "df":
                 r = write_points(spark, path, spark.createDataFrame(pdf, schema), mode=mode)
             else:
-                r = write_points_pandas(spark, path, pdf, schema, mode=mode)
+                r = write_points_pandas(
+                    spark, path, pdf, schema, mode=mode,
+                    wal_lane=rng.random() < 0.7,
+                )
             got_err = None
         except (OutOfOrderTimestamps, OverwriteMismatch) as exc:
             got_err = type(exc)
