@@ -364,6 +364,12 @@ def _q_winnowing(spark, sf_dir):
     return winnowing_fingerprints(_docs(spark, sf_dir), n=4, w=5)
 
 
+def _q_winnowing_matches(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import winnowing_matches
+
+    return winnowing_matches(_docs(spark, sf_dir), n=4, w=5, min_shared=2)
+
+
 def _q_kmeans_clusters(spark, sf_dir):
     from simple_tsdb_spark.pipeline import kmeans_clusters
 
@@ -627,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 additions lead (new entries need driver evidence first)
         "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
+        "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
         "cluster_prune": _q_cluster_prune,  # SSL-prototype coreset keep-k
         # r6 tail — needs fresh driver evidence first
@@ -1051,6 +1058,7 @@ def _pipeline_oracles() -> dict[str, str]:
         dsir_logweights_oracle,
         topk_ngrams_oracle,
         winnowing_fingerprints_oracle,
+        winnowing_matches_oracle,
         pii_scrub_oracle,
         fingerprint_oracle,
         lang_id_oracle,
@@ -1070,6 +1078,7 @@ def _pipeline_oracles() -> dict[str, str]:
     return {
         "topk_ngrams": topk_ngrams_oracle(n=3, k=100),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
+        "winnowing_matches": winnowing_matches_oracle(n=4, w=5, min_shared=2),
         "kmeans_clusters": kmeans_clusters_oracle(),
         "cluster_prune": cluster_prune_oracle(k=CLUSTER_PRUNE_K),
         "tfidf_topk": tfidf_topk_oracle(k=5),

@@ -21,6 +21,7 @@ from simple_tsdb_spark.pipeline.text import (
     tfidf_topk,
     topk_ngrams,
     winnowing_fingerprints,
+    winnowing_matches,
     dsir_logweights,
     pii_scrub,
 )
@@ -76,6 +77,7 @@ __all__ = [
     "cluster_prune",
     "topk_ngrams",
     "winnowing_fingerprints",
+    "winnowing_matches",
     "token_counts",
     "quality_score",
     "repetition_stats",

@@ -755,3 +755,70 @@ SELECT DISTINCT doc_id, CAST(f['pos'] AS INTEGER) AS pos, f['fp'] AS fp
 FROM (SELECT doc_id, UNNEST(fps) AS f FROM sel)
 ORDER BY doc_id, pos, fp
 """
+
+
+def winnowing_matches(
+    df: DataFrame,
+    *,
+    n: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document winnowing matches — the MOSS report: document
+    pairs sharing ≥ ``min_shared`` selected fingerprints, with the
+    shared count.  Output ``(doc_a, doc_b, n_shared)``, ``doc_a <
+    doc_b``, ordered.
+
+    Fingerprints selected by more than ``max_df`` documents are dropped
+    before pair generation (boilerplate — MOSS does the same with its
+    "ignore fingerprints in > N submissions" setting): pair work is
+    then bounded by Σ df² over df ≤ max_df, never quadratic in the
+    corpus.  The fp key is a 60-bit md5 hash — uniform, skew-free.
+
+    At 100 TB: per-doc fingerprinting is the zero-shuffle
+    :func:`winnowing_fingerprints` scan; the df cap is one aggregate on
+    the uniform fp key; pair-gen is a self-join on fp whose per-key
+    width is ≤ max_df by construction.
+    """
+    fps = (
+        winnowing_fingerprints(df, n=n, w=w, text_col=text_col, id_col=id_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fp_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    kept = fps.join(
+        fp_df.where(F.col("_df") <= int(max_df)).select("fp"), "fp"
+    )
+    a = kept.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = kept.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    pairs = a.join(b, "fp").where(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def winnowing_matches_oracle(
+    table: str = "documents", *, n: int = 4, w: int = 5,
+    min_shared: int = 2, max_df: int = 64,
+) -> str:
+    inner = winnowing_fingerprints_oracle(table, n=n, w=w).strip().rstrip()
+    # reuse the fingerprint oracle as a CTE body (strip its ORDER BY)
+    inner = inner[: inner.rindex("ORDER BY")]
+    return f"""
+WITH fps0 AS ({inner}),
+fps AS (SELECT DISTINCT doc_id, fp FROM fps0),
+fpdf AS (SELECT fp FROM (SELECT fp, COUNT(*) AS _df FROM fps GROUP BY fp) WHERE _df <= {max_df}),
+kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN fpdf USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, COUNT(*) AS n_shared
+FROM pairs GROUP BY doc_a, doc_b HAVING COUNT(*) >= {min_shared}
+ORDER BY doc_a, doc_b
+"""

@@ -939,3 +939,36 @@ def test_cluster_prune_model(spark):
         dropped = [cos for (cc, _v, cos) in rows if cc == c][k:]
         if dropped:
             assert max(kept) <= min(dropped) + 1e-9
+
+
+def test_winnowing_matches_model(spark):
+    """winnowing_matches finds the planted copied-run pair, respects
+    min_shared, and the max_df boilerplate cap drops ubiquitous
+    fingerprints from pair generation."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import winnowing_matches
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    boiler = "this is common footer text every doc has"
+    docs = [
+        (1, f"one two {shared} xx"),
+        (2, f"{shared} nine ten"),
+        (3, f"unrelated words only here nothing common {boiler}"),
+        (4, f"completely different content again {boiler}"),
+        (5, f"more unrelated filler stuff {boiler}"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnowing_matches(df, n=3, w=4, min_shared=2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    # boilerplate cap: fingerprints in >2 docs dropped -> 3/4/5 pairs gone
+    got_capped = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnowing_matches(df, n=3, w=4, min_shared=1, max_df=2).collect()
+    }
+    for pair in [(3, 4), (3, 5), (4, 5)]:
+        assert pair not in got_capped
+    assert (1, 2) in got_capped
