@@ -350,20 +350,31 @@ def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dic
     def gen():
         if full:
             ckpt["docs"] = docs.localCheckpoint(eager=True)
-        else:
-            # Narrow/100M mode: the corpus materialization goes DISK_ONLY
-            # — a ~30 GB localCheckpoint pins unified memory (checkpoint
-            # blocks are the lineage, so they can't be evicted) and
-            # starves execution even at 64g heap (measured: minhash OOMs
-            # at 100M).  Disk persist gives the same single
-            # materialization + stable measurements without the pin.
-            from pyspark import StorageLevel
+            return ckpt["docs"].count()
+        # Narrow/100M mode: NO corpus materialization.  At 10⁸ docs a
+        # localCheckpoint pins ~30 GB of unified memory (checkpoint
+        # blocks are the lineage — unevictable; measured: minhash OOMs
+        # at 64g heap) and a DISK_ONLY persist holds ~30 GB of the box's
+        # ~80 GB scratch CONCURRENTLY with the widest stage's ~55 GB
+        # shuffle (measured: ENOSPC trajectory).  The corpus is pure
+        # hash expressions, so each stage recomputes it instead — the
+        # repartition exchange re-runs per stage, identically at BOTH
+        # scales, so the per-stage ×10 byte ratios the gate checks are
+        # unaffected (absolute per-stage bytes just include one corpus
+        # re-exchange).  gen here measures one materialization pass.
+        ckpt["docs"] = docs
+        return docs.count()
 
-            ckpt["docs"] = docs.persist(StorageLevel.DISK_ONLY)
-        return ckpt["docs"].count()
-
-    stage("gen+checkpoint", gen)
+    stage("gen+checkpoint" if full else "gen (recompute mode)", gen)
     docs = ckpt["docs"]
+
+    def _gc():
+        # Narrow mode: drop finished stages' shuffle files before the
+        # next stage peaks (ContextCleaner reclaims shuffles whose RDDs
+        # are unreachable; a JVM GC makes them so promptly).
+        if not full:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
 
     pairs_df = {}
 
@@ -372,7 +383,9 @@ def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dic
         pairs_df["p"] = p
         return p.count()
 
+    _gc()
     n_pairs = stage("minhash_lsh_pairs", find_pairs)
+    _gc()
     planted = N // 20
     # LSH recall on the planted pairs must hold at every scale; random
     # band collisions must not blow the pair count up super-linearly.
@@ -386,6 +399,7 @@ def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dic
         return cc.where(F.col("doc") != F.col("component")).count()
 
     n_non_keeper = stage("dedup_components", cluster)
+    _gc()
     metrics["dedup_components"]["rounds"] = cc_stats.get("rounds")
     print(f"HEAVY[{N:,}] CC rounds={cc_stats.get('rounds')}")
     assert cc_stats.get("rounds", 99) <= 4, cc_stats
@@ -393,7 +407,9 @@ def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dic
 
     stage("hash_split", lambda: hash_split(docs).where(F.col("split") == "train").count())
     stage("domain_topk", lambda: domain_topk(docs, k=100).count())
+    _gc()
     stage("pack_sequences", lambda: int(pack_sequences(docs, budget=8192).agg(F.max("pack")).first()[0]))
+    _gc()
 
     # Span ops on the same corpus.  Benchmark = ~N/10k docs: the bench
     # gram set stays broadcast-sized at any corpus scale (the operator's
