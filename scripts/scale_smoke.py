@@ -337,13 +337,15 @@ def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dic
             .alias("source"),
         )
         .withColumn("n_chars", F.length("text"))
+    )
+    if full:
         # Round-robin away spark.range's id-range partitioning (it
         # survives localCheckpoint and would make every doc-keyed
         # aggregation exchange-free — correct, but unrepresentative of a
         # parquet-read corpus, and this phase is here to MEASURE the
-        # shuffles).
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+        # shuffles).  Narrow mode doesn't need it: the parquet
+        # round-trip below de-couples the layout on its own.
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     ckpt = {}
 
@@ -351,21 +353,27 @@ def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dic
         if full:
             ckpt["docs"] = docs.localCheckpoint(eager=True)
             return ckpt["docs"].count()
-        # Narrow/100M mode: NO corpus materialization.  At 10⁸ docs a
-        # localCheckpoint pins ~30 GB of unified memory (checkpoint
-        # blocks are the lineage — unevictable; measured: minhash OOMs
-        # at 64g heap) and a DISK_ONLY persist holds ~30 GB of the box's
-        # ~80 GB scratch CONCURRENTLY with the widest stage's ~55 GB
-        # shuffle (measured: ENOSPC trajectory).  The corpus is pure
-        # hash expressions, so each stage recomputes it instead — the
-        # repartition exchange re-runs per stage, identically at BOTH
-        # scales, so the per-stage ×10 byte ratios the gate checks are
-        # unaffected (absolute per-stage bytes just include one corpus
-        # re-exchange).  gen here measures one materialization pass.
-        ckpt["docs"] = docs
-        return docs.count()
+        # Narrow/100M mode: materialize the corpus as PARQUET and read
+        # it back — the most representative shape there is (real corpora
+        # are parquet reads; every doc-keyed agg plans its exchange
+        # exactly as in production) and the cheapest: snappy parquet of
+        # the word text is ~4x smaller than a localCheckpoint (which
+        # pins unified memory — measured minhash OOM at 64g) or a
+        # DISK_ONLY persist (~30 GB held concurrently with the widest
+        # stage's shuffle — measured ENOSPC), and it replaces the
+        # per-stage 30 GB repartition re-exchange of the recompute
+        # alternative.  The explicit repartition before the write is
+        # dropped (the parquet round-trip already de-couples the layout
+        # from spark.range's id-range partitioning).
+        import tempfile
 
-    stage("gen+checkpoint" if full else "gen (recompute mode)", gen)
+        path = tempfile.mkdtemp(prefix="heavy_corpus_") + "/docs"
+        ckpt["path"] = path
+        docs.write.mode("overwrite").parquet(path)
+        ckpt["docs"] = spark.read.parquet(path)
+        return ckpt["docs"].count()
+
+    stage("gen+checkpoint" if full else "gen+parquet", gen)
     docs = ckpt["docs"]
 
     def _gc():
@@ -439,6 +447,10 @@ def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dic
                 df_.unpersist()
             except Exception:
                 pass
+    if ckpt.get("path"):
+        import shutil
+
+        shutil.rmtree(ckpt["path"].rsplit("/", 1)[0], ignore_errors=True)
     return metrics
 
 
