@@ -61,6 +61,14 @@ def get_spark(
         # events table is nanosecond-precision; Spark TimestampType is µs).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Shuffle/spill compression codec.  lz4 (Spark default) optimizes
+    # CPU; zstd halves shuffle bytes on text-heavy corpora — at 100 TB
+    # (or on a scratch-disk-bound box) the byte reduction is usually the
+    # better trade.  The 100M-doc growth run sets this to zstd; default
+    # stays lz4 so bench numbers remain comparable across rounds.
+    codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if codec:
+        builder = builder.config("spark.io.compression.codec", codec)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
