@@ -369,7 +369,7 @@ def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dic
 
         path = tempfile.mkdtemp(prefix="heavy_corpus_") + "/docs"
         ckpt["path"] = path
-        docs.write.mode("overwrite").parquet(path)
+        docs.write.mode("overwrite").option("compression", "zstd").parquet(path)
         ckpt["docs"] = spark.read.parquet(path)
         return ckpt["docs"].count()
 
