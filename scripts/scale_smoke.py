@@ -660,15 +660,20 @@ def main() -> None:
             "(10x data: healthy ~10x, quadratic ~100x):"
         )
         for k in m1:
-            r_t = m2[k]["sec"] / max(m1[k]["sec"], 0.1)
+            t1, t2 = m1[k]["sec"], m2[k]["sec"]
             w1, w2 = m1[k]["shuffle_write_mb"], m2[k]["shuffle_write_mb"]
-            # dedup_components shuffles once per round and the round count
+            # dedup_components works once per round and the round count
             # is a graph-diameter property, not a data-volume one (a few
-            # noise pairs can add a round); normalize to per-round bytes
-            # so the gate measures volume growth.
+            # noise pairs can add a round); normalize BOTH time and bytes
+            # to per-round so the gate measures volume growth (measured
+            # r7: 2 rounds at 10M vs 3 at 100M — raw time ×27.9, per
+            # round ×18.6).
             if k == "dedup_components":
+                t1 = t1 / max(m1[k].get("rounds") or 1, 1)
+                t2 = t2 / max(m2[k].get("rounds") or 1, 1)
                 w1 = w1 / max(m1[k].get("rounds") or 1, 1)
                 w2 = w2 / max(m2[k].get("rounds") or 1, 1)
+            r_t = t2 / max(t1, 0.1)
             r_w = (w2 / max(w1, 0.1)) if w1 >= 0 and w2 >= 0 else -1.0
             print(
                 f"  {k:20s} time x{r_t:5.1f}  shuffle-write x{r_w:5.1f}  "
