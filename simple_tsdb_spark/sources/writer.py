@@ -345,7 +345,11 @@ def _try_wal_append_pandas(
         return None
     if series_buckets and "series_buckets" not in layout:
         return None  # caller selects the hashed layout on first write
-    if not all(_PLAIN_SERIES_RE.match(s) for s in stats.per_series):
+    if not all(isinstance(s, str) and _PLAIN_SERIES_RE.match(s) for s in stats.per_series):
+        return None
+    if any(lo < 0 for _s, (lo, _hi) in stats.per_series.items()):
+        # negative time_ns: numpy floor-div and Spark's truncating %
+        # would bucket differently — the Spark lane owns that case
         return None
     if not isinstance(get_fs(measurement_path), LocalFS):
         return None
