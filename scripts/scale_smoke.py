@@ -454,7 +454,7 @@ def heavy_chain_phase(spark, n_docs: int, *, full: bool = True) -> dict[str, dic
     return metrics
 
 
-def ann_phase(spark, n_vecs: int) -> dict[str, dict]:
+def ann_phase(spark, n_vecs: int, *, big: bool | None = None) -> dict[str, dict]:
     """Similarity-search growth: IVF search and PQ index build at
     ``n_vecs`` scale, with the same per-stage wall/shuffle accounting as
     the heavy chain.  The corpus is a pure hash-expression embedding
@@ -492,24 +492,35 @@ def ann_phase(spark, n_vecs: int) -> dict[str, dict]:
         )
         return out
 
-    vecs = (
-        spark.range(N)
-        .select(
-            F.col("id").alias("vec_id"),
-            F.expr(
-                "transform(sequence(0, 63), d -> "
-                "CAST((pmod(hash(id, d), 1000) - 500) / 500.0 AS FLOAT))"
-            ).alias("embedding"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
+    vecs = spark.range(N).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> "
+            "CAST((pmod(hash(id, d), 1000) - 500) / 500.0 AS FLOAT))"
+        ).alias("embedding"),
     )
     ckpt = {}
+    # ≥10⁸ vectors: same materialization trade as the heavy chain — a
+    # localCheckpoint would pin ~26 GB of unified memory; parquet
+    # round-trip is production-shaped and scratch-cheap.
+    if big is None:
+        big = N > 20_000_000
 
     def gen():
-        ckpt["v"] = vecs.localCheckpoint(eager=True)
+        if big:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="ann_corpus_") + "/vecs"
+            ckpt["path"] = path
+            vecs.write.mode("overwrite").option("compression", "zstd").parquet(path)
+            ckpt["v"] = spark.read.parquet(path)
+        else:
+            ckpt["v"] = vecs.repartition(
+                spark.sparkContext.defaultParallelism
+            ).localCheckpoint(eager=True)
         return ckpt["v"].count()
 
-    stage("gen+checkpoint", gen)
+    stage("gen+parquet" if big else "gen+checkpoint", gen)
     v = ckpt["v"]
 
     n_q = stage(
@@ -518,6 +529,10 @@ def ann_phase(spark, n_vecs: int) -> dict[str, dict]:
     )
     assert n_q == 5 * 10, n_q
     stage("pq_encode", lambda: pq_encode(v).count())
+    if ckpt.get("path"):
+        import shutil
+
+        shutil.rmtree(ckpt["path"].rsplit("/", 1)[0], ignore_errors=True)
     return metrics
 
 
@@ -690,8 +705,11 @@ def main() -> None:
 
     av = int(sys.argv[6]) if len(sys.argv) > 6 else 10_000_000
     if av:
-        a1 = ann_phase(spark, max(av // 10, 1))
-        a2 = ann_phase(spark, av)
+        # one materialization mode for BOTH phases so ratios compare
+        # like against like (see ann_phase `big`)
+        a1 = ann_phase(spark, max(av // 10, 1), big=av > 20_000_000)
+        spark.sparkContext._jvm.System.gc()
+        a2 = ann_phase(spark, av, big=av > 20_000_000)
         print(f"\nANN growth {max(av // 10, 1):,} -> {av:,} vectors:")
         for k in a1:
             r_t = a2[k]["sec"] / max(a1[k]["sec"], 0.1)
