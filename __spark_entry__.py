@@ -624,11 +624,12 @@ def _q_revenue_rollup(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation (round 7, standing per-round mechanic until the driver
-    # gates all declared entries): the 14 entries past slot 50 last
-    # round (minhash_lsh .. pq_encode, judge-verified but not
-    # driver-gated in r6) come FIRST, followed by round-7 additions,
-    # then the r6-gated 50 in their previous order.  Whichever entries
-    # fall past the gate this round lead the next round's dict.
+    # gates all declared entries): round-7 additions lead (new entries
+    # need driver evidence first), then the 14 entries past slot 50
+    # last round (minhash_lsh .. pq_encode, judge-verified but not
+    # driver-gated in r6), then the r6-gated 50 in their previous
+    # order.  Whichever entries fall past the gate this round lead the
+    # next round's dict.
     return {
         # round-7 additions lead (new entries need driver evidence first)
         "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
