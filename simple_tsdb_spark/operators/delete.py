@@ -24,7 +24,6 @@ Delta/Iceberg the physical step becomes ``DELETE WHERE`` + OPTIMIZE.
 
 from __future__ import annotations
 
-import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,32 +34,29 @@ class RetentionWatermarks:
     ``time_first`` file per series, ``doc/LOCKING.txt:50-72``)."""
 
     def __init__(self, measurement_path: str):
-        from simple_tsdb_spark.fs import get_fs
+        from simple_tsdb_spark.marks import MarkStore
 
-        self.path = f"{measurement_path}/_tsdb_meta/time_first.json"
-        self._fs = get_fs(self.path)
-        self._marks: dict[str, int] = {}
-        if self._fs.exists(self.path):
-            self._marks = {
-                k: int(v) for k, v in json.loads(self._fs.read_text(self.path)).items()
-            }
+        self._store = MarkStore(measurement_path, "time_first")
+        self.path = self._store.path
+        self._fs = self._store._fs
+
+    @property
+    def _marks(self):
+        return self._store._marks
 
     def get(self, series: str) -> int:
-        return self._marks.get(series, 0)
+        return self._store._marks.get(series, 0)
 
     def advance(self, series: str, time_first: int) -> None:
         # time_first only ever advances (delete.cc: monotone).
-        self._marks[series] = max(self.get(series), int(time_first))
-        # atomic publish, like the reference's rename
-        self._fs.write_text_atomic(self.path, json.dumps(self._marks))
+        self._store._advance({series: int(time_first)}, floor=0)
 
     def advance_many(self, firsts: dict[str, int]) -> None:
-        """Batch advance with ONE atomic publish — a first write touching
-        S new series must not rewrite the sidecar S times (O(S²) bytes
-        at 10⁵ series)."""
-        for s, t in firsts.items():
-            self._marks[s] = max(self.get(s), int(t))
-        self._fs.write_text_atomic(self.path, json.dumps(self._marks))
+        """Batch advance with ONE atomic publish per touched shard — a
+        first write touching S new series must not rewrite the sidecar
+        S times (O(S²) bytes at 10⁵ series); above the shard threshold
+        only touched hash buckets rewrite (see marks.py)."""
+        self._store._advance(firsts, floor=0)
 
     def apply(self, df: DataFrame) -> DataFrame:
         """Read-path filter: hide rows below any series' watermark.

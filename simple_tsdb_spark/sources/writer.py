@@ -108,29 +108,24 @@ class TimeLastMarks:
     could publish a stale snapshot and roll a mark backward."""
 
     def __init__(self, measurement_path: str):
-        import json
+        from simple_tsdb_spark.marks import MarkStore
 
-        from simple_tsdb_spark.fs import get_fs
+        self._store = MarkStore(measurement_path, "time_last")
+        # expose the store's mapping + path for existing call sites
+        self.path = self._store.path
+        self._fs = self._store._fs
 
-        self.path = f"{measurement_path}/_tsdb_meta/time_last.json"
-        self._fs = get_fs(self.path)
-        self._marks: dict[str, int] = {}
-        if self._fs.exists(self.path):
-            self._marks = {
-                k: int(v) for k, v in json.loads(self._fs.read_text(self.path)).items()
-            }
+    @property
+    def _marks(self):
+        return self._store._marks
 
     def get(self, series: str) -> int | None:
         """None = unknown (pre-sidecar data may exist → caller must
         verify against the store)."""
-        return self._marks.get(series)
+        return self._store._marks.get(series)
 
     def advance_many(self, highs: dict[str, int]) -> None:
-        import json
-
-        for s, t in highs.items():
-            self._marks[s] = max(self._marks.get(s, 0), int(t))
-        self._fs.write_text_atomic(self.path, json.dumps(self._marks))
+        self._store._advance(highs, floor=0)
 
 
 def _layout(measurement_path: str) -> dict:
