@@ -352,6 +352,18 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def _q_ngram_lm(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import ngram_lm_score
+
+    return ngram_lm_score(_docs(spark, sf_dir))
+
+
+def _q_stratified_split(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import stratified_split
+
+    return stratified_split(_docs(spark, sf_dir), frac=0.1)
+
+
 def _q_topk_ngrams(spark, sf_dir):
     from simple_tsdb_spark.pipeline import topk_ngrams
 
@@ -633,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-7 additions lead (new entries need driver evidence first)
         "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
+        "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
+        "stratified_split": _q_stratified_split,  # exact-fraction per-stratum holdout
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
         "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
@@ -1054,10 +1068,12 @@ def _pipeline_oracles() -> dict[str, str]:
         decontaminate_oracle,
         decontaminate_pairs_oracle,
     )
+    from simple_tsdb_spark.pipeline.curation import stratified_split_oracle
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
     from simple_tsdb_spark.pipeline.text import (
         dsir_logweights_oracle,
         topk_ngrams_oracle,
+        ngram_lm_score_oracle,
         winnowing_fingerprints_oracle,
         winnowing_matches_oracle,
         pii_scrub_oracle,
@@ -1078,6 +1094,8 @@ def _pipeline_oracles() -> dict[str, str]:
 
     return {
         "topk_ngrams": topk_ngrams_oracle(n=3, k=100),
+        "ngram_lm_score": ngram_lm_score_oracle(),
+        "stratified_split": stratified_split_oracle(frac=0.1),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
         "winnowing_matches": winnowing_matches_oracle(n=4, w=5, min_shared=2),
         "kmeans_clusters": kmeans_clusters_oracle(),

@@ -206,6 +206,31 @@ def main() -> int:
             bool(re.search(r"(SortMergeJoin|ShuffledHashJoin) \[term#\d+", t)),
         )
 
+        # ngram_lm_score: both score joins (bigram key, history-word
+        # key) follow the same hot/tail split — the forced broadcasts
+        # are the bounded hot tables; the tail joins shuffle on keys
+        # each < N·hot_frac rows wide by construction; the corpus text
+        # itself never broadcasts.
+        from simple_tsdb_spark.pipeline import ngram_lm_score
+
+        t = tree_of(ngram_lm_score(docs))
+        ok &= check(
+            "ngram_lm: bounded hot-bigram table broadcast-joined (forced)",
+            bool(re.search(r"BroadcastHashJoin \[g#\d+", t)),
+        )
+        ok &= check(
+            "ngram_lm: hot history (w1) table broadcast-joined (forced)",
+            bool(re.search(r"BroadcastHashJoin \[w1#\d+", t)),
+        )
+        ok &= check(
+            "ngram_lm: bigram tail joins keyed g (bounded per-key width)",
+            bool(re.search(r"(SortMergeJoin|ShuffledHashJoin) \[g#\d+", t)),
+        )
+        ok &= check(
+            "ngram_lm: corpus text never broadcast",
+            not re.search(r"BroadcastExchange[^\n]*\n[^\n]*text#", t),
+        )
+
         # zscore_outliers: the per-series stats join must NOT force a
         # broadcast (10⁷ series in range → multi-GB table on every
         # executor); default plants no hint so AQE picks from the stats
@@ -240,6 +265,41 @@ def main() -> int:
     ok &= check(
         "winnowing: zero hash shuffles (projection + explode only)",
         "hashpartitioning" not in t and "BroadcastExchange" not in t,
+    )
+
+    # stratified_split: exact selection must never rank a whole stratum
+    # in one window — the only row_number window is keyed
+    # (stratum, hash-bucket), i.e. ≤ 1/1024 of a stratum per task, and
+    # the histogram cumsum window only ever sees ≤1024 rows per stratum.
+    from simple_tsdb_spark.pipeline import stratified_split
+
+    t2 = tree_of(stratified_split(docs, frac=0.1))
+    ok &= check(
+        "stratified_split: boundary rank keyed (stratum, bucket)",
+        bool(re.search(r"hashpartitioning\(_st#\d+, _b#\d+", t2)),
+    )
+    ok &= check(
+        "stratified_split: row_number never windows a whole stratum",
+        all(
+            re.search(r"row_number\(\) windowspecdefinition\(_st#\d+, _b#\d+", m)
+            for m in re.findall(r"row_number\(\)[^\n]*", t2)
+        )
+        and "row_number" in t2,
+    )
+    ok &= check(
+        "stratified_split: stratum-alone windows only over the ≤1024-row histogram",
+        all(
+            "sum(_c#" in m
+            for m in re.findall(r"Window [^\n]*\], \[_st#\d+\], \[_b#", t2)
+        ),
+    )
+    ok &= check(
+        "stratified_split: histogram aggregation map-side partial",
+        "partial_count" in t2 or "Partial" in t2,
+    )
+    ok &= check(
+        "stratified_split: corpus text never shuffles (id/stratum/hash only)",
+        not re.search(r"Exchange[^\n]*\n[^\n]*text#", t2),
     )
 
     # topk_ngrams: global top-k must be TakeOrderedAndProject (each

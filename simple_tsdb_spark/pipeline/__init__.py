@@ -20,6 +20,7 @@ from simple_tsdb_spark.pipeline.text import (
     fingerprint,
     tfidf_topk,
     topk_ngrams,
+    ngram_lm_score,
     winnowing_fingerprints,
     winnowing_matches,
     dsir_logweights,
@@ -45,6 +46,7 @@ from simple_tsdb_spark.pipeline.curation import (
     dedup_components,
     domain_topk,
     hash_split,
+    stratified_split,
     mixture_sample,
     pack_sequences,
 )
@@ -76,6 +78,7 @@ __all__ = [
     "kmeans_clusters",
     "cluster_prune",
     "topk_ngrams",
+    "ngram_lm_score",
     "winnowing_fingerprints",
     "winnowing_matches",
     "token_counts",
@@ -100,6 +103,7 @@ __all__ = [
     "semdedup",
     "dedup_components",
     "hash_split",
+    "stratified_split",
     "domain_topk",
     "mixture_sample",
     "pack_sequences",

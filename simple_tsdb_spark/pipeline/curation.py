@@ -474,3 +474,107 @@ SELECT domain, {id_col}, {order_col}, rk FROM (
   FROM {table})
 WHERE rk <= {k}
 """
+
+
+# -- exact-fraction stratified split ----------------------------------------
+
+def stratified_split(
+    df: DataFrame,
+    *,
+    frac: float = 0.1,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """EXACT-fraction per-stratum eval holdout: within every stratum the
+    ``floor(frac · n_stratum)`` documents with the smallest salted hash
+    go to ``eval``, the rest to ``train`` — (doc_id, stratum, split).
+
+    ``hash_split`` is probabilistic (a 10% bucket holds ~10% ± noise);
+    benchmark holdouts often need the fraction exact per stratum.  The
+    naive exact form ranks every row in a per-stratum window — ONE task
+    per stratum, a scale-killer for a billion-doc stratum.  Here
+    selection is distributed: the 60-bit hash space is cut into 1024
+    fixed buckets, a (stratum, bucket) histogram (map-side combined,
+    ≤1024 rows per stratum) locates each stratum's boundary bucket via
+    a cumulative sum over that tiny histogram, whole buckets below the
+    boundary are taken wholesale, and only the boundary bucket —
+    ~n_stratum/1024 rows — is ranked.  No window ever sees more than
+    1/1024 of a stratum; the corpus text never shuffles (only id,
+    stratum, hash).  Deterministic, re-saltable, engine-portable
+    (ties broken by (hash, id)).
+    """
+    from pyspark.sql import Window
+
+    h = F.expr(_hash60(f"concat('{salt}:', CAST({id_col} AS STRING))"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("_st"),
+        h.alias("_h"),
+    ).withColumn("_b", F.shiftright("_h", 50))
+
+    hist = base.groupBy("_st", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    k_s = hist.groupBy("_st").agg(
+        F.floor(F.lit(float(frac)) * F.sum("_c")).cast("long").alias("_k")
+    )
+    wcum = Window.partitionBy("_st").orderBy("_b")
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(wcum))
+        .withColumn("_prev", F.col("_cum") - F.col("_c"))
+        .join(k_s, "_st")
+    )
+    below = cum.where(F.col("_cum") <= F.col("_k")).select(
+        "_st", "_b", F.lit(1).alias("_whole")
+    )
+    bound = cum.where(
+        (F.col("_prev") < F.col("_k")) & (F.col("_k") < F.col("_cum"))
+    ).select("_st", "_b", (F.col("_k") - F.col("_prev")).alias("_krem"))
+
+    # boundary bucket: rank only ~n_stratum/1024 rows
+    wr = Window.partitionBy("_st", "_b").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    bnd_eval = (
+        base.join(bound, ["_st", "_b"])
+        .withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") <= F.col("_krem"))
+        .select("doc_id", F.lit(1).alias("_bnd"))
+    )
+
+    return (
+        base.join(below, ["_st", "_b"], "left")
+        .join(bnd_eval, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_st").alias(stratum_col),
+            F.when(
+                F.col("_whole").isNotNull() | F.col("_bnd").isNotNull(), F.lit("eval")
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+def stratified_split_oracle(
+    table: str = "documents",
+    *,
+    frac: float = 0.1,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat-v1",
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {stratum_col},
+         {_hash60_duck(f"concat('{salt}:', CAST({id_col} AS VARCHAR))")} AS _h
+  FROM {table}),
+k AS (
+  SELECT {stratum_col}, CAST(floor({frac!r} * COUNT(*)) AS BIGINT) AS _k
+  FROM base GROUP BY {stratum_col}),
+r AS (
+  SELECT doc_id, {stratum_col},
+         ROW_NUMBER() OVER (PARTITION BY {stratum_col} ORDER BY _h, doc_id) AS _rn
+  FROM base)
+SELECT doc_id, {stratum_col},
+       CASE WHEN _rn <= _k THEN 'eval' ELSE 'train' END AS split
+FROM r JOIN k USING ({stratum_col})
+"""

@@ -827,3 +827,186 @@ SELECT doc_a, doc_b, COUNT(*) AS n_shared
 FROM pairs GROUP BY doc_a, doc_b HAVING COUNT(*) >= {min_shared}
 ORDER BY doc_a, doc_b
 """
+
+
+# -- bigram-LM quality scoring (CCNet-style perplexity filter) --------------
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    *,
+    fit_pred: str = "source = 'src0'",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_frac: float = 1e-3,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed bigram LM
+    fit on the ``fit_pred`` subset — the CCNet/KenLM quality-filter
+    shape (LM trained on a trusted slice scores the whole crawl; docs
+    with high cross-entropy are "unnatural" and get filtered).
+
+    Output ``(doc_id, n_bigrams, xent)``: ``xent`` = mean over the
+    doc's bigrams of ``-ln P(w2|w1)`` with
+    ``P = (c2(w1,w2)+1) / (c1(w1)+V)`` (c2/c1 = fit-corpus bigram /
+    history counts, V = fit vocab size).  Docs with fewer than 2 tokens
+    score NULL.  Tokenization is the engine's standard
+    whitespace-split; empty tokens participate (same contract as
+    ``repetition_stats``).
+
+    Cross-engine determinism: each bigram's NLL is quantized to 9
+    decimals, accumulated as DECIMAL(30,9) (exact, order-independent —
+    AQE-stable and bit-equal to DuckDB), and the final mean is one
+    double division + round(6).
+
+    At 100 TB: all stats aggregate map-side at (doc, bigram-type) /
+    type granularity; the fit tables are vocab-sized, never
+    corpus-sized.  Both score joins are skew-proof *by construction*
+    (the tfidf_topk pattern, not AQE luck): bigram/history keys are
+    Zipf-distributed, so keys whose doc-frequency exceeds
+    ``ceil(N·hot_frac)`` split into a bounded hot table (≤ avg distinct
+    bigrams per doc / hot_frac rows regardless of corpus size) and
+    broadcast; every remaining tail key is < ``N·hot_frac`` rows wide.
+    The corpus text itself never shuffles and is never broadcast.
+    """
+    bg = F.expr(_bigrams_expr(text_col))
+    toks = F.split(F.col(text_col), " ")
+    fit = df.where(fit_pred)
+
+    # fit-corpus tables (type-level, vocab-sized)
+    fit_bg = (
+        fit.select(F.explode(bg).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    hist = (
+        fit_bg.withColumn("w1", F.substring_index("g", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    lookup = fit_bg.withColumn("w1", F.substring_index("g", " ", 1)).join(hist, "w1")
+    vocab = fit.select(F.explode(toks).alias("w")).agg(
+        F.countDistinct("w").alias("_V")
+    )
+
+    # scored-corpus stream, aggregated to (doc, bigram-type)
+    doc_bg = (
+        df.select(F.col(id_col).alias("doc"), F.explode(bg).alias("g"))
+        .groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    dfb = doc_bg.groupBy("g").agg(F.count(F.lit(1)).alias("_dfb"))
+    thresh = F.greatest(F.lit(2), F.ceil(F.col("_n") * F.lit(float(hot_frac))))
+
+    # join 1 — (w1,w2) bigram key against the fit lookup, hot keys broadcast
+    hot_bg = (
+        dfb.crossJoin(F.broadcast(n_docs))
+        .where(F.col("_dfb") >= thresh)
+        .select("g")
+        .join(lookup, "g", "left")
+        .select("g", F.col("c2").alias("_hc2"), F.col("c1").alias("_hc1"))
+    )
+    tagged = doc_bg.join(F.broadcast(hot_bg.withColumn("_hot", F.lit(1))), "g", "left")
+    hot_part = tagged.where(F.col("_hot").isNotNull()).select(
+        "doc", "g", "n", F.col("_hc2").alias("c2"), F.col("_hc1").alias("c1")
+    )
+    tail_part = (
+        tagged.where(F.col("_hot").isNull())
+        .select("doc", "g", "n")
+        .join(lookup.select("g", "c2", "c1"), "g", "left")
+    )
+    scored = hot_part.unionByName(tail_part)
+
+    # join 2 — rows whose bigram is unseen still need c1(w1); hot w1
+    # keys (df aggregated up from dfb) broadcast their single hist row
+    matched = scored.where(F.col("c2").isNotNull())
+    missing = (
+        scored.where(F.col("c2").isNull())
+        .select("doc", "g", "n", F.substring_index("g", " ", 1).alias("w1"))
+    )
+    df1 = (
+        dfb.withColumn("w1", F.substring_index("g", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("_dfb").alias("_df1"))
+    )
+    hot_w1 = (
+        df1.crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df1") >= thresh)
+        .select("w1")
+        .join(hist, "w1", "left")
+        .select("w1", F.col("c1").alias("_hc1"))
+    )
+    mtag = missing.join(F.broadcast(hot_w1.withColumn("_hot", F.lit(1))), "w1", "left")
+    m_hot = mtag.where(F.col("_hot").isNotNull()).select(
+        "doc", "g", "n", F.lit(None).cast("long").alias("c2"), F.col("_hc1").alias("c1")
+    )
+    m_tail = (
+        mtag.where(F.col("_hot").isNull())
+        .select("doc", "g", "n")
+        .join(hist.withColumnRenamed("w1", "_w1"),
+              F.substring_index(F.col("g"), " ", 1) == F.col("_w1"), "left")
+        .select("doc", "g", "n", F.lit(None).cast("long").alias("c2"), "c1")
+    )
+
+    all_scored = matched.unionByName(m_hot).unionByName(m_tail)
+    nll = F.round(
+        -F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("_V")).cast("double")
+        ),
+        9,
+    )
+    per_doc = (
+        all_scored.crossJoin(F.broadcast(vocab))
+        .withColumn("_c", nll.cast("decimal(20,9)") * F.col("n").cast("decimal(10,0)"))
+        .groupBy("doc")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum("_c").alias("_S"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(F.col("_S").cast("double") / F.col("n_bigrams"), 6).alias("xent"),
+        )
+    )
+
+
+def ngram_lm_score_oracle(
+    table: str = "documents", *, fit_pred: str = "source = 'src0'"
+) -> str:
+    bg_list = (
+        "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)), "
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])"
+    )
+    return f"""
+WITH fit AS (SELECT * FROM {table} WHERE {fit_pred}),
+fit_bg AS (
+  SELECT g, COUNT(*) AS c2 FROM (SELECT UNNEST({bg_list}) AS g FROM fit) GROUP BY g),
+hist AS (
+  SELECT split_part(g, ' ', 1) AS w1, SUM(c2) AS c1 FROM fit_bg GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS _V FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM fit)),
+doc_bg AS (
+  SELECT doc_id AS doc, g, COUNT(*) AS n
+  FROM (SELECT doc_id, UNNEST({bg_list}) AS g FROM {table}) GROUP BY doc, g),
+scored AS (
+  SELECT doc, n,
+         round(-ln((COALESCE(c2, 0) + 1) / CAST(COALESCE(c1, 0) + _V AS DOUBLE)), 9) AS nll
+  FROM doc_bg
+  LEFT JOIN fit_bg USING (g)
+  LEFT JOIN hist ON split_part(g, ' ', 1) = hist.w1
+  CROSS JOIN vocab),
+per_doc AS (
+  SELECT doc AS doc_id, SUM(n) AS n_bigrams,
+         SUM(CAST(nll AS DECIMAL(20,9)) * CAST(n AS DECIMAL(10,0))) AS _S
+  FROM scored GROUP BY doc)
+SELECT d.doc_id,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       round(CAST(_S AS DOUBLE) / n_bigrams, 6) AS xent
+FROM {table} d LEFT JOIN per_doc USING (doc_id)
+"""

@@ -972,3 +972,122 @@ def test_winnowing_matches_model(spark):
     for pair in [(3, 4), (3, 5), (4, 5)]:
         assert pair not in got_capped
     assert (1, 2) in got_capped
+
+
+def test_ngram_lm_score_python_model(spark):
+    """ngram_lm_score vs a direct python recomputation: fit on the
+    'wiki' slice, score everything — covers seen bigrams, unseen bigram
+    with seen history, fully-OOV doc, and the <2-token NULL case."""
+    import math
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import ngram_lm_score
+
+    docs = [
+        (1, "the cat sat on the mat", "wiki"),
+        (2, "the cat ran", "wiki"),
+        (3, "the cat sat quickly", "web"),     # "sat quickly" unseen, "sat" seen
+        (4, "zebra quagga okapi", "web"),      # fully OOV
+        (5, "single", "web"),                  # no bigram -> NULL
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text", "source"]))
+    got = {
+        r.doc_id: (r.n_bigrams, r.xent)
+        for r in ngram_lm_score(df, fit_pred="source = 'wiki'").collect()
+    }
+
+    fit = [t for _, t, s in docs if s == "wiki"]
+    c2: dict[tuple[str, str], int] = {}
+    for t in fit:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+    V = len({w for t in fit for w in t.split(" ")})
+    want = {}
+    for d, t, _ in docs:
+        w = t.split(" ")
+        bgs = list(zip(w, w[1:]))
+        if not bgs:
+            want[d] = (0, None)
+            continue
+        S = Decimal(0)
+        for a, b in bgs:
+            p = (c2.get((a, b), 0) + 1) / (c1.get(a, 0) + V)
+            S += Decimal(f"{round(-math.log(p), 9):.9f}")
+        want[d] = (len(bgs), round(float(S) / len(bgs), 6))
+    assert got == want
+
+
+def test_ngram_lm_score_hot_path_identical(spark):
+    """Forcing every key through the hot (broadcast) lane must not
+    change a single value — the lanes are partitions of the same rows."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import ngram_lm_score
+
+    docs = [(i, "the cat sat on the mat every day", "wiki" if i % 2 else "web")
+            for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text", "source"]))
+    a = {r.doc_id: (r.n_bigrams, r.xent)
+         for r in ngram_lm_score(df, fit_pred="source = 'wiki'").collect()}
+    b = {r.doc_id: (r.n_bigrams, r.xent)
+         for r in ngram_lm_score(df, fit_pred="source = 'wiki'", hot_frac=1e-9).collect()}
+    c = {r.doc_id: (r.n_bigrams, r.xent)
+         for r in ngram_lm_score(df, fit_pred="source = 'wiki'", hot_frac=2.0).collect()}
+    assert a == b == c
+
+
+def test_stratified_split_exact_fractions(spark):
+    """stratified_split vs the python model: per-stratum eval count is
+    EXACTLY floor(frac·n), membership is the smallest salted hashes,
+    and frac edge cases (0.0, 1.0) hold."""
+    import hashlib
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import stratified_split
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(301)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+
+    def h60(i, salt="strat-v1"):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+
+    for frac in (0.1, 0.37, 0.0, 1.0):
+        got = {r.doc_id: r.split for r in stratified_split(df, frac=frac).collect()}
+        assert len(got) == len(rows)
+        for lang in ("en", "de", "fr"):
+            ids = [i for i, l in rows if l == lang]
+            k = int(frac * len(ids))
+            want_eval = set(sorted(ids, key=lambda i: (h60(i), i))[:k])
+            got_eval = {i for i in ids if got[i] == "eval"}
+            assert got_eval == want_eval, (frac, lang)
+
+
+def test_stratified_split_boundary_bucket_rank(spark):
+    """Force many hash-space buckets to be occupied and k to land
+    mid-bucket so the boundary-rank lane (not just whole-bucket
+    selection) is exercised."""
+    import hashlib
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import stratified_split
+
+    rows = [(i, "x") for i in range(2000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    frac = 0.333
+    got = {r.doc_id: r.split for r in stratified_split(df, frac=frac).collect()}
+
+    def h60(i, salt="strat-v1"):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+
+    k = int(frac * len(rows))
+    want_eval = set(sorted((i for i, _ in rows), key=lambda i: (h60(i), i))[:k])
+    assert {i for i, s in got.items() if s == "eval"} == want_eval
+    assert sum(1 for s in got.values() if s == "eval") == k
