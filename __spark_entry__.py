@@ -358,6 +358,12 @@ def _q_ngram_lm(spark, sf_dir):
     return ngram_lm_score(_docs(spark, sf_dir))
 
 
+def _q_dsir_resample(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import dsir_resample
+
+    return dsir_resample(_docs(spark, sf_dir), target_pred="lang = 'en'", k=50)
+
+
 def _q_stratified_split(spark, sf_dir):
     from simple_tsdb_spark.pipeline import stratified_split
 
@@ -647,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "stratified_split": _q_stratified_split,  # exact-fraction per-stratum holdout
+        "dsir_resample": _q_dsir_resample,  # DSIR Gumbel top-k selection step
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
         "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
@@ -1074,6 +1081,7 @@ def _pipeline_oracles() -> dict[str, str]:
         dsir_logweights_oracle,
         topk_ngrams_oracle,
         ngram_lm_score_oracle,
+        dsir_resample_oracle,
         winnowing_fingerprints_oracle,
         winnowing_matches_oracle,
         pii_scrub_oracle,
@@ -1096,6 +1104,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "topk_ngrams": topk_ngrams_oracle(n=3, k=100),
         "ngram_lm_score": ngram_lm_score_oracle(),
         "stratified_split": stratified_split_oracle(frac=0.1),
+        "dsir_resample": dsir_resample_oracle(target_pred="lang = 'en'", k=50),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
         "winnowing_matches": winnowing_matches_oracle(n=4, w=5, min_shared=2),
         "kmeans_clusters": kmeans_clusters_oracle(),

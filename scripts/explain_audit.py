@@ -302,6 +302,19 @@ def main() -> int:
         not re.search(r"Exchange[^\n]*\n[^\n]*text#", t2),
     )
 
+    # dsir_resample: the Gumbel top-k selection must be
+    # TakeOrderedAndProject (bounded per-partition top-k), never a
+    # global sort; the bucket-ratio table broadcasts (bounded by
+    # `buckets`), and the corpus text never broadcasts.
+    from simple_tsdb_spark.pipeline import dsir_resample
+
+    t3 = tree_of(dsir_resample(docs, target_pred="lang = 'en'", k=50))
+    ok &= check("dsir_resample: top-k is TakeOrderedAndProject", "TakeOrderedAndProject" in t3)
+    ok &= check(
+        "dsir_resample: corpus text never broadcast",
+        not re.search(r"BroadcastExchange[^\n]*\n[^\n]*text#", t3),
+    )
+
     # topk_ngrams: global top-k must be TakeOrderedAndProject (each
     # partition ships only its local top k), never a full global sort.
     p = plan_of(topk_ngrams(docs, n=3, k=100))

@@ -24,6 +24,7 @@ from simple_tsdb_spark.pipeline.text import (
     winnowing_fingerprints,
     winnowing_matches,
     dsir_logweights,
+    dsir_resample,
     pii_scrub,
 )
 from simple_tsdb_spark.pipeline.dedup import (
@@ -93,6 +94,7 @@ __all__ = [
     "fingerprint",
     "tfidf_topk",
     "dsir_logweights",
+    "dsir_resample",
     "pii_scrub",
     "exact_dedup",
     "ngram_jaccard_pairs",

@@ -1010,3 +1010,73 @@ SELECT d.doc_id,
        round(CAST(_S AS DOUBLE) / n_bigrams, 6) AS xent
 FROM {table} d LEFT JOIN per_doc USING (doc_id)
 """
+
+
+# -- DSIR importance resampling (Gumbel top-k) ------------------------------
+
+
+def dsir_resample(
+    df: DataFrame,
+    *,
+    target_pred: str,
+    k: int,
+    salt: str = "dsir-v1",
+    buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The SELECTION step of DSIR (Xie et al. 2023 §2.3): sample ``k``
+    documents without replacement with probability proportional to
+    their importance weight, via the Gumbel top-k trick —
+    ``score = logw + Gumbel(doc)`` and take the k largest.  The Gumbel
+    noise is derived from a salted md5 hash of the id, so the "sample"
+    is fully deterministic, reproducible, and engine-portable (re-salt
+    for a fresh draw).
+
+    Scores stay on ``dsir_logweights``'s integer 1e-6·ln scale: the
+    Gumbel term quantizes to ``floor(1e6 · -ln(-ln(u)))`` with
+    ``u = (h60 + 0.5) / 2^60``, and the final score is an exact BIGINT
+    sum — ranking cannot be flipped by float addition order.
+
+    At 100 TB: weights cost dsir_logweights's two corpus passes; the
+    top-k is TakeOrderedAndProject (each partition ships only its local
+    top k — never a global sort), the reference-free analog of
+    ``domain_topk``'s bounded selection.
+    """
+    # function-local: dedup.py imports from this module at top level
+    from simple_tsdb_spark.pipeline.dedup import _hash60
+
+    w = dsir_logweights(
+        df, target_pred=target_pred, buckets=buckets, text_col=text_col, id_col=id_col
+    )
+    h = F.expr(_hash60(f"concat('{salt}:', CAST(doc_id AS STRING))"))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**60))
+    gq = F.floor(F.lit(1e6) * -F.log(-F.log(u))).cast("long")
+    return (
+        w.withColumn("score", (F.col("logw") + gq).cast("long"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+        .select("doc_id", "logw", "score")
+    )
+
+
+def dsir_resample_oracle(
+    table: str = "documents",
+    *,
+    target_pred: str = "lang = 'en'",
+    k: int = 50,
+    salt: str = "dsir-v1",
+    buckets: int = DSIR_BUCKETS,
+) -> str:
+    inner = dsir_logweights_oracle(table, target_pred=target_pred, buckets=buckets).strip()
+    return f"""
+WITH w AS ({inner}),
+scored AS (
+  SELECT doc_id, logw,
+         logw + CAST(floor(1e6 * -ln(-ln(
+             ((('0x' || substr(md5(concat('{salt}:', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+               + 0.5) / 1152921504606846976.0)))) AS BIGINT) AS score
+  FROM w)
+SELECT doc_id, logw, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+"""

@@ -1091,3 +1091,37 @@ def test_stratified_split_boundary_bucket_rank(spark):
     want_eval = set(sorted((i for i, _ in rows), key=lambda i: (h60(i), i))[:k])
     assert {i for i, s in got.items() if s == "eval"} == want_eval
     assert sum(1 for s in got.values() if s == "eval") == k
+
+
+def test_dsir_resample_model(spark):
+    """dsir_resample = exact top-k of (logw + quantized salted Gumbel):
+    recompute the scores in python from the operator's own weights and
+    check the selected set and ordering keys match; a different salt
+    draws a different sample."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import dsir_logweights, dsir_resample
+
+    docs = [
+        (i, ("the cat sat on the mat " * (1 + i % 3)).strip(),
+         "en" if i % 4 else "de")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text", "lang"]))
+    w = {r.doc_id: r.logw for r in dsir_logweights(df, target_pred="lang = 'en'").collect()}
+
+    def score(i, salt):
+        h = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / 2**60
+        return w[i] + math.floor(1e6 * -math.log(-math.log(u)))
+
+    k = 10
+    got = [(r.doc_id, r.logw, r.score) for r in dsir_resample(df, target_pred="lang = 'en'", k=k).collect()]
+    want = sorted(((score(i, "dsir-v1"), i) for i in w), key=lambda t: (-t[0], t[1]))[:k]
+    assert [(i, w[i], s) for s, i in want] == got
+
+    other = [r.doc_id for r in dsir_resample(df, target_pred="lang = 'en'", k=k, salt="v2").collect()]
+    assert set(other) != {i for i, _, _ in got}  # fresh draw
