@@ -1080,3 +1080,35 @@ scored AS (
 SELECT doc_id, logw, score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
 """
+
+
+def ngram_lm_model(
+    df: DataFrame, *, fit_pred: str, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Fit-once product for ``ngram_lm_score``'s streaming twin:
+    ``(lookup(g, c2, c1), hist(w1, c1), V)``.  Same counts the batch
+    operator builds inline (equality pinned in test_streaming_scores).
+    ``V`` is collected eagerly (one scalar of driver traffic)."""
+    bg = F.expr(_bigrams_expr(text_col))
+    fit = df.where(fit_pred)
+    fit_bg = (
+        fit.select(F.explode(bg).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    hist = (
+        fit_bg.withColumn("w1", F.substring_index("g", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    lookup = (
+        fit_bg.withColumn("w1", F.substring_index("g", " ", 1))
+        .join(hist, "w1")
+        .select("g", "c2", "c1")
+    )
+    V = int(
+        fit.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("_V"))
+        .collect()[0][0]
+    )
+    return lookup, hist, V
