@@ -234,6 +234,36 @@ def corpus_phase(spark, n_docs: int = 1_000_000) -> None:
     print(f"CORPUS pii_scrub: {time.time()-t:.1f}s flagged={n:,}")
     assert n == N // 50
 
+    # Round-7 operators at the same corpus scale.
+    from simple_tsdb_spark.pipeline import (
+        dsir_resample,
+        ngram_lm_score,
+        stratified_split,
+    )
+
+    t = time.time()
+    # 25-word docs → 24 bigrams; the 2% with the planted email suffix → 28
+    bad = ngram_lm_score(tdocs, fit_pred="lang = 'en'").where(
+        F.col("xent").isNull() | ~F.col("n_bigrams").isin(24, 28)
+    ).count()
+    print(f"CORPUS ngram_lm_score: {time.time()-t:.1f}s rows={N:,} bad={bad}")
+    assert bad == 0
+
+    t = time.time()
+    sp = stratified_split(tdocs, frac=0.1, stratum_col="lang")
+    per = {r["lang"]: (r["n_eval"], r["n"]) for r in sp.groupBy("lang").agg(
+        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0)).alias("n_eval"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()}
+    print(f"CORPUS stratified_split: {time.time()-t:.1f}s per-stratum={per}")
+    for lang, (n_eval, n_s) in per.items():
+        assert n_eval == int(0.1 * n_s), (lang, n_eval, n_s)  # EXACT fraction
+
+    t = time.time()
+    n = dsir_resample(tdocs, target_pred="lang = 'en'", k=1000).count()
+    print(f"CORPUS dsir_resample k=1000: {time.time()-t:.1f}s rows={n:,}")
+    assert n == 1000
+
 
 def _shuffle_bytes(spark) -> tuple[int, int]:
     """(shuffle_read, shuffle_write) bytes summed over all completed

@@ -839,6 +839,7 @@ def ngram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     hot_frac: float = 1e-3,
+    hot_tables: str = "auto",
 ) -> DataFrame:
     """Per-document cross-entropy under an add-one-smoothed bigram LM
     fit on the ``fit_pred`` subset — the CCNet/KenLM quality-filter
@@ -858,16 +859,29 @@ def ngram_lm_score(
     AQE-stable and bit-equal to DuckDB), and the final mean is one
     double division + round(6).
 
-    At 100 TB: all stats aggregate map-side at (doc, bigram-type) /
-    type granularity; the fit tables are vocab-sized, never
-    corpus-sized.  Both score joins are skew-proof *by construction*
-    (the tfidf_topk pattern, not AQE luck): bigram/history keys are
-    Zipf-distributed, so keys whose doc-frequency exceeds
-    ``ceil(N·hot_frac)`` split into a bounded hot table (≤ avg distinct
-    bigrams per doc / hot_frac rows regardless of corpus size) and
-    broadcast; every remaining tail key is < ``N·hot_frac`` rows wide.
-    The corpus text itself never shuffles and is never broadcast.
+    At 100 TB: fit-then-score, the dsir/quantizer shape — never a
+    doubled corpus lineage inside one job.  The PREP job makes one
+    corpus pass (map-side (doc, bigram-type) combine) and collects only
+    the BOUNDED hot-key tables: keys whose doc-frequency exceeds
+    ``ceil(N·hot_frac)`` number at most avg-distinct-bigrams-per-doc /
+    hot_frac, regardless of corpus size.  The SCORE job makes one more
+    corpus pass; its joins are skew-proof *by construction* (the
+    tfidf_topk pattern, not AQE luck): Zipf-hot bigram/history keys hit
+    the broadcast literal tables, and every remaining tail key is
+    < ``N·hot_frac`` rows wide.  The fit tables stay distributed
+    (vocab-sized); the corpus text itself never shuffles and is never
+    broadcast.
+
+    ``hot_tables``: ``'eager'`` materializes the hot tables in the prep
+    job as above; ``'lazy'`` leaves them as broadcast subplans (the
+    prep pass disappears, but AQE does not reuse exchanges across
+    broadcast-subtree boundaries, so the corpus lineage recomputes once
+    per hot table — measured 1.3× slower at 10⁶ docs and beyond);
+    ``'auto'`` (default) picks eager at ≥200k docs.  Scores are
+    identical in every mode (pinned in tests).
     """
+    import math
+
     bg = F.expr(_bigrams_expr(text_col))
     toks = F.split(F.col(text_col), " ")
     fit = df.where(fit_pred)
@@ -884,9 +898,6 @@ def ngram_lm_score(
         .agg(F.sum("c2").alias("c1"))
     )
     lookup = fit_bg.withColumn("w1", F.substring_index("g", " ", 1)).join(hist, "w1")
-    vocab = fit.select(F.explode(toks).alias("w")).agg(
-        F.countDistinct("w").alias("_V")
-    )
 
     # scored-corpus stream, aggregated to (doc, bigram-type)
     doc_bg = (
@@ -894,71 +905,110 @@ def ngram_lm_score(
         .groupBy("doc", "g")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
-    dfb = doc_bg.groupBy("g").agg(F.count(F.lit(1)).alias("_dfb"))
-    thresh = F.greatest(F.lit(2), F.ceil(F.col("_n") * F.lit(float(hot_frac))))
 
-    # join 1 — (w1,w2) bigram key against the fit lookup, hot keys broadcast
-    hot_bg = (
-        dfb.crossJoin(F.broadcast(n_docs))
-        .where(F.col("_dfb") >= thresh)
-        .select("g")
-        .join(lookup, "g", "left")
-        .select("g", F.col("c2").alias("_hc2"), F.col("c1").alias("_hc1"))
+    # --- PREP: bounded scalar + hot-table collects -----------------------
+    N = int(df.select(F.countDistinct(id_col).alias("_n")).first()["_n"])
+    V = int(
+        fit.select(F.explode(toks).alias("w"))
+        .agg(F.countDistinct("w").alias("_V"))
+        .first()["_V"]
     )
-    tagged = doc_bg.join(F.broadcast(hot_bg.withColumn("_hot", F.lit(1))), "g", "left")
-    hot_part = tagged.where(F.col("_hot").isNotNull()).select(
+    thresh = max(2, math.ceil(N * float(hot_frac)))
+    dfb = doc_bg.groupBy("g").agg(F.count(F.lit(1)).alias("_dfb"))
+    # hot bigram keys carry (c2, c1) pre-resolved — including c1 via the
+    # history table for hot-but-unseen-in-fit bigrams, so the hot lane
+    # needs no further join at score time
+    hot_g = (
+        dfb.where(F.col("_dfb") >= thresh)
+        .select("g")
+        .join(lookup.select("g", "c2", "c1"), "g", "left")
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .join(hist.select("w1", F.col("c1").alias("_fc1")), "w1", "left")
+        .select("g", "c2", F.coalesce("c1", "_fc1").alias("c1"))
+    )
+    hot_w1 = (
+        dfb.withColumn("w1", F.substring_index("g", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("_dfb").alias("_df1"))
+        .where(F.col("_df1") >= thresh)
+        .select("w1")
+        .join(hist, "w1", "left")
+        .select("w1", "c1")
+    )
+    if hot_tables not in ("auto", "eager", "lazy"):
+        raise ValueError(f"hot_tables must be auto|eager|lazy, got {hot_tables!r}")
+    if hot_tables == "eager" or (hot_tables == "auto" and N >= 200_000):
+        # ONE collect for both tables (kind-tagged union → the dfb
+        # exchange computes once; two collects would rebuild the corpus
+        # lineage)
+        hot_rows = (
+            hot_g.select(F.lit("g").alias("_k"), F.col("g").alias("key"), "c2", "c1")
+            .unionByName(
+                hot_w1.select(
+                    F.lit("w").alias("_k"),
+                    F.col("w1").alias("key"),
+                    F.lit(None).cast("long").alias("c2"),
+                    "c1",
+                )
+            )
+            .collect()
+        )
+        spark = df.sparkSession
+        hot_g_df = spark.createDataFrame(
+            [(r["key"], r["c2"], r["c1"]) for r in hot_rows if r["_k"] == "g"],
+            "g string, _hc2 long, _hc1 long",
+        )
+        hot_w1_df = spark.createDataFrame(
+            [(r["key"], r["c1"]) for r in hot_rows if r["_k"] == "w"],
+            "w1 string, _wc1 long",
+        )
+    else:
+        hot_g_df = hot_g.select(
+            "g", F.col("c2").alias("_hc2"), F.col("c1").alias("_hc1")
+        )
+        hot_w1_df = hot_w1.select("w1", F.col("c1").alias("_wc1"))
+
+    # --- SCORE: one corpus pass ------------------------------------------
+    tagged = doc_bg.join(
+        F.broadcast(hot_g_df.withColumn("_hot", F.lit(1))), "g", "left"
+    )
+    hot_done = tagged.where(F.col("_hot").isNotNull()).select(
         "doc", "g", "n", F.col("_hc2").alias("c2"), F.col("_hc1").alias("c1")
     )
-    tail_part = (
+    rest = (
         tagged.where(F.col("_hot").isNull())
         .select("doc", "g", "n")
         .join(lookup.select("g", "c2", "c1"), "g", "left")
     )
-    scored = hot_part.unionByName(tail_part)
-
-    # join 2 — rows whose bigram is unseen still need c1(w1); hot w1
-    # keys (df aggregated up from dfb) broadcast their single hist row
-    matched = scored.where(F.col("c2").isNotNull())
+    matched = rest.where(F.col("c2").isNotNull())
     missing = (
-        scored.where(F.col("c2").isNull())
+        rest.where(F.col("c2").isNull())
         .select("doc", "g", "n", F.substring_index("g", " ", 1).alias("w1"))
+        .join(F.broadcast(hot_w1_df), "w1", "left")
     )
-    df1 = (
-        dfb.withColumn("w1", F.substring_index("g", " ", 1))
-        .groupBy("w1")
-        .agg(F.sum("_dfb").alias("_df1"))
+    m_hot = missing.where(F.col("_wc1").isNotNull()).select(
+        "doc", "g", "n", F.lit(None).cast("long").alias("c2"), F.col("_wc1").alias("c1")
     )
-    hot_w1 = (
-        df1.crossJoin(F.broadcast(n_docs))
-        .where(F.col("_df1") >= thresh)
-        .select("w1")
-        .join(hist, "w1", "left")
-        .select("w1", F.col("c1").alias("_hc1"))
-    )
-    mtag = missing.join(F.broadcast(hot_w1.withColumn("_hot", F.lit(1))), "w1", "left")
-    m_hot = mtag.where(F.col("_hot").isNotNull()).select(
-        "doc", "g", "n", F.lit(None).cast("long").alias("c2"), F.col("_hc1").alias("c1")
-    )
+    # every w1 key here is < thresh doc_bg rows wide by definition
     m_tail = (
-        mtag.where(F.col("_hot").isNull())
-        .select("doc", "g", "n")
-        .join(hist.withColumnRenamed("w1", "_w1"),
-              F.substring_index(F.col("g"), " ", 1) == F.col("_w1"), "left")
+        missing.where(F.col("_wc1").isNull())
+        .select("doc", "g", "n", "w1")
+        .join(hist, "w1", "left")
         .select("doc", "g", "n", F.lit(None).cast("long").alias("c2"), "c1")
     )
 
-    all_scored = matched.unionByName(m_hot).unionByName(m_tail)
+    all_scored = hot_done.unionByName(matched).unionByName(m_hot).unionByName(m_tail)
     nll = F.round(
         -F.log(
             (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
-            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("_V")).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(V))).cast("double")
         ),
         9,
     )
     per_doc = (
-        all_scored.crossJoin(F.broadcast(vocab))
-        .withColumn("_c", nll.cast("decimal(20,9)") * F.col("n").cast("decimal(10,0)"))
+        all_scored.withColumn(
+            "_c", nll.cast("decimal(20,9)") * F.col("n").cast("decimal(10,0)")
+        )
         .groupBy("doc")
         .agg(
             F.sum("n").alias("n_bigrams"),

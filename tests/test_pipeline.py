@@ -1039,7 +1039,12 @@ def test_ngram_lm_score_hot_path_identical(spark):
          for r in ngram_lm_score(df, fit_pred="source = 'wiki'", hot_frac=1e-9).collect()}
     c = {r.doc_id: (r.n_bigrams, r.xent)
          for r in ngram_lm_score(df, fit_pred="source = 'wiki'", hot_frac=2.0).collect()}
-    assert a == b == c
+    d = {r.doc_id: (r.n_bigrams, r.xent)
+         for r in ngram_lm_score(df, fit_pred="source = 'wiki'", hot_tables="eager").collect()}
+    e = {r.doc_id: (r.n_bigrams, r.xent)
+         for r in ngram_lm_score(df, fit_pred="source = 'wiki'", hot_tables="lazy",
+                                 hot_frac=1e-9).collect()}
+    assert a == b == c == d == e
 
 
 def test_stratified_split_exact_fractions(spark):
