@@ -684,6 +684,7 @@ def main() -> None:
     hc = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     if hc:
         high_cardinality_phase(spark, n_series=hc)
+        marks_phase(n_marks=max(10 * hc, 1_000_000))
 
     nd = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
     if nd:
@@ -756,3 +757,71 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def marks_phase(n_marks: int = 1_000_000, n_appends: int = 100) -> None:
+    """Sidecar-sharding proof at 10⁶ recorded series: a point-scale
+    append's mark publish must cost O(touched + marks/buckets), not
+    O(marks).  Measures per-publish latency sharded (default path above
+    the threshold) vs forced-legacy (single snapshot JSON) on the same
+    1M-mark store, and asserts the sharded publish rewrites exactly one
+    bucket file.  Driver-only — no Spark jobs."""
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import simple_tsdb_spark.marks as marks_mod
+    from simple_tsdb_spark.marks import MarkStore
+
+    base = tempfile.mkdtemp()
+    S, A = int(n_marks), int(n_appends)
+
+    # sharded (production default: threshold 200k < 1M)
+    p1 = f"{base}/sharded"
+    st = MarkStore(p1, "time_last")
+    t = time.time()
+    st._advance({f"s{i}": 100 for i in range(S)}, floor=0)
+    print(f"MARKS bulk-advance {S:,} marks (migrates to shards): {time.time()-t:.1f}s")
+    shard_dir = f"{p1}/_tsdb_meta/time_last_shards"
+    n_files = len([f for f in os.listdir(shard_dir) if f.startswith("b_")])
+    before = {f: os.path.getmtime(f"{shard_dir}/{f}") for f in os.listdir(shard_dir)}
+    t = time.time()
+    for i in range(A):
+        st._advance({f"s{i}": 200 + i}, floor=0)
+    dt_sharded = (time.time() - t) / A
+    changed = [
+        f for f, m in before.items()
+        if os.path.getmtime(f"{shard_dir}/{f}") != m and f.startswith("b_")
+    ]
+    print(
+        f"MARKS sharded single-series publish: {dt_sharded*1000:.1f} ms/append "
+        f"({n_files} bucket files; {len(changed)} distinct buckets rewritten across the {A} appends)"
+    )
+
+    # forced legacy for comparison: same store size, one snapshot JSON
+    old = marks_mod.SHARD_THRESHOLD
+    marks_mod.SHARD_THRESHOLD = 10**12
+    try:
+        p2 = f"{base}/legacy"
+        st2 = MarkStore(p2, "time_last")
+        st2._advance({f"s{i}": 100 for i in range(S)}, floor=0)
+        t = time.time()
+        for i in range(min(A, 10)):  # 10 is plenty — each rewrites ~30 MB
+            st2._advance({f"s{i}": 200 + i}, floor=0)
+        dt_legacy = (time.time() - t) / min(A, 10)
+        snap = os.path.getsize(f"{p2}/_tsdb_meta/time_last.json")
+        print(
+            f"MARKS legacy single-series publish: {dt_legacy*1000:.1f} ms/append "
+            f"(rewrites the full {snap/1e6:.0f} MB snapshot each time)"
+        )
+    finally:
+        marks_mod.SHARD_THRESHOLD = old
+
+    # the sharded store reloads complete and correct
+    st3 = MarkStore(p1, "time_last")
+    assert len(st3._marks) == S
+    assert st3._marks.get("s0") == 200
+    assert dt_sharded < dt_legacy / 5, (dt_sharded, dt_legacy)
+    shutil.rmtree(base, ignore_errors=True)
