@@ -1130,3 +1130,42 @@ def test_dsir_resample_model(spark):
 
     other = [r.doc_id for r in dsir_resample(df, target_pred="lang = 'en'", k=k, salt="v2").collect()]
     assert set(other) != {i for i, _, _ in got}  # fresh draw
+
+
+def test_stratified_split_randomized_model(spark):
+    """Seeded randomized stress of the bucket-selection algorithm:
+    uneven strata (including singletons) × extreme fracs, membership
+    checked against the full-sort python model every time."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import stratified_split
+
+    rng = random.Random(7)
+    rows = []
+    i = 0
+    for s in range(18):
+        size = rng.choice([1, 2, 3, 7, 50, 211, 500])
+        for _ in range(size):
+            rows.append((i, f"st{s}"))
+            i += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+
+    def h60(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+
+    for frac, salt in ((0.001, "a"), (0.25, "b"), (0.5, "strat-v1"), (0.999, "c")):
+        got = {
+            r.doc_id: r.split
+            for r in stratified_split(df, frac=frac, salt=salt).collect()
+        }
+        assert len(got) == len(rows)
+        by_stratum: dict[str, list[int]] = {}
+        for i, s in rows:
+            by_stratum.setdefault(s, []).append(i)
+        for s, ids in by_stratum.items():
+            k = int(frac * len(ids))
+            want = set(sorted(ids, key=lambda i: (h60(i, salt), i))[:k])
+            assert {i for i in ids if got[i] == "eval"} == want, (frac, salt, s)
