@@ -364,6 +364,12 @@ def _q_dsir_resample(spark, sf_dir):
     return dsir_resample(_docs(spark, sf_dir), target_pred="lang = 'en'", k=50)
 
 
+def _q_curate_corpus(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
 def _q_stratified_split(spark, sf_dir):
     from simple_tsdb_spark.pipeline import stratified_split
 
@@ -654,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "stratified_split": _q_stratified_split,  # exact-fraction per-stratum holdout
         "dsir_resample": _q_dsir_resample,  # DSIR Gumbel top-k selection step
+        "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
         "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
@@ -1075,7 +1082,7 @@ def _pipeline_oracles() -> dict[str, str]:
         decontaminate_oracle,
         decontaminate_pairs_oracle,
     )
-    from simple_tsdb_spark.pipeline.curation import stratified_split_oracle
+    from simple_tsdb_spark.pipeline.curation import curate_corpus_oracle, stratified_split_oracle
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
     from simple_tsdb_spark.pipeline.text import (
         dsir_logweights_oracle,
@@ -1104,6 +1111,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "topk_ngrams": topk_ngrams_oracle(n=3, k=100),
         "ngram_lm_score": ngram_lm_score_oracle(),
         "stratified_split": stratified_split_oracle(frac=0.1),
+        "curate_corpus": curate_corpus_oracle(),
         "dsir_resample": dsir_resample_oracle(target_pred="lang = 'en'", k=50),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
         "winnowing_matches": winnowing_matches_oracle(n=4, w=5, min_shared=2),

@@ -48,6 +48,7 @@ from simple_tsdb_spark.pipeline.curation import (
     domain_topk,
     hash_split,
     stratified_split,
+    curate_corpus,
     mixture_sample,
     pack_sequences,
 )
@@ -106,6 +107,7 @@ __all__ = [
     "dedup_components",
     "hash_split",
     "stratified_split",
+    "curate_corpus",
     "domain_topk",
     "mixture_sample",
     "pack_sequences",

@@ -578,3 +578,72 @@ SELECT doc_id, {stratum_col},
        CASE WHEN _rn <= _k THEN 'eval' ELSE 'train' END AS split
 FROM r JOIN k USING ({stratum_col})
 """
+
+
+# -- end-to-end curation chain ----------------------------------------------
+
+def curate_corpus(
+    df: DataFrame,
+    *,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    frac: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The whole batch curation chain as ONE declarative plan —
+    (doc_id, lang, split) for every surviving document:
+
+    1. quality gate: ``quality_score ≥ min_quality`` (pure codegen;
+       the score is bit-identical across engines, so the comparison is
+       too);
+    2. language allowlist;
+    3. exact dedup, keep-first: one md5-content groupBy (uniform key),
+       min-id keeper;
+    4. ``stratified_split`` exact-fraction eval holdout per language
+       over the survivors.
+
+    Composes only audited pieces: two corpus-wide shuffles total (the
+    dedup groupBy and the split's histogram), the text never broadcasts,
+    and no window sees more than 1/1024 of a stratum.  Catalyst fuses
+    the quality filter into the scan projection — filtering is free.
+    """
+    from simple_tsdb_spark.pipeline.text import quality_score
+
+    q = quality_score(df, text_col=text_col, id_col=id_col)
+    kept = df.join(
+        q.where(F.col("quality") >= float(min_quality)).select(id_col), id_col
+    ).where(F.col(lang_col).isin(*langs))
+    keeper = kept.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    survivors = kept.join(keeper.select(id_col), id_col)
+    return stratified_split(
+        survivors, frac=frac, stratum_col=lang_col, id_col=id_col
+    )
+
+
+def curate_corpus_oracle(
+    table: str = "documents",
+    *,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    frac: float = 0.1,
+) -> str:
+    from simple_tsdb_spark.pipeline.text import quality_score_oracle
+
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    split_sql = stratified_split_oracle(table="survivors", frac=frac).strip()
+    assert split_sql.startswith("WITH ")
+    return f"""
+WITH q AS ({quality_score_oracle(table)}),
+kept AS (
+  SELECT d.* FROM {table} d JOIN q USING (doc_id)
+  WHERE q.quality >= {min_quality!r} AND d.lang IN ({lang_list})),
+keeper AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+survivors AS (
+  SELECT kept.* FROM kept JOIN keeper USING (doc_id)),
+{split_sql[5:]}
+"""

@@ -1169,3 +1169,55 @@ def test_stratified_split_randomized_model(spark):
             k = int(frac * len(ids))
             want = set(sorted(ids, key=lambda i: (h60(i, salt), i))[:k])
             assert {i for i in ids if got[i] == "eval"} == want, (frac, salt, s)
+
+
+def test_curate_corpus_python_model(spark):
+    """curate_corpus vs a python recomputation of the full chain:
+    quality gate → lang allowlist → exact-dedup keep-first → exact
+    stratified holdout (including a planted duplicate pair where only
+    the min-id copy survives)."""
+    import hashlib
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import curate_corpus
+
+    rows = [
+        # high-quality en/de docs (long, stopwords, diverse)
+        (i, f"the quick brown fox {i} jumps of and over the lazy dog to a it", ["en", "de"][i % 2])
+        for i in range(20)
+    ]
+    rows.append((100, rows[4][1], "en"))       # exact dup of doc 4 → dropped
+    rows.append((101, "x x x x", "en"))        # low quality → dropped
+    rows.append((102, rows[5][1], "zh"))       # lang filtered
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    got = {r.doc_id: (r.lang, r.split)
+           for r in curate_corpus(df, min_quality=0.3, langs=("en", "de"), frac=0.25).collect()}
+
+    # python model
+    def quality(t):
+        toks = t.split(" ")
+        stop = sum(w in ("the", "a", "of", "and", "is", "to", "in", "that") for w in toks)
+        return (0.4 * min(len(toks), 256) / 256
+                + 0.3 * min(stop / len(toks) * 4, 1.0)
+                + 0.3 * len(set(toks)) / len(toks))
+
+    kept = [(i, t, l) for i, t, l in rows if quality(t) >= 0.3 and l in ("en", "de")]
+    first = {}
+    for i, t, _ in kept:
+        h = hashlib.md5(t.encode()).hexdigest()
+        first[h] = min(first.get(h, i), i)
+    surv = [(i, l) for i, t, l in kept if first[hashlib.md5(t.encode()).hexdigest()] == i]
+    assert 100 not in dict(surv) and 101 not in dict(surv) and 102 not in dict(surv)
+
+    def h60(i):
+        return int(hashlib.md5(f"strat-v1:{i}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for lang in ("en", "de"):
+        ids = [i for i, l in surv if l == lang]
+        k = int(0.25 * len(ids))
+        ev = set(sorted(ids, key=lambda i: (h60(i), i))[:k])
+        for i in ids:
+            want[i] = (lang, "eval" if i in ev else "train")
+    assert got == want
