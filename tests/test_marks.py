@@ -150,3 +150,50 @@ def test_retention_watermarks_sharded(spark, tmp_path, small_shards):
     )
     out = w2.apply(spark.createDataFrame(pdf, SCHEMA)).toPandas()
     assert list(out["time_ns"]) == [150]
+
+
+def test_markstore_hypothesis_model(tmp_path, monkeypatch):
+    """Randomized interleavings of advance/reload vs a plain dict model,
+    across the shard-migration boundary (threshold 6, 4 buckets)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import simple_tsdb_spark.marks as marks_mod
+
+    monkeypatch.setattr(marks_mod, "SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(marks_mod, "SHARD_BUCKETS", 4)
+
+    series = [f"s{i}" for i in range(12)]
+    step = st.tuples(
+        st.sampled_from(series), st.integers(min_value=-5, max_value=1000)
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(st.tuples(st.lists(step, max_size=5), st.booleans()), max_size=8))
+    def run(script):
+        counter[0] += 1
+        p = str(tmp_path / f"m{counter[0]}")
+        st_ = MarkStore(p, "time_last")
+        model: dict[str, int] = {}
+        for batch, reload_after in script:
+            updates = {}
+            for s, t in batch:
+                updates[s] = max(updates.get(s, t), t)
+            if updates:
+                st_._advance(updates, floor=0)
+                for s, t in updates.items():
+                    model[s] = max(model.get(s, 0), int(t))
+            if reload_after:
+                st_ = MarkStore(p, "time_last")
+            assert dict(st_._marks.items()) == model
+            assert len(st_._marks) == len(model)
+            for s in series:
+                assert st_._marks.get(s) == model.get(s)
+
+    run()
