@@ -364,6 +364,14 @@ def _q_dsir_resample(spark, sf_dir):
     return dsir_resample(_docs(spark, sf_dir), target_pred="lang = 'en'", k=50)
 
 
+def _q_stratified_split3(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import stratified_split
+
+    return stratified_split(
+        _docs(spark, sf_dir), fracs={"valid": 0.05, "test": 0.05}
+    )
+
+
 def _q_curate_corpus(spark, sf_dir):
     from simple_tsdb_spark.pipeline import curate_corpus
 
@@ -661,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _q_stratified_split,  # exact-fraction per-stratum holdout
         "dsir_resample": _q_dsir_resample,  # DSIR Gumbel top-k selection step
         "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
+        "stratified_split3": _q_stratified_split3,  # exact 3-way (valid/test/train)
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
         "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
@@ -1112,6 +1121,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "ngram_lm_score": ngram_lm_score_oracle(),
         "stratified_split": stratified_split_oracle(frac=0.1),
         "curate_corpus": curate_corpus_oracle(),
+        "stratified_split3": stratified_split_oracle(fracs={"valid": 0.05, "test": 0.05}),
         "dsir_resample": dsir_resample_oracle(target_pred="lang = 'en'", k=50),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
         "winnowing_matches": winnowing_matches_oracle(n=4, w=5, min_shared=2),

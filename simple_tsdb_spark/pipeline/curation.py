@@ -482,13 +482,18 @@ def stratified_split(
     df: DataFrame,
     *,
     frac: float = 0.1,
+    fracs: dict[str, float] | None = None,
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "strat-v1",
 ) -> DataFrame:
-    """EXACT-fraction per-stratum eval holdout: within every stratum the
-    ``floor(frac · n_stratum)`` documents with the smallest salted hash
-    go to ``eval``, the rest to ``train`` — (doc_id, stratum, split).
+    """EXACT-fraction per-stratum split: within every stratum the
+    documents with the smallest salted hashes fill each named fraction
+    in order — (doc_id, stratum, split).  ``frac`` is the common
+    single-holdout form (``floor(frac · n)`` docs → ``eval``, rest
+    ``train``); ``fracs`` generalizes to multi-way exact splits, e.g.
+    ``{"valid": 0.05, "test": 0.05}`` → first ``floor(0.05·n)`` hashes
+    valid, next ``floor(0.10·n) − floor(0.05·n)`` test, rest train.
 
     ``hash_split`` is probabilistic (a 10% bucket holds ~10% ± noise);
     benchmark holdouts often need the fraction exact per stratum.  The
@@ -496,15 +501,42 @@ def stratified_split(
     per stratum, a scale-killer for a billion-doc stratum.  Here
     selection is distributed: the 60-bit hash space is cut into 1024
     fixed buckets, a (stratum, bucket) histogram (map-side combined,
-    ≤1024 rows per stratum) locates each stratum's boundary bucket via
-    a cumulative sum over that tiny histogram, whole buckets below the
-    boundary are taken wholesale, and only the boundary bucket —
-    ~n_stratum/1024 rows — is ranked.  No window ever sees more than
-    1/1024 of a stratum; the corpus text never shuffles (only id,
-    stratum, hash).  Deterministic, re-saltable, engine-portable
-    (ties broken by (hash, id)).
+    ≤1024 rows per stratum) assigns every bucket that falls entirely
+    inside one split segment wholesale via a cumulative sum over that
+    tiny histogram, and only segment-straddling buckets —
+    ~n_stratum/1024 rows each — are ranked.  No window ever sees more
+    than 1/1024 of a stratum; the corpus text never shuffles (only id,
+    stratum, hash).  Deterministic, re-saltable, engine-portable (ties
+    broken by (hash, id)).
     """
+    from functools import reduce
+
     from pyspark.sql import Window
+
+    if fracs is None:
+        fracs = {"eval": float(frac)}
+    names = list(fracs)
+    if not names or any(not (0.0 <= float(v) <= 1.0) for v in fracs.values()):
+        raise ValueError("fracs values must be in [0, 1]")
+    if sum(float(v) for v in fracs.values()) > 1.0 + 1e-12:
+        raise ValueError("fracs must sum to at most 1")
+    cumf = []
+    acc = 0.0
+    for n in names:
+        acc += float(fracs[n])
+        cumf.append(acc)
+    m = len(names)
+    label_arr = F.array(*[F.lit(n) for n in names + ["train"]])
+
+    def seg(pos):
+        # segment index of 0-based position: #thresholds K_j <= pos
+        return reduce(
+            lambda a, b: a + b,
+            [
+                F.when(pos >= F.col(f"_k{j}"), F.lit(1)).otherwise(F.lit(0))
+                for j in range(m)
+            ],
+        )
 
     h = F.expr(_hash60(f"concat('{salt}:', CAST({id_col} AS STRING))"))
     base = df.select(
@@ -515,7 +547,10 @@ def stratified_split(
 
     hist = base.groupBy("_st", "_b").agg(F.count(F.lit(1)).alias("_c"))
     k_s = hist.groupBy("_st").agg(
-        F.floor(F.lit(float(frac)) * F.sum("_c")).cast("long").alias("_k")
+        *[
+            F.floor(F.lit(cumf[j]) * F.sum("_c")).cast("long").alias(f"_k{j}")
+            for j in range(m)
+        ]
     )
     wcum = Window.partitionBy("_st").orderBy("_b")
     cum = (
@@ -523,33 +558,30 @@ def stratified_split(
         .withColumn("_prev", F.col("_cum") - F.col("_c"))
         .join(k_s, "_st")
     )
-    below = cum.where(F.col("_cum") <= F.col("_k")).select(
-        "_st", "_b", F.lit(1).alias("_whole")
+    seg_first = seg(F.col("_prev"))
+    seg_last = seg(F.col("_cum") - 1)
+    whole = cum.where(seg_first == seg_last).select(
+        "_st", "_b", F.element_at(label_arr, seg_first + 1).alias("_wlab")
     )
-    bound = cum.where(
-        (F.col("_prev") < F.col("_k")) & (F.col("_k") < F.col("_cum"))
-    ).select("_st", "_b", (F.col("_k") - F.col("_prev")).alias("_krem"))
+    bound = cum.where(seg_first != seg_last).select(
+        "_st", "_b", "_prev", *[f"_k{j}" for j in range(m)]
+    )
 
-    # boundary bucket: rank only ~n_stratum/1024 rows
+    # segment-straddling bucket: rank only ~n_stratum/1024 rows
     wr = Window.partitionBy("_st", "_b").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
-    bnd_eval = (
+    bnd = (
         base.join(bound, ["_st", "_b"])
-        .withColumn("_rn", F.row_number().over(wr))
-        .where(F.col("_rn") <= F.col("_krem"))
-        .select("doc_id", F.lit(1).alias("_bnd"))
+        .withColumn("_pos", F.col("_prev") + F.row_number().over(wr) - 1)
+        .select("doc_id", F.element_at(label_arr, seg(F.col("_pos")) + 1).alias("_blab"))
     )
 
     return (
-        base.join(below, ["_st", "_b"], "left")
-        .join(bnd_eval, "doc_id", "left")
+        base.join(whole, ["_st", "_b"], "left")
+        .join(bnd, "doc_id", "left")
         .select(
             "doc_id",
             F.col("_st").alias(stratum_col),
-            F.when(
-                F.col("_whole").isNotNull() | F.col("_bnd").isNotNull(), F.lit("eval")
-            )
-            .otherwise(F.lit("train"))
-            .alias("split"),
+            F.coalesce(F.col("_wlab"), F.col("_blab")).alias("split"),
         )
     )
 
@@ -558,24 +590,39 @@ def stratified_split_oracle(
     table: str = "documents",
     *,
     frac: float = 0.1,
+    fracs: dict[str, float] | None = None,
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "strat-v1",
 ) -> str:
+    if fracs is None:
+        fracs = {"eval": float(frac)}
+    names = list(fracs)
+    cumf, acc = [], 0.0
+    for n in names:
+        acc += float(fracs[n])
+        cumf.append(acc)
+    ks = ",\n         ".join(
+        f"CAST(floor({cumf[j]!r} * COUNT(*)) AS BIGINT) AS _k{j}"
+        for j in range(len(names))
+    )
+    cases = " ".join(
+        f"WHEN _rn <= _k{j} THEN '{names[j]}'" for j in range(len(names))
+    )
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id, {stratum_col},
          {_hash60_duck(f"concat('{salt}:', CAST({id_col} AS VARCHAR))")} AS _h
   FROM {table}),
 k AS (
-  SELECT {stratum_col}, CAST(floor({frac!r} * COUNT(*)) AS BIGINT) AS _k
+  SELECT {stratum_col}, {ks}
   FROM base GROUP BY {stratum_col}),
 r AS (
   SELECT doc_id, {stratum_col},
          ROW_NUMBER() OVER (PARTITION BY {stratum_col} ORDER BY _h, doc_id) AS _rn
   FROM base)
 SELECT doc_id, {stratum_col},
-       CASE WHEN _rn <= _k THEN 'eval' ELSE 'train' END AS split
+       CASE {cases} ELSE 'train' END AS split
 FROM r JOIN k USING ({stratum_col})
 """
 

@@ -1221,3 +1221,44 @@ def test_curate_corpus_python_model(spark):
         for i in ids:
             want[i] = (lang, "eval" if i in ev else "train")
     assert got == want
+
+
+def test_stratified_split_multiway_model(spark):
+    """Multi-way exact split vs the full-sort python model: segment
+    boundaries (including two thresholds landing in one hash bucket,
+    zero-width segments, and fracs summing to 1)."""
+    import hashlib
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import stratified_split
+
+    rows = [(i, ["en", "de"][i % 2]) for i in range(400)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+
+    def h60(i, salt="strat-v1"):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+
+    for fracs in (
+        {"valid": 0.05, "test": 0.05},
+        {"a": 0.001, "b": 0.001},          # both thresholds in the first bucket
+        {"v": 0.3, "zero": 0.0, "t": 0.3}, # zero-width middle segment
+        {"v": 0.5, "t": 0.5},              # sums to 1 — no train left
+    ):
+        got = {r.doc_id: r.split for r in stratified_split(df, fracs=fracs).collect()}
+        names = list(fracs)
+        cum, acc = [], 0.0
+        for n in names:
+            acc += fracs[n]
+            cum.append(acc)
+        for lang in ("en", "de"):
+            ids = sorted((i for i, l in rows if l == lang), key=lambda i: (h60(i), i))
+            ks = [int(c * len(ids)) for c in cum]
+            for rn, i in enumerate(ids, start=1):
+                want = "train"
+                for j, k in enumerate(ks):
+                    if rn <= k:
+                        want = names[j]
+                        break
+                assert got[i] == want, (fracs, lang, i, rn, got[i], want)
+        assert sum(1 for v in got.values() if v == "zero") == 0 or "zero" not in fracs
