@@ -372,6 +372,12 @@ def _q_stratified_split3(spark, sf_dir):
     )
 
 
+def _q_rp_project(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import rp_project
+
+    return rp_project(_embs(spark, sf_dir))
+
+
 def _q_curate_corpus(spark, sf_dir):
     from simple_tsdb_spark.pipeline import curate_corpus
 
@@ -670,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": _q_dsir_resample,  # DSIR Gumbel top-k selection step
         "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
         "stratified_split3": _q_stratified_split3,  # exact 3-way (valid/test/train)
+        "rp_project": _q_rp_project,  # JL sign projection (bit-identical fold)
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
         "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
@@ -1093,6 +1100,7 @@ def _pipeline_oracles() -> dict[str, str]:
     )
     from simple_tsdb_spark.pipeline.curation import curate_corpus_oracle, stratified_split_oracle
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
+    from simple_tsdb_spark.pipeline.similarity import rp_project_oracle
     from simple_tsdb_spark.pipeline.text import (
         dsir_logweights_oracle,
         topk_ngrams_oracle,
@@ -1122,6 +1130,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "stratified_split": stratified_split_oracle(frac=0.1),
         "curate_corpus": curate_corpus_oracle(),
         "stratified_split3": stratified_split_oracle(fracs={"valid": 0.05, "test": 0.05}),
+        "rp_project": rp_project_oracle(),
         "dsir_resample": dsir_resample_oracle(target_pred="lang = 'en'", k=50),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
         "winnowing_matches": winnowing_matches_oracle(n=4, w=5, min_shared=2),

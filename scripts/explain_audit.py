@@ -302,6 +302,16 @@ def main() -> int:
         not re.search(r"Exchange[^\n]*\n[^\n]*text#", t2),
     )
 
+    # rp_project: a literal-matrix codegen scan — no shuffle, no join,
+    # no broadcast; the only allowed Exchange is none at all.
+    from simple_tsdb_spark.pipeline import rp_project
+
+    t4 = tree_of(rp_project(embs))
+    ok &= check(
+        "rp_project: zero-shuffle literal-matrix projection",
+        "Exchange" not in t4 and "Join" not in t4,
+    )
+
     # dsir_resample: the Gumbel top-k selection must be
     # TakeOrderedAndProject (bounded per-partition top-k), never a
     # global sort; the bucket-ratio table broadcasts (bounded by

@@ -56,6 +56,8 @@ from simple_tsdb_spark.pipeline.similarity import (
     cluster_prune,
     default_centroids,
     kmeans_clusters,
+    rp_project,
+    rp_signs,
     knn_brute,
     knn_ivf_pq,
     knn_ivf,
@@ -78,6 +80,8 @@ from simple_tsdb_spark.pipeline.prewarm import prewarm
 __all__ = [
     "prewarm",
     "kmeans_clusters",
+    "rp_project",
+    "rp_signs",
     "cluster_prune",
     "topk_ngrams",
     "ngram_lm_score",

@@ -1156,3 +1156,89 @@ ranked AS (
 SELECT cluster, vec_id, cos, rk FROM ranked WHERE rk <= {k}
 ORDER BY cluster, rk
 """
+
+
+# -- Johnson–Lindenstrauss random projection --------------------------------
+
+
+def rp_signs(in_dim: int = 64, out_dim: int = 16, salt: str = "rp-v1") -> list[list[float]]:
+    """Deterministic ±1 projection matrix (Achlioptas sign form) from a
+    salted md5 parity — reproducible across engines/processes, re-salt
+    for a fresh draw.  out_dim × in_dim."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def rp_project(
+    df: DataFrame,
+    *,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    salt: str = "rp-v1",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dim`` deterministic ±1 sign vectors and scale
+    by ``1/√out_dim`` — (vec_id, j, val), one row per output
+    coordinate.  JL: pairwise distances are preserved within ε for
+    out_dim = O(ln N / ε²), so this is the standard cheapening step
+    ahead of brute-force / IVF search over wide embeddings.
+
+    The sign matrix is built ONCE in the driver (``rp_signs``) and
+    compiled as literal arrays — no per-row hashing — so the projection
+    is a single embarrassingly parallel codegen scan: no shuffle, no
+    join, no UDF.  The fold is a sequential left-fold in both engines,
+    making every output double BIT-IDENTICAL to the DuckDB oracle
+    (verified by the driver's value hash).
+    """
+    import math
+
+    signs = rp_signs(in_dim, out_dim, salt)
+    scale = 1.0 / math.sqrt(out_dim)
+    arrs = ", ".join(
+        "array(" + ", ".join(f"{s!r}D" for s in row) + ")" for row in signs
+    )
+    expr = (
+        f"transform(array({arrs}), s -> "
+        f"aggregate(zip_with({vec_col}, s, (x, w) -> CAST(x AS DOUBLE) * w), "
+        f"0.0D, (a, b) -> a + b) * {scale!r}D)"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(F.expr(expr)).alias("j", "val")
+    )
+
+
+def rp_project_oracle(
+    table: str = "embeddings",
+    *,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    salt: str = "rp-v1",
+) -> str:
+    import math
+
+    signs = rp_signs(in_dim, out_dim, salt)
+    scale = 1.0 / math.sqrt(out_dim)
+    values = ",\n  ".join(
+        "(" + str(j) + ", [" + ", ".join(repr(s) for s in row) + "])"
+        for j, row in enumerate(signs)
+    )
+    return f"""
+SELECT vec_id, j,
+       list_reduce(
+         list_transform(generate_series(1, {int(in_dim)}),
+                        i -> CAST(embedding[i] AS DOUBLE) * s[i]),
+         (a, b) -> a + b) * {scale!r} AS val
+FROM {table}, (VALUES
+  {values}) t(j, s)
+"""

@@ -1262,3 +1262,34 @@ def test_stratified_split_multiway_model(spark):
                         break
                 assert got[i] == want, (fracs, lang, i, rn, got[i], want)
         assert sum(1 for v in got.values() if v == "zero") == 0 or "zero" not in fracs
+
+
+def test_rp_project_model_and_jl_property(spark, embs):
+    """rp_project vs a numpy recomputation (exact), plus the JL point:
+    pairwise distances in the 16-dim projection correlate strongly with
+    the original 64-dim distances."""
+    import numpy as np
+
+    from simple_tsdb_spark.pipeline import rp_project, rp_signs
+
+    sub = embs.where("vec_id < 40")
+    got = rp_project(sub).toPandas().pivot(index="vec_id", columns="j", values="val")
+    src = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in sub.select("vec_id", "embedding").collect()}
+    S = np.array(rp_signs(64, 16))  # out_dim x in_dim
+    for vid, v in src.items():
+        want = (S @ v) / np.sqrt(16)
+        np.testing.assert_allclose(got.loc[vid].to_numpy(), want, rtol=1e-12)
+
+    ids = sorted(src)
+    X = np.stack([src[i] for i in ids])
+    P = np.stack([got.loc[i].to_numpy() for i in ids])
+    dx = np.linalg.norm(X[:, None] - X[None, :], axis=2)[np.triu_indices(len(ids), 1)]
+    dp = np.linalg.norm(P[:, None] - P[None, :], axis=2)[np.triu_indices(len(ids), 1)]
+    # JL with k=16: each distance is preserved within ~1/sqrt(k) in
+    # expectation.  (Distance CORRELATION is the wrong statistic here:
+    # iid random vectors concentrate all pairwise distances near one
+    # value, leaving correlation dominated by the projection noise.)
+    ratio = dp / dx
+    assert abs(ratio.mean() - 1.0) < 0.15, ratio.mean()
+    assert np.mean(np.abs(ratio - 1.0)) < 0.35, np.mean(np.abs(ratio - 1.0))
