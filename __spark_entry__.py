@@ -372,6 +372,12 @@ def _q_stratified_split3(spark, sf_dir):
     )
 
 
+def _q_knn_rp(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import knn_rp
+
+    return knn_rp(_embs(spark, sf_dir), query_ids=list(range(8)), k=10)
+
+
 def _q_rp_project(spark, sf_dir):
     from simple_tsdb_spark.pipeline import rp_project
 
@@ -677,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
         "stratified_split3": _q_stratified_split3,  # exact 3-way (valid/test/train)
         "rp_project": _q_rp_project,  # JL sign projection (bit-identical fold)
+        "knn_rp": _q_knn_rp,  # two-stage ANN: coarse JL search + exact re-rank
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
         "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
@@ -1100,7 +1107,7 @@ def _pipeline_oracles() -> dict[str, str]:
     )
     from simple_tsdb_spark.pipeline.curation import curate_corpus_oracle, stratified_split_oracle
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
-    from simple_tsdb_spark.pipeline.similarity import rp_project_oracle
+    from simple_tsdb_spark.pipeline.similarity import knn_rp_oracle, rp_project_oracle
     from simple_tsdb_spark.pipeline.text import (
         dsir_logweights_oracle,
         topk_ngrams_oracle,
@@ -1131,6 +1138,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "curate_corpus": curate_corpus_oracle(),
         "stratified_split3": stratified_split_oracle(fracs={"valid": 0.05, "test": 0.05}),
         "rp_project": rp_project_oracle(),
+        "knn_rp": knn_rp_oracle(query_ids=tuple(range(8)), k=10),
         "dsir_resample": dsir_resample_oracle(target_pred="lang = 'en'", k=50),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
         "winnowing_matches": winnowing_matches_oracle(n=4, w=5, min_shared=2),

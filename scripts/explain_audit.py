@@ -312,6 +312,20 @@ def main() -> int:
         "Exchange" not in t4 and "Join" not in t4,
     )
 
+    # knn_rp: two-stage shape — queries and candidate ids broadcast,
+    # the corpus itself never under a BroadcastExchange.
+    from simple_tsdb_spark.pipeline import knn_rp
+
+    t5 = tree_of(knn_rp(embs, query_ids=[0, 1, 2], k=5))
+    ok &= check(
+        "knn_rp: corpus embedding column never broadcast",
+        not re.search(r"BroadcastExchange[^\n]*\n[^\n]*embedding#", t5),
+    )
+    ok &= check(
+        "knn_rp: broadcast stages present (queries + candidates)",
+        t5.count("BroadcastExchange") >= 2,
+    )
+
     # dsir_resample: the Gumbel top-k selection must be
     # TakeOrderedAndProject (bounded per-partition top-k), never a
     # global sort; the bucket-ratio table broadcasts (bounded by

@@ -57,6 +57,7 @@ from simple_tsdb_spark.pipeline.similarity import (
     default_centroids,
     kmeans_clusters,
     rp_project,
+    knn_rp,
     rp_signs,
     knn_brute,
     knn_ivf_pq,
@@ -81,6 +82,7 @@ __all__ = [
     "prewarm",
     "kmeans_clusters",
     "rp_project",
+    "knn_rp",
     "rp_signs",
     "cluster_prune",
     "topk_ngrams",

@@ -1201,20 +1201,11 @@ def rp_project(
     making every output double BIT-IDENTICAL to the DuckDB oracle
     (verified by the driver's value hash).
     """
-    import math
-
-    signs = rp_signs(in_dim, out_dim, salt)
-    scale = 1.0 / math.sqrt(out_dim)
-    arrs = ", ".join(
-        "array(" + ", ".join(f"{s!r}D" for s in row) + ")" for row in signs
-    )
-    expr = (
-        f"transform(array({arrs}), s -> "
-        f"aggregate(zip_with({vec_col}, s, (x, w) -> CAST(x AS DOUBLE) * w), "
-        f"0.0D, (a, b) -> a + b) * {scale!r}D)"
-    )
     return df.select(
-        F.col(id_col), F.posexplode(F.expr(expr)).alias("j", "val")
+        F.col(id_col),
+        F.posexplode(F.expr(_rp_proj_expr(vec_col, in_dim, out_dim, salt))).alias(
+            "j", "val"
+        ),
     )
 
 
@@ -1241,4 +1232,145 @@ SELECT vec_id, j,
          (a, b) -> a + b) * {scale!r} AS val
 FROM {table}, (VALUES
   {values}) t(j, s)
+"""
+
+
+def _rp_proj_expr(vec_col: str, in_dim: int, out_dim: int, salt: str) -> str:
+    """Spark SQL fragment: the literal-matrix JL projection as an
+    array<double> of length ``out_dim`` (shared by rp_project/knn_rp)."""
+    import math
+
+    signs = rp_signs(in_dim, out_dim, salt)
+    scale = 1.0 / math.sqrt(out_dim)
+    arrs = ", ".join(
+        "array(" + ", ".join(f"{s!r}D" for s in row) + ")" for row in signs
+    )
+    return (
+        f"transform(array({arrs}), s -> "
+        f"aggregate(zip_with({vec_col}, s, (x, w) -> CAST(x AS DOUBLE) * w), "
+        f"0.0D, (a, b) -> a + b) * {scale!r}D)"
+    )
+
+
+def knn_rp(
+    df: DataFrame,
+    *,
+    query_ids: Sequence[int],
+    k: int = 10,
+    out_dim: int = 16,
+    overfetch: int = 4,
+    in_dim: int = 64,
+    salt: str = "rp-v1",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN via JL projection: stage 1 ranks every corpus
+    vector against each query by cosine in the ``out_dim``-dim
+    projection (``in_dim/out_dim``× less arithmetic per pair) and keeps
+    the top ``k·overfetch`` candidates; stage 2 re-ranks ONLY those
+    candidates by exact cosine in the original space.  The classic
+    coarse-retrieve → exact-rerank shape: at 10⁹×Q pairs the stage-1
+    scan dominates and runs 4× cheaper at the defaults, while stage 2
+    touches Q·k·overfetch vectors — noise.
+
+    Output (query_id, neighbor_id, cos, rank) like knn_brute — ``cos``
+    is the EXACT original-space cosine.  Deterministic and
+    engine-portable: the projected values are bit-identical folds, so
+    the stage-1 candidate set matches the oracle exactly.
+
+    Plan shape: queries broadcast twice (projected then raw, both
+    Q-sized); candidates broadcast into the re-rank join — the corpus
+    is scanned twice, never shuffled or broadcast.
+    """
+    proj = _rp_proj_expr(vec_col, in_dim, out_dim, salt)
+    ep = df.select(F.col(id_col).alias("nid"), F.expr(proj).alias("pv")).withColumn(
+        "pnrm", _norm("pv")
+    )
+    qp = ep.where(F.col("nid").isin(list(query_ids))).select(
+        F.col("nid").alias("query_id"),
+        F.col("pv").alias("qpv"),
+        F.col("pnrm").alias("qpnrm"),
+    )
+    cand = (
+        ep.crossJoin(F.broadcast(qp))
+        .where(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_cos_prenorm("qpv", "pv", "qpnrm", "pnrm"), 6).alias("_pcos"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("_pcos").desc(), F.col("neighbor_id"))
+    cand = (
+        cand.withColumn("_crk", F.row_number().over(w1))
+        .where(F.col("_crk") <= int(k) * int(overfetch))
+        .select("query_id", "neighbor_id")
+    )
+
+    e = df.select(
+        F.col(id_col).alias("nid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).withColumn("nrm", _norm("emb"))
+    q = e.where(F.col("nid").isin(list(query_ids))).select(
+        F.col("nid").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    rescored = (
+        e.join(F.broadcast(cand), e.nid == cand.neighbor_id)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= int(k))
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_rp_oracle(
+    table: str = "embeddings",
+    *,
+    query_ids: Sequence[int] = (),
+    k: int = 10,
+    out_dim: int = 16,
+    overfetch: int = 4,
+    in_dim: int = 64,
+    salt: str = "rp-v1",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    inner = rp_project_oracle(table, out_dim=out_dim, in_dim=in_dim, salt=salt).strip()
+    pcos = _COS_DUCK.format(a="qp.pv", b="p.pv")
+    cos = _COS_DUCK.format(a="q.emb", b="e.emb")
+    return f"""
+WITH prj AS ({inner}),
+p AS (SELECT vec_id AS nid, list(val ORDER BY j) AS pv FROM prj GROUP BY vec_id),
+qp AS (SELECT nid AS query_id, pv FROM p WHERE nid IN ({ids})),
+cand0 AS (
+  SELECT qp.query_id, p.nid AS neighbor_id, round({pcos}, 6) AS _pcos
+  FROM p CROSS JOIN qp WHERE p.nid <> qp.query_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY _pcos DESC, neighbor_id) AS _crk
+    FROM cand0)
+  WHERE _crk <= {int(k) * int(overfetch)}),
+e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}),
+q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids})),
+rescored AS (
+  SELECT cand.query_id, cand.neighbor_id, round({cos}, 6) AS cos
+  FROM cand
+  JOIN e ON e.nid = cand.neighbor_id
+  JOIN q ON q.query_id = cand.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rescored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {int(k)}
 """

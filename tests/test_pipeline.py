@@ -1293,3 +1293,28 @@ def test_rp_project_model_and_jl_property(spark, embs):
     ratio = dp / dx
     assert abs(ratio.mean() - 1.0) < 0.15, ratio.mean()
     assert np.mean(np.abs(ratio - 1.0)) < 0.35, np.mean(np.abs(ratio - 1.0))
+
+
+def test_knn_rp_recall_and_rerank_exactness(spark, embs):
+    """knn_rp: stage-2 cos values must equal knn_brute's exact cos for
+    every returned neighbor, ranks must be consistent, and recall vs
+    brute must beat random-candidate recall by a wide margin."""
+    from simple_tsdb_spark.pipeline import knn_brute, knn_rp
+
+    qids = [0, 1, 2, 3, 4]
+    brute = knn_brute(embs, query_ids=qids, k=10).toPandas()
+    rp = knn_rp(embs, query_ids=qids, k=10, overfetch=8).toPandas()
+    bcos = {(r.query_id, r.neighbor_id): r.cos for r in brute.itertuples()}
+    for r in rp.itertuples():
+        if (r.query_id, r.neighbor_id) in bcos:
+            assert r.cos == bcos[(r.query_id, r.neighbor_id)]
+    assert (rp.groupby("query_id")["rank"]
+            .apply(lambda s: list(s) == list(range(1, len(s) + 1)))).all()
+    recalls = []
+    for q in qids:
+        b = set(brute[brute.query_id == q].neighbor_id)
+        a = set(rp[rp.query_id == q].neighbor_id)
+        recalls.append(len(a & b) / len(b))
+    # corpus is 1000 vectors: random 80 candidates would give ~8% recall;
+    # JL-guided candidates must do far better
+    assert sum(recalls) / len(recalls) > 0.4, recalls
