@@ -559,6 +559,17 @@ def ann_phase(spark, n_vecs: int, *, big: bool | None = None) -> dict[str, dict]
     )
     assert n_q == 5 * 10, n_q
     stage("pq_encode", lambda: pq_encode(v).count())
+
+    # knn_rp: stage-1 is a zero-shuffle projected scan against broadcast
+    # queries + a per-query top-k; its shuffle bytes track the CANDIDATE
+    # set (Q·k·overfetch ids), corpus-size independent.
+    from simple_tsdb_spark.pipeline import knn_rp
+
+    n_rp = stage(
+        "knn_rp",
+        lambda: knn_rp(v, query_ids=(0, 1, 2, 3, 4), k=10, overfetch=4).count(),
+    )
+    assert n_rp == 5 * 10, n_rp
     if ckpt.get("path"):
         import shutil
 
