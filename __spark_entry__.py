@@ -372,6 +372,12 @@ def _q_stratified_split3(spark, sf_dir):
     )
 
 
+def _q_gopher_rules(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), min_words=20)
+
+
 def _q_knn_rp(spark, sf_dir):
     from simple_tsdb_spark.pipeline import knn_rp
 
@@ -684,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split3": _q_stratified_split3,  # exact 3-way (valid/test/train)
         "rp_project": _q_rp_project,  # JL sign projection (bit-identical fold)
         "knn_rp": _q_knn_rp,  # two-stage ANN: coarse JL search + exact re-rank
+        "gopher_rules": _q_gopher_rules,  # Gopher A1.1 quality rules + audit stats
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
         "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
@@ -1113,6 +1120,7 @@ def _pipeline_oracles() -> dict[str, str]:
         topk_ngrams_oracle,
         ngram_lm_score_oracle,
         dsir_resample_oracle,
+        gopher_rules_oracle,
         winnowing_fingerprints_oracle,
         winnowing_matches_oracle,
         pii_scrub_oracle,
@@ -1139,6 +1147,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "stratified_split3": stratified_split_oracle(fracs={"valid": 0.05, "test": 0.05}),
         "rp_project": rp_project_oracle(),
         "knn_rp": knn_rp_oracle(query_ids=tuple(range(8)), k=10),
+        "gopher_rules": gopher_rules_oracle(min_words=20),
         "dsir_resample": dsir_resample_oracle(target_pred="lang = 'en'", k=50),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
         "winnowing_matches": winnowing_matches_oracle(n=4, w=5, min_shared=2),

@@ -21,6 +21,7 @@ from simple_tsdb_spark.pipeline.text import (
     tfidf_topk,
     topk_ngrams,
     ngram_lm_score,
+    gopher_rules,
     winnowing_fingerprints,
     winnowing_matches,
     dsir_logweights,
@@ -87,6 +88,7 @@ __all__ = [
     "cluster_prune",
     "topk_ngrams",
     "ngram_lm_score",
+    "gopher_rules",
     "winnowing_fingerprints",
     "winnowing_matches",
     "token_counts",

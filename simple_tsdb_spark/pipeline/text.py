@@ -1162,3 +1162,114 @@ def ngram_lm_model(
         .collect()[0][0]
     )
     return lookup, hist, V
+
+
+# -- Gopher quality rules ---------------------------------------------------
+
+#: Gopher (Rae et al. 2021, A1.1) requires ≥2 of a small stop-word set.
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: "symbol words" counted toward the symbol-to-word ratio rule.
+GOPHER_SYMBOLS: tuple[str, ...] = ("#", "...", "…")
+
+
+def gopher_rules(
+    df: DataFrame,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stopwords: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, Appendix A1.1) —
+    the line-independent subset: word-count bounds, mean word length
+    bounds, fraction of words containing an alphabetic character,
+    symbol-to-word ratio, and the minimum stop-word count.  Output one
+    row per document with every statistic plus the combined
+    ``passes`` flag, so the caller can either filter or audit which
+    rule fired.
+
+    Pure codegen expressions over the token array — zero shuffle, one
+    embarrassingly parallel scan at any corpus size.  All statistics
+    are integer counts or single IEEE divisions, bit-identical to the
+    DuckDB oracle.
+    """
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    sym_list = ", ".join(f"'{w}'" for w in GOPHER_SYMBOLS)
+    words = f"split({text_col}, ' ')"
+    n = F.expr(f"size({words})").cast("long")
+    n_chars = F.expr(
+        f"aggregate(transform({words}, w -> length(w)), 0L, (a, b) -> a + CAST(b AS BIGINT))"
+    )
+    n_alpha = F.expr(
+        f"size(filter({words}, w -> w rlike '[A-Za-z]'))"
+    ).cast("long")
+    n_stop = F.expr(f"size(filter({words}, w -> w IN ({stop_list})))").cast("long")
+    n_sym = F.expr(f"size(filter({words}, w -> w IN ({sym_list})))").cast("long")
+    mean_len = n_chars.cast("double") / n.cast("double")
+    alpha_frac = n_alpha.cast("double") / n.cast("double")
+    sym_ratio = n_sym.cast("double") / n.cast("double")
+    passes = (
+        (n >= int(min_words))
+        & (n <= int(max_words))
+        & (mean_len >= float(min_mean_len))
+        & (mean_len <= float(max_mean_len))
+        & (alpha_frac >= float(min_alpha_frac))
+        & (sym_ratio <= float(max_symbol_ratio))
+        & (n_stop >= int(min_stopwords))
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        sym_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+        passes.alias("passes"),
+    )
+
+
+def gopher_rules_oracle(
+    table: str = "documents",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stopwords: int = 2,
+) -> str:
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    sym_list = ", ".join(f"'{w}'" for w in GOPHER_SYMBOLS)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(list_reduce(list_transform(string_split(text, ' '), w -> len(w)),
+                          (a, b) -> a + b) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ({stop_list}))) AS BIGINT) AS n_stopwords,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ({sym_list}))) AS BIGINT) AS n_sym
+  FROM {table})
+SELECT doc_id, n_words,
+       CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
+       CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+       CAST(n_sym AS DOUBLE) / n_words AS symbol_ratio,
+       n_stopwords,
+       (n_words >= {int(min_words)} AND n_words <= {int(max_words)}
+        AND CAST(n_chars AS DOUBLE) / n_words >= {float(min_mean_len)!r}
+        AND CAST(n_chars AS DOUBLE) / n_words <= {float(max_mean_len)!r}
+        AND CAST(n_alpha AS DOUBLE) / n_words >= {float(min_alpha_frac)!r}
+        AND CAST(n_sym AS DOUBLE) / n_words <= {float(max_symbol_ratio)!r}
+        AND n_stopwords >= {int(min_stopwords)}) AS passes
+FROM s
+"""

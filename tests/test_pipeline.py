@@ -1318,3 +1318,39 @@ def test_knn_rp_recall_and_rerank_exactness(spark, embs):
     # corpus is 1000 vectors: random 80 candidates would give ~8% recall;
     # JL-guided candidates must do far better
     assert sum(recalls) / len(recalls) > 0.4, recalls
+
+
+def test_gopher_rules_python_model(spark):
+    """gopher_rules vs python recomputation — each rule violated by at
+    least one planted doc."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import gopher_rules
+    from simple_tsdb_spark.pipeline.text import GOPHER_STOPWORDS, GOPHER_SYMBOLS
+
+    good = "the cat and dog have fun with that ball " * 5  # 50 words incl trailing ''
+    docs = [
+        (1, good.strip()),                          # passes (40 words w/ min 20)
+        (2, "short text"),                          # too few words
+        (3, " ".join(["a"] * 30)),                  # mean len 1 < 3, no stopwords
+        (4, " ".join(["#"] * 10 + ["the", "of"] + ["word"] * 20)),  # symbol ratio
+        (5, " ".join(["12345"] * 25 + ["the", "of"])),  # alpha frac low
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {r.doc_id: r for r in gopher_rules(df, min_words=20).collect()}
+
+    for i, t in docs:
+        w = t.split(" ")
+        n = len(w)
+        mean_len = sum(len(x) for x in w) / n
+        alpha = sum(any(c.isascii() and c.isalpha() for c in x) for x in w) / n
+        sym = sum(x in GOPHER_SYMBOLS for x in w) / n
+        stop = sum(x in GOPHER_STOPWORDS for x in w)
+        r = got[i]
+        assert r.n_words == n and r.n_stopwords == stop
+        assert r.mean_word_len == mean_len and r.alpha_frac == alpha
+        assert r.symbol_ratio == sym
+        want = (20 <= n <= 100_000 and 3.0 <= mean_len <= 10.0
+                and alpha >= 0.8 and sym <= 0.1 and stop >= 2)
+        assert r.passes == want, (i, r)
+    assert got[1].passes and not any(got[i].passes for i in (2, 3, 4, 5))
