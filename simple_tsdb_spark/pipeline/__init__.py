@@ -22,6 +22,7 @@ from simple_tsdb_spark.pipeline.text import (
     topk_ngrams,
     ngram_lm_score,
     gopher_rules,
+    dup_ngram_chars,
     winnowing_fingerprints,
     winnowing_matches,
     dsir_logweights,
@@ -89,6 +90,7 @@ __all__ = [
     "topk_ngrams",
     "ngram_lm_score",
     "gopher_rules",
+    "dup_ngram_chars",
     "winnowing_fingerprints",
     "winnowing_matches",
     "token_counts",

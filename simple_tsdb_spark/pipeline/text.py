@@ -1273,3 +1273,108 @@ SELECT doc_id, n_words,
         AND n_stopwords >= {int(min_stopwords)}) AS passes
 FROM s
 """
+
+
+def dup_ngram_chars(
+    df: DataFrame,
+    *,
+    ns: tuple[int, ...] = (2, 3, 4),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher repetition rule (Rae et al. 2021 A1.1): per document and
+    n ∈ ``ns``, the fraction of characters contained in DUPLICATED word
+    n-grams — ``(doc_id, n, dup_char_frac)``.  A gram is duplicated
+    when it occurs more than once in the doc; its character weight is
+    the sum of its word lengths (separators excluded), counted for
+    every occurrence, over the doc's total word characters.  Docs with
+    fewer than ``n`` words report 0 for that n.
+
+    At 100 TB: per-(doc, n, gram-type) counts aggregate map-side; ONE
+    shuffle keyed (doc, n, gram) — uniform, as wide as the gram stream
+    — then a doc-keyed rollup.  Rounded to 6 decimals (integer ratio,
+    engine-portable).
+    """
+    w = f"split({text_col}, ' ')"
+    totals = df.select(
+        F.col(id_col).alias("doc"),
+        F.expr(
+            f"aggregate(transform({w}, x -> length(x)), 0L, (a, b) -> a + CAST(b AS BIGINT))"
+        ).alias("_tot"),
+    )
+    streams = []
+    for n in ns:
+        grams = df.selectExpr(
+            f"{id_col} AS doc",
+            f"{int(n)} AS n",
+            f"explode({_ngrams_expr(text_col, int(n))}) AS gram",
+        )
+        streams.append(grams)
+    allg = streams[0]
+    for s in streams[1:]:
+        allg = allg.unionByName(s)
+    per_gram = allg.groupBy("doc", "n", "gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    ).withColumn(
+        # chars of ONE occurrence: gram length minus the n-1 separators
+        "_len", (F.length(F.col("gram")) - (F.col("n") - 1)).cast("long")
+    )
+    dup = (
+        per_gram.where(F.col("_c") > 1)
+        .groupBy("doc", "n")
+        .agg(F.sum(F.col("_c") * F.col("_len")).alias("_dup_chars"))
+    )
+    spine = df.select(F.col(id_col).alias("doc")).crossJoin(
+        df.sparkSession.range(1).select(
+            F.explode(F.array(*[F.lit(int(n)) for n in ns])).alias("n")
+        )
+    )
+    return (
+        spine.join(totals, "doc")
+        .join(dup, ["doc", "n"], "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n",
+            F.round(
+                F.coalesce(F.col("_dup_chars"), F.lit(0)).cast("double")
+                / F.col("_tot").cast("double"),
+                6,
+            ).alias("dup_char_frac"),
+        )
+    )
+
+
+def dup_ngram_chars_oracle(
+    table: str = "documents", *, ns: tuple[int, ...] = (2, 3, 4)
+) -> str:
+    n_list = ", ".join(f"({int(n)})" for n in ns)
+    gram_streams = "\nUNION ALL\n".join(
+        f"""  SELECT doc_id AS doc, {int(n)} AS n,
+         UNNEST(list_transform(generate_series(1, len(string_split(text, ' ')) - {int(n)} + 1),
+                i -> array_to_string(list_slice(string_split(text, ' '), i, i + {int(n)} - 1), ' '))) AS gram
+  FROM {table} WHERE len(string_split(text, ' ')) >= {int(n)}"""
+        for n in ns
+    )
+    return f"""
+WITH totals AS (
+  SELECT doc_id AS doc,
+         CAST(list_reduce(list_transform(string_split(text, ' '), x -> len(x)),
+                          (a, b) -> a + b) AS BIGINT) AS _tot
+  FROM {table}),
+grams AS (
+{gram_streams}),
+per_gram AS (
+  SELECT doc, n, gram, COUNT(*) AS _c,
+         CAST(len(gram) - (n - 1) AS BIGINT) AS _len
+  FROM grams GROUP BY doc, n, gram),
+dup AS (
+  SELECT doc, n, SUM(_c * _len) AS _dup_chars
+  FROM per_gram WHERE _c > 1 GROUP BY doc, n),
+spine AS (
+  SELECT doc_id AS doc, n FROM {table}, (VALUES {n_list}) t(n))
+SELECT spine.doc AS doc_id, spine.n,
+       round(CAST(COALESCE(_dup_chars, 0) AS DOUBLE) / _tot, 6) AS dup_char_frac
+FROM spine
+JOIN totals ON totals.doc = spine.doc
+LEFT JOIN dup ON dup.doc = spine.doc AND dup.n = spine.n
+"""

@@ -1354,3 +1354,31 @@ def test_gopher_rules_python_model(spark):
                 and alpha >= 0.8 and sym <= 0.1 and stop >= 2)
         assert r.passes == want, (i, r)
     assert got[1].passes and not any(got[i].passes for i in (2, 3, 4, 5))
+
+
+def test_dup_ngram_chars_python_model(spark):
+    """dup_ngram_chars vs python recomputation — repeated phrase,
+    no-repetition doc, and a doc shorter than n."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import dup_ngram_chars
+
+    docs = [
+        (1, "spam ham spam ham spam ham eggs"),
+        (2, "all words here are fully unique"),
+        (3, "tiny"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {(r.doc_id, r.n): r.dup_char_frac for r in dup_ngram_chars(df).collect()}
+
+    for i, t in docs:
+        w = t.split(" ")
+        tot = sum(len(x) for x in w)
+        for n in (2, 3, 4):
+            grams = [tuple(w[j:j + n]) for j in range(len(w) - n + 1)] if len(w) >= n else []
+            from collections import Counter
+            c = Counter(grams)
+            dup = sum(cnt * sum(len(x) for x in g) for g, cnt in c.items() if cnt > 1)
+            assert got[(i, n)] == round(dup / tot, 6), (i, n, got[(i, n)])
+    assert got[(2, 2)] == 0.0 and got[(3, 2)] == 0.0
+    assert got[(1, 2)] > 0.5  # "spam ham" dominates
