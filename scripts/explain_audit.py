@@ -312,6 +312,30 @@ def main() -> int:
         "Exchange" not in t4 and "Join" not in t4,
     )
 
+    # materialized ANN index: the search scan must be partition-pruned
+    # to the probed lists (directory-level, before any footer is read)
+    # — the IVF deployment promise: per-query I/O ≈ nprobe/nlist of the
+    # index, corpus-size independent.
+    import tempfile as _tf
+
+    from simple_tsdb_spark.pipeline import search_ann_index, write_ann_index
+
+    idx_path = _tf.mkdtemp(prefix="audit_ann_") + "/idx"
+    write_ann_index(spark, embs, idx_path)
+    t6 = (
+        search_ann_index(spark, idx_path, query_ids=[0, 1], k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ok &= check(
+        "ann_index: search scan partition-pruned to probed lists",
+        bool(re.search(r"PartitionFilters: \[[^\]]*list_id", t6)),
+    )
+    import shutil as _sh
+
+    _sh.rmtree(idx_path.rsplit("/", 1)[0], ignore_errors=True)
+
     # knn_rp: two-stage shape — queries and candidate ids broadcast,
     # the corpus itself never under a BroadcastExchange.
     from simple_tsdb_spark.pipeline import knn_rp

@@ -54,6 +54,7 @@ from simple_tsdb_spark.pipeline.curation import (
     mixture_sample,
     pack_sequences,
 )
+from simple_tsdb_spark.pipeline.ann_index import search_ann_index, write_ann_index
 from simple_tsdb_spark.pipeline.similarity import (
     cluster_prune,
     default_centroids,
@@ -85,6 +86,8 @@ __all__ = [
     "kmeans_clusters",
     "rp_project",
     "knn_rp",
+    "write_ann_index",
+    "search_ann_index",
     "rp_signs",
     "cluster_prune",
     "topk_ngrams",

@@ -1,0 +1,187 @@
+"""Materialized IVF index — build once, search many.
+
+``knn_ivf`` builds its inverted lists inside every query; a deployment
+builds the index ONCE and pays only probe-sized I/O per query.
+``write_ann_index`` assigns each vector to its quantizer list (the
+same argmax expression ``knn_ivf`` uses) and writes the corpus as
+parquet **partitioned by list_id**, plus a JSON manifest (centroids,
+dim, optional PQ codebooks).  ``search_ann_index`` ranks the
+centroid table for each query ON THE DRIVER (nlist × dim floats —
+tiny), then reads ONLY the probed list partitions: directory-level
+partition pruning, so per-query I/O scales with ``nprobe/nlist`` of
+the corpus, not the corpus (asserted in explain_audit).
+
+Deterministic end to end: the driver-side probe ranking recomputes the
+quantizer score with the same sequential fold the Spark expression
+uses (bit-identical doubles), so ``search_ann_index`` over an index
+built with the default quantizer equals ``knn_ivf`` row for row
+(pinned in test_pipeline).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simple_tsdb_spark.pipeline.dedup import _cos_prenorm, _norm
+from simple_tsdb_spark.pipeline.similarity import (
+    N_LISTS,
+    _score_array_spark,
+    default_centroids,
+    pq_codebooks,
+)
+
+__all__ = ["write_ann_index", "search_ann_index"]
+
+
+def write_ann_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    dim: int = 64,
+    centroids: Sequence[Sequence[float]] | None = None,
+    with_pq: bool = False,
+    codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Build the materialized index: one corpus projection (the
+    assignment is pure codegen), one partitioned write — no shuffle
+    beyond the write's own fan-out.  Returns the manifest."""
+    from simple_tsdb_spark.fs import get_fs
+
+    cents = [list(map(float, c)) for c in (centroids or default_centroids(dim=dim))]
+    sarr = _score_array_spark("emb", dim, cents)
+    e = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("_sarr", F.expr(sarr))
+        .withColumn(
+            "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
+        )
+        .drop("_sarr")
+    )
+    cols = ["vec_id", "emb", "list_id"]
+    if with_pq:
+        from simple_tsdb_spark.pipeline.similarity import _pq_encode_relational
+
+        cbs = codebooks or pq_codebooks(dim=dim)
+        e = (
+            _pq_encode_relational(
+                e.withColumnRenamed("vec_id", "_pqid"), cbs, dim, carry=("emb", "list_id")
+            )
+            .withColumnRenamed("_pqid", "vec_id")
+        )
+        cols.append("codes")
+    else:
+        cbs = None
+    (
+        e.select(*cols)
+        .repartition(F.col("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/vectors")
+    )
+    manifest = {
+        "dim": int(dim),
+        "nlist": len(cents),
+        "centroids": cents,
+        "with_pq": bool(with_pq),
+        "codebooks": [[list(map(float, c)) for c in cb] for cb in cbs] if cbs else None,
+    }
+    get_fs(path).write_text_atomic(f"{path}/manifest.json", json.dumps(manifest))
+    return manifest
+
+
+def _quantizer_scores_py(vec: Sequence[float], cents: list[list[float]]) -> list[float]:
+    """Driver-side replica of ``_score_array_spark``: sequential-fold
+    dot / centroid norm — bit-identical to the Spark expression."""
+    out = []
+    for c in cents:
+        acc = 0.0
+        for x, y in zip(vec, c):
+            acc += float(x) * float(y)
+        nrm = 0.0
+        for y in c:
+            nrm += float(y) * float(y)
+        out.append(acc / math.sqrt(nrm))
+    return out
+
+
+def search_ann_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    query_ids: Sequence[int],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k search against a materialized index: probe lists are
+    ranked on the driver from the manifest's centroid table, and the
+    corpus read is filtered to ``list_id IN (probed)`` — partition
+    pruning keeps I/O at ``≈ nprobe/nlist`` of the index regardless of
+    corpus size.  Query vectors are fetched from the index by id (a
+    bounded pushed-down read).  Output (query_id, neighbor_id, cos,
+    rank), identical to ``knn_ivf`` under the same quantizer."""
+    from simple_tsdb_spark.fs import get_fs
+
+    man = json.loads(get_fs(path).read_text(f"{path}/manifest.json"))
+    cents = man["centroids"]
+    nlist = man["nlist"]
+    if not 1 <= int(nprobe) <= nlist:
+        raise ValueError(f"nprobe must be in [1, {nlist}]")
+
+    vectors = spark.read.parquet(f"{path}/vectors")
+    qrows = (
+        vectors.where(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", "emb")
+        .collect()
+    )
+    if len(qrows) != len(set(query_ids)):
+        missing = set(query_ids) - {r["vec_id"] for r in qrows}
+        raise KeyError(f"query ids not in index: {sorted(missing)}")
+
+    probe_rows = []
+    qvec_rows = []
+    probed_lists: set[int] = set()
+    for r in qrows:
+        scores = _quantizer_scores_py(r["emb"], cents)
+        # rank by (score desc, list_id asc) — knn_ivf's probe order
+        order = sorted(range(nlist), key=lambda l: (-scores[l], l))[: int(nprobe)]
+        nrm = 0.0
+        for x in r["emb"]:
+            nrm += float(x) * float(x)
+        qvec_rows.append((int(r["vec_id"]), [float(x) for x in r["emb"]], math.sqrt(nrm)))
+        for l in order:
+            probe_rows.append((int(r["vec_id"]), int(l)))
+            probed_lists.add(int(l))
+
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    qvecs = spark.createDataFrame(qvec_rows, "query_id long, qemb array<double>, qnrm double")
+
+    corpus = vectors.where(
+        F.col("list_id").isin(sorted(probed_lists))
+    ).withColumn("nrm", _norm("emb"))
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .orderBy("query_id", "rank")
+    )

@@ -1382,3 +1382,59 @@ def test_dup_ngram_chars_python_model(spark):
             assert got[(i, n)] == round(dup / tot, 6), (i, n, got[(i, n)])
     assert got[(2, 2)] == 0.0 and got[(3, 2)] == 0.0
     assert got[(1, 2)] > 0.5  # "spam ham" dominates
+
+
+def test_ann_index_build_search_equals_knn_ivf(spark, embs, tmp_path):
+    """Materialized index: search over the written partitions must
+    equal knn_ivf (same quantizer) row for row, full probe must equal
+    brute, and the scan must read only the probed list partitions."""
+    import os
+
+    from simple_tsdb_spark.pipeline import (
+        knn_brute,
+        knn_ivf,
+        search_ann_index,
+        write_ann_index,
+    )
+    from simple_tsdb_spark.pipeline.similarity import N_LISTS
+
+    path = str(tmp_path / "idx")
+    man = write_ann_index(spark, embs, path)
+    assert man["nlist"] == N_LISTS
+    lists = [d for d in os.listdir(f"{path}/vectors") if d.startswith("list_id=")]
+    assert len(lists) >= 2
+
+    qids = [0, 1, 2, 3, 4]
+    got = search_ann_index(spark, path, query_ids=qids, k=10, nprobe=4).toPandas()
+    want = knn_ivf(embs, query_ids=qids, k=10, nprobe=4).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"], ignore_index=True),
+        want.sort_values(["query_id", "rank"], ignore_index=True),
+    )
+
+    full = search_ann_index(spark, path, query_ids=qids, k=10, nprobe=N_LISTS).toPandas()
+    brute = knn_brute(embs, query_ids=qids, k=10).toPandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values(["query_id", "rank"], ignore_index=True),
+        brute.sort_values(["query_id", "rank"], ignore_index=True),
+    )
+
+    # partition pruning: the probed scan must carry a list_id partition filter
+    df = search_ann_index(spark, path, query_ids=[0], k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    with pytest.raises(KeyError):
+        search_ann_index(spark, path, query_ids=[10**9], k=5)
+
+
+def test_ann_index_pq_payload(spark, embs, tmp_path):
+    """with_pq=True stores M-byte codes next to each vector and the
+    codebooks in the manifest."""
+    from simple_tsdb_spark.pipeline import write_ann_index
+
+    path = str(tmp_path / "idxpq")
+    man = write_ann_index(spark, embs, path, with_pq=True)
+    assert man["with_pq"] and man["codebooks"]
+    row = spark.read.parquet(f"{path}/vectors").limit(1).collect()[0]
+    assert len(row["codes"]) == len(man["codebooks"])
