@@ -115,6 +115,36 @@ def _quantizer_scores_py(vec: Sequence[float], cents: list[list[float]]) -> list
     return out
 
 
+def _round6_spark(x: float) -> float:
+    """Driver replica of Spark's ``round(double, 6)`` (BigDecimal
+    HALF_UP on the exact binary value)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+def _pq_lut_py(vec: Sequence[float], cbs) -> list[float]:
+    """Driver replica of knn_ivf_pq's per-query lookup table: normalize
+    (sequential-fold dot), then per (subspace, centroid) the
+    left-associated squared-L2 sum, rounded like Spark."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    nrm = math.sqrt(acc)
+    nv = [float(x) / nrm for x in vec]
+    sub = len(cbs[0][0])
+    lut = []
+    for mi, cb in enumerate(cbs):
+        off = mi * sub
+        for c in cb:
+            d = 0.0
+            for j in range(sub):
+                t = nv[off + j] - float(c[j])
+                d += t * t
+            lut.append(_round6_spark(d))
+    return lut
+
+
 def search_ann_index(
     spark: SparkSession,
     path: str,
@@ -122,19 +152,32 @@ def search_ann_index(
     query_ids: Sequence[int],
     k: int = 10,
     nprobe: int = 4,
+    method: str = "exact",
 ) -> DataFrame:
     """Top-k search against a materialized index: probe lists are
     ranked on the driver from the manifest's centroid table, and the
     corpus read is filtered to ``list_id IN (probed)`` — partition
     pruning keeps I/O at ``≈ nprobe/nlist`` of the index regardless of
     corpus size.  Query vectors are fetched from the index by id (a
-    bounded pushed-down read).  Output (query_id, neighbor_id, cos,
-    rank), identical to ``knn_ivf`` under the same quantizer."""
+    bounded pushed-down read).
+
+    ``method='exact'``: cosine over the stored vectors — output
+    (query_id, neighbor_id, cos, rank), identical to ``knn_ivf`` under
+    the same quantizer.  ``method='adc'``: asymmetric distance over the
+    stored PQ codes (requires ``with_pq=True`` at build) — the scan
+    reads only (vec_id, codes, list_id), ~dim/M× less data; output
+    (query_id, neighbor_id, adist, rank), identical to ``knn_ivf_pq``
+    (the per-query LUT is a bit-exact driver replica of the Spark
+    expression, HALF_UP rounding included)."""
     from simple_tsdb_spark.fs import get_fs
 
+    if method not in ("exact", "adc"):
+        raise ValueError("method must be exact|adc")
     man = json.loads(get_fs(path).read_text(f"{path}/manifest.json"))
     cents = man["centroids"]
     nlist = man["nlist"]
+    if method == "adc" and not man.get("with_pq"):
+        raise ValueError("index was built without PQ codes (with_pq=False)")
     if not 1 <= int(nprobe) <= nlist:
         raise ValueError(f"nprobe must be in [1, {nlist}]")
 
@@ -150,6 +193,7 @@ def search_ann_index(
 
     probe_rows = []
     qvec_rows = []
+    lut_rows = []
     probed_lists: set[int] = set()
     for r in qrows:
         scores = _quantizer_scores_py(r["emb"], cents)
@@ -159,27 +203,57 @@ def search_ann_index(
         for x in r["emb"]:
             nrm += float(x) * float(x)
         qvec_rows.append((int(r["vec_id"]), [float(x) for x in r["emb"]], math.sqrt(nrm)))
+        if method == "adc":
+            lut_rows.append((int(r["vec_id"]), _pq_lut_py(r["emb"], man["codebooks"])))
         for l in order:
             probe_rows.append((int(r["vec_id"]), int(l)))
             probed_lists.add(int(l))
 
     probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
-    qvecs = spark.createDataFrame(qvec_rows, "query_id long, qemb array<double>, qnrm double")
 
-    corpus = vectors.where(
-        F.col("list_id").isin(sorted(probed_lists))
-    ).withColumn("nrm", _norm("emb"))
-    scored = (
-        corpus.join(F.broadcast(probes), "list_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(qvecs), "query_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
+    if method == "adc":
+        cbs = man["codebooks"]
+        m, kk = len(cbs), len(cbs[0])
+        luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+        corpus = vectors.where(F.col("list_id").isin(sorted(probed_lists))).select(
+            "vec_id", "codes", "list_id"
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+        adist = " + ".join(
+            f"element_at(lut, {mi} * {kk} + codes[{mi}] + 1)" for mi in range(m)
+        )
+        scored = (
+            corpus.join(F.broadcast(probes), "list_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .join(F.broadcast(luts), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(F.expr(adist), 6).alias("adist"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adist").asc(), F.col("neighbor_id")
+        )
+    else:
+        qvecs = spark.createDataFrame(
+            qvec_rows, "query_id long, qemb array<double>, qnrm double"
+        )
+        corpus = vectors.where(
+            F.col("list_id").isin(sorted(probed_lists))
+        ).withColumn("nrm", _norm("emb"))
+        scored = (
+            corpus.join(F.broadcast(probes), "list_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .join(F.broadcast(qvecs), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(k))

@@ -1438,3 +1438,29 @@ def test_ann_index_pq_payload(spark, embs, tmp_path):
     assert man["with_pq"] and man["codebooks"]
     row = spark.read.parquet(f"{path}/vectors").limit(1).collect()[0]
     assert len(row["codes"]) == len(man["codebooks"])
+
+
+def test_ann_index_adc_equals_knn_ivf_pq(spark, embs, tmp_path):
+    """ADC search over the materialized codes must equal knn_ivf_pq
+    row for row (same quantizer + codebooks), and require with_pq."""
+    from simple_tsdb_spark.pipeline import (
+        knn_ivf_pq,
+        search_ann_index,
+        write_ann_index,
+    )
+
+    path = str(tmp_path / "idxadc")
+    write_ann_index(spark, embs, path, with_pq=True)
+    qids = [0, 1, 2, 3, 4]
+    got = search_ann_index(spark, path, query_ids=qids, k=10, nprobe=4,
+                           method="adc").toPandas()
+    want = knn_ivf_pq(embs, query_ids=qids, k=10, nprobe=4).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"], ignore_index=True),
+        want.sort_values(["query_id", "rank"], ignore_index=True),
+    )
+
+    bare = str(tmp_path / "idxbare")
+    write_ann_index(spark, embs, bare)
+    with pytest.raises(ValueError):
+        search_ann_index(spark, bare, query_ids=qids, method="adc")
