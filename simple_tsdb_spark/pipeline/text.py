@@ -1302,17 +1302,17 @@ def dup_ngram_chars(
             f"aggregate(transform({w}, x -> length(x)), 0L, (a, b) -> a + CAST(b AS BIGINT))"
         ).alias("_tot"),
     )
-    streams = []
-    for n in ns:
-        grams = df.selectExpr(
-            f"{id_col} AS doc",
-            f"{int(n)} AS n",
-            f"explode({_ngrams_expr(text_col, int(n))}) AS gram",
-        )
-        streams.append(grams)
-    allg = streams[0]
-    for s in streams[1:]:
-        allg = allg.unionByName(s)
+    # ONE corpus scan for every n: per-n gram arrays tagged with n,
+    # flattened, single explode (a union of per-n streams would scan
+    # the corpus len(ns) times)
+    tagged = ", ".join(
+        f"transform({_ngrams_expr(text_col, int(n))}, "
+        f"g -> struct({int(n)} AS n, g AS gram))"
+        for n in ns
+    )
+    allg = df.selectExpr(
+        f"{id_col} AS doc", f"inline(flatten(array({tagged})))"
+    )
     per_gram = allg.groupBy("doc", "n", "gram").agg(
         F.count(F.lit(1)).alias("_c")
     ).withColumn(
