@@ -55,6 +55,11 @@ from simple_tsdb_spark.pipeline.curation import (
     pack_sequences,
 )
 from simple_tsdb_spark.pipeline.ann_index import search_ann_index, write_ann_index
+from simple_tsdb_spark.pipeline.dedup_index import (
+    append_to_minhash_index,
+    dedup_against_index,
+    write_minhash_index,
+)
 from simple_tsdb_spark.pipeline.similarity import (
     cluster_prune,
     default_centroids,
@@ -88,6 +93,9 @@ __all__ = [
     "knn_rp",
     "write_ann_index",
     "search_ann_index",
+    "write_minhash_index",
+    "append_to_minhash_index",
+    "dedup_against_index",
     "rp_signs",
     "cluster_prune",
     "topk_ngrams",

@@ -243,14 +243,13 @@ WHERE jaccard >= {threshold}
 
 # -- minhash + LSH ----------------------------------------------------------
 
-def minhash_lsh_pairs(
+def minhash_band_buckets(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Candidate near-dup pairs via MinHash signatures + LSH banding.
-
-    shingle → 16 md5-seeded minhashes → 4 bands of 4 → docs sharing any
-    band bucket become a candidate pair.  Output: (a, b, n_bands shared).
-    """
+    """(doc, band_id, key): each document's LSH band buckets — the
+    joinable form of its MinHash signature (shingle → 16 md5-seeded
+    minhashes → 4 bands of 4).  Shared by ``minhash_lsh_pairs`` and the
+    materialized index (``pipeline.dedup_index``)."""
     # No dedup needed: MIN over the shingle multiset equals MIN over the
     # set, so duplicate shingle rows cannot change any signature value.
     sh = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=MINHASH_STRIDE).withColumn(
@@ -274,7 +273,7 @@ def minhash_lsh_pairs(
             F.concat_ws(",", *[F.col(p).cast("string") for p in parts]).alias(f"band{b}")
         )
     banded = sig.select("doc", *band_cols)
-    buckets = banded.selectExpr(
+    return banded.selectExpr(
         "doc",
         "stack("
         + str(N_BANDS)
@@ -282,6 +281,17 @@ def minhash_lsh_pairs(
         + ", ".join(f"{b}, band{b}" for b in range(N_BANDS))
         + ") as (band_id, key)",
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash signatures + LSH banding.
+
+    shingle → 16 md5-seeded minhashes → 4 bands of 4 → docs sharing any
+    band bucket become a candidate pair.  Output: (a, b, n_bands shared).
+    """
+    buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col)
     pairs = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band_id", "key"])

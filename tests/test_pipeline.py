@@ -1464,3 +1464,59 @@ def test_ann_index_adc_equals_knn_ivf_pq(spark, embs, tmp_path):
     write_ann_index(spark, embs, bare)
     with pytest.raises(ValueError):
         search_ann_index(spark, bare, query_ids=qids, method="adc")
+
+
+def test_minhash_index_incremental_dedup(spark, docs, tmp_path):
+    """Incremental dedup: candidates of a new slice against the index
+    must equal minhash_lsh_pairs over the union, restricted to
+    new×corpus pairs; append makes later slices see earlier ones."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import (
+        append_to_minhash_index,
+        dedup_against_index,
+        minhash_lsh_pairs,
+        write_minhash_index,
+    )
+
+    corpus = docs.where("doc_id < 400")
+    # new slice: near-copies of corpus docs under fresh ids + fresh docs
+    newdocs = (
+        docs.where("doc_id >= 400")
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    )
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(spark, corpus, path)
+
+    got = {
+        (r.new_doc, r.corpus_doc, r.n_bands)
+        for r in dedup_against_index(spark, newdocs, path).collect()
+    }
+    both = corpus.unionByName(newdocs)
+    want = set()
+    for r in minhash_lsh_pairs(both).collect():
+        a, b = r.a, r.b
+        if a < 400 and b >= 100000:
+            want.add((b, a, r.n_bands))
+        elif b < 400 and a >= 100000:
+            want.add((a, b, r.n_bands))
+    assert got == want and want, (len(got), len(want))
+
+    # append the slice; a re-sent slice now collides with itself in the
+    # index (same band keys, different ids excluded only when equal)
+    append_to_minhash_index(spark, newdocs, path)
+    again = dedup_against_index(
+        spark,
+        newdocs.select((F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"),
+        path,
+    )
+    hits = {r.corpus_doc for r in again.collect()}
+    assert any(h >= 100000 for h in hits)  # matched the appended slice
+
+    # signature drift is rejected
+    import json as _json
+
+    with open(f"{path}/manifest.json", "w") as fh:
+        fh.write(_json.dumps({"shingle_len": 99}))
+    with pytest.raises(ValueError):
+        dedup_against_index(spark, newdocs, path)
