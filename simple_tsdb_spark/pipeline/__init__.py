@@ -58,6 +58,8 @@ from simple_tsdb_spark.pipeline.ann_index import search_ann_index, write_ann_ind
 from simple_tsdb_spark.pipeline.dedup_index import (
     append_to_minhash_index,
     dedup_against_index,
+    filter_against_digest_index,
+    write_digest_index,
     write_minhash_index,
 )
 from simple_tsdb_spark.pipeline.similarity import (
@@ -96,6 +98,8 @@ __all__ = [
     "write_minhash_index",
     "append_to_minhash_index",
     "dedup_against_index",
+    "write_digest_index",
+    "filter_against_digest_index",
     "rp_signs",
     "cluster_prune",
     "topk_ngrams",

@@ -34,6 +34,8 @@ __all__ = [
     "write_minhash_index",
     "append_to_minhash_index",
     "dedup_against_index",
+    "write_digest_index",
+    "filter_against_digest_index",
 ]
 
 _SIG = {
@@ -127,4 +129,67 @@ def dedup_against_index(
             F.col("n.doc").alias("new_doc"), F.col("c.doc").alias("corpus_doc")
         )
         .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def write_digest_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Exact-dedup twin of the band index: the corpus's content digests
+    (md5), parquet partitioned by a digest-prefix bucket so a slice
+    check prunes to the buckets its digests hit."""
+    d = df.select(
+        F.md5(F.col(text_col)).alias("digest"),
+        F.col(id_col).alias("doc"),
+    ).withColumn(
+        "bucket",
+        F.expr("CAST(conv(substring(digest, 1, 2), 16, 10) AS INT)") % int(buckets),
+    )
+    (
+        d.repartition(F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/digests")
+    )
+    from simple_tsdb_spark.fs import get_fs
+
+    get_fs(path).write_text_atomic(
+        f"{path}/digest_manifest.json", json.dumps({"buckets": int(buckets)})
+    )
+
+
+def filter_against_digest_index(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop new documents whose exact content already exists in the
+    indexed corpus (LEFT ANTI on digest + partition pruning to the
+    buckets the slice's digests hit).  Returns the surviving rows of
+    ``new_df`` unchanged."""
+    from simple_tsdb_spark.fs import get_fs
+
+    man = json.loads(get_fs(path).read_text(f"{path}/digest_manifest.json"))
+    B = int(man["buckets"])
+    tagged = new_df.withColumn("_digest", F.md5(F.col(text_col))).withColumn(
+        "_bucket",
+        F.expr("CAST(conv(substring(_digest, 1, 2), 16, 10) AS INT)") % B,
+    )
+    hit = sorted(
+        r["_bucket"] for r in tagged.select("_bucket").distinct().collect()
+    )
+    idx = spark.read.parquet(f"{path}/digests").where(F.col("bucket").isin(hit))
+    return (
+        tagged.join(
+            idx.select(F.col("digest").alias("_digest")), "_digest", "left_anti"
+        )
+        .drop("_digest", "_bucket")
     )

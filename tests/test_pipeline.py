@@ -1520,3 +1520,39 @@ def test_minhash_index_incremental_dedup(spark, docs, tmp_path):
         fh.write(_json.dumps({"shingle_len": 99}))
     with pytest.raises(ValueError):
         dedup_against_index(spark, newdocs, path)
+
+
+def test_digest_index_incremental_exact_dedup(spark, docs, tmp_path):
+    """Exact-digest index: a new slice keeps only docs whose content is
+    absent from the index; partition pruning carries a bucket filter."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import (
+        filter_against_digest_index,
+        write_digest_index,
+    )
+
+    corpus = docs.where("doc_id < 400")
+    path = str(tmp_path / "digidx")
+    write_digest_index(spark, corpus, path)
+
+    dup_slice = corpus.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    fresh_slice = docs.where("doc_id >= 400")
+    new = dup_slice.unionByName(fresh_slice)
+    kept = filter_against_digest_index(spark, new, path).toPandas()
+    # every exact copy dropped, every genuinely-new doc kept (unless its
+    # text coincides with a corpus doc)
+    corpus_texts = {r.text for r in corpus.select("text").collect()}
+    want = {r.doc_id for r in new.collect() if r.text not in corpus_texts}
+    assert set(kept.doc_id) == want
+    assert set(kept.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+    plan = (
+        filter_against_digest_index(spark, dup_slice, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
