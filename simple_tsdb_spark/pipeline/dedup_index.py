@@ -43,7 +43,17 @@ _SIG = {
     "stride": MINHASH_STRIDE,
     "n_hashes": N_HASHES,
     "n_bands": N_BANDS,
+    "key_buckets": 64,
 }
+
+def _kb() -> F.Column:
+    """Key-prefix sub-partition: (band_id, kb) directories let a slice
+    lookup prune to the partitions its band keys actually hash into.
+    (Built lazily — column expressions need an active SparkContext.)"""
+    return (
+        F.expr("CAST(conv(substring(md5(key), 1, 2), 16, 10) AS INT)")
+        % _SIG["key_buckets"]
+    )
 
 
 def write_minhash_index(
@@ -59,11 +69,13 @@ def write_minhash_index(
     write.  Returns the manifest."""
     from simple_tsdb_spark.fs import get_fs
 
-    buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col)
+    buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col).withColumn(
+        "kb", _kb()
+    )
     (
-        buckets.repartition(F.col("band_id"))
+        buckets.repartition(F.col("band_id"), F.col("kb"))
         .write.mode("overwrite")
-        .partitionBy("band_id")
+        .partitionBy("band_id", "kb")
         .parquet(f"{path}/buckets")
     )
     manifest = dict(_SIG)
@@ -93,11 +105,13 @@ def append_to_minhash_index(
     """Fold a new slice's buckets into the index (append, no rewrite of
     existing partitions' files)."""
     _check_manifest(path)
-    buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col)
+    buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col).withColumn(
+        "kb", _kb()
+    )
     (
-        buckets.repartition(F.col("band_id"))
+        buckets.repartition(F.col("band_id"), F.col("kb"))
         .write.mode("append")
-        .partitionBy("band_id")
+        .partitionBy("band_id", "kb")
         .parquet(f"{path}/buckets")
     )
 
@@ -119,11 +133,30 @@ def dedup_against_index(
     ``minhash_lsh_pairs`` restricted to new×corpus pairs (pinned in
     test_pipeline)."""
     _check_manifest(path)
-    newb = minhash_band_buckets(new_df, text_col=text_col, id_col=id_col)
+    newb = minhash_band_buckets(new_df, text_col=text_col, id_col=id_col).withColumn(
+        "kb", _kb()
+    )
     idx = spark.read.parquet(f"{path}/buckets")
+    # Partition pruning: the slice's (band_id, kb) hit set is bounded by
+    # n_bands × key_buckets (256 dirs total); a small slice touches a
+    # fraction of it, so the index READ — not just the join — scales
+    # with the slice.  Above ~half the partitions the filter is noise:
+    # skip it (full scan, still no re-minhash of the corpus).
+    hits = {
+        (r["band_id"], r["kb"])
+        for r in newb.select("band_id", "kb").distinct().collect()
+    }
+    total = _SIG["n_bands"] * _SIG["key_buckets"]
+    if len(hits) < total // 2:
+        pred = None
+        for b, kb in sorted(hits):
+            c = (F.col("band_id") == int(b)) & (F.col("kb") == int(kb))
+            pred = c if pred is None else (pred | c)
+        if pred is not None:
+            idx = idx.where(pred)
     return (
         newb.alias("n")
-        .join(idx.alias("c"), ["band_id", "key"])
+        .join(idx.alias("c"), ["band_id", "kb", "key"])
         .where(F.col("n.doc") != F.col("c.doc"))
         .groupBy(
             F.col("n.doc").alias("new_doc"), F.col("c.doc").alias("corpus_doc")

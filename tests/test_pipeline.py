@@ -1513,6 +1513,15 @@ def test_minhash_index_incremental_dedup(spark, docs, tmp_path):
     hits = {r.corpus_doc for r in again.collect()}
     assert any(h >= 100000 for h in hits)  # matched the appended slice
 
+    # tiny slice → the index read is partition-pruned to hit buckets
+    plan = (
+        dedup_against_index(spark, newdocs.limit(3), path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "band_id" in plan and "kb" in plan
+
     # signature drift is rejected
     import json as _json
 
