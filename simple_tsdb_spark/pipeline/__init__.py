@@ -54,7 +54,11 @@ from simple_tsdb_spark.pipeline.curation import (
     mixture_sample,
     pack_sequences,
 )
-from simple_tsdb_spark.pipeline.ann_index import search_ann_index, write_ann_index
+from simple_tsdb_spark.pipeline.ann_index import (
+    embedding_dups_against_index,
+    search_ann_index,
+    write_ann_index,
+)
 from simple_tsdb_spark.pipeline.dedup_index import (
     append_to_minhash_index,
     dedup_against_index,
@@ -95,6 +99,7 @@ __all__ = [
     "knn_rp",
     "write_ann_index",
     "search_ann_index",
+    "embedding_dups_against_index",
     "write_minhash_index",
     "append_to_minhash_index",
     "dedup_against_index",

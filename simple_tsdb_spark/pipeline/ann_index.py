@@ -35,7 +35,7 @@ from simple_tsdb_spark.pipeline.similarity import (
     pq_codebooks,
 )
 
-__all__ = ["write_ann_index", "search_ann_index"]
+__all__ = ["write_ann_index", "search_ann_index", "embedding_dups_against_index"]
 
 
 def write_ann_index(
@@ -258,4 +258,63 @@ def search_ann_index(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(k))
         .orderBy("query_id", "rank")
+    )
+
+
+def embedding_dups_against_index(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    *,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental embedding near-dup: cosine duplicates of NEW vectors
+    against the indexed corpus, blocked by the index's quantizer list —
+    ``(new_id, corpus_id, cos)`` with ``cos ≥ threshold``, rounded to 6.
+
+    The incremental-trio sibling of ``dedup_against_index`` (minhash)
+    and ``filter_against_digest_index`` (exact): only the new slice is
+    quantizer-assigned, and the corpus read partition-prunes to the
+    lists the slice actually lands in (≤ nlist directories, bounded by
+    the slice).  Same candidate semantics as ``embedding_dup_pairs``
+    under the index's quantizer, restricted to new×corpus pairs
+    (pinned in test_pipeline).  Self-id pairs are excluded so a re-sent
+    vector doesn't match itself."""
+    from simple_tsdb_spark.fs import get_fs
+    from simple_tsdb_spark.pipeline.similarity import _score_array_spark
+
+    man = json.loads(get_fs(path).read_text(f"{path}/manifest.json"))
+    cents = man["centroids"]
+    sarr = _score_array_spark("emb", man["dim"], cents)
+    new = (
+        new_df.select(
+            F.col(id_col).alias("new_id"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("_sarr", F.expr(sarr))
+        .withColumn(
+            "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
+        )
+        .drop("_sarr")
+        .withColumn("nnrm", _norm("emb"))
+        .withColumnRenamed("emb", "nemb")
+    )
+    hit = sorted(r["list_id"] for r in new.select("list_id").distinct().collect())
+    idx = (
+        spark.read.parquet(f"{path}/vectors")
+        .where(F.col("list_id").isin(hit))
+        .select("vec_id", "emb", "list_id")
+        .withColumn("nrm", _norm("emb"))
+    )
+    return (
+        new.join(idx, "list_id")
+        .where(F.col("new_id") != F.col("vec_id"))
+        .select(
+            "new_id",
+            F.col("vec_id").alias("corpus_id"),
+            F.round(_cos_prenorm("nemb", "emb", "nnrm", "nrm"), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= float(threshold))
     )

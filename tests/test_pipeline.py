@@ -1565,3 +1565,51 @@ def test_digest_index_incremental_exact_dedup(spark, docs, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_embedding_dups_against_index(spark, embs, tmp_path):
+    """Incremental embedding dedup equals embedding_dup_pairs over the
+    union (same default quantizer), restricted to new×corpus pairs;
+    the read prunes to the slice's lists."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import (
+        embedding_dup_pairs,
+        embedding_dups_against_index,
+        write_ann_index,
+    )
+
+    corpus = embs.where("vec_id < 800")
+    # slice = 20 exact copies of corpus vectors (planted dups) + fresh ones
+    copies = embs.where("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    fresh = embs.where("vec_id >= 800").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    newv = copies.unionByName(fresh)
+    path = str(tmp_path / "incemb")
+    write_ann_index(spark, corpus, path)
+
+    got = {
+        (r.new_id, r.corpus_id, r.cos)
+        for r in embedding_dups_against_index(
+            spark, newv, path, threshold=0.2
+        ).collect()
+    }
+    both = corpus.unionByName(newv)
+    want = set()
+    for r in embedding_dup_pairs(both, threshold=0.2).collect():
+        if r.a < 800 and r.b >= 100000:
+            want.add((r.b, r.a, r.cos))
+        elif r.b < 800 and r.a >= 100000:
+            want.add((r.a, r.b, r.cos))
+    assert got == want and want, (len(got), len(want))
+
+    plan = (
+        embedding_dups_against_index(spark, newv.limit(3), path, threshold=0.2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan
