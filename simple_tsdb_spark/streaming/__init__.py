@@ -1,5 +1,6 @@
 from simple_tsdb_spark.streaming.curate import streaming_curate
 from simple_tsdb_spark.streaming.decontam import streaming_decontaminate_flags
+from simple_tsdb_spark.streaming.dedup import streaming_dedup_against_index
 from simple_tsdb_spark.streaming.lm import streaming_ngram_lm_scores
 from simple_tsdb_spark.streaming.scores import streaming_dsir_scores
 from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup, streaming_simhash_dedup
@@ -15,6 +16,7 @@ __all__ = [
     "streaming_decontaminate_flags",
     "streaming_dsir_scores",
     "streaming_ngram_lm_scores",
+    "streaming_dedup_against_index",
     "streaming_exact_dedup",
     "streaming_simhash_dedup",
     "streaming_interval_join",

@@ -99,3 +99,95 @@ def streaming_simhash_dedup(
         .where(F.col("_n") == k)
         .select(id_col, "simhash")
     )
+
+
+def streaming_dedup_against_index(
+    stream: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: str = "event_ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Flag streaming documents that near-dup an INDEXED corpus —
+    (doc_id, event_ts, n_bands): how many of the doc's LSH bands hit
+    any indexed bucket (0 = novel).
+
+    Batch twin: ``pipeline.dedup_index.dedup_against_index`` (a doc's
+    ``n_bands > 0`` here iff it appears as a ``new_doc`` there; pinned
+    in test_streaming_dedup).  Shape: ONE stateful aggregation (the
+    per-(doc, event-time) minhash signature, watermark-bounded) and
+    then one stateless stream-static LEFT join per band against the
+    DISTINCT materialized bucket keys — chaining a second stateful
+    aggregation after the signature is unsupported, so band membership
+    rides as columns, not exploded rows.  The static side is re-read
+    every micro-batch: an ``append_to_minhash_index`` of yesterday's
+    slice is visible to today's stream without a restart."""
+    from pyspark.sql import SparkSession
+
+    from simple_tsdb_spark.pipeline.dedup import (
+        MERSENNE31,
+        MINHASH_STRIDE,
+        N_BANDS,
+        N_HASHES,
+        SHINGLE_LEN,
+        _MINHASH_A,
+        _MINHASH_B,
+        _hash60,
+    )
+    from simple_tsdb_spark.pipeline.dedup_index import _check_manifest
+
+    _check_manifest(index_path)
+    spark = SparkSession.getActiveSession()
+    idx = (
+        spark.read.parquet(f"{index_path}/buckets")
+        .select("band_id", "key")
+        .dropDuplicates(["band_id", "key"])
+    )
+
+    wm = stream.withWatermark(event_time_col, watermark_delay)
+    pos = wm.select(
+        F.col(id_col).alias("doc"),
+        F.col(event_time_col),
+        F.col(text_col).alias("_t"),
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(length({text_col}) - {SHINGLE_LEN - 1}, 1), "
+                f"{MINHASH_STRIDE})"
+            )
+        ).alias("_i"),
+    )
+    sh = pos.select(
+        "doc",
+        event_time_col,
+        F.expr(f"substring(_t, _i, {SHINGLE_LEN})").alias("sh"),
+    ).withColumn("hb", F.expr(f"{_hash60('sh')} % {MERSENNE31}"))
+    sig = sh.groupBy("doc", event_time_col).agg(
+        *[
+            F.min(
+                F.expr(f"({_MINHASH_A[j]}L * hb + {_MINHASH_B[j]}L) % {MERSENNE31}")
+            ).alias(f"h{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    out = sig
+    hit_cols = []
+    for b in range(N_BANDS):
+        parts = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.concat_ws(",", *[F.col(p).cast("string") for p in parts])
+        bidx = (
+            idx.where(F.col("band_id") == b)
+            .select(F.col("key").alias(f"_k{b}"), F.lit(1).alias(f"_hit{b}"))
+        )
+        out = out.withColumn(f"_k{b}", key).join(bidx, f"_k{b}", "left")
+        hit_cols.append(F.coalesce(F.col(f"_hit{b}"), F.lit(0)))
+    n_bands = hit_cols[0]
+    for c in hit_cols[1:]:
+        n_bands = n_bands + c
+    return out.select(
+        F.col("doc").alias(id_col),
+        F.col(event_time_col),
+        n_bands.cast("long").alias("n_bands"),
+    )

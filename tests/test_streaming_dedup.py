@@ -108,3 +108,67 @@ def test_simhash_band_dedup_total_recall(spark):
     for i, (da, a) in enumerate(fps):
         for db, b in fps[i + 1 :]:
             assert bin(int(a) ^ int(b)).count("1") > 3, (da, db)
+
+
+def test_streaming_dedup_against_index_equals_batch(spark, tmp_path):
+    """Stream-vs-index flags equal the batch twin: a doc's n_bands > 0
+    iff dedup_against_index reports it, and exact copies hit all bands."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import dedup_against_index, write_minhash_index
+    from simple_tsdb_spark.streaming import streaming_dedup_against_index
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        "doc_id < 400"
+    )
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(spark, corpus, path)
+
+    # stream slice: two exact copies of corpus docs + fresh docs
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [(100000 + r.doc_id, r.text) for r in corpus.limit(2).collect()]
+    rows += [(200000 + i, " ".join(f"zz{i}q{j}" for j in range(30))) for i in range(4)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["event_ts"] = pd.Series(
+        [base + pd.Timedelta(seconds=i) for i in range(len(pdf))]
+    ).astype("datetime64[us]")
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{src}/a.parquet")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    flagged = streaming_dedup_against_index(
+        stream, path, watermark_delay="1 seconds"
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("idx_flags")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    sentinel = pdf.iloc[:1].copy()
+    sentinel["doc_id"] = [999999]
+    sentinel["text"] = ["flush flush flush"]
+    sentinel["event_ts"] = pd.Series(
+        [base + pd.Timedelta(days=30)]
+    ).astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(sentinel, preserve_index=False), f"{src}/b.parquet")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.doc_id: r.n_bands
+        for r in spark.sql("select * from idx_flags").collect()
+    }
+    new_df = spark.createDataFrame(pdf[["doc_id", "text"]])
+    want_pos = {
+        r.new_doc: r.n_bands
+        for r in dedup_against_index(spark, new_df, path).collect()
+    }
+    assert set(got) == set(pdf.doc_id)
+    for d in pdf.doc_id:
+        assert got[d] == want_pos.get(d, 0), d
+    # exact copies hit all 4 bands; fresh docs hit none
+    assert all(got[100000 + r.doc_id] == 4 for r in corpus.limit(2).collect())
+    assert all(got[200000 + i] == 0 for i in range(4))
