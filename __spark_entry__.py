@@ -162,6 +162,12 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simple_tsdb_spark.operators import mad_outliers
+
+    return mad_outliers(_events(spark, sf_dir), field="value", k=3.5, t0=T0, t1=T1)
+
+
 def _q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_tsdb_spark.operators import zscore_outliers
 
@@ -722,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,  # email/IP/phone redaction
         "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
         "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
+        "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
         "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
         "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
@@ -1031,6 +1038,7 @@ def _timeseries_oracles() -> dict[str, str]:
         interval_join_oracle,
         moving_avg_oracle,
         zscore_outliers_oracle,
+        mad_outliers_oracle,
         sessionize_oracle,
         value_histogram_oracle,
         value_quantiles_oracle,
@@ -1044,6 +1052,7 @@ def _timeseries_oracles() -> dict[str, str]:
         "ewma": ewma_oracle(_M, field="value", alpha=EWMA_ALPHA),
         "counter_rate": counter_rate_oracle(ranged, field="value"),
         "zscore_outliers": zscore_outliers_oracle(ranged, field="value", k=2.0),
+        "mad_outliers": mad_outliers_oracle(ranged, field="value", k=3.5),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "interval_join": interval_join_oracle(
             _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]

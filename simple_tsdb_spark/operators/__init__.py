@@ -29,6 +29,7 @@ from simple_tsdb_spark.operators.timeseries import (
     moving_avg,
     value_histogram,
     zscore_outliers,
+    mad_outliers,
     value_quantiles,
     distinct_count,
     approx_distinct_count,
@@ -67,6 +68,7 @@ __all__ = [
     "value_histogram",
     "value_quantiles",
     "zscore_outliers",
+    "mad_outliers",
     "distinct_count",
     "approx_distinct_count",
     "approx_quantiles",

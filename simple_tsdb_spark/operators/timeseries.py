@@ -408,3 +408,72 @@ z AS (
   FROM src JOIN stats ON stats.series = src.series WHERE _n >= 2)
 SELECT series, time_ns, {field}, zscore FROM z WHERE abs(zscore) > {k}
 """
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    field: str,
+    k: float = 3.5,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Per-series MAD (median-absolute-deviation) outliers — the robust
+    twin of ``zscore_outliers``: points whose modified z-score
+    ``0.6745·(v − median) / MAD`` exceeds ``k`` in magnitude (3.5 is
+    the Iglewicz–Hoaglin convention).  A z-score's mean/std are pulled
+    toward the outliers themselves; medians are not, so MAD flags
+    spikes that inflate their own std enough to hide.
+
+    Series whose MAD is 0 (≥ half the points identical) are skipped —
+    the modified z-score is undefined there.
+
+    Float determinism: the continuous median (``percentile(…, 0.5)`` /
+    ``quantile_cont``) interpolates identically in both engines
+    (verified bit-level), and the score derives in double from those
+    medians, rounded to 6.
+
+    At 100 TB: two per-series aggregates (median, then MAD over
+    |v − median|) joined back onto the scan.  The exact median buffers
+    a series' values within its aggregation — the price of exactness;
+    at extreme per-series cardinality use the approx-percentile
+    operator to pre-screen.  No forced broadcast: the one-row-per-
+    series stats frames join under AQE's runtime choice (the
+    zscore_outliers policy).
+    """
+    src = df.where(
+        (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
+    )
+    v = F.col(field).cast("double")
+    med = src.groupBy("series").agg(
+        F.expr(f"percentile(CAST({field} AS DOUBLE), 0.5)").alias("_med")
+    )
+    devs = src.join(med, "series").withColumn("_dev", F.abs(v - F.col("_med")))
+    mad = devs.groupBy("series").agg(
+        F.expr("percentile(_dev, 0.5)").alias("_mad")
+    )
+    j = devs.join(mad, "series").where(F.col("_mad") > 0)
+    mz = F.round(F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"), 6)
+    return (
+        j.withColumn("mscore", mz)
+        .where(F.abs(F.col("mscore")) > float(k))
+        .select("series", "time_ns", v.alias(field), "mscore")
+        .orderBy("series", "time_ns")
+    )
+
+
+def mad_outliers_oracle(measurement_sql: str, *, field: str, k: float = 3.5) -> str:
+    return f"""
+WITH m AS ({measurement_sql}),
+src AS (SELECT series, time_ns, CAST({field} AS DOUBLE) AS {field} FROM m WHERE {field} IS NOT NULL),
+med AS (SELECT series, quantile_cont({field}, 0.5) AS _med FROM src GROUP BY series),
+devs AS (
+  SELECT src.series, time_ns, {field}, abs({field} - _med) AS _dev, _med
+  FROM src JOIN med ON med.series = src.series),
+mad AS (SELECT series, quantile_cont(_dev, 0.5) AS _mad FROM devs GROUP BY series),
+sc AS (
+  SELECT devs.series, time_ns, {field},
+         round(0.6745 * ({field} - _med) / _mad, 6) AS mscore
+  FROM devs JOIN mad ON mad.series = devs.series WHERE _mad > 0)
+SELECT series, time_ns, {field}, mscore FROM sc WHERE abs(mscore) > {k}
+"""

@@ -213,3 +213,27 @@ def test_zscore_outliers_numpy_model(spark):
     for key in want:
         assert got[key] == pytest.approx(want[key], abs=2e-6)
     assert ("lonely", 1) not in got and len(got) >= 2
+
+
+def test_mad_outliers_python_model(spark):
+    """mad_outliers vs numpy: planted spike flagged, zero-MAD series
+    skipped, robust where a spike would hide from zscore."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import mad_outliers, zscore_outliers
+
+    rows = []
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.0, 1000.0]  # spike
+    rows += [("a", i, v) for i, v in enumerate(vals)]
+    rows += [("const", i, 5.0) for i in range(6)]  # MAD = 0 → skipped
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["series", "time_ns", "value"])
+    )
+    got = mad_outliers(df, field="value", k=3.5).toPandas()
+    assert set(got.series) == {"a"}
+    assert list(got[got.series == "a"].time_ns) == [7]
+    med = np.percentile(vals, 50)
+    mad = np.percentile(np.abs(np.array(vals) - med), 50)
+    want = round(0.6745 * (1000.0 - med) / mad, 6)
+    assert got.iloc[0].mscore == want
