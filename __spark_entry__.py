@@ -296,6 +296,12 @@ def _q_mean_fill_previous(spark, sf_dir):  # LOCF fill mode
 EWMA_ALPHA = 0.3
 
 
+def _q_holt_linear(spark, sf_dir):  # applyInPandas custom op (level+trend)
+    from simple_tsdb_spark.operators import holt_linear
+
+    return holt_linear(_events(spark, sf_dir, t0=None, t1=None), field="value")
+
+
 def _q_ewma(spark, sf_dir):  # applyInPandas custom op (recursive ewma)
     from simple_tsdb_spark.operators import ewma
 
@@ -729,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
         "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
         "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
+        "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
         "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
         "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
@@ -1044,12 +1051,13 @@ def _timeseries_oracles() -> dict[str, str]:
         value_quantiles_oracle,
     )
 
-    from simple_tsdb_spark.operators.fill import ewma_oracle
+    from simple_tsdb_spark.operators.fill import ewma_oracle, holt_linear_oracle
     from simple_tsdb_spark.operators.transforms import counter_rate_oracle
 
     ranged = f"SELECT * FROM ({_M}) WHERE time_ns BETWEEN {T0} AND {T1}"
     return {
         "ewma": ewma_oracle(_M, field="value", alpha=EWMA_ALPHA),
+        "holt_linear": holt_linear_oracle(_M, field="value"),
         "counter_rate": counter_rate_oracle(ranged, field="value"),
         "zscore_outliers": zscore_outliers_oracle(ranged, field="value", k=2.0),
         "mad_outliers": mad_outliers_oracle(ranged, field="value", k=3.5),

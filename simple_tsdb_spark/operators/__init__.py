@@ -21,7 +21,7 @@ from simple_tsdb_spark.operators.rollup import (
     hybrid_sum_points,
     advance_rollup,
 )
-from simple_tsdb_spark.operators.fill import fill_windows, ewma
+from simple_tsdb_spark.operators.fill import ewma, fill_windows, holt_linear
 from simple_tsdb_spark.operators.timeseries import (
     asof_join,
     interval_join,
@@ -61,6 +61,7 @@ __all__ = [
     "advance_rollup",
     "fill_windows",
     "ewma",
+    "holt_linear",
     "asof_join",
     "interval_join",
     "sessionize",

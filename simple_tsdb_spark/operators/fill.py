@@ -127,3 +127,79 @@ rec AS (
   FROM rec r JOIN ord o ON o.series = r.series AND o.rn = r.rn + 1)
 SELECT series, time_ns, v AS {field}, ew AS {out} FROM rec
 """
+
+
+def holt_linear(
+    df: DataFrame, *, field: str, alpha: float = 0.5, beta: float = 0.3
+) -> DataFrame:
+    """Holt double exponential smoothing per series — level + trend:
+
+    ``l₁ = v₁, b₁ = 0``;
+    ``lₜ = α·vₜ + (1−α)·(lₜ₋₁ + bₜ₋₁)``;
+    ``bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁``.
+
+    Output (series, time_ns, field, level, trend).  NULL ``field`` rows
+    are dropped (state is over observations).  The recursion runs as an
+    explicit per-series loop (``applyInPandas``, the EWMA pattern) with
+    a fixed FP op order mirrored literally by the DuckDB recursive-CTE
+    oracle — the unrounded doubles hash-match.
+
+    At 100 TB: sequential-by-construction per series, so the shuffle is
+    one partitioning by series and each task runs its series' loop —
+    the same cost/shape as ewma; state is O(1) per series.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    a, b1m = float(alpha), 1.0 - float(alpha)
+    bt, bt1m = float(beta), 1.0 - float(beta)
+    schema = f"series string, time_ns long, {field} double, level double, trend double"
+
+    def per_series(pdf):
+        pdf = pdf.sort_values("time_ns")
+        lvls, trds = [], []
+        lvl = trd = None
+        for v in pdf[field]:
+            v = float(v)
+            if lvl is None:
+                lvl, trd = v, 0.0
+            else:
+                new_lvl = (a * v) + (b1m * (lvl + trd))
+                trd = (bt * (new_lvl - lvl)) + (bt1m * trd)
+                lvl = new_lvl
+            lvls.append(lvl)
+            trds.append(trd)
+        pdf = pdf.assign(level=lvls, trend=trds)
+        return pdf
+
+    return (
+        df.select("series", "time_ns", F.col(field).cast("double").alias(field))
+        .where(F.col(field).isNotNull())
+        .groupBy("series")
+        .applyInPandas(per_series, schema=schema)
+    )
+
+
+def holt_linear_oracle(
+    measurement_sql: str, *, field: str, alpha: float = 0.5, beta: float = 0.3
+) -> str:
+    """Recursive-CTE twin of ``holt_linear`` with the identical FP op
+    order (string-parsed double literals, see ewma_oracle)."""
+    a = f"CAST('{float(alpha)!r}' AS DOUBLE)"
+    b1m = f"CAST('{1.0 - float(alpha)!r}' AS DOUBLE)"
+    bt = f"CAST('{float(beta)!r}' AS DOUBLE)"
+    bt1m = f"CAST('{1.0 - float(beta)!r}' AS DOUBLE)"
+    return f"""
+WITH RECURSIVE ord AS (
+  SELECT series, time_ns, CAST({field} AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY time_ns) AS rn
+  FROM ({measurement_sql}) WHERE {field} IS NOT NULL),
+rec AS (
+  SELECT series, time_ns, v, rn, v AS lvl, CAST(0.0 AS DOUBLE) AS trd
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.series, o.time_ns, o.v, o.rn,
+         ({a} * o.v) + ({b1m} * (r.lvl + r.trd)),
+         ({bt} * ((({a} * o.v) + ({b1m} * (r.lvl + r.trd))) - r.lvl)) + ({bt1m} * r.trd)
+  FROM rec r JOIN ord o ON o.series = r.series AND o.rn = r.rn + 1)
+SELECT series, time_ns, v AS {field}, lvl AS level, trd AS trend FROM rec
+"""

@@ -285,3 +285,65 @@ def test_advance_rollup_empty_dir_is_no_rollup(spark, f2, tmp_path):
     out = str(tmp_path / "empty_rollup")
     os.makedirs(out)  # exists but holds no files: legitimately "no rollup yet"
     assert advance_rollup(spark, f2, out, fields=["value"], base_window_ns=10_000) > 0
+
+
+def test_holt_linear_python_model_and_oracle(spark):
+    """holt_linear vs a direct python recursion AND the recursive-CTE
+    oracle on the same randomized data — all three bit-equal; trend
+    locks onto a planted linear drift."""
+    import duckdb
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import holt_linear
+    from simple_tsdb_spark.operators.fill import holt_linear_oracle
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for s in ("ramp", "noisy"):
+        for i in range(60):
+            v = 2.0 * i + 5.0 if s == "ramp" else rng.uniform(-50, 50)
+            if s == "noisy" and i % 9 == 0:
+                v = None  # dropped by the operator
+            rows.append((s, i * 10, v))
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "value"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        holt_linear(df, field="value", alpha=0.5, beta=0.3)
+        .toPandas()
+        .sort_values(["series", "time_ns"], ignore_index=True)
+    )
+
+    # python model (same op order)
+    a, b1m, bt, bt1m = 0.5, 0.5, 0.3, 0.7
+    want_rows = []
+    for s in ("noisy", "ramp"):
+        lvl = trd = None
+        for _, r in pdf[(pdf.series == s) & pdf.value.notna()].iterrows():
+            v = float(r.value)
+            if lvl is None:
+                lvl, trd = v, 0.0
+            else:
+                nl = (a * v) + (b1m * (lvl + trd))
+                trd = (bt * (nl - lvl)) + (bt1m * trd)
+                lvl = nl
+            want_rows.append((s, int(r.time_ns), v, lvl, trd))
+    want = pd.DataFrame(
+        want_rows, columns=["series", "time_ns", "value", "level", "trend"]
+    ).sort_values(["series", "time_ns"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # the ramp's trend converges to the true slope (2 per step)
+    ramp_tail = got[(got.series == "ramp")].trend.iloc[-1]
+    assert abs(ramp_tail - 2.0) < 1e-6
+
+    # DuckDB oracle on the same frame — exact value equality
+    con = duckdb.connect()
+    con.register("m", pdf)
+    duck = (
+        con.execute(holt_linear_oracle("SELECT * FROM m", field="value"))
+        .df()
+        .sort_values(["series", "time_ns"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, duck)
