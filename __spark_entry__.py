@@ -162,6 +162,12 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simple_tsdb_spark.operators import lttb_downsample
+
+    return lttb_downsample(_events(spark, sf_dir, t0=None, t1=None), field="value", n_out=50)
+
+
 def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_tsdb_spark.operators import mad_outliers
 
@@ -735,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
         "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
         "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
+        "lttb": _q_lttb,  # LTTB visual downsample — recursive-CTE oracle
         "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
         "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
@@ -1052,6 +1059,7 @@ def _timeseries_oracles() -> dict[str, str]:
     )
 
     from simple_tsdb_spark.operators.fill import ewma_oracle, holt_linear_oracle
+    from simple_tsdb_spark.operators.windowed import lttb_downsample_oracle
     from simple_tsdb_spark.operators.transforms import counter_rate_oracle
 
     ranged = f"SELECT * FROM ({_M}) WHERE time_ns BETWEEN {T0} AND {T1}"
@@ -1061,6 +1069,7 @@ def _timeseries_oracles() -> dict[str, str]:
         "counter_rate": counter_rate_oracle(ranged, field="value"),
         "zscore_outliers": zscore_outliers_oracle(ranged, field="value", k=2.0),
         "mad_outliers": mad_outliers_oracle(ranged, field="value", k=3.5),
+        "lttb": lttb_downsample_oracle(_M, field="value", n_out=50),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "interval_join": interval_join_oracle(
             _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]

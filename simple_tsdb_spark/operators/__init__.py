@@ -10,6 +10,7 @@ from simple_tsdb_spark.operators.windowed import (
     mean_points,
     minmax_downsample,
     auto_downsample,
+    lttb_downsample,
 )
 from simple_tsdb_spark.operators.integral import integrate_points
 from simple_tsdb_spark.operators.series import list_active_series, list_series
@@ -45,6 +46,7 @@ __all__ = [
     "sum_points",
     "mean_points",
     "minmax_downsample",
+    "lttb_downsample",
     "auto_downsample",
     "integrate_points",
     "list_active_series",

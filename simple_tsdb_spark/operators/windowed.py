@@ -306,3 +306,155 @@ def minmax_downsample(
         .where(F.col("value").isNotNull())
         .orderBy("series", "wstart", "stat")
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    *,
+    field: str,
+    n_out: int,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    the canonical shape-preserving visual downsample (what Grafana's
+    LTTB mode computes): keep the first and last point per series;
+    split the interior into ``n_out − 2`` equal-count buckets; for each
+    bucket keep the point forming the largest triangle with the
+    PREVIOUSLY KEPT point and the NEXT bucket's average point.
+
+    Output (series, time_ns, field) — ≤ n_out rows per series, in time
+    order.  NULL field rows are dropped first (area needs a value).
+    Determinism: the triangle area is quantized to 9 decimals and ties
+    fall to the earliest time, so the selection is engine-portable; the
+    recursive-CTE oracle replicates the identical arithmetic.
+
+    At 100 TB: the selection is sequential per series BY DEFINITION
+    (each pick depends on the previous pick), so the operator ships one
+    series per task (``applyInPandas``, the ewma/holt shape) — the
+    right trade for its use case: rendering windows, not full-history
+    scans.  For the non-sequential alternative use
+    ``minmax_downsample`` (two points per bucket, embarrassingly
+    parallel).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    n = int(n_out)
+    if n < 3:
+        raise ValueError("n_out must be ≥ 3")
+    schema = f"series string, time_ns long, {field} double"
+
+    def per_series(pdf):
+        pdf = pdf.sort_values("time_ns").reset_index(drop=True)
+        m = len(pdf)
+        if m <= n:
+            return pdf
+        ts = pdf["time_ns"].to_numpy(dtype=np.float64)
+        vs = pdf[field].to_numpy(dtype=np.float64)
+        nb = n - 2
+        # interior (0-based) index i ∈ [1, m-2] lands in bucket
+        # ((i-1)·nb) // (m-2) — the multiplicative form both engines
+        # compute identically (closed form, no edge array)
+        edges = [1] * (nb + 1)
+        for i in range(1, m - 1):
+            b = ((i - 1) * nb) // (m - 2)
+            edges[b + 1] = i + 1  # one past the bucket's last index
+        keep = [0]
+        prev = 0
+        for b in range(nb):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 1 < nb else (m - 1, m)
+            ax, ay = ts[prev], vs[prev]
+            # sequential (index-order) mean — np.mean switches to
+            # pairwise summation on big buckets, which the SQL oracle
+            # could not replicate
+            sx = sy = 0.0
+            for j in range(nlo, nhi):
+                sx += ts[j]
+                sy += vs[j]
+            cx = sx / (nhi - nlo)
+            cy = sy / (nhi - nlo)
+            best, best_area = lo, -1.0
+            for i in range(lo, hi):
+                area = round(
+                    abs(
+                        (ax - cx) * (vs[i] - ay) - (ax - ts[i]) * (cy - ay)
+                    ),
+                    9,
+                )
+                if area > best_area:
+                    best, best_area = i, area
+            keep.append(best)
+            prev = best
+        keep.append(m - 1)
+        return pdf.iloc[keep]
+
+    return (
+        df.select("series", "time_ns", F.col(field).cast("double").alias(field))
+        .where(
+            (F.col("time_ns") >= t0)
+            & (F.col("time_ns") <= t1)
+            & F.col(field).isNotNull()
+        )
+        .groupBy("series")
+        .applyInPandas(per_series, schema=schema)
+    )
+
+
+def lttb_downsample_oracle(
+    measurement_sql: str, *, field: str, n_out: int
+) -> str:
+    """Recursive-CTE twin of ``lttb_downsample``: the sequential pick
+    chain runs as one recursion over buckets, each step choosing the
+    max-area point (area quantized to 9, earliest-time tiebreak) —
+    identical arithmetic and bucket formula to the operator."""
+    n = int(n_out)
+    nb = n - 2
+    return f"""
+WITH RECURSIVE ord AS (
+  SELECT series, time_ns, CAST({field} AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY time_ns) AS rn,
+         COUNT(*) OVER (PARTITION BY series) AS m
+  FROM ({measurement_sql}) WHERE {field} IS NOT NULL),
+interior AS (
+  SELECT series, rn, time_ns, v, m,
+         ((rn - 2) * {nb}) // (m - 2) AS b
+  FROM ord WHERE rn > 1 AND rn < m AND m > {n}),
+bavg AS (
+  SELECT series, b,
+         list_reduce(list(CAST(time_ns AS DOUBLE) ORDER BY rn), (a, x) -> a + x)
+           / COUNT(*) AS cx,
+         list_reduce(list(v ORDER BY rn), (a, x) -> a + x) / COUNT(*) AS cy
+  FROM interior GROUP BY series, b),
+lastp AS (SELECT series, CAST(time_ns AS DOUBLE) AS cx, v AS cy FROM ord WHERE rn = m),
+navg AS (
+  SELECT i.series, i.b,
+         COALESCE(ba.cx, lp.cx) AS cx, COALESCE(ba.cy, lp.cy) AS cy
+  FROM (SELECT DISTINCT series, b FROM interior) i
+  LEFT JOIN bavg ba ON ba.series = i.series AND ba.b = i.b + 1
+  JOIN lastp lp ON lp.series = i.series),
+rec AS (
+  SELECT series, CAST(-1 AS BIGINT) AS b, rn, CAST(time_ns AS DOUBLE) AS ax, v AS ay
+  FROM ord WHERE rn = 1 AND m > {n}
+  UNION ALL
+  SELECT series, b, rn, ax, ay FROM (
+    SELECT i.series, i.b, i.rn, CAST(i.time_ns AS DOUBLE) AS ax, i.v AS ay,
+           ROW_NUMBER() OVER (
+             PARTITION BY i.series
+             ORDER BY round(abs((r.ax - n.cx) * (i.v - r.ay)
+                               - (r.ax - CAST(i.time_ns AS DOUBLE)) * (n.cy - r.ay)), 9) DESC,
+                      i.rn ASC) AS _pick
+    FROM rec r
+    JOIN interior i ON i.series = r.series AND i.b = r.b + 1
+    JOIN navg n ON n.series = i.series AND n.b = i.b)
+  WHERE _pick = 1)
+SELECT series, time_ns, {field} FROM (
+  SELECT series, time_ns, v AS {field} FROM ord WHERE m <= {n}
+  UNION ALL
+  SELECT series, time_ns, v AS {field} FROM ord WHERE m > {n} AND (rn = 1 OR rn = m)
+  UNION ALL
+  SELECT o.series, o.time_ns, o.v AS {field}
+  FROM rec r JOIN ord o ON o.series = r.series AND o.rn = r.rn
+  WHERE r.b >= 0)
+"""

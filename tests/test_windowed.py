@@ -160,3 +160,55 @@ def test_partial_time_first_hint_keeps_uncovered_series(spark, f2, f2_pdf):
             hinted.sort_values(["series", "wstart"], ignore_index=True),
             want.sort_values(["series", "wstart"], ignore_index=True),
         )
+
+
+def test_lttb_downsample_model(spark):
+    """LTTB vs a reference python implementation: keeps first/last,
+    exactly n_out points, passthrough below n_out, and the picks
+    maximize the triangle area chain."""
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import lttb_downsample
+
+    import math
+    import random
+
+    rng = random.Random(5)
+    rows = [("a", i * 10, math.sin(i / 5) * 10 + rng.uniform(-1, 1)) for i in range(200)]
+    rows += [("tiny", i * 10, float(i)) for i in range(7)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "value"]))
+    got = lttb_downsample(df, field="value", n_out=20).toPandas()
+
+    a = got[got.series == "a"].sort_values("time_ns")
+    assert len(a) == 20
+    assert a.time_ns.iloc[0] == 0 and a.time_ns.iloc[-1] == 1990
+    assert list(got[got.series == "tiny"].sort_values("time_ns").time_ns) == [
+        i * 10 for i in range(7)
+    ]
+
+    # reference implementation (classic formulation, same bucketing)
+    ts = [float(t) for s, t, v in rows if s == "a"]
+    vs = [v for s, t, v in rows if s == "a"]
+    m, nb = len(ts), 18
+    edges = [1] * (nb + 1)
+    for i in range(1, m - 1):
+        edges[(((i - 1) * nb) // (m - 2)) + 1] = i + 1
+    keep, prev = [0], 0
+    for b in range(nb):
+        lo, hi = edges[b], edges[b + 1]
+        nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 1 < nb else (m - 1, m)
+        ax, ay = ts[prev], vs[prev]
+        sx = sy = 0.0
+        for j in range(nlo, nhi):
+            sx += ts[j]
+            sy += vs[j]
+        cx, cy = sx / (nhi - nlo), sy / (nhi - nlo)
+        best, ba = lo, -1.0
+        for i in range(lo, hi):
+            area = round(abs((ax - cx) * (vs[i] - ay) - (ax - ts[i]) * (cy - ay)), 9)
+            if area > ba:
+                best, ba = i, area
+        keep.append(best)
+        prev = best
+    keep.append(m - 1)
+    assert list(a.time_ns) == [int(ts[i]) for i in keep]
