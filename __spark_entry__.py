@@ -162,6 +162,14 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simple_tsdb_spark.operators import cusum_changepoints
+
+    return cusum_changepoints(
+        _events(spark, sf_dir, t0=None, t1=None), field="value", k=0.5, h=3.0
+    )
+
+
 def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_tsdb_spark.operators import lttb_downsample
 
@@ -742,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
         "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
         "lttb": _q_lttb,  # LTTB visual downsample — recursive-CTE oracle
+        "cusum": _q_cusum,  # two-sided CUSUM drift detection
         "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
         "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
@@ -1053,6 +1062,7 @@ def _timeseries_oracles() -> dict[str, str]:
         moving_avg_oracle,
         zscore_outliers_oracle,
         mad_outliers_oracle,
+        cusum_changepoints_oracle,
         sessionize_oracle,
         value_histogram_oracle,
         value_quantiles_oracle,
@@ -1070,6 +1080,7 @@ def _timeseries_oracles() -> dict[str, str]:
         "zscore_outliers": zscore_outliers_oracle(ranged, field="value", k=2.0),
         "mad_outliers": mad_outliers_oracle(ranged, field="value", k=3.5),
         "lttb": lttb_downsample_oracle(_M, field="value", n_out=50),
+        "cusum": cusum_changepoints_oracle(_M, field="value", k=0.5, h=3.0),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "interval_join": interval_join_oracle(
             _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]

@@ -31,6 +31,7 @@ from simple_tsdb_spark.operators.timeseries import (
     value_histogram,
     zscore_outliers,
     mad_outliers,
+    cusum_changepoints,
     value_quantiles,
     distinct_count,
     approx_distinct_count,
@@ -72,6 +73,7 @@ __all__ = [
     "value_quantiles",
     "zscore_outliers",
     "mad_outliers",
+    "cusum_changepoints",
     "distinct_count",
     "approx_distinct_count",
     "approx_quantiles",

@@ -477,3 +477,114 @@ sc AS (
   FROM devs JOIN mad ON mad.series = devs.series WHERE _mad > 0)
 SELECT series, time_ns, {field}, mscore FROM sc WHERE abs(mscore) > {k}
 """
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    *,
+    field: str,
+    k: float = 0.5,
+    h: float = 5.0,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection per series: standardize with the
+    series' EXACT moments (the ``zscore_outliers`` decimal trick), then
+
+    ``S⁺ₜ = max(0, S⁺ₜ₋₁ + zₜ − k)``,  ``S⁻ₜ = max(0, S⁻ₜ₋₁ − zₜ − k)``
+
+    and emit points where either statistic exceeds ``h`` — the page
+    test that catches sustained small drifts a point-wise z-score never
+    flags.  ``k`` is the slack (drift half-magnitude, in σ), ``h`` the
+    decision threshold.
+
+    Determinism: z quantizes to 9 decimals (exact moments ⇒ identical
+    doubles both engines), the recursion is an explicit fixed-op-order
+    loop mirrored by the recursive-CTE oracle, and the emitted
+    statistics quantize to 6.  Series with fewer than 2 points or zero
+    variance are skipped.  Sequential per series by definition —
+    ``applyInPandas`` (the ewma/holt shape).
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    src = df.where(
+        (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
+    )
+    q = F.col(field).cast("decimal(28,6)")
+    stats = src.groupBy("series").agg(
+        F.sum(q).alias("_s"),
+        F.sum((q * q).cast("decimal(38,12)")).alias("_ss"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = (F.col("_ss").cast("double") - F.col("_s").cast("double") * mean) / (
+        F.col("_n") - 1
+    )
+    j = (
+        src.join(stats, "series")
+        .where((F.col("_n") >= 2) & (var > 0))
+        .withColumn(
+            "_z",
+            F.round((F.col(field).cast("double") - mean) / F.sqrt(var), 9),
+        )
+        .select("series", "time_ns", F.col(field).cast("double").alias(field), "_z")
+    )
+    kf, hf = float(k), float(h)
+    schema = (
+        f"series string, time_ns long, {field} double, "
+        "cusum_pos double, cusum_neg double"
+    )
+
+    def per_series(pdf):
+        pdf = pdf.sort_values("time_ns")
+        sp = sn = 0.0
+        pos, neg = [], []
+        for z in pdf["_z"]:
+            z = float(z)
+            sp = max(0.0, (sp + z) - kf)
+            sn = max(0.0, (sn - z) - kf)
+            pos.append(round(sp, 6))
+            neg.append(round(sn, 6))
+        return pdf.assign(cusum_pos=pos, cusum_neg=neg).drop(columns=["_z"])
+
+    out = j.groupBy("series").applyInPandas(per_series, schema=schema)
+    return out.where(
+        (F.col("cusum_pos") > hf) | (F.col("cusum_neg") > hf)
+    ).orderBy("series", "time_ns")
+
+
+def cusum_changepoints_oracle(
+    measurement_sql: str, *, field: str, k: float = 0.5, h: float = 5.0
+) -> str:
+    kf = f"CAST('{float(k)!r}' AS DOUBLE)"
+    return f"""
+WITH RECURSIVE m AS ({measurement_sql}),
+src AS (SELECT series, time_ns, CAST({field} AS DOUBLE) AS v FROM m WHERE {field} IS NOT NULL),
+stats AS (
+  SELECT series,
+         SUM(CAST(v AS DECIMAL(28,6))) AS _s,
+         SUM(CAST(CAST(v AS DECIMAL(28,6)) * CAST(v AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS _ss,
+         COUNT(*) AS _n
+  FROM src GROUP BY series),
+z AS (
+  SELECT src.series, time_ns, v,
+         round((v - CAST(_s AS DOUBLE) / _n)
+               / sqrt((CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * (CAST(_s AS DOUBLE) / _n)) / (_n - 1)), 9) AS _z,
+         ROW_NUMBER() OVER (PARTITION BY src.series ORDER BY time_ns) AS rn
+  FROM src JOIN stats ON stats.series = src.series
+  WHERE _n >= 2
+    AND (CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * (CAST(_s AS DOUBLE) / _n)) / (_n - 1) > 0),
+rec AS (
+  SELECT series, time_ns, v, rn,
+         greatest(CAST(0.0 AS DOUBLE), _z - {kf}) AS sp,
+         greatest(CAST(0.0 AS DOUBLE), -_z - {kf}) AS sn
+  FROM z WHERE rn = 1
+  UNION ALL
+  SELECT o.series, o.time_ns, o.v, o.rn,
+         greatest(CAST(0.0 AS DOUBLE), (r.sp + o._z) - {kf}),
+         greatest(CAST(0.0 AS DOUBLE), (r.sn - o._z) - {kf})
+  FROM rec r JOIN z o ON o.series = r.series AND o.rn = r.rn + 1)
+SELECT series, time_ns, v AS {field},
+       round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg
+FROM rec WHERE round(sp, 6) > {float(h)!r} OR round(sn, 6) > {float(h)!r}
+"""

@@ -237,3 +237,53 @@ def test_mad_outliers_python_model(spark):
     mad = np.percentile(np.abs(np.array(vals) - med), 50)
     want = round(0.6745 * (1000.0 - med) / mad, 6)
     assert got.iloc[0].mscore == want
+
+
+def test_cusum_detects_mean_shift(spark):
+    """CUSUM vs python model on a planted level shift: the point-wise
+    z-score misses a small sustained drift, CUSUM accumulates it."""
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import cusum_changepoints, zscore_outliers
+
+    import random
+
+    rng = random.Random(2)
+    vals = [rng.gauss(0, 1) for _ in range(120)] + [
+        rng.gauss(1.5, 1) for _ in range(80)
+    ]  # +1.5σ shift at t=120
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "value"]))
+    got = cusum_changepoints(df, field="value", k=0.5, h=5.0).toPandas()
+    assert len(got) > 0
+    # the shift standardizes against the GLOBAL mean, so the pre-shift
+    # segment drifts the negative side and the post-shift segment the
+    # positive side; a positive-side alarm must exist after the shift
+    assert got[(got.cusum_pos > 5.0)].time_ns.min() >= 120
+    # python model (same standardization and recursion)
+    import math
+
+    n = len(vals)
+    s = sum(v for v in vals)
+    # exact-decimal moments are equal to plain sums here (small clean floats
+    # after DECIMAL(28,6) quantization) — recompute from the quantized values
+    from decimal import Decimal
+
+    q = [float(Decimal(f"{v:.6f}")) for v in vals]  # DECIMAL(28,6) cast
+    sq = [Decimal(f"{v:.6f}") for v in vals]
+    S = sum(sq)
+    SS = sum((x * x).quantize(Decimal("1e-12")) for x in sq)
+    mean = float(S) / n
+    var = (float(SS) - float(S) * mean) / (n - 1)
+    std = math.sqrt(var)
+    sp = sn = 0.0
+    flags = []
+    for i, v in enumerate(vals):
+        z = round((v - mean) / std, 9)
+        sp = max(0.0, (sp + z) - 0.5)
+        sn = max(0.0, (sn - z) - 0.5)
+        if round(sp, 6) > 5.0 or round(sn, 6) > 5.0:
+            flags.append(i)
+    assert list(got.time_ns) == flags
+    # the same shift yields no z-score outlier at k=3 (drift, not spike)
+    assert zscore_outliers(df, field="value", k=3.0).count() <= 2
