@@ -398,6 +398,12 @@ def _q_stratified_split3(spark, sf_dir):
     )
 
 
+def _q_char_entropy(spark, sf_dir):
+    from simple_tsdb_spark.pipeline import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def _q_dup_ngram_chars(spark, sf_dir):
     from simple_tsdb_spark.pipeline import dup_ngram_chars
 
@@ -724,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rp": _q_knn_rp,  # two-stage ANN: coarse JL search + exact re-rank
         "gopher_rules": _q_gopher_rules,  # Gopher A1.1 quality rules + audit stats
         "dup_ngram_chars": _q_dup_ngram_chars,  # Gopher repetition rule (dup n-gram chars)
+        "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
         "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
@@ -1166,6 +1173,7 @@ def _pipeline_oracles() -> dict[str, str]:
         dsir_resample_oracle,
         gopher_rules_oracle,
         dup_ngram_chars_oracle,
+        char_entropy_oracle,
         winnowing_fingerprints_oracle,
         winnowing_matches_oracle,
         pii_scrub_oracle,
@@ -1194,6 +1202,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "knn_rp": knn_rp_oracle(query_ids=tuple(range(8)), k=10),
         "gopher_rules": gopher_rules_oracle(min_words=20),
         "dup_ngram_chars": dup_ngram_chars_oracle(),
+        "char_entropy": char_entropy_oracle(),
         "dsir_resample": dsir_resample_oracle(target_pred="lang = 'en'", k=50),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
         "winnowing_matches": winnowing_matches_oracle(n=4, w=5, min_shared=2),

@@ -23,6 +23,7 @@ from simple_tsdb_spark.pipeline.text import (
     ngram_lm_score,
     gopher_rules,
     dup_ngram_chars,
+    char_entropy,
     winnowing_fingerprints,
     winnowing_matches,
     dsir_logweights,
@@ -111,6 +112,7 @@ __all__ = [
     "ngram_lm_score",
     "gopher_rules",
     "dup_ngram_chars",
+    "char_entropy",
     "winnowing_fingerprints",
     "winnowing_matches",
     "token_counts",

@@ -1378,3 +1378,68 @@ FROM spine
 JOIN totals ON totals.doc = spine.doc
 LEFT JOIN dup ON dup.doc = spine.doc AND dup.n = spine.n
 """
+
+
+def char_entropy(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy over the character distribution —
+    ``(doc_id, n_chars, entropy)`` in nats.  The classic gibberish /
+    binary-noise signal: natural text sits ~2.5–3.3 nats; repeated
+    characters → 0; uniform random bytes → ln(alphabet).
+
+    Cross-engine determinism: each character's ``−p·ln p`` term
+    quantizes to 12 decimals and accumulates as DECIMAL(24,12) (exact,
+    order-independent), then rounds to 9.  One shuffle keyed
+    (doc, char) with map-side combine; empty docs score NULL.
+    """
+    ch = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), "")).alias("c"),
+    ).where(F.length("c") > 0)
+    counts = ch.groupBy("doc", "c").agg(F.count(F.lit(1)).alias("_k"))
+    totals = counts.groupBy("doc").agg(F.sum("_k").alias("_n"))
+    p = F.col("_k").cast("double") / F.col("_n").cast("double")
+    term = F.round(-(p * F.log(p)), 12).cast("decimal(24,12)")
+    ent = (
+        counts.join(totals, "doc")
+        .withColumn("_t", term)
+        .groupBy("doc")
+        .agg(F.first("_n").alias("n_chars"), F.sum("_t").alias("_H"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(
+            ent.select(
+                F.col("doc").alias("doc_id"),
+                "n_chars",
+                F.round(F.col("_H").cast("double"), 9).alias("entropy"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+            "entropy",
+        )
+    )
+
+
+def char_entropy_oracle(table: str = "documents") -> str:
+    return f"""
+WITH ch AS (
+  SELECT doc_id AS doc, UNNEST(string_split(text, '')) AS c FROM {table}),
+counts AS (
+  SELECT doc, c, COUNT(*) AS _k FROM ch WHERE len(c) > 0 GROUP BY doc, c),
+totals AS (SELECT doc, SUM(_k) AS _n FROM counts GROUP BY doc),
+ent AS (
+  SELECT counts.doc, ANY_VALUE(_n) AS n_chars,
+         SUM(CAST(round(-(CAST(_k AS DOUBLE) / _n) * ln(CAST(_k AS DOUBLE) / _n), 12)
+                  AS DECIMAL(24,12))) AS _H
+  FROM counts JOIN totals ON totals.doc = counts.doc
+  GROUP BY counts.doc)
+SELECT d.doc_id, COALESCE(ent.n_chars, 0) AS n_chars,
+       round(CAST(_H AS DOUBLE), 9) AS entropy
+FROM {table} d LEFT JOIN ent ON ent.doc = d.doc_id
+"""

@@ -1613,3 +1613,32 @@ def test_embedding_dups_against_index(spark, embs, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_char_entropy_python_model(spark):
+    """char_entropy vs python recomputation: repeated char → 0, known
+    distributions exact, empty doc NULL."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import char_entropy
+
+    docs = [(1, "aaaa"), (2, "abab"), (3, "the quick brown fox"), (4, "")]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {r.doc_id: (r.n_chars, r.entropy) for r in char_entropy(df).collect()}
+
+    for i, t in docs:
+        if not t:
+            assert got[i] == (0, None)
+            continue
+        c = Counter(t)
+        n = len(t)
+        H = sum(
+            Decimal(f"{round(-(k / n) * math.log(k / n), 12):.12f}")
+            for k in c.values()
+        )
+        assert got[i] == (n, round(float(H), 9)), (i, got[i])
+    assert got[1][1] == 0.0 and got[2][1] == round(math.log(2), 9)
