@@ -631,14 +631,20 @@ FROM {table}
 # -- corpus-level n-gram mining --------------------------------------------
 
 def _ngrams_expr(text_col: str, n: int) -> str:
-    """Word n-gram array: slice-per-position under one transform; empty
-    when the doc has fewer than ``n`` words (sequence(1,0) would count
-    DOWN in Spark, so the short-doc case is guarded explicitly)."""
+    """Word n-gram array in the zip-slices form: ``n`` shifted slices
+    zipped and joined — stays in whole-stage codegen, unlike a
+    ``slice()`` inside a per-position lambda, which interprets per
+    element (the repetition_stats/winnowing lesson; measured ~3×
+    faster end-to-end on dup_ngram_chars).  Empty when the doc has
+    fewer than ``n`` words (the CASE guard: sequence/slice lengths
+    would go non-positive)."""
     w = f"split({text_col}, ' ')"
+    ln = f"(size({w}) - {n} + 1)"
+    zipped = ", ".join(f"slice({w}, {j + 1}, {ln})" for j in range(n))
+    joined = ", ' ', ".join(f"p['{j}']" for j in range(n))
     return (
         f"CASE WHEN size({w}) >= {n} THEN "
-        f"transform(sequence(1, size({w}) - {n} + 1), "
-        f"i -> concat_ws(' ', slice({w}, i, {n}))) "
+        f"transform(arrays_zip({zipped}), p -> concat({joined})) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 
