@@ -39,6 +39,7 @@ from simple_tsdb_spark.client import TsdbClient
 __all__ = ["resolve_series", "series_alias", "grafana_query"]
 
 ZOOM_MEAN = "Mean"
+ZOOM_LTTB = "LTTB"  # extension: not in the reference plugin
 ZOOM_MINMAX = "Min/Max"
 
 _DERIVATIVE_PERIODS = {
@@ -89,6 +90,12 @@ def _apply_transform(frame: DataFrame, fields: list[str], transform: str | None)
     return out
 
 
+def _series_frame(table, s, field, t0, t1):
+    from simple_tsdb_spark.operators import select_points
+
+    return select_points(table, series=s, fields=[field], t0=t0, t1=t1)
+
+
 def grafana_query(
     client: TsdbClient,
     database: str,
@@ -116,7 +123,22 @@ def grafana_query(
         n = client.count_points(database, measurement, s, t0, t1).first()["npoints"]
         if n == 0:
             continue  # datasource.go:232-234
-        if max_data_points is not None and n > max_data_points:
+        if max_data_points is not None and n > max_data_points and zoom == ZOOM_LTTB:
+            # EXTENSION beyond the reference plugin: shape-preserving
+            # LTTB downsample to exactly max_data_points (the Grafana
+            # ecosystem's standard visual mode; the reference offers
+            # Mean / Min-Max only)
+            from simple_tsdb_spark.operators import lttb_downsample
+
+            frame = lttb_downsample(
+                _series_frame(table, s, field, t0, t1),
+                field=field,
+                n_out=int(max_data_points),
+                t0=t0,
+                t1=t1,
+            )
+            value_cols = [field]
+        elif max_data_points is not None and n > max_data_points:
             window_ns = int(interval_ms) * 1_000_000
             agg = sum_points(
                 table, fields=[field], series=s, t0=t0, t1=t1, window_ns=window_ns

@@ -119,3 +119,38 @@ def test_transforms(client):
             client, "db", "m", field="v", series="s1", t0=0, t1=60_000_000_000,
             transform="Smooth",
         )
+
+
+def test_grafana_lttb_zoom(client):
+    """EXTENSION zoom 'LTTB': downsampled frame has exactly
+    max_data_points rows per series, keeps first/last timestamps, and
+    equals the operator run directly."""
+    from simple_tsdb_spark.grafana import ZOOM_LTTB, grafana_query
+    from simple_tsdb_spark.operators import lttb_downsample, select_points
+
+    db, m, t0, t1 = "db", "m", 0, 60_000_000_000
+    frames = grafana_query(
+        client, db, m, field="v", t0=t0, t1=t1, series="All",
+        max_data_points=10, zoom=ZOOM_LTTB,
+    )
+    assert frames
+    for alias, frame in frames:
+        pdf = frame.toPandas().sort_values("time_ns")
+        s = pdf.series.iloc[0]
+        raw = (
+            select_points(client._df(db, m), series=s, fields=["v"], t0=t0, t1=t1)
+            .toPandas()
+            .sort_values("time_ns")
+        )
+        assert len(pdf) == min(10, len(raw))
+        assert pdf.time_ns.iloc[0] == raw.time_ns.iloc[0]
+        assert pdf.time_ns.iloc[-1] == raw.time_ns.iloc[-1]
+        direct = (
+            lttb_downsample(
+                client._df(db, m).where(f"series = '{s}'"), field="v", n_out=10,
+                t0=t0, t1=t1,
+            )
+            .toPandas()
+            .sort_values("time_ns", ignore_index=True)
+        )
+        assert list(pdf.time_ns) == list(direct.time_ns)
