@@ -645,6 +645,38 @@ def main() -> None:
     bench("A4 integral (all series)", integrate_points(m, fields=["v"], t0=t_mid0, t1=t_mid1))
     bench("W1 tare (1 series)", tare(m, fields=["v"], series="sensor-3", t0=t_mid0, t1=t_mid1))
 
+    # Round-7 additions at the same 10M-point scale: robust/sequential
+    # anomaly + smoothing + visual downsample — the applyInPandas ops
+    # run one ~12.5k-point loop per series per task.
+    from simple_tsdb_spark.operators import (
+        cusum_changepoints,
+        holt_linear,
+        lttb_downsample,
+        mad_outliers,
+    )
+
+    bench(
+        "MAD outliers (all series)",
+        mad_outliers(m, field="v", k=3.5, t0=t_mid0, t1=t_mid1),
+    )
+    bench(
+        "CUSUM drift (all series)",
+        cusum_changepoints(m, field="v", k=0.5, h=5.0, t0=t_mid0, t1=t_mid1),
+    )
+    bench(
+        "Holt level+trend (1 series)",
+        holt_linear(
+            m.where("series = 'sensor-3'").where(
+                (F.col("time_ns") >= t_mid0) & (F.col("time_ns") <= t_mid1)
+            ),
+            field="v",
+        ),
+    )
+    bench(
+        "LTTB 2000-pt downsample (all series)",
+        lttb_downsample(m, field="v", n_out=2000, t0=t_mid0, t1=t_mid1),
+    )
+
     # Probed LAST-N on a time-bucketed layout: write the same data with a
     # 1h bucket, then LAST-100 over the full retention — the probe must
     # touch only tail partitions, independent of history length.
