@@ -6,12 +6,13 @@ from simple_tsdb_spark.streaming.scores import streaming_dsir_scores
 from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup, streaming_simhash_dedup
 from simple_tsdb_spark.streaming.ingest import start_ingest, start_ingest_with_rollup
 from simple_tsdb_spark.streaming.join import streaming_interval_join
-from simple_tsdb_spark.streaming.stateful import streaming_ewma
+from simple_tsdb_spark.streaming.stateful import streaming_ewma, streaming_holt
 
 __all__ = [
     "start_ingest",
     "start_ingest_with_rollup",
     "streaming_ewma",
+    "streaming_holt",
     "streaming_curate",
     "streaming_decontaminate_flags",
     "streaming_dsir_scores",

@@ -81,3 +81,60 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_holt(
+    stream: DataFrame,
+    *,
+    field: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Continuous per-series Holt level+trend smoothing — the streaming
+    twin of ``operators.fill.holt_linear``: state = (level, trend), so
+    a point arriving in a later micro-batch continues the recursion
+    exactly where the previous batch stopped.  The explicit loop uses
+    the batch operator's fixed FP op order, so the emitted
+    (level, trend) stream is bit-identical to the batch operator over
+    the concatenated input (pinned in test_streaming_stateful)."""
+    a, b1m = float(alpha), 1.0 - float(alpha)
+    bt, bt1m = float(beta), 1.0 - float(beta)
+    out_schema = f"series string, time_ns long, {field} double, level double, trend double"
+    state_schema = "lvl double, trd double"
+
+    def update(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (series,) = key
+        lvl, trd = state.get if state.exists else (None, None)
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("time_ns")
+            pdf = pdf[pdf[field].notna()]
+            lvls, trds = [], []
+            for v in pdf[field]:
+                v = float(v)
+                if lvl is None:
+                    lvl, trd = v, 0.0
+                else:
+                    new_lvl = (a * v) + (b1m * (lvl + trd))
+                    trd = (bt * (new_lvl - lvl)) + (bt1m * trd)
+                    lvl = new_lvl
+                lvls.append(lvl)
+                trds.append(trd)
+            out_pdf = pdf[["time_ns", field]].copy()
+            out_pdf.insert(0, "series", series)
+            out_pdf["level"] = lvls
+            out_pdf["trend"] = trds
+            frames.append(out_pdf)
+        if lvl is not None:
+            state.update((lvl, trd))
+        yield from frames
+
+    return stream.select("series", "time_ns", field).groupBy("series").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -55,3 +55,49 @@ def test_streaming_ewma_cross_batch(spark, tmp_path):
     import numpy as np
 
     np.testing.assert_array_equal(got.v_ewma.to_numpy(), want.to_numpy())
+
+
+def test_streaming_holt_cross_batch_equals_batch(spark, tmp_path):
+    """streaming_holt continues the Holt recursion across micro-batches
+    bit-identically to the batch operator over the concatenated input."""
+    from simple_tsdb_spark.operators import holt_linear
+    from simple_tsdb_spark.streaming import streaming_holt
+
+    src = str(tmp_path / "hsrc")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["series", "time_ns", "v"]), SCHEMA
+        )
+
+    import math
+    import random
+
+    rng = random.Random(9)
+    rows1 = [("a", 10 * i, None if i == 5 else math.sin(i / 3) + rng.uniform(-0.2, 0.2))
+             for i in range(40)]
+    rows2 = [("a", 10 * (40 + i), 2.0 * i + rng.uniform(-0.2, 0.2)) for i in range(40)]
+    mk(rows1).coalesce(1).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        streaming_holt(stream, field="v", alpha=0.5, beta=0.3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sholt")
+        .start()
+    )
+    q.processAllAvailable()
+    mk(rows2).coalesce(1).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM sholt")
+        .toPandas()
+        .sort_values("time_ns", ignore_index=True)
+    )
+    want = (
+        holt_linear(mk(rows1 + rows2), field="v", alpha=0.5, beta=0.3)
+        .toPandas()
+        .sort_values("time_ns", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
