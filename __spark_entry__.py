@@ -162,6 +162,14 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simple_tsdb_spark.operators import seasonal_decompose
+
+    return seasonal_decompose(
+        _events(spark, sf_dir, t0=None, t1=None), field="value", period=7
+    )
+
+
 def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_tsdb_spark.operators import cusum_changepoints
 
@@ -758,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
         "lttb": _q_lttb,  # LTTB visual downsample — recursive-CTE oracle
         "cusum": _q_cusum,  # two-sided CUSUM drift detection
+        "seasonal": _q_seasonal,  # classical additive decomposition
         "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
         "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
@@ -1070,6 +1079,7 @@ def _timeseries_oracles() -> dict[str, str]:
         zscore_outliers_oracle,
         mad_outliers_oracle,
         cusum_changepoints_oracle,
+        seasonal_decompose_oracle,
         sessionize_oracle,
         value_histogram_oracle,
         value_quantiles_oracle,
@@ -1088,6 +1098,7 @@ def _timeseries_oracles() -> dict[str, str]:
         "mad_outliers": mad_outliers_oracle(ranged, field="value", k=3.5),
         "lttb": lttb_downsample_oracle(_M, field="value", n_out=50),
         "cusum": cusum_changepoints_oracle(_M, field="value", k=0.5, h=3.0),
+        "seasonal": seasonal_decompose_oracle(_M, field="value", period=7),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "interval_join": interval_join_oracle(
             _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]

@@ -32,6 +32,7 @@ from simple_tsdb_spark.operators.timeseries import (
     zscore_outliers,
     mad_outliers,
     cusum_changepoints,
+    seasonal_decompose,
     value_quantiles,
     distinct_count,
     approx_distinct_count,
@@ -74,6 +75,7 @@ __all__ = [
     "zscore_outliers",
     "mad_outliers",
     "cusum_changepoints",
+    "seasonal_decompose",
     "distinct_count",
     "approx_distinct_count",
     "approx_quantiles",

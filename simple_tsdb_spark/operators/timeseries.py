@@ -588,3 +588,110 @@ SELECT series, time_ns, v AS {field},
        round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg
 FROM rec WHERE round(sp, 6) > {float(h)!r} OR round(sn, 6) > {float(h)!r}
 """
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    *,
+    field: str,
+    period: int,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Classical additive decomposition per series —
+    ``v = trend + seasonal + resid``:
+
+    - ``trend``: centered moving average over ``period`` rows (odd
+      period required; NULL where the window is incomplete);
+    - ``seasonal``: the phase mean of the detrended values (phase =
+      0-based row index mod period), uncentered (the classical
+      centering offset is a constant shift into resid);
+    - ``resid``: the remainder where both parts exist.
+
+    Float determinism: the trend window sums DECIMAL(28,6) values
+    (exact, frame-order independent), the detrended values quantize to
+    9 decimals and their phase means accumulate as DECIMAL(28,9) —
+    every emitted double derives from exact sums in identical order,
+    so the result hash-matches the oracle.  One window pass + one
+    phase aggregate join; rows only shuffle on (series) and
+    (series, phase).
+    """
+    from pyspark.sql import Window
+
+    p = int(period)
+    if p < 3 or p % 2 == 0:
+        raise ValueError("period must be an odd integer ≥ 3")
+    k = (p - 1) // 2
+    src = df.where(
+        (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
+    ).select("series", "time_ns", F.col(field).cast("double").alias(field))
+    w = Window.partitionBy("series").orderBy("time_ns")
+    wf = w.rowsBetween(-k, k)
+    q = F.col(field).cast("decimal(28,6)")
+    base = (
+        src.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_ws", F.sum(q).over(wf))
+        .withColumn("_wc", F.count(F.lit(1)).over(wf))
+        .withColumn(
+            "trend",
+            F.when(F.col("_wc") == p, F.col("_ws").cast("double") / p),
+        )
+        .withColumn("_phase", (F.col("_rn") - 1) % p)
+        .withColumn(
+            "_det",
+            F.round(F.col(field) - F.col("trend"), 9).cast("decimal(28,9)"),
+        )
+    )
+    seas = base.groupBy("series", "_phase").agg(
+        (F.sum("_det").cast("double") / F.count("_det")).alias("seasonal")
+    )
+    return (
+        base.join(seas, ["series", "_phase"])
+        .select(
+            "series",
+            "time_ns",
+            field,
+            "trend",
+            "seasonal",
+            F.round(
+                F.col(field) - F.col("trend") - F.col("seasonal"), 6
+            ).alias("resid"),
+        )
+        .orderBy("series", "time_ns")
+    )
+
+
+def seasonal_decompose_oracle(
+    measurement_sql: str, *, field: str, period: int
+) -> str:
+    p = int(period)
+    k = (p - 1) // 2
+    return f"""
+WITH m AS ({measurement_sql}),
+src AS (
+  SELECT series, time_ns, CAST({field} AS DOUBLE) AS v FROM m WHERE {field} IS NOT NULL),
+base AS (
+  SELECT series, time_ns, v,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY time_ns) AS _rn,
+         SUM(CAST(v AS DECIMAL(28,6))) OVER (
+           PARTITION BY series ORDER BY time_ns
+           ROWS BETWEEN {k} PRECEDING AND {k} FOLLOWING) AS _ws,
+         COUNT(*) OVER (
+           PARTITION BY series ORDER BY time_ns
+           ROWS BETWEEN {k} PRECEDING AND {k} FOLLOWING) AS _wc
+  FROM src),
+tr AS (
+  SELECT series, time_ns, v, _rn,
+         CASE WHEN _wc = {p} THEN CAST(_ws AS DOUBLE) / {p} END AS trend,
+         (_rn - 1) % {p} AS _phase
+  FROM base),
+det AS (
+  SELECT *, CAST(round(v - trend, 9) AS DECIMAL(28,9)) AS _det FROM tr),
+seas AS (
+  SELECT series, _phase,
+         CAST(SUM(_det) AS DOUBLE) / COUNT(_det) AS seasonal
+  FROM det GROUP BY series, _phase)
+SELECT det.series, time_ns, v AS {field}, trend, seas.seasonal,
+       round(v - trend - seas.seasonal, 6) AS resid
+FROM det JOIN seas ON seas.series = det.series AND seas._phase = det._phase
+"""

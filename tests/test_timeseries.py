@@ -287,3 +287,32 @@ def test_cusum_detects_mean_shift(spark):
     assert list(got.time_ns) == flags
     # the same shift yields no z-score outlier at k=3 (drift, not spike)
     assert zscore_outliers(df, field="value", k=3.0).count() <= 2
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """On a planted trend+weekly-cycle series the decomposition
+    recovers both components; identity v = trend+seasonal+resid holds;
+    even periods rejected."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from simple_tsdb_spark.operators import seasonal_decompose
+
+    cyc = [3.0, -1.0, 0.5, 2.0, -2.5, 1.0, -3.0]  # sums to 0
+    rows = [("a", i, 0.1 * i + cyc[i % 7]) for i in range(140)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "value"]))
+    got = seasonal_decompose(df, field="value", period=7).toPandas().sort_values("time_ns")
+    mid = got[got.trend.notna()]
+    # trend ≈ linear component (centered MA of a linear fn is exact)
+    np.testing.assert_allclose(mid.trend, 0.1 * mid.time_ns, atol=1e-9)
+    # seasonal ≈ planted cycle (detrended means); resid ≈ 0
+    for _, r in mid.iterrows():
+        assert abs(r.seasonal - cyc[int(r.time_ns) % 7]) < 1e-6
+        assert abs(r.resid) < 1e-6
+    # additive identity on every complete row
+    np.testing.assert_allclose(
+        mid.value, mid.trend + mid.seasonal + mid.resid, atol=1e-5
+    )
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, field="value", period=6)
