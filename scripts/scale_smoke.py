@@ -264,6 +264,27 @@ def corpus_phase(spark, n_docs: int = 1_000_000) -> None:
     print(f"CORPUS dsir_resample k=1000: {time.time()-t:.1f}s rows={n:,}")
     assert n == 1000
 
+    from simple_tsdb_spark.pipeline import char_entropy, dup_ngram_chars, gopher_rules
+
+    t = time.time()
+    # the synthetic corpus has no English stopwords — exercise the other
+    # rules (the stop-word rule is covered by the oracle + model tests)
+    n = gopher_rules(tdocs, min_words=20, min_stopwords=0).where(
+        F.col("passes")
+    ).count()
+    print(f"CORPUS gopher_rules: {time.time()-t:.1f}s passed={n:,}")
+    assert n > 0
+
+    t = time.time()
+    n = dup_ngram_chars(tdocs).count()
+    print(f"CORPUS dup_ngram_chars: {time.time()-t:.1f}s rows={n:,}")
+    assert n == 3 * N
+
+    t = time.time()
+    n = char_entropy(tdocs).where(F.col("entropy") > 0).count()
+    print(f"CORPUS char_entropy: {time.time()-t:.1f}s rows={n:,}")
+    assert n == N
+
 
 def _shuffle_bytes(spark) -> tuple[int, int]:
     """(shuffle_read, shuffle_write) bytes summed over all completed
