@@ -162,6 +162,14 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+def _q_find_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simple_tsdb_spark.operators import find_gaps
+
+    return find_gaps(
+        _events(spark, sf_dir, t0=None, t1=None), max_gap_ns=30_000_000_000
+    )
+
+
 def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_tsdb_spark.operators import seasonal_decompose
 
@@ -767,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb": _q_lttb,  # LTTB visual downsample — recursive-CTE oracle
         "cusum": _q_cusum,  # two-sided CUSUM drift detection
         "seasonal": _q_seasonal,  # classical additive decomposition
+        "find_gaps": _q_find_gaps,  # missing-data gap detection
         "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
         "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
@@ -1080,6 +1089,7 @@ def _timeseries_oracles() -> dict[str, str]:
         mad_outliers_oracle,
         cusum_changepoints_oracle,
         seasonal_decompose_oracle,
+        find_gaps_oracle,
         sessionize_oracle,
         value_histogram_oracle,
         value_quantiles_oracle,
@@ -1099,6 +1109,7 @@ def _timeseries_oracles() -> dict[str, str]:
         "lttb": lttb_downsample_oracle(_M, field="value", n_out=50),
         "cusum": cusum_changepoints_oracle(_M, field="value", k=0.5, h=3.0),
         "seasonal": seasonal_decompose_oracle(_M, field="value", period=7),
+        "find_gaps": find_gaps_oracle(_M, max_gap_ns=30_000_000_000),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "interval_join": interval_join_oracle(
             _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]

@@ -33,6 +33,7 @@ from simple_tsdb_spark.operators.timeseries import (
     mad_outliers,
     cusum_changepoints,
     seasonal_decompose,
+    find_gaps,
     value_quantiles,
     distinct_count,
     approx_distinct_count,
@@ -76,6 +77,7 @@ __all__ = [
     "mad_outliers",
     "cusum_changepoints",
     "seasonal_decompose",
+    "find_gaps",
     "distinct_count",
     "approx_distinct_count",
     "approx_quantiles",

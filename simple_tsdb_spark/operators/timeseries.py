@@ -695,3 +695,50 @@ SELECT det.series, time_ns, v AS {field}, trend, seas.seasonal,
        round(v - trend - seas.seasonal, 6) AS resid
 FROM det JOIN seas ON seas.series = det.series AND seas._phase = det._phase
 """
+
+
+def find_gaps(
+    df: DataFrame,
+    *,
+    max_gap_ns: int,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Missing-data detection per series: every consecutive-point gap
+    exceeding ``max_gap_ns`` in the range — (series, gap_start,
+    gap_end, gap_ns), ordered.  The monitoring question every TSDB
+    answers ("where did the sensor go quiet?"); one window pass, no
+    joins — ``lead`` over the (series)-partitioned time order.
+    """
+    from pyspark.sql import Window
+
+    src = df.where((F.col("time_ns") >= t0) & (F.col("time_ns") <= t1)).select(
+        "series", "time_ns"
+    )
+    w = Window.partitionBy("series").orderBy("time_ns")
+    return (
+        src.withColumn("_next", F.lead("time_ns").over(w))
+        .where(
+            F.col("_next").isNotNull()
+            & ((F.col("_next") - F.col("time_ns")) > int(max_gap_ns))
+        )
+        .select(
+            "series",
+            F.col("time_ns").alias("gap_start"),
+            F.col("_next").alias("gap_end"),
+            (F.col("_next") - F.col("time_ns")).alias("gap_ns"),
+        )
+        .orderBy("series", "gap_start")
+    )
+
+
+def find_gaps_oracle(measurement_sql: str, *, max_gap_ns: int) -> str:
+    return f"""
+WITH m AS ({measurement_sql}),
+g AS (
+  SELECT series, time_ns AS gap_start,
+         LEAD(time_ns) OVER (PARTITION BY series ORDER BY time_ns) AS gap_end
+  FROM m)
+SELECT series, gap_start, gap_end, gap_end - gap_start AS gap_ns
+FROM g WHERE gap_end IS NOT NULL AND gap_end - gap_start > {int(max_gap_ns)}
+"""

@@ -316,3 +316,21 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     )
     with _pytest.raises(ValueError):
         seasonal_decompose(df, field="value", period=6)
+
+
+def test_find_gaps_planted(spark):
+    """find_gaps: planted quiet periods found exactly, none invented."""
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import find_gaps
+
+    rows = [("a", t) for t in [0, 10, 20, 100, 110, 500, 510]]
+    rows += [("b", t) for t in [0, 10, 20, 30]]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns"])
+    pdf["value"] = 1.0
+    df = spark.createDataFrame(pdf)
+    got = [
+        (r.series, r.gap_start, r.gap_end, r.gap_ns)
+        for r in find_gaps(df, max_gap_ns=50).collect()
+    ]
+    assert got == [("a", 20, 100, 80), ("a", 110, 500, 390)]
