@@ -162,6 +162,15 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+def _q_quantile_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simple_tsdb_spark.operators import quantile_points
+
+    return quantile_points(
+        _events(spark, sf_dir, t0=None, t1=None), field="value",
+        window_ns=W * 8,
+    )
+
+
 def _q_find_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_tsdb_spark.operators import find_gaps
 
@@ -776,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": _q_cusum,  # two-sided CUSUM drift detection
         "seasonal": _q_seasonal,  # classical additive decomposition
         "find_gaps": _q_find_gaps,  # missing-data gap detection
+        "quantile_points": _q_quantile_points,  # windowed SLO percentiles
         "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
         "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
@@ -1096,7 +1106,7 @@ def _timeseries_oracles() -> dict[str, str]:
     )
 
     from simple_tsdb_spark.operators.fill import ewma_oracle, holt_linear_oracle
-    from simple_tsdb_spark.operators.windowed import lttb_downsample_oracle
+    from simple_tsdb_spark.operators.windowed import lttb_downsample_oracle, quantile_points_oracle
     from simple_tsdb_spark.operators.transforms import counter_rate_oracle
 
     ranged = f"SELECT * FROM ({_M}) WHERE time_ns BETWEEN {T0} AND {T1}"
@@ -1110,6 +1120,7 @@ def _timeseries_oracles() -> dict[str, str]:
         "cusum": cusum_changepoints_oracle(_M, field="value", k=0.5, h=3.0),
         "seasonal": seasonal_decompose_oracle(_M, field="value", period=7),
         "find_gaps": find_gaps_oracle(_M, max_gap_ns=30_000_000_000),
+        "quantile_points": quantile_points_oracle(_M, field="value", window_ns=W * 8),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "interval_join": interval_join_oracle(
             _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]

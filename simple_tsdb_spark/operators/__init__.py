@@ -11,6 +11,7 @@ from simple_tsdb_spark.operators.windowed import (
     minmax_downsample,
     auto_downsample,
     lttb_downsample,
+    quantile_points,
 )
 from simple_tsdb_spark.operators.integral import integrate_points
 from simple_tsdb_spark.operators.series import list_active_series, list_series
@@ -50,6 +51,7 @@ __all__ = [
     "mean_points",
     "minmax_downsample",
     "lttb_downsample",
+    "quantile_points",
     "auto_downsample",
     "integrate_points",
     "list_active_series",

@@ -458,3 +458,76 @@ SELECT series, time_ns, {field} FROM (
   FROM rec r JOIN ord o ON o.series = r.series AND o.rn = r.rn
   WHERE r.b >= 0)
 """
+
+
+def quantile_points(
+    df: DataFrame,
+    *,
+    field: str,
+    window_ns: int,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Windowed latency percentiles per series — the SLO readout: for
+    each (series, aligned window), the exact continuous quantiles of
+    ``field`` at ``probs`` (columns ``p50``/``p90``/… from the prob ×
+    100, trailing zeros trimmed).  NULL values skipped; empty windows
+    absent (join against ``sum_points(emit_empty=True)`` for a spine).
+
+    Exact by design: ``percentile``/``quantile_cont`` interpolate
+    identically in both engines (verified bit-level for arbitrary
+    probs), so the result hash-matches with NO rounding.  At 100 TB the
+    exact quantile buffers each (series, window) group's values — the
+    deliberate price (use ``approx_quantiles`` to pre-screen at extreme
+    per-window cardinality); one shuffle keyed (series, window).
+    """
+    w = int(window_ns)
+    if w <= 0:
+        raise ValueError("window_ns must be positive")
+    ps = [float(p) for p in probs]
+    if any(not 0.0 <= p <= 1.0 for p in ps):
+        raise ValueError("probs must be in [0, 1]")
+    src = df.where(
+        (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
+    ).withColumn("wstart", _bucket(F.col("time_ns"), w))
+    arr = ", ".join(repr(p) for p in ps)
+    agg = src.groupBy("series", "wstart").agg(
+        F.expr(f"percentile(CAST({field} AS DOUBLE), array({arr}))").alias("_q"),
+        F.count(F.lit(1)).alias("npoints"),
+    )
+    cols = [F.col("_q")[i].alias(quantile_col_name(p)) for i, p in enumerate(ps)]
+    return agg.select("series", "wstart", "npoints", *cols).orderBy("series", "wstart")
+
+
+def quantile_col_name(p: float) -> str:
+    """0.5 → p50, 0.99 → p99, 0.999 → p99_9 (column-name safe)."""
+    s = f"{p * 100:.6f}".rstrip("0").rstrip(".")
+    return "p" + s.replace(".", "_")
+
+
+def quantile_points_oracle(
+    measurement_sql: str,
+    *,
+    field: str,
+    window_ns: int,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> str:
+    w = int(window_ns)
+    ps = [float(p) for p in probs]
+    arr = ", ".join(repr(p) for p in ps)
+    cols = ",\n       ".join(
+        f"_q[{i + 1}] AS {quantile_col_name(p)}" for i, p in enumerate(ps)
+    )
+    return f"""
+WITH m AS ({measurement_sql}),
+src AS (
+  SELECT series, time_ns - (time_ns % {w}) AS wstart, CAST({field} AS DOUBLE) AS v
+  FROM m WHERE {field} IS NOT NULL),
+agg AS (
+  SELECT series, wstart, quantile_cont(v, [{arr}]) AS _q, COUNT(*) AS npoints
+  FROM src GROUP BY series, wstart)
+SELECT series, wstart, npoints,
+       {cols}
+FROM agg
+"""

@@ -212,3 +212,32 @@ def test_lttb_downsample_model(spark):
         prev = best
     keep.append(m - 1)
     assert list(a.time_ns) == [int(ts[i]) for i in keep]
+
+
+def test_quantile_points_model(spark):
+    """quantile_points vs numpy linear-interpolation percentiles per
+    (series, window); NULLs skipped; column naming."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import quantile_points
+    from simple_tsdb_spark.operators.windowed import quantile_col_name
+
+    import random
+
+    rng = random.Random(4)
+    rows = []
+    for i in range(200):
+        rows.append(("a", i, None if i % 17 == 0 else rng.uniform(0, 100)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "value"]))
+    got = quantile_points(df, field="value", window_ns=50, probs=(0.5, 0.99)).toPandas()
+    assert list(got.columns) == ["series", "wstart", "npoints", "p50", "p99"]
+    for _, r in got.iterrows():
+        vals = [v for s, t, v in rows if v is not None and r.wstart <= t < r.wstart + 50]
+        assert r.npoints == len(vals)
+        # numpy's interpolation formula differs from the engines' by
+        # ≤1 ulp (lo+(hi-lo)·g vs lo·(1-g)+hi·g); engine-to-engine
+        # equality is exact (the driver hash gate)
+        np.testing.assert_allclose(r.p50, np.percentile(vals, 50), rtol=1e-12)
+        np.testing.assert_allclose(r.p99, np.percentile(vals, 99), rtol=1e-12)
+    assert quantile_col_name(0.999) == "p99_9" and quantile_col_name(0.25) == "p25"
