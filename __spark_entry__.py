@@ -162,6 +162,14 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+def _q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simple_tsdb_spark.operators import bollinger_bands
+
+    return bollinger_bands(
+        _events(spark, sf_dir, t0=None, t1=None), field="value", n=20, k=2.0
+    )
+
+
 def _q_quantile_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_tsdb_spark.operators import quantile_points
 
@@ -786,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal": _q_seasonal,  # classical additive decomposition
         "find_gaps": _q_find_gaps,  # missing-data gap detection
         "quantile_points": _q_quantile_points,  # windowed SLO percentiles
+        "bollinger": _q_bollinger,  # exact-moment Bollinger bands + breakouts
         "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
         "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
@@ -1100,6 +1109,7 @@ def _timeseries_oracles() -> dict[str, str]:
         cusum_changepoints_oracle,
         seasonal_decompose_oracle,
         find_gaps_oracle,
+        bollinger_bands_oracle,
         sessionize_oracle,
         value_histogram_oracle,
         value_quantiles_oracle,
@@ -1121,6 +1131,7 @@ def _timeseries_oracles() -> dict[str, str]:
         "seasonal": seasonal_decompose_oracle(_M, field="value", period=7),
         "find_gaps": find_gaps_oracle(_M, max_gap_ns=30_000_000_000),
         "quantile_points": quantile_points_oracle(_M, field="value", window_ns=W * 8),
+        "bollinger": bollinger_bands_oracle(_M, field="value", n=20, k=2.0),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "interval_join": interval_join_oracle(
             _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]

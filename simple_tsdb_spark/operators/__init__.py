@@ -35,6 +35,7 @@ from simple_tsdb_spark.operators.timeseries import (
     cusum_changepoints,
     seasonal_decompose,
     find_gaps,
+    bollinger_bands,
     value_quantiles,
     distinct_count,
     approx_distinct_count,
@@ -80,6 +81,7 @@ __all__ = [
     "cusum_changepoints",
     "seasonal_decompose",
     "find_gaps",
+    "bollinger_bands",
     "distinct_count",
     "approx_distinct_count",
     "approx_quantiles",

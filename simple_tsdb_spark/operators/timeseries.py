@@ -742,3 +742,87 @@ g AS (
 SELECT series, gap_start, gap_end, gap_end - gap_start AS gap_ns
 FROM g WHERE gap_end IS NOT NULL AND gap_end - gap_start > {int(max_gap_ns)}
 """
+
+
+def bollinger_bands(
+    df: DataFrame,
+    *,
+    field: str,
+    n: int = 20,
+    k: float = 2.0,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Bollinger bands per series: trailing-``n``-point moving average
+    ± ``k`` sample standard deviations — (series, time_ns, field, ma,
+    upper, lower, breakout ∈ {-1,0,1}).  Rows with an incomplete
+    trailing window are omitted (the classical convention).
+
+    Float determinism: window sums accumulate DECIMAL(28,6) /
+    DECIMAL(38,12) exactly (frame-order independent), ma/std derive in
+    double from those exact sums, bands round to 6 — bit-equal to the
+    oracle.  One window pass, no joins; the same windowed-exact-moment
+    trick as ``seasonal_decompose``.
+    """
+    from pyspark.sql import Window
+
+    N = int(n)
+    if N < 2:
+        raise ValueError("n must be ≥ 2")
+    src = df.where(
+        (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
+    ).select("series", "time_ns", F.col(field).cast("double").alias(field))
+    w = Window.partitionBy("series").orderBy("time_ns").rowsBetween(-(N - 1), 0)
+    q = F.col(field).cast("decimal(28,6)")
+    base = (
+        src.withColumn("_ws", F.sum(q).over(w))
+        .withColumn("_wss", F.sum((q * q).cast("decimal(38,12)")).over(w))
+        .withColumn("_wc", F.count(F.lit(1)).over(w))
+        .where(F.col("_wc") == N)
+    )
+    ma = F.col("_ws").cast("double") / N
+    var = (F.col("_wss").cast("double") - F.col("_ws").cast("double") * ma) / (N - 1)
+    std = F.sqrt(var)
+    upper = F.round(ma + F.lit(float(k)) * std, 6)
+    lower = F.round(ma - F.lit(float(k)) * std, 6)
+    v = F.col(field)
+    return base.select(
+        "series",
+        "time_ns",
+        field,
+        F.round(ma, 6).alias("ma"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        F.when(v > upper, F.lit(1))
+        .when(v < lower, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("breakout"),
+    ).orderBy("series", "time_ns")
+
+
+def bollinger_bands_oracle(
+    measurement_sql: str, *, field: str, n: int = 20, k: float = 2.0
+) -> str:
+    N = int(n)
+    kf = f"CAST('{float(k)!r}' AS DOUBLE)"
+    return f"""
+WITH m AS ({measurement_sql}),
+src AS (
+  SELECT series, time_ns, CAST({field} AS DOUBLE) AS v FROM m WHERE {field} IS NOT NULL),
+base AS (
+  SELECT series, time_ns, v,
+         SUM(CAST(v AS DECIMAL(28,6))) OVER tw AS _ws,
+         SUM(CAST(CAST(v AS DECIMAL(28,6)) * CAST(v AS DECIMAL(28,6)) AS DECIMAL(38,12))) OVER tw AS _wss,
+         COUNT(*) OVER tw AS _wc
+  FROM src
+  WINDOW tw AS (PARTITION BY series ORDER BY time_ns ROWS BETWEEN {N - 1} PRECEDING AND CURRENT ROW)),
+bands AS (
+  SELECT series, time_ns, v,
+         round(CAST(_ws AS DOUBLE) / {N}, 6) AS ma,
+         round(CAST(_ws AS DOUBLE) / {N} + {kf} * sqrt((CAST(_wss AS DOUBLE) - CAST(_ws AS DOUBLE) * (CAST(_ws AS DOUBLE) / {N})) / ({N} - 1)), 6) AS upper,
+         round(CAST(_ws AS DOUBLE) / {N} - {kf} * sqrt((CAST(_wss AS DOUBLE) - CAST(_ws AS DOUBLE) * (CAST(_ws AS DOUBLE) / {N})) / ({N} - 1)), 6) AS lower
+  FROM base WHERE _wc = {N})
+SELECT series, time_ns, v AS {field}, ma, upper, lower,
+       CASE WHEN v > upper THEN 1 WHEN v < lower THEN -1 ELSE 0 END AS breakout
+FROM bands
+"""

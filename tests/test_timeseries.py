@@ -334,3 +334,31 @@ def test_find_gaps_planted(spark):
         for r in find_gaps(df, max_gap_ns=50).collect()
     ]
     assert got == [("a", 20, 100, 80), ("a", 110, 500, 390)]
+
+
+def test_bollinger_bands_model(spark):
+    """bollinger_bands vs numpy rolling moments; planted spike breaks
+    the upper band; incomplete-window rows omitted."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import bollinger_bands
+
+    import random
+
+    rng = random.Random(6)
+    vals = [rng.gauss(10, 1) for _ in range(60)]
+    vals[40] = 30.0  # spike
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "value"]))
+    got = bollinger_bands(df, field="value", n=20, k=2.0).toPandas()
+    assert len(got) == 41  # 60 - 19 incomplete
+    s = pd.Series(vals)
+    ma = s.rolling(20).mean()
+    sd = s.rolling(20).std()
+    for _, r in got.iterrows():
+        i = int(r.time_ns)
+        np.testing.assert_allclose(r.ma, ma[i], rtol=1e-9)
+        np.testing.assert_allclose(r.upper, ma[i] + 2 * sd[i], rtol=1e-9)
+    assert int(got[got.time_ns == 40].breakout.iloc[0]) == 1
+    assert (got[got.time_ns != 40].breakout.abs() <= 1).all()
