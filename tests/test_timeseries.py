@@ -358,7 +358,8 @@ def test_bollinger_bands_model(spark):
     sd = s.rolling(20).std()
     for _, r in got.iterrows():
         i = int(r.time_ns)
-        np.testing.assert_allclose(r.ma, ma[i], rtol=1e-9)
-        np.testing.assert_allclose(r.upper, ma[i] + 2 * sd[i], rtol=1e-9)
+        # operator output rounds to 6 decimals
+        np.testing.assert_allclose(r.ma, ma[i], atol=5.1e-7)
+        np.testing.assert_allclose(r.upper, ma[i] + 2 * sd[i], atol=5.1e-7)
     assert int(got[got.time_ns == 40].breakout.iloc[0]) == 1
     assert (got[got.time_ns != 40].breakout.abs() <= 1).all()
