@@ -162,6 +162,15 @@ def _q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3
     )
 
 
+def _q_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simple_tsdb_spark.operators import incident_windows
+
+    return incident_windows(
+        _events(spark, sf_dir, t0=None, t1=None), field="value", k=2.0,
+        gap_ns=60_000_000_000,
+    )
+
+
 def _q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_tsdb_spark.operators import bollinger_bands
 
@@ -795,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_gaps": _q_find_gaps,  # missing-data gap detection
         "quantile_points": _q_quantile_points,  # windowed SLO percentiles
         "bollinger": _q_bollinger,  # exact-moment Bollinger bands + breakouts
+        "incidents": _q_incidents,  # outlier points -> merged incident intervals
         "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
         "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
         "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
@@ -1110,6 +1120,7 @@ def _timeseries_oracles() -> dict[str, str]:
         seasonal_decompose_oracle,
         find_gaps_oracle,
         bollinger_bands_oracle,
+        incident_windows_oracle,
         sessionize_oracle,
         value_histogram_oracle,
         value_quantiles_oracle,
@@ -1132,6 +1143,7 @@ def _timeseries_oracles() -> dict[str, str]:
         "find_gaps": find_gaps_oracle(_M, max_gap_ns=30_000_000_000),
         "quantile_points": quantile_points_oracle(_M, field="value", window_ns=W * 8),
         "bollinger": bollinger_bands_oracle(_M, field="value", n=20, k=2.0),
+        "incidents": incident_windows_oracle(_M, field="value", k=2.0, gap_ns=60_000_000_000),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
         "interval_join": interval_join_oracle(
             _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]

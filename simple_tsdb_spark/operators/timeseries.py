@@ -826,3 +826,68 @@ SELECT series, time_ns, v AS {field}, ma, upper, lower,
        CASE WHEN v > upper THEN 1 WHEN v < lower THEN -1 ELSE 0 END AS breakout
 FROM bands
 """
+
+
+def incident_windows(
+    df: DataFrame,
+    *,
+    field: str,
+    k: float = 3.0,
+    gap_ns: int,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Alert → incident rollup: z-score outlier points
+    (``zscore_outliers``) merged into incident intervals per series —
+    consecutive flagged points closer than ``gap_ns`` belong to one
+    incident (gaps-and-islands).  Output (series, incident_start,
+    incident_end, n_points, peak_zscore) — what an alerting pipeline
+    pages on instead of raw point spam.
+
+    One window pass over the (already sparse) flag stream; inherits
+    zscore's exact-moment determinism, so the incident boundaries and
+    peak statistics hash-match the oracle.
+    """
+    from pyspark.sql import Window
+
+    flags = zscore_outliers(df, field=field, k=k, t0=t0, t1=t1)
+    w = Window.partitionBy("series").orderBy("time_ns")
+    grouped = flags.withColumn(
+        "_new",
+        F.when(
+            F.lag("time_ns").over(w).isNull()
+            | ((F.col("time_ns") - F.lag("time_ns").over(w)) > int(gap_ns)),
+            1,
+        ).otherwise(0),
+    ).withColumn("_grp", F.sum("_new").over(w))
+    return (
+        grouped.groupBy("series", "_grp")
+        .agg(
+            F.min("time_ns").alias("incident_start"),
+            F.max("time_ns").alias("incident_end"),
+            F.count(F.lit(1)).alias("n_points"),
+            F.max(F.abs(F.col("zscore"))).alias("peak_zscore"),
+        )
+        .select("series", "incident_start", "incident_end", "n_points", "peak_zscore")
+        .orderBy("series", "incident_start")
+    )
+
+
+def incident_windows_oracle(
+    measurement_sql: str, *, field: str, k: float = 3.0, gap_ns: int = 0
+) -> str:
+    inner = zscore_outliers_oracle(measurement_sql, field=field, k=k).strip()
+    return f"""
+WITH flags AS ({inner}),
+grouped AS (
+  SELECT series, time_ns, abs(zscore) AS az,
+         SUM(CASE WHEN prev IS NULL OR time_ns - prev > {int(gap_ns)} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY series ORDER BY time_ns) AS _grp
+  FROM (
+    SELECT series, time_ns, zscore,
+           LAG(time_ns) OVER (PARTITION BY series ORDER BY time_ns) AS prev
+    FROM flags))
+SELECT series, MIN(time_ns) AS incident_start, MAX(time_ns) AS incident_end,
+       COUNT(*) AS n_points, MAX(az) AS peak_zscore
+FROM grouped GROUP BY series, _grp
+"""

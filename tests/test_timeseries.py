@@ -363,3 +363,23 @@ def test_bollinger_bands_model(spark):
         np.testing.assert_allclose(r.upper, ma[i] + 2 * sd[i], atol=5.1e-7)
     assert int(got[got.time_ns == 40].breakout.iloc[0]) == 1
     assert (got[got.time_ns != 40].breakout.abs() <= 1).all()
+
+
+def test_incident_windows_merging(spark):
+    """Two outlier bursts separated by a quiet period become two
+    incidents; points within gap_ns merge; peak captured."""
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import incident_windows
+
+    vals = [10.0] * 50
+    vals[10], vals[12] = 100.0, 120.0   # burst 1 (within gap)
+    vals[40] = 90.0                     # burst 2
+    rows = [("a", i * 10, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "value"]))
+    got = incident_windows(df, field="value", k=2.0, gap_ns=50).toPandas()
+    assert len(got) == 2
+    first, second = got.iloc[0], got.iloc[1]
+    assert (first.incident_start, first.incident_end, first.n_points) == (100, 120, 2)
+    assert (second.incident_start, second.incident_end, second.n_points) == (400, 400, 1)
+    assert first.peak_zscore > second.peak_zscore
