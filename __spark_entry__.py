@@ -753,17 +753,59 @@ def _q_revenue_rollup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Rotation (round 7, standing per-round mechanic until the driver
-    # gates all declared entries): round-7 additions lead (new entries
-    # need driver evidence first), then the 14 entries past slot 50
-    # last round (minhash_lsh .. pq_encode, judge-verified but not
-    # driver-gated in r6), then the r6-gated 50 in their previous
+    # Rotation (standing per-round mechanic until the driver gates all
+    # declared entries): the two round-7 hash-fails lead (fixed this
+    # round — µnat-quantized integer-ln gating; need driver-green
+    # evidence first), then this round's NEW entries, then the 38
+    # entries past the 50-slot gate last round (driver-green in r6,
+    # judge-reverified r7), then the r7-gated 48 in their previous
     # order.  Whichever entries fall past the gate this round lead the
     # next round's dict.
     return {
-        # round-7 additions lead (new entries need driver evidence first)
-        "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
+        # r7 hash-fails, fixed this round — head of the dict
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
+        "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
+        # stale block: driver evidence is r6 — refresh first
+        "daily_pivot": _q_daily_pivot,
+        "revenue_rollup": _q_revenue_rollup,
+        "select_points": _q_select_points,
+        "select_last": _q_select_last,
+        "select_last_per_series": _q_select_last_per_series,
+        "count_points": _q_count_points,
+        "sum_points": _q_sum_points,
+        "mean_points": _q_mean_points,
+        "minmax_downsample": _q_minmax_downsample,
+        "auto_downsample": _q_auto_downsample,  # W5 policy
+        "integrate_points": _q_integrate,
+        "active_series": _q_active_series,
+        "list_series": _q_list_series,
+        "tare": _q_tare,
+        "difference": _q_difference,
+        "derivative": _q_derivative,
+        "counter_rate": _q_counter_rate,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "sessionize": _q_sessionize,
+        "moving_avg": _q_moving_avg,
+        "histogram": _q_histogram,
+        "quantiles": _q_quantiles,
+        "distinct_users": _q_distinct_users,
+        "hybrid_rollup_sum": _q_hybrid_rollup_sum,  # continuous-aggregate read
+        "mean_fill_linear": _q_mean_fill_linear,
+        "mean_fill_previous": _q_mean_fill_previous,
+        "ewma": _q_ewma,  # recursive stateful op — recursive-CTE oracle
+        "token_counts": _q_token_counts,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "repetition_stats": _q_repetition_stats,  # Gopher-style repetition signals
+        "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
+        "decontaminate_pairs": _q_decontaminate_pairs,  # leak attribution
+        "boilerplate_spans": _q_boilerplate_spans,  # C4-style span df profile
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        # r7-gated block (driver-green in CORRECTNESS_r07), previous order
+        "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
         "stratified_split": _q_stratified_split,  # exact-fraction per-stratum holdout
         "dsir_resample": _q_dsir_resample,  # DSIR Gumbel top-k selection step
         "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
@@ -772,12 +814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rp": _q_knn_rp,  # two-stage ANN: coarse JL search + exact re-rank
         "gopher_rules": _q_gopher_rules,  # Gopher A1.1 quality rules + audit stats
         "dup_ngram_chars": _q_dup_ngram_chars,  # Gopher repetition rule (dup n-gram chars)
-        "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
         "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
         "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
         "cluster_prune": _q_cluster_prune,  # SSL-prototype coreset keep-k
-        # r6 tail — needs fresh driver evidence first
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_dup": _q_embedding_dup,
@@ -792,7 +832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
         "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
         "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
-        # round-6 additions (driver-green r6; keep high in the order)
         "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
         "pii_scrub": _q_pii_scrub,  # email/IP/phone redaction
         "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
@@ -811,50 +850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
         "multimodal_meta": _q_multimodal_meta,
         "blob_features": _q_blob_features,  # mapInPandas — rows-only check
-        # relational breadth (joins / grouped agg / top-k)
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
-        "daily_pivot": _q_daily_pivot,
-        "revenue_rollup": _q_revenue_rollup,
-        "select_points": _q_select_points,
-        "select_last": _q_select_last,
-        "select_last_per_series": _q_select_last_per_series,
-        "count_points": _q_count_points,
-        "sum_points": _q_sum_points,
-        "mean_points": _q_mean_points,
-        "minmax_downsample": _q_minmax_downsample,
-        "auto_downsample": _q_auto_downsample,  # W5 policy
-        "integrate_points": _q_integrate,
-        "active_series": _q_active_series,
-        "list_series": _q_list_series,
-        "tare": _q_tare,
-        "difference": _q_difference,
-        "derivative": _q_derivative,
-        "counter_rate": _q_counter_rate,
-        # time-series breadth
-        "asof_join": _q_asof_join,
-        "interval_join": _q_interval_join,
-        "sessionize": _q_sessionize,
-        "moving_avg": _q_moving_avg,
-        "histogram": _q_histogram,
-        "quantiles": _q_quantiles,
-        "distinct_users": _q_distinct_users,
-        "hybrid_rollup_sum": _q_hybrid_rollup_sum,  # continuous-aggregate read
-        "mean_fill_linear": _q_mean_fill_linear,
-        "mean_fill_previous": _q_mean_fill_previous,
-        "ewma": _q_ewma,  # recursive stateful op — recursive-CTE oracle
-        # pipeline extension operators
-        "token_counts": _q_token_counts,
-        "quality_score": _q_quality_score,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        "repetition_stats": _q_repetition_stats,  # Gopher-style repetition signals
-        "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
-        "decontaminate_pairs": _q_decontaminate_pairs,  # leak attribution
-        "boilerplate_spans": _q_boilerplate_spans,  # C4-style span df profile
-        "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard": _q_ngram_jaccard,
     }
 
 

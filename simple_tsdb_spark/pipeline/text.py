@@ -38,6 +38,17 @@ def _tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def _lnq_unats(col: Column) -> Column:
+    """``floor(1e6 · ln(x))`` as BIGINT — the engine-portable µnat
+    quantization of a natural log.  Applied to INTEGER inputs only, so a
+    1-ulp libm disagreement between engines can flip the floor only when
+    ``1e6·ln(k)`` sits within ~1e-9 of an integer (measure-zero in
+    practice; ln(1)=0 is exact in both).  Everything downstream of this
+    quantization must stay exact integer/decimal algebra or IEEE-exact
+    casts and divisions."""
+    return F.floor(F.lit(1e6) * F.log(col.cast("double"))).cast("long")
+
+
 def token_counts(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + BPE-ish pre-token count + char count."""
     text = F.col(text_col)
@@ -860,10 +871,14 @@ def ngram_lm_score(
     whitespace-split; empty tokens participate (same contract as
     ``repetition_stats``).
 
-    Cross-engine determinism: each bigram's NLL is quantized to 9
-    decimals, accumulated as DECIMAL(30,9) (exact, order-independent —
-    AQE-stable and bit-equal to DuckDB), and the final mean is one
-    double division + round(6).
+    Cross-engine determinism: ``-ln((c2+1)/(c1+V)) = ln(c1+V) −
+    ln(c2+1)`` — ``ln`` touches INTEGERS only, each quantized once at
+    the ``floor(1e6·ln(x))`` µnat scale; per-bigram NLLs and per-doc
+    sums are then exact BIGINTs (order-independent, AQE-stable), and
+    ``xent`` is two IEEE-exact double divisions + round(6).  A finer
+    1e-9 post-``ln`` rounding was measurably libm-sensitive across
+    engines (driver round-7 hash mismatch); integer-argument µnat
+    quantization is the scheme ``dsir_weights`` proved portable.
 
     At 100 TB: fit-then-score, the dsir/quantizer shape — never a
     doubled corpus lineage inside one job.  The PREP job makes one
@@ -1004,17 +1019,17 @@ def ngram_lm_score(
     )
 
     all_scored = hot_done.unionByName(matched).unionByName(m_hot).unionByName(m_tail)
-    nll = F.round(
-        -F.log(
-            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
-            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(V))).cast("double")
-        ),
-        9,
-    )
+    # nll = -ln((c2+1)/(c1+V)) = ln(c1+V) - ln(c2+1): ln is applied to
+    # INTEGERS only, each quantized ONCE at the floor(1e6·ln(x)) µnat
+    # scale (the scheme dsir_weights proved engine-portable), so every
+    # downstream step is exact BIGINT algebra + IEEE-exact casts and
+    # divisions — no post-transcendental fine rounding left to disagree
+    # between libm implementations.
+    nll_q = _lnq_unats(
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(V))
+    ) - _lnq_unats(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
     per_doc = (
-        all_scored.withColumn(
-            "_c", nll.cast("decimal(20,9)") * F.col("n").cast("decimal(10,0)")
-        )
+        all_scored.withColumn("_c", nll_q * F.col("n"))
         .groupBy("doc")
         .agg(
             F.sum("n").alias("n_bigrams"),
@@ -1027,7 +1042,12 @@ def ngram_lm_score(
         .select(
             "doc_id",
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            F.round(F.col("_S").cast("double") / F.col("n_bigrams"), 6).alias("xent"),
+            F.round(
+                F.col("_S").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("xent"),
         )
     )
 
@@ -1052,18 +1072,18 @@ doc_bg AS (
   FROM (SELECT doc_id, UNNEST({bg_list}) AS g FROM {table}) GROUP BY doc, g),
 scored AS (
   SELECT doc, n,
-         round(-ln((COALESCE(c2, 0) + 1) / CAST(COALESCE(c1, 0) + _V AS DOUBLE)), 9) AS nll
+         CAST(floor(1e6 * ln(CAST(COALESCE(c1, 0) + _V AS DOUBLE))) AS BIGINT)
+       - CAST(floor(1e6 * ln(CAST(COALESCE(c2, 0) + 1 AS DOUBLE))) AS BIGINT) AS nllq
   FROM doc_bg
   LEFT JOIN fit_bg USING (g)
   LEFT JOIN hist ON split_part(g, ' ', 1) = hist.w1
   CROSS JOIN vocab),
 per_doc AS (
-  SELECT doc AS doc_id, SUM(n) AS n_bigrams,
-         SUM(CAST(nll AS DECIMAL(20,9)) * CAST(n AS DECIMAL(10,0))) AS _S
+  SELECT doc AS doc_id, SUM(n) AS n_bigrams, SUM(nllq * n) AS _S
   FROM scored GROUP BY doc)
 SELECT d.doc_id,
        COALESCE(n_bigrams, 0) AS n_bigrams,
-       round(CAST(_S AS DOUBLE) / n_bigrams, 6) AS xent
+       round(CAST(_S AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6, 6) AS xent
 FROM {table} d LEFT JOIN per_doc USING (doc_id)
 """
 
@@ -1394,32 +1414,37 @@ def char_entropy(
     binary-noise signal: natural text sits ~2.5–3.3 nats; repeated
     characters → 0; uniform random bytes → ln(alphabet).
 
-    Cross-engine determinism: each character's ``−p·ln p`` term
-    quantizes to 12 decimals and accumulates as DECIMAL(24,12) (exact,
-    order-independent), then rounds to 9.  One shuffle keyed
-    (doc, char) with map-side combine; empty docs score NULL.
+    Cross-engine determinism: ``H = Σ −(k/n)·ln(k/n) = ln n −
+    (1/n)·Σ k·ln k`` — ``ln`` touches INTEGERS only (the per-char
+    counts k and the total n), each quantized once at the
+    ``floor(1e6·ln(x))`` µnat scale; the scaled numerator
+    ``lnq(n)·n − Σ k·lnq(k)`` is an exact BIGINT (order-independent,
+    AQE-stable, exactly 0 for single-character docs) and the final
+    value is two IEEE-exact double divisions + round(9).  A finer 1e-12
+    post-``ln`` term rounding was libm-sensitive across engines (driver
+    round-7 hash mismatch).  One shuffle keyed (doc, char) with
+    map-side combine; empty docs score NULL.
     """
     ch = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), "")).alias("c"),
     ).where(F.length("c") > 0)
     counts = ch.groupBy("doc", "c").agg(F.count(F.lit(1)).alias("_k"))
-    totals = counts.groupBy("doc").agg(F.sum("_k").alias("_n"))
-    p = F.col("_k").cast("double") / F.col("_n").cast("double")
-    term = F.round(-(p * F.log(p)), 12).cast("decimal(24,12)")
-    ent = (
-        counts.join(totals, "doc")
-        .withColumn("_t", term)
-        .groupBy("doc")
-        .agg(F.first("_n").alias("n_chars"), F.sum("_t").alias("_H"))
+    ent = counts.groupBy("doc").agg(
+        F.sum("_k").alias("n_chars"),
+        F.sum(F.col("_k") * _lnq_unats(F.col("_k"))).alias("_S"),
     )
+    num = _lnq_unats(F.col("n_chars")) * F.col("n_chars") - F.col("_S")
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(
             ent.select(
                 F.col("doc").alias("doc_id"),
                 "n_chars",
-                F.round(F.col("_H").cast("double"), 9).alias("entropy"),
+                F.round(
+                    num.cast("double") / F.col("n_chars").cast("double") / F.lit(1e6),
+                    9,
+                ).alias("entropy"),
             ),
             "doc_id",
             "left",
@@ -1438,14 +1463,12 @@ WITH ch AS (
   SELECT doc_id AS doc, UNNEST(string_split(text, '')) AS c FROM {table}),
 counts AS (
   SELECT doc, c, COUNT(*) AS _k FROM ch WHERE len(c) > 0 GROUP BY doc, c),
-totals AS (SELECT doc, SUM(_k) AS _n FROM counts GROUP BY doc),
 ent AS (
-  SELECT counts.doc, ANY_VALUE(_n) AS n_chars,
-         SUM(CAST(round(-(CAST(_k AS DOUBLE) / _n) * ln(CAST(_k AS DOUBLE) / _n), 12)
-                  AS DECIMAL(24,12))) AS _H
-  FROM counts JOIN totals ON totals.doc = counts.doc
-  GROUP BY counts.doc)
+  SELECT doc, SUM(_k) AS n_chars,
+         SUM(_k * CAST(floor(1e6 * ln(CAST(_k AS DOUBLE))) AS BIGINT)) AS _S
+  FROM counts GROUP BY doc)
 SELECT d.doc_id, COALESCE(ent.n_chars, 0) AS n_chars,
-       round(CAST(_H AS DOUBLE), 9) AS entropy
+       round(CAST(CAST(floor(1e6 * ln(CAST(ent.n_chars AS DOUBLE))) AS BIGINT) * ent.n_chars
+                  - _S AS DOUBLE) / CAST(ent.n_chars AS DOUBLE) / 1e6, 9) AS entropy
 FROM {table} d LEFT JOIN ent ON ent.doc = d.doc_id
 """

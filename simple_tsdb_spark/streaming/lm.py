@@ -7,10 +7,10 @@ static (fit once on a trusted snapshot, score the firehose).  The
 stream explodes word bigrams, stream-static LEFT-joins the lookup
 (seen bigram → c2,c1), falls back to the history table for unseen
 bigrams with a seen first word, and folds per-occurrence NLLs —
-quantized and decimal-accumulated exactly like the batch operator, so
-a document's ``(n_bigrams, xent)`` is identical to the batch result
-under the same model.  The only state is the per-(doc, event-time)
-aggregate, bounded by the watermark.
+µnat-quantized on integer ``ln`` arguments and BIGINT-accumulated
+exactly like the batch operator, so a document's ``(n_bigrams, xent)``
+is identical to the batch result under the same model.  The only state
+is the per-(doc, event-time) aggregate, bounded by the watermark.
 
 The fit tables broadcast here (vocab-sized); at a scale where the
 bigram table outgrows broadcast, drop the hint — stream-static
@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from simple_tsdb_spark.pipeline.text import _bigrams_expr
+from simple_tsdb_spark.pipeline.text import _bigrams_expr, _lnq_unats
 
 __all__ = ["streaming_ngram_lm_scores"]
 
@@ -56,18 +56,11 @@ def streaming_ngram_lm_scores(
         )
         .withColumn("_c1", F.coalesce("c1", "_hc1"))
     )
-    nll = F.round(
-        -F.log(
-            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
-            / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(int(vocab_size))).cast("double")
-        ),
-        9,
-    )
+    nll_q = _lnq_unats(
+        F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(int(vocab_size))
+    ) - _lnq_unats(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
     return (
-        j.withColumn(
-            "_c",
-            F.when(F.col("g").isNotNull(), nll.cast("decimal(20,9)")),
-        )
+        j.withColumn("_c", F.when(F.col("g").isNotNull(), nll_q))
         .groupBy(id_col, event_time_col)
         .agg(
             F.count("g").alias("n_bigrams"),
@@ -77,6 +70,11 @@ def streaming_ngram_lm_scores(
             id_col,
             event_time_col,
             "n_bigrams",
-            F.round(F.col("_S").cast("double") / F.col("n_bigrams"), 6).alias("xent"),
+            F.round(
+                F.col("_S").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("xent"),
         )
     )

@@ -979,7 +979,6 @@ def test_ngram_lm_score_python_model(spark):
     'wiki' slice, score everything — covers seen bigrams, unseen bigram
     with seen history, fully-OOV doc, and the <2-token NULL case."""
     import math
-    from decimal import Decimal
 
     import pandas as pd
 
@@ -1015,11 +1014,12 @@ def test_ngram_lm_score_python_model(spark):
         if not bgs:
             want[d] = (0, None)
             continue
-        S = Decimal(0)
+        S = 0  # exact integer µnat sum, as the operator accumulates
         for a, b in bgs:
-            p = (c2.get((a, b), 0) + 1) / (c1.get(a, 0) + V)
-            S += Decimal(f"{round(-math.log(p), 9):.9f}")
-        want[d] = (len(bgs), round(float(S) / len(bgs), 6))
+            S += math.floor(1e6 * math.log(c1.get(a, 0) + V)) - math.floor(
+                1e6 * math.log(c2.get((a, b), 0) + 1)
+            )
+        want[d] = (len(bgs), round(float(S) / len(bgs) / 1e6, 6))
     assert got == want
 
 
@@ -1620,7 +1620,6 @@ def test_char_entropy_python_model(spark):
     distributions exact, empty doc NULL."""
     import math
     from collections import Counter
-    from decimal import Decimal
 
     import pandas as pd
 
@@ -1630,15 +1629,18 @@ def test_char_entropy_python_model(spark):
     df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
     got = {r.doc_id: (r.n_chars, r.entropy) for r in char_entropy(df).collect()}
 
+    def lnq(x: int) -> int:
+        return math.floor(1e6 * math.log(x))
+
     for i, t in docs:
         if not t:
             assert got[i] == (0, None)
             continue
         c = Counter(t)
         n = len(t)
-        H = sum(
-            Decimal(f"{round(-(k / n) * math.log(k / n), 12):.12f}")
-            for k in c.values()
-        )
-        assert got[i] == (n, round(float(H), 9)), (i, got[i])
-    assert got[1][1] == 0.0 and got[2][1] == round(math.log(2), 9)
+        num = lnq(n) * n - sum(k * lnq(k) for k in c.values())
+        assert got[i] == (n, round(float(num) / n / 1e6, 9)), (i, got[i])
+    # repeated char is EXACTLY 0 (the µnat numerator cancels), and the
+    # uniform-2-symbol doc lands within quantization error of ln 2
+    assert got[1][1] == 0.0
+    assert abs(got[2][1] - math.log(2)) < 2e-6
