@@ -674,11 +674,28 @@ def _q_knn_ivf_pq(spark, sf_dir):
     """IVF-PQ: coarse lists bound candidates, product-quantized codes +
     per-query LUT give O(M) asymmetric distances — the memory-resident
     index shape for 10⁹-vector corpora.  Gate uses the deterministic
-    default codebooks; the TRAINED path (per-subspace Lloyd's, duck-refit
-    identical literals) is pinned in tests/test_pipeline.py."""
+    default codebooks; the TRAINED path is gated separately
+    (`knn_ivf_pq_trained`)."""
     from simple_tsdb_spark.pipeline import knn_ivf_pq
 
     return knn_ivf_pq(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
+
+
+TRAIN_PQ_ITERS = 2
+
+
+def _q_knn_ivf_pq_trained(spark, sf_dir):
+    """IVF-PQ behind codebooks TRAINED on the corpus (per-subspace
+    Lloyd's, exact floor-quantized integer accumulation) — the oracle
+    independently refits bit-identical codebook literals in DuckDB, so
+    the PQ training path itself sits inside the hash gate (the
+    knn_ivf_trained pattern)."""
+    from simple_tsdb_spark.pipeline import knn_ivf_pq, train_pq_codebooks
+
+    cbs = train_pq_codebooks(_embs(spark, sf_dir), iters=TRAIN_PQ_ITERS)
+    return knn_ivf_pq(
+        _embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10, codebooks=cbs
+    )
 
 
 def _q_pq_encode(spark, sf_dir):
@@ -765,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 hash-fails, fixed this round — head of the dict
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
+        # round-8 additions (new entries need driver evidence first)
+        "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
         "daily_pivot": _q_daily_pivot,
         "revenue_rollup": _q_revenue_rollup,
@@ -1181,6 +1200,30 @@ def _knn_ivf_trained_oracle() -> str:
     return knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10, centroids=cs)
 
 
+def _knn_ivf_pq_trained_oracle() -> str:
+    """Refit the PQ codebooks in DuckDB (bit-identical to the Spark fit
+    by construction — see train_pq_codebooks_duck) on the driver's
+    oracle tables, then emit the standard knn_ivf_pq oracle over those
+    literals."""
+    import os
+
+    import duckdb
+
+    from simple_tsdb_spark.pipeline import train_pq_codebooks_duck
+    from simple_tsdb_spark.pipeline.similarity import knn_ivf_pq_oracle
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        cbs = train_pq_codebooks_duck(con, iters=TRAIN_PQ_ITERS)
+    finally:
+        con.close()
+    return knn_ivf_pq_oracle(query_ids=KNN_QUERY_IDS, k=10, codebooks=cbs)
+
+
 def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.curation import (
         dedup_components_oracle,
@@ -1289,6 +1332,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf_trained": _knn_ivf_trained_oracle(),
+        "knn_ivf_pq_trained": _knn_ivf_pq_trained_oracle(),
         "knn_ivf_pq": knn_ivf_pq_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "pq_encode": pq_encode_oracle(),
         "simhash_band_dedup": simhash_band_dedup_oracle(max_hamming=SIMHASH_MAX_HAMMING),
