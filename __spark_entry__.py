@@ -779,7 +779,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  Whichever entries fall past the gate this round lead the
     # next round's dict.
     return {
-        # r7 hash-fails, fixed this round — head of the dict
+        # r7/r8 hash-fails — r8's µnat ln-quantization was necessary but
+        # not sufficient (terminal round(double, N) still diverged:
+        # Spark BigDecimal-HALF_UP vs DuckDB nearbyint at repr
+        # boundaries, judge-verified).  r9 removes the terminal round
+        # entirely (unrounded IEEE quotient of identical BIGINTs);
+        # keep at head until CORRECTNESS shows green.
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
         # round-8 additions (new entries need driver evidence first)

@@ -206,13 +206,13 @@ def ngram_jaccard_pairs(
             F.first("p.sza").alias("sza"),
             F.first("p.szb").alias("szb"),
         )
+        # UNROUNDED BIGINT quotient: bit-identical IEEE division on
+        # both engines; a terminal round(double, 6) is the known
+        # Spark-vs-DuckDB repr-boundary divergence (VERDICT r8).
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
-                6,
-            ),
+            F.col("inter")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -233,7 +233,7 @@ inter AS (
   GROUP BY x.doc, y.doc)
 SELECT a, b, jaccard FROM (
   SELECT a, b,
-         round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+         inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
   FROM inter
   JOIN sizes sa ON sa.doc = a
   JOIN sizes sb ON sb.doc = b)

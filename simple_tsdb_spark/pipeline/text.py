@@ -256,10 +256,11 @@ def repetition_stats(
         F.size(words).cast("long").alias("n_words"),
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
     ).withColumn(
+        # unrounded: integer/integer IEEE division then 1.0−x — both
+        # correctly-rounded, bit-identical across engines (terminal
+        # round(double) diverges at repr boundaries, VERDICT r8)
         "dup_word_frac",
-        F.round(
-            F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words").cast("double"), 6
-        ),
+        F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words").cast("double"),
     )
     # Bigrams as zip(words[:-1], words[1:]) rather than per-position
     # element_at over sequence(): the indexed form re-evaluates split()
@@ -293,11 +294,8 @@ def repetition_stats(
             "n_distinct_words",
             "dup_word_frac",
             F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
-            F.round(
-                F.coalesce(
-                    F.col("top_bigram_n") / F.col("n_bigrams").cast("double"), F.lit(0.0)
-                ),
-                6,
+            F.coalesce(
+                F.col("top_bigram_n") / F.col("n_bigrams").cast("double"), F.lit(0.0)
             ).alias("top_bigram_frac"),
         )
     )
@@ -318,9 +316,9 @@ bg AS (
 cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
 top AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams FROM cnt GROUP BY doc_id)
 SELECT base.doc_id, n_words, n_distinct_words,
-       round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+       CAST(1 AS DOUBLE) - n_distinct_words / CAST(n_words AS DOUBLE) AS dup_word_frac,
        COALESCE(top_bigram_n, 0) AS top_bigram_n,
-       round(COALESCE(top_bigram_n / CAST(n_bigrams AS DOUBLE), 0.0), 6) AS top_bigram_frac
+       COALESCE(top_bigram_n / CAST(n_bigrams AS DOUBLE), CAST(0 AS DOUBLE)) AS top_bigram_frac
 FROM base LEFT JOIN top ON base.doc_id = top.doc_id
 """
 
@@ -1022,9 +1020,15 @@ def ngram_lm_score(
     # nll = -ln((c2+1)/(c1+V)) = ln(c1+V) - ln(c2+1): ln is applied to
     # INTEGERS only, each quantized ONCE at the floor(1e6·ln(x)) µnat
     # scale (the scheme dsir_weights proved engine-portable), so every
-    # downstream step is exact BIGINT algebra + IEEE-exact casts and
-    # divisions — no post-transcendental fine rounding left to disagree
-    # between libm implementations.
+    # downstream step is exact BIGINT algebra.  The final xent is the
+    # UNROUNDED quotient _S/n/1e6 — BIGINT→double casts and IEEE
+    # division are correctly-rounded on both engines, so the doubles
+    # are bit-identical (the holt_linear pattern).  A terminal
+    # round(double, 6) here was the round-7/8 hash flap: Spark rounds
+    # via BigDecimal(shortest-repr)+HALF_UP, DuckDB via
+    # nearbyint(x·10⁶)/10⁶, and they disagree at representation
+    # boundaries (e.g. x=…4999999995) — so no post-division rounding
+    # of any kind.
     nll_q = _lnq_unats(
         F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(V))
     ) - _lnq_unats(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
@@ -1042,11 +1046,10 @@ def ngram_lm_score(
         .select(
             "doc_id",
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            F.round(
+            (
                 F.col("_S").cast("double")
                 / F.col("n_bigrams").cast("double")
-                / F.lit(1e6),
-                6,
+                / F.lit(1e6)
             ).alias("xent"),
         )
     )
@@ -1083,7 +1086,7 @@ per_doc AS (
   FROM scored GROUP BY doc)
 SELECT d.doc_id,
        COALESCE(n_bigrams, 0) AS n_bigrams,
-       round(CAST(_S AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6, 6) AS xent
+       CAST(_S AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6 AS xent
 FROM {table} d LEFT JOIN per_doc USING (doc_id)
 """
 
@@ -1318,8 +1321,9 @@ def dup_ngram_chars(
 
     At 100 TB: per-(doc, n, gram-type) counts aggregate map-side; ONE
     shuffle keyed (doc, n, gram) — uniform, as wide as the gram stream
-    — then a doc-keyed rollup.  Rounded to 6 decimals (integer ratio,
-    engine-portable).
+    — then a doc-keyed rollup.  The fraction is the UNROUNDED BIGINT
+    quotient (bit-identical IEEE division on both engines; terminal
+    round(double) is the known repr-boundary divergence).
     """
     w = f"split({text_col}, ' ')"
     totals = df.select(
@@ -1361,10 +1365,9 @@ def dup_ngram_chars(
         .select(
             F.col("doc").alias(id_col),
             "n",
-            F.round(
+            (
                 F.coalesce(F.col("_dup_chars"), F.lit(0)).cast("double")
-                / F.col("_tot").cast("double"),
-                6,
+                / F.col("_tot").cast("double")
             ).alias("dup_char_frac"),
         )
     )
@@ -1399,7 +1402,7 @@ dup AS (
 spine AS (
   SELECT doc_id AS doc, n FROM {table}, (VALUES {n_list}) t(n))
 SELECT spine.doc AS doc_id, spine.n,
-       round(CAST(COALESCE(_dup_chars, 0) AS DOUBLE) / _tot, 6) AS dup_char_frac
+       CAST(COALESCE(_dup_chars, 0) AS DOUBLE) / CAST(_tot AS DOUBLE) AS dup_char_frac
 FROM spine
 JOIN totals ON totals.doc = spine.doc
 LEFT JOIN dup ON dup.doc = spine.doc AND dup.n = spine.n
@@ -1418,12 +1421,18 @@ def char_entropy(
     (1/n)·Σ k·ln k`` — ``ln`` touches INTEGERS only (the per-char
     counts k and the total n), each quantized once at the
     ``floor(1e6·ln(x))`` µnat scale; the scaled numerator
-    ``lnq(n)·n − Σ k·lnq(k)`` is an exact BIGINT (order-independent,
-    AQE-stable, exactly 0 for single-character docs) and the final
-    value is two IEEE-exact double divisions + round(9).  A finer 1e-12
-    post-``ln`` term rounding was libm-sensitive across engines (driver
-    round-7 hash mismatch).  One shuffle keyed (doc, char) with
-    map-side combine; empty docs score NULL.
+    ``max(lnq(n)·n − Σ k·lnq(k), 0)`` is an exact BIGINT
+    (order-independent, AQE-stable, exactly 0 for single-character
+    docs; the clamp absorbs the quantizer's ±n µnat signed error so a
+    near-degenerate doc can't report H < 0) and the final entropy is
+    the UNROUNDED quotient num/n/1e6 — BIGINT→double casts and IEEE
+    division are correctly-rounded on both engines, bit-identical.
+    Two earlier variants were engine-sensitive: per-term 1e-12
+    rounding of raw ``ln`` (libm divergence, r7 hash fail) and a
+    terminal ``round(double, 9)`` (Spark BigDecimal-HALF_UP vs DuckDB
+    nearbyint divergence at repr boundaries, r8 hash fail) — neither
+    survives; nothing rounds a double here.  One shuffle keyed
+    (doc, char) with map-side combine; empty docs score NULL.
     """
     ch = df.select(
         F.col(id_col).alias("doc"),
@@ -1434,16 +1443,17 @@ def char_entropy(
         F.sum("_k").alias("n_chars"),
         F.sum(F.col("_k") * _lnq_unats(F.col("_k"))).alias("_S"),
     )
-    num = _lnq_unats(F.col("n_chars")) * F.col("n_chars") - F.col("_S")
+    num = F.greatest(
+        _lnq_unats(F.col("n_chars")) * F.col("n_chars") - F.col("_S"), F.lit(0)
+    )
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(
             ent.select(
                 F.col("doc").alias("doc_id"),
                 "n_chars",
-                F.round(
-                    num.cast("double") / F.col("n_chars").cast("double") / F.lit(1e6),
-                    9,
+                (
+                    num.cast("double") / F.col("n_chars").cast("double") / F.lit(1e6)
                 ).alias("entropy"),
             ),
             "doc_id",
@@ -1468,7 +1478,7 @@ ent AS (
          SUM(_k * CAST(floor(1e6 * ln(CAST(_k AS DOUBLE))) AS BIGINT)) AS _S
   FROM counts GROUP BY doc)
 SELECT d.doc_id, COALESCE(ent.n_chars, 0) AS n_chars,
-       round(CAST(CAST(floor(1e6 * ln(CAST(ent.n_chars AS DOUBLE))) AS BIGINT) * ent.n_chars
-                  - _S AS DOUBLE) / CAST(ent.n_chars AS DOUBLE) / 1e6, 9) AS entropy
+       CAST(greatest(CAST(floor(1e6 * ln(CAST(ent.n_chars AS DOUBLE))) AS BIGINT) * ent.n_chars
+                     - _S, 0) AS DOUBLE) / CAST(ent.n_chars AS DOUBLE) / 1e6 AS entropy
 FROM {table} d LEFT JOIN ent ON ent.doc = d.doc_id
 """

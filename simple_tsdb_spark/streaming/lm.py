@@ -7,9 +7,10 @@ static (fit once on a trusted snapshot, score the firehose).  The
 stream explodes word bigrams, stream-static LEFT-joins the lookup
 (seen bigram → c2,c1), falls back to the history table for unseen
 bigrams with a seen first word, and folds per-occurrence NLLs —
-µnat-quantized on integer ``ln`` arguments and BIGINT-accumulated
-exactly like the batch operator, so a document's ``(n_bigrams, xent)``
-is identical to the batch result under the same model.  The only state
+µnat-quantized on integer ``ln`` arguments, BIGINT-accumulated, and
+emitted as the UNROUNDED IEEE quotient exactly like the batch
+operator, so a document's ``(n_bigrams, xent)`` is bit-identical to
+the batch result under the same model.  The only state
 is the per-(doc, event-time) aggregate, bounded by the watermark.
 
 The fit tables broadcast here (vocab-sized); at a scale where the
@@ -70,11 +71,10 @@ def streaming_ngram_lm_scores(
             id_col,
             event_time_col,
             "n_bigrams",
-            F.round(
+            (
                 F.col("_S").cast("double")
                 / F.col("n_bigrams").cast("double")
-                / F.lit(1e6),
-                6,
+                / F.lit(1e6)
             ).alias("xent"),
         )
     )

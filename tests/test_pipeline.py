@@ -298,11 +298,9 @@ def test_repetition_stats_python_model(spark):
         r = got[i]
         assert r.n_words == len(w)
         assert r.n_distinct_words == len(set(w))
-        assert r.dup_word_frac == pytest.approx(round(1 - len(set(w)) / len(w), 6))
+        assert r.dup_word_frac == 1.0 - len(set(w)) / len(w)
         assert r.top_bigram_n == top
-        assert r.top_bigram_frac == pytest.approx(
-            round(top / len(bgs), 6) if bgs else 0.0
-        )
+        assert r.top_bigram_frac == (top / len(bgs) if bgs else 0.0)
     # sanity: the boilerplate docs score worse than the clean one
     assert got[2].dup_word_frac > got[1].dup_word_frac
     assert got[3].top_bigram_frac > got[1].top_bigram_frac
@@ -1019,7 +1017,7 @@ def test_ngram_lm_score_python_model(spark):
             S += math.floor(1e6 * math.log(c1.get(a, 0) + V)) - math.floor(
                 1e6 * math.log(c2.get((a, b), 0) + 1)
             )
-        want[d] = (len(bgs), round(float(S) / len(bgs) / 1e6, 6))
+        want[d] = (len(bgs), float(S) / len(bgs) / 1e6)
     assert got == want
 
 
@@ -1379,7 +1377,7 @@ def test_dup_ngram_chars_python_model(spark):
             from collections import Counter
             c = Counter(grams)
             dup = sum(cnt * sum(len(x) for x in g) for g, cnt in c.items() if cnt > 1)
-            assert got[(i, n)] == round(dup / tot, 6), (i, n, got[(i, n)])
+            assert got[(i, n)] == dup / tot, (i, n, got[(i, n)])
     assert got[(2, 2)] == 0.0 and got[(3, 2)] == 0.0
     assert got[(1, 2)] > 0.5  # "spam ham" dominates
 
@@ -1638,8 +1636,8 @@ def test_char_entropy_python_model(spark):
             continue
         c = Counter(t)
         n = len(t)
-        num = lnq(n) * n - sum(k * lnq(k) for k in c.values())
-        assert got[i] == (n, round(float(num) / n / 1e6, 9)), (i, got[i])
+        num = max(lnq(n) * n - sum(k * lnq(k) for k in c.values()), 0)
+        assert got[i] == (n, float(num) / n / 1e6), (i, got[i])
     # repeated char is EXACTLY 0 (the µnat numerator cancels), and the
     # uniform-2-symbol doc lands within quantization error of ln 2
     assert got[1][1] == 0.0
