@@ -228,7 +228,7 @@ def search_ann_index(
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                F.round(F.expr(adist), 6).alias("adist"),
+                F.expr(adist).alias("adist"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -248,7 +248,7 @@ def search_ann_index(
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
+                _cos_prenorm("qemb", "emb", "qnrm", "nrm").alias("cos"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -272,7 +272,7 @@ def embedding_dups_against_index(
 ) -> DataFrame:
     """Incremental embedding near-dup: cosine duplicates of NEW vectors
     against the indexed corpus, blocked by the index's quantizer list —
-    ``(new_id, corpus_id, cos)`` with ``cos ≥ threshold``, rounded to 6.
+    ``(new_id, corpus_id, cos)`` with ``cos ≥ threshold`` (unrounded).
 
     The incremental-trio sibling of ``dedup_against_index`` (minhash)
     and ``filter_against_digest_index`` (exact): only the new slice is
@@ -314,7 +314,7 @@ def embedding_dups_against_index(
         .select(
             "new_id",
             F.col("vec_id").alias("corpus_id"),
-            F.round(_cos_prenorm("nemb", "emb", "nnrm", "nrm"), 6).alias("cos"),
+            _cos_prenorm("nemb", "emb", "nnrm", "nrm").alias("cos"),
         )
         .where(F.col("cos") >= float(threshold))
     )

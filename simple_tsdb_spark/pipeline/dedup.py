@@ -634,7 +634,7 @@ def _salted_block_pairs(
         .select(
             F.col("x.doc").alias("a"),
             F.col("y.doc").alias("b"),
-            F.round(_cos_prenorm("x.emb", "y.emb", "x.nrm", "y.nrm"), 6).alias("cos"),
+            _cos_prenorm("x.emb", "y.emb", "x.nrm", "y.nrm").alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -663,7 +663,7 @@ e AS (
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS blk
   FROM e0)
 SELECT a, b, cos FROM (
-  SELECT x.doc AS a, y.doc AS b, round({cos}, 6) AS cos
+  SELECT x.doc AS a, y.doc AS b, {cos} AS cos
   FROM e x JOIN e y ON x.blk = y.blk AND x.doc < y.doc{xcond})
 WHERE cos >= {threshold}
 """
@@ -718,7 +718,7 @@ def semdedup(
             "centroid_cos",
             F.when(
                 F.col("nrm") > 0,
-                F.round(F.expr("array_max(_sarr)") / F.col("nrm"), 6),
+                F.expr("array_max(_sarr)") / F.col("nrm"),
             ).otherwise(F.lit(0.0)),
         )
         .drop("_sarr")
@@ -796,12 +796,12 @@ e AS (
   SELECT doc, emb,
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS cluster,
          CASE WHEN sqrt(list_dot_product(emb, emb)) > 0
-              THEN round(list_max(sarr) / sqrt(list_dot_product(emb, emb)), 6)
+              THEN list_max(sarr) / sqrt(list_dot_product(emb, emb))
               ELSE 0.0 END AS centroid_cos{sb_sel}
   FROM e0),
 pr AS (
   SELECT a, b FROM (
-    SELECT x.doc AS a, y.doc AS b, round({cos}, 6) AS cos
+    SELECT x.doc AS a, y.doc AS b, {cos} AS cos
     FROM e x JOIN e y ON x.cluster = y.cluster AND x.doc < y.doc{sb_cond})
   WHERE cos >= {threshold}),
 sym AS (SELECT a AS doc, b AS other FROM pr UNION ALL SELECT b AS doc, a AS other FROM pr),

@@ -86,7 +86,7 @@ def knn_brute(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
+            _cos_prenorm("qemb", "emb", "qnrm", "nrm").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -106,7 +106,7 @@ def knn_brute_oracle(
 WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids})),
 scored AS (
-  SELECT q.query_id, e.nid AS neighbor_id, round({cos}, 6) AS cos
+  SELECT q.query_id, e.nid AS neighbor_id, {cos} AS cos
   FROM e CROSS JOIN q WHERE e.nid <> q.query_id),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
@@ -172,7 +172,7 @@ def knn_lsh(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
+            _cos_prenorm("qemb", "emb", "qnrm", "nrm").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -199,7 +199,7 @@ q AS (
   SELECT nid AS query_id, emb, xor(bucket, m.mask) AS bucket
   FROM e, UNNEST([{masks}]) AS m(mask) WHERE nid IN ({ids})),
 scored AS (
-  SELECT q.query_id, e.nid AS neighbor_id, round({cos}, 6) AS cos
+  SELECT q.query_id, e.nid AS neighbor_id, {cos} AS cos
   FROM e JOIN q USING (bucket) WHERE e.nid <> q.query_id),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
@@ -814,7 +814,7 @@ def knn_ivf_pq(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            F.round(F.expr(adist), 6).alias("adist"),
+            F.expr(adist).alias("adist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
@@ -879,7 +879,7 @@ probes AS (
 q2 AS (SELECT q.query_id, {lut} AS lut, probes.list_id
        FROM q JOIN probes ON q.query_id = probes.query_id),
 scored AS (
-  SELECT q2.query_id, corpus.nid AS neighbor_id, round({adist}, 6) AS adist
+  SELECT q2.query_id, corpus.nid AS neighbor_id, {adist} AS adist
   FROM corpus JOIN q2 USING (list_id) WHERE corpus.nid <> q2.query_id),
 ranked AS (
   SELECT query_id, neighbor_id, adist,
@@ -945,7 +945,7 @@ def knn_ivf(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
+            _cos_prenorm("qemb", "emb", "qnrm", "nrm").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -987,7 +987,7 @@ probes AS (
 q2 AS (SELECT q.query_id, q.qemb, probes.list_id
        FROM q JOIN probes ON q.query_id = probes.query_id),
 scored AS (
-  SELECT q2.query_id, e.nid AS neighbor_id, round({cos}, 6) AS cos
+  SELECT q2.query_id, e.nid AS neighbor_id, {cos} AS cos
   FROM e JOIN q2 USING (list_id) WHERE e.nid <> q2.query_id),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
@@ -1322,7 +1322,7 @@ def knn_rp(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cos_prenorm("qemb", "emb", "qnrm", "nrm"), 6).alias("cos"),
+            _cos_prenorm("qemb", "emb", "qnrm", "nrm").alias("cos"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -1364,7 +1364,7 @@ cand AS (
 e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids})),
 rescored AS (
-  SELECT cand.query_id, cand.neighbor_id, round({cos}, 6) AS cos
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cos
   FROM cand
   JOIN e ON e.nid = cand.neighbor_id
   JOIN q ON q.query_id = cand.query_id),
