@@ -271,7 +271,7 @@ def value_quantiles(
 ) -> DataFrame:
     """Exact continuous (linearly interpolated) percentiles per series."""
     cols = [
-        F.round(F.expr(f"percentile({field}, {q!r})"), 6).alias(f"p{str(q)[2:]}")
+        F.expr(f"percentile({field}, {q!r})").alias(f"p{str(q)[2:]}")
         for q in qs
     ]
     return df.groupBy("series").agg(*cols).orderBy("series")
@@ -280,7 +280,7 @@ def value_quantiles(
 def value_quantiles_oracle(
     measurement_sql: str, *, field: str, qs: Sequence[float] = (0.5, 0.95, 0.99)
 ) -> str:
-    cols = ", ".join(f"round(quantile_cont({field}, {q!r}), 6) AS p{str(q)[2:]}" for q in qs)
+    cols = ", ".join(f"quantile_cont({field}, {q!r}) AS p{str(q)[2:]}" for q in qs)
     return f"SELECT series, {cols} FROM ({measurement_sql}) GROUP BY series"
 
 
@@ -337,19 +337,24 @@ def zscore_outliers(
     """Per-series z-score outliers: points with ``|v − mean| > k·std``
     over the series' points in range (sample std, n ≥ 2).
 
-    Float determinism: the per-series moments accumulate EXACTLY
-    (``decimal(28,6)`` values, decimal(38) sums — the engine's
-    ``exact=True`` trick), then mean/var/std derive in double from those
-    exact sums, so both engines compute identical IEEE doubles in
-    identical order and the rounded z-scores hash-match bit-for-bit.
-    A naive distributed ``stddev_samp`` is accumulation-order-dependent
-    and would not.
+    Float determinism: per-series moments accumulate as EXACT BIGINTs
+    on the ``floor(x·1e6)`` grid (value and value² quantized once,
+    per row — the µnat scheme the LM/entropy scores use), then
+    mean/var/std derive in double from those integer sums in identical
+    IEEE op order, so both engines emit bit-identical UNROUNDED
+    z-scores.  Neither a naive distributed ``stddev_samp``
+    (accumulation-order-dependent) nor decimal accumulation survives
+    cross-engine hashing: casting a wide decimal sum to double is
+    correctly rounded in Spark (BigDecimal) but double-rounded in
+    DuckDB (int128 → double → /10^scale), diverging by an ulp once the
+    scaled sum passes 2^53 — measured on the sf0.01 gate.  A terminal
+    round(double) is the repr-boundary divergence.
 
-    Domain contract: ``|v| < ~1.3e13`` (the square must fit
-    DECIMAL(38,12)).  Beyond it Spark's non-ANSI decimal overflow nulls
-    the square (silently wrong std) while DuckDB raises — sensor-value
-    fields are far inside the bound; for astronomical counters cast the
-    field down (e.g. to seconds) first.
+    Domain contract: the scaled sums ``Σ floor(v·1e6)`` and
+    ``Σ floor(v²·1e6)`` must stay within 2^53 for the casts to stay
+    exact — |v| ≤ 1e4 holds to ~10⁹ points per series; beyond that,
+    bit-equality degrades to ±1 ulp (and the old decimal formulation
+    was already cross-engine-unstable there).
 
     At 100 TB: one map-side-combined aggregate per series (two decimal
     sums + a count), joined back onto the scan — no second corpus-sized
@@ -364,10 +369,13 @@ def zscore_outliers(
     src = df.where(
         (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
     )
-    q = F.col(field).cast("decimal(28,6)")
+    v6 = F.expr(f"CAST(floor(CAST({field} AS DOUBLE) * 1e6) AS BIGINT)")
+    vv6 = F.expr(
+        f"CAST(floor(CAST({field} AS DOUBLE) * CAST({field} AS DOUBLE) * 1e6) AS BIGINT)"
+    )
     stats = src.groupBy("series").agg(
-        F.sum(q).alias("_s"),
-        F.sum((q * q).cast("decimal(38,12)")).alias("_ss"),
+        F.sum(v6).alias("_s"),
+        F.sum(vv6).alias("_ss"),
         F.count(F.lit(1)).alias("_n"),
     )
     if broadcast_stats is True:
@@ -375,12 +383,13 @@ def zscore_outliers(
     elif broadcast_stats is False:
         stats = stats.hint("shuffle_merge")
     j = src.join(stats, "series").where(F.col("_n") >= 2)
-    mean = F.col("_s").cast("double") / F.col("_n")
+    mean = F.col("_s").cast("double") / F.lit(1e6) / F.col("_n")
     var = (
-        F.col("_ss").cast("double") - F.col("_s").cast("double") * mean
+        F.col("_ss").cast("double") / F.lit(1e6)
+        - F.col("_s").cast("double") / F.lit(1e6) * mean
     ) / (F.col("_n") - 1)
     std = F.sqrt(var)
-    z = F.round((F.col(field).cast("double") - mean) / std, 6)
+    z = (F.col(field).cast("double") - mean) / std
     return (
         j.withColumn("zscore", z)
         .where(F.abs(F.col("zscore")) > float(k))
@@ -397,14 +406,14 @@ WITH m AS ({measurement_sql}),
 src AS (SELECT series, time_ns, {field} FROM m WHERE {field} IS NOT NULL),
 stats AS (
   SELECT series,
-         SUM(CAST({field} AS DECIMAL(28,6))) AS _s,
-         SUM(CAST(CAST({field} AS DECIMAL(28,6)) * CAST({field} AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS _ss,
+         SUM(CAST(floor(CAST({field} AS DOUBLE) * 1e6) AS BIGINT)) AS _s,
+         SUM(CAST(floor(CAST({field} AS DOUBLE) * CAST({field} AS DOUBLE) * 1e6) AS BIGINT)) AS _ss,
          COUNT(*) AS _n
   FROM src GROUP BY series),
 z AS (
   SELECT src.series, time_ns, CAST({field} AS DOUBLE) AS {field},
-         round((CAST({field} AS DOUBLE) - CAST(_s AS DOUBLE) / _n)
-               / sqrt((CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * (CAST(_s AS DOUBLE) / _n)) / (_n - 1)), 6) AS zscore
+         (CAST({field} AS DOUBLE) - CAST(_s AS DOUBLE) / 1e6 / _n)
+               / sqrt((CAST(_ss AS DOUBLE) / 1e6 - CAST(_s AS DOUBLE) / 1e6 * (CAST(_s AS DOUBLE) / 1e6 / _n)) / (_n - 1)) AS zscore
   FROM src JOIN stats ON stats.series = src.series WHERE _n >= 2)
 SELECT series, time_ns, {field}, zscore FROM z WHERE abs(zscore) > {k}
 """
@@ -431,7 +440,7 @@ def mad_outliers(
     Float determinism: the continuous median (``percentile(…, 0.5)`` /
     ``quantile_cont``) interpolates identically in both engines
     (verified bit-level), and the score derives in double from those
-    medians, rounded to 6.
+    medians, emitted unrounded (bit-identical IEEE arithmetic).
 
     At 100 TB: two per-series aggregates (median, then MAD over
     |v − median|) joined back onto the scan.  The exact median buffers
@@ -453,7 +462,7 @@ def mad_outliers(
         F.expr("percentile(_dev, 0.5)").alias("_mad")
     )
     j = devs.join(mad, "series").where(F.col("_mad") > 0)
-    mz = F.round(F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"), 6)
+    mz = F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad")
     return (
         j.withColumn("mscore", mz)
         .where(F.abs(F.col("mscore")) > float(k))
@@ -473,7 +482,7 @@ devs AS (
 mad AS (SELECT series, quantile_cont(_dev, 0.5) AS _mad FROM devs GROUP BY series),
 sc AS (
   SELECT devs.series, time_ns, {field},
-         round(0.6745 * ({field} - _med) / _mad, 6) AS mscore
+         CAST(0.6745 AS DOUBLE) * ({field} - _med) / _mad AS mscore
   FROM devs JOIN mad ON mad.series = devs.series WHERE _mad > 0)
 SELECT series, time_ns, {field}, mscore FROM sc WHERE abs(mscore) > {k}
 """
@@ -489,7 +498,7 @@ def cusum_changepoints(
     t1: int = 2**63 - 1,
 ) -> DataFrame:
     """Two-sided CUSUM drift detection per series: standardize with the
-    series' EXACT moments (the ``zscore_outliers`` decimal trick), then
+    series' EXACT moments (the ``zscore_outliers`` BIGINT-grid trick), then
 
     ``S⁺ₜ = max(0, S⁺ₜ₋₁ + zₜ − k)``,  ``S⁻ₜ = max(0, S⁻ₜ₋₁ − zₜ − k)``
 
@@ -498,10 +507,10 @@ def cusum_changepoints(
     flags.  ``k`` is the slack (drift half-magnitude, in σ), ``h`` the
     decision threshold.
 
-    Determinism: z quantizes to 9 decimals (exact moments ⇒ identical
-    doubles both engines), the recursion is an explicit fixed-op-order
-    loop mirrored by the recursive-CTE oracle, and the emitted
-    statistics quantize to 6.  Series with fewer than 2 points or zero
+    Determinism: z derives unrounded from exact BIGINT-grid moments
+    (identical IEEE doubles both engines), the recursion is an explicit
+    fixed-op-order loop mirrored by the recursive-CTE oracle, and the
+    statistics emit unrounded.  Series with fewer than 2 points or zero
     variance are skipped.  Sequential per series by definition —
     ``applyInPandas`` (the ewma/holt shape).
     """
@@ -510,22 +519,26 @@ def cusum_changepoints(
     src = df.where(
         (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
     )
-    q = F.col(field).cast("decimal(28,6)")
+    v6 = F.expr(f"CAST(floor(CAST({field} AS DOUBLE) * 1e6) AS BIGINT)")
+    vv6 = F.expr(
+        f"CAST(floor(CAST({field} AS DOUBLE) * CAST({field} AS DOUBLE) * 1e6) AS BIGINT)"
+    )
     stats = src.groupBy("series").agg(
-        F.sum(q).alias("_s"),
-        F.sum((q * q).cast("decimal(38,12)")).alias("_ss"),
+        F.sum(v6).alias("_s"),
+        F.sum(vv6).alias("_ss"),
         F.count(F.lit(1)).alias("_n"),
     )
-    mean = F.col("_s").cast("double") / F.col("_n")
-    var = (F.col("_ss").cast("double") - F.col("_s").cast("double") * mean) / (
-        F.col("_n") - 1
-    )
+    mean = F.col("_s").cast("double") / F.lit(1e6) / F.col("_n")
+    var = (
+        F.col("_ss").cast("double") / F.lit(1e6)
+        - F.col("_s").cast("double") / F.lit(1e6) * mean
+    ) / (F.col("_n") - 1)
     j = (
         src.join(stats, "series")
         .where((F.col("_n") >= 2) & (var > 0))
         .withColumn(
             "_z",
-            F.round((F.col(field).cast("double") - mean) / F.sqrt(var), 9),
+            (F.col(field).cast("double") - mean) / F.sqrt(var),
         )
         .select("series", "time_ns", F.col(field).cast("double").alias(field), "_z")
     )
@@ -543,8 +556,8 @@ def cusum_changepoints(
             z = float(z)
             sp = max(0.0, (sp + z) - kf)
             sn = max(0.0, (sn - z) - kf)
-            pos.append(round(sp, 6))
-            neg.append(round(sn, 6))
+            pos.append(sp)
+            neg.append(sn)
         return pdf.assign(cusum_pos=pos, cusum_neg=neg).drop(columns=["_z"])
 
     out = j.groupBy("series").applyInPandas(per_series, schema=schema)
@@ -562,18 +575,18 @@ WITH RECURSIVE m AS ({measurement_sql}),
 src AS (SELECT series, time_ns, CAST({field} AS DOUBLE) AS v FROM m WHERE {field} IS NOT NULL),
 stats AS (
   SELECT series,
-         SUM(CAST(v AS DECIMAL(28,6))) AS _s,
-         SUM(CAST(CAST(v AS DECIMAL(28,6)) * CAST(v AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS _ss,
+         SUM(CAST(floor(v * 1e6) AS BIGINT)) AS _s,
+         SUM(CAST(floor(v * v * 1e6) AS BIGINT)) AS _ss,
          COUNT(*) AS _n
   FROM src GROUP BY series),
 z AS (
   SELECT src.series, time_ns, v,
-         round((v - CAST(_s AS DOUBLE) / _n)
-               / sqrt((CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * (CAST(_s AS DOUBLE) / _n)) / (_n - 1)), 9) AS _z,
+         (v - CAST(_s AS DOUBLE) / 1e6 / _n)
+               / sqrt((CAST(_ss AS DOUBLE) / 1e6 - CAST(_s AS DOUBLE) / 1e6 * (CAST(_s AS DOUBLE) / 1e6 / _n)) / (_n - 1)) AS _z,
          ROW_NUMBER() OVER (PARTITION BY src.series ORDER BY time_ns) AS rn
   FROM src JOIN stats ON stats.series = src.series
   WHERE _n >= 2
-    AND (CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * (CAST(_s AS DOUBLE) / _n)) / (_n - 1) > 0),
+    AND (CAST(_ss AS DOUBLE) / 1e6 - CAST(_s AS DOUBLE) / 1e6 * (CAST(_s AS DOUBLE) / 1e6 / _n)) / (_n - 1) > 0),
 rec AS (
   SELECT series, time_ns, v, rn,
          greatest(CAST(0.0 AS DOUBLE), _z - {kf}) AS sp,
@@ -585,8 +598,8 @@ rec AS (
          greatest(CAST(0.0 AS DOUBLE), (r.sn - o._z) - {kf})
   FROM rec r JOIN z o ON o.series = r.series AND o.rn = r.rn + 1)
 SELECT series, time_ns, v AS {field},
-       round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg
-FROM rec WHERE round(sp, 6) > {float(h)!r} OR round(sn, 6) > {float(h)!r}
+       sp AS cusum_pos, sn AS cusum_neg
+FROM rec WHERE sp > {float(h)!r} OR sn > {float(h)!r}
 """
 
 
@@ -639,11 +652,13 @@ def seasonal_decompose(
         .withColumn("_phase", (F.col("_rn") - 1) % p)
         .withColumn(
             "_det",
-            F.round(F.col(field) - F.col("trend"), 9).cast("decimal(28,9)"),
+            F.expr(f"CAST(floor(({field} - trend) * CAST(1000000000 AS DOUBLE)) AS BIGINT)"),
         )
     )
     seas = base.groupBy("series", "_phase").agg(
-        (F.sum("_det").cast("double") / F.count("_det")).alias("seasonal")
+        (
+            F.sum("_det").cast("double") / F.lit(1e9) / F.count("_det")
+        ).alias("seasonal")
     )
     return (
         base.join(seas, ["series", "_phase"])
@@ -653,9 +668,7 @@ def seasonal_decompose(
             field,
             "trend",
             "seasonal",
-            F.round(
-                F.col(field) - F.col("trend") - F.col("seasonal"), 6
-            ).alias("resid"),
+            (F.col(field) - F.col("trend") - F.col("seasonal")).alias("resid"),
         )
         .orderBy("series", "time_ns")
     )
@@ -686,13 +699,13 @@ tr AS (
          (_rn - 1) % {p} AS _phase
   FROM base),
 det AS (
-  SELECT *, CAST(round(v - trend, 9) AS DECIMAL(28,9)) AS _det FROM tr),
+  SELECT *, CAST(floor((v - trend) * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS _det FROM tr),
 seas AS (
   SELECT series, _phase,
-         CAST(SUM(_det) AS DOUBLE) / COUNT(_det) AS seasonal
+         CAST(SUM(_det) AS DOUBLE) / CAST(1000000000 AS DOUBLE) / COUNT(_det) AS seasonal
   FROM det GROUP BY series, _phase)
 SELECT det.series, time_ns, v AS {field}, trend, seas.seasonal,
-       round(v - trend - seas.seasonal, 6) AS resid
+       v - trend - seas.seasonal AS resid
 FROM det JOIN seas ON seas.series = det.series AND seas._phase = det._phase
 """
 
@@ -760,8 +773,8 @@ def bollinger_bands(
 
     Float determinism: window sums accumulate DECIMAL(28,6) /
     DECIMAL(38,12) exactly (frame-order independent), ma/std derive in
-    double from those exact sums, bands round to 6 — bit-equal to the
-    oracle.  One window pass, no joins; the same windowed-exact-moment
+    double from those exact sums, bands emitted unrounded — bit-equal to
+    the oracle.  One window pass, no joins; the same windowed-exact-moment
     trick as ``seasonal_decompose``.
     """
     from pyspark.sql import Window
@@ -783,14 +796,14 @@ def bollinger_bands(
     ma = F.col("_ws").cast("double") / N
     var = (F.col("_wss").cast("double") - F.col("_ws").cast("double") * ma) / (N - 1)
     std = F.sqrt(var)
-    upper = F.round(ma + F.lit(float(k)) * std, 6)
-    lower = F.round(ma - F.lit(float(k)) * std, 6)
+    upper = ma + F.lit(float(k)) * std
+    lower = ma - F.lit(float(k)) * std
     v = F.col(field)
     return base.select(
         "series",
         "time_ns",
         field,
-        F.round(ma, 6).alias("ma"),
+        ma.alias("ma"),
         upper.alias("upper"),
         lower.alias("lower"),
         F.when(v > upper, F.lit(1))
@@ -818,9 +831,9 @@ base AS (
   WINDOW tw AS (PARTITION BY series ORDER BY time_ns ROWS BETWEEN {N - 1} PRECEDING AND CURRENT ROW)),
 bands AS (
   SELECT series, time_ns, v,
-         round(CAST(_ws AS DOUBLE) / {N}, 6) AS ma,
-         round(CAST(_ws AS DOUBLE) / {N} + {kf} * sqrt((CAST(_wss AS DOUBLE) - CAST(_ws AS DOUBLE) * (CAST(_ws AS DOUBLE) / {N})) / ({N} - 1)), 6) AS upper,
-         round(CAST(_ws AS DOUBLE) / {N} - {kf} * sqrt((CAST(_wss AS DOUBLE) - CAST(_ws AS DOUBLE) * (CAST(_ws AS DOUBLE) / {N})) / ({N} - 1)), 6) AS lower
+         CAST(_ws AS DOUBLE) / {N} AS ma,
+         CAST(_ws AS DOUBLE) / {N} + {kf} * sqrt((CAST(_wss AS DOUBLE) - CAST(_ws AS DOUBLE) * (CAST(_ws AS DOUBLE) / {N})) / ({N} - 1)) AS upper,
+         CAST(_ws AS DOUBLE) / {N} - {kf} * sqrt((CAST(_wss AS DOUBLE) - CAST(_ws AS DOUBLE) * (CAST(_ws AS DOUBLE) / {N})) / ({N} - 1)) AS lower
   FROM base WHERE _wc = {N})
 SELECT series, time_ns, v AS {field}, ma, upper, lower,
        CASE WHEN v > upper THEN 1 WHEN v < lower THEN -1 ELSE 0 END AS breakout

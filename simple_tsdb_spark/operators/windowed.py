@@ -377,11 +377,12 @@ def lttb_downsample(
             cy = sy / (nhi - nlo)
             best, best_area = lo, -1.0
             for i in range(lo, hi):
-                area = round(
-                    abs(
-                        (ax - cx) * (vs[i] - ay) - (ax - ts[i]) * (cy - ay)
-                    ),
-                    9,
+                # unrounded: the Python and DuckDB sides perform the
+                # same IEEE ops in the same order, so areas compare
+                # bit-identically (a round() pair here is the known
+                # cross-engine boundary divergence)
+                area = abs(
+                    (ax - cx) * (vs[i] - ay) - (ax - ts[i]) * (cy - ay)
                 )
                 if area > best_area:
                     best, best_area = i, area
@@ -407,7 +408,7 @@ def lttb_downsample_oracle(
 ) -> str:
     """Recursive-CTE twin of ``lttb_downsample``: the sequential pick
     chain runs as one recursion over buckets, each step choosing the
-    max-area point (area quantized to 9, earliest-time tiebreak) —
+    max-area point (unrounded area, earliest-time tiebreak) —
     identical arithmetic and bucket formula to the operator."""
     n = int(n_out)
     nb = n - 2
@@ -442,8 +443,8 @@ rec AS (
     SELECT i.series, i.b, i.rn, CAST(i.time_ns AS DOUBLE) AS ax, i.v AS ay,
            ROW_NUMBER() OVER (
              PARTITION BY i.series
-             ORDER BY round(abs((r.ax - n.cx) * (i.v - r.ay)
-                               - (r.ax - CAST(i.time_ns AS DOUBLE)) * (n.cy - r.ay)), 9) DESC,
+             ORDER BY abs((r.ax - n.cx) * (i.v - r.ay)
+                          - (r.ax - CAST(i.time_ns AS DOUBLE)) * (n.cy - r.ay)) DESC,
                       i.rn ASC) AS _pick
     FROM rec r
     JOIN interior i ON i.series = r.series AND i.b = r.b + 1

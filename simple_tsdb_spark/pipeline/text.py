@@ -873,10 +873,12 @@ def ngram_lm_score(
     ln(c2+1)`` — ``ln`` touches INTEGERS only, each quantized once at
     the ``floor(1e6·ln(x))`` µnat scale; per-bigram NLLs and per-doc
     sums are then exact BIGINTs (order-independent, AQE-stable), and
-    ``xent`` is two IEEE-exact double divisions + round(6).  A finer
+    ``xent`` is the UNROUNDED IEEE quotient of those BIGINTs.  A finer
     1e-9 post-``ln`` rounding was measurably libm-sensitive across
-    engines (driver round-7 hash mismatch); integer-argument µnat
-    quantization is the scheme ``dsir_weights`` proved portable.
+    engines (driver round-7 hash mismatch), and a terminal
+    round(double, 6) diverged at repr boundaries (round-8);
+    integer-argument µnat quantization + unrounded division is the
+    scheme that survives both.
 
     At 100 TB: fit-then-score, the dsir/quantizer shape — never a
     doubled corpus lineage inside one job.  The PREP job makes one

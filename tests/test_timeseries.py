@@ -205,9 +205,9 @@ def test_zscore_outliers_numpy_model(spark):
 
     mu, sd = vals.mean(), vals.std(ddof=1)
     want = {
-        ("s1", 1000 + i): round((v - mu) / sd, 6)
+        ("s1", 1000 + i): (v - mu) / sd
         for i, v in enumerate(vals)
-        if abs(round((v - mu) / sd, 6)) > 3.0
+        if abs((v - mu) / sd) > 3.0
     }
     assert set(got) == set(want)
     for key in want:
@@ -235,7 +235,7 @@ def test_mad_outliers_python_model(spark):
     assert list(got[got.series == "a"].time_ns) == [7]
     med = np.percentile(vals, 50)
     mad = np.percentile(np.abs(np.array(vals) - med), 50)
-    want = round(0.6745 * (1000.0 - med) / mad, 6)
+    want = 0.6745 * (1000.0 - med) / mad
     assert got.iloc[0].mscore == want
 
 
@@ -264,25 +264,19 @@ def test_cusum_detects_mean_shift(spark):
     import math
 
     n = len(vals)
-    s = sum(v for v in vals)
-    # exact-decimal moments are equal to plain sums here (small clean floats
-    # after DECIMAL(28,6) quantization) — recompute from the quantized values
-    from decimal import Decimal
-
-    q = [float(Decimal(f"{v:.6f}")) for v in vals]  # DECIMAL(28,6) cast
-    sq = [Decimal(f"{v:.6f}") for v in vals]
-    S = sum(sq)
-    SS = sum((x * x).quantize(Decimal("1e-12")) for x in sq)
-    mean = float(S) / n
-    var = (float(SS) - float(S) * mean) / (n - 1)
+    # the operator's exact BIGINT-grid moments: floor(v·1e6), floor(v²·1e6)
+    S = sum(math.floor(v * 1e6) for v in vals)
+    SS = sum(math.floor(v * v * 1e6) for v in vals)
+    mean = float(S) / 1e6 / n
+    var = (float(SS) / 1e6 - float(S) / 1e6 * mean) / (n - 1)
     std = math.sqrt(var)
     sp = sn = 0.0
     flags = []
     for i, v in enumerate(vals):
-        z = round((v - mean) / std, 9)
+        z = (v - mean) / std
         sp = max(0.0, (sp + z) - 0.5)
         sn = max(0.0, (sn - z) - 0.5)
-        if round(sp, 6) > 5.0 or round(sn, 6) > 5.0:
+        if sp > 5.0 or sn > 5.0:
             flags.append(i)
     assert list(got.time_ns) == flags
     # the same shift yields no z-score outlier at k=3 (drift, not spike)
@@ -358,7 +352,7 @@ def test_bollinger_bands_model(spark):
     sd = s.rolling(20).std()
     for _, r in got.iterrows():
         i = int(r.time_ns)
-        # operator output rounds to 6 decimals
+        # decimal(28,6) value quantization bounds the moment error
         np.testing.assert_allclose(r.ma, ma[i], atol=5.1e-7)
         np.testing.assert_allclose(r.upper, ma[i] + 2 * sd[i], atol=5.1e-7)
     assert int(got[got.time_ns == 40].breakout.iloc[0]) == 1
