@@ -598,6 +598,54 @@ def ann_phase(spark, n_vecs: int, *, big: bool | None = None) -> dict[str, dict]
     return metrics
 
 
+def segmented_phase(spark, n_points: int = 100_000_000) -> None:
+    """VERDICT-r8 structural gate: a SINGLE ``n_points``-point series
+    through the segmented-scan EWMA must complete within 2× of the
+    sharded case (same points spread over 1000 series through the
+    sequential operator).  The sequential op on the giant series would
+    serialize into ONE task; the segmented op parallelizes over its
+    time blocks (pass1 block folds → driver combine over #blocks rows →
+    pass2 seeded re-scan), so wall-clock tracks points/cores, not
+    points."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.operators import ewma, ewma_segmented
+
+    print(f"\n=== segmented-scan phase: {n_points:,} points ===")
+    base = 1_700_000_000_000_000_000
+    one = spark.range(n_points).select(
+        F.lit("giant").alias("series"),
+        (F.lit(base) + F.col("id") * F.lit(1_000_000_000)).alias("time_ns"),
+        (F.sin(F.col("id") / 1000.0) * 100).alias("v"),
+    )
+    sharded = spark.range(n_points).select(
+        F.concat(F.lit("s-"), (F.col("id") % 1000).cast("string")).alias("series"),
+        (F.lit(base) + (F.col("id") / 1000).cast("long") * F.lit(1_000_000_000)).alias(
+            "time_ns"
+        ),
+        (F.sin(F.col("id") / 1000.0) * 100).alias("v"),
+    )
+    # ~#cores×4 blocks: driver combine stays ~128 summary rows
+    span_ns = n_points * 1_000_000_000
+    block_ns = max(span_ns // 128, 1)
+
+    t = _t.time()
+    n_sh = ewma(sharded, field="v", alpha=0.3).count()
+    t_sh = _t.time() - t
+    print(f"sharded sequential (1000 series): {t_sh:.1f}s rows={n_sh:,}")
+
+    t = _t.time()
+    n_seg = ewma_segmented(one, field="v", alpha=0.3, block_ns=block_ns).count()
+    t_seg = _t.time() - t
+    print(f"single-series segmented:          {t_seg:.1f}s rows={n_seg:,}")
+    assert n_seg == n_points
+    ratio = t_seg / max(t_sh, 0.1)
+    print(f"single/sharded ratio x{ratio:.2f} (gate: <= 2.0)")
+    assert ratio <= 2.0, f"segmented scan too slow: x{ratio:.2f}"
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_series = int(sys.argv[2]) if len(sys.argv) > 2 else 200
@@ -753,6 +801,10 @@ def main() -> None:
     nd = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
     if nd:
         corpus_phase(spark, n_docs=nd)
+
+    sg = int(sys.argv[6]) if len(sys.argv) > 6 else 100_000_000
+    if sg:
+        segmented_phase(spark, n_points=sg)
 
     hv = int(sys.argv[5]) if len(sys.argv) > 5 else 10_000_000
     if hv:

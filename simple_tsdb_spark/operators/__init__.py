@@ -24,6 +24,7 @@ from simple_tsdb_spark.operators.rollup import (
     advance_rollup,
 )
 from simple_tsdb_spark.operators.fill import ewma, fill_windows, holt_linear
+from simple_tsdb_spark.operators.segmented import ewma_segmented, holt_segmented
 from simple_tsdb_spark.operators.timeseries import (
     asof_join,
     interval_join,
@@ -70,7 +71,9 @@ __all__ = [
     "advance_rollup",
     "fill_windows",
     "ewma",
+    "ewma_segmented",
     "holt_linear",
+    "holt_segmented",
     "asof_join",
     "interval_join",
     "sessionize",
