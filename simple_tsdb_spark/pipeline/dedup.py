@@ -29,7 +29,7 @@ each operator has a bit-identical DuckDB oracle twin below it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from simple_tsdb_spark.pipeline.text import SIMHASH_BITS, _simhash_sql, simhash_df
@@ -555,10 +555,13 @@ def embedding_dup_pairs(
     salt_buckets: int = 8,
     centroids=None,
     sub_planes: int = 0,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs within a coarse-quantizer block.
 
-    Output (a, b, cos) with cos rounded to 6 decimals (engine-portable).
+    Output (a, b, cos) — the cosine is the unrounded IEEE value
+    (bit-identical across engines; a terminal round(double) diverges at
+    repr boundaries).
 
     Scale design: pairwise work inside a block is O(block²), so the block
     key must scale its cardinality with the corpus — a fixed attribute
@@ -580,6 +583,13 @@ def embedding_dup_pairs(
     ``sub_planes`` as in :func:`semdedup`: ANDs an LSH sign-bucket into
     the block key (÷~2^k pair work; exact dups keep 100% recall,
     near-dups pay the per-plane LSH recall trade).
+
+    ``max_cluster`` arms the degenerate-quantizer guard
+    (:func:`_cap_oversized_blocks`): oversized clusters re-split by
+    sign planes, still-oversized ones fall back to anchor pairing —
+    no block ever does more than ``max(max_cluster², n·256)`` pair
+    work.  Off (None) by default: the guard changes recall for
+    oversized clusters, so the oracle-gated queries keep it off.
     """
     # Lazy import: similarity imports dedup's cosine helpers at module
     # level, so the quantizer expressions must be imported at call time.
@@ -608,8 +618,84 @@ def embedding_dup_pairs(
             F.col("blk") * (1 << int(sub_planes))
             + F.expr(_bucket_expr("emb", dim, int(sub_planes))),
         )
+    if max_cluster is not None:
+        e = _cap_oversized_blocks(e, max_cluster=max_cluster, dim=dim)
     return _salted_block_pairs(
         e, threshold=threshold, salt_buckets=salt_buckets, xblk=bool(extra_block_col)
+    )
+
+
+#: cap-guard constants: at most 2^8 plane sub-buckets per oversized
+#: cluster, and the still-oversized fallback pairs every row against
+#: this many anchor rows instead of against the whole block.
+_CAP_MAX_PLANES = 8
+_CAP_ANCHORS = 256
+
+
+def _cap_oversized_blocks(
+    e: DataFrame, *, max_cluster: int, dim: int, anchors: int = _CAP_ANCHORS
+) -> DataFrame:
+    """Max-cluster-size guard (VERDICT r8 #6): bound the O(block²) pair
+    work even under a DEGENERATE quantizer that dumps the corpus into
+    one cluster.
+
+    Two levels, applied only to blocks over ``max_cluster`` rows:
+
+    1. **Plane re-split**: AND ``p = ceil(log2(cnt/max_cluster))`` LSH
+       sign-planes (≤ 2^8) into the block key — spread-but-hot clusters
+       split ≈2× per plane; exact dups always share sign buckets, so
+       exact-dup recall stays 100% (near-dups pay the per-plane LSH
+       trade, as with ``sub_planes``).
+    2. **Anchor fallback**: a block of (near-)IDENTICAL vectors defeats
+       pigeonholing — every row lands in the same sign bucket.  Blocks
+       still over the cap after the re-split mark their ``anchors``
+       smallest doc ids; pair generation pairs every row against the
+       anchors only, so the block's work is ``n·anchors`` instead of
+       ``n²``.  For identical vectors one anchor already certifies
+       every row a duplicate, which is why the fallback keeps
+       ``semdedup``'s keep/drop answer intact there; sparse true pairs
+       BETWEEN non-anchor rows are the documented recall trade.
+
+    Both count aggregates are cluster-cardinality-sized (broadcast).
+    Returns ``e`` with a rewritten ``blk`` and an ``_anchor`` flag.
+    """
+    from simple_tsdb_spark.pipeline.similarity import _bucket_expr
+
+    cap = int(max_cluster)
+    if cap < 2:
+        raise ValueError("max_cluster must be >= 2")
+    c1 = e.groupBy("blk").agg(F.count(F.lit(1)).alias("_cnt"))
+    planes = F.when(
+        F.col("_cnt") > cap,
+        F.least(
+            F.ceil(F.log2(F.col("_cnt") / F.lit(float(cap)))),
+            F.lit(_CAP_MAX_PLANES),
+        ),
+    ).otherwise(F.lit(0))
+    sub = F.expr(_bucket_expr("emb", dim, _CAP_MAX_PLANES))
+    e2 = (
+        e.join(F.broadcast(c1), "blk")
+        .withColumn("_p", planes.cast("int"))
+        .withColumn(
+            "blk",
+            F.col("blk") * F.lit(2 * (1 << _CAP_MAX_PLANES))
+            + F.when(
+                F.col("_p") > 0,
+                sub.bitwiseAND(F.expr("shiftleft(1, _p)") - 1),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_cnt", "_p")
+    )
+    c2 = e2.groupBy("blk").agg(F.count(F.lit(1)).alias("_cnt2"))
+    w = Window.partitionBy("blk").orderBy("doc")
+    return (
+        e2.join(F.broadcast(c2), "blk")
+        .withColumn(
+            "_anchor",
+            (F.col("_cnt2") <= cap)
+            | (F.row_number().over(w) <= int(anchors)),
+        )
+        .drop("_cnt2")
     )
 
 
@@ -620,24 +706,47 @@ def _salted_block_pairs(
     ``e = (doc, emb, blk, nrm[, xblk])`` — the salted join of
     ``embedding_dup_pairs``, reusable so callers that already computed
     the quantizer assignment (``semdedup``) don't evaluate the literal
-    centroid expressions twice."""
+    centroid expressions twice.  If ``e`` carries an ``_anchor`` column
+    (from :func:`_cap_oversized_blocks`) the build side keeps anchor
+    rows only — capped blocks generate n·anchors pairs, not n²."""
     r = int(salt_buckets)
+    capped = "_anchor" in e.columns
     x = e.withColumn("salt", F.pmod(F.hash("doc"), F.lit(r)))
-    y = e.withColumn("salt", F.explode(F.expr(f"sequence(0, {r - 1})")))
-    cond = F.col("x.doc") < F.col("y.doc")
+    y = e.where(F.col("_anchor")) if capped else e
+    y = y.withColumn("salt", F.explode(F.expr(f"sequence(0, {r - 1})")))
+    if capped:
+        x = x.drop("_anchor")
+        y = y.drop("_anchor")
+    # capped mode pairs each row against anchors on EITHER side of the
+    # doc order (anchors are the block's smallest ids, so a one-sided
+    # `<` would drop nearly every anchor×row pair); canonicalize to
+    # a < b and dedup the anchor×anchor double emission (the cosine is
+    # bit-symmetric: commuted products, same fold order).
+    cond = (
+        (F.col("x.doc") != F.col("y.doc"))
+        if capped
+        else (F.col("x.doc") < F.col("y.doc"))
+    )
     if xblk:
         cond = cond & (F.col("x.xblk") == F.col("y.xblk"))
-    return (
+    a_col = (
+        F.least(F.col("x.doc"), F.col("y.doc")) if capped else F.col("x.doc")
+    )
+    b_col = (
+        F.greatest(F.col("x.doc"), F.col("y.doc")) if capped else F.col("y.doc")
+    )
+    pairs = (
         x.alias("x")
         .join(y.alias("y"), ["blk", "salt"])
         .where(cond)
         .select(
-            F.col("x.doc").alias("a"),
-            F.col("y.doc").alias("b"),
+            a_col.alias("a"),
+            b_col.alias("b"),
             _cos_prenorm("x.emb", "y.emb", "x.nrm", "y.nrm").alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
+    return pairs.distinct() if capped else pairs
 
 
 def embedding_dup_oracle(
@@ -681,6 +790,7 @@ def semdedup(
     dim: int = 64,
     salt_buckets: int = 8,
     sub_planes: int = 0,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by pairwise cosine within coarse-quantizer clusters.
@@ -700,6 +810,13 @@ def semdedup(
     ``train_ivf_centroids`` with nlist ~ √N); the rank joins key on
     vector id (uniform) and the duplicate-pair stream is output-sized,
     far smaller than the corpus at any realistic threshold.
+    ``max_cluster`` arms the degenerate-quantizer guard
+    (:func:`_cap_oversized_blocks`) on the pair stage: plane re-split,
+    then anchor pairing for clusters that stay oversized — a
+    mega-cluster of (near-)identical vectors still resolves correctly
+    (every row pairs with an anchor and all but the paper-rule keeper
+    drop) at ``n·256`` instead of ``n²`` pair work.  Off by default
+    (the oracle-gated query keeps exact pair semantics).
     """
     from simple_tsdb_spark.pipeline.similarity import _score_array_spark
 
@@ -737,6 +854,10 @@ def semdedup(
                 + F.expr(_bucket_expr("emb", dim, int(sub_planes)))
             ).alias("blk"),
             "nrm",
+        )
+    if max_cluster is not None:
+        pair_base = _cap_oversized_blocks(
+            pair_base, max_cluster=max_cluster, dim=dim
         )
     pr = _salted_block_pairs(
         pair_base,
