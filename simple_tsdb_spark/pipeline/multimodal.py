@@ -5,10 +5,11 @@ Pattern for image/audio/video at 100 TB: store the raw bytes as a
 next to a typed metadata struct; run decode / feature-extraction as
 Arrow-batched ``mapInPandas`` so each Python worker sees columnar batches,
 never rows.  Formats decodable with stdlib+numpy decode for REAL
-(PPM/PGM, uncompressed 24-bit BMP, PCM WAV — parse, feature-extract,
-nearest-neighbor resize); codec-requiring formats (jpeg/png/mp4) raise
-``DecoderNotAvailable`` because their libraries are not bundled in this
-container.  A deterministic fake decoder covers non-media payloads so the
+(PPM/PGM, uncompressed 24-bit BMP, PCM WAV, and baseline-DCT JPEG via
+the pure-Python T.81 decoder in :mod:`pipeline.jpeg` — parse,
+feature-extract, nearest-neighbor resize); remaining codec-requiring
+formats (png/mp4, progressive JPEG) raise ``DecoderNotAvailable``
+because their libraries are not bundled in this container.  A deterministic fake decoder covers non-media payloads so the
 Spark-side plumbing — schema, batch iteration, partition-parallelism —
 is exercised (and DuckDB-oracle-checked) on the driver's text blobs too.
 
@@ -27,11 +28,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-class DecoderNotAvailable(NotImplementedError):
-    """Raised by the real decode path for formats that need external
-    codec libraries (jpeg/png/mp4/...) — not bundled in this container.
-    Formats decodable with stdlib+numpy alone (PPM/PGM, uncompressed BMP,
-    PCM WAV) decode for real."""
+from simple_tsdb_spark.pipeline.jpeg import (  # noqa: E402  (re-export)
+    DecoderNotAvailable,
+    decode_jpeg,
+)
 
 
 def attach_blob(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -147,6 +147,9 @@ def decode_media(payload: bytes, mime: str) -> object:
     Stdlib+numpy formats decode for real:
       - image/x-portable-pixmap, image/x-portable-graymap → uint8 array
       - image/bmp (uncompressed 24-bit) → uint8 RGB array
+      - image/jpeg (baseline sequential DCT) → uint8 gray/RGB array
+        (pure-Python T.81 decoder, :mod:`pipeline.jpeg`; progressive /
+        arithmetic / 12-bit variants raise)
       - audio/wav, audio/x-wav (PCM) → (samples array, sample_rate)
     Formats needing external codecs raise :class:`DecoderNotAvailable`.
     """
@@ -154,6 +157,8 @@ def decode_media(payload: bytes, mime: str) -> object:
         return _decode_pnm(payload)
     if mime == "image/bmp":
         return _decode_bmp(payload)
+    if mime in ("image/jpeg", "image/jpg"):
+        return decode_jpeg(payload)
     if mime in ("audio/wav", "audio/x-wav"):
         return _decode_wav(payload)
     raise DecoderNotAvailable(

@@ -168,3 +168,291 @@ def test_truncated_payloads_raise_decoder_not_available():
     for payload, mime in cases:
         with pytest.raises(DecoderNotAvailable):
             decode_media(payload, mime)
+
+
+# -- baseline JPEG (pure-Python decoder, pipeline/jpeg.py) ------------------
+#
+# The tests hand-roll a minimal baseline ENCODER (forward DCT + flat
+# canonical Huffman tables emitted in DHT) so the decoder faces real
+# entropy-coded streams without any codec library in the container.
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dctmat():
+    D = np.zeros((8, 8))
+    for u in range(8):
+        c = (0.5 / np.sqrt(2.0)) if u == 0 else 0.5
+        for x in range(8):
+            D[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return D
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bits, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((bits >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _flat_huff(symbols):
+    """Canonical table giving every symbol the same code length."""
+    syms = sorted(set(symbols))
+    L = 1
+    while (1 << L) <= len(syms):  # leave the last slot unused
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    codes = {s: i for i, s in enumerate(syms)}
+    return counts, syms, codes, L
+
+
+def _mag(v):
+    t = 0
+    a = abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    bits = v if v >= 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _encode_blocks(planes_blocks, ri=0):
+    """planes_blocks: per-MCU list of (comp_idx, coef_block) in scan
+    order.  Returns (dc_syms, ac_syms, emit) where emit(bw, dcc, acc)
+    writes the entropy stream."""
+    D = _dctmat()
+    events = []  # (comp, dc_sym, dc_bits, [(ac_sym, bits, len)...])
+    preds = {}
+    mcu_events = []
+    for mcu in planes_blocks:
+        ev_mcu = []
+        for ci, block in mcu:
+            F = D @ (block - 128.0) @ D.T
+            q = np.rint(F).astype(int)
+            zz = [int(q.flat[ZIGZAG[i]]) for i in range(64)]
+            diff = zz[0] - preds.get(ci, 0)
+            preds[ci] = zz[0]
+            t, bits = _mag(diff)
+            acs = []
+            run = 0
+            last = 63
+            while last > 0 and zz[last] == 0:
+                last -= 1
+            for k in range(1, last + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    acs.append((0xF0, 0, 0))
+                    run -= 16
+                s, b = _mag(zz[k])
+                acs.append(((run << 4) | s, b, s))
+                run = 0
+            if last < 63:
+                acs.append((0x00, 0, 0))
+            ev_mcu.append((ci, t, bits, acs))
+        mcu_events.append(ev_mcu)
+    dc_syms = [e[1] for mcu in mcu_events for e in mcu]
+    ac_syms = [a[0] for mcu in mcu_events for e in mcu for a in e[3]]
+
+    def emit(bw, dc_codes, dc_len, ac_codes, ac_len, out):
+        n = 0
+        rst = 0
+        nonlocal_preds = {}
+        for mcu in mcu_events:
+            if ri and n and n % ri == 0:
+                bw.align()
+                out += bw.out
+                bw.out = bytearray()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                # re-encode DC as absolute after restart: the events
+                # already hold diffs, so rebuild them per restart chunk
+            for ci, t, bits, acs in mcu:
+                bw.put(dc_codes[t], dc_len)
+                if t:
+                    bw.put(bits, t)
+                for sym, b, s in acs:
+                    bw.put(ac_codes[sym], ac_len)
+                    if s:
+                        bw.put(b, s)
+            n += 1
+        bw.align()
+        out += bw.out
+        return out
+
+    return dc_syms, ac_syms, emit
+
+
+def _jpeg_bytes(img, subsample=False):
+    """Baseline JFIF encoder: quant tables all-ones, flat Huffman tables,
+    4:4:4 (or 4:2:0 luma-subsampled when subsample=True); grayscale when
+    img.ndim == 2."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+
+    def pad8(p, mult=8):
+        H = (p.shape[0] + mult - 1) // mult * mult
+        W = (p.shape[1] + mult - 1) // mult * mult
+        out = np.empty((H, W))
+        out[: p.shape[0], : p.shape[1]] = p
+        out[p.shape[0]:, : p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1]:] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    if gray:
+        planes = [pad8(img.astype(float))]
+        samp = [(1, 1)]
+    else:
+        r, g, b = (img[..., i].astype(float) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def ds(p):
+                H, W = (p.shape[0] + 1) // 2 * 2, (p.shape[1] + 1) // 2 * 2
+                q = pad8(p, 2)[:H, :W]
+                return (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]) / 4.0
+            planes = [pad8(y, 16), pad8(ds(cb)), pad8(ds(cr))]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [pad8(y), pad8(cb), pad8(cr)]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    mcus = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blocks = []
+            for ci, ((sh, sv), p) in enumerate(zip(samp, planes)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blocks.append((ci, p[y0 : y0 + 8, x0 : x0 + 8]))
+            mcus.append(blocks)
+
+    dc_syms, ac_syms, emit = _encode_blocks(mcus)
+    dc_counts, dc_s, dc_codes, dc_len = _flat_huff(dc_syms + [0])
+    ac_counts, ac_s, ac_codes, ac_len = _flat_huff(ac_syms + [0x00])
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0, all ones
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (counts, syms) in ((0, (dc_counts, dc_s)), (1, (ac_counts, ac_s))):
+        body = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out = emit(_BitWriter(), dc_codes, dc_len, ac_codes, ac_len, out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_gray_roundtrip():
+    rng = np.random.default_rng(9)
+    base = rng.integers(60, 200, size=(3, 4))
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)[:20, :27]
+    out = decode_media(_jpeg_bytes(img), "image/jpeg")
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_color_444_roundtrip():
+    rng = np.random.default_rng(10)
+    # smooth image: blockwise-constant color
+    base = rng.integers(40, 215, size=(2, 3, 3))
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)
+    out = decode_media(_jpeg_bytes(img), "image/jpeg")
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_color_420_subsampled():
+    img = np.full((24, 24, 3), 0, dtype=np.uint8)
+    img[..., 0] = 180
+    img[..., 1] = 90
+    img[..., 2] = 40
+    out = decode_media(_jpeg_bytes(img, subsample=True), "image/jpeg")
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_gradient_natural_content():
+    yy, xx = np.mgrid[0:17, 0:23]
+    img = ((yy * 3 + xx * 5) % 256).astype(np.uint8)
+    out = decode_media(_jpeg_bytes(img), "image/jpeg")
+    # all-ones quant tables: error is DCT float rounding only
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_raises():
+    # SOI + SOF2 (progressive) header stub
+    payload = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    with pytest.raises(DecoderNotAvailable, match="progressive|non-baseline"):
+        decode_media(payload, "image/jpeg")
+
+
+def test_jpeg_garbage_raises():
+    with pytest.raises(DecoderNotAvailable):
+        decode_media(b"\x00\x01\x02", "image/jpeg")
+
+
+def test_jpeg_through_resize_pipeline(spark):
+    """The real-decoder Spark path (mapInPandas) over planted JPEGs:
+    dims come from the SOF header via the real decode, and the resized
+    digest is of real pixels."""
+    import pandas as pd
+
+    base = np.repeat(np.repeat(np.arange(64, 190, 42, dtype=np.uint8).reshape(1, 3), 16, axis=0), 8, axis=1)
+    img = np.stack([base, base, base], axis=-1)  # 16x24 gray-ish RGB
+    payload = _jpeg_bytes(img)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [payload]})
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('mime', 'image/jpeg', 'n_bytes', CAST(length(payload) AS BIGINT), 'encoding', CAST(NULL AS STRING)) AS media_meta",
+    )
+    out = resize_images(df, width=8, height=8, use_real_decoder=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.out_width, r.out_height) == (8, 8)
+    decoded = decode_media(payload, "image/jpeg")
+    expect = _resize_nearest(decoded, 8, 8)
+    assert r.resized_md5 == hashlib.md5(expect.tobytes()).hexdigest()
