@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 
 from simple_tsdb_spark.client import TsdbClient
 
-__all__ = ["resolve_series", "series_alias", "grafana_query"]
+__all__ = [
+    "resolve_series",
+    "series_alias",
+    "grafana_query",
+    "load_datasource_settings",
+    "check_health",
+    "call_resource",
+]
 
 ZOOM_MEAN = "Mean"
 ZOOM_LTTB = "LTTB"  # extension: not in the reference plugin
@@ -168,3 +175,90 @@ def grafana_query(
             value_cols = [field]
         frames.append((a, _apply_transform(frame, value_cols, transform)))
     return frames
+
+
+# -- instance settings / health / resource endpoints ------------------------
+#
+# The plugin's non-query surface (datasource.go:93-138, 443-487,
+# 494-650): instance-settings parsing with the missing-password reject,
+# the CheckHealth connect+NOP probe with its three exact result
+# messages, and the four CallResource JSON endpoints the query editor
+# uses to populate its dropdowns.
+
+HEALTH_OK = "ok"
+HEALTH_ERROR = "error"
+
+
+def load_datasource_settings(json_data: dict, secure_json_data: dict) -> dict:
+    """Mirror ``NewDatasource`` (datasource.go:93-108) + models/settings.go:
+    the JSONData carries ``Database``/``Hostname``/``Username`` (absent
+    keys default to empty, like Go's zero values) and the password comes
+    ONLY from the decrypted secure store — a missing password rejects
+    instance creation."""
+    if "password" not in secure_json_data:
+        raise ValueError("Missing password")
+    return {
+        "database": json_data.get("Database", json_data.get("database", "")),
+        "hostname": json_data.get("Hostname", json_data.get("hostname", "")),
+        "username": json_data.get("Username", json_data.get("username", "")),
+        "password": secure_json_data["password"],
+    }
+
+
+def check_health(connect) -> tuple[str, str]:
+    """The CheckHealth probe (datasource.go:447-487): open a connection,
+    issue NOP, and return the plugin's exact (status, message) pairs.
+    ``connect`` is a zero-arg callable returning an object with
+    ``nop()`` and ``close()`` — the TLS-wire client in production, the
+    session facade in tests."""
+    try:
+        tc = connect()
+    except Exception:
+        return (HEALTH_ERROR, "Unable to connect to TSDB server")
+    try:
+        try:
+            ok = tc.nop()
+        except Exception:
+            ok = False
+        if not ok:
+            return (HEALTH_ERROR, "TSDB server didn't handle NOP command")
+        return (HEALTH_OK, "Data source is working")
+    finally:
+        close = getattr(tc, "close", None)
+        if close is not None:
+            try:
+                close()
+            except Exception:
+                pass
+
+
+def call_resource(client: TsdbClient, path: str, params: dict | None = None):
+    """The query editor's dropdown endpoints (datasource.go:498-650),
+    same paths and same JSON key per response:
+
+    - ``/databases``    → ``{"databases": [...]}``
+    - ``/measurements`` → ``{"measurements": [...]}`` (needs ``database``)
+    - ``/series``       → ``{"series": [...]}`` (needs ``database`` +
+      ``measurement``)
+    - ``/fields``       → ``{"fields": [...]}`` (schema field names, in
+      schema order — needs ``database`` + ``measurement``)
+
+    A missing required parameter returns ``None`` (the Go handlers
+    silently return with no body); an unknown path raises KeyError."""
+    p = params or {}
+    if path == "/databases":
+        return {"databases": client.list_databases()}
+    if path == "/measurements":
+        if not p.get("database"):
+            return None
+        return {"measurements": client.list_measurements(p["database"])}
+    if path == "/series":
+        if not p.get("database") or not p.get("measurement"):
+            return None
+        return {"series": client.list_series(p["database"], p["measurement"])}
+    if path == "/fields":
+        if not p.get("database") or not p.get("measurement"):
+            return None
+        schema = client.get_schema(p["database"], p["measurement"])
+        return {"fields": [f for f, _t in schema]}
+    raise KeyError(f"unknown resource path {path!r}")

@@ -154,3 +154,64 @@ def test_grafana_lttb_zoom(client):
             .sort_values("time_ns", ignore_index=True)
         )
         assert list(pdf.time_ns) == list(direct.time_ns)
+
+
+# -- health / settings / resource endpoints ---------------------------------
+
+
+def test_load_datasource_settings_password_gate():
+    from simple_tsdb_spark.grafana import load_datasource_settings
+
+    s = load_datasource_settings(
+        {"Database": "db", "Hostname": "h:4000", "Username": "u"},
+        {"password": "pw"},
+    )
+    assert s == {
+        "database": "db", "hostname": "h:4000", "username": "u", "password": "pw",
+    }
+    # zero values for absent JSONData keys, like the Go struct
+    assert load_datasource_settings({}, {"password": ""})["hostname"] == ""
+    with pytest.raises(ValueError, match="Missing password"):
+        load_datasource_settings({"Database": "db"}, {})
+
+
+def test_check_health_three_outcomes(client):
+    from simple_tsdb_spark.grafana import check_health
+
+    # healthy: the facade handles NOP
+    assert check_health(lambda: client) == ("ok", "Data source is working")
+
+    def no_connect():
+        raise ConnectionRefusedError
+
+    assert check_health(no_connect) == (
+        "error", "Unable to connect to TSDB server",
+    )
+
+    class BadNop:
+        def nop(self):
+            raise RuntimeError("boom")
+
+    assert check_health(lambda: BadNop()) == (
+        "error", "TSDB server didn't handle NOP command",
+    )
+
+
+def test_call_resource_endpoints(client):
+    from simple_tsdb_spark.grafana import call_resource
+
+    assert call_resource(client, "/databases") == {"databases": ["db"]}
+    assert call_resource(client, "/measurements", {"database": "db"}) == {
+        "measurements": ["m"]
+    }
+    got = call_resource(client, "/series", {"database": "db", "measurement": "m"})
+    assert sorted(got["series"]) == ["quiet", "s1", "s2"]
+    assert call_resource(client, "/fields", {"database": "db", "measurement": "m"}) == {
+        "fields": ["v"]
+    }
+    # missing params → no body, like the Go handlers' bare returns
+    assert call_resource(client, "/measurements", {}) is None
+    assert call_resource(client, "/series", {"database": "db"}) is None
+    assert call_resource(client, "/fields", {"measurement": "m"}) is None
+    with pytest.raises(KeyError):
+        call_resource(client, "/nope")
