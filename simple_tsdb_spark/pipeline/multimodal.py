@@ -7,8 +7,9 @@ Arrow-batched ``mapInPandas`` so each Python worker sees columnar batches,
 never rows.  Formats decodable with stdlib+numpy decode for REAL
 (PPM/PGM, uncompressed 24-bit BMP, PCM WAV, and baseline-DCT JPEG via
 the pure-Python T.81 decoder in :mod:`pipeline.jpeg` — parse,
-feature-extract, nearest-neighbor resize); remaining codec-requiring
-formats (png/mp4, progressive JPEG) raise ``DecoderNotAvailable``
+feature-extract, nearest-neighbor resize), as does PNG via the stdlib-zlib decoder in
+:mod:`pipeline.png`; remaining codec-requiring formats (mp4,
+progressive JPEG, 16-bit/interlaced PNG) raise ``DecoderNotAvailable``
 because their libraries are not bundled in this container.  A deterministic fake decoder covers non-media payloads so the
 Spark-side plumbing — schema, batch iteration, partition-parallelism —
 is exercised (and DuckDB-oracle-checked) on the driver's text blobs too.
@@ -150,6 +151,9 @@ def decode_media(payload: bytes, mime: str) -> object:
       - image/jpeg (baseline sequential DCT) → uint8 gray/RGB array
         (pure-Python T.81 decoder, :mod:`pipeline.jpeg`; progressive /
         arithmetic / 12-bit variants raise)
+      - image/png (8-bit gray/RGB/indexed/alpha, non-interlaced) →
+        uint8 array (stdlib-zlib decoder, :mod:`pipeline.png`; 16-bit
+        and Adam7 raise)
       - audio/wav, audio/x-wav (PCM) → (samples array, sample_rate)
     Formats needing external codecs raise :class:`DecoderNotAvailable`.
     """
@@ -159,6 +163,10 @@ def decode_media(payload: bytes, mime: str) -> object:
         return _decode_bmp(payload)
     if mime in ("image/jpeg", "image/jpg"):
         return decode_jpeg(payload)
+    if mime == "image/png":
+        from simple_tsdb_spark.pipeline.png import decode_png
+
+        return decode_png(payload)
     if mime in ("audio/wav", "audio/x-wav"):
         return _decode_wav(payload)
     raise DecoderNotAvailable(

@@ -456,3 +456,111 @@ def test_jpeg_through_resize_pipeline(spark):
     decoded = decode_media(payload, "image/jpeg")
     expect = _resize_nearest(decoded, 8, 8)
     assert r.resized_md5 == hashlib.md5(expect.tobytes()).hexdigest()
+
+
+# -- PNG (stdlib-zlib decoder, pipeline/png.py) -----------------------------
+
+import zlib as _zlib
+
+
+def _png_chunk(ctype, data):
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(img, color=None, filters=None, palette=None, trns=None,
+               interlace=0, depth=8):
+    """Minimal PNG encoder: pick per-row filters (default all 0/None) and
+    apply them properly so the decoder's unfilter path is exercised."""
+    if img.ndim == 2:
+        h, w = img.shape
+        nch = 1
+        color = 0 if color is None else color
+    else:
+        h, w, nch = img.shape
+        color = {3: 2, 4: 6, 2: 4}[nch] if color is None else color
+    raw = bytearray()
+    flat = img.reshape(h, w * nch).astype(np.int32)
+    prev = np.zeros(w * nch, dtype=np.int32)
+    fts = filters or [0] * h
+    for y in range(h):
+        cur = flat[y]
+        ft = fts[y]
+        line = np.empty(w * nch, dtype=np.int32)
+        for i in range(w * nch):
+            a = int(cur[i - nch]) if i >= nch else 0
+            b = int(prev[i])
+            c = int(prev[i - nch]) if i >= nch else 0
+            v = int(cur[i])
+            if ft == 0:
+                line[i] = v
+            elif ft == 1:
+                line[i] = v - a
+            elif ft == 2:
+                line[i] = v - b
+            elif ft == 3:
+                line[i] = v - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = v - pred
+        raw.append(ft)
+        raw += bytes((line & 0xFF).astype(np.uint8))
+        prev = cur
+    out = b"\x89PNG\r\n\x1a\n"
+    out += _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    out += _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_png_rgb_roundtrip_all_filters():
+    img = _img(5, 4, seed=21)
+    payload = _png_bytes(img, filters=[0, 1, 2, 3, 4])
+    out = decode_media(payload, "image/png")
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_gray_and_alpha():
+    g = np.random.default_rng(22).integers(0, 256, size=(6, 5), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_media(_png_bytes(g), "image/png"), g)
+    rgba = np.random.default_rng(23).integers(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_media(_png_bytes(rgba, filters=[4, 3, 2, 1]), "image/png"), rgba
+    )
+
+
+def test_png_indexed_with_palette():
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    out = decode_media(
+        _png_bytes(idx, color=3, palette=palette), "image/png"
+    )
+    np.testing.assert_array_equal(out, palette[idx])
+    # tRNS → RGBA
+    out4 = decode_media(
+        _png_bytes(idx, color=3, palette=palette, trns=[10, 200]), "image/png"
+    )
+    assert out4.shape == (2, 3, 4)
+    assert out4[0, 0, 3] == 10 and out4[0, 1, 3] == 200 and out4[0, 2, 3] == 255
+
+
+def test_png_rejects_unsupported_variants():
+    img = _img(3, 3, seed=24)
+    with pytest.raises(DecoderNotAvailable, match="interlace"):
+        decode_media(_png_bytes(img, interlace=1), "image/png")
+    with pytest.raises(DecoderNotAvailable, match="16-bit"):
+        decode_media(_png_bytes(img, depth=16), "image/png")
+    with pytest.raises(DecoderNotAvailable):
+        decode_media(b"\x89PNG\r\n\x1a\njunk", "image/png")
