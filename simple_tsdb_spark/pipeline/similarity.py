@@ -637,10 +637,18 @@ def train_pq_codebooks(
         # per-row argmin with the same rounded-(d, k) min_by tiebreak.
         # The previous form embedded all m·k·sub distance terms as
         # LITERALS in one expression — recompiled every iteration, ~14 s
-        # of driver codegen per pass at any data size; the join form
-        # compiles a literal-free plan in milliseconds (measured 56 s →
-        # 3 s for the 3-iteration fit).  Rounded-argmin values are
-        # bit-identical, so trained codebooks are unchanged.
+        # of driver codegen per pass at any data size, and evaluated as
+        # interpreted HOF per vector (~5× codegen CPU, the measured
+        # penalty that moved the ENCODE path relational); the join form
+        # compiles a literal-free plan in milliseconds (measured 56.5 s
+        # → 9.4 s for the 3-iteration fit at 5k vectors).  Shuffle
+        # shape per iteration = one corpus×m-row exchange keyed
+        # (_vid, m) — the same shape as `_pq_encode_relational`'s
+        # per-vector-id shuffle, traded against the old form's tiny
+        # (m, code) partials because interpreted per-vector CPU
+        # dominates that saving at any realistic corpus size.
+        # Rounded-argmin values are bit-identical, so trained codebooks
+        # are unchanged.
         spark = nemb.sparkSession
         cb_rows = [
             (mi, ki, *[float(c) for c in cbs[mi][ki]])
