@@ -325,6 +325,24 @@ def approx_quantiles(
     return df.groupBy("series").agg(*cols).orderBy("series")
 
 
+def zscore_stats(df: DataFrame, *, field: str) -> DataFrame:
+    """Per-series exact BIGINT-grid moments ``(series, _s, _ss, _n)`` —
+    the ``floor(x·1e6)`` value/value² sums that make z-score derivation
+    bit-identical across engines AND across batch/streaming (the
+    streaming twin fits these once on a trusted snapshot and
+    broadcast-joins them onto the firehose).  Callers filter NULLs and
+    time range first."""
+    v6 = F.expr(f"CAST(floor(CAST({field} AS DOUBLE) * 1e6) AS BIGINT)")
+    vv6 = F.expr(
+        f"CAST(floor(CAST({field} AS DOUBLE) * CAST({field} AS DOUBLE) * 1e6) AS BIGINT)"
+    )
+    return df.groupBy("series").agg(
+        F.sum(v6).alias("_s"),
+        F.sum(vv6).alias("_ss"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     *,
@@ -369,15 +387,7 @@ def zscore_outliers(
     src = df.where(
         (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
     )
-    v6 = F.expr(f"CAST(floor(CAST({field} AS DOUBLE) * 1e6) AS BIGINT)")
-    vv6 = F.expr(
-        f"CAST(floor(CAST({field} AS DOUBLE) * CAST({field} AS DOUBLE) * 1e6) AS BIGINT)"
-    )
-    stats = src.groupBy("series").agg(
-        F.sum(v6).alias("_s"),
-        F.sum(vv6).alias("_ss"),
-        F.count(F.lit(1)).alias("_n"),
-    )
+    stats = zscore_stats(src, field=field)
     if broadcast_stats is True:
         stats = F.broadcast(stats)
     elif broadcast_stats is False:
