@@ -154,6 +154,8 @@ def decode_media(payload: bytes, mime: str) -> object:
       - image/png (8-bit gray/RGB/indexed/alpha, non-interlaced) →
         uint8 array (stdlib-zlib decoder, :mod:`pipeline.png`; 16-bit
         and Adam7 raise)
+      - image/gif (87a/89a first frame, LZW + palette, interlace,
+        GCE transparency → RGBA; :mod:`pipeline.gif`)
       - audio/wav, audio/x-wav (PCM) → (samples array, sample_rate)
     Formats needing external codecs raise :class:`DecoderNotAvailable`.
     """
@@ -167,6 +169,10 @@ def decode_media(payload: bytes, mime: str) -> object:
         from simple_tsdb_spark.pipeline.png import decode_png
 
         return decode_png(payload)
+    if mime == "image/gif":
+        from simple_tsdb_spark.pipeline.gif import decode_gif
+
+        return decode_gif(payload)
     if mime in ("audio/wav", "audio/x-wav"):
         return _decode_wav(payload)
     raise DecoderNotAvailable(

@@ -564,3 +564,98 @@ def test_png_rejects_unsupported_variants():
         decode_media(_png_bytes(img, depth=16), "image/png")
     with pytest.raises(DecoderNotAvailable):
         decode_media(b"\x89PNG\r\n\x1a\njunk", "image/png")
+
+
+# -- GIF (LZW decoder, pipeline/gif.py) -------------------------------------
+
+
+class _LZWWriter:
+    """Minimal GIF-LZW encoder: literal codes only, with a CLEAR before
+    the table would force a width change — valid, never grows width."""
+
+    def __init__(self, min_code_size):
+        self.mcs = min_code_size
+        self.width = min_code_size + 1
+        self.clear = 1 << min_code_size
+        self.eoi = self.clear + 1
+        self.table_size = self.eoi + 1
+        self.bits = []
+
+    def _put(self, code):
+        for i in range(self.width):
+            self.bits.append((code >> i) & 1)
+
+    def encode(self, indices):
+        self._put(self.clear)
+        for ix in indices:
+            if self.table_size >= (1 << self.width) - 1:
+                self._put(self.clear)
+                self.table_size = self.eoi + 1
+            self._put(int(ix))
+            self.table_size += 1
+        self._put(self.eoi)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _gif_bytes(idx, palette, transparent=None, interlace=False):
+    h, w = idx.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    gct_n = 1 << bits
+    pal = np.zeros((gct_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    iflags = 0x40 if interlace else 0
+    out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    rows = idx
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    mcs = max(2, bits)
+    data = _LZWWriter(mcs).encode(rows.flatten())
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_roundtrip():
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], dtype=np.uint8
+    )
+    idx = np.random.default_rng(33).integers(0, 4, size=(9, 7), dtype=np.uint8)
+    out = decode_media(_gif_bytes(idx, palette), "image/gif")
+    np.testing.assert_array_equal(out, palette[idx])
+
+
+def test_gif_interlaced_and_transparent():
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = np.random.default_rng(34).integers(0, 2, size=(13, 5), dtype=np.uint8)
+    out = decode_media(_gif_bytes(idx, palette, interlace=True), "image/gif")
+    np.testing.assert_array_equal(out, palette[idx])
+    out4 = decode_media(_gif_bytes(idx, palette, transparent=1), "image/gif")
+    assert out4.shape == (13, 5, 4)
+    np.testing.assert_array_equal(out4[..., :3], palette[idx])
+    np.testing.assert_array_equal(out4[..., 3], np.where(idx == 1, 0, 255))
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(DecoderNotAvailable):
+        decode_media(b"GIF89a\x00", "image/gif")
+    with pytest.raises(DecoderNotAvailable):
+        decode_media(b"NOTGIF" + b"\x00" * 20, "image/gif")
