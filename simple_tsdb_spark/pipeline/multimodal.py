@@ -218,6 +218,32 @@ def _fake_decode_features(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean
 
 
+#: magic-byte signatures → mime, longest-prefix first (crawl payloads
+#: routinely arrive with a missing or lying Content-Type; decode paths
+#: should trust the bytes)
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"BM", "image/bmp"),
+    (b"P6", "image/x-portable-pixmap"),
+    (b"P5", "image/x-portable-graymap"),
+)
+
+
+def sniff_mime(payload: bytes) -> str | None:
+    """Detect a decodable format from magic bytes — returns the mime
+    ``decode_media`` accepts, or None for unknown/undecodable bytes.
+    RIFF/WAVE needs the inner tag, so it is checked structurally."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio/wav"
+    for sig, mime in _MAGIC:
+        if payload[: len(sig)] == sig:
+            return mime
+    return None
+
+
 def resize_images(
     df: DataFrame, *, width: int, height: int, use_real_decoder: bool = False
 ) -> DataFrame:

@@ -659,3 +659,27 @@ def test_gif_rejects_garbage():
         decode_media(b"GIF89a\x00", "image/gif")
     with pytest.raises(DecoderNotAvailable):
         decode_media(b"NOTGIF" + b"\x00" * 20, "image/gif")
+
+
+def test_sniff_mime_routes_every_decoder():
+    from simple_tsdb_spark.pipeline.multimodal import sniff_mime
+
+    img = _img(3, 3, seed=40)
+    gray = np.random.default_rng(41).integers(0, 256, size=(3, 3), dtype=np.uint8)
+    palette = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    samples = {
+        _ppm_bytes(img): "image/x-portable-pixmap",
+        _pgm_bytes(gray): "image/x-portable-graymap",
+        _bmp_bytes(img): "image/bmp",
+        _wav_bytes(np.zeros((4, 1))): "audio/wav",
+        _jpeg_bytes(gray): "image/jpeg",
+        _png_bytes(img): "image/png",
+        _gif_bytes(idx, palette): "image/gif",
+    }
+    for payload, want in samples.items():
+        got = sniff_mime(payload)
+        assert got == want
+        decode_media(payload, got)  # the sniffed mime decodes for real
+    assert sniff_mime(b"\x00\x01garbage") is None
+    assert sniff_mime(b"RIFF1234AVI LIST") is None  # RIFF but not WAVE
