@@ -757,6 +757,35 @@ def _q_top_customers(spark, sf_dir):
     return top_customers_per_nation(spark, sf_dir)
 
 
+DAY_NS = 24 * 3600 * 1_000_000_000
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_NS = 24 * 3600 * 1_000_000_000  # 24 h from first view
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Daily cohort retention matrix over the events stream — first-
+    activity-day cohorts × day offsets, distinct active users."""
+    from simple_tsdb_spark.operators.behavior import cohort_retention
+
+    return cohort_retention(
+        _events(spark, sf_dir, t0=None, t1=None), period_ns=DAY_NS
+    )
+
+
+def _q_event_funnel(spark, sf_dir):
+    """Strictly-ordered view→click→purchase funnel, each step within
+    24 h of the user's first view — the classic product-analytics
+    readout (150 → 60 → 14 users at sf0.01, a real drop-off at every
+    level)."""
+    from simple_tsdb_spark.operators.behavior import event_funnel
+
+    return event_funnel(
+        _events(spark, sf_dir, t0=None, t1=None),
+        steps=list(FUNNEL_STEPS),
+        window_ns=FUNNEL_WINDOW_NS,
+    )
+
+
 def _q_daily_pivot(spark, sf_dir):
     from simple_tsdb_spark.plans import daily_event_pivot
 
@@ -787,6 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep at head until CORRECTNESS shows green.
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
+        # round-9 additions (new entries need driver evidence first)
+        "cohort_retention": _q_cohort_retention,  # daily cohort × offset matrix
+        "event_funnel": _q_event_funnel,  # ordered view→click→purchase funnel
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1265,6 +1297,10 @@ def _pipeline_oracles() -> dict[str, str]:
         decontaminate_oracle,
         decontaminate_pairs_oracle,
     )
+    from simple_tsdb_spark.operators.behavior import (
+        cohort_retention_oracle,
+        event_funnel_oracle,
+    )
     from simple_tsdb_spark.pipeline.curation import curate_corpus_oracle, stratified_split_oracle
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
     from simple_tsdb_spark.pipeline.similarity import knn_rp_oracle, rp_project_oracle
@@ -1348,4 +1384,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "top_customers": top_customers_oracle(),
         "daily_pivot": daily_event_pivot_oracle(),
         "revenue_rollup": revenue_rollup_oracle(),
+        "cohort_retention": cohort_retention_oracle(_M, period_ns=DAY_NS),
+        "event_funnel": event_funnel_oracle(
+            _M, steps=list(FUNNEL_STEPS), window_ns=FUNNEL_WINDOW_NS
+        ),
     }

@@ -1,0 +1,192 @@
+"""User-behavior analytics over the events measurement — cohort
+retention and ordered funnels.
+
+Extension operators (no reference counterpart — the reference has no
+user dimension): the two classic product-analytics queries every
+event-warehouse user runs, expressed as plain aggregations so they are
+exactly SQL-expressible (integer outputs, hash-exact oracles).
+
+Scale notes: both group on ``user_id`` — a uniform high-cardinality
+key, so the aggregations map-side combine and shuffle one row per
+(user[, period / step]) with no skew; no windows over whole strata and
+no corpus-sized build sides (each funnel step joins the PREVIOUS
+step's survivors, a monotonically shrinking user-keyed table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cohort_retention",
+    "cohort_retention_oracle",
+    "event_funnel",
+    "event_funnel_oracle",
+]
+
+WEEK_NS = 7 * 24 * 3_600 * 1_000_000_000
+
+
+def cohort_retention(
+    df: DataFrame, *, period_ns: int = WEEK_NS, user_col: str = "user_id"
+) -> DataFrame:
+    """Retention matrix: users bucketed by first-activity period
+    (cohort), counted in every period they are active —
+    ``(cohort, period_offset, n_users)``, offsets ≥ 0, ordered.
+
+    Plan: distinct (user, period) activity (map-side combined), a
+    per-user min for the cohort, a user-keyed join back, then a count
+    over the tiny (cohort, offset) key — every shuffle keyed by user
+    or by the matrix cell.  Pure integer arithmetic → hash-exact.
+    """
+    p = int(period_ns)
+    if p <= 0:
+        raise ValueError("period_ns must be positive")
+    act = (
+        df.where(F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            (F.col("time_ns") - F.pmod(F.col("time_ns"), F.lit(p))).alias("per"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("u").agg(F.min("per").alias("cohort"))
+    return (
+        act.join(cohort, "u")
+        .groupBy(
+            "cohort",
+            ((F.col("per") - F.col("cohort")) / p).cast("long").alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "period_offset")
+    )
+
+
+def cohort_retention_oracle(
+    measurement_sql: str, *, period_ns: int = WEEK_NS, user_col: str = "user_id"
+) -> str:
+    p = int(period_ns)
+    return f"""
+WITH m AS ({measurement_sql}),
+act AS (
+  SELECT DISTINCT {user_col} AS u,
+         time_ns - (time_ns % {p}) AS per
+  FROM m WHERE {user_col} IS NOT NULL),
+cohort AS (SELECT u, MIN(per) AS cohort FROM act GROUP BY u)
+SELECT cohort.cohort, CAST((per - cohort.cohort) / {p} AS BIGINT) AS period_offset,
+       COUNT(*) AS n_users
+FROM act JOIN cohort ON act.u = cohort.u
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def event_funnel(
+    df: DataFrame,
+    *,
+    steps: Sequence[str],
+    window_ns: int,
+    user_col: str = "user_id",
+    type_col: str = "series",
+) -> DataFrame:
+    """Strictly-ordered funnel: users performing ``steps`` in order,
+    each step after the previous one and within ``window_ns`` of the
+    FIRST step — ``(step_idx, step, n_users)``, the classic
+    monotonically-dropping funnel readout.
+
+    Semantics (the standard min-chain): per user ``t₁ = min(time of
+    step₁)``; step *i* is reached iff an event of its type exists in
+    ``(tᵢ₋₁, t₁ + window_ns]``, with ``tᵢ`` the earliest such.  The
+    chain unrolls into ``len(steps) − 1`` user-keyed joins against the
+    previous step's (shrinking) survivor table — identical CTE shape in
+    the oracle, so the integer counts are hash-exact.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    w = int(window_ns)
+    if w <= 0:
+        raise ValueError("window_ns must be positive")
+    ev = df.where(
+        F.col(user_col).isNotNull() & F.col(type_col).isin(list(steps))
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("st"),
+        F.col("time_ns").alias("t"),
+    )
+    cur = (
+        ev.where(F.col("st") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("tp"))
+        .withColumn("t1", F.col("tp"))
+    )
+    survivors = [cur.select(F.lit(1).alias("step_idx"), "u")]
+    for i, s in enumerate(steps[1:], start=2):
+        cur = (
+            ev.where(F.col("st") == s)
+            .join(cur, "u")
+            .where((F.col("t") > F.col("tp")) & (F.col("t") <= F.col("t1") + w))
+            .groupBy("u")
+            .agg(F.min("t").alias("tp"), F.first("t1").alias("t1"))
+        )
+        survivors.append(cur.select(F.lit(i).alias("step_idx"), "u"))
+    from functools import reduce
+
+    allsurv = reduce(lambda a, b: a.unionByName(b), survivors)
+    steps_df = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    # ONE lazy plan: per-step survivor counts joined onto the step list
+    # (empty steps report 0), no driver-side count loop
+    return (
+        steps_df.join(
+            allsurv.groupBy("step_idx").agg(F.count(F.lit(1)).alias("_n")),
+            "step_idx",
+            "left",
+        )
+        .select(
+            "step_idx",
+            "step",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_users"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+def event_funnel_oracle(
+    measurement_sql: str,
+    *,
+    steps: Sequence[str],
+    window_ns: int,
+    user_col: str = "user_id",
+) -> str:
+    w = int(window_ns)
+    step_list = ", ".join(f"'{s}'" for s in steps)
+    ctes = [
+        f"""s1 AS (
+  SELECT u, MIN(t) AS tp, MIN(t) AS t1 FROM ev WHERE st = '{steps[0]}' GROUP BY u)"""
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT ev.u, MIN(ev.t) AS tp, MIN(s{i - 1}.t1) AS t1
+  FROM ev JOIN s{i - 1} ON ev.u = s{i - 1}.u
+  WHERE ev.st = '{s}' AND ev.t > s{i - 1}.tp AND ev.t <= s{i - 1}.t1 + {w}
+  GROUP BY ev.u)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step_idx, '{s}' AS step, (SELECT COUNT(*) FROM s{i + 1}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH m AS ({measurement_sql}),
+ev AS (
+  SELECT {user_col} AS u, series AS st, time_ns AS t
+  FROM m WHERE {user_col} IS NOT NULL AND series IN ({step_list})),
+{cte_block}
+SELECT step_idx, step, n_users FROM ({selects})
+ORDER BY step_idx
+"""

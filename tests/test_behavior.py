@@ -1,0 +1,88 @@
+"""Cohort retention + ordered funnel vs direct python models."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from simple_tsdb_spark.operators.behavior import cohort_retention, event_funnel
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["series", "time_ns", "user_id"])
+    )
+
+
+def test_cohort_retention_model(spark):
+    P = 100
+    rows = [
+        # u1: first period 0, returns periods 1 and 3
+        ("view", 10, 1), ("click", 110, 1), ("view", 350, 1),
+        # u2: first period 1 only
+        ("view", 150, 2), ("view", 199, 2),
+        # u3: first period 0, returns period 1
+        ("view", 95, 3), ("view", 105, 3),
+        # NULL user dropped
+        ("view", 10, None),
+    ]
+    got = {
+        (r.cohort, r.period_offset): r.n_users
+        for r in cohort_retention(_events(spark, rows), period_ns=P).collect()
+    }
+    want = {
+        (0, 0): 2,   # u1, u3 active in their cohort period
+        (0, 1): 2,   # u1, u3 return in period 1
+        (0, 3): 1,   # u1 returns in period 3
+        (100, 0): 1, # u2's own cohort period
+    }
+    assert got == want
+
+
+def test_event_funnel_model(spark):
+    rows = [
+        # u1 completes in order within the window
+        ("view", 100, 1), ("click", 200, 1), ("purchase", 300, 1),
+        # u2 clicks BEFORE viewing → click doesn't count (strict order)
+        ("click", 50, 2), ("view", 100, 2), ("purchase", 300, 2),
+        # u3 views then clicks outside the window
+        ("view", 100, 3), ("click", 5000, 3),
+        # u4 views only
+        ("view", 400, 4),
+        # u5 completes, but purchase lands outside window from FIRST view
+        ("view", 100, 5), ("click", 150, 5), ("purchase", 1200, 5),
+    ]
+    got = [
+        (r.step_idx, r.step, r.n_users)
+        for r in event_funnel(
+            _events(spark, rows),
+            steps=["view", "click", "purchase"],
+            window_ns=1000,
+        ).collect()
+    ]
+    # u1: full; u2: view@100 then no click after → stops at view;
+    # u3: click at 5000 > 100+1000 → stops; u4: view only;
+    # u5: click ok, purchase at 1200 > 1100 → stops at click
+    assert got == [(1, "view", 5), (2, "click", 2), (3, "purchase", 1)]
+
+
+def test_event_funnel_same_timestamp_is_not_ordered(spark):
+    # simultaneous view+click does NOT satisfy the strict order
+    rows = [("view", 100, 1), ("click", 100, 1)]
+    got = {
+        r.step: r.n_users
+        for r in event_funnel(
+            _events(spark, rows), steps=["view", "click"], window_ns=1000
+        ).collect()
+    }
+    assert got == {"view": 1, "click": 0}
+
+
+def test_behavior_rejects_bad_params(spark):
+    df = _events(spark, [("view", 1, 1)])
+    with pytest.raises(ValueError):
+        cohort_retention(df, period_ns=0)
+    with pytest.raises(ValueError):
+        event_funnel(df, steps=["view"], window_ns=10)
+    with pytest.raises(ValueError):
+        event_funnel(df, steps=["view", "click"], window_ns=0)
