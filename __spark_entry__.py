@@ -302,6 +302,12 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(_events(spark, sf_dir, t0=None, t1=None), gap_ns=SESSION_GAP_NS)
 
 
+def _q_session_stats(spark, sf_dir):
+    from simple_tsdb_spark.operators import session_stats
+
+    return session_stats(_events(spark, sf_dir, t0=None, t1=None), gap_ns=SESSION_GAP_NS)
+
+
 def _q_moving_avg(spark, sf_dir):
     from simple_tsdb_spark.operators import moving_avg
 
@@ -819,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9 additions (new entries need driver evidence first)
         "cohort_retention": _q_cohort_retention,  # daily cohort × offset matrix
         "event_funnel": _q_event_funnel,  # ordered view→click→purchase funnel
+        "session_stats": _q_session_stats,  # per-series session summary (unrounded mean quotients)
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -980,6 +987,12 @@ def _q_hybrid_rollup_sum(spark, sf_dir):
         spark, raw, rollup_path, fields=["value"],
         base_window_ns=ROLLUP_BASE_NS, window_ns=W, t0=T0, t1=T1, exact=True,
     )
+
+
+def _session_stats_oracle() -> str:
+    from simple_tsdb_spark.operators.timeseries import session_stats_oracle
+
+    return session_stats_oracle(_M, gap_ns=SESSION_GAP_NS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1385,6 +1398,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "daily_pivot": daily_event_pivot_oracle(),
         "revenue_rollup": revenue_rollup_oracle(),
         "cohort_retention": cohort_retention_oracle(_M, period_ns=DAY_NS),
+        "session_stats": _session_stats_oracle(),
         "event_funnel": event_funnel_oracle(
             _M, steps=list(FUNNEL_STEPS), window_ns=FUNNEL_WINDOW_NS
         ),

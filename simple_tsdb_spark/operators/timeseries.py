@@ -208,6 +208,46 @@ FROM sess GROUP BY series, session_id
 """
 
 
+def session_stats(df: DataFrame, *, gap_ns: int) -> DataFrame:
+    """Per-series session summary over :func:`sessionize` output —
+    ``(series, n_sessions, total_events, mean_events, mean_duration_ns,
+    max_duration_ns)``.  The means are UNROUNDED quotients of exact
+    BIGINTs (bit-identical IEEE division on both engines, the round-9
+    determinism doctrine); single-point sessions have duration 0.  One
+    extra tiny aggregation over the session table — same shuffles as
+    sessionize itself."""
+    sess = sessionize(df, gap_ns=gap_ns)
+    dur = F.col("session_end") - F.col("session_start")
+    return (
+        sess.groupBy("series")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            (
+                F.sum("n_events").cast("double") / F.count(F.lit(1))
+            ).alias("mean_events"),
+            (F.sum(dur).cast("double") / F.count(F.lit(1))).alias(
+                "mean_duration_ns"
+            ),
+            F.max(dur).alias("max_duration_ns"),
+        )
+        .orderBy("series")
+    )
+
+
+def session_stats_oracle(measurement_sql: str, *, gap_ns: int) -> str:
+    inner = sessionize_oracle(measurement_sql, gap_ns=gap_ns).strip()
+    return f"""
+WITH sess AS ({inner})
+SELECT series, COUNT(*) AS n_sessions,
+       SUM(n_events) AS total_events,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_events,
+       CAST(SUM(session_end - session_start) AS DOUBLE) / COUNT(*) AS mean_duration_ns,
+       MAX(session_end - session_start) AS max_duration_ns
+FROM sess GROUP BY series ORDER BY series
+"""
+
+
 def moving_avg(df: DataFrame, *, field: str, n_points: int) -> DataFrame:
     """Trailing ``n_points`` rolling mean per series (exact decimal sum)."""
     w = (

@@ -86,3 +86,23 @@ def test_behavior_rejects_bad_params(spark):
         event_funnel(df, steps=["view"], window_ns=10)
     with pytest.raises(ValueError):
         event_funnel(df, steps=["view", "click"], window_ns=0)
+
+
+def test_session_stats_model(spark):
+    from simple_tsdb_spark.operators import session_stats
+
+    rows = [
+        # series a: sessions [0..20] (3 events), [100] (1 event)
+        ("a", 0, 1), ("a", 10, 1), ("a", 20, 1), ("a", 100, 1),
+        # series b: one session
+        ("b", 5, 2), ("b", 15, 2),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["series", "time_ns", "user_id"])
+    )
+    got = {r.series: r for r in session_stats(df, gap_ns=30).collect()}
+    a = got["a"]
+    assert (a.n_sessions, a.total_events, a.max_duration_ns) == (2, 4, 20)
+    assert a.mean_events == 4 / 2 and a.mean_duration_ns == (20 + 0) / 2
+    b = got["b"]
+    assert (b.n_sessions, b.total_events, b.mean_duration_ns) == (1, 2, 10.0)
