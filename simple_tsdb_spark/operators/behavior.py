@@ -58,7 +58,10 @@ def cohort_retention(
         act.join(cohort, "u")
         .groupBy(
             "cohort",
-            ((F.col("per") - F.col("cohort")) / p).cast("long").alias("period_offset"),
+            # integer div: per and cohort are exact multiples of p, but
+            # `/` would route through double (truncate-vs-round casts
+            # differ across engines) — keep it in BIGINT arithmetic
+            F.expr(f"(per - cohort) DIV {p}").alias("period_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort", "period_offset")
@@ -76,7 +79,7 @@ act AS (
          time_ns - (time_ns % {p}) AS per
   FROM m WHERE {user_col} IS NOT NULL),
 cohort AS (SELECT u, MIN(per) AS cohort FROM act GROUP BY u)
-SELECT cohort.cohort, CAST((per - cohort.cohort) / {p} AS BIGINT) AS period_offset,
+SELECT cohort.cohort, (per - cohort.cohort) // {p} AS period_offset,
        COUNT(*) AS n_users
 FROM act JOIN cohort ON act.u = cohort.u
 GROUP BY 1, 2
