@@ -650,6 +650,17 @@ def _q_knn_brute(spark, sf_dir):
     return knn_brute(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
 
 
+RANGE_TAU = 0.3
+
+
+def _q_knn_range(spark, sf_dir):
+    """Radius search: all corpus vectors within cosine >= tau of each
+    query vector — the fixed-threshold companion to knn_brute."""
+    from simple_tsdb_spark.pipeline import range_search
+
+    return range_search(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, tau=RANGE_TAU)
+
+
 def _q_knn_lsh(spark, sf_dir):
     from simple_tsdb_spark.pipeline import knn_lsh
 
@@ -826,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,  # daily cohort × offset matrix
         "event_funnel": _q_event_funnel,  # ordered view→click→purchase funnel
         "session_stats": _q_session_stats,  # per-series session summary (unrounded mean quotients)
+        "knn_range": _q_knn_range,  # cosine radius search (fixed-threshold ANN audit)
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1300,6 +1312,7 @@ def _pipeline_oracles() -> dict[str, str]:
         kmeans_clusters_oracle,
         knn_brute_oracle,
         knn_ivf_oracle,
+        range_search_oracle,
         knn_ivf_pq_oracle,
         knn_lsh_oracle,
         pq_encode_oracle,
@@ -1383,6 +1396,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "mixture_sample": mixture_sample_oracle(rates=MIXTURE_RATES, default_rate=50),
         "pack_sequences": pack_sequences_oracle(budget=PACK_BUDGET),
         "knn_brute": knn_brute_oracle(query_ids=KNN_QUERY_IDS, k=10),
+        "knn_range": range_search_oracle(query_ids=KNN_QUERY_IDS, tau=RANGE_TAU),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf_trained": _knn_ivf_trained_oracle(),

@@ -75,6 +75,7 @@ from simple_tsdb_spark.pipeline.similarity import (
     knn_rp,
     rp_signs,
     knn_brute,
+    range_search,
     knn_ivf_pq,
     knn_ivf,
     knn_lsh,
@@ -145,6 +146,7 @@ __all__ = [
     "pack_sequences",
     "default_centroids",
     "knn_brute",
+    "range_search",
     "knn_ivf_pq",
     "knn_ivf",
     "knn_lsh",

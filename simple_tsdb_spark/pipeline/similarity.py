@@ -116,6 +116,65 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def range_search(
+    df: DataFrame,
+    *,
+    query_ids: Sequence[int],
+    tau: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Radius search: every corpus vector with cosine ≥ ``tau`` of each
+    query vector (self excluded) — the fixed-threshold companion to
+    :func:`knn_brute` (retrieval recall sweeps, duplicate audits at a
+    known similarity bar).
+
+    Output: (query_id, neighbor_id, cos), ordered by (query_id,
+    cos desc, neighbor_id).  The cosine is the UNROUNDED sequential-fold
+    double (bit-equal to DuckDB's ``list_dot_product`` form, proven by
+    the knn_* gates), so the ``>= tau`` cut lands identically on both
+    engines.
+
+    Scale: the query set broadcasts; the corpus is scanned ONCE with no
+    shuffle of the vectors themselves — the only exchange carries the
+    (query_id, neighbor_id, cos) survivors, whose size the threshold
+    bounds.  For huge query sets, bucket both sides with the knn_lsh
+    planes first; this exact form is the verification path.
+    """
+    e = df.select(
+        F.col(id_col).alias("nid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).withColumn("nrm", _norm("emb"))
+    q = e.where(F.col("nid").isin(list(query_ids))).select(
+        F.col("nid").alias("query_id"), F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            _cos_prenorm("qemb", "emb", "qnrm", "nrm").alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(float(tau)))
+        .orderBy("query_id", F.col("cos").desc(), "neighbor_id")
+    )
+
+
+def range_search_oracle(
+    table: str = "embeddings", *, query_ids: Sequence[int] = (), tau: float = 0.5
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _COS_DUCK.format(a="q.emb", b="e.emb")
+    return f"""
+WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}),
+q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids}))
+SELECT q.query_id, e.nid AS neighbor_id, {cos} AS cos
+FROM e CROSS JOIN q
+WHERE e.nid <> q.query_id AND {cos} >= {tau!r}
+"""
+
+
 def _probe_masks(multiprobe: int) -> list[int]:
     """XOR masks for all buckets within hamming ≤ multiprobe (N_PLANES bits)."""
     masks = [0]

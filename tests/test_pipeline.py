@@ -90,6 +90,29 @@ def test_knn_ivf_full_probe_equals_brute(spark, embs):
     ).all()
 
 
+def test_range_search_matches_brute_threshold(spark, embs):
+    """range_search(tau) must equal the >=tau slice of the full brute
+    ranking — same cosine fold, threshold instead of top-k — and every
+    returned cosine must clear the bar."""
+    from simple_tsdb_spark.pipeline import knn_brute, range_search
+
+    qids = [0, 1, 2, 3, 4]
+    tau = 0.25
+    hits = range_search(embs, query_ids=qids, tau=tau).toPandas()
+    assert (hits["cos"] >= tau).all()
+    # brute with k = corpus size is the exhaustive ranking; its >=tau
+    # slice must be exactly the range result (same pairs, same cosines).
+    n = embs.count()
+    brute = knn_brute(embs, query_ids=qids, k=n).toPandas()
+    want = brute[brute["cos"] >= tau][["query_id", "neighbor_id", "cos"]]
+    got = hits[["query_id", "neighbor_id", "cos"]]
+    key = ["query_id", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, ignore_index=True),
+        want.sort_values(key, ignore_index=True),
+    )
+
+
 def test_exact_dedup_counts(spark, docs):
     from simple_tsdb_spark.pipeline import exact_dedup
 
