@@ -585,6 +585,13 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def _q_minhash_est_jaccard(spark, sf_dir):
+    """LSH accuracy audit: estimated vs exact Jaccard per candidate pair."""
+    from simple_tsdb_spark.pipeline import minhash_est_jaccard
+
+    return minhash_est_jaccard(_docs(spark, sf_dir))
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from simple_tsdb_spark.pipeline import simhash_pairs
 
@@ -838,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,  # ordered view→click→purchase funnel
         "session_stats": _q_session_stats,  # per-series session summary (unrounded mean quotients)
         "knn_range": _q_knn_range,  # cosine radius search (fixed-threshold ANN audit)
+        "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1297,6 +1305,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.dedup import (
         embedding_dup_oracle,
         exact_dedup_oracle,
+        minhash_est_jaccard_oracle,
         minhash_lsh_oracle,
         minhash_lsh_oracle_parts,
         ngram_jaccard_oracle,
@@ -1388,6 +1397,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "dedup_exact": exact_dedup_oracle(),
         "ngram_jaccard": ngram_jaccard_oracle(threshold=JACCARD_THRESHOLD),
         "minhash_lsh": minhash_lsh_oracle(),
+        "minhash_est_jaccard": minhash_est_jaccard_oracle(),
         "simhash_pairs": simhash_pairs_oracle(max_hamming=SIMHASH_MAX_HAMMING),
         "embedding_dup": embedding_dup_oracle(threshold=EMB_COS_THRESHOLD),
         "dedup_clusters": dedup_components_oracle(minhash_lsh_oracle_parts()),

@@ -35,6 +35,7 @@ from simple_tsdb_spark.pipeline.dedup import (
     semdedup,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_est_jaccard,
     simhash_band_dedup,
     simhash_pairs,
     embedding_dup_pairs,
@@ -133,6 +134,7 @@ __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_est_jaccard",
     "simhash_band_dedup",
     "simhash_pairs",
     "embedding_dup_pairs",

@@ -243,13 +243,12 @@ WHERE jaccard >= {threshold}
 
 # -- minhash + LSH ----------------------------------------------------------
 
-def minhash_band_buckets(
+def _minhash_signatures(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc, band_id, key): each document's LSH band buckets — the
-    joinable form of its MinHash signature (shingle → 16 md5-seeded
-    minhashes → 4 bands of 4).  Shared by ``minhash_lsh_pairs`` and the
-    materialized index (``pipeline.dedup_index``)."""
+    """(doc, h0..h15): per-doc MinHash signature (shingle → md5 base
+    hash → 16-member universal family, MIN per member).  Shared by
+    :func:`minhash_band_buckets` and :func:`minhash_est_jaccard`."""
     # No dedup needed: MIN over the shingle multiset equals MIN over the
     # set, so duplicate shingle rows cannot change any signature value.
     sh = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=MINHASH_STRIDE).withColumn(
@@ -257,7 +256,7 @@ def minhash_band_buckets(
     )
     # One md5 per shingle; the 16-member hash family is cheap universal
     # hashing over the base hash: h_j = (A_j·h + B_j) mod (2^31−1).
-    sig = sh.groupBy("doc").agg(
+    return sh.groupBy("doc").agg(
         *[
             F.min(F.expr(f"({_MINHASH_A[j]}L * hb + {_MINHASH_B[j]}L) % {MERSENNE31}")).alias(
                 f"h{j}"
@@ -265,6 +264,16 @@ def minhash_band_buckets(
             for j in range(N_HASHES)
         ]
     )
+
+
+def minhash_band_buckets(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, band_id, key): each document's LSH band buckets — the
+    joinable form of its MinHash signature (shingle → 16 md5-seeded
+    minhashes → 4 bands of 4).  Shared by ``minhash_lsh_pairs`` and the
+    materialized index (``pipeline.dedup_index``)."""
+    sig = _minhash_signatures(df, text_col=text_col, id_col=id_col)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = []
     for b in range(N_BANDS):
@@ -337,6 +346,108 @@ GROUP BY x.doc, y.doc
 def minhash_lsh_oracle(table: str = "documents") -> str:
     cte_list, final_select = minhash_lsh_oracle_parts(table)
     return f"WITH {cte_list}{final_select}"
+
+
+def minhash_est_jaccard(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH accuracy audit: for every MinHash-LSH candidate pair, the
+    signature-estimated Jaccard (matching hashes / 16) next to the EXACT
+    shingle-set Jaccard and the signed estimation error — the number you
+    tune banding (N_HASHES / N_BANDS / threshold) against before
+    committing a 100 TB dedup pass to a similarity bar.
+
+    Output: (a, b, n_bands, est_jaccard, jaccard, err), ordered.  Both
+    quotients are UNROUNDED IEEE divisions of exact BIGINTs and the
+    error is one subtraction of those two doubles — bit-identical
+    cross-engine (the proven integer-ratio pattern).
+
+    Scale: candidates come from banding (shuffle ≈ docs × bands, never
+    docs²); the exact-Jaccard stage touches ONLY candidate pairs — the
+    shingle join fans out per pair, not per corpus.
+    """
+    sig = _minhash_signatures(df, text_col=text_col, id_col=id_col)
+    buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col)
+    pairs = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band_id", "key"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    dsh = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=MINHASH_STRIDE).distinct()
+    sizes = dsh.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
+    inter = (
+        pairs.select("a", "b")
+        .join(dsh.select(F.col("doc").alias("a"), "sh"), "a")
+        .join(dsh.select(F.col("doc").alias("b"), "sh"), ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sig.select(F.col("doc").alias("a"), *[F.col(f"h{j}").alias(f"ha{j}") for j in range(N_HASHES)])
+    sb = sig.select(F.col("doc").alias("b"), *[F.col(f"h{j}").alias(f"hb{j}") for j in range(N_HASHES)])
+    matches = sum(
+        (F.when(F.col(f"ha{j}") == F.col(f"hb{j}"), 1).otherwise(0) for j in range(N_HASHES)),
+        F.lit(0),
+    )
+    inter_c = F.coalesce(F.col("inter"), F.lit(0))
+    est = matches.cast("double") / F.lit(float(N_HASHES))
+    jacc = inter_c.cast("double") / (
+        F.col("na") + F.col("nb") - inter_c
+    ).cast("double")
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .join(sizes.select(F.col("doc").alias("a"), F.col("nsh").alias("na")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("nsh").alias("nb")), "b")
+        .join(inter, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "n_bands",
+            est.alias("est_jaccard"),
+            jacc.alias("jaccard"),
+            (est - jacc).alias("err"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def minhash_est_jaccard_oracle(table: str = "documents") -> str:
+    cte_list, _ = minhash_lsh_oracle_parts(table)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+    )
+    est = f"CAST({match_sum} AS DOUBLE) / {float(N_HASHES)!r}"
+    jacc = (
+        "CAST(COALESCE(i.inter, 0) AS DOUBLE) / "
+        "CAST(na.nsh + nb.nsh - COALESCE(i.inter, 0) AS DOUBLE)"
+    )
+    return f"""
+WITH {cte_list},
+pairs AS (
+  SELECT x.doc AS a, y.doc AS b, COUNT(*) AS n_bands
+  FROM buckets x JOIN buckets y ON x.band_id = y.band_id AND x.key = y.key AND x.doc < y.doc
+  GROUP BY x.doc, y.doc),
+dsh AS (SELECT doc, sh FROM sh0),
+sizes AS (SELECT doc, COUNT(*) AS nsh FROM dsh GROUP BY doc),
+i AS (
+  SELECT p.a, p.b, COUNT(*) AS inter
+  FROM pairs p
+  JOIN dsh da ON da.doc = p.a
+  JOIN dsh db ON db.doc = p.b AND db.sh = da.sh
+  GROUP BY p.a, p.b)
+SELECT p.a, p.b, p.n_bands,
+       {est} AS est_jaccard,
+       {jacc} AS jaccard,
+       ({est}) - ({jacc}) AS err
+FROM pairs p
+JOIN sig sa ON sa.doc = p.a
+JOIN sig sb ON sb.doc = p.b
+JOIN sizes na ON na.doc = p.a
+JOIN sizes nb ON nb.doc = p.b
+LEFT JOIN i ON i.a = p.a AND i.b = p.b
+"""
 
 
 # -- simhash ----------------------------------------------------------------

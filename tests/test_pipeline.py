@@ -90,6 +90,31 @@ def test_knn_ivf_full_probe_equals_brute(spark, embs):
     ).all()
 
 
+def test_minhash_est_jaccard_audit(spark, docs):
+    """est/exact audit columns recompute correctly: the exact jaccard
+    matches a Python set model over the same stride-4 shingles, the
+    estimate is matches/16 ∈ [0,1], and err = est − exact."""
+    from simple_tsdb_spark.pipeline import minhash_est_jaccard
+    from simple_tsdb_spark.pipeline.dedup import MINHASH_STRIDE, SHINGLE_LEN
+
+    out = minhash_est_jaccard(docs).toPandas()
+    assert len(out) > 0
+    assert ((out.est_jaccard >= 0) & (out.est_jaccard <= 1)).all()
+    np.testing.assert_array_equal(
+        out.err.to_numpy(), (out.est_jaccard - out.jaccard).to_numpy()
+    )
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def shset(t):
+        n = max(len(t) - SHINGLE_LEN + 1, 1)
+        return {t[i : i + SHINGLE_LEN] for i in range(0, n, MINHASH_STRIDE)}
+
+    for r in out.itertuples():
+        a, b = shset(texts[r.a]), shset(texts[r.b])
+        want = len(a & b) / len(a | b)
+        assert r.jaccard == pytest.approx(want, abs=0), (r.a, r.b)
+
+
 def test_range_search_matches_brute_threshold(spark, embs):
     """range_search(tau) must equal the >=tau slice of the full brute
     ranking — same cosine fold, threshold instead of top-k — and every
