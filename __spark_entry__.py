@@ -130,6 +130,14 @@ def _q_integrate(spark: SparkSession, sf_dir: str) -> DataFrame:  # A4
     return integrate_points(_events(spark, sf_dir), fields=["value"], t0=T0, t1=T1, exact=True)
 
 
+def _q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series per day — linear time_weight of
+    hypertable rollups (trapezoid integral / covered duration)."""
+    from simple_tsdb_spark.operators import time_weighted_avg
+
+    return time_weighted_avg(_events(spark, sf_dir), field="value", t0=T0, t1=T1, window_ns=W)
+
+
 def _q_active_series(spark: SparkSession, sf_dir: str) -> DataFrame:  # A5
     from simple_tsdb_spark.operators import list_active_series
 
@@ -846,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,  # per-series session summary (unrounded mean quotients)
         "knn_range": _q_knn_range,  # cosine radius search (fixed-threshold ANN audit)
         "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)
+        "time_weighted_avg": _q_time_weighted_avg,  # trapezoid time_weight per window
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1162,6 +1171,32 @@ SELECT series, t0_ns, t1_ns, npoints,
        CASE WHEN poisoned = 1 THEN NULL
             WHEN npoints = 1 THEN single
             ELSE CAST(s AS DOUBLE) * 0.5e-15 END AS value_integral
+FROM a
+""",
+        "time_weighted_avg": f"""
+WITH m AS (
+  SELECT event_type AS series, epoch_ns(ts) AS time_ns,
+         epoch_ns(ts) - (epoch_ns(ts) % {W}) AS wstart, value
+  FROM events WHERE epoch_ns(ts) BETWEEN {T0} AND {T1}),
+t AS (
+  SELECT series, wstart, time_ns,
+         CASE WHEN LAG(time_ns) OVER w IS NOT NULL
+              THEN CAST(COALESCE(CAST(ROUND(value * 1e6) AS BIGINT)
+                                 + LAG(CAST(ROUND(value * 1e6) AS BIGINT)) OVER w, 0) AS HUGEINT)
+                   * (time_ns - LAG(time_ns) OVER w)
+              ELSE 0 END AS area,
+         CASE WHEN value IS NULL THEN 1 ELSE 0 END AS isn,
+         CAST(value AS DOUBLE) AS v
+  FROM m WINDOW w AS (PARTITION BY series, wstart ORDER BY time_ns)),
+a AS (
+  SELECT series, wstart, COUNT(*) AS npoints,
+         MIN(time_ns) AS t_first, MAX(time_ns) AS t_last,
+         SUM(area) AS s, MAX(isn) AS poisoned, MAX(v) AS single
+  FROM t GROUP BY series, wstart)
+SELECT series, wstart, npoints, t_first, t_last,
+       CASE WHEN poisoned = 1 THEN NULL
+            WHEN npoints = 1 THEN single
+            ELSE CAST(s AS DOUBLE) / CAST(t_last - t_first AS DOUBLE) / 2e6 END AS value_twa
 FROM a
 """,
         "active_series": f"""

@@ -119,3 +119,84 @@ def integrate_points(
             .alias(f"{f}_integral")
         )
     return terms.groupBy("series").agg(*aggs).orderBy("series")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    field: str = "value",
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+    window_ns: int,
+    series: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per series per tumbling window — the
+    linear-interpolation ``time_weight`` of hypertable rollups: trapezoid
+    integral of the points inside the window divided by the covered
+    duration ``t_last − t_first``.  The right average for irregularly
+    sampled gauges, where the plain mean over-weights bursts.
+
+    Conventions follow A4 (:func:`integrate_points`,
+    ``/root/reference/src/libtsdb/integral_op.cc:96-102``): a single
+    point yields its own value; any NULL sample poisons the window.
+    Windows with no points emit nothing (a time-weighted average of an
+    empty window is undefined — unlike A2's empty-bucket sums).
+
+    Float determinism: trapezoid areas accumulate as exact
+    micro-value × ns integers in DECIMAL(38,0); the final projection is
+    one decimal→double cast and two IEEE divisions, replicated verbatim
+    in the oracle.  Assumes ≤6 meaningful decimals (the A4 contract).
+
+    Scale: one shuffle keyed (series, window) — finer than A4's
+    per-series key, so a giant series spreads over its windows instead
+    of serializing; map-side partial aggregation applies.
+    """
+    t0, t1 = clamp_time_range(t0, t1)
+    src = df.where(F.col("time_ns").between(t0, t1))
+    if series is not None:
+        if isinstance(series, str):
+            src = src.where(F.col("series") == series)
+        else:
+            src = src.where(F.col("series").isin(list(series)))
+    w = F.lit(window_ns)
+    src = src.select(
+        "series",
+        "time_ns",
+        (F.col("time_ns") - (F.col("time_ns") % w)).alias("wstart"),
+        F.col(field).alias("_v"),
+    )
+    ws = Window.partitionBy("series", "wstart").orderBy("time_ns")
+    vm = F.round(F.col("_v") * 1e6).cast("long")
+    lvm = F.lag(vm).over(ws)
+    lag_t = F.lag("time_ns").over(ws)
+    terms = src.select(
+        "series",
+        "wstart",
+        "time_ns",
+        F.when(
+            lag_t.isNotNull(),
+            F.coalesce(vm + lvm, F.lit(0)).cast("decimal(38,0)")
+            * (F.col("time_ns") - lag_t).cast("decimal(38,0)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+        .alias("_area"),
+        F.col("_v").isNull().cast("int").alias("_isn"),
+        F.col("_v").cast("double").alias("_vd"),
+    )
+    agg = terms.groupBy("series", "wstart").agg(
+        F.count(F.lit(1)).alias("npoints"),
+        F.min("time_ns").alias("t_first"),
+        F.max("time_ns").alias("t_last"),
+        F.sum("_area").alias("_s"),
+        F.max("_isn").alias("_poisoned"),
+        F.max("_vd").alias("_single"),
+    )
+    dt = (F.col("t_last") - F.col("t_first")).cast("double")
+    twa = (
+        F.when(F.col("_poisoned") == 1, F.lit(None).cast("double"))
+        .when(F.col("npoints") == 1, F.col("_single"))
+        .otherwise(F.col("_s").cast("double") / dt / F.lit(2e6))
+    )
+    return agg.select(
+        "series", "wstart", "npoints", "t_first", "t_last", twa.alias(f"{field}_twa")
+    ).orderBy("series", "wstart")

@@ -79,3 +79,58 @@ def test_exact_mode(spark, f2, f2_pdf):
         else:
             # exact mode rounds values to 1e-6 units → small tolerance vs model
             assert abs(row.value_integral - want[3]) < 1e-4 * max(1.0, abs(want[3]))
+
+
+def model_twa(pdf: pd.DataFrame, field: str, t0: int, t1: int, w: int):
+    """Python model of time_weighted_avg: per (series, window) trapezoid
+    integral / covered duration, single-point and poisoning conventions."""
+    sel = pdf[(pdf.time_ns >= t0) & (pdf.time_ns <= t1)].copy()
+    sel["wstart"] = sel.time_ns - (sel.time_ns % w)
+    out = {}
+    for (s, ws), grp in sel.groupby(["series", "wstart"]):
+        grp = grp.sort_values("time_ns")
+        ts = grp.time_ns.to_numpy()
+        vals = grp[field].astype(float).to_numpy()
+        if pd.isna(grp[field]).any():
+            out[(s, ws)] = (len(grp), None)
+        elif len(grp) == 1:
+            out[(s, ws)] = (1, float(vals[0]))
+        else:
+            num = 0.0
+            for i in range(1, len(ts)):
+                num += 0.5 * (vals[i] + vals[i - 1]) * (ts[i] - ts[i - 1])
+            out[(s, ws)] = (len(grp), num / (ts[-1] - ts[0]))
+    return out
+
+
+def test_time_weighted_avg_model(spark, f2, f2_pdf):
+    from simple_tsdb_spark.operators import time_weighted_avg
+
+    w = 50 * 10**9
+    got = time_weighted_avg(f2, field="value", t0=0, t1=2**62, window_ns=w).toPandas()
+    want = model_twa(f2_pdf, "value", 0, 2**62, w)
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        n, twa = want[(row.series, row.wstart)]
+        assert row.npoints == n
+        if twa is None:
+            assert pd.isna(row.value_twa)
+        else:
+            # exact mode quantizes values to 1e-6 units → tiny tolerance
+            assert abs(row.value_twa - twa) < 1e-4 * max(1.0, abs(twa))
+
+
+def test_time_weighted_avg_constant_series(spark):
+    # A constant gauge's time-weighted average is that constant in every
+    # window, regardless of sampling irregularity.
+    import pandas as pd
+
+    rows = [("s", t * 10**9, 7.5) for t in [0, 1, 5, 17, 40, 41, 99]]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "value"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        __import__("simple_tsdb_spark.operators", fromlist=["time_weighted_avg"])
+        .time_weighted_avg(df, field="value", t0=0, t1=2**62, window_ns=50 * 10**9)
+        .toPandas()
+    )
+    assert (got.value_twa == 7.5).all()
