@@ -130,6 +130,18 @@ def _q_integrate(spark: SparkSession, sf_dir: str) -> DataFrame:  # A4
     return integrate_points(_events(spark, sf_dir), fields=["value"], t0=T0, t1=T1, exact=True)
 
 
+HOP_SLIDE_NS = 6 * 3600 * 1_000_000_000  # 1-day windows hopping every 6h
+
+
+def _q_hopping_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window mean: 1-day windows every 6 h (overlap factor 4)."""
+    from simple_tsdb_spark.operators import hopping_mean
+
+    return hopping_mean(
+        _events(spark, sf_dir), field="value", t0=T0, t1=T1, window_ns=W, slide_ns=HOP_SLIDE_NS
+    )
+
+
 def _q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per series per day — linear time_weight of
     hypertable rollups (trapezoid integral / covered duration)."""
@@ -855,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_range": _q_knn_range,  # cosine radius search (fixed-threshold ANN audit)
         "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)
         "time_weighted_avg": _q_time_weighted_avg,  # trapezoid time_weight per window
+        "hopping_mean": _q_hopping_mean,  # sliding 1d/6h window mean (overlap agg)
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1172,6 +1185,21 @@ SELECT series, t0_ns, t1_ns, npoints,
             WHEN npoints = 1 THEN single
             ELSE CAST(s AS DOUBLE) * 0.5e-15 END AS value_integral
 FROM a
+""",
+        "hopping_mean": f"""
+WITH m AS ({_M}),
+pts AS (
+  SELECT series, time_ns, value, time_ns - (time_ns % {HOP_SLIDE_NS}) AS hi
+  FROM m WHERE time_ns BETWEEN {T0} AND {T1}),
+x AS (
+  SELECT series, value,
+         UNNEST(generate_series(hi - {W - HOP_SLIDE_NS}, hi, {HOP_SLIDE_NS})) AS wstart
+  FROM pts)
+SELECT series, wstart, COUNT(*) AS npoints,
+       COUNT(value) AS value_count, MIN(value) AS value_min, MAX(value) AS value_max,
+       CASE WHEN COUNT(value) > 0
+            THEN CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) END AS value_mean
+FROM x GROUP BY series, wstart
 """,
         "time_weighted_avg": f"""
 WITH m AS (

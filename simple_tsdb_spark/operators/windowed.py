@@ -229,6 +229,64 @@ def mean_points(
     return out.select(*keep)
 
 
+def hopping_mean(
+    df: DataFrame,
+    *,
+    field: str,
+    series: str | Sequence[str] | None = None,
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+    window_ns: int,
+    slide_ns: int,
+) -> DataFrame:
+    """Hopping (sliding) window aggregate: windows of ``window_ns`` every
+    ``slide_ns`` — the overlapping-window generalization of A2's tumbling
+    buckets (dashboards' smoothed rates, SLO burn windows).  Emits every
+    window containing ≥1 in-range point: ``npoints``, non-null count,
+    min/max and the mean.
+
+    Float determinism: the sum accumulates in DECIMAL(28,6) (exact,
+    order-independent) and is cast to double ONCE; the mean is a single
+    IEEE division of that double by the BIGINT count — the A2/A3 recipe.
+
+    Scale: each point replicates to ``window/slide`` windows (here the
+    explode), then ONE shuffle keyed (series, wstart) with map-side
+    partial aggregation — fan-out is the fixed overlap factor, never
+    data-dependent.  No window function, no per-series serialization.
+    """
+    if window_ns % slide_ns != 0:
+        raise ValueError("window_ns must be a multiple of slide_ns")
+    src = df.where(F.col("time_ns").between(t0, t1))
+    if series is not None:
+        if isinstance(series, str):
+            src = src.where(F.col("series") == series)
+        else:
+            src = src.where(F.col("series").isin(list(series)))
+    s = int(slide_ns)
+    w = int(window_ns)
+    hi = F.col("time_ns") - (F.col("time_ns") % F.lit(s))
+    exploded = src.select(
+        "series",
+        F.col(field).alias("_v"),
+        F.explode(F.sequence(hi - F.lit(w - s), hi, F.lit(s))).alias("wstart"),
+    )
+    cnt = F.count("_v")
+    mean = F.when(
+        cnt > 0, F.sum(F.col("_v").cast("decimal(28,6)")).cast("double") / cnt
+    )
+    return (
+        exploded.groupBy("series", "wstart")
+        .agg(
+            F.count(F.lit(1)).alias("npoints"),
+            cnt.alias(f"{field}_count"),
+            F.min("_v").alias(f"{field}_min"),
+            F.max("_v").alias(f"{field}_max"),
+            mean.alias(f"{field}_mean"),
+        )
+        .orderBy("series", "wstart")
+    )
+
+
 def auto_downsample(
     df: DataFrame,
     *,

@@ -241,3 +241,48 @@ def test_quantile_points_model(spark):
         np.testing.assert_allclose(r.p50, np.percentile(vals, 50), rtol=1e-12)
         np.testing.assert_allclose(r.p99, np.percentile(vals, 99), rtol=1e-12)
     assert quantile_col_name(0.999) == "p99_9" and quantile_col_name(0.25) == "p25"
+
+
+def test_hopping_mean_model(spark, f2, f2_pdf):
+    """Hopping windows vs a pandas model: every in-range point lands in
+    exactly window/slide windows; per-window count/min/max/mean match."""
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import hopping_mean
+
+    w, s = 40 * 10**9, 10 * 10**9
+    got = hopping_mean(f2, field="value", t0=0, t1=2**62, window_ns=w, slide_ns=s).toPandas()
+    # model: explode each point into its covering window starts
+    rows = []
+    for r in f2_pdf.itertuples():
+        hi = r.time_ns - (r.time_ns % s)
+        for ws in range(hi - (w - s), hi + s, s):
+            rows.append((r.series, ws, r.value))
+    m = pd.DataFrame(rows, columns=["series", "wstart", "value"])
+    want = m.groupby(["series", "wstart"]).agg(
+        npoints=("value", "size"),
+        cnt=("value", "count"),
+        vmin=("value", "min"),
+        vmax=("value", "max"),
+        vmean=("value", "mean"),
+    )
+    assert len(got) == len(want)
+    assert got.npoints.sum() == len(f2_pdf) * (w // s)
+    for r in got.itertuples():
+        wrow = want.loc[(r.series, r.wstart)]
+        assert r.npoints == wrow.npoints
+        assert r.value_count == wrow.cnt
+        if wrow.cnt == 0:
+            assert pd.isna(r.value_mean)
+        else:
+            assert r.value_min == wrow.vmin and r.value_max == wrow.vmax
+            assert abs(r.value_mean - wrow.vmean) < 1e-9 * max(1.0, abs(wrow.vmean))
+
+
+def test_hopping_mean_rejects_nonmultiple(spark, f2):
+    import pytest as _pytest
+
+    from simple_tsdb_spark.operators import hopping_mean
+
+    with _pytest.raises(ValueError):
+        hopping_mean(f2, field="value", window_ns=30, slide_ns=7)
