@@ -605,6 +605,17 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+BM25_TERMS = ("spark", "vector", "merge")
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval: top-20 docs for a 3-term query (µnat
+    integer-ln idf, fixed-order IEEE scoring)."""
+    from simple_tsdb_spark.pipeline import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), query_terms=BM25_TERMS, k=20)
+
+
 def _q_minhash_est_jaccard(spark, sf_dir):
     """LSH accuracy audit: estimated vs exact Jaccard per candidate pair."""
     from simple_tsdb_spark.pipeline import minhash_est_jaccard
@@ -868,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)
         "time_weighted_avg": _q_time_weighted_avg,  # trapezoid time_weight per window
         "hopping_mean": _q_hopping_mean,  # sliding 1d/6h window mean (overlap agg)
+        "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (lexical ranker)
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1403,6 +1415,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
     from simple_tsdb_spark.pipeline.similarity import knn_rp_oracle, rp_project_oracle
     from simple_tsdb_spark.pipeline.text import (
+        bm25_topk_oracle,
         dsir_logweights_oracle,
         topk_ngrams_oracle,
         ngram_lm_score_oracle,
@@ -1445,6 +1458,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "kmeans_clusters": kmeans_clusters_oracle(),
         "cluster_prune": cluster_prune_oracle(k=CLUSTER_PRUNE_K),
         "tfidf_topk": tfidf_topk_oracle(k=5),
+        "bm25_topk": bm25_topk_oracle(query_terms=BM25_TERMS, k=20),
         "pii_scrub": pii_scrub_oracle(),
         "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),
         "dsir_weights": dsir_logweights_oracle(target_pred="lang = 'en'"),

@@ -398,6 +398,57 @@ def main() -> int:
         "corpus shuffled by list_id",
     )
 
+    # range_search: same scan shape as knn_brute — query set broadcasts,
+    # the corpus itself never shuffles (the only exchange is the final sort).
+    from simple_tsdb_spark.pipeline import range_search
+
+    p = plan_of(range_search(embs, query_ids=(0, 1, 2, 3, 4), tau=0.3))
+    ok &= check("range_search: queries broadcast to the corpus", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
+    ok &= check(
+        "range_search: corpus never hash-shuffles",
+        "hashpartitioning(" not in p,
+        "corpus shuffled",
+    )
+
+    # bm25_topk: per-term tf is a pure projection — the corpus scans ONCE
+    # with no explode (Generate) and no shuffle; stats broadcast back; the
+    # ranking is TakeOrderedAndProject.
+    from simple_tsdb_spark.pipeline import bm25_topk
+
+    p = plan_of(bm25_topk(docs, query_terms=("spark", "vector", "merge"), k=20))
+    ok &= check("bm25: no explode (tf is a filter-size projection)", "Generate" not in p)
+    ok &= check("bm25: corpus never hash-shuffles", "hashpartitioning(" not in p)
+    ok &= check("bm25: top-k is TakeOrderedAndProject", "TakeOrderedAndProject" in p)
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    ok &= check("bm25: at most two corpus scans (stats + score)", n_scans <= 2, f"{n_scans} scans")
+
+    # hopping_mean: the overlap explode is a fixed-factor Generate; ONE
+    # aggregate exchange keyed (series, wstart) with map-side combine.
+    from simple_tsdb_spark.operators import hopping_mean
+
+    p = plan_of(
+        hopping_mean(
+            ev, field="value", t0=T0, t1=T1,
+            window_ns=86_400_000_000_000, slide_ns=21_600_000_000_000,
+        )
+    )
+    n_exchange = len(re.findall(r"Arguments: hashpartitioning\(", p))
+    ok &= check("hopping_mean: exactly one aggregate exchange", n_exchange == 1, f"{n_exchange}")
+    ok &= check("hopping_mean: map-side partial aggregation", "partial_count" in p or "Partial" in p)
+
+    # time_weighted_avg: the window sort and the aggregate both key on
+    # (series, wstart) — finer than per-series, so one giant series
+    # spreads across its windows.
+    from simple_tsdb_spark.operators import time_weighted_avg
+
+    p = plan_of(
+        time_weighted_avg(ev, field="value", t0=T0, t1=T1, window_ns=86_400_000_000_000)
+    )
+    ok &= check(
+        "time_weighted_avg: state keyed (series, wstart), not per-series",
+        re.search(r"hashpartitioning\(series#\d+, wstart", p) is not None,
+    )
+
     # interval_join bucket ids must be integer `div` arithmetic — a double
     # division of epoch-ns (~1.7e18 > 2^53) rounds, and rows at exact tol
     # multiples could misbucket (silent false negatives at |Δt|==tol).

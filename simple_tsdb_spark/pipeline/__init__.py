@@ -19,6 +19,7 @@ from simple_tsdb_spark.pipeline.text import (
     lang_id,
     fingerprint,
     tfidf_topk,
+    bm25_topk,
     topk_ngrams,
     ngram_lm_score,
     gopher_rules,
@@ -128,6 +129,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "tfidf_topk",
+    "bm25_topk",
     "dsir_logweights",
     "dsir_resample",
     "pii_scrub",

@@ -12,6 +12,8 @@ so throughput is bounded by parquet decode + codegen'd string ops.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -429,6 +431,137 @@ ranked AS (
          row_number() OVER (PARTITION BY doc ORDER BY _score DESC, term ASC) AS rnk
   FROM scored)
 SELECT doc_id, term, tf, df_term, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+# -- BM25 keyword retrieval ---------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    *,
+    query_terms: Sequence[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag of query terms —
+    the classic lexical ranker (Robertson/Spärck Jones; the Lucene
+    ``idf = ln((N+1)/(df+0.5))`` flavor), the retrieval complement to
+    the embedding ANN family.
+
+    Engine-portable scoring: the idf is computed on the µnat integer-ln
+    grid from INTEGER arguments only — ``lnq(2N+2) − lnq(2·df+1)``
+    equals ``⌊1e6·ln((N+1)/(df+0.5))⌋`` exactly — and every remaining
+    step is IEEE double arithmetic in a fixed parenthesization,
+    replicated verbatim in the oracle.  Per-doc term sums add the
+    per-term score columns in query order (no order-nondeterministic
+    float aggregation).
+
+    Scale: per-term tf is a codegen ``size(filter(...))`` projection —
+    the corpus scans ONCE with NO explode and NO shuffle; the df/N/avgdl
+    statistics reduce to one broadcast row; the only ordering cost is
+    the final top-k (TakeOrderedAndProject).  Query terms are a handful
+    by construction; for full-vocabulary retrieval build the inverted
+    index instead (the tfidf_topk shape).
+    """
+    terms = list(query_terms)
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    words = f"split({text_col}, ' ')"
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"size({words})").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter({words}, t -> t = '{t}'))").cast("long").alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    dlnorm = F.col("dl").cast("double") / (
+        F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    )
+    scores = []
+    for i in range(len(terms)):
+        idfq = _lnq_unats(F.lit(2) * F.col("_n") + F.lit(2)) - _lnq_unats(
+            F.lit(2) * F.col(f"_df{i}") + F.lit(1)
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        s = ((idfq.cast("double") / F.lit(1e6)) * (tf * F.lit(k1 + 1.0))) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dlnorm)
+        )
+        scores.append(s)
+    total = scores[0]
+    for s in scores[1:]:
+        total = total + s
+    return (
+        joined.select(
+            "doc_id",
+            "dl",
+            *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+            total.alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle(
+    table: str = "documents",
+    *,
+    query_terms: Sequence[str] = (),
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    terms = list(query_terms)
+    tf_defs = ",\n         ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(terms))
+    )
+    dlnorm = "CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    score_parts = []
+    for i in range(len(terms)):
+        idf = (
+            f"(CAST(floor(1e6 * ln(CAST(2 * n + 2 AS DOUBLE))) AS BIGINT)"
+            f" - CAST(floor(1e6 * ln(CAST(2 * df{i} + 1 AS DOUBLE))) AS BIGINT))"
+        )
+        score_parts.append(
+            f"((CAST({idf} AS DOUBLE) / 1000000.0) * (CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r}))"
+            f" / (CAST(tf{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * ({dlnorm})))"
+        )
+    total = score_parts[0]
+    for s in score_parts[1:]:
+        total = f"({total} + {s})"
+    tf_outs = ", ".join(f"tf{i} AS \"tf_{t}\"" for i, t in enumerate(terms))
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         {tf_defs}
+  FROM {table}),
+stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+         {df_defs}
+  FROM base)
+SELECT doc_id, dl, {tf_outs}, {total} AS bm25
+FROM base, stats
+ORDER BY bm25 DESC, doc_id LIMIT {k}
 """
 
 

@@ -576,6 +576,55 @@ def test_ngram_jaccard_arrow_shingles_identical(spark, docs):
     assert a == b and len(a) > 0
 
 
+def test_bm25_topk_python_model(spark):
+    """bm25_topk vs a direct python recomputation on a tiny corpus:
+    same µnat-quantized idf, same fixed-order scoring; absent terms
+    contribute exactly zero and ranking tiebreaks on doc_id."""
+    import math
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import bm25_topk
+    from simple_tsdb_spark.pipeline.text import BM25_B, BM25_K1
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry dates"),
+        (3, "apple dates eggs eggs eggs"),
+        (4, "plum plum plum"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    terms = ["apple", "cherry"]
+    got = bm25_topk(df, query_terms=terms, k=4).toPandas()
+
+    words = {d: t.split() for d, t in docs}
+    n = len(docs)
+    sumdl = sum(len(w) for w in words.values())
+    avgdl = sumdl / n
+    dfreq = {t: sum(1 for w in words.values() if t in w) for t in terms}
+    want = {}
+    for d, w in words.items():
+        score = 0.0
+        for t in terms:
+            tf = w.count(t)
+            idf = (
+                math.floor(1e6 * math.log(2 * n + 2))
+                - math.floor(1e6 * math.log(2 * dfreq[t] + 1))
+            ) / 1e6
+            score += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (len(w) / avgdl))
+            )
+        want[d] = score
+    # ranking: score desc, doc_id asc
+    order = sorted(want, key=lambda d: (-want[d], d))
+    assert list(got.doc_id) == order
+    for r in got.itertuples():
+        assert abs(r.bm25 - want[r.doc_id]) < 1e-9
+        assert r.tf_apple == words[r.doc_id].count("apple")
+    # doc 4 contains neither term → exactly zero
+    assert got[got.doc_id == 4].bm25.iloc[0] == 0.0
+
+
 def test_tfidf_topk_python_model(spark):
     """tfidf_topk vs a direct python recomputation on a tiny corpus,
     including the mathematically-tied-score case (2·ln3 vs ln9 style)
