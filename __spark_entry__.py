@@ -605,6 +605,14 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def _q_block_dedup(spark, sf_dir):
+    """Sub-document exact dedup: C4's repeated-line rule at 16-word-block
+    granularity (keep first occurrence corpus-wide, reassemble docs)."""
+    from simple_tsdb_spark.pipeline import block_dedup
+
+    return block_dedup(_docs(spark, sf_dir))
+
+
 BM25_TERMS = ("spark", "vector", "merge")
 
 
@@ -880,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": _q_time_weighted_avg,  # trapezoid time_weight per window
         "hopping_mean": _q_hopping_mean,  # sliding 1d/6h window mean (overlap agg)
         "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (lexical ranker)
+        "block_dedup": _q_block_dedup,  # C4-style sub-document block dedup
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1378,6 +1387,7 @@ def _pipeline_oracles() -> dict[str, str]:
         pack_sequences_oracle,
     )
     from simple_tsdb_spark.pipeline.dedup import (
+        block_dedup_oracle,
         embedding_dup_oracle,
         exact_dedup_oracle,
         minhash_est_jaccard_oracle,
@@ -1475,6 +1485,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "ngram_jaccard": ngram_jaccard_oracle(threshold=JACCARD_THRESHOLD),
         "minhash_lsh": minhash_lsh_oracle(),
         "minhash_est_jaccard": minhash_est_jaccard_oracle(),
+        "block_dedup": block_dedup_oracle(),
         "simhash_pairs": simhash_pairs_oracle(max_hamming=SIMHASH_MAX_HAMMING),
         "embedding_dup": embedding_dup_oracle(threshold=EMB_COS_THRESHOLD),
         "dedup_clusters": dedup_components_oracle(minhash_lsh_oracle_parts()),

@@ -37,6 +37,7 @@ from simple_tsdb_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
     minhash_est_jaccard,
+    block_dedup,
     simhash_band_dedup,
     simhash_pairs,
     embedding_dup_pairs,
@@ -137,6 +138,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "minhash_est_jaccard",
+    "block_dedup",
     "simhash_band_dedup",
     "simhash_pairs",
     "embedding_dup_pairs",

@@ -128,6 +128,82 @@ FROM {table} GROUP BY md5(text)
 """
 
 
+BLOCK_WORDS = 16
+
+
+def block_dedup(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    block_words: int = BLOCK_WORDS,
+) -> DataFrame:
+    """Sub-document exact dedup — C4's remove-repeated-lines rule
+    re-expressed for unstructured text at fixed ``block_words``-word
+    block granularity: every block seen earlier in the corpus (by
+    (doc_id, position) order) is dropped, and each document is
+    reassembled from its surviving blocks.
+
+    Output per doc: (doc_id, n_blocks, n_kept, kept_text) — strings and
+    integers only, no float hazards.
+
+    Scale: one explode (fan-out = docs × blocks, the data size), one
+    shuffle keyed by the block digest (uniform — md5), a per-block
+    window over the handful of duplicates, then one shuffle back to the
+    doc for ordered reassembly.  No corpus broadcast, no pair join —
+    this is corpus-linear, unlike any similarity-pair operator.
+    """
+    words = f"split({text_col}, ' ')"
+    nb = f"((size({words}) + {block_words - 1}) div {block_words})"
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("_t"),
+        F.explode(F.expr(f"sequence(1, {nb})")).alias("pos"),
+    ).select(
+        "doc",
+        "pos",
+        F.expr(
+            f"array_join(slice(split(_t, ' '), (pos - 1) * {block_words} + 1, {block_words}), ' ')"
+        ).alias("block"),
+    )
+    w = Window.partitionBy(F.md5("block"), "block").orderBy("doc", "pos")
+    marked = exploded.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("pos", "block"))
+    return (
+        marked.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["block"]
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_blocks", "n_kept", "kept_text")
+        .orderBy("doc_id")
+    )
+
+
+def block_dedup_oracle(table: str = "documents", *, block_words: int = BLOCK_WORDS) -> str:
+    return f"""
+WITH x AS (
+  SELECT doc_id AS doc, string_split(text, ' ') AS words,
+         UNNEST(generate_series(1, (len(string_split(text, ' ')) + {block_words - 1}) // {block_words})) AS pos
+  FROM {table}),
+b AS (
+  SELECT doc, pos,
+         array_to_string(words[(pos - 1) * {block_words} + 1 : pos * {block_words}], ' ') AS block
+  FROM x),
+m AS (
+  SELECT doc, pos, block,
+         ROW_NUMBER() OVER (PARTITION BY md5(block), block ORDER BY doc, pos) AS rn
+  FROM b)
+SELECT doc AS doc_id, COUNT(*) AS n_blocks,
+       CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(block, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS kept_text
+FROM m GROUP BY doc
+"""
+
+
 # -- n-gram jaccard ---------------------------------------------------------
 
 def ngram_jaccard_pairs(

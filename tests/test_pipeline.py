@@ -90,6 +90,39 @@ def test_knn_ivf_full_probe_equals_brute(spark, embs):
     ).all()
 
 
+def test_block_dedup_model(spark):
+    """block_dedup vs a python keep-first model on a tiny corpus with a
+    planted repeated block, including ragged tails and a fully-dup doc."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import block_dedup
+
+    blk = "w0 w1 w2 w3"  # block_words=4 for the test
+    docs = [
+        (1, f"{blk} a b c d tail1 tail2"),   # blocks: blk | "a b c d" | "tail1 tail2"
+        (2, f"{blk} x y z q"),               # blk dup of doc1 → dropped
+        (3, blk),                            # entirely dup → kept_text ''
+        (4, "a b c d e f g h"),              # "a b c d" dup of doc1
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = block_dedup(df, block_words=4).toPandas().set_index("doc_id")
+
+    seen: set[str] = set()
+    want = {}
+    for d, t in docs:
+        ws = t.split(" ")
+        blocks = [" ".join(ws[i : i + 4]) for i in range(0, len(ws), 4)]
+        kept = []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        want[d] = (len(blocks), len(kept), " ".join(kept))
+    for d, (nb, nk, txt) in want.items():
+        row = got.loc[d]
+        assert (row.n_blocks, row.n_kept, row.kept_text) == (nb, nk, txt), d
+
+
 def test_minhash_est_jaccard_audit(spark, docs):
     """est/exact audit columns recompute correctly: the exact jaccard
     matches a Python set model over the same stride-4 shingles, the
