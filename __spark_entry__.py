@@ -605,6 +605,13 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def _q_pmi_topk(spark, sf_dir):
+    """Top-100 adjacent-word collocations by integer-munat PMI."""
+    from simple_tsdb_spark.pipeline import pmi_topk
+
+    return pmi_topk(_docs(spark, sf_dir), k=100, min_count=5)
+
+
 def _q_block_dedup(spark, sf_dir):
     """Sub-document exact dedup: C4's repeated-line rule at 16-word-block
     granularity (keep first occurrence corpus-wide, reassemble docs)."""
@@ -889,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_mean": _q_hopping_mean,  # sliding 1d/6h window mean (overlap agg)
         "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (lexical ranker)
         "block_dedup": _q_block_dedup,  # C4-style sub-document block dedup
+        "pmi_topk": _q_pmi_topk,  # collocation mining (integer-µnat PMI)
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1426,6 +1434,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.similarity import knn_rp_oracle, rp_project_oracle
     from simple_tsdb_spark.pipeline.text import (
         bm25_topk_oracle,
+        pmi_topk_oracle,
         dsir_logweights_oracle,
         topk_ngrams_oracle,
         ngram_lm_score_oracle,
@@ -1469,6 +1478,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "cluster_prune": cluster_prune_oracle(k=CLUSTER_PRUNE_K),
         "tfidf_topk": tfidf_topk_oracle(k=5),
         "bm25_topk": bm25_topk_oracle(query_terms=BM25_TERMS, k=20),
+        "pmi_topk": pmi_topk_oracle(k=100, min_count=5),
         "pii_scrub": pii_scrub_oracle(),
         "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),
         "dsir_weights": dsir_logweights_oracle(target_pred="lang = 'en'"),

@@ -833,6 +833,80 @@ ORDER BY n_occurrences DESC, gram ASC LIMIT {k}
 """
 
 
+def pmi_topk(
+    df: DataFrame, *, k: int = 100, min_count: int = 5, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information — the phrase-mining pass (what becomes a merged token
+    or a stop-phrase).  ``pmi = ln(c_xy·N / (c_x·c_y))`` over corpus
+    unigram counts ``c_x`` and adjacent-bigram counts ``c_xy``, with
+    ``N`` = total word count.
+
+    Engine-portable: both ln arguments are exact BIGINT products, so the
+    score is a µnat-grid integer (``lnq(c_xy·N) − lnq(c_x·c_y)``) and
+    the emitted pmi is its unrounded /1e6 quotient.  ``min_count``
+    suppresses the unstable low-count tail (classic PMI pathology).
+
+    At 100 TB: two exploded aggregations (unigram, bigram) — uniform
+    hash keys, map-side combine — then two m:1 joins of the DISTINCT
+    bigram table against the unigram table (post-aggregation keys are
+    unique, so no Zipf skew survives to the join), and the global top-k
+    is TakeOrderedAndProject.
+    """
+    words = df.selectExpr(f"explode(split({text_col}, ' ')) AS w")
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = words.agg(F.count(F.lit(1)).alias("n_total"))
+    bi = (
+        df.selectExpr(f"explode({_bigrams_expr(text_col)}) AS bigram")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= int(min_count))
+        .withColumn("x", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("y", F.expr("split_part(bigram, ' ', 2)"))
+    )
+    ux = uni.select(F.col("w").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("w").alias("y"), F.col("c").alias("c_y"))
+    joined = bi.join(ux, "x").join(uy, "y").crossJoin(F.broadcast(tot))
+    pmi_q = _lnq_unats(F.col("c_xy") * F.col("n_total")) - _lnq_unats(
+        F.col("c_x") * F.col("c_y")
+    )
+    return (
+        joined.select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (pmi_q.cast("double") / F.lit(1e6)).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(int(k))
+    )
+
+
+def pmi_topk_oracle(table: str = "documents", *, k: int = 100, min_count: int = 5) -> str:
+    return f"""
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM {table}),
+words AS (SELECT UNNEST(w) AS w FROM toks),
+uni AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+tot AS (SELECT COUNT(*) AS n_total FROM words),
+bi0 AS (
+  SELECT UNNEST(list_transform(generate_series(1, len(w) - 1),
+                i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bigram
+  FROM toks WHERE len(w) >= 2),
+bi AS (
+  SELECT bigram, COUNT(*) AS c_xy,
+         string_split(bigram, ' ')[1] AS x, string_split(bigram, ' ')[2] AS y
+  FROM bi0 GROUP BY bigram HAVING COUNT(*) >= {min_count})
+SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
+       CAST(CAST(floor(1e6 * ln(CAST(c_xy * n_total AS DOUBLE))) AS BIGINT)
+            - CAST(floor(1e6 * ln(CAST(ux.c * uy.c AS DOUBLE))) AS BIGINT) AS DOUBLE)
+       / 1000000.0 AS pmi
+FROM bi JOIN uni ux ON ux.w = bi.x JOIN uni uy ON uy.w = bi.y, tot
+ORDER BY pmi DESC, bigram ASC LIMIT {k}
+"""
+
+
 # -- winnowing fingerprints ------------------------------------------------
 
 def winnowing_fingerprints(

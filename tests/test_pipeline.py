@@ -609,6 +609,49 @@ def test_ngram_jaccard_arrow_shingles_identical(spark, docs):
     assert a == b and len(a) > 0
 
 
+def test_pmi_topk_python_model(spark):
+    """pmi_topk vs a python recomputation on a tiny corpus with a planted
+    always-together collocation (high PMI) and a promiscuous word (low)."""
+    import math
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import pmi_topk
+
+    docs = [
+        (1, "san francisco is a city"),
+        (2, "san francisco is a port"),
+        (3, "a city is a place"),
+        (4, "san francisco bay area port"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = pmi_topk(df, k=10, min_count=2).toPandas()
+
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for _, t in docs:
+        ws = t.split(" ")
+        uni.update(ws)
+        bi.update(" ".join(p) for p in zip(ws, ws[1:]))
+    n = sum(uni.values())
+    want = {}
+    for g, cxy in bi.items():
+        if cxy < 2:
+            continue
+        x, y = g.split(" ")
+        want[g] = (
+            math.floor(1e6 * math.log(cxy * n)) - math.floor(1e6 * math.log(uni[x] * uni[y]))
+        ) / 1e6
+    order = sorted(want, key=lambda g: (-want[g], g))[:10]
+    assert list(got.bigram) == order
+    for r in got.itertuples():
+        assert abs(r.pmi - want[r.bigram]) < 1e-12
+    # the planted collocation dominates
+    assert got.bigram.iloc[0] == "san francisco"
+
+
 def test_bm25_topk_python_model(spark):
     """bm25_topk vs a direct python recomputation on a tiny corpus:
     same µnat-quantized idf, same fixed-order scoring; absent terms
