@@ -65,3 +65,51 @@ def streaming_sum_points(
         .agg(*aggs)
         .drop("window")
     )
+
+
+def _dur(ns: int) -> str:
+    return (
+        f"{ns // 1_000_000_000} seconds" if ns % 1_000_000_000 == 0 else f"{ns // 1000} microseconds"
+    )
+
+
+def streaming_hopping_mean(
+    stream: DataFrame,
+    *,
+    field: str,
+    window_ns: int,
+    slide_ns: int,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Continuous hopping-window mean — the streaming twin of
+    ``operators.hopping_mean``, via Spark-native sliding ``F.window``
+    (each event updates its ``window/slide`` covering windows; state is
+    O(#open windows × #series) and expires with the watermark).
+
+    The sum accumulates in DECIMAL(28,6) exactly like the batch
+    operator, so a finalized window's mean is bit-equal to the batch
+    result regardless of arrival or reduction order.
+    """
+    w, s = int(window_ns), int(slide_ns)
+    if w % s != 0:
+        raise ValueError("window_ns must be a multiple of slide_ns")
+    if w % 1000 != 0 or s % 1000 != 0:
+        raise ValueError("streaming windows need µs-resolution durations")
+    ts = F.expr("timestamp_micros(time_ns div 1000)")
+    src = stream.withColumn("_event_ts", ts).withWatermark("_event_ts", watermark_delay)
+    col = F.col(field)
+    cnt = F.count(col)
+    mean = F.when(cnt > 0, F.sum(col.cast("decimal(28,6)")).cast("double") / cnt)
+    return (
+        src.groupBy("series", F.window("_event_ts", _dur(w), _dur(s)))
+        .agg(
+            F.count(F.lit(1)).alias("npoints"),
+            cnt.alias(f"{field}_count"),
+            F.min(col).alias(f"{field}_min"),
+            F.max(col).alias(f"{field}_max"),
+            mean.alias(f"{field}_mean"),
+        )
+        .withColumn("wstart", F.expr("unix_micros(window.start) * 1000"))
+        .drop("window")
+        .select("series", "wstart", "npoints", f"{field}_count", f"{field}_min", f"{field}_max", f"{field}_mean")
+    )

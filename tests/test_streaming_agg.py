@@ -117,3 +117,35 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert sorted(got.text) == ["alpha", "beta", "gamma"]  # one per content
     md5 = {t: hashlib.md5(t.encode()).hexdigest() for t in ["alpha", "beta", "gamma"]}
     assert {r.text: r.content_md5 for r in got.itertuples()} == md5
+
+
+def test_streaming_hopping_mean_matches_batch(spark, tmp_path):
+    """Finalized hopping windows from the stream equal the batch
+    hopping_mean frame bit-for-bit (same decimal-sum mean recipe)."""
+    from simple_tsdb_spark.operators import hopping_mean
+    from simple_tsdb_spark.streaming.aggregate import streaming_hopping_mean
+
+    rows = [("a", int(i * 0.25e9), float(i) * 1.1) for i in range(40)] + [
+        ("b", int(i * 1e9), 2.0 * i) for i in range(10)
+    ]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "v"])
+    src = str(tmp_path / "hop_src")
+    df = spark.createDataFrame(pdf, SCHEMA)
+    df.write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = streaming_hopping_mean(stream, field="v", window_ns=2_000_000_000, slide_ns=500_000_000)
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("hop_agg").start()
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM hop_agg")
+        .toPandas()
+        .sort_values(["series", "wstart"], ignore_index=True)
+    )
+    want = (
+        hopping_mean(df, field="v", window_ns=2_000_000_000, slide_ns=500_000_000)
+        .toPandas()
+        .sort_values(["series", "wstart"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
