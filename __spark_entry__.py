@@ -605,6 +605,27 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def _q_corpus_stats(spark, sf_dir):
+    """Per-(lang, source) corpus report: counts, token totals, exact median."""
+    from simple_tsdb_spark.pipeline import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def _q_quality_filter_pct(spark, sf_dir):
+    """Corpus-adaptive quality gate: drop the bottom decile of quality."""
+    from simple_tsdb_spark.pipeline import quality_filter_pct
+
+    return quality_filter_pct(_docs(spark, sf_dir), pct=0.1)
+
+
+def _q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: unshipped-order revenue top-10 for one segment."""
+    from simple_tsdb_spark.plans.analytics import shipping_priority
+
+    return shipping_priority(spark, sf_dir)
+
+
 def _q_pmi_topk(spark, sf_dir):
     """Top-100 adjacent-word collocations by integer-munat PMI."""
     from simple_tsdb_spark.pipeline import pmi_topk
@@ -897,6 +918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (lexical ranker)
         "block_dedup": _q_block_dedup,  # C4-style sub-document block dedup
         "pmi_topk": _q_pmi_topk,  # collocation mining (integer-µnat PMI)
+        "shipping_priority": _q_shipping_priority,  # TPC-H Q3 revenue ranking
+        "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
+        "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1435,6 +1459,8 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.text import (
         bm25_topk_oracle,
         pmi_topk_oracle,
+        corpus_stats_oracle,
+        quality_filter_pct_oracle,
         dsir_logweights_oracle,
         topk_ngrams_oracle,
         ngram_lm_score_oracle,
@@ -1455,6 +1481,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.plans.analytics import (
         daily_event_pivot_oracle,
         pricing_summary_oracle,
+        shipping_priority_oracle,
         revenue_by_nation_oracle,
         revenue_rollup_oracle,
         top_customers_oracle,
@@ -1479,6 +1506,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "tfidf_topk": tfidf_topk_oracle(k=5),
         "bm25_topk": bm25_topk_oracle(query_terms=BM25_TERMS, k=20),
         "pmi_topk": pmi_topk_oracle(k=100, min_count=5),
+        "corpus_stats": corpus_stats_oracle(),
+        "quality_filter_pct": quality_filter_pct_oracle(pct=0.1),
         "pii_scrub": pii_scrub_oracle(),
         "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),
         "dsir_weights": dsir_logweights_oracle(target_pred="lang = 'en'"),
@@ -1515,6 +1544,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "multimodal_meta": attach_blob_meta_oracle(),
         "blob_features": blob_features_oracle(),
         "pricing_summary": pricing_summary_oracle(),
+        "shipping_priority": shipping_priority_oracle(),
         "revenue_by_nation": revenue_by_nation_oracle(),
         "top_customers": top_customers_oracle(),
         "daily_pivot": daily_event_pivot_oracle(),

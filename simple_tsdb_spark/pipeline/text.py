@@ -907,6 +907,94 @@ ORDER BY pmi DESC, bigram ASC LIMIT {k}
 """
 
 
+def corpus_stats(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    strata: Sequence[str] = ("lang", "source"),
+) -> DataFrame:
+    """Per-stratum corpus report — the first query of any curation run:
+    doc count, token totals, UNROUNDED mean tokens/doc, char totals, and
+    the exact interpolated median doc length.
+
+    Determinism: counts/sums are BIGINTs; the mean is one IEEE division;
+    the median is ``percentile``/``quantile_cont`` linear interpolation
+    over integers (verified bit-equal cross-engine by quantile_points).
+
+    Scale: one scan, one shuffle on the (small) stratum key with
+    map-side combine; the median's per-group sort is bounded by stratum
+    size — for heavy-tail strata swap in an approx sketch and drop the
+    oracle row (this exact form is the verification path).
+    """
+    cols = [F.col(c) for c in strata]
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        df.select(*cols, toks.alias("_nt"), F.length(text_col).cast("long").alias("_nc"))
+        .groupBy(*cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            (F.sum("_nt").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_tokens"
+            ),
+            F.sum("_nc").alias("total_chars"),
+            F.expr("percentile(CAST(_nc AS DOUBLE), 0.5)").alias("median_chars"),
+        )
+        .orderBy(*strata)
+    )
+
+
+def corpus_stats_oracle(table: str = "documents", *, strata: Sequence[str] = ("lang", "source")) -> str:
+    keys = ", ".join(strata)
+    return f"""
+SELECT {keys}, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS median_chars
+FROM {table} GROUP BY {keys}
+"""
+
+
+def quality_filter_pct(
+    df: DataFrame, *, pct: float = 0.1, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-adaptive quality gate: drop the bottom ``pct`` quantile of
+    :func:`quality_score` — the threshold tracks the corpus instead of a
+    hand-picked constant (how production quality gates are actually
+    tuned).
+
+    Output: (doc_id, quality, threshold, keep).  The threshold is the
+    exact interpolated corpus quantile of the bit-deterministic quality
+    score, broadcast back over one scan; ``keep`` is one IEEE >=
+    comparison, so the cut lands identically cross-engine.
+    """
+    scores = quality_score(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("quality")
+    )
+    thr = scores.agg(
+        F.expr(f"percentile(quality, CAST({float(pct)!r} AS DOUBLE))").alias("threshold")
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .select(
+            id_col,
+            "quality",
+            "threshold",
+            (F.col("quality") >= F.col("threshold")).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def quality_filter_pct_oracle(table: str = "documents", *, pct: float = 0.1) -> str:
+    q = quality_score_oracle(table).strip().rstrip()
+    return f"""
+WITH scores AS ({q}),
+thr AS (SELECT quantile_cont(quality, CAST({float(pct)!r} AS DOUBLE)) AS threshold FROM scores)
+SELECT doc_id, quality, threshold, quality >= threshold AS keep
+FROM scores, thr
+"""
+
+
 # -- winnowing fingerprints ------------------------------------------------
 
 def winnowing_fingerprints(

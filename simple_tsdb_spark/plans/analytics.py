@@ -96,6 +96,56 @@ GROUP BY n_name
 """
 
 
+def shipping_priority(
+    spark: SparkSession, sf_dir: str, *, segment: str = "BUILDING",
+    cutoff: str = "1998-01-01", k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape — unshipped-order revenue ranking: orders from one
+    market segment placed before ``cutoff`` with lineitems shipping
+    after it, top-``k`` by revenue.
+
+    Plan shape for 100 TB: the segment-filtered customer list broadcasts
+    (dimension), orders⋈lineitem shuffles once on the uniform orderkey,
+    both date predicates push to the parquet scans, and the final
+    ranking is TakeOrderedAndProject (each partition ships only its
+    local top-k).  Revenue accumulates in exact DECIMAL and casts to
+    double once (the revenue_by_nation recipe).
+    """
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(cutoff))
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit(cutoff))
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == segment)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(k)
+    )
+
+
+def shipping_priority_oracle(
+    *, segment: str = "BUILDING", cutoff: str = "1998-01-01", k: int = 10
+) -> str:
+    return f"""
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT {k}
+"""
+
+
 def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: events per day × event_type (wide daily activity table).
 

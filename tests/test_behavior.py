@@ -106,3 +106,21 @@ def test_session_stats_model(spark):
     assert a.mean_events == 4 / 2 and a.mean_duration_ns == (20 + 0) / 2
     b = got["b"]
     assert (b.n_sessions, b.total_events, b.mean_duration_ns) == (1, 2, 10.0)
+
+
+def test_shipping_priority_q3_model(spark):
+    """shipping_priority vs a duckdb recomputation at sf0.001 (row set
+    and exact revenue values)."""
+    import duckdb
+
+    from simple_tsdb_spark.plans.analytics import shipping_priority, shipping_priority_oracle
+
+    sf = "/root/testdata/sf0.001"
+    got = shipping_priority(spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(shipping_priority_oracle()).df()
+    assert len(got) == len(want)
+    assert list(got.l_orderkey) == list(want.l_orderkey)
+    assert (got.revenue.to_numpy() == want.revenue.to_numpy()).all()

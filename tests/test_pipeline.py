@@ -609,6 +609,46 @@ def test_ngram_jaccard_arrow_shingles_identical(spark, docs):
     assert a == b and len(a) > 0
 
 
+def test_corpus_stats_model(spark, docs):
+    """corpus_stats vs pandas groupby recomputation (counts, totals,
+    unrounded mean, interpolated median)."""
+    from simple_tsdb_spark.pipeline import corpus_stats
+
+    got = corpus_stats(docs).toPandas()
+    pdf = docs.toPandas()
+    pdf["nt"] = pdf.text.str.split(" ").str.len()
+    pdf["nc"] = pdf.text.str.len()
+    want = pdf.groupby(["lang", "source"]).agg(
+        n_docs=("nt", "size"),
+        total_tokens=("nt", "sum"),
+        total_chars=("nc", "sum"),
+        median_chars=("nc", "median"),
+    )
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        wr = want.loc[(r.lang, r.source)]
+        assert r.n_docs == wr.n_docs and r.total_tokens == wr.total_tokens
+        assert r.total_chars == wr.total_chars
+        assert abs(r.median_chars - wr.median_chars) < 1e-9
+        assert abs(r.mean_tokens - wr.total_tokens / wr.n_docs) < 1e-12
+
+
+def test_quality_filter_pct(spark, docs):
+    """The adaptive gate keeps ~(1-pct) of docs; flags are consistent
+    with the emitted threshold; threshold equals the numpy quantile."""
+    import numpy as np
+
+    from simple_tsdb_spark.pipeline import quality_filter_pct, quality_score
+
+    got = quality_filter_pct(docs, pct=0.2).toPandas()
+    q = quality_score(docs).toPandas().quality.to_numpy()
+    thr = np.quantile(q, 0.2)  # linear interpolation — same rule
+    assert abs(got.threshold.iloc[0] - thr) < 1e-12
+    assert (got.keep == (got.quality >= got.threshold)).all()
+    frac = got.keep.mean()
+    assert 0.75 <= frac <= 0.85  # ~80% kept at pct=0.2 (ties can shift it)
+
+
 def test_pmi_topk_python_model(spark):
     """pmi_topk vs a python recomputation on a tiny corpus with a planted
     always-together collocation (high PMI) and a promiscuous word (low)."""
