@@ -302,6 +302,21 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+NEAREST_TOL_NS = 3600 * 1_000_000_000  # 1 h nearest-match budget
+
+
+def _q_asof_join_nearest(spark, sf_dir):
+    """Bidirectional nearest as-of join (backward wins ties, 1h tolerance)."""
+    from simple_tsdb_spark.operators import asof_join_nearest
+
+    return asof_join_nearest(
+        _user_series(spark, sf_dir, "click"),
+        _user_series(spark, sf_dir, "error"),
+        right_fields=["value"],
+        tolerance_ns=NEAREST_TOL_NS,
+    )
+
+
 INTERVAL_TOL_NS = 3600 * 1_000_000_000  # 1 h: clicks near an error
 
 
@@ -921,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,  # TPC-H Q3 revenue ranking
         "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
         "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
+        "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1313,6 +1329,7 @@ WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts))
 
 def _timeseries_oracles() -> dict[str, str]:
     from simple_tsdb_spark.operators.timeseries import (
+        asof_join_nearest_oracle,
         asof_join_oracle,
         distinct_count_oracle,
         interval_join_oracle,
@@ -1348,6 +1365,7 @@ def _timeseries_oracles() -> dict[str, str]:
         "bollinger": bollinger_bands_oracle(_M, field="value", n=20, k=2.0),
         "incidents": incident_windows_oracle(_M, field="value", k=2.0, gap_ns=60_000_000_000),
         "asof_join": asof_join_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"]),
+        "asof_join_nearest": asof_join_nearest_oracle(_M_CLICKS, _M_ERRORS, right_fields=["value"], tolerance_ns=NEAREST_TOL_NS),
         "interval_join": interval_join_oracle(
             _M_CLICKS, _M_ERRORS, tol_ns=INTERVAL_TOL_NS, right_fields=["value"]
         ),

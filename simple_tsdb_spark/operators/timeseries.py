@@ -104,6 +104,120 @@ FROM ({base})
 """
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    right_fields: Sequence[str],
+    tolerance_ns: int | None = None,
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row in the same
+    series minimizing ``|Δt|`` (backward wins ties) — sensor fusion when
+    the reference clock may lag OR lead the joined stream, the
+    bidirectional complement of :func:`asof_join`.
+
+    Output adds ``asof_time_ns``, ``asof_delta_ns`` (exact non-negative
+    long) and one ``{f}_asof`` per right field, all NULL when no
+    candidate lies within ``tolerance_ns``.
+
+    Scale: same single-shuffle union-sort plan as ``asof_join`` — both
+    directional fills ride ONE (series, time order) sort, no join
+    against the right side at all.
+    """
+    lcols = [c for c in left.columns]
+    rdt = dict(right.dtypes)
+    ldt = dict(left.dtypes)
+    l = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_rt"),
+        *[F.lit(None).cast(rdt[f]).alias(f"_rv_{f}") for f in right_fields],
+    )
+    r = right.select(
+        "series",
+        "time_ns",
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in lcols if c not in ("series", "time_ns")],
+        F.lit(0).alias("_side"),
+        F.col("time_ns").alias("_rt"),
+        *[F.col(f).alias(f"_rv_{f}") for f in right_fields],
+    ).select(*lcols, "_side", "_rt", *[f"_rv_{f}" for f in right_fields])
+    u = l.unionByName(r)
+    order = [F.col("time_ns"), F.col("_side")]
+    wb = Window.partitionBy("series").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("series").orderBy(*order).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    proj = [
+        F.last(F.col("_rt"), ignorenulls=True).over(wb).alias("_bt"),
+        F.first(F.col("_rt"), ignorenulls=True).over(wf).alias("_ft"),
+    ]
+    for f in right_fields:
+        proj += [
+            F.last(F.col(f"_rv_{f}"), ignorenulls=True).over(wb).alias(f"_bv_{f}"),
+            F.first(F.col(f"_rv_{f}"), ignorenulls=True).over(wf).alias(f"_fv_{f}"),
+        ]
+    u = u.select("*", *proj).where(F.col("_side") == 1)
+    db = F.col("time_ns") - F.col("_bt")
+    df_ = F.col("_ft") - F.col("time_ns")
+    b_ok = F.col("_bt").isNotNull()
+    f_ok = F.col("_ft").isNotNull()
+    if tolerance_ns is not None:
+        tol = int(tolerance_ns)
+        b_ok = b_ok & (db <= tol)
+        f_ok = f_ok & (df_ <= tol)
+    use_b = b_ok & (~f_ok | (db <= df_))
+    use_f = f_ok & ~use_b
+    out_cols = [
+        *lcols,
+        F.when(use_b, F.col("_bt")).when(use_f, F.col("_ft")).alias("asof_time_ns"),
+        F.when(use_b, db).when(use_f, df_).alias("asof_delta_ns"),
+    ]
+    out_cols += [
+        F.when(use_b, F.col(f"_bv_{f}")).when(use_f, F.col(f"_fv_{f}")).alias(f"{f}_asof")
+        for f in right_fields
+    ]
+    return u.select(*out_cols)
+
+
+def asof_join_nearest_oracle(
+    left_sql: str, right_sql: str, *, right_fields: Sequence[str], tolerance_ns: int | None = None
+) -> str:
+    """DuckDB twin: backward + forward native ASOF joins, then the same
+    nearest/tolerance selection."""
+    bv = ", ".join(f"b.{f} AS _bv_{f}" for f in right_fields)
+    fv = ", ".join(f"f.{f} AS _fv_{f}" for f in right_fields)
+    b_ok = "bt IS NOT NULL"
+    f_ok = "ft IS NOT NULL"
+    if tolerance_ns is not None:
+        b_ok += f" AND (time_ns - bt) <= {int(tolerance_ns)}"
+        f_ok += f" AND (ft - time_ns) <= {int(tolerance_ns)}"
+    rv_out = ", ".join(
+        f"CASE WHEN _use_b THEN _bv_{f} WHEN _use_f THEN _fv_{f} END AS {f}_asof"
+        for f in right_fields
+    )
+    drop = ["bt", "ft", "_use_b", "_use_f"]
+    drop += [f"_bv_{f}" for f in right_fields] + [f"_fv_{f}" for f in right_fields]
+    return f"""
+WITH j AS (
+  SELECT l.*, b.time_ns AS bt, {bv}, f.time_ns AS ft, {fv}
+  FROM ({left_sql}) l
+  ASOF LEFT JOIN ({right_sql}) b ON l.series = b.series AND l.time_ns >= b.time_ns
+  ASOF LEFT JOIN ({right_sql}) f ON l.series = f.series AND l.time_ns <= f.time_ns),
+sel AS (
+  SELECT *,
+         ({b_ok}) AND (NOT ({f_ok}) OR (time_ns - bt) <= (ft - time_ns)) AS _use_b,
+         ({f_ok}) AND NOT (({b_ok}) AND (NOT ({f_ok}) OR (time_ns - bt) <= (ft - time_ns))) AS _use_f
+  FROM j)
+SELECT * EXCLUDE ({', '.join(drop)}),
+       CASE WHEN _use_b THEN bt WHEN _use_f THEN ft END AS asof_time_ns,
+       CASE WHEN _use_b THEN time_ns - bt WHEN _use_f THEN ft - time_ns END AS asof_delta_ns,
+       {rv_out}
+FROM sel
+"""
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -377,3 +377,46 @@ def test_incident_windows_merging(spark):
     assert (first.incident_start, first.incident_end, first.n_points) == (100, 120, 2)
     assert (second.incident_start, second.incident_end, second.n_points) == (400, 400, 1)
     assert first.peak_zscore > second.peak_zscore
+
+
+def test_asof_join_nearest_model(spark):
+    """Nearest as-of vs a python model: backward tie-wins, tolerance
+    NULLs, forward-only and backward-only edges."""
+    import pandas as pd
+
+    left_rows = [("s", 100, 1.0), ("s", 200, 2.0), ("s", 305, 3.0), ("t", 50, 4.0)]
+    right_rows = [("s", 90, 10.0), ("s", 210, 20.0), ("s", 300, 30.0), ("u", 1, 99.0)]
+    l = spark.createDataFrame(pd.DataFrame(left_rows, columns=["series", "time_ns", "value"]))
+    r = spark.createDataFrame(pd.DataFrame(right_rows, columns=["series", "time_ns", "rv"]))
+
+    from simple_tsdb_spark.operators import asof_join_nearest
+
+    got = (
+        asof_join_nearest(l, r, right_fields=["rv"], tolerance_ns=15)
+        .toPandas()
+        .set_index(["series", "time_ns"])
+    )
+    # t=100: back 90 (d=10 ok), fwd 210 (d=110 >15) -> back
+    assert got.loc[("s", 100)].asof_time_ns == 90 and got.loc[("s", 100)].rv_asof == 10.0
+    assert got.loc[("s", 100)].asof_delta_ns == 10
+    # t=200: back 90 (d=110 >tol), fwd 210 (d=10 ok) -> fwd
+    assert got.loc[("s", 200)].asof_time_ns == 210 and got.loc[("s", 200)].rv_asof == 20.0
+    # t=305: back 300 (d=5), fwd none -> back
+    assert got.loc[("s", 305)].asof_time_ns == 300 and got.loc[("s", 305)].asof_delta_ns == 5
+    # series t: no right rows at all -> NULLs
+    assert pd.isna(got.loc[("t", 50)].asof_time_ns) and pd.isna(got.loc[("t", 50)].rv_asof)
+
+    # tie: back and fwd equidistant -> backward wins
+    l2 = spark.createDataFrame(pd.DataFrame([("s", 150, 0.0)], columns=["series", "time_ns", "value"]))
+    r2 = spark.createDataFrame(
+        pd.DataFrame([("s", 140, 1.0), ("s", 160, 2.0)], columns=["series", "time_ns", "rv"])
+    )
+    row = asof_join_nearest(l2, r2, right_fields=["rv"]).toPandas().iloc[0]
+    assert row.asof_time_ns == 140 and row.rv_asof == 1.0 and row.asof_delta_ns == 10
+
+    # exact-equal right row -> delta 0 via backward
+    r3 = spark.createDataFrame(
+        pd.DataFrame([("s", 150, 7.0), ("s", 151, 8.0)], columns=["series", "time_ns", "rv"])
+    )
+    row = asof_join_nearest(l2, r3, right_fields=["rv"]).toPandas().iloc[0]
+    assert row.asof_time_ns == 150 and row.rv_asof == 7.0 and row.asof_delta_ns == 0
