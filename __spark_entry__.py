@@ -667,6 +667,19 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), query_terms=BM25_TERMS, k=20)
 
 
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def _q_ngram_containment(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B|/min(|A|,|B|): short-doc-inside-
+    long-doc pairs that Jaccard dilutes."""
+    from simple_tsdb_spark.pipeline import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=CONTAINMENT_THRESHOLD, metric="containment"
+    )
+
+
 def _q_minhash_est_jaccard(spark, sf_dir):
     """LSH accuracy audit: estimated vs exact Jaccard per candidate pair."""
     from simple_tsdb_spark.pipeline import minhash_est_jaccard
@@ -937,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
         "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
+        "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
         # round-8 additions (new entries need driver evidence first)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         # stale block: driver evidence is r6 — refresh first
@@ -1540,6 +1554,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "exact_substr_spans": exact_substr_spans_oracle(),
         "dedup_exact": exact_dedup_oracle(),
         "ngram_jaccard": ngram_jaccard_oracle(threshold=JACCARD_THRESHOLD),
+        "ngram_containment": ngram_jaccard_oracle(threshold=CONTAINMENT_THRESHOLD, metric="containment"),
         "minhash_lsh": minhash_lsh_oracle(),
         "minhash_est_jaccard": minhash_est_jaccard_oracle(),
         "block_dedup": block_dedup_oracle(),

@@ -90,6 +90,34 @@ def test_knn_ivf_full_probe_equals_brute(spark, embs):
     ).all()
 
 
+def test_ngram_containment_vs_jaccard(spark):
+    """Containment catches a short doc quoted inside a long one where
+    Jaccard stays low; both metrics agree with a python set model."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import ngram_jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"filler{i:03d} word{i:03d}" for i in range(60))
+    docs = [(1, quote), (2, quote + " " + filler)]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+    cont = ngram_jaccard_pairs(df, threshold=0.5, metric="containment", max_df=10**6).toPandas()
+    jac = ngram_jaccard_pairs(df, threshold=0.0, metric="jaccard", max_df=10**6).toPandas()
+    assert len(cont) == 1 and len(jac) == 1
+
+    def shset(t):
+        return {t[i : i + 8] for i in range(max(len(t) - 7, 1))}
+
+    a, b = shset(docs[0][1]), shset(docs[1][1])
+    inter = len(a & b)
+    assert abs(cont.containment.iloc[0] - inter / min(len(a), len(b))) < 1e-12
+    assert abs(jac.jaccard.iloc[0] - inter / len(a | b)) < 1e-12
+    # the whole point: containment ≈ 1, jaccard diluted by the filler
+    assert cont.containment.iloc[0] > 0.95
+    assert jac.jaccard.iloc[0] < 0.5
+
+
 def test_block_dedup_model(spark):
     """block_dedup vs a python keep-first model on a tiny corpus with a
     planted repeated block, including ragged tails and a fully-dup doc."""
