@@ -7,7 +7,11 @@ from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup, streaming_s
 from simple_tsdb_spark.streaming.aggregate import streaming_hopping_mean, streaming_sum_points
 from simple_tsdb_spark.streaming.ingest import start_ingest, start_ingest_with_rollup
 from simple_tsdb_spark.streaming.join import streaming_interval_join
-from simple_tsdb_spark.streaming.stateful import streaming_ewma, streaming_holt
+from simple_tsdb_spark.streaming.stateful import (
+    streaming_ewma,
+    streaming_holt,
+    streaming_time_weighted_avg,
+)
 
 __all__ = [
     "start_ingest",
@@ -16,6 +20,7 @@ __all__ = [
     "start_ingest_with_rollup",
     "streaming_ewma",
     "streaming_holt",
+    "streaming_time_weighted_avg",
     "streaming_curate",
     "streaming_decontaminate_flags",
     "streaming_dsir_scores",

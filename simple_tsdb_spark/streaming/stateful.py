@@ -138,3 +138,108 @@ def streaming_holt(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_time_weighted_avg(
+    stream: DataFrame,
+    *,
+    field: str,
+    window_ns: int,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Continuous time-weighted average — the stateful streaming twin of
+    ``operators.integral.time_weighted_avg``: per (series, window) the
+    trapezoid numerator accumulates incrementally as points arrive
+    (state = count, bounds, last micro-value, exact integer accumulator),
+    and the finalized row emits on event-time timeout once the watermark
+    passes the window end.
+
+    Exactness: the accumulator is an arbitrary-precision Python int
+    carried as a decimal string (the state schema has no DECIMAL(38,0)),
+    so a finalized window's twa is bit-equal to the batch operator's
+    (same conventions: single point → its value, any NULL poisons,
+    final value = float(acc)/float(t_last−t_first)/2e6 — the identical
+    IEEE op order).  Assumes per-series time-ordered arrival across
+    batches (the streaming_ewma contract); within a batch rows are
+    sorted.
+
+    Scale: state is O(open windows × series), a handful of scalars each;
+    Arrow-batched updates; windows expire with the watermark.
+    """
+    from pyspark.sql import functions as F
+
+    w = int(window_ns)
+    if w % 1_000_000 != 0:
+        raise ValueError("event-time timeouts need ms-resolution window_ns")
+    out_schema = (
+        f"series string, wstart long, npoints long, t_first long, t_last long, "
+        f"{field}_twa double"
+    )
+    state_schema = (
+        "npoints long, tf long, tl long, last_vm long, last_has_v boolean, "
+        "acc string, poisoned boolean, single double"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        series, wstart = key[0], int(key[1])
+        if state.hasTimedOut:
+            npoints, tf, tl, last_vm, last_has_v, acc_s, poisoned, single = state.get
+            acc = int(acc_s)
+            if poisoned:
+                twa = None
+            elif npoints == 1:
+                twa = single
+            else:
+                twa = float(acc) / float(tl - tf) / 2e6
+            state.remove()
+            yield pd.DataFrame(
+                [[series, wstart, npoints, tf, tl, twa]],
+                columns=["series", "wstart", "npoints", "t_first", "t_last", f"{field}_twa"],
+            )
+            return
+        if state.exists:
+            npoints, tf, tl, last_vm, last_has_v, acc_s, poisoned, single = state.get
+            acc = int(acc_s)
+        else:
+            npoints, tf, tl, last_vm, last_has_v, acc, poisoned, single = (
+                0, None, None, 0, False, 0, False, None,
+            )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("time_ns")
+            for t, v in zip(pdf["time_ns"].astype("int64"), pdf[field]):
+                t = int(t)
+                has_v = pd.notna(v)
+                # micro-units: under the exact-mode contract (<=6
+                # meaningful decimals) v*1e6 sits within ~1e-9 of an
+                # integer, so HALF_UP (Spark F.round) and half-to-even
+                # (Python round) coincide
+                vm = int(round(v * 1e6)) if has_v else 0
+                if not has_v:
+                    poisoned = True
+                if npoints > 0:
+                    # batch: coalesce((vm+lvm)*dt, 0) — null on either end
+                    # contributes zero (poisoning handles correctness)
+                    if has_v and last_has_v:
+                        acc += (vm + last_vm) * (t - tl)
+                    tl = t
+                else:
+                    tf = tl = t
+                    if has_v:
+                        single = float(v)
+                npoints += 1
+                last_vm, last_has_v = vm, has_v
+        state.update((npoints, tf, tl, last_vm, last_has_v, str(acc), poisoned, single))
+        state.setTimeoutTimestamp(wstart // 1_000_000 + w // 1_000_000)
+
+    src = (
+        stream.withColumn("_event_ts", F.expr("timestamp_micros(time_ns div 1000)"))
+        .withWatermark("_event_ts", watermark_delay)
+        .withColumn("wstart", F.col("time_ns") - (F.col("time_ns") % F.lit(w)))
+    )
+    return src.groupBy("series", "wstart").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -101,3 +101,61 @@ def test_streaming_holt_cross_batch_equals_batch(spark, tmp_path):
         .sort_values("time_ns", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_twa_matches_batch(spark, tmp_path):
+    """Finalized streaming TWA windows equal the batch operator
+    bit-for-bit (exact integer accumulator carried across batches)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from simple_tsdb_spark.operators import time_weighted_avg
+    from simple_tsdb_spark.streaming import streaming_time_weighted_avg
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("time_ns", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    w = 10 * 10**9
+    # the watermark is GLOBAL: series b must arrive in batch 1, before
+    # batch 1's max event time (14.3 s) makes its 0–10 s rows late
+    rows1 = [("a", int(i * 1.3e9) + 5 * 10**8, round(0.07 * i, 2)) for i in range(12)] + [
+        ("b", int(i * 2e9) + 5 * 10**8, float(i)) for i in range(6)
+    ]  # +0.5 s: event time 0 equals the initial watermark and is dropped
+    rows2 = [("a", int((12 + i) * 1.3e9) + 5 * 10**8, round(0.07 * (12 + i), 2)) for i in range(8)]
+    src = str(tmp_path / "twa_src")
+
+    def mk(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v"]), schema)
+
+    mk(rows1).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = streaming_time_weighted_avg(stream, field="v", window_ns=w, watermark_delay="0 seconds")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("twa_agg").start()
+    q.processAllAvailable()
+    # second batch continues window state, then a far-future point
+    # advances the watermark so every data window finalizes
+    mk(rows2).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    mk([("a", 10**15, 0.0), ("b", 10**15, 0.0)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    # timeouts fire on the batch AFTER the watermark advances — one more
+    # trigger batch flushes every remaining data window
+    mk([("a", 10**15 + 1, 0.0)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM twa_agg")
+        .toPandas()
+        .sort_values(["series", "wstart"], ignore_index=True)
+    )
+    batch_df = mk(rows1 + rows2)
+    want = (
+        time_weighted_avg(batch_df, field="v", t0=0, t1=2**62, window_ns=w)
+        .toPandas()
+        .sort_values(["series", "wstart"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
