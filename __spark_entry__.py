@@ -927,15 +927,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  Whichever entries fall past the gate this round lead the
     # next round's dict.
     return {
-        # r7/r8 hash-fails — r8's µnat ln-quantization was necessary but
-        # not sufficient (terminal round(double, N) still diverged:
-        # Spark BigDecimal-HALF_UP vs DuckDB nearbyint at repr
-        # boundaries, judge-verified).  r9 removes the terminal round
-        # entirely (unrounded IEEE quotient of identical BIGINTs);
-        # keep at head until CORRECTNESS shows green.
+        # Rotation (standing mechanic: the driver gates ~50 of the
+        # declared queries per round; whatever lacks fresh driver
+        # evidence leads).  Order this round:
+        #   1. the two r7/r8 hash-fails, FIXED in r9 (terminal-round
+        #      removal) — keep at head until CORRECTNESS shows green;
+        #   2. this round's 15 NEW queries (no driver evidence yet);
+        #   3. the 39 entries whose last driver evidence is r7 (they
+        #      sat past r8's 50-slot window; the judge re-verified
+        #      them in r7; the tail few may spill to next round);
+        #   4. the r8-green block (CORRECTNESS_r08) last.
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
-        # round-9 additions (new entries need driver evidence first)
         "cohort_retention": _q_cohort_retention,  # daily cohort × offset matrix
         "event_funnel": _q_event_funnel,  # ordered view→click→purchase funnel
         "session_stats": _q_session_stats,  # per-series session summary (unrounded mean quotients)
@@ -951,9 +954,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
-        # round-8 additions (new entries need driver evidence first)
+        "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
+        "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
+        "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
+        "cluster_prune": _q_cluster_prune,  # SSL-prototype coreset keep-k
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_dup": _q_embedding_dup,
+        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
+        "hash_split": _q_hash_split,
+        "domain_topk": _q_domain_topk,
+        "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
+        "knn_brute": _q_knn_brute,
+        "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
+        "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
+        "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
+        "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
+        "pii_scrub": _q_pii_scrub,  # email/IP/phone redaction
+        "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
+        "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
+        "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
+        "lttb": _q_lttb,  # LTTB visual downsample — recursive-CTE oracle
+        "cusum": _q_cusum,  # two-sided CUSUM drift detection
+        "seasonal": _q_seasonal,  # classical additive decomposition
+        "find_gaps": _q_find_gaps,  # missing-data gap detection
+        "quantile_points": _q_quantile_points,  # windowed SLO percentiles
+        "bollinger": _q_bollinger,  # exact-moment Bollinger bands + breakouts
+        "incidents": _q_incidents,  # outlier points -> merged incident intervals
+        "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
+        "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
+        "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
+        "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
+        "multimodal_meta": _q_multimodal_meta,
+        "blob_features": _q_blob_features,  # mapInPandas — rows-only check
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
-        # stale block: driver evidence is r6 — refresh first
         "daily_pivot": _q_daily_pivot,
         "revenue_rollup": _q_revenue_rollup,
         "select_points": _q_select_points,
@@ -1002,45 +1042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rp": _q_knn_rp,  # two-stage ANN: coarse JL search + exact re-rank
         "gopher_rules": _q_gopher_rules,  # Gopher A1.1 quality rules + audit stats
         "dup_ngram_chars": _q_dup_ngram_chars,  # Gopher repetition rule (dup n-gram chars)
-        "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
-        "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
-        "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
-        "cluster_prune": _q_cluster_prune,  # SSL-prototype coreset keep-k
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_dup": _q_embedding_dup,
-        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
-        "hash_split": _q_hash_split,
-        "domain_topk": _q_domain_topk,
-        "mixture_sample": _q_mixture_sample,
-        "pack_sequences": _q_pack_sequences,
-        "knn_brute": _q_knn_brute,
-        "knn_lsh": _q_knn_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
-        "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
-        "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
-        "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
-        "pii_scrub": _q_pii_scrub,  # email/IP/phone redaction
-        "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
-        "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
-        "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
-        "lttb": _q_lttb,  # LTTB visual downsample — recursive-CTE oracle
-        "cusum": _q_cusum,  # two-sided CUSUM drift detection
-        "seasonal": _q_seasonal,  # classical additive decomposition
-        "find_gaps": _q_find_gaps,  # missing-data gap detection
-        "quantile_points": _q_quantile_points,  # windowed SLO percentiles
-        "bollinger": _q_bollinger,  # exact-moment Bollinger bands + breakouts
-        "incidents": _q_incidents,  # outlier points -> merged incident intervals
-        "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
-        "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
-        "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
-        "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
-        "multimodal_meta": _q_multimodal_meta,
-        "blob_features": _q_blob_features,  # mapInPandas — rows-only check
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_customers": _q_top_customers,
     }
 
 
