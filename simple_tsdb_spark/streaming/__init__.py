@@ -4,7 +4,11 @@ from simple_tsdb_spark.streaming.dedup import streaming_dedup_against_index
 from simple_tsdb_spark.streaming.lm import streaming_ngram_lm_scores
 from simple_tsdb_spark.streaming.scores import streaming_dsir_scores
 from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup, streaming_simhash_dedup
-from simple_tsdb_spark.streaming.aggregate import streaming_hopping_mean, streaming_sum_points
+from simple_tsdb_spark.streaming.aggregate import (
+    streaming_hopping_mean,
+    streaming_sessionize,
+    streaming_sum_points,
+)
 from simple_tsdb_spark.streaming.ingest import start_ingest, start_ingest_with_rollup
 from simple_tsdb_spark.streaming.join import streaming_interval_join
 from simple_tsdb_spark.streaming.stateful import (
@@ -16,6 +20,7 @@ from simple_tsdb_spark.streaming.stateful import (
 __all__ = [
     "start_ingest",
     "streaming_hopping_mean",
+    "streaming_sessionize",
     "streaming_sum_points",
     "start_ingest_with_rollup",
     "streaming_ewma",

@@ -113,3 +113,40 @@ def streaming_hopping_mean(
         .drop("window")
         .select("series", "wstart", "npoints", f"{field}_count", f"{field}_min", f"{field}_max", f"{field}_mean")
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    *,
+    gap_ns: int,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Continuous gap-based sessionization — the streaming twin of
+    ``operators.timeseries.sessionize`` via Spark-native
+    ``session_window`` (state merges adjacent windows and finalizes a
+    session once the watermark passes its close; append-mode safe).
+
+    Semantics note: the batch operator keeps two points in one session
+    when ``Δt <= gap_ns`` while ``session_window`` merges on strict
+    ``<``; event times are µs-resolution here, so passing ``gap+1µs``
+    makes the native merge condition exactly ``Δt <= gap_ns``.  Emits
+    (series, session_start, session_end, n_events) with the TRUE first/
+    last event times (not the gap-padded window bounds); session_id is a
+    batch notion (global per-series ordinal) and is omitted.
+    """
+    g = int(gap_ns)
+    if g % 1000 != 0:
+        raise ValueError("streaming sessions need µs-resolution gap_ns")
+    ts = F.expr("timestamp_micros(time_ns div 1000)")
+    src = stream.withColumn("_event_ts", ts).withWatermark("_event_ts", watermark_delay)
+    gap_us = g // 1000 + 1
+    return (
+        src.groupBy("series", F.session_window("_event_ts", f"{gap_us} microseconds"))
+        .agg(
+            F.min("time_ns").alias("session_start"),
+            F.max("time_ns").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_window")
+        .select("series", "session_start", "session_end", "n_events")
+    )

@@ -149,3 +149,54 @@ def test_streaming_hopping_mean_matches_batch(spark, tmp_path):
         .sort_values(["series", "wstart"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Finalized native session_windows equal batch sessionize sessions
+    (true event-time bounds, counts; gap+1µs alignment of <= vs <),
+    including a session whose points span two micro-batches."""
+    from simple_tsdb_spark.operators.timeseries import sessionize
+    from simple_tsdb_spark.streaming import streaming_sessionize
+
+    gap = 2_000_000_000  # 2 s
+    s_ = 1_000_000_000
+    # series a: sessions [1..3s], [10..10s], [20,22,24s] (24-22 == gap stays);
+    # the third session's tail (24s) arrives in batch 2
+    rows1 = [("a", 1 * s_, 0.0), ("a", 2 * s_, 0.0), ("a", 3 * s_, 0.0),
+             ("a", 10 * s_, 0.0), ("a", 20 * s_, 0.0), ("a", 22 * s_, 0.0),
+             ("b", 5 * s_, 0.0)]
+    rows2 = [("a", 24 * s_, 0.0)]
+    src = str(tmp_path / "sess_src")
+
+    def mk(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v"]), SCHEMA)
+
+    mk(rows1).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = streaming_sessionize(stream, gap_ns=gap, watermark_delay="0 seconds")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("sess_agg").start()
+    q.processAllAvailable()
+    mk(rows2).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    # advance the watermark far past every session, then one more batch
+    # so append-mode emits the finalized windows
+    mk([("a", 10**15, 0.0)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    mk([("a", 10**15 + 10**9, 0.0)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM sess_agg WHERE session_start < 1000000000000000")
+        .toPandas()
+        .sort_values(["series", "session_start"], ignore_index=True)
+    )
+    want = (
+        sessionize(mk(rows1 + rows2), gap_ns=gap)
+        .toPandas()
+        .sort_values(["series", "session_start"], ignore_index=True)
+        .drop(columns=["session_id"])
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # the == gap pair (22s, 24s) stayed one session
+    a3 = got[(got.series == "a") & (got.session_start == 20 * s_)]
+    assert len(a3) == 1 and a3.n_events.iloc[0] == 3 and a3.session_end.iloc[0] == 24 * s_
