@@ -285,6 +285,52 @@ def corpus_phase(spark, n_docs: int = 1_000_000) -> None:
     print(f"CORPUS char_entropy: {time.time()-t:.1f}s rows={n:,}")
     assert n == N
 
+    # Round-9 session-2 operators at the same corpus scale.
+    from simple_tsdb_spark.pipeline import (
+        block_dedup,
+        bm25_topk,
+        corpus_stats,
+        pmi_topk,
+        quality_filter_pct,
+    )
+
+    # three real vocabulary terms (bounded driver materialization — a
+    # smoke convenience, not an operator property)
+    terms = [
+        r["w"]
+        for r in tdocs.selectExpr("explode(split(text, ' ')) AS w")
+        .groupBy("w").count().orderBy(F.col("count").desc()).limit(3).collect()
+    ]
+    t = time.time()
+    n = bm25_topk(tdocs, query_terms=terms, k=100).count()
+    print(f"CORPUS bm25_topk k=100 terms={terms}: {time.time()-t:.1f}s rows={n:,}")
+    assert n == 100
+
+    t = time.time()
+    n = pmi_topk(tdocs, k=50, min_count=5).count()
+    print(f"CORPUS pmi_topk k=50: {time.time()-t:.1f}s rows={n:,}")
+    assert n == 50
+
+    t = time.time()
+    bd = block_dedup(tdocs).agg(
+        F.sum("n_blocks").alias("nb"), F.sum("n_kept").alias("nk"), F.count(F.lit(1)).alias("n")
+    ).first()
+    print(
+        f"CORPUS block_dedup: {time.time()-t:.1f}s docs={bd['n']:,} "
+        f"blocks={bd['nb']:,} kept={bd['nk']:,}"
+    )
+    assert bd["n"] == N and bd["nb"] == 2 * N  # 25-word docs -> 16+9 blocks
+
+    t = time.time()
+    cs = corpus_stats(tdocs, strata=("lang",)).collect()
+    print(f"CORPUS corpus_stats by lang: {time.time()-t:.1f}s rows={len(cs)}")
+    assert sum(r["n_docs"] for r in cs) == N
+
+    t = time.time()
+    kept = quality_filter_pct(tdocs, pct=0.1).where(F.col("keep")).count()
+    print(f"CORPUS quality_filter_pct p10: {time.time()-t:.1f}s kept={kept:,}")
+    assert kept >= int(0.85 * N)  # ties can keep a little more than 90%
+
 
 def _shuffle_bytes(spark) -> tuple[int, int]:
     """(shuffle_read, shuffle_write) bytes summed over all completed
