@@ -627,6 +627,13 @@ def _q_corpus_stats(spark, sf_dir):
     return corpus_stats(_docs(spark, sf_dir))
 
 
+def _q_lm_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split at exact tercile cuts."""
+    from simple_tsdb_spark.pipeline import lm_perplexity_buckets
+
+    return lm_perplexity_buckets(_docs(spark, sf_dir))
+
+
 def _q_quality_filter_pct(spark, sf_dir):
     """Corpus-adaptive quality gate: drop the bottom decile of quality."""
     from simple_tsdb_spark.pipeline import quality_filter_pct
@@ -952,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,  # TPC-H Q3 revenue ranking
         "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
         "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
+        "lm_perplexity_buckets": _q_lm_perplexity_buckets,  # CCNet head/middle/tail split
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
@@ -1493,6 +1501,7 @@ def _pipeline_oracles() -> dict[str, str]:
         bm25_topk_oracle,
         pmi_topk_oracle,
         corpus_stats_oracle,
+        lm_perplexity_buckets_oracle,
         quality_filter_pct_oracle,
         dsir_logweights_oracle,
         topk_ngrams_oracle,
@@ -1541,6 +1550,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "pmi_topk": pmi_topk_oracle(k=100, min_count=5),
         "corpus_stats": corpus_stats_oracle(),
         "quality_filter_pct": quality_filter_pct_oracle(pct=0.1),
+        "lm_perplexity_buckets": lm_perplexity_buckets_oracle(),
         "pii_scrub": pii_scrub_oracle(),
         "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),
         "dsir_weights": dsir_logweights_oracle(target_pred="lang = 'en'"),

@@ -565,6 +565,71 @@ ORDER BY bm25 DESC, doc_id LIMIT {k}
 """
 
 
+def lm_perplexity_buckets(
+    df: DataFrame,
+    *,
+    fit_pred: str = "source = 'src0'",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: score every document with the
+    bigram-LM cross-entropy (:func:`ngram_lm_score`), cut the corpus at
+    the exact 1/3 and 2/3 xent quantiles, and label each doc ``head``
+    (lowest perplexity — most like the trusted slice), ``middle`` or
+    ``tail``.  The bucket is what downstream mixture sampling keys on
+    (CCNet keeps head+middle, drops or down-weights tail).
+
+    Determinism: xent is the proven unrounded-µnat quotient; the two
+    thresholds are exact interpolated percentiles of those bit-equal
+    doubles; the labels are two IEEE ``<=`` compares — identical
+    cross-engine.  Docs with NULL xent (no bigrams) get NULL bucket.
+
+    Scale: one scoring pass (the ngram_lm_score plan), one scalar
+    percentile aggregate broadcast back — the bucketing adds no
+    corpus-sized shuffle beyond the scorer's own.
+    """
+    scores = ngram_lm_score(df, fit_pred=fit_pred, text_col=text_col, id_col=id_col)
+    # terciles as python-evaluated double literals: Spark SQL's `1.0/3.0`
+    # is DECIMAL division (0.333333) while DuckDB's is double — embed the
+    # one IEEE value in both engines instead
+    p1, p2 = 1.0 / 3.0, 2.0 / 3.0
+    thr = scores.agg(
+        F.expr(f"percentile(xent, array({p1!r}D, {p2!r}D))").alias("_t")
+    ).select(
+        F.col("_t")[0].alias("t_head"), F.col("_t")[1].alias("t_middle")
+    )
+    bucket = (
+        F.when(F.col("xent").isNull(), F.lit(None).cast("string"))
+        .when(F.col("xent") <= F.col("t_head"), F.lit("head"))
+        .when(F.col("xent") <= F.col("t_middle"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .select(id_col, "xent", "t_head", "t_middle", bucket.alias("bucket"))
+        .orderBy(id_col)
+    )
+
+
+def lm_perplexity_buckets_oracle(
+    table: str = "documents", *, fit_pred: str = "source = 'src0'"
+) -> str:
+    lm = ngram_lm_score_oracle(table, fit_pred=fit_pred).strip()
+    p1, p2 = 1.0 / 3.0, 2.0 / 3.0
+    return f"""
+WITH scores AS ({lm}),
+thr AS (SELECT quantile_cont(xent, {p1!r}) AS t_head,
+               quantile_cont(xent, {p2!r}) AS t_middle
+        FROM scores)
+SELECT doc_id, xent, t_head, t_middle,
+       CASE WHEN xent IS NULL THEN NULL
+            WHEN xent <= t_head THEN 'head'
+            WHEN xent <= t_middle THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores, thr
+"""
+
+
 # -- DSIR importance weights ------------------------------------------------
 
 DSIR_BUCKETS = 4999  # prime; the hashed-feature dimensionality

@@ -637,6 +637,31 @@ def test_ngram_jaccard_arrow_shingles_identical(spark, docs):
     assert a == b and len(a) > 0
 
 
+def test_lm_perplexity_buckets(spark, docs):
+    """Tercile split: labels consistent with the emitted thresholds,
+    bucket sizes within one doc of N/3, thresholds equal numpy terciles
+    of the scored xents."""
+    import numpy as np
+
+    from simple_tsdb_spark.pipeline import lm_perplexity_buckets, ngram_lm_score
+
+    got = lm_perplexity_buckets(docs).toPandas()
+    xs = ngram_lm_score(docs).toPandas().xent.dropna().to_numpy()
+    t1, t2 = np.quantile(xs, 1.0 / 3.0), np.quantile(xs, 2.0 / 3.0)
+    assert abs(got.t_head.iloc[0] - t1) < 1e-12
+    assert abs(got.t_middle.iloc[0] - t2) < 1e-12
+    lab = got.dropna(subset=["xent"])
+    assert (
+        lab.bucket
+        == np.where(lab.xent <= lab.t_head, "head",
+                    np.where(lab.xent <= lab.t_middle, "middle", "tail"))
+    ).all()
+    counts = lab.bucket.value_counts()
+    n = len(lab)
+    for b in ("head", "middle", "tail"):
+        assert abs(counts[b] - n / 3) <= 2, counts
+
+
 def test_corpus_stats_model(spark, docs):
     """corpus_stats vs pandas groupby recomputation (counts, totals,
     unrounded mean, interpolated median)."""
