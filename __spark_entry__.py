@@ -898,6 +898,14 @@ def _q_cohort_retention(spark, sf_dir):
     )
 
 
+def _q_active_users(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day over the events
+    stream (unrounded DAU/WAU quotient)."""
+    from simple_tsdb_spark.operators.behavior import active_users
+
+    return active_users(_events(spark, sf_dir, t0=None, t1=None), period_ns=DAY_NS)
+
+
 def _q_event_funnel(spark, sf_dir):
     """Strictly-ordered view→click→purchase funnel, each step within
     24 h of the user's first view — the classic product-analytics
@@ -960,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
         "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
         "lm_perplexity_buckets": _q_lm_perplexity_buckets,  # CCNet head/middle/tail split
+        "active_users": _q_active_users,  # DAU/WAU/stickiness engagement
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
@@ -1491,6 +1500,7 @@ def _pipeline_oracles() -> dict[str, str]:
         decontaminate_pairs_oracle,
     )
     from simple_tsdb_spark.operators.behavior import (
+        active_users_oracle,
         cohort_retention_oracle,
         event_funnel_oracle,
     )
@@ -1594,6 +1604,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "daily_pivot": daily_event_pivot_oracle(),
         "revenue_rollup": revenue_rollup_oracle(),
         "cohort_retention": cohort_retention_oracle(_M, period_ns=DAY_NS),
+        "active_users": active_users_oracle(_M, period_ns=DAY_NS),
         "session_stats": _session_stats_oracle(),
         "event_funnel": event_funnel_oracle(
             _M, steps=list(FUNNEL_STEPS), window_ns=FUNNEL_WINDOW_NS

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "active_users",
+    "active_users_oracle",
     "cohort_retention",
     "cohort_retention_oracle",
     "event_funnel",
@@ -192,4 +194,83 @@ ev AS (
 {cte_block}
 SELECT step_idx, step, n_users FROM ({selects})
 ORDER BY step_idx
+"""
+
+
+DAY_NS = 24 * 3_600 * 1_000_000_000
+
+
+def active_users(
+    df: DataFrame, *, period_ns: int = DAY_NS, window_periods: int = 7,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """DAU/WAU engagement: per period, the distinct active users (DAU),
+    the distinct users active in the trailing ``window_periods`` periods
+    (WAU), and stickiness = DAU/WAU — the product-analytics engagement
+    readout.
+
+    Output: (period, dau, wau, stickiness) for every period with
+    activity; stickiness is the UNROUNDED quotient of exact BIGINTs.
+
+    Scale: distinct (user, period) first (map-side combined, uniform
+    user keys), then DAU is one count; WAU replicates each user-period
+    to its ``window_periods`` covering window ends (fixed fan-out, the
+    hopping_mean trick) and count-distincts per end — no window
+    functions over whole strata, no self-joins.
+    """
+    p = int(period_ns)
+    k = int(window_periods)
+    if p <= 0 or k <= 0:
+        raise ValueError("period_ns and window_periods must be positive")
+    act = (
+        df.where(F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            (F.col("time_ns") - F.pmod(F.col("time_ns"), F.lit(p))).alias("per"),
+        )
+        .distinct()
+    )
+    dau = act.groupBy(F.col("per").alias("period")).agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        act.select(
+            "u",
+            F.explode(
+                F.expr(f"sequence(per, per + {(k - 1)}L * {p}L, {p}L)")
+            ).alias("period"),
+        )
+        .distinct()
+        .groupBy("period")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "period")
+        .select(
+            "period",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+        )
+        .orderBy("period")
+    )
+
+
+def active_users_oracle(
+    measurement_sql: str, *, period_ns: int = DAY_NS, window_periods: int = 7,
+    user_col: str = "user_id",
+) -> str:
+    p, k = int(period_ns), int(window_periods)
+    return f"""
+WITH m AS ({measurement_sql}),
+act AS (
+  SELECT DISTINCT {user_col} AS u, time_ns - (time_ns % {p}) AS per
+  FROM m WHERE {user_col} IS NOT NULL),
+dau AS (SELECT per AS period, COUNT(*) AS dau FROM act GROUP BY per),
+wau AS (
+  SELECT period, COUNT(DISTINCT u) AS wau FROM (
+    SELECT u, UNNEST(generate_series(per, per + {(k - 1) * p}, {p})) AS period
+    FROM act)
+  GROUP BY period)
+SELECT d.period, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+FROM dau d JOIN wau w ON d.period = w.period
 """

@@ -124,3 +124,38 @@ def test_shipping_priority_q3_model(spark):
     assert len(got) == len(want)
     assert list(got.l_orderkey) == list(want.l_orderkey)
     assert (got.revenue.to_numpy() == want.revenue.to_numpy()).all()
+
+
+def test_active_users_model(spark):
+    """DAU/WAU/stickiness vs a python set model, including a user active
+    across a window boundary and a NULL user row."""
+    import pandas as pd
+
+    p = 10
+    rows = [
+        ("s", 1, 1), ("s", 2, 1),          # u1 twice in period 0 (distinct once)
+        ("s", 5, 2),                        # u2 period 0
+        ("s", 15, 1),                       # u1 period 10
+        ("s", 35, 3),                       # u3 period 30 (gap at 20)
+        ("s", 36, None),                    # NULL user ignored
+    ]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "user_id"])
+    df = spark.createDataFrame(pdf)
+
+    from simple_tsdb_spark.operators.behavior import active_users
+
+    got = (
+        active_users(df, period_ns=p, window_periods=2)
+        .toPandas()
+        .set_index("period")
+    )
+    # model: per-period active sets
+    act = {0: {1, 2}, 10: {1}, 30: {3}}
+    for per, users in act.items():
+        w = users | act.get(per - p, set())
+        row = got.loc[per]
+        assert row.dau == len(users)
+        assert row.wau == len(w)
+        assert row.stickiness == len(users) / len(w)
+    # period 20 has no activity -> no row (40 would be window-only: no DAU row)
+    assert set(got.index) == {0, 10, 30}
