@@ -362,13 +362,17 @@ def _minhash_signatures(
 
 
 def minhash_band_buckets(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band_id, key): each document's LSH band buckets — the
     joinable form of its MinHash signature (shingle → 16 md5-seeded
     minhashes → 4 bands of 4).  Shared by ``minhash_lsh_pairs`` and the
-    materialized index (``pipeline.dedup_index``)."""
-    sig = _minhash_signatures(df, text_col=text_col, id_col=id_col)
+    materialized index (``pipeline.dedup_index``).  Pass a precomputed
+    ``sig`` (from :func:`_minhash_signatures`) to reuse one signature
+    scan across consumers — the banding is a pure projection of it."""
+    if sig is None:
+        sig = _minhash_signatures(df, text_col=text_col, id_col=id_col)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = []
     for b in range(N_BANDS):
@@ -462,7 +466,7 @@ def minhash_est_jaccard(
     shingle join fans out per pair, not per corpus.
     """
     sig = _minhash_signatures(df, text_col=text_col, id_col=id_col)
-    buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col)
+    buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col, sig=sig)
     pairs = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band_id", "key"])
