@@ -258,3 +258,64 @@ def test_writer_randomized_model(spark, tmp_path):
             got.setdefault(row["series"], {})[row["time_ns"]] = row["v"]
     want = {s: d for s, d in store.items() if d}
     assert got == want
+
+
+@given(
+    n_words=st.integers(1, 60),
+    block_words=st.integers(1, 20),
+)
+def test_block_count_algebra(n_words, block_words):
+    """The block-partition arithmetic used by block_dedup: ceil-division
+    block count, and the slices tile the word list exactly."""
+    nb = (n_words + block_words - 1) // block_words
+    assert nb >= 1
+    covered = 0
+    for i in range(1, nb + 1):
+        start = (i - 1) * block_words  # 0-based
+        width = min(block_words, n_words - start)
+        assert width >= 1  # no empty trailing block
+        covered += width
+    assert covered == n_words
+
+
+@given(
+    t=st.integers(0, 2**62),
+    w_slides=st.integers(1, 16),
+    s=st.integers(1, 10**10),
+)
+def test_hopping_window_membership(t, w_slides, s):
+    """The covering-window enumeration used by hopping_mean: the
+    generated starts are exactly {S ≡ 0 mod s : S <= t < S + w}."""
+    w = w_slides * s
+    hi = t - (t % s)
+    starts = list(range(hi - (w - s), hi + s, s))
+    assert len(starts) == w // s
+    for S in starts:
+        assert S % s == 0 and S <= t < S + w
+    # boundary exclusivity: one step outside on either side fails
+    assert not (hi + s <= t < hi + s + w)
+    below = hi - w
+    assert not (below <= t < below + w)
+
+
+@given(
+    vals=st.lists(st.integers(-10**6, 10**6), min_size=2, max_size=40),
+    ts=st.lists(st.integers(0, 10**6), min_size=2, max_size=40, unique=True),
+)
+def test_twa_constant_and_bounds(vals, ts):
+    """Trapezoid TWA algebra: for any series, min(v) <= twa <= max(v)
+    (convex combination), exactly = v for constant series."""
+    n = min(len(vals), len(ts))
+    if n < 2:
+        return
+    pts = sorted(zip(ts[:n], vals[:n]))
+    t_arr = [p[0] for p in pts]
+    v_arr = [float(p[1]) for p in pts]
+    num = sum(
+        0.5 * (v_arr[i] + v_arr[i - 1]) * (t_arr[i] - t_arr[i - 1]) for i in range(1, n)
+    )
+    twa = num / (t_arr[-1] - t_arr[0])
+    assert min(v_arr) - 1e-9 <= twa <= max(v_arr) + 1e-9
+    const = [7.0] * n
+    cnum = sum(0.5 * (const[i] + const[i - 1]) * (t_arr[i] - t_arr[i - 1]) for i in range(1, n))
+    assert abs(cnum / (t_arr[-1] - t_arr[0]) - 7.0) < 1e-9
