@@ -920,6 +920,39 @@ def _q_event_funnel(spark, sf_dir):
     )
 
 
+BURN_SLIDE_NS = 900 * 1_000_000_000          # 15 m
+BURN_SHORT_NS = 3600 * 1_000_000_000         # 1 h
+BURN_LONG_NS = 6 * 3600 * 1_000_000_000      # 6 h
+
+
+def _q_burn_rate_alerts(spark, sf_dir):
+    """Multi-window error-budget burn alerts (1h AND 6h trailing error
+    fractions over thresholds, 15m hops)."""
+    from simple_tsdb_spark.operators.timeseries import burn_rate_alerts
+
+    return burn_rate_alerts(
+        _events(spark, sf_dir, t0=None, t1=None),
+        error_series="error",
+        short_ns=BURN_SHORT_NS,
+        long_ns=BURN_LONG_NS,
+        slide_ns=BURN_SLIDE_NS,
+        short_threshold=0.4,
+        long_threshold=0.28,
+    )
+
+
+def _q_funnel_conversion_time(spark, sf_dir):
+    """Conversion-latency distribution for full-funnel completers
+    (exact BIGINT bounds, unrounded mean, interpolated p50/p90)."""
+    from simple_tsdb_spark.operators.behavior import funnel_conversion_time
+
+    return funnel_conversion_time(
+        _events(spark, sf_dir, t0=None, t1=None),
+        steps=list(FUNNEL_STEPS),
+        window_ns=FUNNEL_WINDOW_NS,
+    )
+
+
 def _q_daily_pivot(spark, sf_dir):
     from simple_tsdb_spark.plans import daily_event_pivot
 
@@ -969,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
         "lm_perplexity_buckets": _q_lm_perplexity_buckets,  # CCNet head/middle/tail split
         "active_users": _q_active_users,  # DAU/WAU/stickiness engagement
+        "funnel_conversion_time": _q_funnel_conversion_time,  # funnel latency distribution
+        "burn_rate_alerts": _q_burn_rate_alerts,  # SRE multi-window burn alerts
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
@@ -1363,6 +1398,7 @@ def _timeseries_oracles() -> dict[str, str]:
     from simple_tsdb_spark.operators.timeseries import (
         asof_join_nearest_oracle,
         asof_join_oracle,
+        burn_rate_alerts_oracle,
         distinct_count_oracle,
         interval_join_oracle,
         moving_avg_oracle,
@@ -1503,7 +1539,9 @@ def _pipeline_oracles() -> dict[str, str]:
         active_users_oracle,
         cohort_retention_oracle,
         event_funnel_oracle,
+        funnel_conversion_time_oracle,
     )
+    from simple_tsdb_spark.operators.timeseries import burn_rate_alerts_oracle
     from simple_tsdb_spark.pipeline.curation import curate_corpus_oracle, stratified_split_oracle
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
     from simple_tsdb_spark.pipeline.similarity import knn_rp_oracle, rp_project_oracle
@@ -1605,6 +1643,11 @@ def _pipeline_oracles() -> dict[str, str]:
         "revenue_rollup": revenue_rollup_oracle(),
         "cohort_retention": cohort_retention_oracle(_M, period_ns=DAY_NS),
         "active_users": active_users_oracle(_M, period_ns=DAY_NS),
+        "funnel_conversion_time": funnel_conversion_time_oracle(_M, steps=list(FUNNEL_STEPS), window_ns=FUNNEL_WINDOW_NS),
+        "burn_rate_alerts": burn_rate_alerts_oracle(
+            _M, error_series="error", short_ns=BURN_SHORT_NS, long_ns=BURN_LONG_NS,
+            slide_ns=BURN_SLIDE_NS, short_threshold=0.4, long_threshold=0.28,
+        ),
         "session_stats": _session_stats_oracle(),
         "event_funnel": event_funnel_oracle(
             _M, steps=list(FUNNEL_STEPS), window_ns=FUNNEL_WINDOW_NS

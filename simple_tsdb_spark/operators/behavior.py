@@ -27,6 +27,8 @@ __all__ = [
     "cohort_retention_oracle",
     "event_funnel",
     "event_funnel_oracle",
+    "funnel_conversion_time",
+    "funnel_conversion_time_oracle",
 ]
 
 WEEK_NS = 7 * 24 * 3_600 * 1_000_000_000
@@ -273,4 +275,99 @@ wau AS (
 SELECT d.period, d.dau, w.wau,
        CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
 FROM dau d JOIN wau w ON d.period = w.period
+"""
+
+
+def funnel_conversion_time(
+    df: DataFrame,
+    *,
+    steps: Sequence[str],
+    window_ns: int,
+    user_col: str = "user_id",
+    type_col: str = "series",
+) -> DataFrame:
+    """Conversion-latency distribution for users completing the WHOLE
+    funnel (same min-chain semantics as :func:`event_funnel`): one row
+    with n_converted, min/max latency (exact ns BIGINTs), the UNROUNDED
+    mean, and interpolated p50/p90 — the "how long does the funnel
+    take" companion to the step-count readout.
+
+    Same scale shape as the funnel: shrinking user-keyed joins, then a
+    single scalar aggregate (percentiles over n_converted values).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    w = int(window_ns)
+    if w <= 0:
+        raise ValueError("window_ns must be positive")
+    ev = df.where(
+        F.col(user_col).isNotNull() & F.col(type_col).isin(list(steps))
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("st"),
+        F.col("time_ns").alias("t"),
+    )
+    cur = (
+        ev.where(F.col("st") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("tp"))
+        .withColumn("t1", F.col("tp"))
+    )
+    for s in steps[1:]:
+        cur = (
+            ev.where(F.col("st") == s)
+            .join(cur, "u")
+            .where((F.col("t") > F.col("tp")) & (F.col("t") <= F.col("t1") + w))
+            .groupBy("u")
+            .agg(F.min("t").alias("tp"), F.first("t1").alias("t1"))
+        )
+    lat = cur.select((F.col("tp") - F.col("t1")).alias("latency_ns"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_ns").alias("min_ns"),
+        F.max("latency_ns").alias("max_ns"),
+        (F.sum("latency_ns").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_ns"
+        ),
+        F.expr("percentile(CAST(latency_ns AS DOUBLE), 0.5)").alias("p50_ns"),
+        F.expr("percentile(CAST(latency_ns AS DOUBLE), 0.9)").alias("p90_ns"),
+    )
+
+
+def funnel_conversion_time_oracle(
+    measurement_sql: str,
+    *,
+    steps: Sequence[str],
+    window_ns: int,
+    user_col: str = "user_id",
+) -> str:
+    w = int(window_ns)
+    step_list = ", ".join(f"'{s}'" for s in steps)
+    ctes = [
+        f"""s1 AS (
+  SELECT u, MIN(t) AS tp, MIN(t) AS t1 FROM ev WHERE st = '{steps[0]}' GROUP BY u)"""
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT ev.u, MIN(ev.t) AS tp, MIN(s{i - 1}.t1) AS t1
+  FROM ev JOIN s{i - 1} ON ev.u = s{i - 1}.u
+  WHERE ev.st = '{s}' AND ev.t > s{i - 1}.tp AND ev.t <= s{i - 1}.t1 + {w}
+  GROUP BY ev.u)"""
+        )
+    last = f"s{len(steps)}"
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH m AS ({measurement_sql}),
+ev AS (
+  SELECT {user_col} AS u, series AS st, time_ns AS t
+  FROM m WHERE {user_col} IS NOT NULL AND series IN ({step_list})),
+{cte_block},
+lat AS (SELECT tp - t1 AS latency_ns FROM {last})
+SELECT COUNT(*) AS n_converted,
+       MIN(latency_ns) AS min_ns, MAX(latency_ns) AS max_ns,
+       CAST(SUM(latency_ns) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_ns,
+       quantile_cont(CAST(latency_ns AS DOUBLE), 0.5) AS p50_ns,
+       quantile_cont(CAST(latency_ns AS DOUBLE), 0.9) AS p90_ns
+FROM lat
 """

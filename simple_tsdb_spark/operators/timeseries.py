@@ -1068,3 +1068,103 @@ SELECT series, MIN(time_ns) AS incident_start, MAX(time_ns) AS incident_end,
        COUNT(*) AS n_points, MAX(az) AS peak_zscore
 FROM grouped GROUP BY series, _grp
 """
+
+
+def burn_rate_alerts(
+    df: DataFrame,
+    *,
+    error_series: str = "error",
+    short_ns: int,
+    long_ns: int,
+    slide_ns: int,
+    short_threshold: float,
+    long_threshold: float,
+) -> DataFrame:
+    """Multi-window error-budget burn alerts (the SRE workbook pattern):
+    fire at window-end ``E`` when the error fraction over BOTH the
+    trailing short window ``(E−short, E]`` and the trailing long window
+    ``(E−long, E]`` clears its threshold — the short window gives fast
+    detection, the long window suppresses blips.
+
+    Output: one row per firing window end — (wend, short_errors,
+    short_total, short_rate, long_errors, long_total, long_rate) with
+    UNROUNDED BIGINT-quotient rates, ordered by wend.
+
+    Scale: each event replicates to its short/long covering window ends
+    (fixed fan-outs short/slide and long/slide — the hopping_mean
+    trick), one map-side-combined shuffle per granularity, then an
+    end-keyed m:1 join of two already-aggregated frames.  No windows
+    over raw streams, no self-joins of the event table.
+    """
+    s = int(slide_ns)
+    for w in (short_ns, long_ns):
+        if int(w) % s != 0:
+            raise ValueError("windows must be multiples of slide_ns")
+
+    def trailing(w: int, prefix: str) -> DataFrame:
+        lo = F.col("time_ns") + (
+            (F.lit(s) - F.col("time_ns") % F.lit(s)) % F.lit(s)
+        )
+        x = df.select(
+            (F.col("series") == error_series).cast("long").alias("_e"),
+            F.explode(F.sequence(lo, lo + F.lit(int(w) - s), F.lit(s))).alias("wend"),
+        )
+        return x.groupBy("wend").agg(
+            F.sum("_e").alias(f"{prefix}_errors"),
+            F.count(F.lit(1)).alias(f"{prefix}_total"),
+        )
+
+    sh = trailing(int(short_ns), "short").withColumn(
+        "short_rate",
+        F.col("short_errors").cast("double") / F.col("short_total").cast("double"),
+    )
+    lg = trailing(int(long_ns), "long").withColumn(
+        "long_rate",
+        F.col("long_errors").cast("double") / F.col("long_total").cast("double"),
+    )
+    return (
+        sh.join(lg, "wend")
+        .where(
+            (F.col("short_rate") >= float(short_threshold))
+            & (F.col("long_rate") >= float(long_threshold))
+        )
+        .orderBy("wend")
+    )
+
+
+def burn_rate_alerts_oracle(
+    measurement_sql: str,
+    *,
+    error_series: str = "error",
+    short_ns: int,
+    long_ns: int,
+    slide_ns: int,
+    short_threshold: float,
+    long_threshold: float,
+) -> str:
+    s = int(slide_ns)
+
+    def trailing(w: int, prefix: str) -> str:
+        return f"""
+  SELECT wend, SUM(_e) AS {prefix}_errors, COUNT(*) AS {prefix}_total
+  FROM (
+    SELECT CASE WHEN series = '{error_series}' THEN 1 ELSE 0 END AS _e,
+           UNNEST(generate_series(
+             time_ns + (({s} - time_ns % {s}) % {s}),
+             time_ns + (({s} - time_ns % {s}) % {s}) + {int(w) - s},
+             {s})) AS wend
+    FROM m)
+  GROUP BY wend"""
+
+    return f"""
+WITH m AS ({measurement_sql}),
+sh AS ({trailing(int(short_ns), "short")}),
+lg AS ({trailing(int(long_ns), "long")})
+SELECT sh.wend, short_errors, short_total,
+       CAST(short_errors AS DOUBLE) / CAST(short_total AS DOUBLE) AS short_rate,
+       long_errors, long_total,
+       CAST(long_errors AS DOUBLE) / CAST(long_total AS DOUBLE) AS long_rate
+FROM sh JOIN lg ON sh.wend = lg.wend
+WHERE CAST(short_errors AS DOUBLE) / CAST(short_total AS DOUBLE) >= {float(short_threshold)!r}
+  AND CAST(long_errors AS DOUBLE) / CAST(long_total AS DOUBLE) >= {float(long_threshold)!r}
+"""

@@ -159,3 +159,32 @@ def test_active_users_model(spark):
         assert row.stickiness == len(users) / len(w)
     # period 20 has no activity -> no row (40 would be window-only: no DAU row)
     assert set(got.index) == {0, 10, 30}
+
+
+def test_funnel_conversion_time_model(spark):
+    """Latency distribution over full-funnel completers: min-chain
+    latencies recompute against a hand-built fixture."""
+    import pandas as pd
+
+    rows = [
+        # u1 converts: view@10 -> click@20 -> purchase@40  (latency 30)
+        ("view", 10, 1), ("click", 20, 1), ("purchase", 40, 1),
+        # u2 converts: view@0 -> click@50 -> purchase@60   (latency 60)
+        ("view", 0, 2), ("click", 50, 2), ("purchase", 60, 2),
+        # u3 stalls at click
+        ("view", 5, 3), ("click", 9, 3),
+        # u4 purchase BEFORE click -> not converted
+        ("view", 0, 4), ("purchase", 10, 4), ("click", 20, 4),
+    ]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "user_id"])
+    df = spark.createDataFrame(pdf)
+
+    from simple_tsdb_spark.operators.behavior import funnel_conversion_time
+
+    got = funnel_conversion_time(
+        df, steps=["view", "click", "purchase"], window_ns=100
+    ).toPandas().iloc[0]
+    assert got.n_converted == 2
+    assert got.min_ns == 30 and got.max_ns == 60
+    assert got.mean_ns == 45.0
+    assert got.p50_ns == 45.0  # interpolated midpoint of {30, 60}

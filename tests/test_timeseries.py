@@ -420,3 +420,41 @@ def test_asof_join_nearest_model(spark):
     )
     row = asof_join_nearest(l2, r3, right_fields=["rv"]).toPandas().iloc[0]
     assert row.asof_time_ns == 150 and row.rv_asof == 7.0 and row.asof_delta_ns == 0
+
+
+def test_burn_rate_alerts_model(spark):
+    """Burn alerts vs a python model: fires only when BOTH trailing
+    windows clear their thresholds; rates recompute exactly."""
+    import pandas as pd
+
+    s = 10  # slide
+    # errors burst between t=30..49; steady 'ok' background every 2
+    rows = [("ok", t) for t in range(0, 100, 2)]
+    rows += [("error", t) for t in range(30, 50, 2)]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns"])
+    df = spark.createDataFrame(pdf)
+
+    from simple_tsdb_spark.operators.timeseries import burn_rate_alerts
+
+    got = burn_rate_alerts(
+        df, error_series="error", short_ns=20, long_ns=60, slide_ns=s,
+        short_threshold=0.4, long_threshold=0.2,
+    ).toPandas()
+
+    # model
+    evs = [(t, ser) for ser, t in rows]
+    def rate(wend, w):
+        sel = [ser for t, ser in evs if wend - w < t <= wend]
+        return (sum(1 for x in sel if x == "error"), len(sel))
+    fired = []
+    ends = sorted({t + ((s - t % s) % s) + k * s for t, _ in evs for k in range(0, 6)})
+    for e in ends:
+        se, st = rate(e, 20)
+        le, lt = rate(e, 60)
+        if st and lt and se / st >= 0.4 and le / lt >= 0.2:
+            fired.append((e, se, st, le, lt))
+    assert list(got.wend) == [f[0] for f in fired]
+    for r, f in zip(got.itertuples(), fired):
+        assert (r.short_errors, r.short_total, r.long_errors, r.long_total) == f[1:]
+        assert r.short_rate == f[1] / f[2] and r.long_rate == f[3] / f[4]
+    assert len(got) > 0  # the burst actually fires in this fixture
