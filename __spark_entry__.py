@@ -936,8 +936,8 @@ def _q_burn_rate_alerts(spark, sf_dir):
         short_ns=BURN_SHORT_NS,
         long_ns=BURN_LONG_NS,
         slide_ns=BURN_SLIDE_NS,
-        short_threshold=0.4,
-        long_threshold=0.28,
+        short_threshold=0.27,
+        long_threshold=0.225,
     )
 
 
@@ -1646,7 +1646,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "funnel_conversion_time": funnel_conversion_time_oracle(_M, steps=list(FUNNEL_STEPS), window_ns=FUNNEL_WINDOW_NS),
         "burn_rate_alerts": burn_rate_alerts_oracle(
             _M, error_series="error", short_ns=BURN_SHORT_NS, long_ns=BURN_LONG_NS,
-            slide_ns=BURN_SLIDE_NS, short_threshold=0.4, long_threshold=0.28,
+            slide_ns=BURN_SLIDE_NS, short_threshold=0.27, long_threshold=0.225,
         ),
         "session_stats": _session_stats_oracle(),
         "event_funnel": event_funnel_oracle(
