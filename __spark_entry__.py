@@ -349,6 +349,26 @@ def _q_moving_avg(spark, sf_dir):
     return moving_avg(_events(spark, sf_dir), field="value", n_points=MAVG_N)
 
 
+def _q_heatmap(spark, sf_dir):
+    """2-D heatmap bins: per (day, value bin) counts — the Grafana
+    heatmap panel readout."""
+    from simple_tsdb_spark.operators.timeseries import heatmap_bins
+
+    return heatmap_bins(
+        _events(spark, sf_dir), field="value", t0=T0, t1=T1, window_ns=W,
+        lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS,
+    )
+
+
+def _q_top_values_per_series(spark, sf_dir):
+    """Top-10 points by value per series — the worst-offenders readout."""
+    from simple_tsdb_spark.operators.timeseries import top_values_per_series
+
+    return top_values_per_series(
+        _events(spark, sf_dir), field="value", k=10, t0=T0, t1=T1, tiebreak="event_id"
+    )
+
+
 def _q_histogram(spark, sf_dir):
     from simple_tsdb_spark.operators import value_histogram
 
@@ -1004,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": _q_active_users,  # DAU/WAU/stickiness engagement
         "funnel_conversion_time": _q_funnel_conversion_time,  # funnel latency distribution
         "burn_rate_alerts": _q_burn_rate_alerts,  # SRE multi-window burn alerts
+        "heatmap": _q_heatmap,  # 2-D time x value-bin heatmap
+        "top_values_per_series": _q_top_values_per_series,  # per-series worst offenders
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
@@ -1541,7 +1563,11 @@ def _pipeline_oracles() -> dict[str, str]:
         event_funnel_oracle,
         funnel_conversion_time_oracle,
     )
-    from simple_tsdb_spark.operators.timeseries import burn_rate_alerts_oracle
+    from simple_tsdb_spark.operators.timeseries import (
+        burn_rate_alerts_oracle,
+        heatmap_bins_oracle,
+        top_values_per_series_oracle,
+    )
     from simple_tsdb_spark.pipeline.curation import curate_corpus_oracle, stratified_split_oracle
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
     from simple_tsdb_spark.pipeline.similarity import knn_rp_oracle, rp_project_oracle
@@ -1644,6 +1670,13 @@ def _pipeline_oracles() -> dict[str, str]:
         "cohort_retention": cohort_retention_oracle(_M, period_ns=DAY_NS),
         "active_users": active_users_oracle(_M, period_ns=DAY_NS),
         "funnel_conversion_time": funnel_conversion_time_oracle(_M, steps=list(FUNNEL_STEPS), window_ns=FUNNEL_WINDOW_NS),
+        "heatmap": heatmap_bins_oracle(
+            _M, field="value", t0=T0, t1=T1, window_ns=W,
+            lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS,
+        ),
+        "top_values_per_series": top_values_per_series_oracle(
+            _M, field="value", k=10, t0=T0, t1=T1, tiebreak="event_id"
+        ),
         "burn_rate_alerts": burn_rate_alerts_oracle(
             _M, error_series="error", short_ns=BURN_SHORT_NS, long_ns=BURN_LONG_NS,
             slide_ns=BURN_SLIDE_NS, short_threshold=0.27, long_threshold=0.225,

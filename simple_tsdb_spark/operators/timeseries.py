@@ -1168,3 +1168,106 @@ FROM sh JOIN lg ON sh.wend = lg.wend
 WHERE CAST(short_errors AS DOUBLE) / CAST(short_total AS DOUBLE) >= {float(short_threshold)!r}
   AND CAST(long_errors AS DOUBLE) / CAST(long_total AS DOUBLE) >= {float(long_threshold)!r}
 """
+
+
+def heatmap_bins(
+    df: DataFrame,
+    *,
+    field: str,
+    t0: int,
+    t1: int,
+    window_ns: int,
+    lo: float,
+    hi: float,
+    nbins: int,
+    series: str | None = None,
+) -> DataFrame:
+    """2-D heatmap: per (time window, value bin) point counts — what a
+    Grafana heatmap panel renders (value distribution drifting over
+    time, the multi-series view Min/Max zoom can't show).  Bin edges use
+    the :func:`value_histogram` convention (fixed width over [lo, hi),
+    out-of-range values clamp into the edge bins).
+
+    Pure integer bucketing + counting — hash-exact; ONE shuffle on the
+    uniform (series, wstart, bin) key with map-side combine.
+    """
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(field) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("long")
+    src = df.where(
+        F.col(field).isNotNull() & F.col("time_ns").between(int(t0), int(t1))
+    )
+    if series is not None:
+        src = src.where(F.col("series") == series)
+    w = int(window_ns)
+    return (
+        src.groupBy(
+            "series",
+            (F.col("time_ns") - (F.col("time_ns") % F.lit(w))).alias("wstart"),
+            bin_.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("series", "wstart", "bin")
+    )
+
+
+def heatmap_bins_oracle(
+    measurement_sql: str,
+    *,
+    field: str,
+    t0: int,
+    t1: int,
+    window_ns: int,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> str:
+    width = (hi - lo) / nbins
+    return f"""
+SELECT series, time_ns - (time_ns % {int(window_ns)}) AS wstart,
+       CAST(least(greatest(floor(({field} - {lo!r}) / {width!r}), 0), {nbins - 1}) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM ({measurement_sql})
+WHERE {field} IS NOT NULL AND time_ns BETWEEN {int(t0)} AND {int(t1)}
+GROUP BY 1, 2, 3
+"""
+
+
+def top_values_per_series(
+    df: DataFrame, *, field: str, k: int, t0: int = 0, t1: int = 2**63 - 1,
+    tiebreak: str = "time_ns",
+) -> DataFrame:
+    """Top-``k`` points by value per series (value desc, ``tiebreak``
+    asc) — the "worst offenders" readout (slowest requests, largest
+    payments).  Rank rides a per-series window; at scale each partition
+    pre-prunes with its local heap before the single series-keyed
+    exchange.
+    """
+    src = df.where(
+        F.col(field).isNotNull() & F.col("time_ns").between(int(t0), int(t1))
+    )
+    w = Window.partitionBy("series").orderBy(F.col(field).desc(), F.col(tiebreak))
+    keep = ["series", "time_ns", field]
+    if tiebreak not in keep:
+        keep.append(tiebreak)
+    return (
+        src.select(*keep)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("series", "time_ns", field, "rank")
+        .orderBy("series", "rank")
+    )
+
+
+def top_values_per_series_oracle(
+    measurement_sql: str, *, field: str, k: int, t0: int = 0, t1: int = 2**63 - 1,
+    tiebreak: str = "time_ns",
+) -> str:
+    return f"""
+SELECT series, time_ns, {field}, rank FROM (
+  SELECT series, time_ns, {field},
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY {field} DESC, {tiebreak}) AS rank
+  FROM ({measurement_sql})
+  WHERE {field} IS NOT NULL AND time_ns BETWEEN {int(t0)} AND {int(t1)})
+WHERE rank <= {int(k)}
+"""

@@ -458,3 +458,35 @@ def test_burn_rate_alerts_model(spark):
         assert (r.short_errors, r.short_total, r.long_errors, r.long_total) == f[1:]
         assert r.short_rate == f[1] / f[2] and r.long_rate == f[3] / f[4]
     assert len(got) > 0  # the burst actually fires in this fixture
+
+
+def test_heatmap_bins_model(spark, f2, f2_pdf):
+    """Heatmap bins vs a pandas 2-D bucketing model (clamped edges)."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_tsdb_spark.operators.timeseries import heatmap_bins
+
+    w, lo, hi, nb = 50 * 10**9, -1.0, 1.0, 8
+    got = heatmap_bins(
+        f2, field="value", t0=0, t1=2**62, window_ns=w, lo=lo, hi=hi, nbins=nb
+    ).toPandas()
+    sel = f2_pdf[f2_pdf.value.notna()].copy()
+    width = (hi - lo) / nb
+    sel["bin"] = np.clip(np.floor((sel.value - lo) / width), 0, nb - 1).astype(int)
+    sel["wstart"] = sel.time_ns - (sel.time_ns % w)
+    want = sel.groupby(["series", "wstart", "bin"]).size()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert r.n == want.loc[(r.series, r.wstart, r.bin)]
+
+
+def test_top_values_per_series_model(spark, f2, f2_pdf):
+    from simple_tsdb_spark.operators.timeseries import top_values_per_series
+
+    got = top_values_per_series(f2, field="value", k=3).toPandas()
+    for s, grp in f2_pdf[f2_pdf.value.notna()].groupby("series"):
+        want = grp.sort_values(["value", "time_ns"], ascending=[False, True]).head(3)
+        sub = got[got.series == s]
+        assert list(sub.value) == list(want.value)
+        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
