@@ -790,6 +790,13 @@ def _q_knn_range(spark, sf_dir):
     return range_search(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, tau=RANGE_TAU)
 
 
+def _q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (class prototypes), long format."""
+    from simple_tsdb_spark.pipeline import label_centroids
+
+    return label_centroids(_embs(spark, sf_dir))
+
+
 def _q_knn_lsh(spark, sf_dir):
     from simple_tsdb_spark.pipeline import knn_lsh
 
@@ -1026,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burn_rate_alerts": _q_burn_rate_alerts,  # SRE multi-window burn alerts
         "heatmap": _q_heatmap,  # 2-D time x value-bin heatmap
         "top_values_per_series": _q_top_values_per_series,  # per-series worst offenders
+        "label_centroids": _q_label_centroids,  # exact class prototypes (2^30 grid)
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
@@ -1547,6 +1555,7 @@ def _pipeline_oracles() -> dict[str, str]:
         knn_brute_oracle,
         knn_ivf_oracle,
         range_search_oracle,
+        label_centroids_oracle,
         knn_ivf_pq_oracle,
         knn_lsh_oracle,
         pq_encode_oracle,
@@ -1652,6 +1661,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "pack_sequences": pack_sequences_oracle(budget=PACK_BUDGET),
         "knn_brute": knn_brute_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_range": range_search_oracle(query_ids=KNN_QUERY_IDS, tau=RANGE_TAU),
+        "label_centroids": label_centroids_oracle(),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf_trained": _knn_ivf_trained_oracle(),

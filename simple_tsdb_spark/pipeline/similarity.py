@@ -1472,3 +1472,67 @@ ranked AS (
   FROM rescored)
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {int(k)}
 """
+
+
+def label_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding centroids (class prototypes — the vectors
+    SemDeDup/cluster-prune rank against, and the nearest-class-mean
+    classifier baseline), emitted LONG: one (label, pos, n_vecs,
+    centroid) row per dimension.
+
+    Exactness: components quantize to ``floor(x · 2³⁰)`` BIGINTs —
+    multiplying a double by a power of two is EXACT (mantissa
+    unchanged), and floor is exact, so the per-(label, dim) sum is an
+    integer and the centroid the usual unrounded BIGINT quotient.
+    The ~1e-9 grid is far below float32 input precision.
+
+    Scale: one posexplode scan (rows × dim), ONE shuffle on the tiny
+    (label, pos) key with map-side combine — never a vector broadcast,
+    never per-label collects.
+    """
+    q = F.floor(F.col("_v") * F.lit(float(1 << 30))).cast("long")
+    x = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")).alias(
+            "_p", "_v"
+        ),
+    ).select("label", (F.col("_p") + 1).alias("pos"), q.alias("_q"))
+    return (
+        x.groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("_q").alias("_s"))
+        .select(
+            "label",
+            "pos",
+            "n_vecs",
+            (
+                F.col("_s").cast("double")
+                / F.col("n_vecs").cast("double")
+                / F.lit(float(1 << 30))
+            ).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+def label_centroids_oracle(
+    table: str = "embeddings", *, vec_col: str = "embedding", label_col: str = "label"
+) -> str:
+    g = float(1 << 30)
+    return f"""
+WITH x AS (
+  SELECT {label_col} AS label,
+         UNNEST(generate_series(1, len({vec_col}))) AS pos, {vec_col} AS emb
+  FROM {table}),
+q AS (
+  SELECT label, pos,
+         CAST(floor(CAST(emb[pos] AS DOUBLE) * {g!r}) AS BIGINT) AS qv
+  FROM x)
+SELECT label, pos, COUNT(*) AS n_vecs,
+       CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {g!r} AS centroid
+FROM q GROUP BY label, pos
+"""

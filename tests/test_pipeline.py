@@ -1908,3 +1908,25 @@ def test_char_entropy_python_model(spark):
     # uniform-2-symbol doc lands within quantization error of ln 2
     assert got[1][1] == 0.0
     assert abs(got[2][1] - math.log(2)) < 2e-6
+
+
+def test_label_centroids_model(spark, embs):
+    """Centroids match numpy per-label means within the 2^-30 grid, and
+    the quantized quotient recomputes exactly."""
+    import numpy as np
+
+    from simple_tsdb_spark.pipeline import label_centroids
+
+    got = label_centroids(embs).toPandas()
+    pdf = embs.toPandas()
+    g = float(1 << 30)
+    for label, grp in pdf.groupby("label"):
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in grp.embedding])
+        sub = got[got.label == label].sort_values("pos")
+        assert (sub.n_vecs == len(grp)).all()
+        # exact recomputation on the integer grid
+        qsum = np.floor(mat * g).sum(axis=0)
+        want = qsum / len(grp) / g
+        np.testing.assert_array_equal(sub.centroid.to_numpy(), want)
+        # and the grid is far below float32 noise vs the true mean
+        assert np.abs(sub.centroid.to_numpy() - mat.mean(axis=0)).max() < 1e-6
