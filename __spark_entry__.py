@@ -647,6 +647,13 @@ def _q_corpus_stats(spark, sf_dir):
     return corpus_stats(_docs(spark, sf_dir))
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Canonical normalization (lowercase, whitespace collapse, trim)."""
+    from simple_tsdb_spark.pipeline import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
 def _q_lm_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity split at exact tercile cuts."""
     from simple_tsdb_spark.pipeline import lm_perplexity_buckets
@@ -1034,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap": _q_heatmap,  # 2-D time x value-bin heatmap
         "top_values_per_series": _q_top_values_per_series,  # per-series worst offenders
         "label_centroids": _q_label_centroids,  # exact class prototypes (2^30 grid)
+        "normalize_text": _q_normalize_text,  # canonical pre-dedup normalization
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
@@ -1585,6 +1593,7 @@ def _pipeline_oracles() -> dict[str, str]:
         pmi_topk_oracle,
         corpus_stats_oracle,
         lm_perplexity_buckets_oracle,
+        normalize_text_oracle,
         quality_filter_pct_oracle,
         dsir_logweights_oracle,
         topk_ngrams_oracle,
@@ -1634,6 +1643,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "corpus_stats": corpus_stats_oracle(),
         "quality_filter_pct": quality_filter_pct_oracle(pct=0.1),
         "lm_perplexity_buckets": lm_perplexity_buckets_oracle(),
+        "normalize_text": normalize_text_oracle(),
         "pii_scrub": pii_scrub_oracle(),
         "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),
         "dsir_weights": dsir_logweights_oracle(target_pred="lang = 'en'"),

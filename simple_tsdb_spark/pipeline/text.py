@@ -565,6 +565,39 @@ ORDER BY bm25 DESC, doc_id LIMIT {k}
 """
 
 
+def normalize_text(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization — the stage run BEFORE exact dedup so
+    trivially-different copies (case, runs of whitespace, edge padding)
+    collapse to one digest: lowercase, any whitespace run → one space,
+    trim.  Emits (doc_id, norm_text, changed, n_chars, n_chars_norm).
+
+    Pure codegen string expressions (lower / regexp_replace / trim) —
+    zero shuffles, engine-portable (same regex semantics both sides),
+    and ``changed`` is an exact string inequality.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        (norm != F.col(text_col)).alias("changed"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    ).orderBy(id_col)
+
+
+def normalize_text_oracle(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> text AS changed,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM {table}
+"""
+
+
 def lm_perplexity_buckets(
     df: DataFrame,
     *,

@@ -1930,3 +1930,29 @@ def test_label_centroids_model(spark, embs):
         np.testing.assert_array_equal(sub.centroid.to_numpy(), want)
         # and the grid is far below float32 noise vs the true mean
         assert np.abs(sub.centroid.to_numpy() - mat.mean(axis=0)).max() < 1e-6
+
+
+def test_normalize_text_model(spark):
+    """Normalization vs python: case folding, whitespace-run collapse
+    (spaces/tabs/newlines), trim, changed flag."""
+    import re as _re
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import normalize_text
+
+    docs = [
+        (1, "Hello  World"),
+        (2, " padded \t text\nwith lines "),
+        (3, "already clean"),
+        (4, "MiXeD Case"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = normalize_text(df).toPandas().set_index("doc_id")
+    for d, t in docs:
+        want = _re.sub(r"\s+", " ", t.lower()).strip()
+        row = got.loc[d]
+        assert row.norm_text == want
+        assert row.changed == (want != t)
+        assert row.n_chars == len(t) and row.n_chars_norm == len(want)
+    assert not got.loc[3].changed
