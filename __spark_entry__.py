@@ -780,6 +780,13 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
 
 
+def _q_pack_stats(spark, sf_dir):
+    """Packing-quality report: per-pack fill ratios and straddle flags."""
+    from simple_tsdb_spark.pipeline import pack_stats
+
+    return pack_stats(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
 def _q_knn_brute(spark, sf_dir):
     from simple_tsdb_spark.pipeline import knn_brute
 
@@ -1042,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_values_per_series": _q_top_values_per_series,  # per-series worst offenders
         "label_centroids": _q_label_centroids,  # exact class prototypes (2^30 grid)
         "normalize_text": _q_normalize_text,  # canonical pre-dedup normalization
+        "pack_stats": _q_pack_stats,  # packing fill-ratio report
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
@@ -1541,6 +1549,7 @@ def _pipeline_oracles() -> dict[str, str]:
         hash_split_oracle,
         mixture_sample_oracle,
         pack_sequences_oracle,
+        pack_stats_oracle,
     )
     from simple_tsdb_spark.pipeline.dedup import (
         block_dedup_oracle,
@@ -1669,6 +1678,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "domain_topk": domain_topk_oracle(k=DOMAIN_TOPK_K),
         "mixture_sample": mixture_sample_oracle(rates=MIXTURE_RATES, default_rate=50),
         "pack_sequences": pack_sequences_oracle(budget=PACK_BUDGET),
+        "pack_stats": pack_stats_oracle(budget=PACK_BUDGET),
         "knn_brute": knn_brute_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_range": range_search_oracle(query_ids=KNN_QUERY_IDS, tau=RANGE_TAU),
         "label_centroids": label_centroids_oracle(),

@@ -694,3 +694,64 @@ survivors AS (
   SELECT kept.* FROM kept JOIN keeper USING (doc_id)),
 {split_sql[5:]}
 """
+
+
+def pack_stats(
+    df: DataFrame,
+    *,
+    budget: int,
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_groups: int = PACK_GROUPS,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Packing-quality report over :func:`pack_sequences`: per (group,
+    pack) the doc count, total length, UNROUNDED fill ratio vs the
+    budget, and the straddle flag (offset packing lets the final doc
+    overshoot) — the numbers a token-budgeted training run checks before
+    shipping packs.
+
+    Adds one tiny (grp, pack)-keyed aggregation on top of the packer's
+    single hash-group shuffle.
+    """
+    packs = pack_sequences(
+        df, budget=budget, length_col=length_col, id_col=id_col,
+        n_groups=n_groups, salt=salt,
+    )
+    b = int(budget)
+    return (
+        packs.groupBy("grp", "pack")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("length").alias("total_len"))
+        .select(
+            "grp",
+            "pack",
+            "n_docs",
+            "total_len",
+            (F.col("total_len").cast("double") / F.lit(float(b))).alias("fill_ratio"),
+            (F.col("total_len") > b).alias("straddles"),
+        )
+        .orderBy("grp", "pack")
+    )
+
+
+def pack_stats_oracle(
+    table: str = "documents",
+    *,
+    budget: int,
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_groups: int = PACK_GROUPS,
+    salt: str = "pack-v1",
+) -> str:
+    inner = pack_sequences_oracle(
+        table, budget=budget, length_col=length_col, id_col=id_col,
+        n_groups=n_groups, salt=salt,
+    ).strip()
+    b = int(budget)
+    return f"""
+WITH packs AS ({inner})
+SELECT grp, pack, COUNT(*) AS n_docs, CAST(SUM(length) AS BIGINT) AS total_len,
+       CAST(SUM(length) AS DOUBLE) / {float(b)!r} AS fill_ratio,
+       SUM(length) > {b} AS straddles
+FROM packs GROUP BY grp, pack
+"""

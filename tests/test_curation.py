@@ -487,3 +487,24 @@ def test_write_training_shards_empty_shards_in_manifest(spark, tmp_path):
     empties = [m for m in manifest if m["n_rows"] == 0]
     assert len(empties) >= 14
     assert all(m["n_packs"] == 0 for m in empties)
+
+
+def test_pack_stats_consistency(spark):
+    """pack_stats recomputes from pack_sequences output: counts/totals
+    match a pandas groupby; every non-final pack in a group was under
+    budget before its last doc (fill <= 1 + last_len/budget)."""
+    from simple_tsdb_spark.pipeline import pack_sequences, pack_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 600
+    packs = pack_sequences(docs, budget=budget).toPandas()
+    got = pack_stats(docs, budget=budget).toPandas()
+    want = packs.groupby(["grp", "pack"]).agg(
+        n_docs=("doc_id", "size"), total_len=("length", "sum")
+    )
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        wr = want.loc[(r.grp, r.pack)]
+        assert r.n_docs == wr.n_docs and r.total_len == wr.total_len
+        assert r.fill_ratio == r.total_len / budget
+        assert r.straddles == (r.total_len > budget)
