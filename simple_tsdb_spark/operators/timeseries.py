@@ -1082,48 +1082,48 @@ def burn_rate_alerts(
 ) -> DataFrame:
     """Multi-window error-budget burn alerts (the SRE workbook pattern):
     fire at window-end ``E`` when the error fraction over BOTH the
-    trailing short window ``(E−short, E]`` and the trailing long window
-    ``(E−long, E]`` clears its threshold — the short window gives fast
-    detection, the long window suppresses blips.
+    trailing short window ``[E−short, E)`` and the trailing long window
+    ``[E−long, E)`` clears its threshold — the short window gives fast
+    detection, the long window suppresses blips.  Window membership uses
+    Spark's native sliding-window convention (closed-left, open-right),
+    so the streaming twin (``streaming_burn_rate``) is label-for-label
+    identical.
 
     Output: one row per firing window end — (wend, short_errors,
     short_total, short_rate, long_errors, long_total, long_rate) with
     UNROUNDED BIGINT-quotient rates, ordered by wend.
 
-    Scale: each event replicates to its short/long covering window ends
-    (fixed fan-outs short/slide and long/slide — the hopping_mean
-    trick), one map-side-combined shuffle per granularity, then an
-    end-keyed m:1 join of two already-aggregated frames.  No windows
-    over raw streams, no self-joins of the event table.
+    Scale: ONE explode to the long window's covering ends (fixed
+    fan-out long/slide) with the short-window membership carried as a
+    flag, then ONE map-side-combined shuffle on the uniform end key
+    computing both granularities as conditional sums — no second
+    aggregate, no end-keyed join.
     """
     s = int(slide_ns)
-    for w in (short_ns, long_ns):
-        if int(w) % s != 0:
+    w_s, w_l = int(short_ns), int(long_ns)
+    for w in (w_s, w_l):
+        if w % s != 0:
             raise ValueError("windows must be multiples of slide_ns")
-
-    def trailing(w: int, prefix: str) -> DataFrame:
-        lo = F.col("time_ns") + (
-            (F.lit(s) - F.col("time_ns") % F.lit(s)) % F.lit(s)
-        )
-        x = df.select(
-            (F.col("series") == error_series).cast("long").alias("_e"),
-            F.explode(F.sequence(lo, lo + F.lit(int(w) - s), F.lit(s))).alias("wend"),
-        )
-        return x.groupBy("wend").agg(
-            F.sum("_e").alias(f"{prefix}_errors"),
-            F.count(F.lit(1)).alias(f"{prefix}_total"),
-        )
-
-    sh = trailing(int(short_ns), "short").withColumn(
-        "short_rate",
-        F.col("short_errors").cast("double") / F.col("short_total").cast("double"),
+    lo = (F.col("time_ns") - F.col("time_ns") % F.lit(s)) + F.lit(s)
+    x = df.select(
+        (F.col("series") == error_series).cast("long").alias("_e"),
+        F.col("time_ns").alias("_t"),
+        F.explode(F.sequence(lo, lo + F.lit(w_l - s), F.lit(s))).alias("wend"),
+    ).withColumn("_in_s", (F.col("_t") >= F.col("wend") - F.lit(w_s)).cast("long"))
+    agg = x.groupBy("wend").agg(
+        F.sum(F.col("_e") * F.col("_in_s")).alias("short_errors"),
+        F.sum("_in_s").alias("short_total"),
+        F.sum("_e").alias("long_errors"),
+        F.count(F.lit(1)).alias("long_total"),
     )
-    lg = trailing(int(long_ns), "long").withColumn(
-        "long_rate",
-        F.col("long_errors").cast("double") / F.col("long_total").cast("double"),
-    )
+    short_rate = F.col("short_errors").cast("double") / F.col("short_total").cast("double")
+    long_rate = F.col("long_errors").cast("double") / F.col("long_total").cast("double")
     return (
-        sh.join(lg, "wend")
+        agg.where(F.col("short_total") > 0)
+        .select(
+            "wend", "short_errors", "short_total", short_rate.alias("short_rate"),
+            "long_errors", "long_total", long_rate.alias("long_rate"),
+        )
         .where(
             (F.col("short_rate") >= float(short_threshold))
             & (F.col("long_rate") >= float(long_threshold))
@@ -1143,29 +1143,29 @@ def burn_rate_alerts_oracle(
     long_threshold: float,
 ) -> str:
     s = int(slide_ns)
-
-    def trailing(w: int, prefix: str) -> str:
-        return f"""
-  SELECT wend, SUM(_e) AS {prefix}_errors, COUNT(*) AS {prefix}_total
-  FROM (
-    SELECT CASE WHEN series = '{error_series}' THEN 1 ELSE 0 END AS _e,
-           UNNEST(generate_series(
-             time_ns + (({s} - time_ns % {s}) % {s}),
-             time_ns + (({s} - time_ns % {s}) % {s}) + {int(w) - s},
-             {s})) AS wend
-    FROM m)
-  GROUP BY wend"""
-
+    w_s, w_l = int(short_ns), int(long_ns)
     return f"""
 WITH m AS ({measurement_sql}),
-sh AS ({trailing(int(short_ns), "short")}),
-lg AS ({trailing(int(long_ns), "long")})
-SELECT sh.wend, short_errors, short_total,
+x AS (
+  SELECT CASE WHEN series = '{error_series}' THEN 1 ELSE 0 END AS _e, time_ns AS _t,
+         UNNEST(generate_series(
+           (time_ns - time_ns % {s}) + {s},
+           (time_ns - time_ns % {s}) + {w_l},
+           {s})) AS wend
+  FROM m),
+agg AS (
+  SELECT wend,
+         SUM(_e * (CASE WHEN _t >= wend - {w_s} THEN 1 ELSE 0 END)) AS short_errors,
+         SUM(CASE WHEN _t >= wend - {w_s} THEN 1 ELSE 0 END) AS short_total,
+         SUM(_e) AS long_errors, COUNT(*) AS long_total
+  FROM x GROUP BY wend)
+SELECT wend, short_errors, short_total,
        CAST(short_errors AS DOUBLE) / CAST(short_total AS DOUBLE) AS short_rate,
        long_errors, long_total,
        CAST(long_errors AS DOUBLE) / CAST(long_total AS DOUBLE) AS long_rate
-FROM sh JOIN lg ON sh.wend = lg.wend
-WHERE CAST(short_errors AS DOUBLE) / CAST(short_total AS DOUBLE) >= {float(short_threshold)!r}
+FROM agg
+WHERE short_total > 0
+  AND CAST(short_errors AS DOUBLE) / CAST(short_total AS DOUBLE) >= {float(short_threshold)!r}
   AND CAST(long_errors AS DOUBLE) / CAST(long_total AS DOUBLE) >= {float(long_threshold)!r}
 """
 

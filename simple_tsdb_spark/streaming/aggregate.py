@@ -150,3 +150,63 @@ def streaming_sessionize(
         .drop("session_window")
         .select("series", "session_start", "session_end", "n_events")
     )
+
+
+def streaming_burn_rate(
+    stream: DataFrame,
+    *,
+    error_series: str = "error",
+    short_ns: int,
+    long_ns: int,
+    slide_ns: int,
+    short_threshold: float,
+    long_threshold: float,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Continuous multi-window burn-rate alerting — the streaming twin of
+    ``operators.timeseries.burn_rate_alerts``: ONE native sliding
+    ``F.window(long, slide)`` aggregation computes both granularities
+    (the short window is a conditional sum on ``event_ts >= window.end −
+    short``), finalized windows emit in append mode — label-for-label
+    identical to the batch operator, which uses the same closed-left
+    open-right convention.
+    """
+    s, w_s, w_l = int(slide_ns), int(short_ns), int(long_ns)
+    for w in (w_s, w_l):
+        if w % s != 0:
+            raise ValueError("windows must be multiples of slide_ns")
+        if w % 1000 != 0:
+            raise ValueError("streaming windows need µs-resolution durations")
+    ts = F.expr("timestamp_micros(time_ns div 1000)")
+    src = stream.withColumn("_event_ts", ts).withWatermark("_event_ts", watermark_delay)
+    win = F.window("_event_ts", _dur(w_l), _dur(s))
+    e = (F.col("series") == error_series).cast("long")
+    in_s = (
+        F.col("_event_ts")
+        >= F.expr(f"window.end - INTERVAL {w_s // 1000} MICROSECONDS")
+    ).cast("long")
+    agg = (
+        src.select("series", "_event_ts", e.alias("_e"), win.alias("window"))
+        .groupBy("window")
+        .agg(
+            F.sum(F.col("_e") * in_s).alias("short_errors"),
+            F.sum(in_s).alias("short_total"),
+            F.sum("_e").alias("long_errors"),
+            F.count(F.lit(1)).alias("long_total"),
+        )
+        .withColumn("wend", F.expr("unix_micros(window.end) * 1000"))
+        .drop("window")
+    )
+    short_rate = F.col("short_errors").cast("double") / F.col("short_total").cast("double")
+    long_rate = F.col("long_errors").cast("double") / F.col("long_total").cast("double")
+    return (
+        agg.where(F.col("short_total") > 0)
+        .select(
+            "wend", "short_errors", "short_total", short_rate.alias("short_rate"),
+            "long_errors", "long_total", long_rate.alias("long_rate"),
+        )
+        .where(
+            (F.col("short_rate") >= float(short_threshold))
+            & (F.col("long_rate") >= float(long_threshold))
+        )
+    )

@@ -200,3 +200,42 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     # the == gap pair (22s, 24s) stayed one session
     a3 = got[(got.series == "a") & (got.session_start == 20 * s_)]
     assert len(a3) == 1 and a3.n_events.iloc[0] == 3 and a3.session_end.iloc[0] == 24 * s_
+
+
+def test_streaming_burn_rate_matches_batch(spark, tmp_path):
+    """Finalized burn-rate alerts from the stream equal the batch
+    operator (same closed-left window convention, conditional sums)."""
+    from simple_tsdb_spark.operators.timeseries import burn_rate_alerts
+    from simple_tsdb_spark.streaming import streaming_burn_rate
+
+    s_ = 1_000_000_000
+    rows = [("ok", (2 * i + 1) * s_, 0.0) for i in range(50)] + [
+        ("error", (2 * i + 1) * s_ + 1000, 0.0) for i in range(15, 25)
+    ]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "v"])
+    kw = dict(
+        error_series="error", short_ns=10 * s_, long_ns=30 * s_, slide_ns=5 * s_,
+        short_threshold=0.3, long_threshold=0.15,
+    )
+    src = str(tmp_path / "burn_src")
+    df = spark.createDataFrame(pdf[["series", "time_ns", "v"]], SCHEMA)
+    df.write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = streaming_burn_rate(stream, watermark_delay="0 seconds", **kw)
+    q = agg.writeStream.outputMode("append").format("memory").queryName("burn_agg").start()
+    q.processAllAvailable()
+    # advance watermark, then one more batch to flush finalized windows
+    mk = lambda r: spark.createDataFrame(pd.DataFrame(r, columns=["series", "time_ns", "v"]), SCHEMA)
+    mk([("ok", 10**15, 0.0)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    mk([("ok", 10**15 + s_, 0.0)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM burn_agg WHERE wend < 1000000000000000")
+        .toPandas()
+        .sort_values("wend", ignore_index=True)
+    )
+    want = burn_rate_alerts(df, **kw).toPandas().sort_values("wend", ignore_index=True)
+    assert len(want) > 0  # the burst fires in this fixture
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)

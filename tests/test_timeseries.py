@@ -441,13 +441,13 @@ def test_burn_rate_alerts_model(spark):
         short_threshold=0.4, long_threshold=0.2,
     ).toPandas()
 
-    # model
+    # model (native sliding-window convention: t in [E-w, E), ends E > t)
     evs = [(t, ser) for ser, t in rows]
     def rate(wend, w):
-        sel = [ser for t, ser in evs if wend - w < t <= wend]
+        sel = [ser for t, ser in evs if wend - w <= t < wend]
         return (sum(1 for x in sel if x == "error"), len(sel))
     fired = []
-    ends = sorted({t + ((s - t % s) % s) + k * s for t, _ in evs for k in range(0, 6)})
+    ends = sorted({(t // s) * s + s + k * s for t, _ in evs for k in range(0, 6)})
     for e in ends:
         se, st = rate(e, 20)
         le, lt = rate(e, 60)
