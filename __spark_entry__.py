@@ -1021,7 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence leads).  Order this round:
         #   1. the two r7/r8 hash-fails, FIXED in r9 (terminal-round
         #      removal) — keep at head until CORRECTNESS shows green;
-        #   2. this round's 15 NEW queries (no driver evidence yet);
+        #   2. this round's 22 NEW queries (no driver evidence yet; all
+        #      hash-exact in local full sweeps at sf0.01 AND sf0.1);
         #   3. the 39 entries whose last driver evidence is r7 (they
         #      sat past r8's 50-slot window; the judge re-verified
         #      them in r7; the tail few may spill to next round);
