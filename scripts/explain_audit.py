@@ -449,6 +449,21 @@ def main() -> int:
         re.search(r"hashpartitioning\(series#\d+, wstart", p) is not None,
     )
 
+    # burn_rate_alerts: both granularities from ONE aggregation — a
+    # second agg + end-keyed join would double the shuffle.
+    from simple_tsdb_spark.operators.timeseries import burn_rate_alerts
+
+    p = plan_of(
+        burn_rate_alerts(
+            ev, error_series="click", short_ns=3_600_000_000_000,
+            long_ns=21_600_000_000_000, slide_ns=900_000_000_000,
+            short_threshold=0.1, long_threshold=0.1,
+        )
+    )
+    n_exchange = len(re.findall(r"Arguments: hashpartitioning\(", p))
+    ok &= check("burn_rate: exactly one aggregate exchange (no join)", n_exchange == 1, f"{n_exchange}")
+    ok &= check("burn_rate: no join operator", "Join" not in p)
+
     # interval_join bucket ids must be integer `div` arithmetic — a double
     # division of epoch-ns (~1.7e18 > 2^53) rounds, and rows at exact tol
     # multiples could misbucket (silent false negatives at |Δt|==tol).
