@@ -16,6 +16,7 @@ from simple_tsdb_spark.streaming.stateful import (
     streaming_ewma,
     streaming_holt,
     streaming_time_weighted_avg,
+    streaming_active_users,
 )
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "streaming_ewma",
     "streaming_holt",
     "streaming_time_weighted_avg",
+    "streaming_active_users",
     "streaming_curate",
     "streaming_decontaminate_flags",
     "streaming_dsir_scores",

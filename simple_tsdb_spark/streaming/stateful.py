@@ -243,3 +243,79 @@ def streaming_time_weighted_avg(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_active_users(
+    stream: DataFrame,
+    *,
+    period_ns: int,
+    window_periods: int = 1,
+    user_col: str = "user_id",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Continuous EXACT trailing-window active-user counts — the
+    streaming twin of ``operators.behavior.active_users`` for one
+    granularity: per period, the distinct users active in the trailing
+    ``window_periods`` periods (k=1 ⇒ DAU stream, k=7 ⇒ WAU stream).
+
+    Streaming distinct counting is done exactly, not with a sketch, by
+    chaining two stateful operators: each event fans out to the k
+    period labels its activity keeps alive, a
+    ``dropDuplicatesWithinWatermark`` on (user, period) keeps state
+    per distinct pair only, and a per-period
+    ``applyInPandasWithState`` counter emits the final count on
+    event-time timeout once the watermark passes the period's close
+    (the streaming_time_weighted_avg finalization shape).
+
+    State: O(distinct (user, period-label) pairs within the watermark
+    horizon) + one counter per open period.  The watermark delay must
+    absorb the forward labels: internally the effective delay adds
+    ``(window_periods − 1) · period``.
+    """
+    p = int(period_ns)
+    k = int(window_periods)
+    if p <= 0 or k <= 0:
+        raise ValueError("period_ns and window_periods must be positive")
+    if p % 1_000_000 != 0:
+        raise ValueError("event-time timeouts need ms-resolution period_ns")
+    from pyspark.sql import functions as F
+
+    ts = F.expr("timestamp_micros(time_ns div 1000)")
+    src = (
+        stream.where(F.col(user_col).isNotNull())
+        .withColumn("_event_ts", ts)
+        .withWatermark("_event_ts", watermark_delay)
+    )
+    per = F.col("time_ns") - (F.col("time_ns") % F.lit(p))
+    fanned = src.select(
+        F.col(user_col).alias("u"),
+        "_event_ts",
+        F.explode(F.sequence(per, per + F.lit((k - 1) * p), F.lit(p))).alias("period"),
+    )
+    dedup = fanned.dropDuplicatesWithinWatermark(["u", "period"])
+
+    out_schema = "period long, n_users long"
+    state_schema = "n long"
+
+    def count_users(key, pdfs, state: GroupState):
+        (period,) = key
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame([[int(period), int(n)]], columns=["period", "n_users"])
+            return
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        # the period label can sit up to (k-1)·p ahead of its events'
+        # clock: finalize once the watermark passes the label's close
+        state.setTimeoutTimestamp(int(period) // 1_000_000 + p // 1_000_000)
+
+    return dedup.groupBy("period").applyInPandasWithState(
+        count_users,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -159,3 +159,67 @@ def test_streaming_twa_matches_batch(spark, tmp_path):
         .sort_values(["series", "wstart"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_streaming_active_users_matches_batch(spark, tmp_path):
+    """Exact sliding distinct-user counts from the stream (chained
+    dedup + stateful counter) equal batch active_users' wau column,
+    including a user spanning two micro-batches and duplicate activity."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from simple_tsdb_spark.operators.behavior import active_users
+    from simple_tsdb_spark.streaming import streaming_active_users
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType(), False),
+            T.StructField("time_ns", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+        ]
+    )
+    p = 10 * 10**9
+    s_ = 10**9
+    rows1 = [
+        ("s", 1 * s_, 1), ("s", 2 * s_, 1), ("s", 3 * s_, 2),   # period 0: {1,2}
+        ("s", 11 * s_, 1),                                        # period 10: {1}
+        ("s", 12 * s_, None),                                     # NULL ignored
+    ]
+    rows2 = [
+        ("s", 13 * s_, 3),                                        # period 10 += {3}
+        ("s", 21 * s_, 2),                                        # period 20: {2}
+    ]
+    src = str(tmp_path / "au_src")
+
+    def mk(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "user_id"]), schema)
+
+    mk(rows1).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = streaming_active_users(stream, period_ns=p, window_periods=2, watermark_delay="30 seconds")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("au_agg").start()
+    q.processAllAvailable()
+    mk(rows2).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    mk([("s", 10**15, 99)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    mk([("s", 10**15 + s_, 99)]).write.parquet(src, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM au_agg WHERE period < 1000000000000000")
+        .toPandas()
+        .sort_values("period", ignore_index=True)
+    )
+    want = (
+        active_users(mk(rows1 + rows2), period_ns=p, window_periods=2)
+        .toPandas()[["period", "wau"]]
+        .rename(columns={"wau": "n_users"})
+    )
+    # batch reports only periods with same-period activity (dau join);
+    # the stream reports every trailing window with any activity — the
+    # batch rows must be a subset with equal counts
+    gmap = dict(zip(got.period, got.n_users))
+    assert len(want) > 0
+    for r in want.itertuples():
+        assert gmap[r.period] == r.n_users, (r.period, gmap.get(r.period), r.n_users)
