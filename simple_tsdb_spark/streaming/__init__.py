@@ -6,6 +6,7 @@ from simple_tsdb_spark.streaming.scores import streaming_dsir_scores
 from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup, streaming_simhash_dedup
 from simple_tsdb_spark.streaming.aggregate import (
     streaming_burn_rate,
+    streaming_heatmap,
     streaming_hopping_mean,
     streaming_sessionize,
     streaming_sum_points,
@@ -22,6 +23,7 @@ from simple_tsdb_spark.streaming.stateful import (
 __all__ = [
     "start_ingest",
     "streaming_burn_rate",
+    "streaming_heatmap",
     "streaming_hopping_mean",
     "streaming_sessionize",
     "streaming_sum_points",

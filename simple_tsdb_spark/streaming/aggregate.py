@@ -210,3 +210,40 @@ def streaming_burn_rate(
             & (F.col("long_rate") >= float(long_threshold))
         )
     )
+
+
+def streaming_heatmap(
+    stream: DataFrame,
+    *,
+    field: str,
+    window_ns: int,
+    lo: float,
+    hi: float,
+    nbins: int,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Continuous 2-D heatmap bins — the streaming twin of
+    ``operators.timeseries.heatmap_bins``: per (series, tumbling window,
+    clamped value bin) counts maintained incrementally (what a live
+    Grafana heatmap panel consumes).  Same bin arithmetic as batch, so
+    finalized cells are count-for-count identical.
+    """
+    w = int(window_ns)
+    if w % 1000 != 0:
+        raise ValueError("streaming windows need µs-resolution window_ns")
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(field) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("long")
+    ts = F.expr("timestamp_micros(time_ns div 1000)")
+    src = (
+        stream.where(F.col(field).isNotNull())
+        .withColumn("_event_ts", ts)
+        .withWatermark("_event_ts", watermark_delay)
+    )
+    bucket = (F.col("time_ns") - (F.col("time_ns") % F.lit(w))).alias("wstart")
+    return (
+        src.groupBy("series", F.window("_event_ts", _dur(w)), bucket, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .drop("window")
+        .select("series", "wstart", "bin", "n")
+    )

@@ -239,3 +239,35 @@ def test_streaming_burn_rate_matches_batch(spark, tmp_path):
     want = burn_rate_alerts(df, **kw).toPandas().sort_values("wend", ignore_index=True)
     assert len(want) > 0  # the burst fires in this fixture
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_streaming_heatmap_matches_batch(spark, tmp_path):
+    from simple_tsdb_spark.operators.timeseries import heatmap_bins
+    from simple_tsdb_spark.streaming import streaming_heatmap
+
+    rows = [("a", int(i * 0.7e9) + 1000, (i % 13) - 3.0) for i in range(60)] + [
+        ("b", int(i * 2e9) + 1000, float(i)) for i in range(12)
+    ]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "v"])
+    src = str(tmp_path / "hm_src")
+    df = spark.createDataFrame(pdf, SCHEMA)
+    df.write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    kw = dict(field="v", window_ns=10_000_000_000, lo=-2.0, hi=8.0, nbins=5)
+    q = (
+        streaming_heatmap(stream, **kw)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hm_agg")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    key = ["series", "wstart", "bin"]
+    got = spark.sql("SELECT * FROM hm_agg").toPandas().sort_values(key, ignore_index=True)
+    want = (
+        heatmap_bins(df, t0=0, t1=2**62, **kw)
+        .toPandas()
+        .sort_values(key, ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
