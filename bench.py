@@ -40,7 +40,7 @@ def main() -> None:
     # is the honest cost of the plan.  The first pass always completes;
     # repeats stop once the budget is spent.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "600"))
     wall0 = time.time()
     times: dict[str, float] = {}
     qs = entry_mod.queries()
