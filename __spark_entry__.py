@@ -658,7 +658,7 @@ def _q_lm_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity split at exact tercile cuts."""
     from simple_tsdb_spark.pipeline import lm_perplexity_buckets
 
-    return lm_perplexity_buckets(_docs(spark, sf_dir))
+    return lm_perplexity_buckets(_docs(spark, sf_dir), cache="local")
 
 
 def _q_quality_filter_pct(spark, sf_dir):
@@ -778,6 +778,14 @@ def _q_pack_sequences(spark, sf_dir):
     from simple_tsdb_spark.pipeline import pack_sequences
 
     return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
+def _q_ccnet_curate(spark, sf_dir):
+    """CCNet chain: LM perplexity gate (drop tail) -> exact dedup ->
+    exact stratified holdout, one lazy plan."""
+    from simple_tsdb_spark.pipeline import ccnet_curate
+
+    return ccnet_curate(_docs(spark, sf_dir), frac=0.1)
 
 
 def _q_pack_stats(spark, sf_dir):
@@ -1051,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": _q_label_centroids,  # exact class prototypes (2^30 grid)
         "normalize_text": _q_normalize_text,  # canonical pre-dedup normalization
         "pack_stats": _q_pack_stats,  # packing fill-ratio report
+        "ccnet_curate": _q_ccnet_curate,  # LM-driven curation chain (CCNet shape)
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
         "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
@@ -1595,7 +1604,7 @@ def _pipeline_oracles() -> dict[str, str]:
         heatmap_bins_oracle,
         top_values_per_series_oracle,
     )
-    from simple_tsdb_spark.pipeline.curation import curate_corpus_oracle, stratified_split_oracle
+    from simple_tsdb_spark.pipeline.curation import ccnet_curate_oracle, curate_corpus_oracle, stratified_split_oracle
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
     from simple_tsdb_spark.pipeline.similarity import knn_rp_oracle, rp_project_oracle
     from simple_tsdb_spark.pipeline.text import (
@@ -1636,6 +1645,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "ngram_lm_score": ngram_lm_score_oracle(),
         "stratified_split": stratified_split_oracle(frac=0.1),
         "curate_corpus": curate_corpus_oracle(),
+        "ccnet_curate": ccnet_curate_oracle(frac=0.1),
         "stratified_split3": stratified_split_oracle(fracs={"valid": 0.05, "test": 0.05}),
         "rp_project": rp_project_oracle(),
         "knn_rp": knn_rp_oracle(query_ids=tuple(range(8)), k=10),

@@ -755,3 +755,65 @@ SELECT grp, pack, COUNT(*) AS n_docs, CAST(SUM(length) AS BIGINT) AS total_len,
        SUM(length) > {b} AS straddles
 FROM packs GROUP BY grp, pack
 """
+
+
+def ccnet_curate(
+    df: DataFrame,
+    *,
+    fit_pred: str = "source = 'src0'",
+    frac: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The CCNet curation chain as ONE declarative plan — the LM-driven
+    sibling of :func:`curate_corpus`: (doc_id, lang, split) for every
+    surviving document.
+
+    1. perplexity gate: bigram-LM head/middle/tail buckets at exact
+       tercile cuts (``text.lm_perplexity_buckets``); CCNet's keep rule
+       drops the ``tail`` bucket (and NULL-xent no-bigram docs);
+    2. exact dedup, keep-first (md5 groupBy, min-id keeper);
+    3. exact-fraction stratified eval holdout per language.
+
+    Composes only gated pieces, so every stage's cross-engine
+    determinism is already proven; the chain adds no new shuffle shape
+    beyond its parts (LM fit/score passes + dedup groupBy + the split's
+    1024-bucket histogram).
+    """
+    from simple_tsdb_spark.pipeline.text import lm_perplexity_buckets
+
+    b = lm_perplexity_buckets(
+        df, fit_pred=fit_pred, text_col=text_col, id_col=id_col, cache="local"
+    )
+    keep_ids = b.where(F.col("bucket").isin("head", "middle")).select(id_col)
+    kept = df.join(keep_ids, id_col)
+    keeper = kept.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    survivors = kept.join(keeper.select(id_col), id_col)
+    return stratified_split(survivors, frac=frac, stratum_col=lang_col, id_col=id_col)
+
+
+def ccnet_curate_oracle(
+    table: str = "documents",
+    *,
+    fit_pred: str = "source = 'src0'",
+    frac: float = 0.1,
+) -> str:
+    from simple_tsdb_spark.pipeline.text import lm_perplexity_buckets_oracle
+
+    lm = lm_perplexity_buckets_oracle(table, fit_pred=fit_pred).strip()
+    split_sql = stratified_split_oracle(table="survivors", frac=frac).strip()
+    assert split_sql.startswith("WITH ")
+    return f"""
+WITH b AS (SELECT * FROM ({lm}) _lm),
+kept AS (
+  SELECT d.* FROM {table} d JOIN b USING (doc_id)
+  WHERE b.bucket IN ('head', 'middle')),
+keeper AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+survivors AS (
+  SELECT kept.* FROM kept JOIN keeper USING (doc_id)),
+{split_sql[5:]}
+"""

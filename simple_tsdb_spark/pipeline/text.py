@@ -604,6 +604,7 @@ def lm_perplexity_buckets(
     fit_pred: str = "source = 'src0'",
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache: str | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail split: score every document with the
     bigram-LM cross-entropy (:func:`ngram_lm_score`), cut the corpus at
@@ -622,6 +623,12 @@ def lm_perplexity_buckets(
     corpus-sized shuffle beyond the scorer's own.
     """
     scores = ngram_lm_score(df, fit_pred=fit_pred, text_col=text_col, id_col=id_col)
+    if cache == "local":
+        # The scorer's output is N tiny rows but its subtree (LM fit +
+        # hot/tail score joins) is the expensive part, and this plan
+        # consumes it 2-3× (thresholds, labels, downstream joins) —
+        # materialize once.  Result-transparent: same rows either way.
+        scores = scores.localCheckpoint(eager=True)
     # terciles as python-evaluated double literals: Spark SQL's `1.0/3.0`
     # is DECIMAL division (0.333333) while DuckDB's is double — embed the
     # one IEEE value in both engines instead

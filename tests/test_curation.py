@@ -508,3 +508,31 @@ def test_pack_stats_consistency(spark):
         assert r.n_docs == wr.n_docs and r.total_len == wr.total_len
         assert r.fill_ratio == r.total_len / budget
         assert r.straddles == (r.total_len > budget)
+
+
+def test_ccnet_curate_composes_parts(spark):
+    """ccnet_curate == lm-bucket filter -> exact dedup keep-first ->
+    stratified split, recomposed from the individually-gated parts."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import ccnet_curate, stratified_split
+    from simple_tsdb_spark.pipeline.text import lm_perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = ccnet_curate(docs, frac=0.1).toPandas()
+
+    b = lm_perplexity_buckets(docs).toPandas()
+    keep_ids = set(b[b.bucket.isin(["head", "middle"])].doc_id)
+    pdf = docs.toPandas()
+    kept = pdf[pdf.doc_id.isin(keep_ids)]
+    keeper_ids = set(kept.groupby(kept.text)["doc_id"].min())
+    survivors = kept[kept.doc_id.isin(keeper_ids)]
+    sdf = spark.createDataFrame(survivors)
+    want = stratified_split(sdf, frac=0.1, stratum_col="lang").toPandas()
+
+    key = ["doc_id"]
+    got_s = got.sort_values(key, ignore_index=True)
+    want_s = want.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(got_s[["doc_id", "lang", "split"]], want_s[["doc_id", "lang", "split"]])
+    # the perplexity gate actually drops something (tail bucket nonempty)
+    assert len(got) < len(pdf)
