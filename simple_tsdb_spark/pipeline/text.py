@@ -598,6 +598,94 @@ FROM {table}
 """
 
 
+def doc_chunks(
+    df: DataFrame,
+    *,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG/training-style document chunking: fixed ``window``-token
+    chunks every ``stride`` tokens, with the LAST chunk tail-aligned so
+    the document end is always covered by one full-width chunk (the
+    HuggingFace ``stride`` convention — no sliver tails, bounded
+    overlap).  ``stride < window`` gives overlapping context windows;
+    ``stride == window`` gives a disjoint partition except for the
+    final chunk, which re-covers up to ``window − (n mod stride)``
+    tail tokens to stay full-width.
+
+    Output: (doc_id, chunk_idx, start_tok, n_toks, chunk_text).  For a
+    doc of n tokens: 1 chunk when n ≤ window, else
+    ``ceil((n-window)/stride) + 1`` chunks with
+    ``start_tok = min(chunk_idx·stride, n-window)``.
+
+    Determinism: pure integer index arithmetic + exact string slicing —
+    no floats anywhere.
+
+    At 100 TB: zero-shuffle codegen scan (split → sequence → posexplode
+    → slice/array_join all whole-stage); output rides the input
+    partitioning, so a downstream embed/tokenize stage maps over it
+    without an exchange.  Output size ≈ input × window/stride — the
+    fan-out is the caller's dial, not a plan property.
+    """
+    W, S = int(window), int(stride)
+    if W <= 0 or S <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col), toks.alias("_w"), F.size(toks).cast("long").alias("_n")
+    )
+    n_chunks = (
+        F.when(F.col("_n") <= W, F.lit(1).cast("long"))
+        .otherwise(F.expr(f"(_n - {W} + {S} - 1) DIV {S}") + F.lit(1).cast("long"))
+    )
+    exploded = base.select(
+        id_col,
+        "_w",
+        "_n",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+    )
+    start = F.least(
+        F.col("chunk_idx").cast("long") * S, F.greatest(F.col("_n") - W, F.lit(0).cast("long"))
+    )
+    chunk = F.slice(F.col("_w"), start.cast("int") + 1, W)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_toks"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy(id_col, "chunk_idx")
+
+
+def doc_chunks_oracle(
+    table: str = "documents", *, window: int = 64, stride: int = 48
+) -> str:
+    W, S = int(window), int(stride)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM {table}),
+c AS (
+  SELECT doc_id, w, n,
+         UNNEST(range(0, CASE WHEN n <= {W} THEN 1
+                              ELSE (n - {W} + {S} - 1) // {S} + 1 END)) AS chunk_idx
+  FROM t),
+s AS (
+  SELECT doc_id, w, n, chunk_idx,
+         least(chunk_idx * {S}, greatest(n - {W}, 0)) AS start_tok
+  FROM c)
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(len(list_slice(w, start_tok + 1, start_tok + {W})) AS BIGINT) AS n_toks,
+       array_to_string(list_slice(w, start_tok + 1, start_tok + {W}), ' ') AS chunk_text
+FROM s
+"""
+
+
 def lm_perplexity_buckets(
     df: DataFrame,
     *,

@@ -4,6 +4,8 @@ from simple_tsdb_spark.plans.analytics import (
     top_customers_per_nation,
     daily_event_pivot,
     revenue_rollup,
+    forecast_revenue,
+    event_transitions,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "top_customers_per_nation",
     "daily_event_pivot",
     "revenue_rollup",
+    "forecast_revenue",
+    "event_transitions",
 ]

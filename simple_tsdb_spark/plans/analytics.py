@@ -242,3 +242,121 @@ SELECT n_name, c_custkey, spend, rank FROM (
     GROUP BY n_name, c_custkey))
 WHERE rank <= {k}
 """
+
+
+def forecast_revenue(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    years: tuple[int, int] = (1996, 1998),
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change: the revenue that would
+    be lost by dropping small discounts on low-quantity lineitems,
+    per ship year.  One filter + one tiny aggregate — the canonical
+    "does the predicate reach the scan" query.
+
+    Determinism: the discount/quantity cuts are IEEE compares on the
+    raw doubles; revenue accumulates as exact DECIMAL products
+    (price·discount on the cent/percent grid), cast to double once.
+
+    At 100 TB: every predicate (ship-year range, discount band,
+    quantity cap) pushes to the parquet scan — row groups outside the
+    year range never read; the aggregate is a scalar per year
+    (map-side combined, no data-sized shuffle).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    y0, y1 = years
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= f"{y0}-01-01")
+            & (F.col("l_shipdate") < f"{y1}-01-01")
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def forecast_revenue_oracle(
+    *,
+    years: tuple[int, int] = (1996, 1998),
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> str:
+    y0, y1 = years
+    return f"""
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{y0}-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{y1}-01-01 00:00:00'
+  AND l_discount >= {disc_lo!r} AND l_discount <= {disc_hi!r}
+  AND l_quantity < {max_qty!r}
+GROUP BY year(l_shipdate)
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over the event stream: for
+    every user's time-ordered event sequence, count each
+    (event_type → next event_type) step and its conditional
+    probability — the path-analysis primitive behind funnel discovery
+    and next-action models.
+
+    Output: (from_type, to_type, n, prob) with
+    ``prob = n / Σ n over from_type`` — one IEEE division of exact
+    BIGINTs (the proven unrounded-quotient pattern).  Ordering within
+    a user is (ts, event_id) — event_id is unique, so the sequence is
+    total and both engines see identical steps.
+
+    At 100 TB: ONE shuffle on user_id for the lead window (sequences
+    stay inside their partition), then a map-side-combined aggregate
+    onto the tiny type×type key space; the per-from totals ride a
+    window over that already-small frame — no second data-sized
+    exchange.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+def event_transitions_oracle() -> str:
+    return """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+FROM counts
+"""

@@ -188,3 +188,60 @@ def test_funnel_conversion_time_model(spark):
     assert got.min_ns == 30 and got.max_ns == 60
     assert got.mean_ns == 45.0
     assert got.p50_ns == 45.0  # interpolated midpoint of {30, 60}
+
+
+def test_event_transitions_model(spark):
+    """event_transitions vs a python model: per-user time order with
+    event_id tie-break, no cross-user pairs, probs sum to 1 per from."""
+    import pandas as pd
+
+    from simple_tsdb_spark.plans.analytics import event_transitions
+
+    sf = "/root/testdata/sf0.001"
+    got = event_transitions(spark, sf).toPandas()
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    counts = {}
+    for _, g in ev.groupby("user_id"):
+        types = list(g.event_type)
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    assert len(got) == len(counts)
+    froms = {}
+    for (a, b), n in counts.items():
+        froms[a] = froms.get(a, 0) + n
+    for _, r in got.iterrows():
+        assert counts[(r.from_type, r.to_type)] == r.n
+        assert r.prob == counts[(r.from_type, r.to_type)] / froms[r.from_type]
+    sums = got.groupby("from_type").prob.sum()
+    for s in sums:
+        assert abs(s - 1.0) < 1e-12
+
+
+def test_forecast_revenue_q6_model(spark):
+    """forecast_revenue vs a pandas recomputation of the Q6 filter and
+    exact cent-grid revenue."""
+    import pandas as pd
+
+    from simple_tsdb_spark.plans.analytics import forecast_revenue
+
+    sf = "/root/testdata/sf0.001"
+    got = forecast_revenue(spark, sf).toPandas().set_index("ship_year")
+
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    sel = li[
+        (li.l_shipdate >= "1996-01-01")
+        & (li.l_shipdate < "1998-01-01")
+        & (li.l_discount >= 0.05)
+        & (li.l_discount <= 0.07)
+        & (li.l_quantity < 24)
+    ].copy()
+    assert len(sel) == int(got.n_items.sum())
+    for year, g in sel.groupby(sel.l_shipdate.dt.year):
+        # exact integer cent×percent accumulation (the DECIMAL model)
+        cents = (g.l_extendedprice * 100).round().astype("int64")
+        pct = (g.l_discount * 100).round().astype("int64")
+        want = float((cents * pct).sum()) / 10000.0
+        assert got.loc[year].revenue == want
+        assert got.loc[year].n_items == len(g)

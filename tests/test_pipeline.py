@@ -1956,3 +1956,101 @@ def test_normalize_text_model(spark):
         assert row.changed == (want != t)
         assert row.n_chars == len(t) and row.n_chars_norm == len(want)
     assert not got.loc[3].changed
+
+
+def test_doc_chunks_model(spark):
+    """doc_chunks vs a python chunker: tail alignment, full coverage,
+    overlap contract, short-doc single chunk, empty text."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import doc_chunks
+
+    W, S = 8, 5
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(30))),   # multi-chunk + tail align
+        (2, " ".join(f"t{i}" for i in range(8))),    # exactly one window
+        (3, " ".join(f"t{i}" for i in range(3))),    # short: 1 chunk of 3
+        (4, ""),                                      # split('') → [''] → 1 token
+        (5, " ".join(f"t{i}" for i in range(13))),   # n-W=5 → exactly 2 chunks
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = doc_chunks(df, window=W, stride=S).toPandas()
+
+    for did, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = 1 if n <= W else -(-(n - W) // S) + 1
+        rows = got[got.doc_id == did].sort_values("chunk_idx")
+        assert len(rows) == n_chunks, (did, len(rows), n_chunks)
+        covered = set()
+        for _, r in rows.iterrows():
+            start = min(r.chunk_idx * S, max(n - W, 0))
+            assert r.start_tok == start
+            want = toks[start : start + W]
+            assert r.chunk_text == " ".join(want)
+            assert r.n_toks == len(want)
+            covered.update(range(start, start + len(want)))
+        assert covered == set(range(n))  # every token in ≥1 chunk
+    # stride == window: disjoint except the tail-aligned last chunk;
+    # n=30, W=8 → chunks at 0/8/16/22 — the last re-covers 2 tokens
+    got2 = doc_chunks(df, window=W, stride=W).toPandas()
+    one = got2[got2.doc_id == 1].sort_values("chunk_idx")
+    assert list(one.start_tok) == [0, 8, 16, 22]
+    assert int(one.n_toks.sum()) == 32
+
+
+def test_hard_negatives_model(spark):
+    """hard_negatives vs numpy: top-k cosine among DIFFERENT-label
+    vectors only, self excluded, rank order (cos desc, id)."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import hard_negatives
+
+    rng = np.random.default_rng(11)
+    n, d = 60, 8
+    vecs = rng.normal(size=(n, d)).astype("float32")
+    labels = (np.arange(n) % 3).astype("int32")
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": list(map(list, vecs)), "label": labels}
+    )
+    df = spark.createDataFrame(pdf)
+    k = 5
+    got = hard_negatives(df, query_ids=[0, 1], k=k).toPandas()
+
+    v = vecs.astype("float64")
+    nrm = np.sqrt((v * v).sum(axis=1))
+    for q in (0, 1):
+        cos = (v @ v[q]) / (nrm * nrm[q])
+        cand = [
+            (float(cos[j]), int(j))
+            for j in range(n)
+            if j != q and labels[j] != labels[q]
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        want_ids = [j for _, j in cand[:k]]
+        rows = got[got.query_id == q].sort_values("rank")
+        assert list(rows.neighbor_id) == want_ids
+        assert (rows.neg_label.to_numpy() != labels[q]).all()
+        for c_got, (c_want, _) in zip(rows.cos, cand[:k]):
+            assert c_got == pytest.approx(c_want, rel=1e-9)
+
+
+def test_ann_recall_consistency(spark):
+    """ann_recall equals the set intersection of the knn_brute and
+    knn_lsh operator outputs, recall in [0,1], one row per query."""
+    from simple_tsdb_spark.pipeline import ann_recall, knn_brute, knn_lsh
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids, k = [0, 1, 2], 10
+    got = ann_recall(embs, query_ids=qids, k=k).toPandas().set_index("query_id")
+    exact = knn_brute(embs, query_ids=qids, k=k).toPandas()
+    approx = knn_lsh(embs, query_ids=qids, k=k).toPandas()
+    assert sorted(got.index) == qids
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        hits = len(e & a)
+        assert got.loc[q].n_hits == hits
+        assert got.loc[q].recall == hits / k
+        assert 0.0 <= got.loc[q].recall <= 1.0

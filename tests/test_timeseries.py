@@ -490,3 +490,58 @@ def test_top_values_per_series_model(spark, f2, f2_pdf):
         sub = got[got.series == s]
         assert list(sub.value) == list(want.value)
         assert list(sub["rank"]) == list(range(1, len(sub) + 1))
+
+
+def test_autocorr_numpy_model(spark):
+    """autocorr vs numpy Pearson over lagged pairs on the same
+    floor(·1e6) grid: a strong AR(1) series scores high at lag 1, an
+    alternating series scores ≈ −1 at lag 1 and ≈ +1 at lag 2; constant
+    and too-short series are excluded."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import autocorr
+
+    rng = np.random.default_rng(3)
+    ar = [0.0]
+    for _ in range(199):
+        ar.append(0.9 * ar[-1] + rng.normal(0, 0.5))
+    alt = [5.0 if i % 2 == 0 else -5.0 for i in range(50)]
+    rows = (
+        [("ar1", 1000 + i, float(v)) for i, v in enumerate(ar)]
+        + [("alt", 1000 + i, float(v)) for i, v in enumerate(alt)]
+        + [("const", 1000 + i, 7.0) for i in range(20)]      # zero variance → excluded
+        + [("tiny", 1000, 1.0), ("tiny", 1001, 2.0)]          # 1 pair at lag1 → n<2
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v"]))
+    got = {
+        (r.series, r.lag): r
+        for r in autocorr(df, field="v", lags=(1, 2)).collect()
+    }
+
+    def model(vals, lag):
+        q = np.floor(np.asarray(vals) * 1e6)
+        qx = np.floor(np.asarray(vals) * 1e6)
+        x = np.asarray(vals)[:-lag]
+        y = np.asarray(vals)[lag:]
+        n = len(x)
+        sx = np.floor(x * 1e6).sum() / 1e6
+        sy = np.floor(y * 1e6).sum() / 1e6
+        sxx = np.floor(x * x * 1e6).sum() / 1e6
+        syy = np.floor(y * y * 1e6).sum() / 1e6
+        sxy = np.floor(x * y * 1e6).sum() / 1e6
+        num = n * sxy - sx * sy
+        den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        return n, num / den
+
+    for series, vals in (("ar1", ar), ("alt", alt)):
+        for lag in (1, 2):
+            n, want = model(vals, lag)
+            r = got[(series, lag)]
+            assert r.n_pairs == n
+            assert r.acf == pytest.approx(want, abs=1e-9)
+    assert got[("ar1", 1)].acf > 0.8
+    assert got[("alt", 1)].acf == pytest.approx(-1.0, abs=1e-5)
+    assert got[("alt", 2)].acf == pytest.approx(1.0, abs=1e-5)
+    assert not any(s == "const" for s, _ in got)
+    assert not any(s == "tiny" for s, _ in got)
