@@ -332,6 +332,73 @@ def corpus_phase(spark, n_docs: int = 1_000_000) -> None:
     assert kept >= int(0.85 * N)  # ties can keep a little more than 90%
 
 
+def r9_ops_phase(
+    spark, n_docs: int = 1_000_000, n_events: int = 10_000_000, n_vecs: int = 1_000_000
+) -> None:
+    """Round-9 operator smoke at corpus scale: doc_chunks (zero-shuffle
+    fan-out), event_transitions (one user-keyed window shuffle onto a
+    tiny key space), autocorr (one series shuffle + partial-combined
+    pair agg), hard_negatives (broadcast-query brute scan).
+    """
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.operators import autocorr
+    from simple_tsdb_spark.pipeline import doc_chunks, hard_negatives
+    from simple_tsdb_spark.plans.analytics import event_transitions_frame
+
+    print(f"\n=== r9 ops phase: {n_docs:,} docs / {n_events:,} events / {n_vecs:,} vecs ===")
+
+    # ~25-word docs from a 2k vocab (the corpus_phase recipe)
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(24)), lambda j: F.concat(
+                    F.lit("w"), F.pmod(F.hash("id", j), F.lit(2000)).cast("string"))),
+                " ",
+            ).alias("text"),
+        )
+    )
+    t = time.time()
+    n_out = doc_chunks(docs, window=16, stride=12).count()
+    print(f"R9 doc_chunks 16/12 over {n_docs:,} docs: {time.time()-t:.1f}s chunks={n_out:,}")
+
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros((F.lit(1_700_000_000_000_000) + F.col("id") * 1000)).alias("ts"),
+        F.pmod(F.hash("id", F.lit(5)), F.lit(100_000)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("signup"), F.lit("error")),
+            (F.pmod(F.hash("id", F.lit(9)), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    t = time.time()
+    rows = event_transitions_frame(ev).count()
+    print(f"R9 event_transitions over {n_events:,} events / 100k users: {time.time()-t:.1f}s rows={rows:,}")
+
+    pts = spark.range(n_events).select(
+        F.concat(F.lit("s"), F.pmod(F.col("id"), F.lit(200)).cast("string")).alias("series"),
+        (F.lit(1_700_000_000_000_000_000) + (F.col("id") / 200).cast("long") * 1_000_000_000).alias("time_ns"),
+        (F.sin(F.col("id") / 500.0) * 50 + F.pmod(F.hash("id"), F.lit(100)) / 10.0).alias("value"),
+    )
+    t = time.time()
+    rows = autocorr(pts, field="value", lags=(1, 2, 3)).count()
+    print(f"R9 autocorr lags 1-3 over {n_events:,} pts / 200 series: {time.time()-t:.1f}s rows={rows:,}")
+
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (F.pmod(F.hash("id", j), F.lit(1000)) / 500.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+        F.pmod(F.hash("id", F.lit(13)), F.lit(8)).cast("int").alias("label"),
+    )
+    t = time.time()
+    rows = hard_negatives(vecs, query_ids=[0, 1, 2, 3, 4], k=10).count()
+    print(f"R9 hard_negatives 5q/k=10 over {n_vecs:,} 64-d vecs: {time.time()-t:.1f}s rows={rows:,}")
+
+
 def _shuffle_bytes(spark) -> tuple[int, int]:
     """(shuffle_read, shuffle_write) bytes summed over all completed
     stages, via the UI REST API.  (-1, -1) when the UI is off."""
@@ -847,6 +914,7 @@ def main() -> None:
     nd = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
     if nd:
         corpus_phase(spark, n_docs=nd)
+        r9_ops_phase(spark, n_docs=nd, n_events=10 * nd, n_vecs=nd)
 
     sg = int(sys.argv[6]) if len(sys.argv) > 6 else 100_000_000
     if sg:

@@ -330,7 +330,12 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over that already-small frame — no second data-sized
     exchange.
     """
-    ev = _t(spark, sf_dir, "events")
+    return event_transitions_frame(_t(spark, sf_dir, "events"))
+
+
+def event_transitions_frame(ev: DataFrame) -> DataFrame:
+    """Core of :func:`event_transitions` over an already-loaded events
+    frame with (user_id, ts, event_id, event_type) columns."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select("user_id", "ts", "event_id", F.col("event_type").alias("from_type"))
