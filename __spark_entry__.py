@@ -745,6 +745,7 @@ def _q_embedding_dup(spark, sf_dir):
 DOMAIN_TOPK_K = 25
 MIXTURE_RATES = {"web": 30, "wiki": 100, "books": 80}
 PACK_BUDGET = 4096  # chars per pack (n_chars as the token proxy)
+TEMP_TARGET = 300  # temperature-mixture sampled-docs target (alpha = 0.5)
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -772,6 +773,23 @@ def _q_mixture_sample(spark, sf_dir):
     from simple_tsdb_spark.pipeline import mixture_sample
 
     return mixture_sample(_docs(spark, sf_dir), MIXTURE_RATES, default_rate=50)
+
+
+def _q_temperature_mixture(spark, sf_dir):
+    """T5/Pile temperature sampling report: n^alpha source weighting,
+    stateless hash-threshold keeps, exact integer-grid weights."""
+    from simple_tsdb_spark.pipeline import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf_dir), target_total=TEMP_TARGET)
+
+
+def _q_keep_best_dedup(spark, sf_dir):
+    """Quality-aware near-dup collapse: per minhash cluster keep the
+    longest copy (ties -> min doc_id); full decision table out."""
+    from simple_tsdb_spark.pipeline import keep_best_dedup, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return keep_best_dedup(minhash_lsh_pairs(docs), docs)
 
 
 def _q_pack_sequences(spark, sf_dir):
@@ -1074,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   4. the r8-green block (CORRECTNESS_r08) last.
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
+        "temperature_mixture": _q_temperature_mixture,  # n^alpha source-balance sampler
+        "keep_best_dedup": _q_keep_best_dedup,  # per-cluster best-copy keeper
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
         "hard_negatives": _q_hard_negatives,  # contrastive cross-label neighbor mining
         "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
@@ -1602,9 +1622,11 @@ def _pipeline_oracles() -> dict[str, str]:
         dedup_components_oracle,
         domain_topk_oracle,
         hash_split_oracle,
+        keep_best_dedup_oracle,
         mixture_sample_oracle,
         pack_sequences_oracle,
         pack_stats_oracle,
+        temperature_mixture_oracle,
     )
     from simple_tsdb_spark.pipeline.dedup import (
         block_dedup_oracle,
@@ -1739,6 +1761,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "simhash_pairs": simhash_pairs_oracle(max_hamming=SIMHASH_MAX_HAMMING),
         "embedding_dup": embedding_dup_oracle(threshold=EMB_COS_THRESHOLD),
         "dedup_clusters": dedup_components_oracle(minhash_lsh_oracle_parts()),
+        "keep_best_dedup": keep_best_dedup_oracle(minhash_lsh_oracle_parts()),
+        "temperature_mixture": temperature_mixture_oracle(target_total=TEMP_TARGET),
         "hash_split": hash_split_oracle(),
         "domain_topk": domain_topk_oracle(k=DOMAIN_TOPK_K),
         "mixture_sample": mixture_sample_oracle(rates=MIXTURE_RATES, default_rate=50),

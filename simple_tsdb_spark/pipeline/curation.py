@@ -173,6 +173,81 @@ SELECT doc, MIN(lbl) AS component FROM cc GROUP BY doc
 """
 
 
+def keep_best_dedup(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Quality-aware near-dup collapse: per dup cluster keep the BEST
+    document, not the lowest-id one — the production dedup rule (keep
+    the longest / highest-quality copy, drop the rest).
+
+    Output: (doc_id, component, quality, kept) for EVERY input doc —
+    the full decision table, so downstream can both filter
+    (``kept``) and audit what was dropped and why.  ``kept`` is true
+    for exactly one doc per component: the max ``quality``, ties
+    broken by min doc id.  Singletons (no near-dup pair) keep
+    themselves.
+
+    Builds on :func:`dedup_components` (hash-to-min + pointer jumping,
+    O(log diameter) rounds); the added work is one m:1 join of the
+    label table against the doc quality column plus one per-component
+    rank window.  Components are dup clusters — bounded fan-in by
+    construction (the pair stage already bands/buckets), so the window
+    partition never sees corpus-scale groups.
+    """
+    from pyspark.sql import Window
+
+    comp = dedup_components(pairs, docs, a_col=a_col, b_col=b_col, id_col=id_col)
+    j = comp.select(F.col("doc").alias(id_col), "component").join(
+        docs.select(id_col, F.col(quality_col).alias("quality")), id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    return j.withColumn("_rnk", F.row_number().over(w)).select(
+        id_col, "component", "quality", (F.col("_rnk") == 1).alias("kept")
+    )
+
+
+def keep_best_dedup_oracle(
+    pairs_parts: tuple[str, str],
+    table: str = "documents",
+    *,
+    quality_col: str = "n_chars",
+) -> str:
+    """Recursive-CTE twin of :func:`keep_best_dedup` — the
+    :func:`dedup_components_oracle` reach-set fixpoint plus a
+    per-component (quality DESC, doc_id) rank.  Integer comparisons
+    only, so the decision table is bit-deterministic cross-engine.
+    """
+    cte_list, final_select = pairs_parts
+    return f"""
+WITH RECURSIVE {cte_list},
+p AS ({final_select}),
+e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+cc(doc, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.doc
+),
+comp AS (SELECT doc, MIN(lbl) AS component FROM cc GROUP BY doc),
+j AS (
+  SELECT c.doc AS doc_id, c.component, d.{quality_col} AS quality
+  FROM comp c JOIN {table} d ON d.doc_id = c.doc),
+r AS (
+  SELECT doc_id, component, quality,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY quality DESC, doc_id) AS rnk
+  FROM j)
+SELECT doc_id, component, quality, rnk = 1 AS kept FROM r
+"""
+
+
 # -- deterministic splits ---------------------------------------------------
 
 SPLIT_BUCKETS = 100
@@ -335,6 +410,144 @@ SELECT {id_col}, domain, bucket FROM (
          {rate_expr} AS rate
   FROM {table})
 WHERE bucket < rate
+"""
+
+
+# -- temperature sampling ---------------------------------------------------
+
+#: integer grid for the per-source weight sqrt(n)·2^20: floor is exact,
+#: the power-of-two multiply is exact, and the summed weights stay far
+#: below 2^53 (sqrt(10^12 docs)·2^20 ≈ 2^40 per source), so every
+#: downstream double is an exactly-represented integer.
+TEMP_GRID = 1 << 20
+
+
+def temperature_mixture(
+    df: DataFrame,
+    *,
+    target_total: int,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (the T5/Pile/XLM-R
+    multinomial rule): sample ~``target_total`` docs with per-source
+    probability ∝ ``n_source^alpha`` — alpha < 1 up-weights small
+    sources, alpha = 1 is natural sampling.  Output: one report row per
+    source ``(source, n_docs, n_kept, p_keep)``.
+
+    Per-doc keep probability ``p_s = min(1, target·w_s / (S·n_s))``
+    with ``w_s = n_s^alpha``; the keep decision is the stateless
+    ``md5(salt:id) < floor(p_s·2^60)`` threshold (same contract as
+    :func:`mixture_sample` — reproducible, corpus-growth-stable, no RNG
+    state).
+
+    Cross-engine exactness: weights quantize to ``floor(n^alpha·2^20)``
+    BIGINTs (IEEE sqrt is correctly rounded for alpha=0.5; alpha=1/2.0
+    are exact integer ops), the normalizer ``S`` is an exact BIGINT
+    sum, and ``p_s`` is a fixed-order chain of correctly-rounded double
+    ops on exactly-represented integers — no libm, no order-dependent
+    float sum.  Alphas outside {0.5, 1, 2} fall back to ``pow`` and are
+    documented engine-dependent (not used in gated queries).
+
+    At 100 TB: one count aggregation (map-side combined), a ≤ #sources
+    row weight table broadcast back, and a stateless per-row threshold
+    filter — the corpus is scanned twice and never shuffled.
+    """
+    from pyspark.sql import Window
+
+    if target_total < 0:
+        raise ValueError("target_total must be >= 0")
+    counts = df.groupBy(F.col(domain_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nd = F.col("n_docs").cast("double")
+    if alpha == 0.5:
+        wexpr = F.sqrt(nd)
+    elif alpha == 1.0:
+        wexpr = nd
+    elif alpha == 2.0:
+        wexpr = nd * nd
+    else:  # engine-dependent libm pow — fine for jobs, not for the gate
+        wexpr = F.pow(nd, F.lit(float(alpha)))
+    wq = F.floor(wexpr * F.lit(float(TEMP_GRID))).cast("long")
+    weights = counts.withColumn("_wq", wq).withColumn(
+        "_S", F.sum("_wq").over(Window.partitionBy())
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(target_total))
+        * F.col("_wq").cast("double")
+        / F.col("_S").cast("double")
+        / nd,
+    )
+    thr = weights.withColumn("p_keep", p).withColumn(
+        "_thr", F.floor(F.col("p_keep") * F.lit(float(1 << 60))).cast("long")
+    )
+    h = F.expr(_hash60(f"concat('{salt}:', CAST({id_col} AS STRING))"))
+    kept = (
+        df.select(F.col(domain_col).alias("source"), h.alias("_h"))
+        .join(F.broadcast(thr.select("source", "_thr")), "source")
+        .where(F.col("_h") < F.col("_thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        thr.select("source", "n_docs", "p_keep")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "p_keep",
+        )
+        .orderBy("source")
+    )
+
+
+def temperature_mixture_oracle(
+    table: str = "documents",
+    *,
+    target_total: int,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp-v1",
+) -> str:
+    if alpha == 0.5:
+        wexpr = "sqrt(CAST(n_docs AS DOUBLE))"
+    elif alpha == 1.0:
+        wexpr = "CAST(n_docs AS DOUBLE)"
+    elif alpha == 2.0:
+        wexpr = "CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+    else:
+        raise ValueError("gated oracle supports alpha in {0.5, 1.0, 2.0} only")
+    hexpr = _hash60_duck(f"concat('{salt}:', CAST({id_col} AS VARCHAR))")
+    return f"""
+WITH counts AS (
+  SELECT {domain_col} AS source, COUNT(*) AS n_docs FROM {table} GROUP BY 1),
+wts AS (
+  SELECT source, n_docs,
+         CAST(floor({wexpr} * {float(TEMP_GRID)!r}) AS BIGINT) AS wq
+  FROM counts),
+tot AS (SELECT source, n_docs, wq, SUM(wq) OVER () AS s FROM wts),
+p AS (
+  SELECT source, n_docs,
+         LEAST(CAST(1.0 AS DOUBLE),
+               CAST({target_total} AS DOUBLE) * CAST(wq AS DOUBLE)
+               / CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS p_keep
+  FROM tot),
+thr AS (
+  SELECT source, n_docs, p_keep,
+         CAST(floor(p_keep * {float(1 << 60)!r}) AS BIGINT) AS thr
+  FROM p),
+kept AS (
+  SELECT d.{domain_col} AS source, COUNT(*) AS n_kept
+  FROM {table} d JOIN thr ON thr.source = d.{domain_col}
+  WHERE {hexpr} < thr.thr GROUP BY 1)
+SELECT t.source, t.n_docs, COALESCE(k.n_kept, 0) AS n_kept, t.p_keep
+FROM thr t LEFT JOIN kept k USING (source)
 """
 
 

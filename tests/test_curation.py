@@ -536,3 +536,101 @@ def test_ccnet_curate_composes_parts(spark):
     pd.testing.assert_frame_equal(got_s[["doc_id", "lang", "split"]], want_s[["doc_id", "lang", "split"]])
     # the perplexity gate actually drops something (tail bucket nonempty)
     assert len(got) < len(pdf)
+
+
+# -- keep_best_dedup ---------------------------------------------------------
+
+
+def test_keep_best_dedup_picks_max_quality(spark):
+    """Per component: kept = max quality, ties -> min doc_id; singletons
+    keep themselves; every input doc appears exactly once."""
+    edges = [(1, 2), (2, 3), (10, 11)]
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 10, 11, 42], "n_chars": [5, 9, 9, 7, 7, 1]}
+    )
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    from simple_tsdb_spark.pipeline import keep_best_dedup
+
+    out = keep_best_dedup(pairs, spark.createDataFrame(docs)).toPandas()
+    assert len(out) == 6
+    by_id = out.set_index("doc_id")
+    # cluster {1,2,3}: quality tie 9 between 2 and 3 -> 2 wins
+    assert bool(by_id.loc[2, "kept"]) and not bool(by_id.loc[3, "kept"])
+    assert not bool(by_id.loc[1, "kept"])
+    # cluster {10,11}: tie -> min id
+    assert bool(by_id.loc[10, "kept"]) and not bool(by_id.loc[11, "kept"])
+    # singleton keeps itself
+    assert bool(by_id.loc[42, "kept"])
+    # exactly one keeper per component
+    assert out.groupby("component")["kept"].sum().eq(1).all()
+
+
+# -- temperature_mixture -----------------------------------------------------
+
+
+def _temp_model(pdf, target_total, alpha=0.5, salt="temp-v1"):
+    import math
+
+    grid = 1 << 20
+    counts = pdf.groupby("source").size().to_dict()
+    wq = {
+        s: math.floor((n ** alpha) * grid) for s, n in counts.items()
+    }
+    S = sum(wq.values())
+    p = {
+        s: min(1.0, float(target_total) * float(wq[s]) / float(S) / float(n))
+        for s, n in counts.items()
+    }
+    thr = {s: math.floor(p[s] * float(1 << 60)) for s in counts}
+    kept = {s: 0 for s in counts}
+    for _, row in pdf.iterrows():
+        h = int(hashlib.md5(f"{salt}:{row.doc_id}".encode()).hexdigest()[:15], 16)
+        if h < thr[row.source]:
+            kept[row.source] += 1
+    return counts, kept, p
+
+
+def test_temperature_mixture_matches_python_model(spark):
+    from simple_tsdb_spark.pipeline import temperature_mixture
+
+    pdf = _skewed_corpus()
+    got = temperature_mixture(
+        spark.createDataFrame(pdf), target_total=100
+    ).toPandas()
+    counts, kept, p = _temp_model(pdf, 100)
+    assert set(got.source) == set(counts)
+    for _, r in got.iterrows():
+        assert r.n_docs == counts[r.source]
+        assert r.n_kept == kept[r.source], r.source
+        assert r.p_keep == p[r.source], r.source
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """alpha = 0.5 keeps a larger FRACTION of small sources than of the
+    hot one (the whole point of temperature sampling)."""
+    from simple_tsdb_spark.pipeline import temperature_mixture
+
+    pdf = _skewed_corpus()  # web: 400 docs, books/wiki: 10 each
+    got = (
+        temperature_mixture(spark.createDataFrame(pdf), target_total=100)
+        .toPandas()
+        .set_index("source")
+    )
+    assert got.loc["wiki", "p_keep"] > got.loc["web", "p_keep"]
+    # natural sampling (alpha=1) keeps fractions equal across sources
+    nat = (
+        temperature_mixture(
+            spark.createDataFrame(pdf), target_total=100, alpha=1.0
+        )
+        .toPandas()
+        .set_index("source")
+    )
+    assert abs(nat.loc["wiki", "p_keep"] - nat.loc["web", "p_keep"]) < 1e-12
+
+
+def test_temperature_mixture_rejects_negative_target(spark):
+    from simple_tsdb_spark.pipeline import temperature_mixture
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "source": ["web"]}))
+    with pytest.raises(ValueError):
+        temperature_mixture(df, target_total=-1)
