@@ -775,6 +775,14 @@ def _q_mixture_sample(spark, sf_dir):
     return mixture_sample(_docs(spark, sf_dir), MIXTURE_RATES, default_rate=50)
 
 
+def _q_embedding_moments(spark, sf_dir):
+    """Exact integer-grid second moments of the embedding corpus (the
+    covariance/PCA input): mapInPandas partial Grams, decimal-sum agg."""
+    from simple_tsdb_spark.pipeline import embedding_moments
+
+    return embedding_moments(_embs(spark, sf_dir))
+
+
 def _q_temperature_mixture(spark, sf_dir):
     """T5/Pile temperature sampling report: n^alpha source weighting,
     stateless hash-threshold keeps, exact integer-grid weights."""
@@ -1093,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
         "temperature_mixture": _q_temperature_mixture,  # n^alpha source-balance sampler
+        "embedding_moments": _q_embedding_moments,  # exact PCA-input moment sums
         "keep_best_dedup": _q_keep_best_dedup,  # per-cluster best-copy keeper
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
         "hard_negatives": _q_hard_negatives,  # contrastive cross-label neighbor mining
@@ -1645,6 +1654,7 @@ def _pipeline_oracles() -> dict[str, str]:
     )
     from simple_tsdb_spark.pipeline.similarity import (
         cluster_prune_oracle,
+        embedding_moments_oracle,
         kmeans_clusters_oracle,
         knn_brute_oracle,
         knn_ivf_oracle,
@@ -1773,6 +1783,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "ann_recall": ann_recall_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_range": range_search_oracle(query_ids=KNN_QUERY_IDS, tau=RANGE_TAU),
         "label_centroids": label_centroids_oracle(),
+        "embedding_moments": embedding_moments_oracle(),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf_trained": _knn_ivf_trained_oracle(),

@@ -1677,3 +1677,194 @@ LEFT JOIN approx
   ON approx.query_id = exact.query_id AND approx.neighbor_id = exact.neighbor_id
 GROUP BY exact.query_id
 """
+
+
+# -- exact second moments / PCA ----------------------------------------------
+
+#: quantization grid for embedding_moments: floor(x·2^20) — float32
+#: inputs carry ≤ 24 mantissa bits, so a 2^20 grid loses ~1e-6 at unit
+#: scale (far below training noise) while keeping every product and
+#: partial sum an exact int64 (|q| ≤ 2^21 for |x| ≤ 2 → products ≤ 2^42).
+MOMENT_GRID = 1 << 20
+
+
+def embedding_moments(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact corpus second moments of the embedding column — the input
+    every covariance/PCA/whitening step needs: one row per dimension
+    pair ``(pos_i ≤ pos_j)`` with the EXACT integer-grid sums
+    ``(n, s_i = Σq_i, s_j = Σq_j, s_ij = Σq_i·q_j)`` where
+    ``q = floor(x·2^20)``.  Covariance numerator is then the integer
+    ``n·s_ij − s_i·s_j`` and PCA follows driver-side
+    (:func:`pca_model`) from these d(d+1)/2 ≈ 2k rows.
+
+    Spark-first shape (the MLlib treeAggregate pattern, Arrow edition):
+    ``mapInPandas`` folds each partition into ONE d×d int64 Gram + d
+    sum vector — numpy does the heavy lifting via chunked float64
+    BLAS matmuls kept EXACT (chunk size chosen so per-chunk sums stay
+    < 2^52; falls back to int64 matmul if the data magnitude defeats
+    that bound) — then emits d(d+1)/2 partial rows.  The only shuffle
+    is #partitions × 2k tiny rows into the final decimal-sum
+    aggregation: corpus bytes never move.
+
+    Exactness: float32→float64 cast, ·2^20 (power of two) and floor are
+    all exact IEEE ops identical to the DuckDB oracle's
+    ``floor(CAST(x AS DOUBLE) * 1048576.0)``; everything after is
+    integer arithmetic (final sums as DECIMAL(38,0) — int64-overflow
+    safe to ~10^37).  Per-partition int64 partials are safe below
+    ~2^23 rows/partition at |x| ≤ 2 (documented bound; default
+    maxPartitionBytes yields ~2^19 rows of 64-dim float).
+    """
+    import numpy as np
+    import pandas as pd
+
+    grid = float(MOMENT_GRID)
+    d = int(dim)
+
+    def fold(batches):
+        iu = np.triu_indices(d)
+        n = 0
+        s = np.zeros(d, dtype=np.int64)
+        g = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if x.shape[1] != d:
+                raise ValueError(f"expected dim {d}, got {x.shape[1]}")
+            q = np.floor(x * grid).astype(np.int64)
+            n += q.shape[0]
+            s += q.sum(axis=0)
+            qmax = int(np.abs(q).max()) if q.size else 0
+            # keep per-chunk float64 Gram sums < 2^52 so the BLAS path
+            # stays exact; degenerate magnitudes fall back to int64.
+            lim = (1 << 52) // max(1, qmax * qmax)
+            if lim >= 2:
+                for lo in range(0, q.shape[0], lim):
+                    c = q[lo : lo + lim].astype(np.float64)
+                    g += (c.T @ c).astype(np.int64)
+            else:
+                g += q.T @ q
+        if n:
+            yield pd.DataFrame(
+                {
+                    "pos_i": (iu[0] + 1).astype("int32"),
+                    "pos_j": (iu[1] + 1).astype("int32"),
+                    "n": np.int64(n),
+                    "s_i": s[iu[0]],
+                    "s_j": s[iu[1]],
+                    "s_ij": g[iu],
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        fold, schema="pos_i INT, pos_j INT, n BIGINT, s_i BIGINT, s_j BIGINT, s_ij BIGINT"
+    )
+    dec = "decimal(38,0)"
+    return (
+        partials.groupBy("pos_i", "pos_j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("s_i").cast(dec)).alias("s_i"),
+            F.sum(F.col("s_j").cast(dec)).alias("s_j"),
+            F.sum(F.col("s_ij").cast(dec)).alias("s_ij"),
+        )
+        .orderBy("pos_i", "pos_j")
+    )
+
+
+def embedding_moments_oracle(
+    table: str = "embeddings", *, dim: int = 64, vec_col: str = "embedding"
+) -> str:
+    g = float(MOMENT_GRID)
+    return f"""
+WITH q AS (
+  SELECT vec_id, UNNEST(generate_series(1, {int(dim)})) AS pos, {vec_col} AS emb
+  FROM {table}),
+qq AS (
+  SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+         CAST(floor(CAST(emb[pos] AS DOUBLE) * {g!r}) AS BIGINT) AS qv
+  FROM q)
+SELECT a.pos AS pos_i, b.pos AS pos_j, COUNT(*) AS n,
+       CAST(SUM(a.qv) AS DECIMAL(38,0)) AS s_i,
+       CAST(SUM(b.qv) AS DECIMAL(38,0)) AS s_j,
+       CAST(SUM(a.qv * b.qv) AS DECIMAL(38,0)) AS s_ij
+FROM qq a JOIN qq b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+"""
+
+
+def pca_model(moments: DataFrame, *, dim: int = 64) -> dict:
+    """Driver-side PCA fit from :func:`embedding_moments` output — the
+    bounded-collect step (d(d+1)/2 rows, data-size independent).
+
+    Returns ``{"mean": d, "components": d×d (rows = eigvecs, variance
+    DESC), "explained_variance": d}`` as plain Python lists, ready to
+    embed as literals into :func:`pca_project` (the rp_project
+    pattern: train driver-side once, project as a codegen scan).
+
+    The covariance is formed from EXACT integers
+    (``(n·s_ij − s_i·s_j) / (n·(n−1)·grid²)``); only the final
+    division and the eigendecomposition are floating point.
+    """
+    import numpy as np
+
+    d = int(dim)
+    rows = moments.collect()
+    if not rows:
+        raise ValueError("pca_model: empty moments input")
+    n = int(rows[0]["n"])
+    if n < 2:
+        raise ValueError("pca_model: need at least 2 vectors")
+    s = np.zeros(d, dtype=object)
+    num = np.zeros((d, d), dtype=object)
+    for r in rows:
+        i, j = r["pos_i"] - 1, r["pos_j"] - 1
+        s[i] = int(r["s_i"])
+        s[j] = int(r["s_j"])
+        num[i][j] = num[j][i] = n * int(r["s_ij"]) - int(r["s_i"]) * int(r["s_j"])
+    scale = float(n) * float(n - 1) * float(MOMENT_GRID) ** 2
+    cov = (num / scale).astype(np.float64)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    return {
+        "mean": [float(int(v)) / (float(n) * float(MOMENT_GRID)) for v in s],
+        "components": evecs[:, order].T.tolist(),
+        "explained_variance": evals[order].tolist(),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    *,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto the top-``k`` principal components:
+    (vec_id, j, val) — the rp_project shape with a TRAINED basis.
+    The mean and component matrix ride along as literal arrays, so the
+    projection is one shuffle-free codegen scan (no UDF, no join); the
+    per-coordinate fold is the proven sequential left-fold.
+    """
+    mean = model["mean"]
+    comps = model["components"][: int(k)]
+    d = len(mean)
+    marr = "array(" + ", ".join(f"{float(m)!r}D" for m in mean) + ")"
+    arrs = ", ".join(
+        "array(" + ", ".join(f"{float(w)!r}D" for w in row) + ")" for row in comps
+    )
+    expr = (
+        f"transform(array({arrs}), s -> "
+        f"aggregate(zip_with(zip_with({vec_col}, {marr}, "
+        f"(x, m) -> CAST(x AS DOUBLE) - m), s, (c, w) -> c * w), "
+        f"0.0D, (a, b) -> a + b))"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(F.expr(expr)).alias("j", "val")
+    )

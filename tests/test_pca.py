@@ -1,0 +1,111 @@
+"""embedding_moments + PCA: exact integer-grid moment sums (numpy
+model twin), driver-side eigenfit properties, literal-matrix projection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from simple_tsdb_spark.pipeline import embedding_moments, pca_model, pca_project
+from simple_tsdb_spark.pipeline.similarity import MOMENT_GRID
+
+
+def _corpus(n=120, d=8, seed=7, scale=1.0):
+    rng = np.random.default_rng(seed)
+    # planted dominant direction so PCA has signal
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    x = rng.normal(scale=0.05, size=(n, d)) + np.outer(rng.normal(size=n) * 0.8, u)
+    x = (x * scale).astype(np.float32)
+    return pd.DataFrame(
+        {"vec_id": range(n), "embedding": [row.tolist() for row in x]}
+    ), x
+
+
+def _np_moments(x, d):
+    # int64 then object: exact Python-int arithmetic in the model
+    q = np.floor(x.astype(np.float64) * float(MOMENT_GRID)).astype(np.int64).astype(object)
+    n = len(q)
+    out = {}
+    for i in range(d):
+        for j in range(i, d):
+            out[(i + 1, j + 1)] = (
+                n,
+                int(sum(q[:, i])),
+                int(sum(q[:, j])),
+                int(sum(q[:, i] * q[:, j])),
+            )
+    return out
+
+
+def test_moments_match_numpy_model(spark):
+    d = 8
+    pdf, x = _corpus(d=d)
+    got = embedding_moments(spark.createDataFrame(pdf), dim=d).toPandas()
+    want = _np_moments(x, d)
+    assert len(got) == d * (d + 1) // 2
+    for _, r in got.iterrows():
+        n, si, sj, sij = want[(r.pos_i, r.pos_j)]
+        assert r.n == n
+        assert int(r.s_i) == si and int(r.s_j) == sj and int(r.s_ij) == sij
+
+
+def test_moments_exact_on_large_magnitudes(spark):
+    """Magnitudes big enough to force the int64-matmul fallback
+    (qmax² > 2^51, i.e. chunked-float64 path impossible) still sum
+    exactly — while staying inside the documented qmax²·n < 2^63
+    int64 bound."""
+    d = 4
+    pdf, x = _corpus(n=40, d=d, scale=120.0)  # qmax ~ 2^27 -> qmax^2 ~ 2^54
+    got = embedding_moments(spark.createDataFrame(pdf), dim=d).toPandas()
+    want = _np_moments(x, d)
+    for _, r in got.iterrows():
+        n, si, sj, sij = want[(r.pos_i, r.pos_j)]
+        assert (int(r.s_i), int(r.s_j), int(r.s_ij)) == (si, sj, sij)
+
+
+def test_moments_rejects_wrong_dim(spark):
+    pdf, _ = _corpus(n=10, d=8)
+    with pytest.raises(Exception):
+        embedding_moments(spark.createDataFrame(pdf), dim=16).toPandas()
+
+
+def test_pca_model_properties(spark):
+    d = 8
+    pdf, x = _corpus(n=200, d=d)
+    m = pca_model(embedding_moments(spark.createDataFrame(pdf), dim=d), dim=d)
+    w = np.array(m["components"])
+    ev = np.array(m["explained_variance"])
+    # orthonormal rows
+    assert np.allclose(w @ w.T, np.eye(d), atol=1e-9)
+    # variance sorted descending, non-negative (up to fp noise)
+    assert (np.diff(ev) <= 1e-12).all() and ev[0] > 0
+    # matches numpy covariance eigenvalues of the quantized data
+    q = np.floor(x.astype(np.float64) * MOMENT_GRID) / MOMENT_GRID
+    ref = np.linalg.eigvalsh(np.cov(q, rowvar=False))[::-1]
+    assert np.allclose(ev, ref, rtol=1e-9, atol=1e-12)
+    # mean matches the quantized-grid mean
+    assert np.allclose(m["mean"], q.mean(axis=0), atol=1e-12)
+    # planted dominant direction -> strong first component
+    assert ev[0] / ev.sum() > 0.5
+
+
+def test_pca_project_matches_numpy(spark):
+    d, k = 8, 3
+    pdf, x = _corpus(n=100, d=d)
+    sdf = spark.createDataFrame(pdf)
+    m = pca_model(embedding_moments(sdf, dim=d), dim=d)
+    got = pca_project(sdf, m, k=k).toPandas()
+    assert set(got.j) == set(range(k))
+    w = np.array(m["components"])[:k]
+    want = (x.astype(np.float64) - np.array(m["mean"])) @ w.T
+    gm = got.pivot(index="vec_id", columns="j", values="val").to_numpy()
+    assert np.allclose(gm, want, atol=1e-9)
+
+
+def test_pca_model_guards(spark):
+    pdf, _ = _corpus(n=1, d=4)
+    with pytest.raises(ValueError):
+        pca_model(embedding_moments(spark.createDataFrame(pdf), dim=4), dim=4)
