@@ -775,6 +775,14 @@ def _q_mixture_sample(spark, sf_dir):
     return mixture_sample(_docs(spark, sf_dir), MIXTURE_RATES, default_rate=50)
 
 
+def _q_ivf_stats(spark, sf_dir):
+    """IVF list-balance audit (hot/empty quantizer lists) over the same
+    assignment projection knn_ivf and the materialized index use."""
+    from simple_tsdb_spark.pipeline import ivf_stats
+
+    return ivf_stats(_embs(spark, sf_dir))
+
+
 def _q_embedding_moments(spark, sf_dir):
     """Exact integer-grid second moments of the embedding corpus (the
     covariance/PCA input): mapInPandas partial Grams, decimal-sum agg."""
@@ -1102,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
         "temperature_mixture": _q_temperature_mixture,  # n^alpha source-balance sampler
         "embedding_moments": _q_embedding_moments,  # exact PCA-input moment sums
+        "ivf_stats": _q_ivf_stats,  # IVF list-balance skew audit
         "keep_best_dedup": _q_keep_best_dedup,  # per-cluster best-copy keeper
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
         "hard_negatives": _q_hard_negatives,  # contrastive cross-label neighbor mining
@@ -1655,6 +1664,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.similarity import (
         cluster_prune_oracle,
         embedding_moments_oracle,
+        ivf_stats_oracle,
         kmeans_clusters_oracle,
         knn_brute_oracle,
         knn_ivf_oracle,
@@ -1784,6 +1794,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "knn_range": range_search_oracle(query_ids=KNN_QUERY_IDS, tau=RANGE_TAU),
         "label_centroids": label_centroids_oracle(),
         "embedding_moments": embedding_moments_oracle(),
+        "ivf_stats": ivf_stats_oracle(),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf_trained": _knn_ivf_trained_oracle(),

@@ -1868,3 +1868,87 @@ def pca_project(
     return df.select(
         F.col(id_col), F.posexplode(F.expr(expr)).alias("j", "val")
     )
+
+
+def ivf_stats(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    centroids: Sequence[Sequence[float]] | None = None,
+) -> DataFrame:
+    """IVF quantizer balance audit: per list
+    ``(list_id, n_vecs, frac, load_factor)`` — the operational health
+    check for every IVF index at scale.  ``load_factor`` is
+    ``n·nlist/total`` (1.0 = perfectly balanced); a hot list means a
+    hot probe partition (query latency skew), an empty list means
+    wasted recall budget.  Empty lists ARE emitted (zero-filled spine
+    join) — they're the signal, not noise.
+
+    One corpus scan (the same assignment projection
+    :func:`knn_ivf`/:func:`write_ann_index` use), one map-side-combined
+    count shuffle of ≤ nlist keys, then an nlist-row spine join — the
+    corpus itself never shuffles.  Doubles are quotients of exact
+    BIGINTs (IEEE-identical cross-engine).
+    """
+    from pyspark.sql import Window
+
+    nlist = len(centroids) if centroids is not None else N_LISTS
+    sarr = _score_array_spark("emb", dim, centroids)
+    counts = (
+        df.select(
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb")
+        )
+        .withColumn("_sarr", F.expr(sarr))
+        .select(
+            F.expr("array_position(_sarr, array_max(_sarr)) - 1")
+            .cast("int")
+            .alias("list_id")
+        )
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    spine = df.sparkSession.range(nlist).select(
+        F.col("id").cast("int").alias("list_id")
+    )
+    f = spine.join(counts, "list_id", "left").select(
+        "list_id", F.coalesce("n_vecs", F.lit(0).cast("long")).alias("n_vecs")
+    )
+    t = f.withColumn("total", F.sum("n_vecs").over(Window.partitionBy()))
+    return t.select(
+        "list_id",
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("total").cast("double")).alias("frac"),
+        (
+            (F.col("n_vecs") * F.lit(int(nlist))).cast("double")
+            / F.col("total").cast("double")
+        ).alias("load_factor"),
+    ).orderBy("list_id")
+
+
+def ivf_stats_oracle(
+    table: str = "embeddings",
+    *,
+    dim: int = 64,
+    centroids: Sequence[Sequence[float]] | None = None,
+) -> str:
+    nlist = len(centroids) if centroids is not None else N_LISTS
+    return f"""
+WITH e AS (
+  SELECT {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
+  FROM {table}),
+a AS (
+  SELECT CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
+  FROM e),
+c AS (SELECT list_id, COUNT(*) AS n_vecs FROM a GROUP BY 1),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(0, {nlist - 1})) AS INTEGER) AS list_id),
+f AS (
+  SELECT spine.list_id, COALESCE(c.n_vecs, 0) AS n_vecs
+  FROM spine LEFT JOIN c USING (list_id)),
+t AS (SELECT list_id, n_vecs, SUM(n_vecs) OVER () AS total FROM f)
+SELECT list_id, n_vecs,
+       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS frac,
+       CAST(n_vecs * {nlist} AS DOUBLE) / CAST(total AS DOUBLE) AS load_factor
+FROM t
+"""

@@ -109,3 +109,34 @@ def test_pca_model_guards(spark):
     pdf, _ = _corpus(n=1, d=4)
     with pytest.raises(ValueError):
         pca_model(embedding_moments(spark.createDataFrame(pdf), dim=4), dim=4)
+
+
+# -- ivf_stats ----------------------------------------------------------------
+
+
+def test_ivf_stats_counts_and_spine(spark):
+    """Counts match a direct assignment recount; empty lists appear
+    zero-filled; load_factor averages to 1."""
+    from simple_tsdb_spark.pipeline import ivf_stats, knn_ivf
+    from simple_tsdb_spark.pipeline.similarity import N_LISTS
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ivf_stats(df).toPandas().set_index("list_id")
+    assert len(got) == N_LISTS  # full spine, empties included
+    assert got.n_vecs.sum() == df.count()
+    assert abs(got.load_factor.mean() - 1.0) < 1e-9
+    assert np.allclose(got.frac.sum(), 1.0, atol=1e-12)
+    # cross-check one list's population against the knn_ivf assignment
+    # (same projection, so the recount must agree)
+    from pyspark.sql import functions as F
+    from simple_tsdb_spark.pipeline.similarity import _score_array_spark
+
+    sarr = _score_array_spark("emb", 64, None)
+    recount = (
+        df.select(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"))
+        .withColumn("_s", F.expr(sarr))
+        .select(F.expr("array_position(_s, array_max(_s)) - 1").cast("int").alias("l"))
+        .groupBy("l").count().toPandas().set_index("l")["count"]
+    )
+    for lid, n in recount.items():
+        assert got.loc[lid, "n_vecs"] == n
