@@ -1,0 +1,244 @@
+"""Pure-Python ISO-BMFF (MP4/MOV) structural parser — public-spec
+ISO/IEC 14496-12 box grammar, stdlib ``struct`` only.
+
+This is a STRUCTURAL decode, not a codec: it walks the box tree
+(``ftyp``/``moov``/``trak``/``mdia``/``minf``/``stbl``), reads the
+movie/track/media headers, and reconstructs the full per-sample
+(frame) table from ``stsz`` + ``stsc`` + ``stco``/``co64`` — exactly
+the information a frame-sampling pipeline needs to pull REAL frame
+byte ranges out of ``mdat`` without decoding video.  Decoding the
+frame pixels themselves (H.264/H.265/AV1) requires codec libraries
+not bundled in this container and stays behind
+``DecoderNotAvailable``.
+
+The sample-table reconstruction is the standard 14496-12 §8.7
+algorithm: ``stsc`` chunk runs expand to a per-chunk sample count,
+each chunk's base offset comes from ``stco``, and intra-chunk sample
+offsets accumulate ``stsz`` sizes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from simple_tsdb_spark.pipeline.jpeg import DecoderNotAvailable
+
+#: container boxes whose payload is a sequence of child boxes
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"dinf"}
+
+
+def _walk(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in range."""
+    off = start
+    while off + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", buf, off)
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if off + 16 > end:
+                raise DecoderNotAvailable("truncated largesize box header")
+            (size,) = struct.unpack_from(">Q", buf, off + 8)
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - off
+        if size < hdr or off + size > end:
+            raise DecoderNotAvailable(
+                f"box {btype!r} size {size} overruns enclosing scope"
+            )
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _find(buf: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _walk(buf, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _fullbox(buf: bytes, start: int) -> tuple[int, int]:
+    """(version, payload_offset_after_version_flags)."""
+    version = buf[start]
+    return version, start + 4
+
+
+def _parse_mvhd(buf: bytes, s: int, e: int) -> dict:
+    v, p = _fullbox(buf, s)
+    if v == 1:
+        _, _, timescale, duration = struct.unpack_from(">QQIQ", buf, p)
+    else:
+        _, _, timescale, duration = struct.unpack_from(">IIII", buf, p)
+    return {"timescale": timescale, "duration": duration}
+
+
+def _parse_tkhd(buf: bytes, s: int, e: int) -> dict:
+    v, p = _fullbox(buf, s)
+    if v == 1:
+        _, _, track_id = struct.unpack_from(">QQI", buf, p)
+    else:
+        _, _, track_id = struct.unpack_from(">III", buf, p)
+    # width/height are the LAST two 16.16 fixed-point fields of the box
+    w_fx, h_fx = struct.unpack_from(">II", buf, e - 8)
+    return {"track_id": track_id, "width": w_fx >> 16, "height": h_fx >> 16}
+
+
+def _parse_mdhd(buf: bytes, s: int, e: int) -> dict:
+    v, p = _fullbox(buf, s)
+    if v == 1:
+        _, _, timescale, duration = struct.unpack_from(">QQIQ", buf, p)
+    else:
+        _, _, timescale, duration = struct.unpack_from(">IIII", buf, p)
+    return {"timescale": timescale, "duration": duration}
+
+
+def _parse_hdlr(buf: bytes, s: int, e: int) -> str:
+    _, p = _fullbox(buf, s)
+    return buf[p + 4 : p + 8].decode("latin-1")
+
+
+def _parse_stsd_codec(buf: bytes, s: int, e: int) -> str | None:
+    _, p = _fullbox(buf, s)
+    (count,) = struct.unpack_from(">I", buf, p)
+    if count < 1 or p + 16 > e:
+        return None
+    return buf[p + 8 : p + 12].decode("latin-1")
+
+
+def _parse_stsz(buf: bytes, s: int, e: int) -> tuple[int, list[int]]:
+    _, p = _fullbox(buf, s)
+    fixed, count = struct.unpack_from(">II", buf, p)
+    if fixed:
+        return count, [fixed] * count
+    if p + 8 + 4 * count > e:
+        raise DecoderNotAvailable("truncated stsz size table")
+    return count, list(struct.unpack_from(f">{count}I", buf, p + 8))
+
+
+def _parse_stco(buf: bytes, s: int, e: int, wide: bool) -> list[int]:
+    _, p = _fullbox(buf, s)
+    (count,) = struct.unpack_from(">I", buf, p)
+    fmt, width = (">Q", 8) if wide else (">I", 4)
+    if p + 4 + width * count > e:
+        raise DecoderNotAvailable("truncated chunk-offset table")
+    return [
+        struct.unpack_from(fmt, buf, p + 4 + width * i)[0] for i in range(count)
+    ]
+
+
+def _parse_stsc(buf: bytes, s: int, e: int) -> list[tuple[int, int]]:
+    """[(first_chunk, samples_per_chunk)] runs."""
+    _, p = _fullbox(buf, s)
+    (count,) = struct.unpack_from(">I", buf, p)
+    if p + 4 + 12 * count > e:
+        raise DecoderNotAvailable("truncated stsc run table")
+    return [
+        struct.unpack_from(">II", buf, p + 4 + 12 * i) for i in range(count)
+    ]
+
+
+def _sample_table(
+    sizes: list[int], stsc: list[tuple[int, int]], chunk_offsets: list[int]
+) -> list[tuple[int, int]]:
+    """Per-sample (offset, size) — 14496-12 §8.7 chunk-run expansion."""
+    out: list[tuple[int, int]] = []
+    n_chunks = len(chunk_offsets)
+    si = 0
+    for run_idx, (first_chunk, per_chunk) in enumerate(stsc):
+        last_chunk = (
+            stsc[run_idx + 1][0] - 1 if run_idx + 1 < len(stsc) else n_chunks
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            if chunk > n_chunks:
+                break
+            off = chunk_offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    return out
+                out.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    return out
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse an ISO-BMFF stream into a structural probe:
+
+    ``{"brand", "timescale", "duration", "duration_ms", "tracks": [
+    {"track_id", "handler", "codec", "timescale", "duration",
+    "width", "height", "n_samples", "total_sample_bytes",
+    "samples": [(offset, size), ...]}]}``.
+
+    Raises :class:`DecoderNotAvailable` for non-BMFF or truncated
+    input (same contract as the other pure-Python decoders).
+    """
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[4:8] not in (b"ftyp", b"moov", b"styp"):
+        raise DecoderNotAvailable("not an ISO-BMFF stream (no ftyp/moov)")
+    brand = buf[8:12].decode("latin-1") if buf[4:8] == b"ftyp" else ""
+    moov = _find(buf, 0, len(buf), b"moov")
+    if moov is None:
+        raise DecoderNotAvailable("no moov box (fragmented streams unsupported)")
+    ms, me = moov
+    mvhd_loc = _find(buf, ms, me, b"mvhd")
+    if mvhd_loc is None:
+        raise DecoderNotAvailable("moov without mvhd")
+    mvhd = _parse_mvhd(buf, *mvhd_loc)
+    tracks = []
+    for t, s, e in _walk(buf, ms, me):
+        if t != b"trak":
+            continue
+        trk: dict = {
+            "track_id": None, "handler": None, "codec": None,
+            "timescale": None, "duration": None, "width": 0, "height": 0,
+            "n_samples": 0, "total_sample_bytes": 0, "samples": [],
+        }
+        tkhd_loc = _find(buf, s, e, b"tkhd")
+        if tkhd_loc:
+            trk.update(_parse_tkhd(buf, *tkhd_loc))
+        mdia = _find(buf, s, e, b"mdia")
+        if mdia:
+            mdhd_loc = _find(buf, *mdia, b"mdhd")
+            if mdhd_loc:
+                trk.update(_parse_mdhd(buf, *mdhd_loc))
+            hdlr_loc = _find(buf, *mdia, b"hdlr")
+            if hdlr_loc:
+                trk["handler"] = _parse_hdlr(buf, *hdlr_loc)
+            minf = _find(buf, *mdia, b"minf")
+            stbl = _find(buf, *minf, b"stbl") if minf else None
+            if stbl:
+                stsd_loc = _find(buf, *stbl, b"stsd")
+                if stsd_loc:
+                    trk["codec"] = _parse_stsd_codec(buf, *stsd_loc)
+                stsz_loc = _find(buf, *stbl, b"stsz")
+                stsc_loc = _find(buf, *stbl, b"stsc")
+                stco_loc = _find(buf, *stbl, b"stco")
+                co64_loc = _find(buf, *stbl, b"co64")
+                if stsz_loc and stsc_loc and (stco_loc or co64_loc):
+                    n, sizes = _parse_stsz(buf, *stsz_loc)
+                    runs = _parse_stsc(buf, *stsc_loc)
+                    offs = (
+                        _parse_stco(buf, *stco_loc, wide=False)
+                        if stco_loc
+                        else _parse_stco(buf, *co64_loc, wide=True)
+                    )
+                    samples = _sample_table(sizes, runs, offs)
+                    trk["n_samples"] = n
+                    trk["total_sample_bytes"] = sum(sz for _, sz in samples)
+                    trk["samples"] = samples
+        tracks.append(trk)
+    ts = mvhd["timescale"] or 1
+    return {
+        "brand": brand,
+        "timescale": mvhd["timescale"],
+        "duration": mvhd["duration"],
+        "duration_ms": (mvhd["duration"] * 1000) // ts,
+        "tracks": tracks,
+    }
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """:func:`parse_mp4` without the (possibly large) per-sample
+    tables — the cheap metadata surface for a catalog/stats pass."""
+    full = parse_mp4(payload)
+    for trk in full["tracks"]:
+        trk.pop("samples")
+    return full

@@ -8,9 +8,13 @@ never rows.  Formats decodable with stdlib+numpy decode for REAL
 (PPM/PGM, uncompressed 24-bit BMP, PCM WAV, and baseline-DCT JPEG via
 the pure-Python T.81 decoder in :mod:`pipeline.jpeg` — parse,
 feature-extract, nearest-neighbor resize), as does PNG via the stdlib-zlib decoder in
-:mod:`pipeline.png`; remaining codec-requiring formats (mp4,
-progressive JPEG, 16-bit/interlaced PNG) raise ``DecoderNotAvailable``
-because their libraries are not bundled in this container.  A deterministic fake decoder covers non-media payloads so the
+:mod:`pipeline.png`; ISO-BMFF (mp4/mov) decodes STRUCTURALLY via
+:mod:`pipeline.mp4` (box tree, track metadata, real per-frame byte
+ranges from stsz/stsc/stco) — only the inner video codec
+(H.264 etc.) and the remaining codec-requiring image variants
+(progressive JPEG, 16-bit/interlaced PNG) raise
+``DecoderNotAvailable`` because their libraries are not bundled in
+this container.  A deterministic fake decoder covers non-media payloads so the
 Spark-side plumbing — schema, batch iteration, partition-parallelism —
 is exercised (and DuckDB-oracle-checked) on the driver's text blobs too.
 
@@ -157,6 +161,11 @@ def decode_media(payload: bytes, mime: str) -> object:
       - image/gif (87a/89a first frame, LZW + palette, interlace,
         GCE transparency → RGBA; :mod:`pipeline.gif`)
       - audio/wav, audio/x-wav (PCM) → (samples array, sample_rate)
+      - video/mp4, video/quicktime → STRUCTURAL probe dict (ISO-BMFF
+        box walk, :mod:`pipeline.mp4`): brand, duration, per-track
+        handler/codec/dims and the full (offset, size) sample table —
+        the real frame-extraction plumbing.  Pixel decode of the video
+        samples themselves (H.264 etc.) still needs external codecs.
     Formats needing external codecs raise :class:`DecoderNotAvailable`.
     """
     if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
@@ -175,6 +184,10 @@ def decode_media(payload: bytes, mime: str) -> object:
         return decode_gif(payload)
     if mime in ("audio/wav", "audio/x-wav"):
         return _decode_wav(payload)
+    if mime in ("video/mp4", "video/quicktime"):
+        from simple_tsdb_spark.pipeline.mp4 import parse_mp4
+
+        return parse_mp4(payload)
     raise DecoderNotAvailable(
         f"no decoder for {mime}: requires external codec libs "
         "(pillow/torchaudio/pyav) not bundled in this container"
@@ -188,6 +201,14 @@ def _real_decode_features(payload: bytes, mime: str) -> tuple[int, int, float]:
     import numpy as np
 
     decoded = decode_media(payload, mime)
+    if isinstance(decoded, dict):  # video: structural probe
+        vids = [t for t in decoded["tracks"] if t.get("handler") == "vide"]
+        trk = vids[0] if vids else (decoded["tracks"][0] if decoded["tracks"] else {})
+        return (
+            int(trk.get("width") or 0),
+            int(trk.get("height") or 0),
+            float(decoded["duration_ms"]) / 1000.0,
+        )
     if isinstance(decoded, tuple):  # audio: (samples, rate)
         data, _rate = decoded
         full = 255.0 if data.dtype == np.uint8 else float(2 ** (8 * data.dtype.itemsize - 1))
@@ -235,9 +256,12 @@ _MAGIC = (
 def sniff_mime(payload: bytes) -> str | None:
     """Detect a decodable format from magic bytes — returns the mime
     ``decode_media`` accepts, or None for unknown/undecodable bytes.
-    RIFF/WAVE needs the inner tag, so it is checked structurally."""
+    RIFF/WAVE and ISO-BMFF carry their tag at an offset, so they are
+    checked structurally."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
+    if payload[4:8] in (b"ftyp", b"styp"):
+        return "video/mp4"
     for sig, mime in _MAGIC:
         if payload[: len(sig)] == sig:
             return mime
@@ -295,38 +319,72 @@ def resize_images(
 def sample_frames(
     df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled 'frame' (byte
-    window stands in for a video frame).  Demonstrates the 1→N mapInPandas
-    expansion shape a real frame sampler has.
+    """Frame sampling: one output row per sampled frame.
 
-    Output: doc_id, frame_idx, frame_offset, frame_md5.
+    ISO-BMFF payloads (magic-sniffed) sample REAL video frames: the
+    :mod:`pipeline.mp4` box walk reconstructs the (offset, size)
+    sample table of the first ``vide`` track (any track if none), an
+    even stride picks ≤ ``max_frames`` of them, and the emitted md5 is
+    of the ACTUAL frame bytes in ``mdat``.  Other payloads keep the
+    deterministic byte-window stand-in, so the 1→N mapInPandas
+    expansion shape is exercised on the driver's text blobs too.
+
+    Output: doc_id, frame_idx, frame_offset, frame_size, frame_md5.
     """
     import hashlib
 
     step, cap = int(every_n_bytes), int(max_frames)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from simple_tsdb_spark.pipeline.mp4 import parse_mp4
+
+        def doc_rows(doc_id, b: bytes):
+            if b[4:8] in (b"ftyp", b"styp"):
+                try:
+                    probe = parse_mp4(b)
+                except DecoderNotAvailable:
+                    probe = None
+                if probe is not None:
+                    vids = [
+                        t for t in probe["tracks"] if t.get("handler") == "vide"
+                    ] or probe["tracks"]
+                    samples = vids[0]["samples"] if vids else []
+                    if samples:
+                        stride = max(1, -(-len(samples) // cap))  # ceil
+                        for idx, si in enumerate(range(0, len(samples), stride)):
+                            if idx >= cap:
+                                break
+                            off, sz = samples[si]
+                            yield (
+                                doc_id, idx, off, sz,
+                                hashlib.md5(b[off : off + sz]).hexdigest(),
+                            )
+                        return
+            for idx, off in enumerate(range(0, len(b), step)):
+                if idx >= cap:
+                    break
+                w = b[off : off + step]
+                yield doc_id, idx, off, len(w), hashlib.md5(w).hexdigest()
+
         for pdf in it:
-            rows = []
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(p)
-                for idx, off in enumerate(range(0, len(b), step)):
-                    if idx >= cap:
-                        break
-                    rows.append(
-                        (
-                            doc_id,
-                            idx,
-                            off,
-                            hashlib.md5(b[off : off + step]).hexdigest(),
-                        )
-                    )
+            rows = [
+                r
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+                for r in doc_rows(doc_id, bytes(p))
+            ]
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_md5"]
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "frame_offset", "frame_size", "frame_md5",
+                ],
             )
 
     return df.select("doc_id", "payload").mapInPandas(
-        batches, schema="doc_id long, frame_idx int, frame_offset int, frame_md5 string"
+        batches,
+        schema=(
+            "doc_id long, frame_idx int, frame_offset int, "
+            "frame_size int, frame_md5 string"
+        ),
     )
 
 

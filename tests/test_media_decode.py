@@ -683,3 +683,150 @@ def test_sniff_mime_routes_every_decoder():
         decode_media(payload, got)  # the sniffed mime decodes for real
     assert sniff_mime(b"\x00\x01garbage") is None
     assert sniff_mime(b"RIFF1234AVI LIST") is None  # RIFF but not WAVE
+
+
+# -- ISO-BMFF (mp4) structural decode ----------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def _fullbox(btype: bytes, version: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3x", version) + payload)
+
+
+def _mp4_bytes(sample_data, *, samples_per_chunk=(2, 1), width=320, height=240,
+               timescale=600, duration=1200, wide_offsets=False):
+    """Hand-rolled minimal ISO-BMFF file: ftyp + mdat(samples) + moov.
+    ``samples_per_chunk`` drives a 2-run stsc so chunk expansion is
+    really exercised."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_payload = b"".join(sample_data)
+    mdat_start = len(ftyp) + 8  # offset of first sample byte in file
+    mdat = _box(b"mdat", mdat_payload)
+
+    # chunk layout: run 1 covers chunk 1 (samples_per_chunk[0] samples),
+    # run 2 covers the remaining chunks (samples_per_chunk[1] each)
+    n = len(sample_data)
+    sizes = [len(s) for s in sample_data]
+    per1, per2 = samples_per_chunk
+    chunks = []
+    i = 0
+    if i < n:
+        chunks.append(list(range(i, min(i + per1, n)))); i += per1
+    while i < n:
+        chunks.append(list(range(i, min(i + per2, n)))); i += per2
+    offsets, off = [], mdat_start
+    for ch in chunks:
+        offsets.append(off)
+        off += sum(sizes[k] for k in ch)
+
+    mvhd = _fullbox(b"mvhd", 0, struct.pack(">IIII", 0, 0, timescale, duration)
+                    + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+                    + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                    + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _fullbox(b"tkhd", 0, struct.pack(">III4xI8x", 0, 0, 1, duration)
+                    + struct.pack(">HHHH", 0, 0, 0, 0)
+                    + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                    + struct.pack(">II", width << 16, height << 16))
+    mdhd = _fullbox(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+    hdlr = _fullbox(b"hdlr", 0, struct.pack(">I4s12x", 0, b"vide") + b"vh\x00")
+    entry = struct.pack(">I4s6xH", 16 + 70, b"avc1", 1) + b"\x00" * 70
+    stsd = _fullbox(b"stsd", 0, struct.pack(">I", 1) + entry)
+    stts = _fullbox(b"stts", 0, struct.pack(">III", 1, n, duration // max(1, n)))
+    runs = [(1, per1, 1)] + ([(2, per2, 1)] if len(chunks) > 1 else [])
+    stsc = _fullbox(b"stsc", 0, struct.pack(">I", len(runs))
+                    + b"".join(struct.pack(">III", *r) for r in runs))
+    stsz = _fullbox(b"stsz", 0, struct.pack(">II", 0, n)
+                    + b"".join(struct.pack(">I", s) for s in sizes))
+    if wide_offsets:
+        stco = _fullbox(b"co64", 0, struct.pack(">I", len(offsets))
+                        + b"".join(struct.pack(">Q", o) for o in offsets))
+    else:
+        stco = _fullbox(b"stco", 0, struct.pack(">I", len(offsets))
+                        + b"".join(struct.pack(">I", o) for o in offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_probe_structural():
+    from simple_tsdb_spark.pipeline.mp4 import parse_mp4, probe_mp4
+
+    frames = [b"frameAAAA", b"frameBB", b"fcc", b"dddddd", b"e"]
+    payload = _mp4_bytes(frames)
+    got = parse_mp4(payload)
+    assert got["brand"] == "isom"
+    assert got["timescale"] == 600 and got["duration"] == 1200
+    assert got["duration_ms"] == 2000
+    (trk,) = got["tracks"]
+    assert trk["handler"] == "vide" and trk["codec"] == "avc1"
+    assert (trk["width"], trk["height"]) == (320, 240)
+    assert trk["n_samples"] == 5
+    assert trk["total_sample_bytes"] == sum(len(f) for f in frames)
+    # the sample table points at the REAL frame bytes inside mdat
+    for (off, sz), want in zip(trk["samples"], frames):
+        assert payload[off : off + sz] == want
+    # probe drops the table but keeps the metadata
+    p = probe_mp4(payload)
+    assert "samples" not in p["tracks"][0]
+    assert p["tracks"][0]["n_samples"] == 5
+
+
+def test_mp4_co64_and_single_chunk():
+    from simple_tsdb_spark.pipeline.mp4 import parse_mp4
+
+    frames = [b"xx", b"yyy", b"zzzz"]
+    payload = _mp4_bytes(frames, samples_per_chunk=(3, 1), wide_offsets=True)
+    trk = parse_mp4(payload)["tracks"][0]
+    for (off, sz), want in zip(trk["samples"], frames):
+        assert payload[off : off + sz] == want
+
+
+def test_mp4_rejects_garbage_and_truncation():
+    from simple_tsdb_spark.pipeline.mp4 import parse_mp4
+
+    with pytest.raises(DecoderNotAvailable):
+        parse_mp4(b"not a movie at all........")
+    good = _mp4_bytes([b"frame"])
+    with pytest.raises(DecoderNotAvailable):
+        parse_mp4(good[: len(good) // 2])  # moov truncated away
+
+
+def test_mp4_decode_media_and_sniff():
+    from simple_tsdb_spark.pipeline.multimodal import sniff_mime
+
+    payload = _mp4_bytes([b"frameAAAA", b"frameBB"])
+    assert sniff_mime(payload) == "video/mp4"
+    probe = decode_media(payload, "video/mp4")
+    assert probe["tracks"][0]["codec"] == "avc1"
+    # feature surface: (width, height, duration_s)
+    from simple_tsdb_spark.pipeline.multimodal import _real_decode_features
+
+    w, h, dur = _real_decode_features(payload, "video/mp4")
+    assert (w, h, dur) == (320, 240, 2.0)
+
+
+def test_sample_frames_real_mp4(spark):
+    """sample_frames on an ISO-BMFF payload emits REAL frame offsets,
+    sizes and md5s of the mdat bytes; text payloads keep the
+    byte-window contract."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import sample_frames
+
+    frames = [b"frameAAAA", b"frameBB", b"fcc", b"dddddd", b"e"]
+    payload = _mp4_bytes(frames)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [payload, b"t" * 100]})
+    )
+    got = sample_frames(df, every_n_bytes=64, max_frames=8).toPandas()
+    vid = got[got.doc_id == 1].sort_values("frame_idx")
+    assert list(vid.frame_size) == [len(f) for f in frames]
+    assert list(vid.frame_md5) == [hashlib.md5(f).hexdigest() for f in frames]
+    txt = got[got.doc_id == 2].sort_values("frame_idx")
+    assert list(txt.frame_offset) == [0, 64]  # byte-window fallback
