@@ -732,6 +732,62 @@ def main() -> int:
         "PushedFilters" in p and "GreaterThanOrEqual(ts" in p,
     )
 
+    # temperature_mixture: the corpus never shuffles — one count agg
+    # (map-side combined), the <= #sources weight table BROADCAST back,
+    # stateless threshold filter.
+    from simple_tsdb_spark.pipeline import temperature_mixture
+
+    p = plan_of(temperature_mixture(docs, target_total=300))
+    ok &= check(
+        "temperature_mixture: weight table broadcast (no corpus shuffle join)",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    )
+    ok &= check(
+        "temperature_mixture: count agg partial-combined",
+        "partial_count" in p,
+    )
+
+    # embedding_moments: corpus bytes never move — ONE mapInPandas scan,
+    # the only exchange carries the tiny per-partition partial rows.
+    from simple_tsdb_spark.pipeline import embedding_moments
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(embedding_moments(embs))
+    n_exchange = len(re.findall(r"Arguments: hashpartitioning\(", p))
+    # formatted explain prints each node twice (tree line + detail)
+    ok &= check(
+        "embedding_moments: single partial-row exchange, one Arrow fold",
+        n_exchange == 1 and tree_of(embedding_moments(embs)).count("MapInPandas") == 1,
+        f"{n_exchange} exchanges",
+    )
+    ok &= check(
+        "embedding_moments: vector column pruned to the scan",
+        "ReadSchema" in p and "label" not in p.split("ReadSchema")[1].split("\n")[0],
+    )
+
+    # ivf_stats: corpus scanned once, assignment is a projection (no
+    # join against the corpus), count shuffle keyed by <= nlist ids.
+    from simple_tsdb_spark.pipeline import ivf_stats
+
+    p = plan_of(ivf_stats(embs))
+    ok &= check(
+        "ivf_stats: assignment is a projection + partial-combined count",
+        "partial_count" in p and "SortMergeJoin" not in p,
+    )
+
+    # keep_best_dedup adds only an m:1 quality join + per-component rank
+    # window on top of the audited dedup_components rounds — audit the
+    # final stage shape (window partitioned by component, no broadcast
+    # of the doc table's text).
+    from simple_tsdb_spark.pipeline import keep_best_dedup
+
+    pairs = docs.limit(50).selectExpr("doc_id AS a", "doc_id + 1 AS b")
+    p = plan_of(keep_best_dedup(pairs, docs))
+    ok &= check(
+        "keep_best_dedup: per-component rank window present",
+        bool(re.search(r"row_number\(\)", p)) and "component" in p,
+    )
+
     print("==", "ALL PASS" if ok else "SOME FAILED", "==")
     return 0 if ok else 1
 
