@@ -422,6 +422,48 @@ WHERE bucket < rate
 TEMP_GRID = 1 << 20
 
 
+def _temp_thresholds(
+    df: DataFrame,
+    *,
+    target_total: int,
+    alpha: float,
+    domain_col: str,
+) -> DataFrame:
+    """(source, n_docs, p_keep, _thr) per-source keep thresholds — the
+    shared fit step of batch :func:`temperature_mixture` and the
+    streaming twin (same expressions → identical keep decisions)."""
+    from pyspark.sql import Window
+
+    if target_total < 0:
+        raise ValueError("target_total must be >= 0")
+    counts = df.groupBy(F.col(domain_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nd = F.col("n_docs").cast("double")
+    if alpha == 0.5:
+        wexpr = F.sqrt(nd)
+    elif alpha == 1.0:
+        wexpr = nd
+    elif alpha == 2.0:
+        wexpr = nd * nd
+    else:  # engine-dependent libm pow — fine for jobs, not for the gate
+        wexpr = F.pow(nd, F.lit(float(alpha)))
+    wq = F.floor(wexpr * F.lit(float(TEMP_GRID))).cast("long")
+    weights = counts.withColumn("_wq", wq).withColumn(
+        "_S", F.sum("_wq").over(Window.partitionBy())
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(target_total))
+        * F.col("_wq").cast("double")
+        / F.col("_S").cast("double")
+        / nd,
+    )
+    return weights.withColumn("p_keep", p).withColumn(
+        "_thr", F.floor(F.col("p_keep") * F.lit(float(1 << 60))).cast("long")
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     *,
@@ -455,36 +497,7 @@ def temperature_mixture(
     row weight table broadcast back, and a stateless per-row threshold
     filter — the corpus is scanned twice and never shuffled.
     """
-    from pyspark.sql import Window
-
-    if target_total < 0:
-        raise ValueError("target_total must be >= 0")
-    counts = df.groupBy(F.col(domain_col).alias("source")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    nd = F.col("n_docs").cast("double")
-    if alpha == 0.5:
-        wexpr = F.sqrt(nd)
-    elif alpha == 1.0:
-        wexpr = nd
-    elif alpha == 2.0:
-        wexpr = nd * nd
-    else:  # engine-dependent libm pow — fine for jobs, not for the gate
-        wexpr = F.pow(nd, F.lit(float(alpha)))
-    wq = F.floor(wexpr * F.lit(float(TEMP_GRID))).cast("long")
-    weights = counts.withColumn("_wq", wq).withColumn(
-        "_S", F.sum("_wq").over(Window.partitionBy())
-    )
-    p = F.least(
-        F.lit(1.0),
-        F.lit(float(target_total))
-        * F.col("_wq").cast("double")
-        / F.col("_S").cast("double")
-        / nd,
-    )
-    thr = weights.withColumn("p_keep", p).withColumn(
-        "_thr", F.floor(F.col("p_keep") * F.lit(float(1 << 60))).cast("long")
-    )
+    thr = _temp_thresholds(df, target_total=target_total, alpha=alpha, domain_col=domain_col)
     h = F.expr(_hash60(f"concat('{salt}:', CAST({id_col} AS STRING))"))
     kept = (
         df.select(F.col(domain_col).alias("source"), h.alias("_h"))

@@ -1,4 +1,4 @@
-from simple_tsdb_spark.streaming.curate import streaming_curate
+from simple_tsdb_spark.streaming.curate import streaming_curate, streaming_temperature_sample
 from simple_tsdb_spark.streaming.decontam import streaming_decontaminate_flags
 from simple_tsdb_spark.streaming.dedup import streaming_dedup_against_index
 from simple_tsdb_spark.streaming.lm import streaming_ngram_lm_scores
@@ -33,6 +33,7 @@ __all__ = [
     "streaming_time_weighted_avg",
     "streaming_active_users",
     "streaming_curate",
+    "streaming_temperature_sample",
     "streaming_decontaminate_flags",
     "streaming_dsir_scores",
     "streaming_ngram_lm_scores",

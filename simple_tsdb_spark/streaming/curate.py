@@ -113,3 +113,40 @@ def streaming_curate(
             F.col("content_md5"),
         )
     )
+
+
+def streaming_temperature_sample(
+    stream: DataFrame,
+    fit_df: DataFrame,
+    *,
+    target_total: int,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Streaming twin of batch ``temperature_mixture``'s keep decision:
+    per-source thresholds are FIT ONCE from a static reference corpus
+    (``fit_df`` — the same exact integer-grid expressions, so p_keep
+    and the 2^60-scaled threshold are bit-identical to batch), then
+    each arriving doc passes a STATELESS md5-threshold filter via a
+    stream-static broadcast join on the ≤ #sources threshold table.
+
+    No state, no watermark needed: a doc's keep decision depends only
+    on its id hash and its source's fitted threshold, so stream and
+    batch backfill keep EXACTLY the same docs — the property that lets
+    both paths feed one training corpus.  Output: the surviving rows
+    unchanged.
+    """
+    from simple_tsdb_spark.pipeline.curation import _temp_thresholds
+
+    thr = _temp_thresholds(
+        fit_df, target_total=target_total, alpha=alpha, domain_col=domain_col
+    ).select(F.col("source").alias(domain_col), "_thr")
+    h = F.expr(_hash60(f"concat('{salt}:', CAST({id_col} AS STRING))"))
+    return (
+        stream.withColumn("_h", h)
+        .join(F.broadcast(thr), domain_col)
+        .where(F.col("_h") < F.col("_thr"))
+        .drop("_h", "_thr")
+    )

@@ -124,3 +124,54 @@ def test_streaming_curate_equals_batch_chain(spark, tmp_path):
     assert 1 not in ids          # contaminated never reaches the output
     assert len({2, 3} & ids) <= 1  # at most one of the exact-dup pair
     assert 4 in ids              # gram-less doc passes the filter
+
+
+def test_streaming_temperature_sample_equals_batch(spark, tmp_path):
+    """The stream keeps EXACTLY the docs the batch sampler keeps:
+    thresholds fit once from a static corpus, stateless keep filter."""
+    from simple_tsdb_spark.pipeline import temperature_mixture
+    from simple_tsdb_spark.pipeline.curation import _hash60
+    from simple_tsdb_spark.streaming import streaming_temperature_sample
+
+    corpus = [
+        (i, f"doc number {i} words", "web" if i < 40 else "niche")
+        for i in range(50)
+    ]
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    src = str(tmp_path / "src")
+    _write_one_doc_files(src, corpus, base)
+
+    pdf = pd.DataFrame(corpus, columns=["doc_id", "text", "source"])
+    fit = spark.createDataFrame(pdf)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 10).parquet(src)
+    )
+    out = streaming_temperature_sample(stream, fit, target_total=20)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("temp_sampled").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = set(spark.sql("SELECT doc_id FROM temp_sampled").toPandas().doc_id)
+
+    # batch twin: same thresholds -> same keep set
+    rep = temperature_mixture(fit, target_total=20).toPandas().set_index("source")
+    import hashlib as _hl
+    import math
+
+    want = set()
+    for doc_id, _txt, source in corpus:
+        h = int(_hl.md5(f"temp-v1:{doc_id}".encode()).hexdigest()[:15], 16)
+        if h < math.floor(rep.loc[source, "p_keep"] * float(1 << 60)):
+            want.add(doc_id)
+    assert got == want
+    assert 0 < len(got) < 50  # the filter actually selects
+    # per-source kept counts agree with the batch REPORT too
+    kept_by_src = (
+        spark.sql("SELECT source, COUNT(*) AS n FROM temp_sampled GROUP BY source")
+        .toPandas().set_index("source").n
+    )
+    for s_ in kept_by_src.index:
+        assert kept_by_src[s_] == rep.loc[s_, "n_kept"]
