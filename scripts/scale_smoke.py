@@ -399,6 +399,66 @@ def r9_ops_phase(
     print(f"R9 hard_negatives 5q/k=10 over {n_vecs:,} 64-d vecs: {time.time()-t:.1f}s rows={rows:,}")
 
 
+def r9s3_ops_phase(
+    spark, n_docs: int = 1_000_000, n_vecs: int = 1_000_000
+) -> None:
+    """Round-9 session-3 operators at corpus scale: temperature_mixture
+    (two corpus scans, zero corpus shuffle), keep_best_dedup (CC rounds
+    + quality rank over a planted pair graph), embedding_moments (one
+    Arrow Gram fold per partition, one tiny exchange), ivf_stats (one
+    corpus scan, nlist-key count)."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import (
+        embedding_moments,
+        ivf_stats,
+        keep_best_dedup,
+        temperature_mixture,
+    )
+
+    print(f"\n=== r9 session-3 ops phase: {n_docs:,} docs / {n_vecs:,} vecs ===")
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), F.pmod(F.hash("id", F.lit(3)), F.lit(50)).cast("string")).alias("source"),
+        (F.pmod(F.hash("id", F.lit(7)), F.lit(4000)) + 20).alias("n_chars"),
+    )
+    t = time.time()
+    rep = temperature_mixture(docs, target_total=n_docs // 5).collect()
+    kept = sum(r["n_kept"] for r in rep)
+    print(f"R9s3 temperature_mixture over {n_docs:,} docs / 50 sources: "
+          f"{time.time()-t:.1f}s kept={kept:,} (target {n_docs // 5:,})")
+
+    # planted dup graph: 10% of docs pair with doc_id+1 (chains of 2),
+    # plus a 1k-doc star to exercise a big component's rank window.
+    pairs = (
+        spark.range(n_docs // 10)
+        .select((F.col("id") * 10).alias("a"), (F.col("id") * 10 + 1).alias("b"))
+        .unionAll(spark.range(1_000).select(F.lit(5).alias("a"), (F.col("id") * 10 + 5).alias("b")))
+    )
+    t = time.time()
+    n_kept = keep_best_dedup(pairs, docs).where("kept").count()
+    print(f"R9s3 keep_best_dedup over {n_docs:,} docs / {n_docs // 10 + 1000:,} pairs: "
+          f"{time.time()-t:.1f}s keepers={n_kept:,}")
+
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (F.pmod(F.hash("id", j), F.lit(1000)) / 500.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    t = time.time()
+    rows = embedding_moments(vecs).count()
+    print(f"R9s3 embedding_moments over {n_vecs:,} 64-d vecs: {time.time()-t:.1f}s rows={rows:,}")
+
+    t = time.time()
+    stats = ivf_stats(vecs).collect()
+    hot = max(r["load_factor"] for r in stats)
+    print(f"R9s3 ivf_stats over {n_vecs:,} vecs: {time.time()-t:.1f}s "
+          f"lists={len(stats)} max_load={hot:.2f}")
+
+
 def _shuffle_bytes(spark) -> tuple[int, int]:
     """(shuffle_read, shuffle_write) bytes summed over all completed
     stages, via the UI REST API.  (-1, -1) when the UI is off."""
@@ -915,6 +975,7 @@ def main() -> None:
     if nd:
         corpus_phase(spark, n_docs=nd)
         r9_ops_phase(spark, n_docs=nd, n_events=10 * nd, n_vecs=nd)
+        r9s3_ops_phase(spark, n_docs=nd, n_vecs=nd)
 
     sg = int(sys.argv[6]) if len(sys.argv) > 6 else 100_000_000
     if sg:
