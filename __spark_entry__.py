@@ -799,6 +799,21 @@ def _q_temperature_mixture(spark, sf_dir):
     return temperature_mixture(_docs(spark, sf_dir), target_total=TEMP_TARGET)
 
 
+def _q_source_dedup_rate(spark, sf_dir):
+    """Per-source duplication diagnostic (which feeds are redundant)."""
+    from simple_tsdb_spark.pipeline import source_dedup_rate
+
+    return source_dedup_rate(_docs(spark, sf_dir))
+
+
+def _q_training_order(spark, sf_dir):
+    """Deterministic epoch shuffle: shard + in-shard position, no
+    global sort (per-shard windows only)."""
+    from simple_tsdb_spark.pipeline import training_order
+
+    return training_order(_docs(spark, sf_dir))
+
+
 def _q_keep_best_dedup(spark, sf_dir):
     """Quality-aware near-dup collapse: per minhash cluster keep the
     longest copy (ties -> min doc_id); full decision table out."""
@@ -1112,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_moments": _q_embedding_moments,  # exact PCA-input moment sums
         "ivf_stats": _q_ivf_stats,  # IVF list-balance skew audit
         "keep_best_dedup": _q_keep_best_dedup,  # per-cluster best-copy keeper
+        "source_dedup_rate": _q_source_dedup_rate,  # per-source duplication report
+        "training_order": _q_training_order,  # epoch shuffle (shard + pos, no global sort)
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
         "hard_negatives": _q_hard_negatives,  # contrastive cross-label neighbor mining
         "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
@@ -1641,6 +1658,7 @@ def _pipeline_oracles() -> dict[str, str]:
         domain_topk_oracle,
         hash_split_oracle,
         keep_best_dedup_oracle,
+        training_order_oracle,
         mixture_sample_oracle,
         pack_sequences_oracle,
         pack_stats_oracle,
@@ -1651,6 +1669,7 @@ def _pipeline_oracles() -> dict[str, str]:
         embedding_dup_oracle,
         exact_dedup_oracle,
         minhash_est_jaccard_oracle,
+        source_dedup_rate_oracle,
         minhash_lsh_oracle,
         minhash_lsh_oracle_parts,
         ngram_jaccard_oracle,
@@ -1782,6 +1801,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "embedding_dup": embedding_dup_oracle(threshold=EMB_COS_THRESHOLD),
         "dedup_clusters": dedup_components_oracle(minhash_lsh_oracle_parts()),
         "keep_best_dedup": keep_best_dedup_oracle(minhash_lsh_oracle_parts()),
+        "source_dedup_rate": source_dedup_rate_oracle(),
+        "training_order": training_order_oracle(),
         "temperature_mixture": temperature_mixture_oracle(target_total=TEMP_TARGET),
         "hash_split": hash_split_oracle(),
         "domain_topk": domain_topk_oracle(k=DOMAIN_TOPK_K),

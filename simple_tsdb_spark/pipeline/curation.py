@@ -1043,3 +1043,68 @@ survivors AS (
   SELECT kept.* FROM kept JOIN keeper USING (doc_id)),
 {split_sql[5:]}
 """
+
+
+# -- training order -----------------------------------------------------------
+
+def training_order(
+    df: DataFrame,
+    *,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "order-v1",
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global training order at shard granularity:
+    ``(doc_id, shard, pos)`` — the shuffle every epoch of LLM training
+    needs, WITHOUT a global sort: docs hash to ``n_shards`` shards by
+    ``md5(salt:seed:id)``, and ``pos`` ranks by the same hash WITHIN
+    the shard only.  Readers stream shards in id order and rows in
+    ``pos`` order; changing ``seed`` reshuffles everything, same seed
+    reproduces the epoch byte-for-byte.
+
+    At 100 TB: one shuffle keyed by shard (uniform by construction —
+    md5 bits), per-shard external-sort windows that spill; no stage
+    ever orders more than 1/n_shards of the corpus, and no driver-side
+    anything.  (A true global ORDER BY would funnel the corpus through
+    a single range-partitioned sort — this is the standard shard-local
+    alternative with the same statistical properties for training.)
+
+    Ties are impossible in practice (60-bit hash), but ``id`` breaks
+    them deterministically anyway.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.expr(
+        _hash60(f"concat('{salt}:', '{seed}', ':', CAST({id_col} AS STRING))")
+    )
+    x = df.select(F.col(id_col), h.alias("_h")).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return x.withColumn("pos", F.row_number().over(w)).select(
+        id_col, "shard", "pos"
+    )
+
+
+def training_order_oracle(
+    table: str = "documents",
+    *,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "order-v1",
+    seed: str = "epoch0",
+) -> str:
+    h = _hash60_duck(
+        f"concat('{salt}:', '{seed}', ':', CAST({id_col} AS VARCHAR))"
+    )
+    return f"""
+WITH x AS (
+  SELECT {id_col}, {h} AS h FROM {table}),
+s AS (SELECT {id_col}, h, CAST(h % {int(n_shards)} AS INTEGER) AS shard FROM x)
+SELECT {id_col}, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, {id_col}) AS INTEGER) AS pos
+FROM s
+"""

@@ -1146,3 +1146,64 @@ SELECT e.doc AS vec_id, cluster, centroid_cos,
        (dropped.doc IS NULL) AS keep
 FROM e LEFT JOIN dropped ON dropped.doc = e.doc
 """
+
+
+def source_dedup_rate(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-source duplication report: ``(source, n_docs, n_unique,
+    n_dup, dup_rate)`` — which feeds are redundant (the first question
+    a curation budget asks; CCNet/C4 both report this per dump/domain).
+
+    ``n_unique`` counts distinct content digests WITHIN the source;
+    ``dup_rate`` is the unrounded quotient of exact BIGINTs.  One
+    map-side-combined aggregation keyed (source, md5) collapses copies,
+    then a second ≤ #sources-key agg — Zipf-heavy content (the empty
+    string, boilerplate) lands on distinct (source, digest) keys, so no
+    hot key survives to the second shuffle.
+    """
+    per_digest = (
+        df.groupBy(
+            F.col(domain_col).alias("source"), F.md5(F.col(text_col)).alias("_h")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        per_digest.groupBy("source")
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_dup"),
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_dedup_rate_oracle(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT {domain_col} AS source, md5({text_col}) AS h, COUNT(*) AS n
+  FROM {table} GROUP BY 1, 2)
+SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_unique,
+       SUM(n) - COUNT(*) AS n_dup,
+       CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_rate
+FROM d GROUP BY source
+"""

@@ -634,3 +634,50 @@ def test_temperature_mixture_rejects_negative_target(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "source": ["web"]}))
     with pytest.raises(ValueError):
         temperature_mixture(df, target_total=-1)
+
+
+# -- source_dedup_rate + training_order ---------------------------------------
+
+
+def test_source_dedup_rate_planted_dups(spark):
+    from simple_tsdb_spark.pipeline import source_dedup_rate
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "source": ["web"] * 6 + ["wiki"] * 4,
+            "text": ["a", "a", "a", "b", "c", "d", "x", "y", "z", "z"],
+        }
+    )
+    got = (
+        source_dedup_rate(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("source")
+    )
+    assert got.loc["web", "n_docs"] == 6 and got.loc["web", "n_unique"] == 4
+    assert got.loc["web", "n_dup"] == 2 and got.loc["web", "dup_rate"] == 2 / 6
+    assert got.loc["wiki", "n_dup"] == 1 and got.loc["wiki", "dup_rate"] == 1 / 4
+
+
+def test_training_order_is_sharded_permutation(spark):
+    from simple_tsdb_spark.pipeline import training_order
+
+    pdf = pd.DataFrame({"doc_id": range(200)})
+    df = spark.createDataFrame(pdf)
+    got = training_order(df, n_shards=8).toPandas()
+    # a permutation: every doc exactly once
+    assert sorted(got.doc_id) == list(range(200))
+    # contiguous 1..n positions per shard
+    for _, g in got.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+    # reproducible; a new seed reshuffles
+    again = training_order(df, n_shards=8).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id", ignore_index=True),
+        again.sort_values("doc_id", ignore_index=True),
+    )
+    other = training_order(df, n_shards=8, seed="epoch1").toPandas()
+    merged = got.merge(other, on="doc_id", suffixes=("_a", "_b"))
+    assert ((merged.shard_a != merged.shard_b) | (merged.pos_a != merged.pos_b)).any()
+    with pytest.raises(ValueError):
+        training_order(df, n_shards=0)
