@@ -1207,3 +1207,71 @@ SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_unique,
        CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_rate
 FROM d GROUP BY source
 """
+
+
+def near_dup_rate_by_source(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Near-dup involvement per source: ``(source, n_docs, n_near_dup,
+    near_dup_rate)`` — the LSH companion to :func:`source_dedup_rate`
+    (exact copies vs near copies tell different curation stories:
+    syndication vs templating).
+
+    A doc counts as near-dup-involved if it appears in ANY pair.  The
+    pair endpoints union + distinct is bounded by the pair count (the
+    LSH stage already bands/buckets, so pairs ≪ docs²); the per-source
+    report is two small aggregations and a left join on the ≤ #sources
+    key.  ``near_dup_rate`` is the unrounded BIGINT quotient.
+    """
+    involved = (
+        pairs.select(F.col(a_col).alias(id_col))
+        .unionByName(pairs.select(F.col(b_col).alias(id_col)))
+        .distinct()
+    )
+    totals = df.groupBy(F.col(domain_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nd = (
+        df.select(id_col, domain_col)
+        .join(involved, id_col)
+        .groupBy(F.col(domain_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_near_dup"))
+    )
+    return (
+        totals.join(nd, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_near_dup", F.lit(0).cast("long")).alias("n_near_dup"),
+            (
+                F.coalesce("n_near_dup", F.lit(0).cast("long")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("near_dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def near_dup_rate_by_source_oracle(
+    table: str = "documents", *, domain_col: str = "source"
+) -> str:
+    cte_list, final_select = minhash_lsh_oracle_parts(table)
+    return f"""
+WITH {cte_list},
+p AS ({final_select}),
+inv AS (SELECT a AS doc_id FROM p UNION SELECT b FROM p),
+tot AS (SELECT {domain_col} AS source, COUNT(*) AS n_docs FROM {table} GROUP BY 1),
+nd AS (
+  SELECT d.{domain_col} AS source, COUNT(*) AS n_near_dup
+  FROM {table} d JOIN inv USING (doc_id) GROUP BY 1)
+SELECT tot.source, tot.n_docs, COALESCE(nd.n_near_dup, 0) AS n_near_dup,
+       CAST(COALESCE(nd.n_near_dup, 0) AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)
+         AS near_dup_rate
+FROM tot LEFT JOIN nd USING (source)
+"""

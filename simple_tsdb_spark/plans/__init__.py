@@ -5,6 +5,8 @@ from simple_tsdb_spark.plans.analytics import (
     daily_event_pivot,
     revenue_rollup,
     forecast_revenue,
+    large_volume_customers,
+    order_priority_counts,
     event_transitions,
 )
 
@@ -15,5 +17,7 @@ __all__ = [
     "daily_event_pivot",
     "revenue_rollup",
     "forecast_revenue",
+    "large_volume_customers",
+    "order_priority_counts",
     "event_transitions",
 ]

@@ -365,3 +365,103 @@ SELECT from_type, to_type, n,
        CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
 FROM counts
 """
+
+
+def order_priority_counts(
+    spark: SparkSession, sf_dir: str, *, date_from: str = "1995-01-01",
+    date_to: str = "1995-04-01",
+) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: per priority, how many
+    orders placed in the quarter have AT LEAST ONE lineitem that
+    shipped after the order date (the late-commitment EXISTS
+    predicate, adapted to this schema's columns).
+
+    Plan shape for 100 TB: the date predicate pushes to the orders
+    scan; the EXISTS becomes a LEFT SEMI join on the uniform orderkey
+    (dedup built into the join — no DISTINCT stage, no row explosion
+    from multi-lineitem orders); the final count lands on the 5-value
+    priority key map-side.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def order_priority_counts_oracle(
+    *, date_from: str = "1995-01-01", date_to: str = "1995-04-01"
+) -> str:
+    return f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{date_to} 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def large_volume_customers(
+    spark: SparkSession, sf_dir: str, *, min_quantity: int = 150, k: int = 20
+) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose TOTAL
+    lineitem quantity exceeds ``min_quantity``, joined back to the
+    customer, top-``k`` by total quantity.
+
+    Plan shape for 100 TB: lineitem aggregates FIRST on the uniform
+    orderkey (map-side combined — the group-HAVING replaces Q18's
+    IN-subquery with one agg + filter, no second lineitem scan);
+    only the few surviving orderkeys join orders, and the customer
+    dimension broadcasts.  Final ranking is TakeOrderedAndProject.
+    Quantities sum in exact DECIMAL; the emitted total casts once.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .where(F.col("_q") > F.lit(int(min_quantity)))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(int(k))
+    )
+
+
+def large_volume_customers_oracle(*, min_quantity: int = 150, k: int = 20) -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {int(min_quantity)})
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(q AS DOUBLE) AS total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT {int(k)}
+"""

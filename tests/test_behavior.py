@@ -245,3 +245,61 @@ def test_forecast_revenue_q6_model(spark):
         want = float((cents * pct).sum()) / 10000.0
         assert got.loc[year].revenue == want
         assert got.loc[year].n_items == len(g)
+
+
+def test_order_priority_counts_q4_model(spark):
+    """Q4-shape EXISTS semantics: an order counts ONCE no matter how
+    many of its lineitems shipped late, and zero-late orders are
+    excluded.  Verified against a duckdb recomputation at sf0.001 plus
+    a pandas EXISTS model."""
+    import duckdb
+
+    from simple_tsdb_spark.plans.analytics import (
+        order_priority_counts,
+        order_priority_counts_oracle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = order_priority_counts(spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(order_priority_counts_oracle()).df()
+    assert list(got.o_orderpriority) == list(want.o_orderpriority)
+    assert list(got.order_count) == list(want.order_count)
+    # pandas EXISTS model — the semi-join must not double-count
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    o = o[(o.o_orderdate >= "1995-01-01") & (o.o_orderdate < "1995-04-01")]
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    late_keys = set(j[j.l_shipdate > j.o_orderdate].o_orderkey)
+    model = (
+        o[o.o_orderkey.isin(late_keys)]
+        .groupby("o_orderpriority").size().sort_index()
+    )
+    assert list(got.order_count) == list(model)
+
+
+def test_large_volume_customers_q18_model(spark):
+    """Q18-shape group-HAVING: totals are exact decimal sums, the
+    threshold is strict, ranking deterministic."""
+    import duckdb
+
+    from simple_tsdb_spark.plans.analytics import (
+        large_volume_customers,
+        large_volume_customers_oracle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = large_volume_customers(spark, sf, min_quantity=100, k=10).toPandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(
+        large_volume_customers_oracle(min_quantity=100, k=10)
+    ).df()
+    assert list(got.o_orderkey) == list(want.o_orderkey)
+    assert (got.total_qty.to_numpy() == want.total_qty.to_numpy()).all()
+    assert (got.total_qty > 100).all()

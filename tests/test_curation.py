@@ -681,3 +681,35 @@ def test_training_order_is_sharded_permutation(spark):
     assert ((merged.shard_a != merged.shard_b) | (merged.pos_a != merged.pos_b)).any()
     with pytest.raises(ValueError):
         training_order(df, n_shards=0)
+
+
+def test_near_dup_rate_by_source_planted(spark):
+    from simple_tsdb_spark.pipeline import near_dup_rate_by_source
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "source": ["web", "web", "web", "wiki", "wiki", "wiki"],
+        }
+    )
+    # docs 0-1 near-dup pair (web); doc 3 pairs with 4 (wiki); 2,5 clean
+    pairs = pd.DataFrame({"a": [0, 3], "b": [1, 4]})
+    got = (
+        near_dup_rate_by_source(
+            spark.createDataFrame(docs), spark.createDataFrame(pairs)
+        )
+        .toPandas()
+        .set_index("source")
+    )
+    assert got.loc["web", "n_near_dup"] == 2 and got.loc["web", "near_dup_rate"] == 2 / 3
+    assert got.loc["wiki", "n_near_dup"] == 2
+    # a doc in MANY pairs still counts once
+    pairs2 = pd.DataFrame({"a": [0, 0, 0], "b": [1, 2, 1]})
+    got2 = (
+        near_dup_rate_by_source(
+            spark.createDataFrame(docs), spark.createDataFrame(pairs2)
+        )
+        .toPandas()
+        .set_index("source")
+    )
+    assert got2.loc["web", "n_near_dup"] == 3 and got2.loc["wiki", "n_near_dup"] == 0
