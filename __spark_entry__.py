@@ -259,6 +259,7 @@ def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:  # W3+resets
 # ---- time-series breadth operators (operators/timeseries.py) -------------
 
 SESSION_GAP_NS = 3600 * 1_000_000_000  # 1 hour
+RMAVG_W_NS = 3_600_000_000_000  # 1h RANGE frame
 MAVG_N = 5
 HIST_LO, HIST_HI, HIST_BINS = 0.0, 200.0, 20
 
@@ -971,6 +972,21 @@ def _q_blob_features(spark, sf_dir):
     return extract_blob_features(attach_blob(_docs(spark, sf_dir)))
 
 
+def _q_revenue_cube(spark, sf_dir):
+    """ROLLUP grouping sets: (nation, year) + subtotals + grand total in
+    one shared-shuffle aggregation pass."""
+    from simple_tsdb_spark.plans import revenue_cube
+
+    return revenue_cube(spark, sf_dir)
+
+
+def _q_range_moving_avg(spark, sf_dir):
+    """Trailing 1h TIME-window mean (RANGE frame on the ns ordering)."""
+    from simple_tsdb_spark.operators import range_moving_avg
+
+    return range_moving_avg(_events(spark, sf_dir), field="value", window_ns=RMAVG_W_NS)
+
+
 def _q_order_priority_counts(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS as a LEFT SEMI join on the uniform orderkey."""
     from simple_tsdb_spark.plans import order_priority_counts
@@ -1155,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": _q_training_order,  # epoch shuffle (shard + pos, no global sort)
         "order_priority_counts": _q_order_priority_counts,  # TPC-H Q4 EXISTS semi-join
         "large_volume_customers": _q_large_volume_customers,  # TPC-H Q18 group-HAVING
+        "revenue_cube": _q_revenue_cube,  # ROLLUP grouping sets, one shared pass
+        "range_moving_avg": _q_range_moving_avg,  # RANGE time-window frame
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
         "hard_negatives": _q_hard_negatives,  # contrastive cross-label neighbor mining
         "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
@@ -1582,6 +1600,7 @@ def _timeseries_oracles() -> dict[str, str]:
         distinct_count_oracle,
         interval_join_oracle,
         moving_avg_oracle,
+        range_moving_avg_oracle,
         zscore_outliers_oracle,
         autocorr_oracle,
         mad_outliers_oracle,
@@ -1621,6 +1640,7 @@ def _timeseries_oracles() -> dict[str, str]:
         ),
         "sessionize": sessionize_oracle(_M, gap_ns=SESSION_GAP_NS),
         "moving_avg": moving_avg_oracle(ranged, field="value", n_points=MAVG_N),
+        "range_moving_avg": range_moving_avg_oracle(ranged, field="value", window_ns=RMAVG_W_NS),
         "histogram": value_histogram_oracle(
             _M, field="value", lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS
         ),
@@ -1775,6 +1795,7 @@ def _pipeline_oracles() -> dict[str, str]:
         event_transitions_oracle,
         forecast_revenue_oracle,
         large_volume_customers_oracle,
+        revenue_cube_oracle,
         order_priority_counts_oracle,
         pricing_summary_oracle,
         shipping_priority_oracle,
@@ -1861,6 +1882,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "shipping_priority": shipping_priority_oracle(),
         "order_priority_counts": order_priority_counts_oracle(),
         "large_volume_customers": large_volume_customers_oracle(),
+        "revenue_cube": revenue_cube_oracle(),
         "revenue_by_nation": revenue_by_nation_oracle(),
         "top_customers": top_customers_oracle(),
         "daily_pivot": daily_event_pivot_oracle(),

@@ -1386,3 +1386,47 @@ WHERE n_pairs >= 2
   AND CAST(n_pairs AS DOUBLE) * (CAST(_syy AS DOUBLE) / 1e6)
         - (CAST(_sy AS DOUBLE) / 1e6) * (CAST(_sy AS DOUBLE) / 1e6) > 0
 """
+
+
+def range_moving_avg(df: DataFrame, *, field: str, window_ns: int) -> DataFrame:
+    """Trailing TIME-window rolling mean per series — the RANGE-frame
+    sibling of :func:`moving_avg` (``n_points`` rows ≠ a fixed duration
+    when sampling is irregular; SLO math wants duration).  The frame is
+    ``(t − window_ns, t]``: ``RANGE (window_ns−1) PRECEDING`` on the
+    integer ``time_ns`` ordering, so duplicate timestamps are peers in
+    BOTH engines and the inclusive-bound semantics match exactly.
+
+    Exactness: decimal(28,6) window sum → one double cast → unrounded
+    quotient (the proven moving_avg contract).  One shuffle keyed by
+    series; the RANGE frame is a sliding two-pointer over each sorted
+    partition, never a per-row rescan.
+    """
+    if window_ns < 1:
+        raise ValueError("window_ns must be >= 1")
+    w = (
+        Window.partitionBy("series")
+        .orderBy("time_ns")
+        .rangeBetween(-(int(window_ns) - 1), Window.currentRow)
+    )
+    s = F.sum(F.col(field).cast("decimal(28,6)")).over(w).cast("double")
+    n = F.count(F.col(field)).over(w)
+    return df.select(
+        "series",
+        "time_ns",
+        F.when(n > 0, s / n).alias(f"{field}_rmavg"),
+        n.alias("n_in_window"),
+    ).orderBy("series", "time_ns")
+
+
+def range_moving_avg_oracle(measurement_sql: str, *, field: str, window_ns: int) -> str:
+    return f"""
+SELECT series, time_ns,
+       CASE WHEN COUNT({field}) OVER w > 0
+            THEN CAST(SUM(CAST({field} AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                 / COUNT({field}) OVER w
+       END AS {field}_rmavg,
+       COUNT({field}) OVER w AS n_in_window
+FROM ({measurement_sql})
+WINDOW w AS (PARTITION BY series ORDER BY time_ns
+             RANGE BETWEEN {int(window_ns) - 1} PRECEDING AND CURRENT ROW)
+"""

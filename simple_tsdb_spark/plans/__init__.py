@@ -6,6 +6,7 @@ from simple_tsdb_spark.plans.analytics import (
     revenue_rollup,
     forecast_revenue,
     large_volume_customers,
+    revenue_cube,
     order_priority_counts,
     event_transitions,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "revenue_rollup",
     "forecast_revenue",
     "large_volume_customers",
+    "revenue_cube",
     "order_priority_counts",
     "event_transitions",
 ]

@@ -465,3 +465,62 @@ FROM big JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey LIMIT {int(k)}
 """
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue GROUPING SETS: nation × order-year ROLLUP — per (nation,
+    year), per nation subtotal, and the grand total in ONE aggregation
+    pass (Spark expands the rollup into grouping sets and shares the
+    shuffle; three separate GROUP BYs would scan and shuffle 3×).
+
+    Output: (n_name, o_year, lvl, revenue) with NULL grouping slots
+    COALESCEd to '(all)' / 0 and ``lvl`` = grouping(n_name)·2 +
+    grouping(o_year), so the result is NULL-free and engine-portable.
+    Dimensions (customer, nation) broadcast; revenue accumulates in
+    exact DECIMAL and casts once.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("o_year"), rev.alias("_rev"))
+    )
+    lvl = (F.grouping("n_name") * 2 + F.grouping("o_year")).cast("int")
+    return (
+        base.rollup("n_name", "o_year")
+        .agg(F.sum("_rev").cast("double").alias("revenue"), lvl.alias("lvl"))
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            F.coalesce("o_year", F.lit(0)).alias("o_year"),
+            "lvl",
+            "revenue",
+        )
+        .orderBy("lvl", "n_name", "o_year")
+    )
+
+
+def revenue_cube_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT n_name,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT COALESCE(n_name, '(all)') AS n_name,
+       COALESCE(o_year, 0) AS o_year,
+       CAST(GROUPING(n_name) * 2 + GROUPING(o_year) AS INTEGER) AS lvl,
+       CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM base
+GROUP BY ROLLUP (n_name, o_year)
+"""

@@ -303,3 +303,65 @@ def test_large_volume_customers_q18_model(spark):
     assert list(got.o_orderkey) == list(want.o_orderkey)
     assert (got.total_qty.to_numpy() == want.total_qty.to_numpy()).all()
     assert (got.total_qty > 100).all()
+
+
+def test_revenue_cube_rollup_model(spark):
+    """ROLLUP invariants: per-nation subtotals equal the sum of their
+    year rows, the grand total equals everything, lvl encodes the
+    grouping level."""
+    import duckdb
+
+    from simple_tsdb_spark.plans.analytics import revenue_cube, revenue_cube_oracle
+
+    sf = "/root/testdata/sf0.001"
+    got = revenue_cube(spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(revenue_cube_oracle()).df()
+    assert len(got) == len(want)
+    detail = got[got.lvl == 0]
+    subtotal = got[got.lvl == 1]
+    grand = got[got.lvl == 3]
+    assert len(grand) == 1 and grand.iloc[0].n_name == "(all)"
+    # subtotal consistency (double sums of the same decimal-exact parts)
+    import numpy as np
+
+    for _, s_ in subtotal.iterrows():
+        parts = detail[detail.n_name == s_.n_name].revenue.sum()
+        assert np.isclose(parts, s_.revenue, rtol=1e-12)
+    assert np.isclose(grand.iloc[0].revenue, detail.revenue.sum(), rtol=1e-12)
+
+
+def test_range_moving_avg_model(spark):
+    """RANGE frame vs a brute-force pandas recomputation on irregular
+    timestamps, including duplicate-timestamp peers."""
+    import pandas as pd
+
+    from simple_tsdb_spark.operators import range_moving_avg
+
+    rows = [
+        ("a", 100, 1.0), ("a", 150, 2.0), ("a", 150, 4.0),  # dup ts peers
+        ("a", 260, 8.0), ("a", 400, 16.0),
+        ("b", 100, 5.0), ("b", 99 + 101, 7.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["series", "time_ns", "value"])
+    got = range_moving_avg(
+        spark.createDataFrame(pdf), field="value", window_ns=101
+    ).toPandas()
+    for _, r in got.iterrows():
+        mask = (
+            (pdf.series == r.series)
+            & (pdf.time_ns > r.time_ns - 101)
+            & (pdf.time_ns <= r.time_ns)
+        )
+        want = pdf[mask].value.mean()
+        assert r.n_in_window == mask.sum()
+        assert abs(r.value_rmavg - want) < 1e-12, (r.series, r.time_ns)
+    # duplicate timestamps are PEERS: both 150-rows see both values
+    peers = got[(got.series == "a") & (got.time_ns == 150)]
+    assert (peers.n_in_window == 3).all()  # 100, 150, 150 in (49, 150]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        range_moving_avg(spark.createDataFrame(pdf), field="value", window_ns=0)
