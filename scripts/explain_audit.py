@@ -788,6 +788,55 @@ def main() -> int:
         bool(re.search(r"row_number\(\)", p)) and "component" in p,
     )
 
+    # order_priority_counts: the EXISTS must stay a LEFT SEMI join (no
+    # row explosion, no distinct stage) with the date filter pushed.
+    from simple_tsdb_spark.plans import (
+        large_volume_customers,
+        order_priority_counts,
+        revenue_cube,
+    )
+
+    p = plan_of(order_priority_counts(spark, SF))
+    ok &= check(
+        "Q4 shape: EXISTS compiled to a semi join",
+        "LeftSemi" in p and "Distinct" not in p,
+    )
+    ok &= check(
+        "Q4 shape: order-date predicate pushed to parquet",
+        "PushedFilters" in p and "GreaterThanOrEqual(o_orderdate" in p,
+    )
+
+    # large_volume_customers: lineitem aggregates FIRST (group-HAVING,
+    # one scan), customer broadcasts, final ranking is top-k.
+    p = plan_of(large_volume_customers(spark, SF))
+    ok &= check(
+        "Q18 shape: one lineitem scan (agg-first HAVING, no IN-subquery rescan)",
+        p.count("lineitem.parquet") == 1,
+    )
+    ok &= check(
+        "Q18 shape: broadcast dim + TakeOrderedAndProject",
+        "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p,
+    )
+
+    # revenue_cube: ROLLUP = ONE aggregation over an Expand, not three
+    # separate scans/shuffles.
+    p = plan_of(revenue_cube(spark, SF))
+    ok &= check(
+        "revenue_cube: grouping sets via a single Expand + shared agg",
+        "Expand" in p and p.count("lineitem.parquet") == 1,
+    )
+
+    # range_moving_avg: one series shuffle; the RANGE frame is a window
+    # spec, not a self-join.
+    from simple_tsdb_spark.operators import range_moving_avg
+
+    p = plan_of(range_moving_avg(ev, field="value", window_ns=3_600_000_000_000))
+    ok &= check(
+        "range_moving_avg: single series-keyed window (no self-join)",
+        bool(re.search(r"hashpartitioning\(series#\d+", p))
+        and "Join" not in p.split("Window")[0],
+    )
+
     print("==", "ALL PASS" if ok else "SOME FAILED", "==")
     return 0 if ok else 1
 
