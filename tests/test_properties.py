@@ -344,3 +344,98 @@ def test_burn_window_end_enumeration(t, short_slides, long_mult, s):
     # one step outside fails on both sides
     assert not (lo - s - long <= t < lo - s) or lo - s <= t  # below lo
     assert not (ends[-1] + s - long <= t < ends[-1] + s) or True
+
+
+@given(
+    counts=st.lists(st.integers(1, 10**12), min_size=1, max_size=30),
+    t1=st.integers(0, 10**9),
+    dt=st.integers(0, 10**9),
+)
+def test_temperature_threshold_monotone_in_target(counts, t1, dt):
+    """Raising target_total never lowers any source's keep threshold —
+    the superset property that lets a mixture grow without resampling
+    (same mechanic as mixture_sample's bucket rule).  Replicates
+    _temp_thresholds' exact IEEE op chain in pure python."""
+    import math
+
+    grid = 1 << 20
+
+    def thresholds(target):
+        wq = [math.floor(math.sqrt(float(n)) * float(grid)) for n in counts]
+        s = sum(wq)
+        out = []
+        for n, w in zip(counts, wq):
+            p = min(1.0, float(target) * float(w) / float(s) / float(n))
+            out.append(math.floor(p * float(1 << 60)))
+        return out
+
+    lo, hi = thresholds(t1), thresholds(t1 + dt)
+    assert all(a <= b for a, b in zip(lo, hi))
+    assert all(0 <= t <= (1 << 60) for t in hi)
+
+
+@given(
+    sizes=st.lists(st.integers(0, 1000), min_size=0, max_size=40),
+    run_lens=st.lists(st.integers(1, 5), min_size=1, max_size=5),
+    n_chunks=st.integers(1, 12),
+    base=st.integers(0, 2**40),
+)
+def test_mp4_sample_table_chunk_algebra(sizes, run_lens, n_chunks, base):
+    """stsc chunk-run expansion invariants: offsets accumulate sizes
+    inside a chunk, restart at each chunk's stco base, and the table
+    never exceeds the declared sample count."""
+    from simple_tsdb_spark.pipeline.mp4 import _sample_table
+
+    runs = []
+    fc = 1
+    for per in run_lens:
+        runs.append((fc, per))
+        fc += 1  # strictly increasing first_chunk
+    offsets = [base + 10_000 * i for i in range(n_chunks)]
+    table = _sample_table(sizes, runs, offsets)
+    assert len(table) <= len(sizes)
+    # group samples back into chunks by walking the same run expansion
+    si = 0
+    for ri, (first, per) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        for chunk in range(first, last + 1):
+            if chunk > n_chunks or si >= len(table):
+                break
+            off = offsets[chunk - 1]
+            for _ in range(per):
+                if si >= len(table):
+                    break
+                assert table[si][0] == off and table[si][1] == sizes[si]
+                off += sizes[si]
+                si += 1
+    assert si == len(table)
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    n=st.integers(1, 60),
+    d=st.integers(1, 6),
+    scale=st.sampled_from([1.0, 100.0, 40000.0]),
+    seed=st.integers(0, 2**16),
+)
+def test_gram_chunking_exactness(n, d, scale, seed):
+    """The embedding_moments chunking rule — per-chunk float64 Gram
+    sums stay < 2^52 → bit-exact vs arbitrary-precision integers —
+    holds for any magnitude the lim formula admits (incl. the int64
+    fallback branch)."""
+    rng = np.random.default_rng(seed)
+    x = (rng.normal(size=(n, d)) * scale).astype(np.float32)
+    q = np.floor(x.astype(np.float64) * (1 << 20)).astype(np.int64)
+    qmax = int(np.abs(q).max()) if q.size else 0
+    lim = (1 << 52) // max(1, qmax * qmax)
+    g = np.zeros((d, d), dtype=np.int64)
+    if lim >= 2:
+        for lo in range(0, n, lim):
+            c = q[lo : lo + lim].astype(np.float64)
+            g += (c.T @ c).astype(np.int64)
+    else:
+        g += q.T @ q
+    want = q.astype(object).T @ q.astype(object)  # exact python ints
+    # guard: inputs must respect the documented qmax^2 * n < 2^63 bound
+    if qmax * qmax * n < 2**63:
+        assert (g.astype(object) == want).all()
