@@ -107,6 +107,12 @@ def _parse_stsz(buf: bytes, s: int, e: int) -> tuple[int, list[int]]:
     _, p = _fullbox(buf, s)
     fixed, count = struct.unpack_from(">II", buf, p)
     if fixed:
+        # fixed-size mode has no byte table to bound-check the count
+        # against; a malformed 32-bit count must not allocate GBs.
+        if count * fixed > len(buf):
+            raise DecoderNotAvailable(
+                f"stsz declares {count} samples x {fixed} B > file size"
+            )
         return count, [fixed] * count
     if p + 8 + 4 * count > e:
         raise DecoderNotAvailable("truncated stsz size table")

@@ -830,3 +830,17 @@ def test_sample_frames_real_mp4(spark):
     assert list(vid.frame_md5) == [hashlib.md5(f).hexdigest() for f in frames]
     txt = got[got.doc_id == 2].sort_values("frame_idx")
     assert list(txt.frame_offset) == [0, 64]  # byte-window fallback
+
+
+def test_mp4_stsz_fixed_count_bound():
+    """A malformed fixed-size stsz count (larger than the file could
+    hold) must raise instead of allocating a huge sample table."""
+    from simple_tsdb_spark.pipeline.mp4 import parse_mp4
+
+    payload = bytearray(_mp4_bytes([b"frame"]))
+    # rewrite the stsz box: fixed size 1000, count 2^31
+    i = bytes(payload).find(b"stsz")
+    # box payload: version/flags(4) fixed(4) count(4)
+    payload[i + 4 + 4 : i + 4 + 12] = struct.pack(">II", 1000, 1 << 31)
+    with pytest.raises(DecoderNotAvailable):
+        parse_mp4(bytes(payload))
