@@ -792,6 +792,32 @@ def _q_embedding_moments(spark, sf_dir):
     return embedding_moments(_embs(spark, sf_dir))
 
 
+def _q_corpus_diff(spark, sf_dir):
+    """Snapshot diff: version B is derived deterministically from the
+    corpus (drop bucket >= 90, append ' v2' to bucket < 10), so the
+    diff exercises all four statuses with an exact oracle."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import corpus_diff
+    from simple_tsdb_spark.pipeline.curation import SPLIT_BUCKETS, _hash60
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(
+        _hash60("concat('diff-v1:', CAST(doc_id AS STRING))") + f" % {SPLIT_BUCKETS}"
+    )
+    new = (
+        docs.withColumn("_b", bucket)
+        .where(F.col("_b") < 90)
+        .withColumn(
+            "text",
+            F.when(F.col("_b") < 10, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    return corpus_diff(docs, new)
+
+
 def _q_temperature_mixture(spark, sf_dir):
     """T5/Pile temperature sampling report: n^alpha source weighting,
     stateless hash-threshold keeps, exact integer-grid weights."""
@@ -1173,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": _q_large_volume_customers,  # TPC-H Q18 group-HAVING
         "revenue_cube": _q_revenue_cube,  # ROLLUP grouping sets, one shared pass
         "range_moving_avg": _q_range_moving_avg,  # RANGE time-window frame
+        "corpus_diff": _q_corpus_diff,  # snapshot diff (dataset versioning)
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
         "hard_negatives": _q_hard_negatives,  # contrastive cross-label neighbor mining
         "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
@@ -1698,11 +1725,18 @@ def _knn_ivf_pq_trained_oracle() -> str:
     return knn_ivf_pq_oracle(query_ids=KNN_QUERY_IDS, k=10, codebooks=cbs)
 
 
+def _hash60_duck_entry(expr: str) -> str:
+    from simple_tsdb_spark.pipeline.dedup import _hash60_duck
+
+    return _hash60_duck(expr)
+
+
 def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.curation import (
         dedup_components_oracle,
         domain_topk_oracle,
         hash_split_oracle,
+        corpus_diff_oracle,
         keep_best_dedup_oracle,
         training_order_oracle,
         mixture_sample_oracle,
@@ -1851,6 +1885,13 @@ def _pipeline_oracles() -> dict[str, str]:
         "embedding_dup": embedding_dup_oracle(threshold=EMB_COS_THRESHOLD),
         "dedup_clusters": dedup_components_oracle(minhash_lsh_oracle_parts()),
         "keep_best_dedup": keep_best_dedup_oracle(minhash_lsh_oracle_parts()),
+        "corpus_diff": corpus_diff_oracle(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id, CASE WHEN b < 10 THEN text || ' v2' ELSE text END AS text "
+            "FROM (SELECT doc_id, text, "
+            + _hash60_duck_entry("concat('diff-v1:', CAST(doc_id AS VARCHAR))")
+            + " % 100 AS b FROM documents) WHERE b < 90",
+        ),
         "source_dedup_rate": source_dedup_rate_oracle(),
         "near_dup_rate_by_source": near_dup_rate_by_source_oracle(),
         "training_order": training_order_oracle(),

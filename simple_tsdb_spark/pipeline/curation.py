@@ -1108,3 +1108,60 @@ SELECT {id_col}, shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, {id_col}) AS INTEGER) AS pos
 FROM s
 """
+
+
+# -- corpus versioning --------------------------------------------------------
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-
+    versioning primitive (what changed between crawl N and crawl N+1,
+    what a re-run of curation added/removed): one row per doc id seen
+    in either version with ``status`` ∈ added | removed | changed |
+    unchanged (content compared by digest, not bytes moved).
+
+    One full outer join on the uniform doc id (both sides reduced to
+    (id, md5) projections first, so the join carries 2 small columns
+    no matter how wide the corpus is); everything else is a pure
+    expression.  At 100 TB both sides shuffle once on the id — the
+    unavoidable minimum for an exact diff; with both snapshots
+    bucketed by id the join is co-located and shuffle-free.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_oh"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_nh"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), status.alias("status")).orderBy(id_col)
+
+
+def corpus_diff_oracle(
+    old_sql: str,
+    new_sql: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin; ``old_sql``/``new_sql`` are SELECTs producing the two
+    versions (id + text columns)."""
+    return f"""
+WITH o AS (SELECT {id_col}, md5({text_col}) AS oh FROM ({old_sql})),
+n AS (SELECT {id_col}, md5({text_col}) AS nh FROM ({new_sql})),
+j AS (SELECT COALESCE(o.{id_col}, n.{id_col}) AS {id_col}, oh, nh
+      FROM o FULL OUTER JOIN n ON o.{id_col} = n.{id_col})
+SELECT {id_col},
+       CASE WHEN oh IS NULL THEN 'added'
+            WHEN nh IS NULL THEN 'removed'
+            WHEN oh <> nh THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j
+"""

@@ -713,3 +713,22 @@ def test_near_dup_rate_by_source_planted(spark):
         .set_index("source")
     )
     assert got2.loc["web", "n_near_dup"] == 3 and got2.loc["wiki", "n_near_dup"] == 0
+
+
+def test_corpus_diff_all_statuses(spark):
+    from simple_tsdb_spark.pipeline import corpus_diff
+
+    old = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]}
+    )
+    new = pd.DataFrame(
+        {"doc_id": [2, 3, 4, 5], "text": ["b", "C!", "d", "e"]}
+    )
+    got = (
+        corpus_diff(spark.createDataFrame(old), spark.createDataFrame(new))
+        .toPandas()
+        .set_index("doc_id")["status"]
+    )
+    assert got.to_dict() == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "unchanged", 5: "added"
+    }
