@@ -458,6 +458,32 @@ def r9s3_ops_phase(
     print(f"R9s3 ivf_stats over {n_vecs:,} vecs: {time.time()-t:.1f}s "
           f"lists={len(stats)} max_load={hot:.2f}")
 
+    # corpus_diff: version B = drop 10%, edit 10% (the gate recipe at scale)
+    from simple_tsdb_spark.pipeline import corpus_diff
+
+    docs_txt = docs.withColumn(
+        "text", F.concat(F.lit("body of doc "), F.col("doc_id").cast("string"))
+    )
+    b = F.pmod(F.hash("doc_id", F.lit(17)), F.lit(100))
+    new = (
+        docs_txt.withColumn("_b", b)
+        .where(F.col("_b") < 90)
+        .withColumn(
+            "text",
+            F.when(F.col("_b") < 10, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    t = time.time()
+    by_status = {
+        r["status"]: r["n"]
+        for r in corpus_diff(docs_txt, new).groupBy("status").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    print(f"R9s3 corpus_diff over {n_docs:,} docs: {time.time()-t:.1f}s {by_status}")
+
 
 def _shuffle_bytes(spark) -> tuple[int, int]:
     """(shuffle_read, shuffle_write) bytes summed over all completed
