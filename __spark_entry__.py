@@ -593,6 +593,17 @@ def _q_repetition_stats(spark, sf_dir):
 DECONTAM_BENCH_FILTER = "doc_id % 97 = 0"
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty vs the reference slice (diversity /
+    copy-paste signal; broadcast reference grams)."""
+    from simple_tsdb_spark.pipeline import ngram_novelty
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.where(DECONTAM_BENCH_FILTER)
+    corpus = docs.where(f"NOT ({DECONTAM_BENCH_FILTER})")
+    return ngram_novelty(corpus, ref)
+
+
 def _q_decontaminate(spark, sf_dir):
     from simple_tsdb_spark.pipeline import decontaminate
 
@@ -1179,7 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence leads).  Order this round:
         #   1. the two r7/r8 hash-fails, FIXED in r9 (terminal-round
         #      removal) — keep at head until CORRECTNESS shows green;
-        #   2. this round's 45 NEW queries (no driver evidence yet; all
+        #   2. this round's 46 NEW queries (no driver evidence yet; all
         #      hash-exact in local full sweeps at sf0.01 — 124/124 in
         #      the session-3 sweep — and spot-gated at sf0.1);
         #   3. the 39 entries whose last driver evidence is r7 (they
@@ -1200,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cube": _q_revenue_cube,  # ROLLUP grouping sets, one shared pass
         "range_moving_avg": _q_range_moving_avg,  # RANGE time-window frame
         "corpus_diff": _q_corpus_diff,  # snapshot diff (dataset versioning)
+        "ngram_novelty": _q_ngram_novelty,  # per-doc novelty vs reference grams
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
         "hard_negatives": _q_hard_negatives,  # contrastive cross-label neighbor mining
         "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
@@ -1779,6 +1791,7 @@ def _pipeline_oracles() -> dict[str, str]:
         boilerplate_spans_oracle,
         decontaminate_oracle,
         decontaminate_pairs_oracle,
+        ngram_novelty_oracle,
     )
     from simple_tsdb_spark.operators.behavior import (
         active_users_oracle,
@@ -1885,6 +1898,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "embedding_dup": embedding_dup_oracle(threshold=EMB_COS_THRESHOLD),
         "dedup_clusters": dedup_components_oracle(minhash_lsh_oracle_parts()),
         "keep_best_dedup": keep_best_dedup_oracle(minhash_lsh_oracle_parts()),
+        "ngram_novelty": ngram_novelty_oracle(ref_filter=DECONTAM_BENCH_FILTER),
         "corpus_diff": corpus_diff_oracle(
             "SELECT doc_id, text FROM documents",
             "SELECT doc_id, CASE WHEN b < 10 THEN text || ' v2' ELSE text END AS text "

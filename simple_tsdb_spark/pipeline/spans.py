@@ -354,3 +354,89 @@ SELECT doc AS doc_id, MIN(pos) AS span_start, MAX(pos) + {n} - 1 AS span_end,
        COUNT(*) AS n_anchors
 FROM isl GROUP BY doc, _isl
 """
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc n-gram NOVELTY against a reference corpus: ``(doc_id,
+    n_grams, n_novel, novelty)`` where ``novelty`` = fraction of the
+    doc's DISTINCT word n-grams not present anywhere in the reference
+    — the diversity/memorization signal curation uses to find
+    copy-paste and boilerplate-heavy feeds (the inverse of
+    ``decontaminate``'s overlap count, normalized per doc).
+
+    Docs with fewer than ``n`` words emit ``n_grams = 0`` and NULL
+    novelty (no evidence either way — the caller decides the policy).
+
+    Scale shape: the reference's distinct gram set stays
+    reference-sized and BROADCASTS; the corpus side is one exploded
+    scan into the broadcast LEFT join, then one per-doc aggregation —
+    the corpus shuffles once, keyed by doc id.  The emitted fraction
+    is the unrounded quotient of exact BIGINTs.
+    """
+    ref_grams = reference.select(
+        F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
+    ).distinct()
+    grams = corpus.select(
+        F.col(id_col), F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
+    ).distinct()
+    hits = grams.join(
+        F.broadcast(ref_grams.withColumn("_hit", F.lit(1))), "g", "left"
+    )
+    per_doc = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("n_novel"),
+    )
+    # docs too short for any gram still appear (left join back to ids)
+    ids = corpus.select(id_col)
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def ngram_novelty_oracle(
+    *,
+    n: int = DECONTAM_N,
+    table: str = "documents",
+    ref_filter: str = "doc_id % 97 = 0",
+) -> str:
+    """Twin with the reference carved out of ``table`` by ``ref_filter``
+    (the decontaminate_oracle recipe)."""
+    return f"""
+WITH grams0 AS (
+  SELECT doc_id, UNNEST({_gram_sql(n)}) AS g FROM {table}),
+ref AS (SELECT DISTINCT g FROM grams0 WHERE {ref_filter}),
+corpus AS (
+  SELECT DISTINCT doc_id, g FROM grams0 WHERE NOT ({ref_filter})),
+per_doc AS (
+  SELECT corpus.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS n_novel
+  FROM corpus LEFT JOIN ref ON corpus.g = ref.g
+  GROUP BY corpus.doc_id),
+ids AS (SELECT doc_id FROM {table} WHERE NOT ({ref_filter}))
+SELECT ids.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_novel, 0) AS n_novel,
+       CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN CAST(COALESCE(n_novel, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       END AS novelty
+FROM ids LEFT JOIN per_doc USING (doc_id)
+ORDER BY ids.doc_id
+"""

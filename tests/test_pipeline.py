@@ -2054,3 +2054,45 @@ def test_ann_recall_consistency(spark):
         assert got.loc[q].n_hits == hits
         assert got.loc[q].recall == hits / k
         assert 0.0 <= got.loc[q].recall <= 1.0
+
+
+def test_ngram_novelty_model(spark):
+    """Novelty fractions vs a python set model: fully-copied doc -> 0,
+    disjoint doc -> 1, short doc -> NULL novelty with n_grams=0."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import ngram_novelty
+
+    ref = pd.DataFrame({"doc_id": [100], "text": ["a b c d e f g"]})
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e f g",        # all grams in ref -> novelty 0
+                "x y z w q r",          # disjoint -> novelty 1
+                "a b c d x y z w",      # mixed
+                "too short",            # < n words -> 0 grams, NULL
+            ],
+        }
+    )
+    got = (
+        ngram_novelty(spark.createDataFrame(corpus), spark.createDataFrame(ref), n=4)
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    def grams(t, n=4):
+        w = t.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    ref_g = grams(ref.text[0])
+    for doc_id, text in zip(corpus.doc_id, corpus.text):
+        g = grams(text)
+        r = got.loc[doc_id]
+        assert r.n_grams == len(g)
+        assert r.n_novel == len(g - ref_g)
+        if g:
+            assert r.novelty == len(g - ref_g) / len(g)
+        else:
+            assert pd.isna(r.novelty)
+    assert got.loc[1, "novelty"] == 0.0 and got.loc[2, "novelty"] == 1.0
