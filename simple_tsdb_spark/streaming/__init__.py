@@ -1,5 +1,8 @@
 from simple_tsdb_spark.streaming.curate import streaming_curate, streaming_temperature_sample
-from simple_tsdb_spark.streaming.decontam import streaming_decontaminate_flags
+from simple_tsdb_spark.streaming.decontam import (
+    streaming_decontaminate_flags,
+    streaming_ngram_novelty,
+)
 from simple_tsdb_spark.streaming.dedup import streaming_dedup_against_index
 from simple_tsdb_spark.streaming.lm import streaming_ngram_lm_scores
 from simple_tsdb_spark.streaming.scores import streaming_dsir_scores
@@ -35,6 +38,7 @@ __all__ = [
     "streaming_curate",
     "streaming_temperature_sample",
     "streaming_decontaminate_flags",
+    "streaming_ngram_novelty",
     "streaming_dsir_scores",
     "streaming_ngram_lm_scores",
     "streaming_dedup_against_index",

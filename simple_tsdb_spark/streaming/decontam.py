@@ -49,3 +49,63 @@ def streaming_decontaminate_flags(
         .join(F.broadcast(bench_grams), "g")
     )
     return hits.dropDuplicatesWithinWatermark([id_col]).select(id_col)
+
+
+def streaming_ngram_novelty(
+    stream: DataFrame,
+    reference: DataFrame,
+    *,
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: str = "event_ts",
+    watermark_delay: str = "10 minutes",
+    finalize_window: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of ``pipeline.spans.ngram_novelty``: per arriving
+    doc, the fraction of its DISTINCT word n-grams unseen in the static
+    reference corpus — scored on ingest instead of in a batch sweep.
+
+    Exact distinct counting without ``countDistinct`` (unsupported in
+    streaming aggs): per-doc gram dedup via
+    ``dropDuplicatesWithinWatermark([doc, gram])`` CHAINED into the
+    windowed per-doc count — the same two-stateful-operator shape as
+    ``streaming_active_users``.  Reference grams broadcast (no stream
+    state for the join); rows finalize when the watermark passes their
+    window.  Docs with zero grams never appear (explode emits nothing)
+    — the batch operator reports them with NULL novelty; callers
+    needing that row join the id stream back.
+
+    Output: (doc_id, n_grams, n_novel, novelty) — value-identical to
+    batch on every doc with ≥ 1 gram (pinned in tests).
+    """
+    ref_grams = reference.select(
+        F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
+    ).distinct()
+    grams = (
+        stream.withWatermark(event_time_col, watermark_delay)
+        .select(
+            F.col(id_col),
+            F.col(event_time_col),
+            F.explode(F.expr(_gram_expr(text_col, n))).alias("g"),
+        )
+        .dropDuplicatesWithinWatermark([id_col, "g"])
+    )
+    marked = grams.join(
+        F.broadcast(ref_grams.withColumn("_hit", F.lit(1))), "g", "left"
+    )
+    agg = (
+        marked.groupBy(F.window(event_time_col, finalize_window), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+            "novelty"
+        ),
+    )

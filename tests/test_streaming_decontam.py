@@ -70,3 +70,71 @@ def test_streaming_flags_equal_batch(spark, tmp_path):
         "SELECT doc_id, COUNT(*) c FROM decontam_flags GROUP BY doc_id"
     ).toPandas()
     assert (counts.c == 1).all()
+
+
+def test_streaming_ngram_novelty_equals_batch(spark, tmp_path):
+    """Finalized per-doc novelty rows are value-identical to the batch
+    operator on every doc with >= 1 gram."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_tsdb_spark.pipeline import ngram_novelty
+    from simple_tsdb_spark.streaming import streaming_ngram_novelty
+
+    ref_texts = {100: "a b c d e f"}
+    corpus_texts = {
+        1: "a b c d e f",           # novelty 0
+        2: "x y z w q r",           # novelty 1
+        3: "a b c d x y z w",       # mixed
+        4: "a b c d a b c d e",     # repeated grams -> distinct once
+    }
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = list(corpus_texts.items()) + [(999, "flush filler words zzz only")]
+    ts = [base + pd.Timedelta(seconds=i) for i in range(len(corpus_texts))] + [
+        base + pd.Timedelta(days=1)  # advances watermark; own window never closes
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "event_ts": pd.Series(ts).astype("datetime64[us]"),
+        }
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:4], preserve_index=False), f"{src}/a.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[4:], preserve_index=False), f"{src}/b.parquet")
+    os.utime(f"{src}/a.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(f"{src}/b.parquet", (1_700_000_100, 1_700_000_100))
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(ref_texts), "text": list(ref_texts.values())})
+    )
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_ngram_novelty(
+        stream, ref, n=4, watermark_delay="1 hour", finalize_window="1 minute"
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("novelty_stream").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM novelty_stream").toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(corpus_texts), "text": list(corpus_texts.values())})
+    )
+    want = (
+        ngram_novelty(corpus, ref, n=4).toPandas()
+        .query("n_grams > 0")
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    for c in ("n_grams", "n_novel", "novelty"):
+        assert list(got[c]) == list(want[c]), c
