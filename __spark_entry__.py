@@ -1190,7 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence leads).  Order this round:
         #   1. the two r7/r8 hash-fails, FIXED in r9 (terminal-round
         #      removal) — keep at head until CORRECTNESS shows green;
-        #   2. this round's 46 NEW queries (no driver evidence yet; all
+        #   2. this round's 44 NEW queries (no driver evidence yet; all
         #      hash-exact in local full sweeps at sf0.01 — 124/124 in
         #      the session-3 sweep — and spot-gated at sf0.1);
         #   3. the 39 entries whose last driver evidence is r7 (they
