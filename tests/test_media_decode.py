@@ -844,3 +844,54 @@ def test_mp4_stsz_fixed_count_bound():
     payload[i + 4 + 4 : i + 4 + 12] = struct.pack(">II", 1000, 1 << 31)
     with pytest.raises(DecoderNotAvailable):
         parse_mp4(bytes(payload))
+
+
+def test_mp4_two_tracks():
+    """A video + audio file: per-track handlers/codecs/sample tables
+    stay separate; the frame sampler picks the vide track."""
+    from simple_tsdb_spark.pipeline.mp4 import parse_mp4
+
+    vid_frames = [b"VFRAME1", b"VF2"]
+    aud_frames = [b"audio-a", b"audio-b", b"audio-c"]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+    mdat_payload = b"".join(vid_frames) + b"".join(aud_frames)
+    mdat_start = len(ftyp) + 8
+    mdat = _box(b"mdat", mdat_payload)
+
+    def track(frames, handler, codec, base_off, tid):
+        n = len(frames)
+        sizes = [len(f) for f in frames]
+        tkhd = _fullbox(b"tkhd", 0, struct.pack(">III4xI8x", 0, 0, tid, 600)
+                        + struct.pack(">HHHH", 0, 0, 0, 0)
+                        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                        + struct.pack(">II", 64 << 16, 48 << 16))
+        mdhd = _fullbox(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, 600, 600, 0x55C4, 0))
+        hdlr = _fullbox(b"hdlr", 0, struct.pack(">I4s12x", 0, handler) + b"h\x00")
+        entry = struct.pack(">I4s6xH", 16 + 70, codec, 1) + b"\x00" * 70
+        stsd = _fullbox(b"stsd", 0, struct.pack(">I", 1) + entry)
+        stts = _fullbox(b"stts", 0, struct.pack(">III", 1, n, 1))
+        stsc = _fullbox(b"stsc", 0, struct.pack(">IIII", 1, 1, n, 1))
+        stsz = _fullbox(b"stsz", 0, struct.pack(">II", 0, n)
+                        + b"".join(struct.pack(">I", s_) for s_ in sizes))
+        stco = _fullbox(b"stco", 0, struct.pack(">II", 1, base_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+
+    mvhd = _fullbox(b"mvhd", 0, struct.pack(">IIII", 0, 0, 600, 600)
+                    + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+                    + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                    + b"\x00" * 24 + struct.pack(">I", 3))
+    vt = track(vid_frames, b"vide", b"avc1", mdat_start, 1)
+    at = track(aud_frames, b"soun", b"mp4a", mdat_start + sum(len(f) for f in vid_frames), 2)
+    payload = ftyp + mdat + _box(b"moov", mvhd + vt + at)
+
+    got = parse_mp4(payload)
+    assert len(got["tracks"]) == 2
+    v, a = got["tracks"]
+    assert (v["handler"], v["codec"], v["n_samples"]) == ("vide", "avc1", 2)
+    assert (a["handler"], a["codec"], a["n_samples"]) == ("soun", "mp4a", 3)
+    for (off, sz), want in zip(v["samples"], vid_frames):
+        assert payload[off : off + sz] == want
+    for (off, sz), want in zip(a["samples"], aud_frames):
+        assert payload[off : off + sz] == want
