@@ -7,6 +7,11 @@ from simple_tsdb_spark.sources.fixtures import (
     normalize_fixture,
     read_fixture,
 )
+from simple_tsdb_spark.sources.layout import (
+    file_overlap_fraction,
+    write_zordered,
+    zvalue,
+)
 from simple_tsdb_spark.sources.measurement import (
     META_COLUMNS,
     adapt_raw_ts,
@@ -21,6 +26,9 @@ __all__ = [
     "META_COLUMNS",
     "adapt_raw_ts",
     "events_measurement",
+    "file_overlap_fraction",
+    "write_zordered",
+    "zvalue",
     "field_columns",
     "normalize_fixture",
     "read_bucketed_measurement",
