@@ -86,3 +86,30 @@ def test_zvalue_guards(spark):
         zvalue(df, ("a", "b"), bits=31)  # 62 bits > 60
     with pytest.raises(ValueError):
         zvalue(df, (), bits=8)
+
+
+def test_string_ordinal_is_monotone(spark):
+    """The base-128 prefix ordinal preserves lexicographic order on
+    ASCII strings (ties only past the 7-char prefix) — the property
+    that makes string min/max stats prune after z-ordering."""
+    import random
+
+    from simple_tsdb_spark.sources.layout import _string_ordinal
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789_-"
+    vals = sorted(
+        {"".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))) for _ in range(300)}
+    )
+    df = spark.createDataFrame(pd.DataFrame({"s": vals}))
+    got = (
+        df.withColumn("o", _string_ordinal("s"))
+        .orderBy("s")
+        .toPandas()
+    )
+    o = list(got.o)
+    assert all(a <= b for a, b in zip(o, o[1:]))
+    # strict where the 7-char prefixes differ
+    for (s1, o1), (s2, o2) in zip(got.values, got.values[1:]):
+        if s1[:7] != s2[:7]:
+            assert o1 < o2, (s1, s2)
