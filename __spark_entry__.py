@@ -1009,6 +1009,20 @@ def _q_blob_features(spark, sf_dir):
     return extract_blob_features(attach_blob(_docs(spark, sf_dir)))
 
 
+def _q_min_cost_parts(spark, sf_dir):
+    """TPC-H Q2 correlated-subquery shape, decorrelated to a window min."""
+    from simple_tsdb_spark.plans import min_cost_parts
+
+    return min_cost_parts(spark, sf_dir)
+
+
+def _q_nation_balance_share(spark, sf_dir):
+    """TPC-H Q11 group-vs-global-share shape (broadcast scalar)."""
+    from simple_tsdb_spark.plans import nation_balance_share
+
+    return nation_balance_share(spark, sf_dir)
+
+
 def _q_revenue_cube(spark, sf_dir):
     """ROLLUP grouping sets: (nation, year) + subtotals + grand total in
     one shared-shuffle aggregation pass."""
@@ -1190,7 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence leads).  Order this round:
         #   1. the two r7/r8 hash-fails, FIXED in r9 (terminal-round
         #      removal) — keep at head until CORRECTNESS shows green;
-        #   2. this round's 44 NEW queries (no driver evidence yet; all
+        #   2. this round's 46 NEW queries (no driver evidence yet; all
         #      hash-exact in local full sweeps at sf0.01 — 124/124 in
         #      the session-3 sweep — and spot-gated at sf0.1);
         #   3. the 39 entries whose last driver evidence is r7 (they
@@ -1210,6 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": _q_large_volume_customers,  # TPC-H Q18 group-HAVING
         "revenue_cube": _q_revenue_cube,  # ROLLUP grouping sets, one shared pass
         "range_moving_avg": _q_range_moving_avg,  # RANGE time-window frame
+        "min_cost_parts": _q_min_cost_parts,  # Q2 correlated-subquery decorrelation
+        "nation_balance_share": _q_nation_balance_share,  # Q11 global-share HAVING
         "corpus_diff": _q_corpus_diff,  # snapshot diff (dataset versioning)
         "ngram_novelty": _q_ngram_novelty,  # per-doc novelty vs reference grams
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
@@ -1842,6 +1858,8 @@ def _pipeline_oracles() -> dict[str, str]:
         event_transitions_oracle,
         forecast_revenue_oracle,
         large_volume_customers_oracle,
+        min_cost_parts_oracle,
+        nation_balance_share_oracle,
         revenue_cube_oracle,
         order_priority_counts_oracle,
         pricing_summary_oracle,
@@ -1938,6 +1956,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "order_priority_counts": order_priority_counts_oracle(),
         "large_volume_customers": large_volume_customers_oracle(),
         "revenue_cube": revenue_cube_oracle(),
+        "min_cost_parts": min_cost_parts_oracle(),
+        "nation_balance_share": nation_balance_share_oracle(),
         "revenue_by_nation": revenue_by_nation_oracle(),
         "top_customers": top_customers_oracle(),
         "daily_pivot": daily_event_pivot_oracle(),

@@ -6,6 +6,8 @@ from simple_tsdb_spark.plans.analytics import (
     revenue_rollup,
     forecast_revenue,
     large_volume_customers,
+    min_cost_parts,
+    nation_balance_share,
     revenue_cube,
     order_priority_counts,
     event_transitions,
@@ -19,6 +21,8 @@ __all__ = [
     "revenue_rollup",
     "forecast_revenue",
     "large_volume_customers",
+    "min_cost_parts",
+    "nation_balance_share",
     "revenue_cube",
     "order_priority_counts",
     "event_transitions",

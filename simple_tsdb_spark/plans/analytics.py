@@ -524,3 +524,83 @@ SELECT COALESCE(n_name, '(all)') AS n_name,
 FROM base
 GROUP BY ROLLUP (n_name, o_year)
 """
+
+
+def min_cost_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-subquery shape on this schema: per part
+    type, the part(s) whose retail price equals the MINIMUM price
+    within that type (ties all kept — Q2 semantics).
+
+    The correlated scalar subquery (``price = (SELECT MIN ... WHERE
+    same type)``) decorrelates into ONE window min over the type key —
+    a single shuffle instead of an O(types) re-scan; the oracle keeps
+    the correlated form, proving the rewrite is value-identical.
+    """
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("_min", F.min("p_retailprice").over(w))
+        .where(F.col("p_retailprice") == F.col("_min"))
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+def min_cost_parts_oracle() -> str:
+    return """
+SELECT p_type, p_partkey, p_name, p_retailprice
+FROM part p
+WHERE p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type)
+ORDER BY p_type, p_partkey
+"""
+
+
+def nation_balance_share(
+    spark: SparkSession, sf_dir: str, *, min_share: float = 0.01
+) -> DataFrame:
+    """TPC-H Q11's global-share shape: per nation, the total customer
+    account balance, kept only where it exceeds ``min_share`` of the
+    GLOBAL total — the group-vs-global-scalar pattern (Q11's
+    ``HAVING SUM(...) > (SELECT SUM(...) * fraction)``).
+
+    Balances sum in exact DECIMAL on both branches; the global scalar
+    rides a broadcast (one row) instead of re-aggregating per group;
+    ``share`` is the quotient of the two once-cast doubles.  The
+    nation dimension broadcasts onto the customer aggregation.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    per_nation = (
+        cust.groupBy("c_nationkey")
+        .agg(F.sum(bal).alias("_total"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    )
+    total = cust.agg(F.sum(bal).alias("_g"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .withColumn("total_balance", F.col("_total").cast("double"))
+        .withColumn(
+            "share",
+            F.col("_total").cast("double") / F.col("_g").cast("double"),
+        )
+        .where(F.col("share") > F.lit(float(min_share)))
+        .select("n_name", "total_balance", "share")
+        .orderBy(F.col("total_balance").desc(), "n_name")
+    )
+
+
+def nation_balance_share_oracle(*, min_share: float = 0.01) -> str:
+    return f"""
+WITH per_nation AS (
+  SELECT n_name, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS t
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name),
+total AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS g FROM customer)
+SELECT n_name, CAST(t AS DOUBLE) AS total_balance,
+       CAST(t AS DOUBLE) / CAST(g AS DOUBLE) AS share
+FROM per_nation, total
+WHERE CAST(t AS DOUBLE) / CAST(g AS DOUBLE) > {float(min_share)!r}
+ORDER BY total_balance DESC, n_name
+"""

@@ -365,3 +365,36 @@ def test_range_moving_avg_model(spark):
 
     with _pt.raises(ValueError):
         range_moving_avg(spark.createDataFrame(pdf), field="value", window_ns=0)
+
+
+def test_min_cost_parts_keeps_all_ties(spark):
+    """Q2 semantics: EVERY part at the type minimum survives; the
+    window decorrelation equals the correlated-subquery oracle."""
+    import duckdb
+
+    from simple_tsdb_spark.plans.analytics import min_cost_parts, min_cost_parts_oracle
+
+    sf = "/root/testdata/sf0.001"
+    got = min_cost_parts(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{sf}/part.parquet'")
+    want = con.execute(min_cost_parts_oracle()).df()
+    assert list(got.p_partkey) == list(want.p_partkey)
+    # per type, everything kept shares ONE price = the type min
+    import pandas as pd
+
+    part = pd.read_parquet(f"{sf}/part.parquet")
+    mins = part.groupby("p_type").p_retailprice.min()
+    for _, r in got.iterrows():
+        assert r.p_retailprice == mins[r.p_type]
+
+
+def test_nation_balance_share_sums_to_one(spark):
+    """Shares over ALL nations sum to 1; the threshold only filters."""
+    from simple_tsdb_spark.plans.analytics import nation_balance_share
+
+    sf = "/root/testdata/sf0.001"
+    got = nation_balance_share(spark, sf, min_share=0.0).toPandas()
+    assert abs(got.share.sum() - 1.0) < 1e-9
+    filtered = nation_balance_share(spark, sf, min_share=0.05).toPandas()
+    assert set(filtered.n_name) == set(got[got.share > 0.05].n_name)
