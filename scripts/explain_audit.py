@@ -826,6 +826,24 @@ def main() -> int:
         "Expand" in p and p.count("lineitem.parquet") == 1,
     )
 
+    # min_cost_parts: the correlated subquery must be ONE window over
+    # the type key — no self-join, no per-type re-scan.
+    from simple_tsdb_spark.plans import min_cost_parts, nation_balance_share
+
+    p = plan_of(min_cost_parts(spark, SF))
+    ok &= check(
+        "Q2 shape: correlated subquery decorrelated to one window (no join)",
+        "Window" in p and "Join" not in p and p.count("part.parquet") == 1,
+    )
+
+    # nation_balance_share: the global scalar broadcasts (one-row
+    # nested-loop), never a shuffle join against the group table.
+    p = plan_of(nation_balance_share(spark, SF))
+    ok &= check(
+        "Q11 shape: global scalar broadcast onto the group aggregation",
+        "BroadcastNestedLoopJoin" in p and "SortMergeJoin" not in p,
+    )
+
     # range_moving_avg: one series shuffle; the RANGE frame is a window
     # spec, not a self-join.
     from simple_tsdb_spark.operators import range_moving_avg
