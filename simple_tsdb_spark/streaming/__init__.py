@@ -3,7 +3,7 @@ from simple_tsdb_spark.streaming.decontam import (
     streaming_decontaminate_flags,
     streaming_ngram_novelty,
 )
-from simple_tsdb_spark.streaming.dedup import streaming_dedup_against_index
+from simple_tsdb_spark.streaming.dedup import streaming_dedup_against_index, streaming_source_dedup_rate
 from simple_tsdb_spark.streaming.lm import streaming_ngram_lm_scores
 from simple_tsdb_spark.streaming.scores import streaming_dsir_scores
 from simple_tsdb_spark.streaming.dedup import streaming_exact_dedup, streaming_simhash_dedup
@@ -43,6 +43,7 @@ __all__ = [
     "streaming_ngram_lm_scores",
     "streaming_dedup_against_index",
     "streaming_exact_dedup",
+    "streaming_source_dedup_rate",
     "streaming_simhash_dedup",
     "streaming_interval_join",
 ]

@@ -191,3 +191,57 @@ def streaming_dedup_against_index(
         F.col(event_time_col),
         n_bands.cast("long").alias("n_bands"),
     )
+
+
+def streaming_source_dedup_rate(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    domain_col: str = "source",
+    event_time_col: str = "event_ts",
+    watermark_delay: str = "10 minutes",
+    window: str = "1 minute",
+) -> DataFrame:
+    """Live per-source duplication monitor — the streaming companion of
+    batch ``source_dedup_rate``: per (window, source), total arrivals
+    vs FIRST-OCCURRENCE uniques and their dup_rate.
+
+    Semantics: uniqueness is global within the watermark horizon and
+    attributed to the FIRST arrival's window (a copy arriving two
+    windows later counts toward n_docs there but not n_unique — the
+    ingest-monitoring reading of "how much of this feed is new").
+
+    Plan: the stream unions with its own
+    ``dropDuplicatesWithinWatermark([source, digest])`` branch
+    (kind-tagged), then ONE windowed conditional-count aggregation —
+    two stateful operators total (dedup state keyed by digest, bounded
+    by the horizon; window state bounded by open windows), both
+    append-finalized by the watermark.
+    """
+    wm = stream.withWatermark(event_time_col, watermark_delay).select(
+        F.col(domain_col).alias("source"),
+        F.col(event_time_col),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    uniq = wm.dropDuplicatesWithinWatermark(["source", "_h"]).withColumn(
+        "_kind", F.lit("uniq")
+    )
+    both = wm.withColumn("_kind", F.lit("all")).unionByName(uniq)
+    agg = (
+        both.groupBy(F.window(event_time_col, window), "source")
+        .agg(
+            F.count(F.when(F.col("_kind") == "all", 1)).alias("n_docs"),
+            F.count(F.when(F.col("_kind") == "uniq", 1)).alias("n_unique"),
+        )
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_dup"),
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )

@@ -172,3 +172,82 @@ def test_streaming_dedup_against_index_equals_batch(spark, tmp_path):
     # exact copies hit all 4 bands; fresh docs hit none
     assert all(got[100000 + r.doc_id] == 4 for r in corpus.limit(2).collect())
     assert all(got[200000 + i] == 0 for i in range(4))
+
+
+def test_streaming_source_dedup_rate_first_occurrence(spark, tmp_path):
+    """Per (window, source): n_docs counts all arrivals; n_unique
+    counts first occurrences only, attributed to the first window —
+    verified against a python first-seen model."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from simple_tsdb_spark.streaming import streaming_source_dedup_rate
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("event_ts", T.TimestampType(), False),
+        ]
+    )
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # window 0 (first minute): web a,a,b  niche x
+        (1, "a", "web", 0), (2, "a", "web", 5), (3, "b", "web", 10), (4, "x", "niche", 20),
+        # window 1: web a (dup from w0 -> counts in n_docs only), c new
+        (5, "a", "web", 70), (6, "c", "web", 75),
+        # same text in ANOTHER source is its own key
+        (7, "a", "niche", 80),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "source": [r[2] for r in rows],
+            "event_ts": pd.Series(
+                [base + pd.Timedelta(seconds=r[3]) for r in rows]
+            ).astype("datetime64[us]"),
+        }
+    )
+    flush = pd.DataFrame(
+        {
+            "doc_id": [99],
+            "text": ["zz"],
+            "source": ["web"],
+            "event_ts": pd.Series([base + pd.Timedelta(days=1)]).astype("datetime64[us]"),
+        }
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{src}/a.parquet")
+    pq.write_table(pa.Table.from_pandas(flush, preserve_index=False), f"{src}/b.parquet")
+    os.utime(f"{src}/a.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(f"{src}/b.parquet", (1_700_000_100, 1_700_000_100))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_source_dedup_rate(stream, watermark_delay="1 hour", window="1 minute")
+    q = out.writeStream.outputMode("append").format("memory").queryName("dup_mon").start()
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM dup_mon")
+        .toPandas()
+        .set_index(["window_start", "source"])
+        .sort_index()
+    )
+
+    w0, w1 = base, base + pd.Timedelta(minutes=1)
+    assert got.loc[(w0, "web"), "n_docs"] == 3
+    assert got.loc[(w0, "web"), "n_unique"] == 2  # a, b (second a is a dup)
+    assert got.loc[(w0, "web"), "dup_rate"] == 1 / 3
+    assert got.loc[(w0, "niche"), "n_docs"] == 1 and got.loc[(w0, "niche"), "n_unique"] == 1
+    # window 1: 'a' already seen in w0 -> doc only; 'c' is new
+    assert got.loc[(w1, "web"), "n_docs"] == 2
+    assert got.loc[(w1, "web"), "n_unique"] == 1
+    # same text, different source = its own key -> unique in niche
+    assert got.loc[(w1, "niche"), "n_unique"] == 1
