@@ -795,6 +795,13 @@ def _q_ivf_stats(spark, sf_dir):
     return ivf_stats(_embs(spark, sf_dir))
 
 
+def _q_quantize_int8(spark, sf_dir):
+    """Symmetric per-dim int8 quantization (vector-index export)."""
+    from simple_tsdb_spark.pipeline import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(_embs(spark, sf_dir))
+
+
 def _q_embedding_moments(spark, sf_dir):
     """Exact integer-grid second moments of the embedding corpus (the
     covariance/PCA input): mapInPandas partial Grams, decimal-sum agg."""
@@ -1204,7 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence leads).  Order this round:
         #   1. the two r7/r8 hash-fails, FIXED in r9 (terminal-round
         #      removal) — keep at head until CORRECTNESS shows green;
-        #   2. this round's 46 NEW queries (no driver evidence yet; all
+        #   2. this round's 47 NEW queries (no driver evidence yet; all
         #      hash-exact in local full sweeps at sf0.01 — 124/124 in
         #      the session-3 sweep — and spot-gated at sf0.1);
         #   3. the 39 entries whose last driver evidence is r7 (they
@@ -1215,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
         "temperature_mixture": _q_temperature_mixture,  # n^alpha source-balance sampler
         "embedding_moments": _q_embedding_moments,  # exact PCA-input moment sums
+        "quantize_int8": _q_quantize_int8,  # per-dim int8 export quantization
         "ivf_stats": _q_ivf_stats,  # IVF list-balance skew audit
         "keep_best_dedup": _q_keep_best_dedup,  # per-cluster best-copy keeper
         "source_dedup_rate": _q_source_dedup_rate,  # per-source duplication report
@@ -1792,6 +1800,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from simple_tsdb_spark.pipeline.similarity import (
         cluster_prune_oracle,
         embedding_moments_oracle,
+        quantize_embeddings_int8_oracle,
         ivf_stats_oracle,
         kmeans_clusters_oracle,
         knn_brute_oracle,
@@ -1939,6 +1948,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "knn_range": range_search_oracle(query_ids=KNN_QUERY_IDS, tau=RANGE_TAU),
         "label_centroids": label_centroids_oracle(),
         "embedding_moments": embedding_moments_oracle(),
+        "quantize_int8": quantize_embeddings_int8_oracle(),
         "ivf_stats": ivf_stats_oracle(),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),

@@ -1952,3 +1952,74 @@ SELECT list_id, n_vecs,
        CAST(n_vecs * {nlist} AS DOUBLE) / CAST(total AS DOUBLE) AS load_factor
 FROM t
 """
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization — the standard vector-
+    index export step (4× smaller than float32, SIMD-friendly dot
+    products): ``q = clamp(floor(x · 127 / maxabs_dim), −127, 127)``,
+    one output row per (vec_id, pos) plus the dimension's scale so the
+    consumer can dequantize (``x ≈ q · maxabs/127``).
+
+    Engine-exact by construction: per-dim ``maxabs`` is an order-free
+    MAX of exact doubles, the scale ride-along is the raw double, and
+    the quantized value uses floor (no round(double) — the proven
+    determinism contract).  Zero-variance dims (maxabs = 0) quantize
+    to 0 with scale 0.
+
+    At 100 TB: one posexplode scan into a (pos)-keyed max aggregation
+    (64 keys, map-side combined), the d-row stats table broadcasts
+    back, and the quantization is a pure expression — the corpus
+    shuffles once on the tiny pos key for stats and never again.
+    """
+    x = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))")).alias(
+            "_p", "_v"
+        ),
+    ).select(F.col(id_col), (F.col("_p") + 1).alias("pos"), F.col("_v"))
+    stats = x.groupBy("pos").agg(F.max(F.abs(F.col("_v"))).alias("maxabs"))
+    q = F.when(F.col("maxabs") == 0.0, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(F.col("_v") * F.lit(127.0) / F.col("maxabs")).cast("int"),
+            ),
+        )
+    )
+    return (
+        x.join(F.broadcast(stats), "pos")
+        .select(
+            F.col(id_col),
+            "pos",
+            q.cast("int").alias("q"),
+            (F.col("maxabs") / F.lit(127.0)).alias("scale"),
+        )
+        .orderBy(id_col, "pos")
+    )
+
+
+def quantize_embeddings_int8_oracle(
+    table: str = "embeddings", *, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    return f"""
+WITH x AS (
+  SELECT {id_col}, UNNEST(generate_series(1, len({vec_col}))) AS pos,
+         {vec_col}::DOUBLE[] AS emb
+  FROM {table}),
+v AS (SELECT {id_col}, CAST(pos AS INTEGER) AS pos, emb[pos] AS val FROM x),
+stats AS (SELECT pos, MAX(abs(val)) AS maxabs FROM v GROUP BY pos)
+SELECT v.{id_col}, v.pos,
+       CAST(CASE WHEN maxabs = 0.0 THEN 0
+                 ELSE GREATEST(-127, LEAST(127,
+                      CAST(floor(val * 127.0 / maxabs) AS INTEGER)))
+            END AS INTEGER) AS q,
+       maxabs / 127.0 AS scale
+FROM v JOIN stats USING (pos)
+"""

@@ -140,3 +140,40 @@ def test_ivf_stats_counts_and_spine(spark):
     )
     for lid, n in recount.items():
         assert got.loc[lid, "n_vecs"] == n
+
+
+# -- int8 quantization ---------------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_and_bounds(spark):
+    """q in [-127,127]; dequantized error <= scale per dim; max-|x|
+    element hits ±127; zero-variance dim quantizes to 0/scale 0."""
+    from simple_tsdb_spark.pipeline import quantize_embeddings_int8
+
+    d = 4
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(50),
+            "embedding": [
+                [float(np.sin(i * 1.3 + j)) if j < 3 else 0.0 for j in range(d)]
+                for i in range(50)
+            ],
+        }
+    )
+    got = quantize_embeddings_int8(spark.createDataFrame(pdf)).toPandas()
+    assert got.q.between(-127, 127).all()
+    x = np.array(pdf.embedding.tolist())
+    for pos in range(1, d + 1):
+        sub = got[got.pos == pos]
+        col = x[:, pos - 1]
+        maxabs = np.abs(col).max()
+        if maxabs == 0:
+            assert (sub.q == 0).all() and (sub.scale == 0).all()
+            continue
+        assert np.allclose(sub.scale, maxabs / 127.0)
+        # floor quantization: q*scale within one scale step below x
+        deq = sub.sort_values("vec_id").q.to_numpy() * (maxabs / 127.0)
+        err = np.sort(col) - np.sort(deq)  # same order stats
+        assert np.abs(np.sort(col) - np.sort(deq)).max() <= maxabs / 127.0 + 1e-12
+        # the extreme element saturates
+        assert sub.q.abs().max() == 127
