@@ -177,3 +177,38 @@ def test_quantize_int8_roundtrip_and_bounds(spark):
         assert np.abs(np.sort(col) - np.sort(deq)).max() <= maxabs / 127.0 + 1e-12
         # the extreme element saturates
         assert sub.q.abs().max() == 127
+
+
+# -- Arrow IVF assignment fast path -------------------------------------------
+
+
+def test_assign_lists_arrow_matches_codegen(spark):
+    """Zero divergence from the codegen quantizer assignment on the
+    real fixtures (sf0.001 AND sf0.01) — the bulk-build contract."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import assign_lists_arrow
+    from simple_tsdb_spark.pipeline.similarity import _score_array_spark
+
+    for sf in ("sf0.001", "sf0.01"):
+        df = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        sarr = _score_array_spark("emb", 64, None)
+        want = (
+            df.select(
+                "vec_id",
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+            )
+            .withColumn("_s", F.expr(sarr))
+            .select(
+                "vec_id",
+                F.expr("array_position(_s, array_max(_s)) - 1").cast("int").alias("l"),
+            )
+            .toPandas()
+            .set_index("vec_id")["l"]
+        )
+        got = (
+            assign_lists_arrow(df)
+            .toPandas()
+            .set_index("vec_id")["list_id"]
+        )
+        assert (got.sort_index() == want.sort_index()).all(), sf
