@@ -49,25 +49,46 @@ def write_ann_index(
     codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "codegen",
 ) -> dict:
     """Build the materialized index: one corpus projection (the
     assignment is pure codegen), one partitioned write — no shuffle
-    beyond the write's own fan-out.  Returns the manifest."""
+    beyond the write's own fan-out.  Returns the manifest.
+
+    ``assign="arrow"`` routes the corpus assignment through the
+    BLAS fast path (:func:`pipeline.similarity.assign_lists_arrow`) —
+    the bulk-build choice once nlist grows past a few dozen (15× at
+    nlist=64, SCALE.md); search semantics are unchanged and
+    round-trip equality to the codegen build is pinned in
+    test_cluster_cap/test_pipeline.  Exact round-6 score ties may
+    place a vector in a different (equally valid) list.
+    """
     from simple_tsdb_spark.fs import get_fs
 
+    if assign not in ("codegen", "arrow"):
+        raise ValueError("assign must be codegen|arrow")
     cents = [list(map(float, c)) for c in (centroids or default_centroids(dim=dim))]
-    sarr = _score_array_spark("emb", dim, cents)
-    e = (
-        df.select(
-            F.col(id_col).alias("vec_id"),
-            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-        )
-        .withColumn("_sarr", F.expr(sarr))
-        .withColumn(
-            "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
-        )
-        .drop("_sarr")
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
     )
+    if assign == "arrow":
+        from simple_tsdb_spark.pipeline.similarity import assign_lists_arrow
+
+        lids = assign_lists_arrow(
+            df, dim=dim, centroids=cents, vec_col=vec_col, id_col=id_col
+        ).withColumnRenamed(id_col, "vec_id")
+        e = base.join(lids, "vec_id")
+    else:
+        sarr = _score_array_spark("emb", dim, cents)
+        e = (
+            base.withColumn("_sarr", F.expr(sarr))
+            .withColumn(
+                "list_id",
+                F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int"),
+            )
+            .drop("_sarr")
+        )
     cols = ["vec_id", "emb", "list_id"]
     if with_pq:
         from simple_tsdb_spark.pipeline.similarity import _pq_encode_relational

@@ -2096,3 +2096,34 @@ def test_ngram_novelty_model(spark):
         else:
             assert pd.isna(r.novelty)
     assert got.loc[1, "novelty"] == 0.0 and got.loc[2, "novelty"] == 1.0
+
+
+def test_ann_index_arrow_build_equals_codegen_build(spark, embs, tmp_path):
+    """assign='arrow' produces a byte-identical index CONTENT to the
+    codegen build on the fixtures (per-vector list assignment equal),
+    and search results match row-for-row."""
+    from simple_tsdb_spark.pipeline import search_ann_index, write_ann_index
+
+    p1, p2 = str(tmp_path / "cg"), str(tmp_path / "ar")
+    write_ann_index(spark, embs, p1)
+    write_ann_index(spark, embs, p2, assign="arrow")
+    a = spark.read.parquet(f"{p1}/vectors").select("vec_id", "list_id").toPandas()
+    b = spark.read.parquet(f"{p2}/vectors").select("vec_id", "list_id").toPandas()
+    a = a.sort_values("vec_id", ignore_index=True)
+    b = b.sort_values("vec_id", ignore_index=True)
+    assert (a.vec_id == b.vec_id).all() and (a.list_id == b.list_id).all()
+
+    qids = [int(x) for x in a.vec_id.head(3)]
+    r1 = search_ann_index(spark, p1, query_ids=qids, k=5).toPandas()
+    r2 = search_ann_index(spark, p2, query_ids=qids, k=5).toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        r1.sort_values(["query_id", "rank"], ignore_index=True),
+        r2.sort_values(["query_id", "rank"], ignore_index=True),
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        write_ann_index(spark, embs, str(tmp_path / "bad"), assign="nope")
