@@ -339,3 +339,44 @@ def embedding_dups_against_index(
         )
         .where(F.col("cos") >= float(threshold))
     )
+
+
+def index_health(spark: SparkSession, path: str) -> DataFrame:
+    """Health report for a materialized IVF index WITHOUT touching the
+    vectors: per list ``(list_id, n_vecs, frac, load_factor)`` — the
+    operational twin of :func:`pipeline.similarity.ivf_stats` computed
+    from the index's own partitioned layout (a ``list_id``-pruned
+    count over the parquet footers; at 100 TB this reads metadata, not
+    embeddings).  Empty lists appear zero-filled (the manifest's nlist
+    is the spine), matching ivf_stats' contract row-for-row — equality
+    on a shared corpus is pinned in tests.
+
+    Use it as the re-balance trigger: a hot list (load_factor ≫ 1)
+    means hot probe partitions; re-train centroids (train_ivf_centroids)
+    and rebuild with ``assign="arrow"`` when it drifts.
+    """
+    from pyspark.sql import Window
+
+    from simple_tsdb_spark.fs import get_fs
+
+    man = json.loads(get_fs(path).read_text(f"{path}/manifest.json"))
+    nlist = int(man["nlist"])
+    counts = (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    spine = spark.range(nlist).select(F.col("id").cast("int").alias("list_id"))
+    f = spine.join(counts, "list_id", "left").select(
+        "list_id", F.coalesce("n_vecs", F.lit(0).cast("long")).alias("n_vecs")
+    )
+    t = f.withColumn("total", F.sum("n_vecs").over(Window.partitionBy()))
+    return t.select(
+        "list_id",
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("total").cast("double")).alias("frac"),
+        (
+            (F.col("n_vecs") * F.lit(nlist)).cast("double")
+            / F.col("total").cast("double")
+        ).alias("load_factor"),
+    ).orderBy("list_id")

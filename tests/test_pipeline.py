@@ -2127,3 +2127,17 @@ def test_ann_index_arrow_build_equals_codegen_build(spark, embs, tmp_path):
 
     with _pt.raises(ValueError):
         write_ann_index(spark, embs, str(tmp_path / "bad"), assign="nope")
+
+
+def test_index_health_equals_ivf_stats(spark, embs, tmp_path):
+    """index_health over a materialized index row-for-row equals
+    ivf_stats over the same corpus + centroids (metadata-only read)."""
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import index_health, ivf_stats, write_ann_index
+
+    path = str(tmp_path / "idx")
+    write_ann_index(spark, embs, path)
+    got = index_health(spark, path).toPandas()
+    want = ivf_stats(embs).toPandas()
+    pd.testing.assert_frame_equal(got, want)
