@@ -121,6 +121,14 @@ def write_ann_index(
     return manifest
 
 
+def _vectors_dir(man: dict) -> str:
+    """Current vector-data directory: fresh builds write ``vectors``;
+    rebalance flips the manifest pointer to ``vectors_gen<N>`` (the
+    object-store-safe generation pattern — no renames, old generation
+    stays readable until swept)."""
+    return man.get("vectors_dir", "vectors")
+
+
 def _quantizer_scores_py(vec: Sequence[float], cents: list[list[float]]) -> list[float]:
     """Driver-side replica of ``_score_array_spark``: sequential-fold
     dot / centroid norm — bit-identical to the Spark expression."""
@@ -202,7 +210,7 @@ def search_ann_index(
     if not 1 <= int(nprobe) <= nlist:
         raise ValueError(f"nprobe must be in [1, {nlist}]")
 
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = spark.read.parquet(f"{path}/{_vectors_dir(man)}")
     qrows = (
         vectors.where(F.col("vec_id").isin(list(query_ids)))
         .select("vec_id", "emb")
@@ -324,7 +332,7 @@ def embedding_dups_against_index(
     )
     hit = sorted(r["list_id"] for r in new.select("list_id").distinct().collect())
     idx = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.parquet(f"{path}/{_vectors_dir(man)}")
         .where(F.col("list_id").isin(hit))
         .select("vec_id", "emb", "list_id")
         .withColumn("nrm", _norm("emb"))
@@ -362,7 +370,7 @@ def index_health(spark: SparkSession, path: str) -> DataFrame:
     man = json.loads(get_fs(path).read_text(f"{path}/manifest.json"))
     nlist = int(man["nlist"])
     counts = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.parquet(f"{path}/{_vectors_dir(man)}")
         .groupBy("list_id")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -380,3 +388,75 @@ def index_health(spark: SparkSession, path: str) -> DataFrame:
             / F.col("total").cast("double")
         ).alias("load_factor"),
     ).orderBy("list_id")
+
+
+def rebalance_ann_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_load: float = 2.0,
+    iters: int = 3,
+) -> dict:
+    """Self-healing step for a drifted index: if any quantizer list's
+    ``load_factor`` (from :func:`index_health` — metadata only) exceeds
+    ``max_load``, re-train the centroids on the STORED vectors
+    (spherical k-means, :func:`train_ivf_centroids`), re-assign through
+    the Arrow bulk path, write a NEW generation directory
+    (``vectors_gen<N>``) and atomically flip the manifest pointer — the
+    object-store-safe generation pattern the storage compactor uses (no
+    renames; readers opened against the old manifest keep working, and
+    the old generation stays until swept).
+
+    PQ codes (if present) carry over unchanged: they encode the vector
+    against the codebooks, independent of list membership, so ADC
+    search stays valid under the new quantizer.
+
+    Returns ``{"rebalanced", "max_load_before"[, "max_load_after",
+    "generation"]}``.  No-op (rebalanced=False) when the index is
+    already within ``max_load``.
+    """
+    from simple_tsdb_spark.fs import get_fs
+    from simple_tsdb_spark.pipeline.similarity import (
+        assign_lists_arrow,
+        train_ivf_centroids,
+    )
+
+    man = json.loads(get_fs(path).read_text(f"{path}/manifest.json"))
+    before = index_health(spark, path).agg(F.max("load_factor")).first()[0]
+    report = {"rebalanced": False, "max_load_before": float(before)}
+    if before <= max_load:
+        return report
+
+    stored = spark.read.parquet(f"{path}/{_vectors_dir(man)}")
+    cents = train_ivf_centroids(
+        stored, nlist=int(man["nlist"]), dim=int(man["dim"]), iters=int(iters),
+        vec_col="emb",
+    )
+    lids = assign_lists_arrow(
+        stored.select("vec_id", "emb"), dim=int(man["dim"]), centroids=cents,
+        vec_col="emb", id_col="vec_id",
+    )
+    cols = ["vec_id", "emb", "list_id"] + (["codes"] if man.get("with_pq") else [])
+    gen = int(man.get("generation", 0)) + 1
+    newdir = f"vectors_gen{gen}"
+    (
+        stored.drop("list_id")
+        .join(lids, "vec_id")
+        .select(*cols)
+        .repartition(F.col("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/{newdir}")
+    )
+    man2 = {
+        **man,
+        "centroids": [list(map(float, c)) for c in cents],
+        "vectors_dir": newdir,
+        "generation": gen,
+    }
+    get_fs(path).write_text_atomic(f"{path}/manifest.json", json.dumps(man2))
+    after = index_health(spark, path).agg(F.max("load_factor")).first()[0]
+    report.update(
+        rebalanced=True, max_load_after=float(after), generation=gen
+    )
+    return report

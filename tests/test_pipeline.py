@@ -2141,3 +2141,47 @@ def test_index_health_equals_ivf_stats(spark, embs, tmp_path):
     got = index_health(spark, path).toPandas()
     want = ivf_stats(embs).toPandas()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_rebalance_ann_index_heals_hot_list(spark, tmp_path):
+    """A skewed corpus overloads one default-quantizer list; rebalance
+    retrains, writes a NEW generation, flips the pointer atomically,
+    and the max load factor drops.  Search keeps working against the
+    new generation (nprobe=nlist equals brute force)."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import (
+        index_health,
+        knn_brute,
+        rebalance_ann_index,
+        search_ann_index,
+        write_ann_index,
+    )
+
+    # 300 vectors tightly clustered around one direction -> one hot list
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=64); u /= np.linalg.norm(u)
+    x = (u[None, :] + rng.normal(scale=0.03, size=(300, 64))).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [r.tolist() for r in x]})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "idx")
+    write_ann_index(spark, df, path)
+
+    rep = rebalance_ann_index(spark, path, max_load=2.0, iters=2)
+    assert rep["rebalanced"] is True
+    assert rep["max_load_after"] < rep["max_load_before"]
+    man = _json.loads(open(f"{path}/manifest.json").read())
+    assert man["vectors_dir"] == "vectors_gen1" and man["generation"] == 1
+    # health now reads the new generation
+    h = index_health(spark, path).toPandas()
+    assert abs(h.load_factor.max() - rep["max_load_after"]) < 1e-12
+    # full-probe search over the new generation == brute force
+    got = search_ann_index(spark, path, query_ids=[0, 7], k=5, nprobe=man["nlist"]).toPandas()
+    want = knn_brute(df, query_ids=[0, 7], k=5).toPandas()
+    assert list(got.neighbor_id) == list(want.neighbor_id)
+    # idempotent when healthy enough: second call with a loose bound
+    rep2 = rebalance_ann_index(spark, path, max_load=rep["max_load_after"] + 0.01)
+    assert rep2["rebalanced"] is False
