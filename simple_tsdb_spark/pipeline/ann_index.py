@@ -412,8 +412,12 @@ def rebalance_ann_index(
     search stays valid under the new quantizer.
 
     Returns ``{"rebalanced", "max_load_before"[, "max_load_after",
-    "generation"]}``.  No-op (rebalanced=False) when the index is
-    already within ``max_load``.
+    "generation" | "rejected_load"]}``.  No-op (rebalanced=False) when
+    the index is already within ``max_load``, and the pointer only
+    flips when the candidate generation MEASURABLY improves the max
+    load factor (see the improvement guard below) — a retrain cannot
+    balance intrinsically concentrated data, and must never replace a
+    better index with a worse one.
     """
     from simple_tsdb_spark.fs import get_fs
     from simple_tsdb_spark.pipeline.similarity import (
@@ -448,6 +452,22 @@ def rebalance_ann_index(
         .partitionBy("list_id")
         .parquet(f"{path}/{newdir}")
     )
+    # Improvement guard: measure the CANDIDATE generation before any
+    # flip.  Lloyd's retrain heals placement-induced skew (bad default
+    # centroids vs spread data) but CANNOT balance intrinsically
+    # concentrated data (a corpus where 70 % of vectors share one
+    # direction keeps one hot list no matter where centroids sit —
+    # measured, SCALE.md); in that regime a retrain can even land
+    # worse.  Only adopt the new generation when it measurably helps.
+    nvecs = spark.read.parquet(f"{path}/{newdir}")
+    cand_counts = nvecs.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = int(stored.count())
+    after = max(
+        (int(r["n"]) * int(man["nlist"])) / tot for r in cand_counts.collect()
+    )
+    if after >= before:
+        report.update(rejected_load=float(after))
+        return report  # keep the old generation; candidate dir left for sweep
     man2 = {
         **man,
         "centroids": [list(map(float, c)) for c in cents],
@@ -455,7 +475,6 @@ def rebalance_ann_index(
         "generation": gen,
     }
     get_fs(path).write_text_atomic(f"{path}/manifest.json", json.dumps(man2))
-    after = index_health(spark, path).agg(F.max("load_factor")).first()[0]
     report.update(
         rebalanced=True, max_load_after=float(after), generation=gen
     )

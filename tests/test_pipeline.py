@@ -2185,3 +2185,34 @@ def test_rebalance_ann_index_heals_hot_list(spark, tmp_path):
     # idempotent when healthy enough: second call with a loose bound
     rep2 = rebalance_ann_index(spark, path, max_load=rep["max_load_after"] + 0.01)
     assert rep2["rebalanced"] is False
+
+
+def test_rebalance_rejects_non_improving_candidate(spark, tmp_path):
+    """Intrinsically concentrated data (every vector ~one direction)
+    cannot be balanced by retraining — the improvement guard must KEEP
+    the old generation instead of flipping to a no-better candidate."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import rebalance_ann_index, write_ann_index
+
+    rng = np.random.default_rng(11)
+    u = np.abs(rng.normal(size=64)) + 1.0  # strictly positive direction
+    x = (u[None, :] * (1.0 + rng.normal(scale=1e-3, size=(200, 1)))).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [r.tolist() for r in x]})
+    path = str(tmp_path / "idx")
+    write_ann_index(spark, spark.createDataFrame(pdf), path)
+
+    rep = rebalance_ann_index(spark, path, max_load=2.0, iters=1)
+    man = _json.loads(open(f"{path}/manifest.json").read())
+    if rep["rebalanced"]:
+        # if the retrain DID help, the pointer moved and load dropped
+        assert rep["max_load_after"] < rep["max_load_before"]
+        assert man["vectors_dir"] == "vectors_gen1"
+    else:
+        # guard path: pointer unmoved, rejection recorded
+        assert "vectors_dir" not in man or man["vectors_dir"] == "vectors"
+        assert rep.get("rejected_load") is not None
+        assert rep["rejected_load"] >= rep["max_load_before"]
