@@ -1038,6 +1038,16 @@ def _q_revenue_cube(spark, sf_dir):
     return revenue_cube(spark, sf_dir)
 
 
+def _q_zorder_key(spark, sf_dir):
+    """Morton clustering key over (series, time_ns) — the layout
+    write's exact expression behind the hash gate."""
+    from simple_tsdb_spark.sources.layout import zorder_key_frame
+
+    return zorder_key_frame(
+        _events(spark, sf_dir), ("series", "time_ns"), id_cols=("event_id",)
+    )
+
+
 def _q_range_moving_avg(spark, sf_dir):
     """Trailing 1h TIME-window mean (RANGE frame on the ns ordering)."""
     from simple_tsdb_spark.operators import range_moving_avg
@@ -1211,7 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence leads).  Order this round:
         #   1. the two r7/r8 hash-fails, FIXED in r9 (terminal-round
         #      removal) — keep at head until CORRECTNESS shows green;
-        #   2. this round's 47 NEW queries (no driver evidence yet; all
+        #   2. this round's 48 NEW queries (no driver evidence yet; all
         #      hash-exact in local full sweeps at sf0.01 — 124/124 in
         #      the session-3 sweep — and spot-gated at sf0.1);
         #   3. the 39 entries whose last driver evidence is r7 (they
@@ -1232,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": _q_large_volume_customers,  # TPC-H Q18 group-HAVING
         "revenue_cube": _q_revenue_cube,  # ROLLUP grouping sets, one shared pass
         "range_moving_avg": _q_range_moving_avg,  # RANGE time-window frame
+        "zorder_key": _q_zorder_key,  # Morton layout key (data-skipping write)
         "min_cost_parts": _q_min_cost_parts,  # Q2 correlated-subquery decorrelation
         "nation_balance_share": _q_nation_balance_share,  # Q11 global-share HAVING
         "corpus_diff": _q_corpus_diff,  # snapshot diff (dataset versioning)
@@ -1680,6 +1691,7 @@ def _timeseries_oracles() -> dict[str, str]:
     from simple_tsdb_spark.operators.fill import ewma_oracle, holt_linear_oracle
     from simple_tsdb_spark.operators.windowed import lttb_downsample_oracle, quantile_points_oracle
     from simple_tsdb_spark.operators.transforms import counter_rate_oracle
+    from simple_tsdb_spark.sources.layout import zorder_key_oracle
 
     ranged = f"SELECT * FROM ({_M}) WHERE time_ns BETWEEN {T0} AND {T1}"
     return {
@@ -1704,6 +1716,10 @@ def _timeseries_oracles() -> dict[str, str]:
         "sessionize": sessionize_oracle(_M, gap_ns=SESSION_GAP_NS),
         "moving_avg": moving_avg_oracle(ranged, field="value", n_points=MAVG_N),
         "range_moving_avg": range_moving_avg_oracle(ranged, field="value", window_ns=RMAVG_W_NS),
+        "zorder_key": zorder_key_oracle(
+            ranged, ("series", "time_ns"),
+            {"series": "string", "time_ns": "numeric"}, id_cols=("event_id",),
+        ),
         "histogram": value_histogram_oracle(
             _M, field="value", lo=HIST_LO, hi=HIST_HI, nbins=HIST_BINS
         ),

@@ -134,3 +134,69 @@ def file_overlap_fraction(path: str, col: str, lo, hi) -> float:
         if fmin is None or (fmax >= lo and fmin <= hi):
             hit += 1  # unknown stats count as touched (reader must read)
     return hit / len(files)
+
+
+def zorder_key_frame(
+    df: DataFrame, cols: tuple[str, ...], *, bits: int = DEFAULT_BITS,
+    id_cols: tuple[str, ...] = ("series", "time_ns"),
+) -> DataFrame:
+    """The z-value as a queryable frame — (id_cols..., z) — so the
+    clustering key itself sits behind the cross-engine hash gate (the
+    write path reuses exactly this expression)."""
+    return df.select(*id_cols, zvalue(df, cols, bits=bits).alias("z")).orderBy(
+        *id_cols
+    )
+
+
+def zorder_key_oracle(
+    measurement_sql: str,
+    cols: tuple[str, ...],
+    col_types: dict[str, str],
+    *,
+    bits: int = DEFAULT_BITS,
+    id_cols: tuple[str, ...] = ("series", "time_ns"),
+) -> str:
+    """DuckDB twin of :func:`zorder_key_frame`: recomputes the per-dim
+    min/max scalars in SQL (exact MIN/MAX of exact doubles — identical
+    to the driver-collected literals) and replicates the quantize +
+    interleave bit-for-bit.  ``col_types[col]`` ∈ numeric|string."""
+    n_levels = 1 << bits
+    sels, joins = [], []
+    for i, c in enumerate(cols):
+        if col_types[c] == "string":
+            terms = " + ".join(
+                f"CAST(LEAST(COALESCE(ascii(substring({c}, {j + 1}, 1)), 0), 127) "
+                f"AS BIGINT) * CAST({128 ** (6 - j)} AS BIGINT)"
+                for j in range(7)
+            )
+            src = f"({terms})"
+        else:
+            src = c
+        sels.append(f"CAST({src} AS DOUBLE) AS v{i}")
+        joins.append(
+            f"m{i} AS (SELECT MIN(v{i}) AS lo{i}, MAX(v{i}) AS hi{i} FROM base)"
+        )
+    idc = ", ".join(id_cols)
+    qs = []
+    for i in range(len(cols)):
+        span = f"CASE WHEN hi{i} - lo{i} = 0 THEN 1.0 ELSE hi{i} - lo{i} END"
+        q = (
+            f"LEAST(GREATEST(CAST(floor((v{i} - lo{i}) / ({span}) * "
+            f"{float(n_levels - 1)!r}) AS BIGINT), 0), {n_levels - 1})"
+        )
+        qs.append(q)
+    k = len(cols)
+    z_terms = " + ".join(
+        f"(((q{i} >> {j}) & 1) * {1 << (j * k + i)})"
+        for i in range(k)
+        for j in range(bits)
+    )
+    qcols = ", ".join(f"{q} AS q{i}" for i, q in enumerate(qs))
+    mjoin = ", ".join(f"m{i}" for i in range(len(cols)))
+    return f"""
+WITH base AS (SELECT {idc}, {", ".join(sels)} FROM ({measurement_sql})),
+{", ".join(joins)},
+quant AS (SELECT {idc}, {qcols} FROM base, {mjoin})
+SELECT {idc}, CAST({z_terms} AS BIGINT) AS z FROM quant
+ORDER BY {idc}
+"""
