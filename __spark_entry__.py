@@ -1016,6 +1016,13 @@ def _q_blob_features(spark, sf_dir):
     return extract_blob_features(attach_blob(_docs(spark, sf_dir)))
 
 
+def _q_supplier_balance_quartiles(spark, sf_dir):
+    """Per-nation supplier balance quartiles (exact interpolated)."""
+    from simple_tsdb_spark.plans import supplier_balance_quartiles
+
+    return supplier_balance_quartiles(spark, sf_dir)
+
+
 def _q_min_cost_parts(spark, sf_dir):
     """TPC-H Q2 correlated-subquery shape, decorrelated to a window min."""
     from simple_tsdb_spark.plans import min_cost_parts
@@ -1221,7 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence leads).  Order this round:
         #   1. the two r7/r8 hash-fails, FIXED in r9 (terminal-round
         #      removal) — keep at head until CORRECTNESS shows green;
-        #   2. this round's 48 NEW queries (no driver evidence yet; all
+        #   2. this round's 49 NEW queries (no driver evidence yet; all
         #      hash-exact in local full sweeps at sf0.01 — 124/124 in
         #      the session-3 sweep — and spot-gated at sf0.1);
         #   3. the 39 entries whose last driver evidence is r7 (they
@@ -1245,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": _q_zorder_key,  # Morton layout key (data-skipping write)
         "min_cost_parts": _q_min_cost_parts,  # Q2 correlated-subquery decorrelation
         "nation_balance_share": _q_nation_balance_share,  # Q11 global-share HAVING
+        "supplier_balance_quartiles": _q_supplier_balance_quartiles,  # exact quartiles on a dim join
         "corpus_diff": _q_corpus_diff,  # snapshot diff (dataset versioning)
         "ngram_novelty": _q_ngram_novelty,  # per-doc novelty vs reference grams
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
@@ -1885,6 +1893,7 @@ def _pipeline_oracles() -> dict[str, str]:
         large_volume_customers_oracle,
         min_cost_parts_oracle,
         nation_balance_share_oracle,
+        supplier_balance_quartiles_oracle,
         revenue_cube_oracle,
         order_priority_counts_oracle,
         pricing_summary_oracle,
@@ -1984,6 +1993,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "revenue_cube": revenue_cube_oracle(),
         "min_cost_parts": min_cost_parts_oracle(),
         "nation_balance_share": nation_balance_share_oracle(),
+        "supplier_balance_quartiles": supplier_balance_quartiles_oracle(),
         "revenue_by_nation": revenue_by_nation_oracle(),
         "top_customers": top_customers_oracle(),
         "daily_pivot": daily_event_pivot_oracle(),

@@ -604,3 +604,38 @@ FROM per_nation, total
 WHERE CAST(t AS DOUBLE) / CAST(g AS DOUBLE) > {float(min_share)!r}
 ORDER BY total_balance DESC, n_name
 """
+
+
+def supplier_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier account-balance profile: count + exact
+    continuous quartiles (q1/median/q3) — the procurement-risk readout
+    over the one remaining fixture table (supplier), exercising exact
+    interpolated percentiles on a dimension join.
+
+    Nation broadcasts onto the supplier aggregation; percentile() /
+    quantile_cont interpolate bit-identically (the proven
+    quantile_points contract — no rounding anywhere)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.expr("percentile(s_acctbal, 0.25)").alias("q1"),
+            F.expr("percentile(s_acctbal, 0.5)").alias("median"),
+            F.expr("percentile(s_acctbal, 0.75)").alias("q3"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def supplier_balance_quartiles_oracle() -> str:
+    return """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       quantile_cont(s_acctbal, 0.25) AS q1,
+       quantile_cont(s_acctbal, 0.5) AS median,
+       quantile_cont(s_acctbal, 0.75) AS q3
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""

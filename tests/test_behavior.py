@@ -398,3 +398,24 @@ def test_nation_balance_share_sums_to_one(spark):
     assert abs(got.share.sum() - 1.0) < 1e-9
     filtered = nation_balance_share(spark, sf, min_share=0.05).toPandas()
     assert set(filtered.n_name) == set(got[got.share > 0.05].n_name)
+
+
+def test_supplier_balance_quartiles_model(spark):
+    """Exact interpolated quartiles vs numpy (linear method) per
+    nation; every fixture nation appears."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_tsdb_spark.plans.analytics import supplier_balance_quartiles
+
+    sf = "/root/testdata/sf0.001"
+    got = supplier_balance_quartiles(spark, sf).toPandas().set_index("n_name")
+    sup = pd.read_parquet(f"{sf}/supplier.parquet")
+    nat = pd.read_parquet(f"{sf}/nation.parquet")
+    j = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    for name, g in j.groupby("n_name"):
+        assert got.loc[name, "n_suppliers"] == len(g)
+        for q, col in ((0.25, "q1"), (0.5, "median"), (0.75, "q3")):
+            want = np.quantile(g.s_acctbal.to_numpy(), q, method="linear")
+            assert abs(got.loc[name, col] - want) < 1e-9, (name, col)
+    assert set(got.index) == set(j.n_name)
