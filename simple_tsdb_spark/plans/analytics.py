@@ -616,26 +616,32 @@ def supplier_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont interpolate bit-identically (the proven
     quantile_points contract — no rounding anywhere)."""
     sup = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     return (
         sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
             F.expr("percentile(s_acctbal, 0.25)").alias("q1"),
             F.expr("percentile(s_acctbal, 0.5)").alias("median"),
             F.expr("percentile(s_acctbal, 0.75)").alias("q3"),
         )
-        .orderBy("n_name")
+        .orderBy("r_name", "n_name")
     )
 
 
 def supplier_balance_quartiles_oracle() -> str:
     return """
-SELECT n_name, COUNT(*) AS n_suppliers,
+SELECT r_name, n_name, COUNT(*) AS n_suppliers,
        quantile_cont(s_acctbal, 0.25) AS q1,
        quantile_cont(s_acctbal, 0.5) AS median,
        quantile_cont(s_acctbal, 0.75) AS q3
-FROM supplier JOIN nation ON s_nationkey = n_nationkey
-GROUP BY n_name ORDER BY n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
 """
