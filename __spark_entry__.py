@@ -483,9 +483,16 @@ def _q_tfidf_topk(spark, sf_dir):
 
 
 def _q_ngram_lm(spark, sf_dir):
+    """Gated projection = integer finals only (doc_id, n_bigrams,
+    nll_munat, xent_munat) — the float ``xent`` convenience column is
+    deliberately dropped (round-10 doctrine: no DOUBLE under the
+    driver's hasher; r7–r9 hash-fails were all float/decimal finals
+    that were bit-exact locally)."""
     from simple_tsdb_spark.pipeline import ngram_lm_score
 
-    return ngram_lm_score(_docs(spark, sf_dir))
+    return ngram_lm_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bigrams", "nll_munat", "xent_munat"
+    )
 
 
 def _q_dsir_resample(spark, sf_dir):
@@ -503,9 +510,13 @@ def _q_stratified_split3(spark, sf_dir):
 
 
 def _q_char_entropy(spark, sf_dir):
+    """Gated projection = integer finals only (the float ``entropy``
+    convenience column is dropped — round-10 no-DOUBLE doctrine)."""
     from simple_tsdb_spark.pipeline import char_entropy
 
-    return char_entropy(_docs(spark, sf_dir))
+    return char_entropy(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "entropy_munat_num", "entropy_munat"
+    )
 
 
 def _q_dup_ngram_chars(spark, sf_dir):
@@ -804,10 +815,15 @@ def _q_quantize_int8(spark, sf_dir):
 
 def _q_embedding_moments(spark, sf_dir):
     """Exact integer-grid second moments of the embedding corpus (the
-    covariance/PCA input): mapInPandas partial Grams, decimal-sum agg."""
+    covariance/PCA input): mapInPandas partial Grams, decimal-sum agg.
+    Gated with ``bigint_finals=True`` — guarded decimal→int64 casts
+    (round-10 doctrine: r9 proved the driver hasher canonicalizes
+    DECIMAL(38,0) engine-specifically; gate-scale sums fit int64 with
+    ~5 decimal digits of headroom, and both engines raise rather than
+    truncate on overflow)."""
     from simple_tsdb_spark.pipeline import embedding_moments
 
-    return embedding_moments(_embs(spark, sf_dir))
+    return embedding_moments(_embs(spark, sf_dir), bigint_finals=True)
 
 
 def _q_corpus_diff(spark, sf_dir):
@@ -1905,7 +1921,7 @@ def _pipeline_oracles() -> dict[str, str]:
 
     return {
         "topk_ngrams": topk_ngrams_oracle(n=3, k=100),
-        "ngram_lm_score": ngram_lm_score_oracle(),
+        "ngram_lm_score": ngram_lm_score_oracle(gated=True),
         "stratified_split": stratified_split_oracle(frac=0.1),
         "curate_corpus": curate_corpus_oracle(),
         "ccnet_curate": ccnet_curate_oracle(frac=0.1),
@@ -1914,7 +1930,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "knn_rp": knn_rp_oracle(query_ids=tuple(range(8)), k=10),
         "gopher_rules": gopher_rules_oracle(min_words=20),
         "dup_ngram_chars": dup_ngram_chars_oracle(),
-        "char_entropy": char_entropy_oracle(),
+        "char_entropy": char_entropy_oracle(gated=True),
         "dsir_resample": dsir_resample_oracle(target_pred="lang = 'en'", k=50),
         "winnowing": winnowing_fingerprints_oracle(n=4, w=5),
         "winnowing_matches": winnowing_matches_oracle(n=4, w=5, min_shared=2),
@@ -1972,7 +1988,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "ann_recall": ann_recall_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_range": range_search_oracle(query_ids=KNN_QUERY_IDS, tau=RANGE_TAU),
         "label_centroids": label_centroids_oracle(),
-        "embedding_moments": embedding_moments_oracle(),
+        "embedding_moments": embedding_moments_oracle(bigint_finals=True),
         "quantize_int8": quantize_embeddings_int8_oracle(),
         "ivf_stats": ivf_stats_oracle(),
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),

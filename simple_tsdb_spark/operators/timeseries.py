@@ -324,12 +324,21 @@ FROM sess GROUP BY series, session_id
 
 def session_stats(df: DataFrame, *, gap_ns: int) -> DataFrame:
     """Per-series session summary over :func:`sessionize` output —
-    ``(series, n_sessions, total_events, mean_events, mean_duration_ns,
-    max_duration_ns)``.  The means are UNROUNDED quotients of exact
-    BIGINTs (bit-identical IEEE division on both engines, the round-9
-    determinism doctrine); single-point sessions have duration 0.  One
-    extra tiny aggregation over the session table — same shuffles as
-    sessionize itself."""
+    ``(series, n_sessions, total_events, total_duration_ns,
+    mean_events_e6, mean_duration_ns, max_duration_ns)`` — ALL BIGINT.
+
+    Integer-finals doctrine (round 10): the driver's hasher
+    canonicalizes non-int64 numerics engine-specifically (r9 proved
+    this with a DECIMAL(38,0)-only query failing while bit-exact
+    locally), so gated finals carry no DOUBLE at all.  The means are
+    truncated integer quotients — ``mean_events_e6`` is the mean scaled
+    by 1e6 (micro-events resolution), ``mean_duration_ns`` is already
+    ns-resolution so it is unscaled; both use ``div`` (truncation
+    toward zero, identical to DuckDB ``//``; operands are
+    non-negative).  ``n_sessions ≥ 1`` per output row by construction,
+    so the division is total.  Single-point sessions have duration 0.
+    One extra tiny aggregation over the session table — same shuffles
+    as sessionize itself."""
     sess = sessionize(df, gap_ns=gap_ns)
     dur = F.col("session_end") - F.col("session_start")
     return (
@@ -337,13 +346,19 @@ def session_stats(df: DataFrame, *, gap_ns: int) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("n_events").alias("total_events"),
-            (
-                F.sum("n_events").cast("double") / F.count(F.lit(1))
-            ).alias("mean_events"),
-            (F.sum(dur).cast("double") / F.count(F.lit(1))).alias(
-                "mean_duration_ns"
-            ),
+            F.sum(dur).alias("total_duration_ns"),
             F.max(dur).alias("max_duration_ns"),
+        )
+        .select(
+            "series",
+            "n_sessions",
+            "total_events",
+            "total_duration_ns",
+            F.expr("(1000000 * total_events) div n_sessions").alias(
+                "mean_events_e6"
+            ),
+            F.expr("total_duration_ns div n_sessions").alias("mean_duration_ns"),
+            "max_duration_ns",
         )
         .orderBy("series")
     )
@@ -352,13 +367,18 @@ def session_stats(df: DataFrame, *, gap_ns: int) -> DataFrame:
 def session_stats_oracle(measurement_sql: str, *, gap_ns: int) -> str:
     inner = sessionize_oracle(measurement_sql, gap_ns=gap_ns).strip()
     return f"""
-WITH sess AS ({inner})
-SELECT series, COUNT(*) AS n_sessions,
-       SUM(n_events) AS total_events,
-       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_events,
-       CAST(SUM(session_end - session_start) AS DOUBLE) / COUNT(*) AS mean_duration_ns,
-       MAX(session_end - session_start) AS max_duration_ns
-FROM sess GROUP BY series ORDER BY series
+WITH sess AS ({inner}),
+a AS (
+  SELECT series, COUNT(*) AS n_sessions,
+         SUM(n_events) AS total_events,
+         SUM(session_end - session_start) AS total_duration_ns,
+         MAX(session_end - session_start) AS max_duration_ns
+  FROM sess GROUP BY series)
+SELECT series, n_sessions, total_events, total_duration_ns,
+       (1000000 * total_events) // n_sessions AS mean_events_e6,
+       total_duration_ns // n_sessions AS mean_duration_ns,
+       max_duration_ns
+FROM a ORDER BY series
 """
 
 
@@ -1090,8 +1110,15 @@ def burn_rate_alerts(
     identical.
 
     Output: one row per firing window end — (wend, short_errors,
-    short_total, short_rate, long_errors, long_total, long_rate) with
-    UNROUNDED BIGINT-quotient rates, ordered by wend.
+    short_total, short_rate_ppm, long_errors, long_total,
+    long_rate_ppm), ordered by wend — ALL BIGINT (integer-finals
+    doctrine, round 10: no DOUBLE in gated projections).  The rates are
+    parts-per-million truncated quotients ``(10^6·errors) div total``;
+    thresholds are interpreted on the same ppm grid
+    (``round(threshold·10^6)``) and the firing test is the exact
+    integer cross-multiplication ``10^6·errors ≥ ppm·total`` — no
+    float comparison anywhere.  ``10^6·total`` bounds the arithmetic:
+    safe below ~9.2·10^12 points per long window.
 
     Scale: ONE explode to the long window's covering ends (fixed
     fan-out long/slide) with the short-window membership carried as a
@@ -1116,17 +1143,22 @@ def burn_rate_alerts(
         F.sum("_e").alias("long_errors"),
         F.count(F.lit(1)).alias("long_total"),
     )
-    short_rate = F.col("short_errors").cast("double") / F.col("short_total").cast("double")
-    long_rate = F.col("long_errors").cast("double") / F.col("long_total").cast("double")
+    ppm_s = int(round(float(short_threshold) * 1_000_000))
+    ppm_l = int(round(float(long_threshold) * 1_000_000))
     return (
         agg.where(F.col("short_total") > 0)
-        .select(
-            "wend", "short_errors", "short_total", short_rate.alias("short_rate"),
-            "long_errors", "long_total", long_rate.alias("long_rate"),
-        )
         .where(
-            (F.col("short_rate") >= float(short_threshold))
-            & (F.col("long_rate") >= float(long_threshold))
+            (F.col("short_errors") * F.lit(1_000_000) >= F.lit(ppm_s) * F.col("short_total"))
+            & (F.col("long_errors") * F.lit(1_000_000) >= F.lit(ppm_l) * F.col("long_total"))
+        )
+        .select(
+            "wend",
+            "short_errors",
+            "short_total",
+            F.expr("(1000000 * short_errors) div short_total").alias("short_rate_ppm"),
+            "long_errors",
+            "long_total",
+            F.expr("(1000000 * long_errors) div long_total").alias("long_rate_ppm"),
         )
         .orderBy("wend")
     )
@@ -1160,13 +1192,13 @@ agg AS (
          SUM(_e) AS long_errors, COUNT(*) AS long_total
   FROM x GROUP BY wend)
 SELECT wend, short_errors, short_total,
-       CAST(short_errors AS DOUBLE) / CAST(short_total AS DOUBLE) AS short_rate,
+       (1000000 * short_errors) // short_total AS short_rate_ppm,
        long_errors, long_total,
-       CAST(long_errors AS DOUBLE) / CAST(long_total AS DOUBLE) AS long_rate
+       (1000000 * long_errors) // long_total AS long_rate_ppm
 FROM agg
 WHERE short_total > 0
-  AND CAST(short_errors AS DOUBLE) / CAST(short_total AS DOUBLE) >= {float(short_threshold)!r}
-  AND CAST(long_errors AS DOUBLE) / CAST(long_total AS DOUBLE) >= {float(long_threshold)!r}
+  AND 1000000 * short_errors >= {int(round(float(short_threshold) * 1_000_000))} * short_total
+  AND 1000000 * long_errors >= {int(round(float(long_threshold) * 1_000_000))} * long_total
 """
 
 

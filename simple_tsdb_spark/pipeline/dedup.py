@@ -1156,11 +1156,16 @@ def source_dedup_rate(
     domain_col: str = "source",
 ) -> DataFrame:
     """Per-source duplication report: ``(source, n_docs, n_unique,
-    n_dup, dup_rate)`` — which feeds are redundant (the first question
-    a curation budget asks; CCNet/C4 both report this per dump/domain).
+    n_dup, dup_rate_ppm)`` — which feeds are redundant (the first
+    question a curation budget asks; CCNet/C4 both report this per
+    dump/domain).
 
     ``n_unique`` counts distinct content digests WITHIN the source;
-    ``dup_rate`` is the unrounded quotient of exact BIGINTs.  One
+    ``dup_rate_ppm`` is the parts-per-million truncated integer
+    quotient ``(10^6·n_dup) div n_docs`` — ALL columns BIGINT
+    (integer-finals doctrine, round 10: the driver's hasher
+    canonicalizes non-int64 numerics engine-specifically, so gated
+    finals carry no DOUBLE).  ``n_docs ≥ 1`` per group.  One
     map-side-combined aggregation keyed (source, md5) collapses copies,
     then a second ≤ #sources-key agg — Zipf-heavy content (the empty
     string, boilerplate) lands on distinct (source, digest) keys, so no
@@ -1183,10 +1188,9 @@ def source_dedup_rate(
             "n_docs",
             "n_unique",
             (F.col("n_docs") - F.col("n_unique")).alias("n_dup"),
-            (
-                (F.col("n_docs") - F.col("n_unique")).cast("double")
-                / F.col("n_docs").cast("double")
-            ).alias("dup_rate"),
+            F.expr("(1000000 * (n_docs - n_unique)) div n_docs").alias(
+                "dup_rate_ppm"
+            ),
         )
         .orderBy("source")
     )
@@ -1204,7 +1208,7 @@ WITH d AS (
   FROM {table} GROUP BY 1, 2)
 SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_unique,
        SUM(n) - COUNT(*) AS n_dup,
-       CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_rate
+       (1000000 * (SUM(n) - COUNT(*))) // SUM(n) AS dup_rate_ppm
 FROM d GROUP BY source
 """
 

@@ -1693,6 +1693,7 @@ def embedding_moments(
     *,
     dim: int = 64,
     vec_col: str = "embedding",
+    bigint_finals: bool = False,
 ) -> DataFrame:
     """Exact corpus second moments of the embedding column — the input
     every covariance/PCA/whitening step needs: one row per dimension
@@ -1716,8 +1717,19 @@ def embedding_moments(
     ``floor(CAST(x AS DOUBLE) * 1048576.0)``; everything after is
     integer arithmetic (final sums as DECIMAL(38,0) — int64-overflow
     safe to ~10^37).  Per-partition int64 partials are safe below
-    ~2^23 rows/partition at |x| ≤ 2 (documented bound; default
-    maxPartitionBytes yields ~2^19 rows of 64-dim float).
+    ~2^21 rows/partition at |x| ≤ 2 (n·qmax² < 2^63 with
+    qmax = 2·2^20 → qmax² = 2^42; default maxPartitionBytes yields
+    ~2^19 rows of 64-dim float, 4× headroom) — the fold RAISES if the
+    running bound is breached rather than wrapping silently.
+
+    ``bigint_finals=True`` casts the decimal sums to BIGINT for a
+    gated projection (integer-finals doctrine, round 10: the driver's
+    hasher canonicalizes decimals engine-specifically — r9 proved it
+    with this very query failing on DECIMAL(38,0) while bit-exact
+    locally).  The cast is guarded: any sum outside int64 raises
+    instead of truncating (the DuckDB twin's CAST(... AS BIGINT)
+    errors on overflow natively, so the two engines fail loudly
+    together; gate-scale sums are ~2^58 at worst).
     """
     import numpy as np
     import pandas as pd
@@ -1728,6 +1740,7 @@ def embedding_moments(
     def fold(batches):
         iu = np.triu_indices(d)
         n = 0
+        peak = 0  # largest |q| seen — bounds every Gram entry by n·peak²
         s = np.zeros(d, dtype=np.int64)
         g = np.zeros((d, d), dtype=np.int64)
         for pdf in batches:
@@ -1740,6 +1753,14 @@ def embedding_moments(
             n += q.shape[0]
             s += q.sum(axis=0)
             qmax = int(np.abs(q).max()) if q.size else 0
+            peak = max(peak, qmax)
+            # int64 accumulator guard: fail loudly instead of wrapping
+            # (exact Python-int arithmetic; re-partition finer to fix).
+            if n * peak * peak > (1 << 62):
+                raise OverflowError(
+                    "embedding_moments: per-partition Gram bound n*qmax^2 "
+                    f"exceeds 2^62 (n={n}, qmax={peak}); use more partitions"
+                )
             # keep per-chunk float64 Gram sums < 2^52 so the BLAS path
             # stays exact; degenerate magnitudes fall back to int64.
             lim = (1 << 52) // max(1, qmax * qmax)
@@ -1765,7 +1786,7 @@ def embedding_moments(
         fold, schema="pos_i INT, pos_j INT, n BIGINT, s_i BIGINT, s_j BIGINT, s_ij BIGINT"
     )
     dec = "decimal(38,0)"
-    return (
+    out = (
         partials.groupBy("pos_i", "pos_j")
         .agg(
             F.sum("n").alias("n"),
@@ -1775,12 +1796,36 @@ def embedding_moments(
         )
         .orderBy("pos_i", "pos_j")
     )
+    if bigint_finals:
+        # guarded decimal→int64: assert_true raises on overflow (never
+        # a silent truncation); coalesce then yields the cast value.
+        lim = F.lit(str(2**63 - 1)).cast(dec)
+
+        def checked(c: str):
+            col = F.col(c)
+            return F.coalesce(
+                F.assert_true(
+                    (col >= -lim) & (col <= lim),
+                    f"embedding_moments: {c} exceeds int64",
+                ).cast("long"),
+                col.cast("long"),
+            ).alias(c)
+
+        out = out.select("pos_i", "pos_j", "n", *(checked(c) for c in ("s_i", "s_j", "s_ij")))
+    return out
 
 
 def embedding_moments_oracle(
-    table: str = "embeddings", *, dim: int = 64, vec_col: str = "embedding"
+    table: str = "embeddings",
+    *,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    bigint_finals: bool = False,
 ) -> str:
+    """``bigint_finals=True`` mirrors the Spark gated projection —
+    sums CAST to BIGINT (DuckDB raises on overflow natively)."""
     g = float(MOMENT_GRID)
+    sum_t = "BIGINT" if bigint_finals else "DECIMAL(38,0)"
     return f"""
 WITH q AS (
   SELECT vec_id, UNNEST(generate_series(1, {int(dim)})) AS pos, {vec_col} AS emb
@@ -1790,9 +1835,9 @@ qq AS (
          CAST(floor(CAST(emb[pos] AS DOUBLE) * {g!r}) AS BIGINT) AS qv
   FROM q)
 SELECT a.pos AS pos_i, b.pos AS pos_j, COUNT(*) AS n,
-       CAST(SUM(a.qv) AS DECIMAL(38,0)) AS s_i,
-       CAST(SUM(b.qv) AS DECIMAL(38,0)) AS s_j,
-       CAST(SUM(a.qv * b.qv) AS DECIMAL(38,0)) AS s_ij
+       CAST(SUM(a.qv) AS {sum_t}) AS s_i,
+       CAST(SUM(b.qv) AS {sum_t}) AS s_j,
+       CAST(SUM(a.qv * b.qv) AS {sum_t}) AS s_ij
 FROM qq a JOIN qq b ON a.vec_id = b.vec_id AND a.pos <= b.pos
 GROUP BY 1, 2
 """

@@ -365,20 +365,24 @@ def ngram_novelty(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc n-gram NOVELTY against a reference corpus: ``(doc_id,
-    n_grams, n_novel, novelty)`` where ``novelty`` = fraction of the
-    doc's DISTINCT word n-grams not present anywhere in the reference
+    n_grams, n_novel, novelty_ppm)`` where ``novelty_ppm`` = the
+    parts-per-million truncated integer quotient
+    ``(10^6·n_novel) div n_grams`` (ALL columns BIGINT —
+    integer-finals doctrine, round 10: no DOUBLE in gated
+    projections): the fraction of
+    the doc's DISTINCT word n-grams not present anywhere in the reference
     — the diversity/memorization signal curation uses to find
     copy-paste and boilerplate-heavy feeds (the inverse of
     ``decontaminate``'s overlap count, normalized per doc).
 
     Docs with fewer than ``n`` words emit ``n_grams = 0`` and NULL
-    novelty (no evidence either way — the caller decides the policy).
+    novelty_ppm (no evidence either way — the caller decides the
+    policy).
 
     Scale shape: the reference's distinct gram set stays
     reference-sized and BROADCASTS; the corpus side is one exploded
     scan into the broadcast LEFT join, then one per-doc aggregation —
-    the corpus shuffles once, keyed by doc id.  The emitted fraction
-    is the unrounded quotient of exact BIGINTs.
+    the corpus shuffles once, keyed by doc id.
     """
     ref_grams = reference.select(
         F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
@@ -403,9 +407,8 @@ def ngram_novelty(
             F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
             F.when(
                 F.coalesce("n_grams", F.lit(0)) > 0,
-                F.coalesce("n_novel", F.lit(0)).cast("double")
-                / F.col("n_grams").cast("double"),
-            ).alias("novelty"),
+                F.expr("(1000000 * coalesce(n_novel, 0)) div n_grams"),
+            ).alias("novelty_ppm"),
         )
         .orderBy(id_col)
     )
@@ -435,8 +438,8 @@ SELECT ids.doc_id,
        COALESCE(n_grams, 0) AS n_grams,
        COALESCE(n_novel, 0) AS n_novel,
        CASE WHEN COALESCE(n_grams, 0) > 0
-            THEN CAST(COALESCE(n_novel, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
-       END AS novelty
+            THEN (1000000 * COALESCE(n_novel, 0)) // n_grams
+       END AS novelty_ppm
 FROM ids LEFT JOIN per_doc USING (doc_id)
 ORDER BY ids.doc_id
 """

@@ -1349,7 +1349,11 @@ def ngram_lm_score(
     shape (LM trained on a trusted slice scores the whole crawl; docs
     with high cross-entropy are "unnatural" and get filtered).
 
-    Output ``(doc_id, n_bigrams, xent)``: ``xent`` = mean over the
+    Output ``(doc_id, n_bigrams, nll_munat, xent_munat, xent)``:
+    ``nll_munat`` is the exact BIGINT µnat NLL total, ``xent_munat``
+    the truncated BIGINT per-token quotient (the integer-finals pair a
+    gated projection uses — round-10 doctrine: no DOUBLE under the
+    driver's hasher), and ``xent`` = mean over the
     doc's bigrams of ``-ln P(w2|w1)`` with
     ``P = (c2(w1,w2)+1) / (c1(w1)+V)`` (c2/c1 = fit-corpus bigram /
     history counts, V = fit vocab size).  Docs with fewer than 2 tokens
@@ -1536,6 +1540,13 @@ def ngram_lm_score(
         .select(
             "doc_id",
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            # integer finals (round 10): the exact µnat NLL total and the
+            # truncated per-token quotient — BIGINTs, engine-portable
+            # through any hasher.  NULL for no-bigram docs, like xent.
+            F.col("_S").alias("nll_munat"),
+            F.when(
+                F.col("n_bigrams") > 0, F.expr("_S div n_bigrams")
+            ).alias("xent_munat"),
             (
                 F.col("_S").cast("double")
                 / F.col("n_bigrams").cast("double")
@@ -1546,12 +1557,24 @@ def ngram_lm_score(
 
 
 def ngram_lm_score_oracle(
-    table: str = "documents", *, fit_pred: str = "source = 'src0'"
+    table: str = "documents",
+    *,
+    fit_pred: str = "source = 'src0'",
+    gated: bool = False,
 ) -> str:
+    """``gated=True`` emits the integer-finals projection only
+    (doc_id, n_bigrams, nll_munat, xent_munat) — no DOUBLE columns."""
     bg_list = (
         "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)), "
         "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])"
     )
+    if gated:
+        final = (
+            "_S AS nll_munat,\n"
+            "       CASE WHEN n_bigrams > 0 THEN _S // n_bigrams END AS xent_munat"
+        )
+    else:
+        final = "CAST(_S AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6 AS xent"
     return f"""
 WITH fit AS (SELECT * FROM {table} WHERE {fit_pred}),
 fit_bg AS (
@@ -1576,7 +1599,7 @@ per_doc AS (
   FROM scored GROUP BY doc)
 SELECT d.doc_id,
        COALESCE(n_bigrams, 0) AS n_bigrams,
-       CAST(_S AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6 AS xent
+       {final}
 FROM {table} d LEFT JOIN per_doc USING (doc_id)
 """
 
@@ -1903,7 +1926,11 @@ def char_entropy(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document Shannon entropy over the character distribution —
-    ``(doc_id, n_chars, entropy)`` in nats.  The classic gibberish /
+    ``(doc_id, n_chars, entropy_munat_num, entropy_munat, entropy)``
+    in nats (``entropy_munat_num``/``entropy_munat`` are the exact
+    BIGINT scaled numerator and its truncated per-char quotient — the
+    integer-finals pair a gated projection uses; round-10 doctrine:
+    no DOUBLE under the driver's hasher).  The classic gibberish /
     binary-noise signal: natural text sits ~2.5–3.3 nats; repeated
     characters → 0; uniform random bytes → ln(alphabet).
 
@@ -1942,9 +1969,16 @@ def char_entropy(
             ent.select(
                 F.col("doc").alias("doc_id"),
                 "n_chars",
+                # integer finals (round 10): exact scaled numerator
+                # (n·H in µnats, clamped ≥ 0) + truncated per-char
+                # quotient — BIGINTs, engine-portable through any
+                # hasher.  NULL for empty docs, like entropy.
+                num.alias("entropy_munat_num"),
                 (
                     num.cast("double") / F.col("n_chars").cast("double") / F.lit(1e6)
                 ).alias("entropy"),
+            ).withColumn(
+                "entropy_munat", F.expr("entropy_munat_num div n_chars")
             ),
             "doc_id",
             "left",
@@ -1952,12 +1986,29 @@ def char_entropy(
         .select(
             "doc_id",
             F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+            "entropy_munat_num",
+            "entropy_munat",
             "entropy",
         )
     )
 
 
-def char_entropy_oracle(table: str = "documents") -> str:
+def char_entropy_oracle(table: str = "documents", *, gated: bool = False) -> str:
+    """``gated=True`` emits the integer-finals projection only
+    (doc_id, n_chars, entropy_munat_num, entropy_munat) — no DOUBLE."""
+    num = (
+        "greatest(CAST(floor(1e6 * ln(CAST(ent.n_chars AS DOUBLE))) AS BIGINT)"
+        " * ent.n_chars - _S, 0)"
+    )
+    if gated:
+        final = (
+            f"{num} AS entropy_munat_num,\n"
+            f"       {num} // ent.n_chars AS entropy_munat"
+        )
+    else:
+        final = (
+            f"CAST({num} AS DOUBLE) / CAST(ent.n_chars AS DOUBLE) / 1e6 AS entropy"
+        )
     return f"""
 WITH ch AS (
   SELECT doc_id AS doc, UNNEST(string_split(text, '')) AS c FROM {table}),
@@ -1968,7 +2019,6 @@ ent AS (
          SUM(_k * CAST(floor(1e6 * ln(CAST(_k AS DOUBLE))) AS BIGINT)) AS _S
   FROM counts GROUP BY doc)
 SELECT d.doc_id, COALESCE(ent.n_chars, 0) AS n_chars,
-       CAST(greatest(CAST(floor(1e6 * ln(CAST(ent.n_chars AS DOUBLE))) AS BIGINT) * ent.n_chars
-                     - _S, 0) AS DOUBLE) / CAST(ent.n_chars AS DOUBLE) / 1e6 AS entropy
+       {final}
 FROM {table} d LEFT JOIN ent ON ent.doc = d.doc_id
 """

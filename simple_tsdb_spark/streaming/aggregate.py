@@ -197,17 +197,24 @@ def streaming_burn_rate(
         .withColumn("wend", F.expr("unix_micros(window.end) * 1000"))
         .drop("window")
     )
-    short_rate = F.col("short_errors").cast("double") / F.col("short_total").cast("double")
-    long_rate = F.col("long_errors").cast("double") / F.col("long_total").cast("double")
+    # ppm integer grid — label-for-label with the batch twin's round-10
+    # integer finals (exact cross-multiplied threshold test, no floats).
+    ppm_s = int(round(float(short_threshold) * 1_000_000))
+    ppm_l = int(round(float(long_threshold) * 1_000_000))
     return (
         agg.where(F.col("short_total") > 0)
-        .select(
-            "wend", "short_errors", "short_total", short_rate.alias("short_rate"),
-            "long_errors", "long_total", long_rate.alias("long_rate"),
-        )
         .where(
-            (F.col("short_rate") >= float(short_threshold))
-            & (F.col("long_rate") >= float(long_threshold))
+            (F.col("short_errors") * F.lit(1_000_000) >= F.lit(ppm_s) * F.col("short_total"))
+            & (F.col("long_errors") * F.lit(1_000_000) >= F.lit(ppm_l) * F.col("long_total"))
+        )
+        .select(
+            "wend",
+            "short_errors",
+            "short_total",
+            F.expr("(1000000 * short_errors) div short_total").alias("short_rate_ppm"),
+            "long_errors",
+            "long_total",
+            F.expr("(1000000 * long_errors) div long_total").alias("long_rate_ppm"),
         )
     )
 

@@ -105,7 +105,8 @@ def streaming_ngram_novelty(
         id_col,
         "n_grams",
         "n_novel",
-        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
-            "novelty"
-        ),
+        # ppm integer quotient — label-for-label with the batch twin's
+        # round-10 integer finals (n_grams ≥ 1 here: a doc only reaches
+        # the aggregate if it produced at least one gram).
+        F.expr("(1000000 * n_novel) div n_grams").alias("novelty_ppm"),
     )

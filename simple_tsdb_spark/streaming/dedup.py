@@ -240,8 +240,7 @@ def streaming_source_dedup_rate(
         "n_docs",
         "n_unique",
         (F.col("n_docs") - F.col("n_unique")).alias("n_dup"),
-        (
-            (F.col("n_docs") - F.col("n_unique")).cast("double")
-            / F.col("n_docs").cast("double")
-        ).alias("dup_rate"),
+        # ppm integer quotient — label-for-label with the batch twin's
+        # round-10 integer finals (n_docs ≥ 1 per emitted group).
+        F.expr("(1000000 * (n_docs - n_unique)) div n_docs").alias("dup_rate_ppm"),
     )

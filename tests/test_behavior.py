@@ -103,9 +103,12 @@ def test_session_stats_model(spark):
     got = {r.series: r for r in session_stats(df, gap_ns=30).collect()}
     a = got["a"]
     assert (a.n_sessions, a.total_events, a.max_duration_ns) == (2, 4, 20)
-    assert a.mean_events == 4 / 2 and a.mean_duration_ns == (20 + 0) / 2
+    assert a.total_duration_ns == 20 + 0
+    assert a.mean_events_e6 == (1_000_000 * 4) // 2
+    assert a.mean_duration_ns == (20 + 0) // 2
     b = got["b"]
-    assert (b.n_sessions, b.total_events, b.mean_duration_ns) == (1, 2, 10.0)
+    assert (b.n_sessions, b.total_events, b.mean_duration_ns) == (1, 2, 10)
+    assert b.mean_events_e6 == 2_000_000 and b.total_duration_ns == 10
 
 
 def test_shipping_priority_q3_model(spark):

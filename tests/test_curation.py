@@ -655,8 +655,8 @@ def test_source_dedup_rate_planted_dups(spark):
         .set_index("source")
     )
     assert got.loc["web", "n_docs"] == 6 and got.loc["web", "n_unique"] == 4
-    assert got.loc["web", "n_dup"] == 2 and got.loc["web", "dup_rate"] == 2 / 6
-    assert got.loc["wiki", "n_dup"] == 1 and got.loc["wiki", "dup_rate"] == 1 / 4
+    assert got.loc["web", "n_dup"] == 2 and got.loc["web", "dup_rate_ppm"] == 2_000_000 // 6
+    assert got.loc["wiki", "n_dup"] == 1 and got.loc["wiki", "dup_rate_ppm"] == 250_000
 
 
 def test_training_order_is_sharded_permutation(spark):

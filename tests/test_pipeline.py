@@ -2092,10 +2092,10 @@ def test_ngram_novelty_model(spark):
         assert r.n_grams == len(g)
         assert r.n_novel == len(g - ref_g)
         if g:
-            assert r.novelty == len(g - ref_g) / len(g)
+            assert r.novelty_ppm == (1_000_000 * len(g - ref_g)) // len(g)
         else:
-            assert pd.isna(r.novelty)
-    assert got.loc[1, "novelty"] == 0.0 and got.loc[2, "novelty"] == 1.0
+            assert pd.isna(r.novelty_ppm)
+    assert got.loc[1, "novelty_ppm"] == 0 and got.loc[2, "novelty_ppm"] == 1_000_000
 
 
 def test_ann_index_arrow_build_equals_codegen_build(spark, embs, tmp_path):

@@ -136,5 +136,5 @@ def test_streaming_ngram_novelty_equals_batch(spark, tmp_path):
         .sort_values("doc_id", ignore_index=True)
     )
     assert list(got.doc_id) == list(want.doc_id)
-    for c in ("n_grams", "n_novel", "novelty"):
+    for c in ("n_grams", "n_novel", "novelty_ppm"):
         assert list(got[c]) == list(want[c]), c

@@ -244,7 +244,7 @@ def test_streaming_source_dedup_rate_first_occurrence(spark, tmp_path):
     w0, w1 = base, base + pd.Timedelta(minutes=1)
     assert got.loc[(w0, "web"), "n_docs"] == 3
     assert got.loc[(w0, "web"), "n_unique"] == 2  # a, b (second a is a dup)
-    assert got.loc[(w0, "web"), "dup_rate"] == 1 / 3
+    assert got.loc[(w0, "web"), "dup_rate_ppm"] == 1_000_000 // 3
     assert got.loc[(w0, "niche"), "n_docs"] == 1 and got.loc[(w0, "niche"), "n_unique"] == 1
     # window 1: 'a' already seen in w0 -> doc only; 'c' is new
     assert got.loc[(w1, "web"), "n_docs"] == 2

@@ -451,12 +451,14 @@ def test_burn_rate_alerts_model(spark):
     for e in ends:
         se, st = rate(e, 20)
         le, lt = rate(e, 60)
-        if st and lt and se / st >= 0.4 and le / lt >= 0.2:
+        # exact ppm-grid cross-multiplication, like the operator
+        if st and lt and 10**6 * se >= 400_000 * st and 10**6 * le >= 200_000 * lt:
             fired.append((e, se, st, le, lt))
     assert list(got.wend) == [f[0] for f in fired]
     for r, f in zip(got.itertuples(), fired):
         assert (r.short_errors, r.short_total, r.long_errors, r.long_total) == f[1:]
-        assert r.short_rate == f[1] / f[2] and r.long_rate == f[3] / f[4]
+        assert r.short_rate_ppm == (10**6 * f[1]) // f[2]
+        assert r.long_rate_ppm == (10**6 * f[3]) // f[4]
     assert len(got) > 0  # the burst actually fires in this fixture
 
 
