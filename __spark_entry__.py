@@ -453,9 +453,13 @@ def _q_token_counts(spark, sf_dir):
 
 
 def _q_quality_score(spark, sf_dir):
+    """Gated projection = integer finals (quality_ppm); the float
+    quality column stays a non-gated convenience."""
     from simple_tsdb_spark.pipeline import quality_score
 
-    return quality_score(_docs(spark, sf_dir))
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "quality_ppm"
+    )
 
 
 def _q_lang_id(spark, sf_dir):
@@ -857,7 +861,9 @@ def _q_temperature_mixture(spark, sf_dir):
     stateless hash-threshold keeps, exact integer-grid weights."""
     from simple_tsdb_spark.pipeline import temperature_mixture
 
-    return temperature_mixture(_docs(spark, sf_dir), target_total=TEMP_TARGET)
+    return temperature_mixture(_docs(spark, sf_dir), target_total=TEMP_TARGET).select(
+        "source", "n_docs", "n_kept", "p_keep_ppm"
+    )
 
 
 def _q_near_dup_rate_by_source(spark, sf_dir):
@@ -1239,27 +1245,89 @@ def _q_revenue_rollup(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Rotation (standing mechanic: the driver gates ~50 of the
-        # declared queries per round; whatever lacks fresh driver
-        # evidence leads).  Order this round:
-        #   1. the two r7/r8 hash-fails, FIXED in r9 (terminal-round
-        #      removal) — keep at head until CORRECTNESS shows green;
-        #   2. this round's 49 NEW queries (no driver evidence yet; all
-        #      hash-exact in local full sweeps at sf0.01 — 124/124 in
-        #      the session-3 sweep — and spot-gated at sf0.1);
-        #   3. the 39 entries whose last driver evidence is r7 (they
-        #      sat past r8's 50-slot window; the judge re-verified
-        #      them in r7; the tail few may spill to next round);
-        #   4. the r8-green block (CORRECTNESS_r08) last.
+        # Rotation (round 10): the driver gates ~50 of the 138 declared
+        # queries per round — order by need for fresh evidence:
+        #   1. ngram_containment — NEVER driver-sampled (VERDICT r9 #1);
+        #   2. the 7 r9 hash-fails, REWRITTEN this round to integer-only
+        #      finals (no DOUBLE / DECIMAL in any gated projection —
+        #      the driver hasher canonicalizes non-int64 numerics
+        #      engine-specifically; all 7 were bit-exact locally);
+        #   3. every other query whose gated projection was converted to
+        #      the integer-finals doctrine this round (ppm/e6/munat
+        #      scaled-BIGINT quotients) — changed finals need re-proof;
+        #   4. the 39 queries whose newest driver evidence is r7;
+        #   5. the r8/r9-green block last.
+        "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
-        "temperature_mixture": _q_temperature_mixture,  # n^alpha source-balance sampler
         "embedding_moments": _q_embedding_moments,  # exact PCA-input moment sums
-        "quantize_int8": _q_quantize_int8,  # per-dim int8 export quantization
-        "ivf_stats": _q_ivf_stats,  # IVF list-balance skew audit
-        "keep_best_dedup": _q_keep_best_dedup,  # per-cluster best-copy keeper
         "source_dedup_rate": _q_source_dedup_rate,  # per-source duplication report
+        "ngram_novelty": _q_ngram_novelty,  # per-doc novelty vs reference grams
+        "session_stats": _q_session_stats,  # per-series session summary (unrounded mean quotients)
+        "burn_rate_alerts": _q_burn_rate_alerts,  # SRE multi-window burn alerts
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)
         "near_dup_rate_by_source": _q_near_dup_rate_by_source,  # per-source LSH involvement
+        "repetition_stats": _q_repetition_stats,  # Gopher-style repetition signals
+        "gopher_rules": _q_gopher_rules,  # Gopher A1.1 quality rules + audit stats
+        "dup_ngram_chars": _q_dup_ngram_chars,  # Gopher repetition rule (dup n-gram chars)
+        "pmi_topk": _q_pmi_topk,  # collocation mining (integer-µnat PMI)
+        "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
+        "quality_score": _q_quality_score,
+        "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
+        "lm_perplexity_buckets": _q_lm_perplexity_buckets,  # CCNet head/middle/tail split
+        "boilerplate_spans": _q_boilerplate_spans,  # C4-style span df profile
+        "active_users": _q_active_users,  # DAU/WAU/stickiness engagement
+        "funnel_conversion_time": _q_funnel_conversion_time,  # funnel latency distribution
+        "event_transitions": _q_event_transitions,  # Markov path analytics
+        "pack_stats": _q_pack_stats,  # packing fill-ratio report
+        "temperature_mixture": _q_temperature_mixture,  # n^alpha source-balance sampler
+        "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
+        "ivf_stats": _q_ivf_stats,  # IVF list-balance skew audit
+        "label_centroids": _q_label_centroids,  # exact class prototypes (2^30 grid)
+        "ccnet_curate": _q_ccnet_curate,  # LM-driven curation chain (CCNet shape)
+        "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_dup": _q_embedding_dup,
+        "knn_brute": _q_knn_brute,
+        "knn_lsh": _q_knn_lsh,
+        "multimodal_meta": _q_multimodal_meta,
+        "blob_features": _q_blob_features,  # mapInPandas — rows-only check
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
+        "knn_ivf": _q_knn_ivf,
+        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
+        "hash_split": _q_hash_split,
+        "domain_topk": _q_domain_topk,
+        "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
+        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
+        "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
+        "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
+        "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
+        "pii_scrub": _q_pii_scrub,  # email/IP/phone redaction
+        "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
+        "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
+        "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
+        "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
+        "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
+        "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
+        "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
+        "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
+        "cluster_prune": _q_cluster_prune,  # SSL-prototype coreset keep-k
+        "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
+        "lttb": _q_lttb,  # LTTB visual downsample — recursive-CTE oracle
+        "cusum": _q_cusum,  # two-sided CUSUM drift detection
+        "seasonal": _q_seasonal,  # classical additive decomposition
+        "find_gaps": _q_find_gaps,  # missing-data gap detection
+        "quantile_points": _q_quantile_points,  # windowed SLO percentiles
+        "bollinger": _q_bollinger,  # exact-moment Bollinger bands + breakouts
+        "incidents": _q_incidents,  # outlier points -> merged incident intervals
+        "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
+        "quantize_int8": _q_quantize_int8,  # per-dim int8 export quantization
+        "keep_best_dedup": _q_keep_best_dedup,  # per-cluster best-copy keeper
         "training_order": _q_training_order,  # epoch shuffle (shard + pos, no global sort)
         "order_priority_counts": _q_order_priority_counts,  # TPC-H Q4 EXISTS semi-join
         "large_volume_customers": _q_large_volume_customers,  # TPC-H Q18 group-HAVING
@@ -1270,77 +1338,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_balance_share": _q_nation_balance_share,  # Q11 global-share HAVING
         "supplier_balance_quartiles": _q_supplier_balance_quartiles,  # exact quartiles on a dim join
         "corpus_diff": _q_corpus_diff,  # snapshot diff (dataset versioning)
-        "ngram_novelty": _q_ngram_novelty,  # per-doc novelty vs reference grams
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
         "hard_negatives": _q_hard_negatives,  # contrastive cross-label neighbor mining
-        "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
         "autocorr": _q_autocorr,  # per-series lag-k ACF (exact pair moments)
-        "event_transitions": _q_event_transitions,  # Markov path analytics
         "forecast_revenue": _q_forecast_revenue,  # TPC-H Q6 scan-pushdown shape
         "cohort_retention": _q_cohort_retention,  # daily cohort × offset matrix
         "event_funnel": _q_event_funnel,  # ordered view→click→purchase funnel
-        "session_stats": _q_session_stats,  # per-series session summary (unrounded mean quotients)
         "knn_range": _q_knn_range,  # cosine radius search (fixed-threshold ANN audit)
-        "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)
         "time_weighted_avg": _q_time_weighted_avg,  # trapezoid time_weight per window
         "hopping_mean": _q_hopping_mean,  # sliding 1d/6h window mean (overlap agg)
         "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (lexical ranker)
         "block_dedup": _q_block_dedup,  # C4-style sub-document block dedup
-        "pmi_topk": _q_pmi_topk,  # collocation mining (integer-µnat PMI)
         "shipping_priority": _q_shipping_priority,  # TPC-H Q3 revenue ranking
-        "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
-        "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
-        "lm_perplexity_buckets": _q_lm_perplexity_buckets,  # CCNet head/middle/tail split
-        "active_users": _q_active_users,  # DAU/WAU/stickiness engagement
-        "funnel_conversion_time": _q_funnel_conversion_time,  # funnel latency distribution
-        "burn_rate_alerts": _q_burn_rate_alerts,  # SRE multi-window burn alerts
         "heatmap": _q_heatmap,  # 2-D time x value-bin heatmap
         "top_values_per_series": _q_top_values_per_series,  # per-series worst offenders
-        "label_centroids": _q_label_centroids,  # exact class prototypes (2^30 grid)
         "normalize_text": _q_normalize_text,  # canonical pre-dedup normalization
-        "pack_stats": _q_pack_stats,  # packing fill-ratio report
-        "ccnet_curate": _q_ccnet_curate,  # LM-driven curation chain (CCNet shape)
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
-        "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
-        "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
-        "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
-        "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
-        "cluster_prune": _q_cluster_prune,  # SSL-prototype coreset keep-k
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_dup": _q_embedding_dup,
-        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
-        "hash_split": _q_hash_split,
-        "domain_topk": _q_domain_topk,
-        "mixture_sample": _q_mixture_sample,
-        "pack_sequences": _q_pack_sequences,
-        "knn_brute": _q_knn_brute,
-        "knn_lsh": _q_knn_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
-        "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
-        "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
-        "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
-        "pii_scrub": _q_pii_scrub,  # email/IP/phone redaction
-        "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
-        "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
-        "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
-        "lttb": _q_lttb,  # LTTB visual downsample — recursive-CTE oracle
-        "cusum": _q_cusum,  # two-sided CUSUM drift detection
-        "seasonal": _q_seasonal,  # classical additive decomposition
-        "find_gaps": _q_find_gaps,  # missing-data gap detection
-        "quantile_points": _q_quantile_points,  # windowed SLO percentiles
-        "bollinger": _q_bollinger,  # exact-moment Bollinger bands + breakouts
-        "incidents": _q_incidents,  # outlier points -> merged incident intervals
-        "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
-        "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
-        "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
-        "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
-        "multimodal_meta": _q_multimodal_meta,
-        "blob_features": _q_blob_features,  # mapInPandas — rows-only check
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_customers": _q_top_customers,
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         "daily_pivot": _q_daily_pivot,
         "revenue_rollup": _q_revenue_rollup,
@@ -1371,25 +1384,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_fill_previous": _q_mean_fill_previous,
         "ewma": _q_ewma,  # recursive stateful op — recursive-CTE oracle
         "token_counts": _q_token_counts,
-        "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
-        "repetition_stats": _q_repetition_stats,  # Gopher-style repetition signals
         "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
         "decontaminate_pairs": _q_decontaminate_pairs,  # leak attribution
-        "boilerplate_spans": _q_boilerplate_spans,  # C4-style span df profile
         "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard": _q_ngram_jaccard,
-        # r7-gated block (driver-green in CORRECTNESS_r07), previous order
         "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
         "stratified_split": _q_stratified_split,  # exact-fraction per-stratum holdout
         "dsir_resample": _q_dsir_resample,  # DSIR Gumbel top-k selection step
-        "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
         "stratified_split3": _q_stratified_split3,  # exact 3-way (valid/test/train)
         "rp_project": _q_rp_project,  # JL sign projection (bit-identical fold)
         "knn_rp": _q_knn_rp,  # two-stage ANN: coarse JL search + exact re-rank
-        "gopher_rules": _q_gopher_rules,  # Gopher A1.1 quality rules + audit stats
-        "dup_ngram_chars": _q_dup_ngram_chars,  # Gopher repetition rule (dup n-gram chars)
     }
 
 
@@ -1948,7 +1953,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "semdedup": semdedup_oracle(threshold=SEMDEDUP_THRESHOLD),
         "dsir_weights": dsir_logweights_oracle(target_pred="lang = 'en'"),
         "token_counts": token_counts_oracle(),
-        "quality_score": quality_score_oracle(),
+        "quality_score": quality_score_oracle(gated=True),
         "lang_id": lang_id_oracle(),
         "fingerprint": fingerprint_oracle(),
         "repetition_stats": repetition_stats_oracle(),
@@ -1977,7 +1982,11 @@ def _pipeline_oracles() -> dict[str, str]:
         "source_dedup_rate": source_dedup_rate_oracle(),
         "near_dup_rate_by_source": near_dup_rate_by_source_oracle(),
         "training_order": training_order_oracle(),
-        "temperature_mixture": temperature_mixture_oracle(target_total=TEMP_TARGET),
+        "temperature_mixture": (
+            "SELECT source, n_docs, n_kept, p_keep_ppm FROM ("
+            + temperature_mixture_oracle(target_total=TEMP_TARGET)
+            + ") _t"
+        ),
         "hash_split": hash_split_oracle(),
         "domain_topk": domain_topk_oracle(k=DOMAIN_TOPK_K),
         "mixture_sample": mixture_sample_oracle(rates=MIXTURE_RATES, default_rate=50),

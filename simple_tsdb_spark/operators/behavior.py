@@ -211,8 +211,10 @@ def active_users(
     (WAU), and stickiness = DAU/WAU — the product-analytics engagement
     readout.
 
-    Output: (period, dau, wau, stickiness) for every period with
-    activity; stickiness is the UNROUNDED quotient of exact BIGINTs.
+    Output: (period, dau, wau, stickiness_ppm) for every period with
+    activity; stickiness is the parts-per-million truncated BIGINT
+    quotient (round-10 integer-finals doctrine; wau ≥ dau ≥ 1 per
+    emitted period).
 
     Scale: distinct (user, period) first (map-side combined, uniform
     user keys), then DAU is one count; WAU replicates each user-period
@@ -250,7 +252,7 @@ def active_users(
             "period",
             "dau",
             "wau",
-            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+            F.expr("(1000000 * dau) div wau").alias("stickiness_ppm"),
         )
         .orderBy("period")
     )
@@ -273,7 +275,7 @@ wau AS (
     FROM act)
   GROUP BY period)
 SELECT d.period, d.dau, w.wau,
-       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+       (1000000 * d.dau) // w.wau AS stickiness_ppm
 FROM dau d JOIN wau w ON d.period = w.period
 """
 
@@ -288,12 +290,14 @@ def funnel_conversion_time(
 ) -> DataFrame:
     """Conversion-latency distribution for users completing the WHOLE
     funnel (same min-chain semantics as :func:`event_funnel`): one row
-    with n_converted, min/max latency (exact ns BIGINTs), the UNROUNDED
-    mean, and interpolated p50/p90 — the "how long does the funnel
-    take" companion to the step-count readout.
+    with n_converted, min/max latency (exact ns BIGINTs), the truncated
+    integer mean, and exact type-7 interpolated p50/p90 on a ×10 grid
+    (``10·x_k + fr·(x_{k+1} − x_k)`` with ``fr = ((n−1)·p·10) mod 10``
+    over the latency order statistics) — ALL BIGINT, no DOUBLE
+    (round-10 integer-finals doctrine).
 
     Same scale shape as the funnel: shrinking user-keyed joins, then a
-    single scalar aggregate (percentiles over n_converted values).
+    rank + a single scalar aggregate over the (small) converter set.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
@@ -321,16 +325,34 @@ def funnel_conversion_time(
             .groupBy("u")
             .agg(F.min("t").alias("tp"), F.first("t1").alias("t1"))
         )
+    from pyspark.sql import Window
+
     lat = cur.select((F.col("tp") - F.col("t1")).alias("latency_ns"))
-    return lat.agg(
+    ranked = lat.select(
+        "latency_ns",
+        F.row_number().over(Window.orderBy("latency_ns")).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+
+    def pq(tenths: int, alias: str):
+        k = F.expr(f"((_n - 1) * {tenths}) div 10")
+        fr = F.expr(f"((_n - 1) * {tenths}) % 10")
+        xk = F.max(F.when(F.col("_rn") == k + 1, F.col("latency_ns")))
+        xk1 = F.max(
+            F.when(F.col("_rn") == F.least(k + 2, F.col("_n")), F.col("latency_ns"))
+        )
+        return (F.lit(10) * xk + F.max(fr) * (xk1 - xk)).alias(alias)
+
+    return ranked.agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.min("latency_ns").alias("min_ns"),
         F.max("latency_ns").alias("max_ns"),
-        (F.sum("latency_ns").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "mean_ns"
-        ),
-        F.expr("percentile(CAST(latency_ns AS DOUBLE), 0.5)").alias("p50_ns"),
-        F.expr("percentile(CAST(latency_ns AS DOUBLE), 0.9)").alias("p90_ns"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.expr("sum(latency_ns) div count(1)"),
+        ).alias("mean_ns"),
+        pq(5, "p50_ns_x10"),
+        pq(9, "p90_ns_x10"),
     )
 
 
@@ -363,11 +385,22 @@ ev AS (
   SELECT {user_col} AS u, series AS st, time_ns AS t
   FROM m WHERE {user_col} IS NOT NULL AND series IN ({step_list})),
 {cte_block},
-lat AS (SELECT tp - t1 AS latency_ns FROM {last})
+lat AS (SELECT tp - t1 AS latency_ns FROM {last}),
+ranked AS (
+  SELECT latency_ns,
+         ROW_NUMBER() OVER (ORDER BY latency_ns) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lat)
 SELECT COUNT(*) AS n_converted,
        MIN(latency_ns) AS min_ns, MAX(latency_ns) AS max_ns,
-       CAST(SUM(latency_ns) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_ns,
-       quantile_cont(CAST(latency_ns AS DOUBLE), 0.5) AS p50_ns,
-       quantile_cont(CAST(latency_ns AS DOUBLE), 0.9) AS p90_ns
-FROM lat
+       CASE WHEN COUNT(*) > 0 THEN SUM(latency_ns) // COUNT(*) END AS mean_ns,
+       10 * MAX(CASE WHEN rn = ((n - 1) * 5) // 10 + 1 THEN latency_ns END)
+         + MAX(((n - 1) * 5) % 10)
+           * (MAX(CASE WHEN rn = least(((n - 1) * 5) // 10 + 2, n) THEN latency_ns END)
+            - MAX(CASE WHEN rn = ((n - 1) * 5) // 10 + 1 THEN latency_ns END)) AS p50_ns_x10,
+       10 * MAX(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN latency_ns END)
+         + MAX(((n - 1) * 9) % 10)
+           * (MAX(CASE WHEN rn = least(((n - 1) * 9) // 10 + 2, n) THEN latency_ns END)
+            - MAX(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN latency_ns END)) AS p90_ns_x10
+FROM ranked
 """

@@ -351,8 +351,8 @@ def embedding_dups_against_index(
 
 def index_health(spark: SparkSession, path: str) -> DataFrame:
     """Health report for a materialized IVF index WITHOUT touching the
-    vectors: per list ``(list_id, n_vecs, frac, load_factor)`` — the
-    operational twin of :func:`pipeline.similarity.ivf_stats` computed
+    vectors: per list ``(list_id, n_vecs, frac_ppm, load_factor_e6)``
+    — the operational twin of :func:`pipeline.similarity.ivf_stats` computed
     from the index's own partitioned layout (a ``list_id``-pruned
     count over the parquet footers; at 100 TB this reads metadata, not
     embeddings).  Empty lists appear zero-filled (the manifest's nlist
@@ -382,11 +382,13 @@ def index_health(spark: SparkSession, path: str) -> DataFrame:
     return t.select(
         "list_id",
         "n_vecs",
-        (F.col("n_vecs").cast("double") / F.col("total").cast("double")).alias("frac"),
-        (
-            (F.col("n_vecs") * F.lit(nlist)).cast("double")
-            / F.col("total").cast("double")
-        ).alias("load_factor"),
+        F.when(
+            F.col("total") > 0, F.expr("(1000000 * n_vecs) div total")
+        ).alias("frac_ppm"),
+        F.when(
+            F.col("total") > 0,
+            F.expr(f"(1000000 * n_vecs * {nlist}) div total"),
+        ).alias("load_factor_e6"),
     ).orderBy("list_id")
 
 
@@ -426,9 +428,10 @@ def rebalance_ann_index(
     )
 
     man = json.loads(get_fs(path).read_text(f"{path}/manifest.json"))
-    before = index_health(spark, path).agg(F.max("load_factor")).first()[0]
-    report = {"rebalanced": False, "max_load_before": float(before)}
-    if before <= max_load:
+    before_e6 = index_health(spark, path).agg(F.max("load_factor_e6")).first()[0]
+    before = float(before_e6) / 1e6
+    report = {"rebalanced": False, "max_load_before": before}
+    if before_e6 <= int(round(float(max_load) * 1e6)):
         return report
 
     stored = spark.read.parquet(f"{path}/{_vectors_dir(man)}")

@@ -477,7 +477,11 @@ def temperature_mixture(
     multinomial rule): sample ~``target_total`` docs with per-source
     probability ∝ ``n_source^alpha`` — alpha < 1 up-weights small
     sources, alpha = 1 is natural sampling.  Output: one report row per
-    source ``(source, n_docs, n_kept, p_keep)``.
+    source ``(source, n_docs, n_kept, p_keep_ppm, p_keep)`` —
+    ``p_keep_ppm`` is the exact ppm integer quotient computed in
+    128-bit arithmetic (decimal in Spark, HUGEINT in DuckDB — verified
+    to agree), the gated projection's column; the float ``p_keep``
+    stays as the non-gated convenience.
 
     Per-doc keep probability ``p_s = min(1, target·w_s / (S·n_s))``
     with ``w_s = n_s^alpha``; the keep decision is the stateless
@@ -497,6 +501,7 @@ def temperature_mixture(
     row weight table broadcast back, and a stateless per-row threshold
     filter — the corpus is scanned twice and never shuffled.
     """
+    tt = int(target_total)
     thr = _temp_thresholds(df, target_total=target_total, alpha=alpha, domain_col=domain_col)
     h = F.expr(_hash60(f"concat('{salt}:', CAST({id_col} AS STRING))"))
     kept = (
@@ -506,13 +511,18 @@ def temperature_mixture(
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+    ppm = F.expr(
+        f"least(CAST(1000000 AS BIGINT), "
+        f"CAST(1000000 AS DECIMAL(38,0)) * {tt} * _wq div (_S * n_docs))"
+    )
     return (
-        thr.select("source", "n_docs", "p_keep")
+        thr.select("source", "n_docs", "_wq", "_S", "p_keep")
         .join(kept, "source", "left")
         .select(
             "source",
             "n_docs",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            ppm.alias("p_keep_ppm"),
             "p_keep",
         )
         .orderBy("source")
@@ -546,20 +556,23 @@ wts AS (
   FROM counts),
 tot AS (SELECT source, n_docs, wq, SUM(wq) OVER () AS s FROM wts),
 p AS (
-  SELECT source, n_docs,
+  SELECT source, n_docs, wq, s,
          LEAST(CAST(1.0 AS DOUBLE),
                CAST({target_total} AS DOUBLE) * CAST(wq AS DOUBLE)
                / CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS p_keep
   FROM tot),
 thr AS (
-  SELECT source, n_docs, p_keep,
+  SELECT source, n_docs, wq, s, p_keep,
          CAST(floor(p_keep * {float(1 << 60)!r}) AS BIGINT) AS thr
   FROM p),
 kept AS (
   SELECT d.{domain_col} AS source, COUNT(*) AS n_kept
   FROM {table} d JOIN thr ON thr.source = d.{domain_col}
   WHERE {hexpr} < thr.thr GROUP BY 1)
-SELECT t.source, t.n_docs, COALESCE(k.n_kept, 0) AS n_kept, t.p_keep
+SELECT t.source, t.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+       least(1000000, (1000000::HUGEINT * {target_total} * t.wq) // (t.s * t.n_docs))
+         AS p_keep_ppm,
+       t.p_keep
 FROM thr t LEFT JOIN kept k USING (source)
 """
 
@@ -932,10 +945,10 @@ def pack_stats(
     salt: str = "pack-v1",
 ) -> DataFrame:
     """Packing-quality report over :func:`pack_sequences`: per (group,
-    pack) the doc count, total length, UNROUNDED fill ratio vs the
-    budget, and the straddle flag (offset packing lets the final doc
-    overshoot) — the numbers a token-budgeted training run checks before
-    shipping packs.
+    pack) the doc count, total length, the ppm truncated-BIGINT fill
+    ratio vs the budget (round-10 integer-finals doctrine), and the
+    straddle flag (offset packing lets the final doc overshoot) — the
+    numbers a token-budgeted training run checks before shipping packs.
 
     Adds one tiny (grp, pack)-keyed aggregation on top of the packer's
     single hash-group shuffle.
@@ -953,7 +966,7 @@ def pack_stats(
             "pack",
             "n_docs",
             "total_len",
-            (F.col("total_len").cast("double") / F.lit(float(b))).alias("fill_ratio"),
+            F.expr(f"(1000000 * total_len) div {b}").alias("fill_ratio_ppm"),
             (F.col("total_len") > b).alias("straddles"),
         )
         .orderBy("grp", "pack")
@@ -977,7 +990,7 @@ def pack_stats_oracle(
     return f"""
 WITH packs AS ({inner})
 SELECT grp, pack, COUNT(*) AS n_docs, CAST(SUM(length) AS BIGINT) AS total_len,
-       CAST(SUM(length) AS DOUBLE) / {float(b)!r} AS fill_ratio,
+       (1000000 * CAST(SUM(length) AS BIGINT)) // {b} AS fill_ratio_ppm,
        SUM(length) > {b} AS straddles
 FROM packs GROUP BY grp, pack
 """

@@ -218,7 +218,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact set similarity over (df-capped) char-shingle sets.
 
-    Returns (a, b, <metric>) for pairs scoring ≥ threshold, a < b.
+    Returns (a, b, <metric>_ppm) for pairs scoring ≥ threshold, a < b
+    — the similarity as a parts-per-million truncated BIGINT quotient
+    and the threshold as an exact integer cross-multiplication
+    (round-10 integer-finals doctrine: no DOUBLE in gated output).
     ``metric='jaccard'`` is |A∩B|/|A∪B|; ``metric='containment'`` is
     |A∩B|/min(|A|,|B|) — the asymmetric measure that catches a short
     document quoted inside a long one, which Jaccard dilutes (the
@@ -289,20 +292,28 @@ def ngram_jaccard_pairs(
             F.first("p.sza").alias("sza"),
             F.first("p.szb").alias("szb"),
         )
-        # UNROUNDED BIGINT quotient: bit-identical IEEE division on
-        # both engines; a terminal round(double, 6) is the known
-        # Spark-vs-DuckDB repr-boundary divergence (VERDICT r8).
+        # ppm integer finals (round 10): the similarity is the exact
+        # truncated quotient (10^6·inter) div denom — BIGINT only, no
+        # DOUBLE under the driver's hasher — and the threshold test is
+        # the exact cross-multiplication 10^6·inter ≥ ppm·denom on the
+        # same grid (denominators here are < 2^40, far from overflow).
         .withColumn(
-            metric,
-            F.col("inter")
-            / (
+            "_den",
+            (
                 F.least(F.col("sza"), F.col("szb"))
                 if metric == "containment"
                 else (F.col("sza") + F.col("szb") - F.col("inter"))
-            ).cast("double"),
+            ),
         )
-        .where(F.col(metric) >= threshold)
-        .select("a", "b", metric)
+        .where(
+            F.col("inter") * F.lit(1_000_000)
+            >= F.lit(int(round(float(threshold) * 1_000_000))) * F.col("_den")
+        )
+        .select(
+            "a",
+            "b",
+            F.expr("(1000000 * inter) div _den").alias(f"{metric}_ppm"),
+        )
     )
     return out
 
@@ -312,10 +323,11 @@ def ngram_jaccard_oracle(
     metric: str = "jaccard",
 ) -> str:
     denom = (
-        "CAST(least(sa.sz, sb.sz) AS DOUBLE)"
+        "least(sa.sz, sb.sz)"
         if metric == "containment"
-        else "CAST(sa.sz + sb.sz - inter AS DOUBLE)"
+        else "sa.sz + sb.sz - inter"
     )
+    ppm = int(round(float(threshold) * 1_000_000))
     return f"""
 WITH sh0 AS (
   SELECT doc_id AS doc, UNNEST({_shingles_duck('text', 1)}) AS sh FROM {table}),
@@ -326,13 +338,13 @@ inter AS (
   SELECT x.doc AS a, y.doc AS b, COUNT(*) AS inter
   FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc < y.doc
   GROUP BY x.doc, y.doc)
-SELECT a, b, {metric} FROM (
-  SELECT a, b,
-         inter / {denom} AS {metric}
+SELECT a, b, {metric}_ppm FROM (
+  SELECT a, b, inter, {denom} AS _den,
+         (1000000 * inter) // ({denom}) AS {metric}_ppm
   FROM inter
   JOIN sizes sa ON sa.doc = a
   JOIN sizes sb ON sb.doc = b)
-WHERE {metric} >= {threshold}
+WHERE 1000000 * inter >= {ppm} * _den
 """
 
 
@@ -456,10 +468,10 @@ def minhash_est_jaccard(
     tune banding (N_HASHES / N_BANDS / threshold) against before
     committing a 100 TB dedup pass to a similarity bar.
 
-    Output: (a, b, n_bands, est_jaccard, jaccard, err), ordered.  Both
-    quotients are UNROUNDED IEEE divisions of exact BIGINTs and the
-    error is one subtraction of those two doubles — bit-identical
-    cross-engine (the proven integer-ratio pattern).
+    Output: (a, b, n_bands, est_jaccard_ppm, jaccard_ppm, err_ppm),
+    ordered — ALL BIGINT (round-10 integer-finals doctrine): both
+    similarities are parts-per-million truncated integer quotients and
+    the signed error is their difference on the same ppm grid.
 
     Scale: candidates come from banding (shuffle ≈ docs × bands, never
     docs²); the exact-Jaccard stage touches ONLY candidate pairs — the
@@ -490,23 +502,23 @@ def minhash_est_jaccard(
         F.lit(0),
     )
     inter_c = F.coalesce(F.col("inter"), F.lit(0))
-    est = matches.cast("double") / F.lit(float(N_HASHES))
-    jacc = inter_c.cast("double") / (
-        F.col("na") + F.col("nb") - inter_c
-    ).cast("double")
+    est_ppm = F.expr(f"(1000000 * _matches) div {int(N_HASHES)}")
+    jacc_ppm = F.expr("(1000000 * _inter) div (na + nb - _inter)")
     return (
         pairs.join(sa, "a")
         .join(sb, "b")
         .join(sizes.select(F.col("doc").alias("a"), F.col("nsh").alias("na")), "a")
         .join(sizes.select(F.col("doc").alias("b"), F.col("nsh").alias("nb")), "b")
         .join(inter, ["a", "b"], "left")
+        .withColumn("_matches", matches.cast("long"))
+        .withColumn("_inter", inter_c)
         .select(
             "a",
             "b",
             "n_bands",
-            est.alias("est_jaccard"),
-            jacc.alias("jaccard"),
-            (est - jacc).alias("err"),
+            est_ppm.alias("est_jaccard_ppm"),
+            jacc_ppm.alias("jaccard_ppm"),
+            (est_ppm - jacc_ppm).alias("err_ppm"),
         )
         .orderBy("a", "b")
     )
@@ -517,10 +529,10 @@ def minhash_est_jaccard_oracle(table: str = "documents") -> str:
     match_sum = " + ".join(
         f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
     )
-    est = f"CAST({match_sum} AS DOUBLE) / {float(N_HASHES)!r}"
+    est = f"(1000000 * ({match_sum})) // {int(N_HASHES)}"
     jacc = (
-        "CAST(COALESCE(i.inter, 0) AS DOUBLE) / "
-        "CAST(na.nsh + nb.nsh - COALESCE(i.inter, 0) AS DOUBLE)"
+        "(1000000 * COALESCE(i.inter, 0)) // "
+        "(na.nsh + nb.nsh - COALESCE(i.inter, 0))"
     )
     return f"""
 WITH {cte_list},
@@ -537,9 +549,9 @@ i AS (
   JOIN dsh db ON db.doc = p.b AND db.sh = da.sh
   GROUP BY p.a, p.b)
 SELECT p.a, p.b, p.n_bands,
-       {est} AS est_jaccard,
-       {jacc} AS jaccard,
-       ({est}) - ({jacc}) AS err
+       {est} AS est_jaccard_ppm,
+       {jacc} AS jaccard_ppm,
+       ({est}) - ({jacc}) AS err_ppm
 FROM pairs p
 JOIN sig sa ON sa.doc = p.a
 JOIN sig sb ON sb.doc = p.b
@@ -1223,7 +1235,7 @@ def near_dup_rate_by_source(
     b_col: str = "b",
 ) -> DataFrame:
     """Near-dup involvement per source: ``(source, n_docs, n_near_dup,
-    near_dup_rate)`` — the LSH companion to :func:`source_dedup_rate`
+    near_dup_rate_ppm)`` — the LSH companion to :func:`source_dedup_rate`
     (exact copies vs near copies tell different curation stories:
     syndication vs templating).
 
@@ -1231,7 +1243,8 @@ def near_dup_rate_by_source(
     pair endpoints union + distinct is bounded by the pair count (the
     LSH stage already bands/buckets, so pairs ≪ docs²); the per-source
     report is two small aggregations and a left join on the ≤ #sources
-    key.  ``near_dup_rate`` is the unrounded BIGINT quotient.
+    key.  ``near_dup_rate_ppm`` is the parts-per-million truncated
+    BIGINT quotient (round-10 integer-finals doctrine).
     """
     involved = (
         pairs.select(F.col(a_col).alias(id_col))
@@ -1253,10 +1266,9 @@ def near_dup_rate_by_source(
             "source",
             "n_docs",
             F.coalesce("n_near_dup", F.lit(0).cast("long")).alias("n_near_dup"),
-            (
-                F.coalesce("n_near_dup", F.lit(0).cast("long")).cast("double")
-                / F.col("n_docs").cast("double")
-            ).alias("near_dup_rate"),
+            F.expr("(1000000 * coalesce(n_near_dup, 0)) div n_docs").alias(
+                "near_dup_rate_ppm"
+            ),
         )
         .orderBy("source")
     )
@@ -1275,7 +1287,6 @@ nd AS (
   SELECT d.{domain_col} AS source, COUNT(*) AS n_near_dup
   FROM {table} d JOIN inv USING (doc_id) GROUP BY 1)
 SELECT tot.source, tot.n_docs, COALESCE(nd.n_near_dup, 0) AS n_near_dup,
-       CAST(COALESCE(nd.n_near_dup, 0) AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)
-         AS near_dup_rate
+       (1000000 * COALESCE(nd.n_near_dup, 0)) // tot.n_docs AS near_dup_rate_ppm
 FROM tot LEFT JOIN nd USING (source)
 """

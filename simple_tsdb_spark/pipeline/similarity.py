@@ -1483,12 +1483,14 @@ def label_centroids(
     """Per-label embedding centroids (class prototypes — the vectors
     SemDeDup/cluster-prune rank against, and the nearest-class-mean
     classifier baseline), emitted LONG: one (label, pos, n_vecs,
-    centroid) row per dimension.
+    centroid_sum_q, centroid_q30) row per dimension.
 
     Exactness: components quantize to ``floor(x · 2³⁰)`` BIGINTs —
     multiplying a double by a power of two is EXACT (mantissa
-    unchanged), and floor is exact, so the per-(label, dim) sum is an
-    integer and the centroid the usual unrounded BIGINT quotient.
+    unchanged), and floor is exact, so the per-(label, dim) sum
+    ``centroid_sum_q`` is an exact integer and ``centroid_q30`` its
+    truncated BIGINT quotient on the same 2³⁰ grid (round-10
+    integer-finals doctrine — divide by 2³⁰ for the float centroid).
     The ~1e-9 grid is far below float32 input precision.
 
     Scale: one posexplode scan (rows × dim), ONE shuffle on the tiny
@@ -1509,11 +1511,8 @@ def label_centroids(
             "label",
             "pos",
             "n_vecs",
-            (
-                F.col("_s").cast("double")
-                / F.col("n_vecs").cast("double")
-                / F.lit(float(1 << 30))
-            ).alias("centroid"),
+            F.col("_s").alias("centroid_sum_q"),
+            F.expr("_s div n_vecs").alias("centroid_q30"),
         )
         .orderBy("label", "pos")
     )
@@ -1533,7 +1532,8 @@ q AS (
          CAST(floor(CAST(emb[pos] AS DOUBLE) * {g!r}) AS BIGINT) AS qv
   FROM x)
 SELECT label, pos, COUNT(*) AS n_vecs,
-       CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {g!r} AS centroid
+       CAST(SUM(qv) AS BIGINT) AS centroid_sum_q,
+       CAST(SUM(qv) AS BIGINT) // COUNT(*) AS centroid_q30
 FROM q GROUP BY label, pos
 """
 
@@ -1629,9 +1629,10 @@ def ann_recall(
     number is the contract an ANN config is tuned to, exactly as
     :func:`minhash_est_jaccard` audits the MinHash banding).
 
-    Output: (query_id, n_hits, recall) where ``n_hits`` counts the
+    Output: (query_id, n_hits, recall_ppm) where ``n_hits`` counts the
     exact top-k neighbors the LSH candidate search also returned, and
-    ``recall = n_hits / k`` (one IEEE division of exact BIGINTs).
+    ``recall_ppm = (10^6·n_hits) div k`` (truncated BIGINT quotient,
+    round-10 integer-finals doctrine).
 
     At 100 TB: both sides are existing audited plans (broadcast query
     set, single corpus scan each); the final comparison joins two
@@ -1654,7 +1655,7 @@ def ann_recall(
         .select(
             "query_id",
             "n_hits",
-            (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
+            F.expr(f"(1000000 * n_hits) div {int(k)}").alias("recall_ppm"),
         )
         .orderBy("query_id")
     )
@@ -1671,7 +1672,7 @@ WITH exact AS ({exact}),
 approx AS ({approx})
 SELECT exact.query_id,
        CAST(COUNT(approx.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(COUNT(approx.neighbor_id) AS DOUBLE) / {float(k)!r} AS recall
+       (1000000 * COUNT(approx.neighbor_id)) // {int(k)} AS recall_ppm
 FROM exact
 LEFT JOIN approx
   ON approx.query_id = exact.query_id AND approx.neighbor_id = exact.neighbor_id
@@ -1923,18 +1924,18 @@ def ivf_stats(
     centroids: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
     """IVF quantizer balance audit: per list
-    ``(list_id, n_vecs, frac, load_factor)`` — the operational health
-    check for every IVF index at scale.  ``load_factor`` is
-    ``n·nlist/total`` (1.0 = perfectly balanced); a hot list means a
-    hot probe partition (query latency skew), an empty list means
-    wasted recall budget.  Empty lists ARE emitted (zero-filled spine
-    join) — they're the signal, not noise.
+    ``(list_id, n_vecs, frac_ppm, load_factor_e6)`` — the operational
+    health check for every IVF index at scale.  ``load_factor_e6`` is
+    ``(10^6·n·nlist) div total`` (1e6 = perfectly balanced); a hot
+    list means a hot probe partition (query latency skew), an empty
+    list means wasted recall budget.  Both ratios are truncated BIGINT
+    quotients (round-10 integer-finals doctrine).  Empty lists ARE
+    emitted (zero-filled spine join) — they're the signal, not noise.
 
     One corpus scan (the same assignment projection
     :func:`knn_ivf`/:func:`write_ann_index` use), one map-side-combined
     count shuffle of ≤ nlist keys, then an nlist-row spine join — the
-    corpus itself never shuffles.  Doubles are quotients of exact
-    BIGINTs (IEEE-identical cross-engine).
+    corpus itself never shuffles.
     """
     from pyspark.sql import Window
 
@@ -1963,11 +1964,13 @@ def ivf_stats(
     return t.select(
         "list_id",
         "n_vecs",
-        (F.col("n_vecs").cast("double") / F.col("total").cast("double")).alias("frac"),
-        (
-            (F.col("n_vecs") * F.lit(int(nlist))).cast("double")
-            / F.col("total").cast("double")
-        ).alias("load_factor"),
+        F.when(
+            F.col("total") > 0, F.expr("(1000000 * n_vecs) div total")
+        ).alias("frac_ppm"),
+        F.when(
+            F.col("total") > 0,
+            F.expr(f"(1000000 * n_vecs * {int(nlist)}) div total"),
+        ).alias("load_factor_e6"),
     ).orderBy("list_id")
 
 
@@ -1993,8 +1996,8 @@ f AS (
   FROM spine LEFT JOIN c USING (list_id)),
 t AS (SELECT list_id, n_vecs, SUM(n_vecs) OVER () AS total FROM f)
 SELECT list_id, n_vecs,
-       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS frac,
-       CAST(n_vecs * {nlist} AS DOUBLE) / CAST(total AS DOUBLE) AS load_factor
+       CASE WHEN total > 0 THEN (1000000 * n_vecs) // total END AS frac_ppm,
+       CASE WHEN total > 0 THEN (1000000 * n_vecs * {nlist}) // total END AS load_factor_e6
 FROM t
 """
 

@@ -189,7 +189,9 @@ def boilerplate_spans(
     C4-style span dedup ("remove any three-sentence span occurring more
     than once") split into the measurement half: span global document
     frequency → per-doc count of spans with ``df >= min_df`` elsewhere.
-    Emits ``doc_id, n_spans, n_dup_spans, dup_span_frac``; the removal
+    Emits ``doc_id, n_spans, n_dup_spans, dup_span_frac_ppm`` (the
+    fraction as a ppm truncated BIGINT quotient — round-10
+    integer-finals doctrine); the removal
     half is a filter/reassembly over the same join the caller applies
     when materializing cleaned text.
 
@@ -216,11 +218,9 @@ def boilerplate_spans(
             id_col,
             "n_spans",
             "n_dup_spans",
-            # unrounded BIGINT quotient — bit-identical IEEE division
-            # on both engines (terminal round(double) diverges at repr
-            # boundaries, VERDICT r8)
-            (F.col("n_dup_spans") / F.col("n_spans").cast("double")).alias(
-                "dup_span_frac"
+            # ppm truncated quotient (n_spans ≥ 1 per emitted group)
+            F.expr("(1000000 * n_dup_spans) div n_spans").alias(
+                "dup_span_frac_ppm"
             ),
         )
         .orderBy(id_col)
@@ -238,8 +238,8 @@ span_df AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
        CAST(SUM(CASE WHEN span_docs >= {min_df} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-       SUM(CASE WHEN span_docs >= {min_df} THEN 1 ELSE 0 END)
-             / CAST(COUNT(*) AS DOUBLE) AS dup_span_frac
+       (1000000 * SUM(CASE WHEN span_docs >= {min_df} THEN 1 ELSE 0 END))
+             // COUNT(*) AS dup_span_frac_ppm
 FROM spans JOIN span_df USING (h)
 GROUP BY doc_id
 ORDER BY doc_id

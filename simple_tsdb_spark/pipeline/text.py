@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
@@ -81,6 +81,13 @@ def quality_score(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
       stop_ratio  = stopword tokens / tokens
       uniq_ratio  = distinct tokens / tokens
       score       = 0.4*len_score + 0.3*least(stop_ratio*4, 1.0) + 0.3*uniq_ratio
+
+    ``quality_ppm`` is the SAME score as an exact rational on the ppm
+    grid (round-10 integer-finals doctrine): the score equals
+    ``(4·min(n,256)·n + 768·min(4·n_stop, n) + 768·n_uniq) / (2560·n)``
+    exactly, so the ppm column is one truncated BIGINT division —
+    gated projections use it; the float ``quality`` stays as the
+    convenience/ranking column.
     """
     text = F.col(text_col)
     toks = _tokens(text)
@@ -91,26 +98,54 @@ def quality_score(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     len_score = F.least(n, F.lit(256.0)) / F.lit(256.0)
     stop_score = F.least(n_stop / n * F.lit(4.0), F.lit(1.0))
     uniq_score = n_uniq / n
+    nl = F.size(toks).cast("long")
+    nsl = n_stop.cast("long")
+    nul = n_uniq.cast("long")
+    num = (
+        F.lit(4) * F.least(nl, F.lit(256)) * nl
+        + F.lit(768) * F.least(F.lit(4) * nsl, nl)
+        + F.lit(768) * nul
+    )
     return df.select(
         F.col(id_col),
-        n.cast("long").alias("n_tokens"),
+        nl.alias("n_tokens"),
+        num.alias("_qnum"),
         (F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * uniq_score).alias(
             "quality"
         ),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.expr("(1000000 * _qnum) div (2560 * n_tokens)").alias("quality_ppm"),
+        "quality",
     )
 
 
-def quality_score_oracle(table: str = "documents") -> str:
+def quality_score_oracle(table: str = "documents", *, gated: bool = False) -> str:
+    """``gated=True`` emits (doc_id, n_tokens, quality_ppm) — the
+    integer-finals projection (no DOUBLE)."""
     stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
-    return f"""
-SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    n = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    ns = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({stop_list}))) AS BIGINT)"
+    nu = "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)"
+    ppm = (
+        f"(1000000 * (4 * least({n}, 256) * {n}"
+        f" + 768 * least(4 * {ns}, {n}) + 768 * {nu})) // (2560 * {n})"
+    )
+    if gated:
+        final = f"{ppm} AS quality_ppm"
+    else:
+        final = f"""{ppm} AS quality_ppm,
        0.4 * (least(CAST(len(string_split(text, ' ')) AS DOUBLE), 256.0) / 256.0)
      + 0.3 * least(CAST(len(list_filter(string_split(text, ' '), t -> t IN ({stop_list})))
                         AS DOUBLE)
                    / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
      + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-              / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality"""
+    return f"""
+SELECT doc_id,
+       {n} AS n_tokens,
+       {final}
 FROM {table}
 """
 
@@ -240,8 +275,9 @@ def repetition_stats(
 ) -> DataFrame:
     """Gopher-style repetition quality signals per document:
 
-    - ``dup_word_frac``: 1 − distinct words / words — gross repetition.
-    - ``top_bigram_n`` / ``top_bigram_frac``: occurrences of the most
+    - ``dup_word_frac_ppm``: 1 − distinct words / words (parts per
+      million) — gross repetition.
+    - ``top_bigram_n`` / ``top_bigram_frac_ppm``: occurrences of the most
       frequent word 2-gram and its share of all 2-grams — catches looping
       boilerplate that survives a distinct-word check.
 
@@ -251,6 +287,8 @@ def repetition_stats(
     map-side first, so the shuffle carries ≤ one row per (doc, distinct
     bigram) per map partition — the shingle-stream pattern the pair
     operators already use.  One-word docs have zero bigrams: n=0, frac=0.
+    Fractions are ppm truncated BIGINT quotients (round-10
+    integer-finals doctrine: no DOUBLE in gated projections).
     """
     words = F.split(F.col(text_col), " ")
     base = df.select(
@@ -258,11 +296,10 @@ def repetition_stats(
         F.size(words).cast("long").alias("n_words"),
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
     ).withColumn(
-        # unrounded: integer/integer IEEE division then 1.0−x — both
-        # correctly-rounded, bit-identical across engines (terminal
-        # round(double) diverges at repr boundaries, VERDICT r8)
-        "dup_word_frac",
-        F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words").cast("double"),
+        # ppm integer quotient (n_words ≥ 1: split() of any string
+        # yields at least one element)
+        "dup_word_frac_ppm",
+        F.expr("(1000000 * (n_words - n_distinct_words)) div n_words"),
     )
     # Bigrams as zip(words[:-1], words[1:]) rather than per-position
     # element_at over sequence(): the indexed form re-evaluates split()
@@ -294,11 +331,11 @@ def repetition_stats(
             id_col,
             "n_words",
             "n_distinct_words",
-            "dup_word_frac",
+            "dup_word_frac_ppm",
             F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
             F.coalesce(
-                F.col("top_bigram_n") / F.col("n_bigrams").cast("double"), F.lit(0.0)
-            ).alias("top_bigram_frac"),
+                F.expr("(1000000 * top_bigram_n) div n_bigrams"), F.lit(0).cast("long")
+            ).alias("top_bigram_frac_ppm"),
         )
     )
 
@@ -318,9 +355,9 @@ bg AS (
 cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
 top AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams FROM cnt GROUP BY doc_id)
 SELECT base.doc_id, n_words, n_distinct_words,
-       CAST(1 AS DOUBLE) - n_distinct_words / CAST(n_words AS DOUBLE) AS dup_word_frac,
+       (1000000 * (n_words - n_distinct_words)) // n_words AS dup_word_frac_ppm,
        COALESCE(top_bigram_n, 0) AS top_bigram_n,
-       COALESCE(top_bigram_n / CAST(n_bigrams AS DOUBLE), CAST(0 AS DOUBLE)) AS top_bigram_frac
+       COALESCE((1000000 * top_bigram_n) // n_bigrams, 0) AS top_bigram_frac_ppm
 FROM base LEFT JOIN top ON base.doc_id = top.doc_id
 """
 
@@ -701,14 +738,19 @@ def lm_perplexity_buckets(
     ``tail``.  The bucket is what downstream mixture sampling keys on
     (CCNet keeps head+middle, drops or down-weights tail).
 
-    Determinism: xent is the proven unrounded-µnat quotient; the two
-    thresholds are exact interpolated percentiles of those bit-equal
-    doubles; the labels are two IEEE ``<=`` compares — identical
-    cross-engine.  Docs with NULL xent (no bigrams) get NULL bucket.
+    Round-10 integer finals: the doc score is the BIGINT
+    ``xent_munat`` (µnats/token, truncated) and the terciles are exact
+    type-7 interpolated order statistics computed ENTIRELY in integers
+    on a ×3 grid — with ``m = N_scored − 1``, ``k = (m·j) div 3``,
+    ``fr = (m·j) mod 3`` for j ∈ {1, 2}, the threshold (scaled ×3) is
+    ``3·x_k + fr·(x_{k+1} − x_k)``; each label is the exact compare
+    ``3·xent_munat ≤ t_x3``.  No DOUBLE anywhere.  Docs with NULL
+    xent_munat (no bigrams) get NULL bucket.
 
-    Scale: one scoring pass (the ngram_lm_score plan), one scalar
-    percentile aggregate broadcast back — the bucketing adds no
-    corpus-sized shuffle beyond the scorer's own.
+    Scale: one scoring pass (the ngram_lm_score plan), one
+    score-column-only rank (verification path; approx sketch at
+    corpus scale) broadcast back — the bucketing adds no corpus-sized
+    shuffle beyond the scorer's own.
     """
     scores = ngram_lm_score(df, fit_pred=fit_pred, text_col=text_col, id_col=id_col)
     if cache == "local":
@@ -717,24 +759,42 @@ def lm_perplexity_buckets(
         # consumes it 2-3× (thresholds, labels, downstream joins) —
         # materialize once.  Result-transparent: same rows either way.
         scores = scores.localCheckpoint(eager=True)
-    # terciles as python-evaluated double literals: Spark SQL's `1.0/3.0`
-    # is DECIMAL division (0.333333) while DuckDB's is double — embed the
-    # one IEEE value in both engines instead
-    p1, p2 = 1.0 / 3.0, 2.0 / 3.0
-    thr = scores.agg(
-        F.expr(f"percentile(xent, array({p1!r}D, {p2!r}D))").alias("_t")
-    ).select(
-        F.col("_t")[0].alias("t_head"), F.col("_t")[1].alias("t_middle")
+    from pyspark.sql import Window
+
+    sc = scores.select(id_col, "xent_munat")
+    nn = sc.where(F.col("xent_munat").isNotNull())
+    tot = nn.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        nn.select("xent_munat")
+        .withColumn("_rn", F.row_number().over(Window.orderBy("xent_munat")))
+        .crossJoin(F.broadcast(tot))
     )
+
+    def t_x3(j: int, alias: str):
+        k = F.expr(f"((_n - 1) * {j}) div 3")
+        fr = F.expr(f"((_n - 1) * {j}) % 3")
+        return ranked.agg(
+            F.max(F.when(F.col("_rn") == k + 1, F.col("xent_munat"))).alias("_xk"),
+            F.max(
+                F.when(F.col("_rn") == F.least(k + 2, F.col("_n")), F.col("xent_munat"))
+            ).alias("_xk1"),
+            F.max(fr).alias("_fr"),
+        ).select(
+            (
+                F.lit(3) * F.col("_xk") + F.col("_fr") * (F.col("_xk1") - F.col("_xk"))
+            ).alias(alias)
+        )
+
+    thr = t_x3(1, "t_head_x3").crossJoin(t_x3(2, "t_middle_x3"))
     bucket = (
-        F.when(F.col("xent").isNull(), F.lit(None).cast("string"))
-        .when(F.col("xent") <= F.col("t_head"), F.lit("head"))
-        .when(F.col("xent") <= F.col("t_middle"), F.lit("middle"))
+        F.when(F.col("xent_munat").isNull(), F.lit(None).cast("string"))
+        .when(F.col("xent_munat") * 3 <= F.col("t_head_x3"), F.lit("head"))
+        .when(F.col("xent_munat") * 3 <= F.col("t_middle_x3"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return (
-        scores.crossJoin(F.broadcast(thr))
-        .select(id_col, "xent", "t_head", "t_middle", bucket.alias("bucket"))
+        sc.crossJoin(F.broadcast(thr))
+        .select(id_col, "xent_munat", "t_head_x3", "t_middle_x3", bucket.alias("bucket"))
         .orderBy(id_col)
     )
 
@@ -742,19 +802,28 @@ def lm_perplexity_buckets(
 def lm_perplexity_buckets_oracle(
     table: str = "documents", *, fit_pred: str = "source = 'src0'"
 ) -> str:
-    lm = ngram_lm_score_oracle(table, fit_pred=fit_pred).strip()
-    p1, p2 = 1.0 / 3.0, 2.0 / 3.0
+    lm = ngram_lm_score_oracle(table, fit_pred=fit_pred, gated=True).strip()
     return f"""
 WITH scores AS ({lm}),
-thr AS (SELECT quantile_cont(xent, {p1!r}) AS t_head,
-               quantile_cont(xent, {p2!r}) AS t_middle
-        FROM scores)
-SELECT doc_id, xent, t_head, t_middle,
-       CASE WHEN xent IS NULL THEN NULL
-            WHEN xent <= t_head THEN 'head'
-            WHEN xent <= t_middle THEN 'middle'
+nn AS (SELECT xent_munat AS x FROM scores WHERE xent_munat IS NOT NULL),
+ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM nn),
+cnt AS (SELECT COUNT(*) AS n FROM nn),
+th AS (
+  SELECT 3 * MAX(CASE WHEN rn = ((n - 1) * 1) // 3 + 1 THEN x END)
+       + ((n - 1) * 1) % 3
+         * (MAX(CASE WHEN rn = least(((n - 1) * 1) // 3 + 2, n) THEN x END)
+          - MAX(CASE WHEN rn = ((n - 1) * 1) // 3 + 1 THEN x END)) AS t_head_x3,
+         3 * MAX(CASE WHEN rn = ((n - 1) * 2) // 3 + 1 THEN x END)
+       + ((n - 1) * 2) % 3
+         * (MAX(CASE WHEN rn = least(((n - 1) * 2) // 3 + 2, n) THEN x END)
+          - MAX(CASE WHEN rn = ((n - 1) * 2) // 3 + 1 THEN x END)) AS t_middle_x3
+  FROM ranked, cnt GROUP BY n)
+SELECT doc_id, xent_munat, t_head_x3, t_middle_x3,
+       CASE WHEN xent_munat IS NULL THEN NULL
+            WHEN 3 * xent_munat <= t_head_x3 THEN 'head'
+            WHEN 3 * xent_munat <= t_middle_x3 THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM scores, thr
+FROM scores, th
 """
 
 
@@ -1037,8 +1106,9 @@ def pmi_topk(
     ``N`` = total word count.
 
     Engine-portable: both ln arguments are exact BIGINT products, so the
-    score is a µnat-grid integer (``lnq(c_xy·N) − lnq(c_x·c_y)``) and
-    the emitted pmi is its unrounded /1e6 quotient.  ``min_count``
+    score is a µnat-grid integer (``lnq(c_xy·N) − lnq(c_x·c_y)``),
+    emitted directly as the BIGINT ``pmi_munat`` (round-10
+    integer-finals doctrine — divide by 1e6 for nats).  ``min_count``
     suppresses the unstable low-count tail (classic PMI pathology).
 
     At 100 TB: two exploded aggregations (unigram, bigram) — uniform
@@ -1070,9 +1140,9 @@ def pmi_topk(
             "c_xy",
             "c_x",
             "c_y",
-            (pmi_q.cast("double") / F.lit(1e6)).alias("pmi"),
+            pmi_q.alias("pmi_munat"),
         )
-        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .orderBy(F.col("pmi_munat").desc(), F.col("bigram").asc())
         .limit(int(k))
     )
 
@@ -1092,11 +1162,10 @@ bi AS (
          string_split(bigram, ' ')[1] AS x, string_split(bigram, ' ')[2] AS y
   FROM bi0 GROUP BY bigram HAVING COUNT(*) >= {min_count})
 SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
-       CAST(CAST(floor(1e6 * ln(CAST(c_xy * n_total AS DOUBLE))) AS BIGINT)
-            - CAST(floor(1e6 * ln(CAST(ux.c * uy.c AS DOUBLE))) AS BIGINT) AS DOUBLE)
-       / 1000000.0 AS pmi
+       CAST(floor(1e6 * ln(CAST(c_xy * n_total AS DOUBLE))) AS BIGINT)
+            - CAST(floor(1e6 * ln(CAST(ux.c * uy.c AS DOUBLE))) AS BIGINT) AS pmi_munat
 FROM bi JOIN uni ux ON ux.w = bi.x JOIN uni uy ON uy.w = bi.y, tot
-ORDER BY pmi DESC, bigram ASC LIMIT {k}
+ORDER BY pmi_munat DESC, bigram ASC LIMIT {k}
 """
 
 
@@ -1105,12 +1174,14 @@ def corpus_stats(
     strata: Sequence[str] = ("lang", "source"),
 ) -> DataFrame:
     """Per-stratum corpus report — the first query of any curation run:
-    doc count, token totals, UNROUNDED mean tokens/doc, char totals, and
-    the exact interpolated median doc length.
+    doc count, token totals, mean tokens/doc, char totals, and the
+    exact median doc length.
 
-    Determinism: counts/sums are BIGINTs; the mean is one IEEE division;
-    the median is ``percentile``/``quantile_cont`` linear interpolation
-    over integers (verified bit-equal cross-engine by quantile_points).
+    Round-10 integer finals: ``mean_tokens_e6`` is the truncated
+    BIGINT quotient (10^6·tokens) div docs, and ``median_chars_x2`` is
+    TWICE the interpolated median — at p=0.5 over integers the median
+    is always N or N+0.5, so 2× is an exact BIGINT on both engines (no
+    DOUBLE reaches the gated projection).
 
     Scale: one scan, one shuffle on the (small) stratum key with
     map-side combine; the median's per-group sort is bounded by stratum
@@ -1125,11 +1196,11 @@ def corpus_stats(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_nt").alias("total_tokens"),
-            (F.sum("_nt").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "mean_tokens"
-            ),
+            F.expr("(1000000 * sum(_nt)) div count(1)").alias("mean_tokens_e6"),
             F.sum("_nc").alias("total_chars"),
-            F.expr("percentile(CAST(_nc AS DOUBLE), 0.5)").alias("median_chars"),
+            F.expr(
+                "CAST(2 * percentile(CAST(_nc AS DOUBLE), 0.5) AS BIGINT)"
+            ).alias("median_chars_x2"),
         )
         .orderBy(*strata)
     )
@@ -1140,9 +1211,9 @@ def corpus_stats_oracle(table: str = "documents", *, strata: Sequence[str] = ("l
     return f"""
 SELECT {keys}, COUNT(*) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+       (1000000 * CAST(SUM(len(string_split(text, ' '))) AS BIGINT)) // COUNT(*) AS mean_tokens_e6,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS median_chars
+       CAST(2 * quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS BIGINT) AS median_chars_x2
 FROM {table} GROUP BY {keys}
 """
 
@@ -1155,35 +1226,82 @@ def quality_filter_pct(
     hand-picked constant (how production quality gates are actually
     tuned).
 
-    Output: (doc_id, quality, threshold, keep).  The threshold is the
-    exact interpolated corpus quantile of the bit-deterministic quality
-    score, broadcast back over one scan; ``keep`` is one IEEE >=
-    comparison, so the cut lands identically cross-engine.
+    Output: (doc_id, quality_ppm, threshold_x1m, keep) — ALL BIGINT /
+    BOOLEAN (round-10 integer-finals doctrine).  The threshold is the
+    exact type-7 interpolated corpus quantile of ``quality_ppm``
+    computed ENTIRELY in integers: with ``pm = round(pct·10^6)``,
+    ``idx = (N−1)·pm``, ``k = idx div 10^6``, ``fr = idx mod 10^6``,
+    the threshold (scaled ×10^6) is ``10^6·x_k + fr·(x_{k+1} − x_k)``
+    over the quality_ppm order statistics — no libm, no float
+    interpolation; ``keep`` is the exact comparison
+    ``10^6·quality_ppm ≥ threshold_x1m``.
+
+    Scale note: the order statistics use a global row_number (one
+    total sort of the SCORE column only — ids and text never enter
+    the sort); this exact form is the verification path, and an
+    approx-quantile sketch replaces it when the corpus outgrows a
+    sortable score column.
     """
+    pm = int(round(float(pct) * 1_000_000))
     scores = quality_score(df, text_col=text_col, id_col=id_col).select(
-        F.col(id_col), F.col("quality")
+        F.col(id_col), F.col("quality_ppm")
     )
-    thr = scores.agg(
-        F.expr(f"percentile(quality, CAST({float(pct)!r} AS DOUBLE))").alias("threshold")
+    tot = scores.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        scores.select("quality_ppm")
+        .withColumn("_rn", F.row_number().over(Window.orderBy("quality_ppm")))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_k", F.expr(f"((_n - 1) * {pm}) div 1000000"))
+        .withColumn("_fr", F.expr(f"((_n - 1) * {pm}) % 1000000"))
+    )
+    thr = ranked.agg(
+        F.max(F.when(F.col("_rn") == F.col("_k") + 1, F.col("quality_ppm"))).alias("_xk"),
+        F.max(
+            F.when(
+                F.col("_rn") == F.least(F.col("_k") + 2, F.col("_n")),
+                F.col("quality_ppm"),
+            )
+        ).alias("_xk1"),
+        F.max("_fr").alias("_fr"),
+    ).select(
+        (
+            F.lit(1_000_000) * F.col("_xk")
+            + F.col("_fr") * (F.col("_xk1") - F.col("_xk"))
+        ).alias("threshold_x1m")
     )
     return (
         scores.crossJoin(F.broadcast(thr))
         .select(
             id_col,
-            "quality",
-            "threshold",
-            (F.col("quality") >= F.col("threshold")).alias("keep"),
+            "quality_ppm",
+            "threshold_x1m",
+            (F.col("quality_ppm") * F.lit(1_000_000) >= F.col("threshold_x1m")).alias(
+                "keep"
+            ),
         )
         .orderBy(id_col)
     )
 
 
 def quality_filter_pct_oracle(table: str = "documents", *, pct: float = 0.1) -> str:
-    q = quality_score_oracle(table).strip().rstrip()
+    pm = int(round(float(pct) * 1_000_000))
+    q = quality_score_oracle(table, gated=True).strip().rstrip()
     return f"""
 WITH scores AS ({q}),
-thr AS (SELECT quantile_cont(quality, CAST({float(pct)!r} AS DOUBLE)) AS threshold FROM scores)
-SELECT doc_id, quality, threshold, quality >= threshold AS keep
+ranked AS (
+  SELECT quality_ppm AS q, ROW_NUMBER() OVER (ORDER BY quality_ppm) AS rn FROM scores),
+kk AS (
+  SELECT ((COUNT(*) - 1) * {pm}) // 1000000 AS k,
+         ((COUNT(*) - 1) * {pm}) % 1000000 AS fr,
+         COUNT(*) AS n
+  FROM scores),
+thr AS (
+  SELECT 1000000 * MAX(CASE WHEN rn = k + 1 THEN q END)
+       + fr * (MAX(CASE WHEN rn = least(k + 2, n) THEN q END)
+             - MAX(CASE WHEN rn = k + 1 THEN q END)) AS threshold_x1m
+  FROM ranked, kk GROUP BY fr)
+SELECT doc_id, quality_ppm, threshold_x1m,
+       1000000 * quality_ppm >= threshold_x1m AS keep
 FROM scores, thr
 """
 
@@ -1738,8 +1856,10 @@ def gopher_rules(
 
     Pure codegen expressions over the token array — zero shuffle, one
     embarrassingly parallel scan at any corpus size.  All statistics
-    are integer counts or single IEEE divisions, bit-identical to the
-    DuckDB oracle.
+    are BIGINTs (counts, plus e6/ppm-scaled truncated quotients for the
+    ratios — round-10 integer-finals doctrine) and every rule fires on
+    an exact integer cross-multiplication against its e6-grid
+    threshold, bit-identical to the DuckDB oracle.
     """
     stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     sym_list = ", ".join(f"'{w}'" for w in GOPHER_SYMBOLS)
@@ -1753,26 +1873,36 @@ def gopher_rules(
     ).cast("long")
     n_stop = F.expr(f"size(filter({words}, w -> w IN ({stop_list})))").cast("long")
     n_sym = F.expr(f"size(filter({words}, w -> w IN ({sym_list})))").cast("long")
-    mean_len = n_chars.cast("double") / n.cast("double")
-    alpha_frac = n_alpha.cast("double") / n.cast("double")
-    sym_ratio = n_sym.cast("double") / n.cast("double")
+    m = 1_000_000
+    t_minlen = int(round(float(min_mean_len) * m))
+    t_maxlen = int(round(float(max_mean_len) * m))
+    t_alpha = int(round(float(min_alpha_frac) * m))
+    t_sym = int(round(float(max_symbol_ratio) * m))
     passes = (
         (n >= int(min_words))
         & (n <= int(max_words))
-        & (mean_len >= float(min_mean_len))
-        & (mean_len <= float(max_mean_len))
-        & (alpha_frac >= float(min_alpha_frac))
-        & (sym_ratio <= float(max_symbol_ratio))
+        & (n_chars * m >= F.lit(t_minlen) * n)
+        & (n_chars * m <= F.lit(t_maxlen) * n)
+        & (n_alpha * m >= F.lit(t_alpha) * n)
+        & (n_sym * m <= F.lit(t_sym) * n)
         & (n_stop >= int(min_stopwords))
     )
     return df.select(
         F.col(id_col),
         n.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_frac"),
-        sym_ratio.alias("symbol_ratio"),
+        n_chars.alias("_nc"),
+        n_alpha.alias("_na"),
+        n_sym.alias("_ns"),
         n_stop.alias("n_stopwords"),
         passes.alias("passes"),
+    ).select(
+        id_col,
+        "n_words",
+        F.expr("(1000000 * _nc) div n_words").alias("mean_word_len_e6"),
+        F.expr("(1000000 * _na) div n_words").alias("alpha_frac_ppm"),
+        F.expr("(1000000 * _ns) div n_words").alias("symbol_ratio_ppm"),
+        "n_stopwords",
+        "passes",
     )
 
 
@@ -1803,15 +1933,15 @@ WITH s AS (
                               w -> w IN ({sym_list}))) AS BIGINT) AS n_sym
   FROM {table})
 SELECT doc_id, n_words,
-       CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
-       CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
-       CAST(n_sym AS DOUBLE) / n_words AS symbol_ratio,
+       (1000000 * n_chars) // n_words AS mean_word_len_e6,
+       (1000000 * n_alpha) // n_words AS alpha_frac_ppm,
+       (1000000 * n_sym) // n_words AS symbol_ratio_ppm,
        n_stopwords,
        (n_words >= {int(min_words)} AND n_words <= {int(max_words)}
-        AND CAST(n_chars AS DOUBLE) / n_words >= {float(min_mean_len)!r}
-        AND CAST(n_chars AS DOUBLE) / n_words <= {float(max_mean_len)!r}
-        AND CAST(n_alpha AS DOUBLE) / n_words >= {float(min_alpha_frac)!r}
-        AND CAST(n_sym AS DOUBLE) / n_words <= {float(max_symbol_ratio)!r}
+        AND 1000000 * n_chars >= {int(round(float(min_mean_len) * 1_000_000))} * n_words
+        AND 1000000 * n_chars <= {int(round(float(max_mean_len) * 1_000_000))} * n_words
+        AND 1000000 * n_alpha >= {int(round(float(min_alpha_frac) * 1_000_000))} * n_words
+        AND 1000000 * n_sym <= {int(round(float(max_symbol_ratio) * 1_000_000))} * n_words
         AND n_stopwords >= {int(min_stopwords)}) AS passes
 FROM s
 """
@@ -1834,9 +1964,9 @@ def dup_ngram_chars(
 
     At 100 TB: per-(doc, n, gram-type) counts aggregate map-side; ONE
     shuffle keyed (doc, n, gram) — uniform, as wide as the gram stream
-    — then a doc-keyed rollup.  The fraction is the UNROUNDED BIGINT
-    quotient (bit-identical IEEE division on both engines; terminal
-    round(double) is the known repr-boundary divergence).
+    — then a doc-keyed rollup.  The fraction is the ppm truncated
+    BIGINT quotient (round-10 integer-finals doctrine; NULL for a
+    zero-char doc).
     """
     w = f"split({text_col}, ' ')"
     totals = df.select(
@@ -1878,10 +2008,10 @@ def dup_ngram_chars(
         .select(
             F.col("doc").alias(id_col),
             "n",
-            (
-                F.coalesce(F.col("_dup_chars"), F.lit(0)).cast("double")
-                / F.col("_tot").cast("double")
-            ).alias("dup_char_frac"),
+            F.when(
+                F.col("_tot") > 0,
+                F.expr("(1000000 * coalesce(_dup_chars, 0)) div _tot"),
+            ).alias("dup_char_frac_ppm"),
         )
     )
 
@@ -1915,7 +2045,9 @@ dup AS (
 spine AS (
   SELECT doc_id AS doc, n FROM {table}, (VALUES {n_list}) t(n))
 SELECT spine.doc AS doc_id, spine.n,
-       CAST(COALESCE(_dup_chars, 0) AS DOUBLE) / CAST(_tot AS DOUBLE) AS dup_char_frac
+       CASE WHEN _tot > 0
+            THEN (1000000 * COALESCE(_dup_chars, 0)) // _tot
+       END AS dup_char_frac_ppm
 FROM spine
 JOIN totals ON totals.doc = spine.doc
 LEFT JOIN dup ON dup.doc = spine.doc AND dup.n = spine.n

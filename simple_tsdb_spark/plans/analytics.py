@@ -318,9 +318,9 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability — the path-analysis primitive behind funnel discovery
     and next-action models.
 
-    Output: (from_type, to_type, n, prob) with
-    ``prob = n / Σ n over from_type`` — one IEEE division of exact
-    BIGINTs (the proven unrounded-quotient pattern).  Ordering within
+    Output: (from_type, to_type, n, prob_ppm) with
+    ``prob_ppm = (10^6·n) div Σ n over from_type`` — a truncated
+    BIGINT quotient (round-10 integer-finals doctrine).  Ordering within
     a user is (ts, event_id) — event_id is unique, so the sequence is
     total and both engines see identical steps.
 
@@ -344,12 +344,16 @@ def event_transitions_frame(ev: DataFrame) -> DataFrame:
     )
     counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
     tot = Window.partitionBy("from_type")
-    return counts.select(
-        "from_type",
-        "to_type",
-        "n",
-        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")).alias("prob"),
-    ).orderBy("from_type", "to_type")
+    return (
+        counts.withColumn("_tot", F.sum("n").over(tot))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(1000000 * n) div _tot").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
 
 
 def event_transitions_oracle() -> str:
@@ -362,7 +366,7 @@ counts AS (
   SELECT from_type, to_type, COUNT(*) AS n
   FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
 SELECT from_type, to_type, n,
-       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+       (1000000 * n) // SUM(n) OVER (PARTITION BY from_type) AS prob_ppm
 FROM counts
 """
 

@@ -159,7 +159,7 @@ def test_active_users_model(spark):
         row = got.loc[per]
         assert row.dau == len(users)
         assert row.wau == len(w)
-        assert row.stickiness == len(users) / len(w)
+        assert row.stickiness_ppm == (10**6 * len(users)) // len(w)
     # period 20 has no activity -> no row (40 would be window-only: no DAU row)
     assert set(got.index) == {0, 10, 30}
 
@@ -189,8 +189,10 @@ def test_funnel_conversion_time_model(spark):
     ).toPandas().iloc[0]
     assert got.n_converted == 2
     assert got.min_ns == 30 and got.max_ns == 60
-    assert got.mean_ns == 45.0
-    assert got.p50_ns == 45.0  # interpolated midpoint of {30, 60}
+    assert got.mean_ns == (30 + 60) // 2
+    # interpolated midpoint of {30, 60} on the x10 grid: 10*30 + 5*(60-30)
+    assert got.p50_ns_x10 == 450
+    assert got.p90_ns_x10 == 10 * 30 + 9 * (60 - 30)
 
 
 def test_event_transitions_model(spark):
@@ -216,10 +218,12 @@ def test_event_transitions_model(spark):
         froms[a] = froms.get(a, 0) + n
     for _, r in got.iterrows():
         assert counts[(r.from_type, r.to_type)] == r.n
-        assert r.prob == counts[(r.from_type, r.to_type)] / froms[r.from_type]
-    sums = got.groupby("from_type").prob.sum()
-    for s in sums:
-        assert abs(s - 1.0) < 1e-12
+        assert r.prob_ppm == (10**6 * counts[(r.from_type, r.to_type)]) // froms[r.from_type]
+    # ppm probabilities per from_type sum to 1e6 minus < fan-out truncation
+    sums = got.groupby("from_type").prob_ppm.sum()
+    fan = got.groupby("from_type").size()
+    for ft in sums.index:
+        assert 10**6 - fan[ft] < sums[ft] <= 10**6
 
 
 def test_forecast_revenue_q6_model(spark):

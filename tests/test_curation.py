@@ -506,7 +506,7 @@ def test_pack_stats_consistency(spark):
     for r in got.itertuples():
         wr = want.loc[(r.grp, r.pack)]
         assert r.n_docs == wr.n_docs and r.total_len == wr.total_len
-        assert r.fill_ratio == r.total_len / budget
+        assert r.fill_ratio_ppm == (10**6 * r.total_len) // budget
         assert r.straddles == (r.total_len > budget)
 
 
@@ -701,7 +701,7 @@ def test_near_dup_rate_by_source_planted(spark):
         .toPandas()
         .set_index("source")
     )
-    assert got.loc["web", "n_near_dup"] == 2 and got.loc["web", "near_dup_rate"] == 2 / 3
+    assert got.loc["web", "n_near_dup"] == 2 and got.loc["web", "near_dup_rate_ppm"] == 2_000_000 // 3
     assert got.loc["wiki", "n_near_dup"] == 2
     # a doc in MANY pairs still counts once
     pairs2 = pd.DataFrame({"a": [0, 0, 0], "b": [1, 2, 1]})

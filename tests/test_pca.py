@@ -124,8 +124,10 @@ def test_ivf_stats_counts_and_spine(spark):
     got = ivf_stats(df).toPandas().set_index("list_id")
     assert len(got) == N_LISTS  # full spine, empties included
     assert got.n_vecs.sum() == df.count()
-    assert abs(got.load_factor.mean() - 1.0) < 1e-9
-    assert np.allclose(got.frac.sum(), 1.0, atol=1e-12)
+    # e6/ppm grids: each entry truncates by < 1, so the sums land
+    # within nlist of the exact totals
+    assert abs(got.load_factor_e6.sum() / len(got) - 1_000_000) <= len(got)
+    assert 1_000_000 - len(got) <= got.frac_ppm.sum() <= 1_000_000
     # cross-check one list's population against the knn_ivf assignment
     # (same projection, so the recount must agree)
     from pyspark.sql import functions as F

@@ -111,11 +111,11 @@ def test_ngram_containment_vs_jaccard(spark):
 
     a, b = shset(docs[0][1]), shset(docs[1][1])
     inter = len(a & b)
-    assert abs(cont.containment.iloc[0] - inter / min(len(a), len(b))) < 1e-12
-    assert abs(jac.jaccard.iloc[0] - inter / len(a | b)) < 1e-12
+    assert cont.containment_ppm.iloc[0] == (10**6 * inter) // min(len(a), len(b))
+    assert jac.jaccard_ppm.iloc[0] == (10**6 * inter) // len(a | b)
     # the whole point: containment ≈ 1, jaccard diluted by the filler
-    assert cont.containment.iloc[0] > 0.95
-    assert jac.jaccard.iloc[0] < 0.5
+    assert cont.containment_ppm.iloc[0] > 950_000
+    assert jac.jaccard_ppm.iloc[0] < 500_000
 
 
 def test_block_dedup_model(spark):
@@ -160,9 +160,9 @@ def test_minhash_est_jaccard_audit(spark, docs):
 
     out = minhash_est_jaccard(docs).toPandas()
     assert len(out) > 0
-    assert ((out.est_jaccard >= 0) & (out.est_jaccard <= 1)).all()
+    assert ((out.est_jaccard_ppm >= 0) & (out.est_jaccard_ppm <= 10**6)).all()
     np.testing.assert_array_equal(
-        out.err.to_numpy(), (out.est_jaccard - out.jaccard).to_numpy()
+        out.err_ppm.to_numpy(), (out.est_jaccard_ppm - out.jaccard_ppm).to_numpy()
     )
     texts = {r.doc_id: r.text for r in docs.collect()}
 
@@ -172,8 +172,8 @@ def test_minhash_est_jaccard_audit(spark, docs):
 
     for r in out.itertuples():
         a, b = shset(texts[r.a]), shset(texts[r.b])
-        want = len(a & b) / len(a | b)
-        assert r.jaccard == pytest.approx(want, abs=0), (r.a, r.b)
+        want = (10**6 * len(a & b)) // len(a | b)
+        assert r.jaccard_ppm == want, (r.a, r.b)
 
 
 def test_range_search_matches_brute_threshold(spark, embs):
@@ -407,12 +407,12 @@ def test_repetition_stats_python_model(spark):
         r = got[i]
         assert r.n_words == len(w)
         assert r.n_distinct_words == len(set(w))
-        assert r.dup_word_frac == 1.0 - len(set(w)) / len(w)
+        assert r.dup_word_frac_ppm == (10**6 * (len(w) - len(set(w)))) // len(w)
         assert r.top_bigram_n == top
-        assert r.top_bigram_frac == (top / len(bgs) if bgs else 0.0)
+        assert r.top_bigram_frac_ppm == ((10**6 * top) // len(bgs) if bgs else 0)
     # sanity: the boilerplate docs score worse than the clean one
-    assert got[2].dup_word_frac > got[1].dup_word_frac
-    assert got[3].top_bigram_frac > got[1].top_bigram_frac
+    assert got[2].dup_word_frac_ppm > got[1].dup_word_frac_ppm
+    assert got[3].top_bigram_frac_ppm > got[1].top_bigram_frac_ppm
 
 
 def test_pq_trained_fits_identical_and_oracle_exact(spark, embs):
@@ -627,11 +627,11 @@ def test_ngram_jaccard_arrow_shingles_identical(spark, docs):
     from simple_tsdb_spark.pipeline import ngram_jaccard_pairs
 
     a = sorted(
-        (r.a, r.b, r.jaccard)
+        (r.a, r.b, r.jaccard_ppm)
         for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
     )
     b = sorted(
-        (r.a, r.b, r.jaccard)
+        (r.a, r.b, r.jaccard_ppm)
         for r in ngram_jaccard_pairs(docs, threshold=0.5, shingles="arrow").collect()
     )
     assert a == b and len(a) > 0
@@ -682,8 +682,8 @@ def test_corpus_stats_model(spark, docs):
         wr = want.loc[(r.lang, r.source)]
         assert r.n_docs == wr.n_docs and r.total_tokens == wr.total_tokens
         assert r.total_chars == wr.total_chars
-        assert abs(r.median_chars - wr.median_chars) < 1e-9
-        assert abs(r.mean_tokens - wr.total_tokens / wr.n_docs) < 1e-12
+        assert r.median_chars_x2 == int(2 * wr.median_chars)
+        assert r.mean_tokens_e6 == (10**6 * wr.total_tokens) // wr.n_docs
 
 
 def test_quality_filter_pct(spark, docs):
@@ -736,11 +736,11 @@ def test_pmi_topk_python_model(spark):
         x, y = g.split(" ")
         want[g] = (
             math.floor(1e6 * math.log(cxy * n)) - math.floor(1e6 * math.log(uni[x] * uni[y]))
-        ) / 1e6
+        )
     order = sorted(want, key=lambda g: (-want[g], g))[:10]
     assert list(got.bigram) == order
     for r in got.itertuples():
-        assert abs(r.pmi - want[r.bigram]) < 1e-12
+        assert r.pmi_munat == want[r.bigram]
     # the planted collocation dominates
     assert got.bigram.iloc[0] == "san francisco"
 
@@ -1606,16 +1606,19 @@ def test_gopher_rules_python_model(spark):
     for i, t in docs:
         w = t.split(" ")
         n = len(w)
-        mean_len = sum(len(x) for x in w) / n
-        alpha = sum(any(c.isascii() and c.isalpha() for c in x) for x in w) / n
-        sym = sum(x in GOPHER_SYMBOLS for x in w) / n
+        nc = sum(len(x) for x in w)
+        na = sum(any(c.isascii() and c.isalpha() for c in x) for x in w)
+        ns = sum(x in GOPHER_SYMBOLS for x in w)
         stop = sum(x in GOPHER_STOPWORDS for x in w)
         r = got[i]
         assert r.n_words == n and r.n_stopwords == stop
-        assert r.mean_word_len == mean_len and r.alpha_frac == alpha
-        assert r.symbol_ratio == sym
-        want = (20 <= n <= 100_000 and 3.0 <= mean_len <= 10.0
-                and alpha >= 0.8 and sym <= 0.1 and stop >= 2)
+        assert r.mean_word_len_e6 == (10**6 * nc) // n
+        assert r.alpha_frac_ppm == (10**6 * na) // n
+        assert r.symbol_ratio_ppm == (10**6 * ns) // n
+        want = (20 <= n <= 100_000
+                and 3_000_000 * n <= 10**6 * nc <= 10_000_000 * n
+                and 10**6 * na >= 800_000 * n and 10**6 * ns <= 100_000 * n
+                and stop >= 2)
         assert r.passes == want, (i, r)
     assert got[1].passes and not any(got[i].passes for i in (2, 3, 4, 5))
 
@@ -1633,7 +1636,7 @@ def test_dup_ngram_chars_python_model(spark):
         (3, "tiny"),
     ]
     df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
-    got = {(r.doc_id, r.n): r.dup_char_frac for r in dup_ngram_chars(df).collect()}
+    got = {(r.doc_id, r.n): r.dup_char_frac_ppm for r in dup_ngram_chars(df).collect()}
 
     for i, t in docs:
         w = t.split(" ")
@@ -1643,9 +1646,9 @@ def test_dup_ngram_chars_python_model(spark):
             from collections import Counter
             c = Counter(grams)
             dup = sum(cnt * sum(len(x) for x in g) for g, cnt in c.items() if cnt > 1)
-            assert got[(i, n)] == dup / tot, (i, n, got[(i, n)])
-    assert got[(2, 2)] == 0.0 and got[(3, 2)] == 0.0
-    assert got[(1, 2)] > 0.5  # "spam ham" dominates
+            assert got[(i, n)] == (10**6 * dup) // tot, (i, n, got[(i, n)])
+    assert got[(2, 2)] == 0 and got[(3, 2)] == 0
+    assert got[(1, 2)] > 500_000  # "spam ham" dominates
 
 
 def test_ann_index_build_search_equals_knn_ivf(spark, embs, tmp_path):
@@ -1925,11 +1928,12 @@ def test_label_centroids_model(spark, embs):
         sub = got[got.label == label].sort_values("pos")
         assert (sub.n_vecs == len(grp)).all()
         # exact recomputation on the integer grid
-        qsum = np.floor(mat * g).sum(axis=0)
-        want = qsum / len(grp) / g
-        np.testing.assert_array_equal(sub.centroid.to_numpy(), want)
+        qsum = np.floor(mat * g).sum(axis=0).astype(np.int64)
+        np.testing.assert_array_equal(sub.centroid_sum_q.to_numpy(), qsum)
+        want_q30 = np.trunc(qsum / len(grp)).astype(np.int64)
+        np.testing.assert_array_equal(sub.centroid_q30.to_numpy(), want_q30)
         # and the grid is far below float32 noise vs the true mean
-        assert np.abs(sub.centroid.to_numpy() - mat.mean(axis=0)).max() < 1e-6
+        assert np.abs(sub.centroid_q30.to_numpy() / g - mat.mean(axis=0)).max() < 1e-6
 
 
 def test_normalize_text_model(spark):
@@ -2052,8 +2056,8 @@ def test_ann_recall_consistency(spark):
         a = set(approx[approx.query_id == q].neighbor_id)
         hits = len(e & a)
         assert got.loc[q].n_hits == hits
-        assert got.loc[q].recall == hits / k
-        assert 0.0 <= got.loc[q].recall <= 1.0
+        assert got.loc[q].recall_ppm == (10**6 * hits) // k
+        assert 0 <= got.loc[q].recall_ppm <= 10**6
 
 
 def test_ngram_novelty_model(spark):
@@ -2177,7 +2181,7 @@ def test_rebalance_ann_index_heals_hot_list(spark, tmp_path):
     assert man["vectors_dir"] == "vectors_gen1" and man["generation"] == 1
     # health now reads the new generation
     h = index_health(spark, path).toPandas()
-    assert abs(h.load_factor.max() - rep["max_load_after"]) < 1e-12
+    assert abs(h.load_factor_e6.max() / 1e6 - rep["max_load_after"]) < 1e-6 + 1e-12
     # full-probe search over the new generation == brute force
     got = search_ann_index(spark, path, query_ids=[0, 7], k=5, nprobe=man["nlist"]).toPandas()
     want = knn_brute(df, query_ids=[0, 7], k=5).toPandas()
