@@ -76,7 +76,11 @@ def _parse_tkhd(buf: bytes, s: int, e: int) -> dict:
         _, _, track_id = struct.unpack_from(">QQI", buf, p)
     else:
         _, _, track_id = struct.unpack_from(">III", buf, p)
-    # width/height are the LAST two 16.16 fixed-point fields of the box
+    # width/height are the LAST two 16.16 fixed-point fields of the box;
+    # a truncated tkhd must not read bytes outside its own extent (or,
+    # via a negative offset, from the wrong place entirely)
+    if e - 8 < p:
+        raise DecoderNotAvailable("truncated tkhd box")
     w_fx, h_fx = struct.unpack_from(">II", buf, e - 8)
     return {"track_id": track_id, "width": w_fx >> 16, "height": h_fx >> 16}
 
@@ -179,6 +183,17 @@ def parse_mp4(payload: bytes) -> dict:
     buf = bytes(payload)
     if len(buf) < 12 or buf[4:8] not in (b"ftyp", b"moov", b"styp"):
         raise DecoderNotAvailable("not an ISO-BMFF stream (no ftyp/moov)")
+    try:
+        return _parse_mp4_checked(buf)
+    except (struct.error, IndexError) as exc:
+        # valid magic but a box payload shorter than its declared
+        # fields (truncated/corrupt upload): same DecoderNotAvailable
+        # contract as the BMP/WAV decoders, so mapInPandas callers
+        # fall back to the metadata row instead of crashing the job.
+        raise DecoderNotAvailable(f"truncated/corrupt BMFF box: {exc}") from exc
+
+
+def _parse_mp4_checked(buf: bytes) -> dict:
     brand = buf[8:12].decode("latin-1") if buf[4:8] == b"ftyp" else ""
     moov = _find(buf, 0, len(buf), b"moov")
     if moov is None:

@@ -355,6 +355,11 @@ def sample_frames(
                             if idx >= cap:
                                 break
                             off, sz = samples[si]
+                            if off < 0 or sz < 0 or off + sz > len(b):
+                                # sample table points past the payload
+                                # (truncated mdat / lying stco): skip
+                                # rather than md5 silently short bytes
+                                continue
                             yield (
                                 doc_id, idx, off, sz,
                                 hashlib.md5(b[off : off + sz]).hexdigest(),
@@ -381,9 +386,11 @@ def sample_frames(
 
     return df.select("doc_id", "payload").mapInPandas(
         batches,
+        # co64 chunk offsets are 64-bit and stsz sizes unsigned 32-bit —
+        # long columns, or a large file overflows the Arrow conversion
         schema=(
-            "doc_id long, frame_idx int, frame_offset int, "
-            "frame_size int, frame_md5 string"
+            "doc_id long, frame_idx int, frame_offset long, "
+            "frame_size long, frame_md5 string"
         ),
     )
 

@@ -58,12 +58,22 @@ def _quantize(df: DataFrame, col: str, bits: int) -> Column:
         F.min(src.cast("double")).alias("lo"),
         F.max(src.cast("double")).alias("hi"),
     ).first()
+    if row is None or row["lo"] is None or row["hi"] is None:
+        raise ValueError(
+            f"zvalue: column {col!r} has no non-NULL values to quantize "
+            "(empty input or all-NULL dimension)"
+        )
     lo, hi = float(row["lo"]), float(row["hi"])
     span = (hi - lo) or 1.0
     q = F.floor(
         (src.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(n_levels - 1))
     ).cast("long")
-    return F.least(F.greatest(q, F.lit(0)), F.lit(n_levels - 1))
+    # NULL dimension values quantize to the low quantum instead of
+    # propagating a NULL z-value that repartitionByRange would place
+    # arbitrarily (breaking the clustering contract for those rows)
+    return F.coalesce(
+        F.least(F.greatest(q, F.lit(0)), F.lit(n_levels - 1)), F.lit(0).cast("long")
+    )
 
 
 def zvalue(df: DataFrame, cols: tuple[str, ...], *, bits: int = DEFAULT_BITS) -> Column:

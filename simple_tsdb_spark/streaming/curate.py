@@ -124,6 +124,7 @@ def streaming_temperature_sample(
     domain_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "temp-v1",
+    unseen_policy: str = "drop",
 ) -> DataFrame:
     """Streaming twin of batch ``temperature_mixture``'s keep decision:
     per-source thresholds are FIT ONCE from a static reference corpus
@@ -137,16 +138,30 @@ def streaming_temperature_sample(
     batch backfill keep EXACTLY the same docs — the property that lets
     both paths feed one training corpus.  Output: the surviving rows
     unchanged.
+
+    Sources ABSENT from the fit corpus route through
+    ``unseen_policy``: ``"drop"`` (default — the batch twin would have
+    fitted p_keep from n_docs=0, i.e. nothing to balance against, and
+    the stream/batch keep-set equality claim only covers fitted
+    sources) or ``"keep"`` (pass new sources through unsampled until
+    the next refit).  The LEFT join makes the policy explicit instead
+    of silently inner-joining new sources away.
     """
     from simple_tsdb_spark.pipeline.curation import _temp_thresholds
 
+    if unseen_policy not in ("drop", "keep"):
+        raise ValueError(f"unknown unseen_policy {unseen_policy!r}")
     thr = _temp_thresholds(
         fit_df, target_total=target_total, alpha=alpha, domain_col=domain_col
     ).select(F.col("source").alias(domain_col), "_thr")
     h = F.expr(_hash60(f"concat('{salt}:', CAST({id_col} AS STRING))"))
+    unseen_keep = F.lit(unseen_policy == "keep")
     return (
         stream.withColumn("_h", h)
-        .join(F.broadcast(thr), domain_col)
-        .where(F.col("_h") < F.col("_thr"))
+        .join(F.broadcast(thr), domain_col, "left")
+        .where(
+            F.when(F.col("_thr").isNotNull(), F.col("_h") < F.col("_thr"))
+            .otherwise(unseen_keep)
+        )
         .drop("_h", "_thr")
     )

@@ -86,6 +86,24 @@ def test_zvalue_guards(spark):
         zvalue(df, ("a", "b"), bits=31)  # 62 bits > 60
     with pytest.raises(ValueError):
         zvalue(df, (), bits=8)
+    # empty / all-NULL dimension: clear error, not float(None) TypeError
+    empty = spark.createDataFrame([], schema="a long")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        zvalue(empty, ("a",), bits=8)
+    allnull = spark.createDataFrame([(None,), (None,)], schema="a long")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        zvalue(allnull, ("a",), bits=8)
+
+
+def test_zvalue_null_dim_clamps_low(spark):
+    """A NULL dimension value lands on the low quantum instead of a
+    NULL z-value (which repartitionByRange would place arbitrarily)."""
+    df = spark.createDataFrame([(None,), (0,), (255,)], schema="a long")
+    got = df.withColumn("z", zvalue(df, ("a",), bits=8)).toPandas()
+    by_a = {a: z for a, z in zip(got.a, got.z)}
+    assert by_a[0] == 0 and by_a[255] == 255
+    null_z = got[got.a.isna()].z
+    assert (null_z == 0).all() and not null_z.isna().any()
 
 
 def test_string_ordinal_is_monotone(spark):

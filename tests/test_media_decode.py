@@ -795,6 +795,22 @@ def test_mp4_rejects_garbage_and_truncation():
     good = _mp4_bytes([b"frame"])
     with pytest.raises(DecoderNotAvailable):
         parse_mp4(good[: len(good) // 2])  # moov truncated away
+    # valid ftyp magic + a box whose declared size exceeds its payload:
+    # struct.error/IndexError inside the box walk must surface as
+    # DecoderNotAvailable, never crash a mapInPandas batch (ADVICE r9)
+    import struct as _struct
+
+    ftyp = _struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    short_moov = _struct.pack(">I", 24) + b"moov" + _struct.pack(">I", 16) + b"mvhd" + b"\x00" * 8
+    with pytest.raises(DecoderNotAvailable):
+        parse_mp4(ftyp + short_moov)  # mvhd payload shorter than v0 fields
+    # tiny tkhd (width/height fields missing) inside an otherwise-valid trak
+    tkhd = _struct.pack(">I", 12) + b"tkhd" + b"\x00" * 4
+    trak = _struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    mvhd = _struct.pack(">I", 8 + 4 + 16) + b"mvhd" + b"\x00" * 4 + _struct.pack(">IIII", 0, 0, 1000, 0)
+    moov = _struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    with pytest.raises(DecoderNotAvailable):
+        parse_mp4(ftyp + moov)
 
 
 def test_mp4_decode_media_and_sniff():

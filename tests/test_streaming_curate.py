@@ -175,3 +175,40 @@ def test_streaming_temperature_sample_equals_batch(spark, tmp_path):
     )
     for s_ in kept_by_src.index:
         assert kept_by_src[s_] == rep.loc[s_, "n_kept"]
+
+
+def test_streaming_temperature_sample_unseen_source_policy(spark, tmp_path):
+    """Sources absent from the fit corpus follow unseen_policy: drop by
+    default, keep-all with 'keep' — never a silent inner-join drop."""
+    from simple_tsdb_spark.streaming import streaming_temperature_sample
+
+    fit = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, f"doc {i}", "web") for i in range(20)],
+            columns=["doc_id", "text", "source"],
+        )
+    )
+    arrivals = [(100 + i, f"new {i}", "brandnew") for i in range(5)]
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    src = str(tmp_path / "src_unseen")
+    _write_one_doc_files(src, arrivals, base)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+
+    for policy, expect in (("drop", 0), ("keep", 5)):
+        out = streaming_temperature_sample(
+            stream, fit, target_total=10, unseen_policy=policy
+        )
+        qname = f"temp_unseen_{policy}"
+        q = (
+            out.writeStream.outputMode("append").format("memory")
+            .queryName(qname).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        n = spark.sql(f"SELECT COUNT(*) AS n FROM {qname}").first()["n"]
+        assert n == expect, (policy, n)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_temperature_sample(stream, fit, target_total=10, unseen_policy="bogus")
