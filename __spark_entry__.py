@@ -721,11 +721,13 @@ BM25_TERMS = ("spark", "vector", "merge")
 
 
 def _q_bm25_topk(spark, sf_dir):
-    """BM25 keyword retrieval: top-20 docs for a 3-term query (µnat
-    integer-ln idf, fixed-order IEEE scoring)."""
+    """BM25 keyword retrieval: top-20 docs for a 3-term query.  Gated
+    final is the 128-bit-exact integer ``bm25_munat`` (round-10
+    integer-finals doctrine); the float ``bm25`` convenience column is
+    dropped from the gate."""
     from simple_tsdb_spark.pipeline import bm25_topk
 
-    return bm25_topk(_docs(spark, sf_dir), query_terms=BM25_TERMS, k=20)
+    return bm25_topk(_docs(spark, sf_dir), query_terms=BM25_TERMS, k=20).drop("bm25")
 
 
 CONTAINMENT_THRESHOLD = 0.7
@@ -1033,9 +1035,12 @@ def _q_multimodal_meta(spark, sf_dir):
 
 
 def _q_blob_features(spark, sf_dir):
+    """Gated final is the exact-integer ``mean_sample_ppm``; the float
+    ``mean_sample`` convenience column is dropped from the gate
+    (round-10 integer-finals doctrine)."""
     from simple_tsdb_spark.pipeline import attach_blob, extract_blob_features
 
-    return extract_blob_features(attach_blob(_docs(spark, sf_dir)))
+    return extract_blob_features(attach_blob(_docs(spark, sf_dir))).drop("mean_sample")
 
 
 def _q_supplier_balance_quartiles(spark, sf_dir):
@@ -1942,7 +1947,11 @@ def _pipeline_oracles() -> dict[str, str]:
         "kmeans_clusters": kmeans_clusters_oracle(),
         "cluster_prune": cluster_prune_oracle(k=CLUSTER_PRUNE_K),
         "tfidf_topk": tfidf_topk_oracle(k=5),
-        "bm25_topk": bm25_topk_oracle(query_terms=BM25_TERMS, k=20),
+        "bm25_topk": (
+            "SELECT * EXCLUDE (bm25) FROM ("
+            + bm25_topk_oracle(query_terms=BM25_TERMS, k=20)
+            + ")"
+        ),
         "pmi_topk": pmi_topk_oracle(k=100, min_count=5),
         "corpus_stats": corpus_stats_oracle(),
         "quality_filter_pct": quality_filter_pct_oracle(pct=0.1),
@@ -2008,7 +2017,9 @@ def _pipeline_oracles() -> dict[str, str]:
         "pq_encode": pq_encode_oracle(),
         "simhash_band_dedup": simhash_band_dedup_oracle(max_hamming=SIMHASH_MAX_HAMMING),
         "multimodal_meta": attach_blob_meta_oracle(),
-        "blob_features": blob_features_oracle(),
+        "blob_features": (
+            "SELECT * EXCLUDE (mean_sample) FROM (" + blob_features_oracle() + ")"
+        ),
         "pricing_summary": pricing_summary_oracle(),
         "forecast_revenue": forecast_revenue_oracle(),
         "event_transitions": event_transitions_oracle(),

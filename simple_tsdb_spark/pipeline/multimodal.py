@@ -229,14 +229,19 @@ def _resize_nearest(img, width: int, height: int):
     return img[rows][:, cols]
 
 
-def _fake_decode_features(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic stand-in for a real decoder: (width, height, mean)
-    derived from the bytes, so tests can assert plumbing end-to-end."""
+def _fake_decode_features(payload: bytes) -> tuple[int, int, float, int]:
+    """Deterministic stand-in for a real decoder: (width, height, mean,
+    mean_ppm) derived from the bytes, so tests can assert plumbing
+    end-to-end.  ``mean_ppm`` is the exact integer
+    ``(10^6·Σbytes) // (den·255)`` — the gated final (round-10
+    integer-finals doctrine); the float ``mean`` stays as the
+    real-decoder-shaped convenience."""
     n = len(payload)
     width = (n % 64) + 1
     height = (n // 64) % 64 + 1
-    mean = (sum(payload[:32]) / max(1, min(n, 32))) / 255.0
-    return width, height, mean
+    s, den = sum(payload[:32]), max(1, min(n, 32))
+    mean = (s / den) / 255.0
+    return width, height, mean, (1_000_000 * s) // (den * 255)
 
 
 #: magic-byte signatures → mime, longest-prefix first (crawl payloads
@@ -415,21 +420,25 @@ def extract_blob_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if use_real_decoder:
+                # real decodes are float contracts; the ppm twin is a
+                # floor-quantized convenience (never oracle-gated)
                 feats = [
-                    _real_decode_features(bytes(p), m)
+                    (*_real_decode_features(bytes(p), m),)
                     for m, p in zip(pdf["mime"], pdf["payload"])
                 ]
+                feats = [(w, h, mn, int(mn * 1_000_000)) for (w, h, mn) in feats]
             else:
                 feats = [_fake_decode_features(bytes(p)) for p in pdf["payload"]]
             out = pdf[["doc_id", "n_bytes", "payload_md5"]].copy()
             out["width"] = [f[0] for f in feats]
             out["height"] = [f[1] for f in feats]
             out["mean_sample"] = [f[2] for f in feats]
+            out["mean_sample_ppm"] = [f[3] for f in feats]
             yield out
 
     schema = (
         "doc_id long, n_bytes int, payload_md5 string, "
-        "width int, height int, mean_sample double"
+        "width int, height int, mean_sample double, mean_sample_ppm long"
     )
     return base.mapInPandas(batches, schema=schema)
 
@@ -456,6 +465,8 @@ SELECT doc_id,
        md5(text) AS payload_md5,
        CAST(({n} % 64) + 1 AS INTEGER) AS width,
        CAST((({n} // 64) % 64) + 1 AS INTEGER) AS height,
-       ({bytesum} / GREATEST(1, LEAST({n}, 32))) / 255.0 AS mean_sample
+       ({bytesum} / GREATEST(1, LEAST({n}, 32))) / 255.0 AS mean_sample,
+       CAST((1000000 * {bytesum}) // (GREATEST(1, LEAST({n}, 32)) * 255) AS BIGINT)
+         AS mean_sample_ppm
 FROM {table}
 """

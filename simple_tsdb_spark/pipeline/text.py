@@ -477,6 +477,23 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _bm25_rationals(k1: float, b: float) -> tuple[int, int, int, int]:
+    """(a, c, p, q) with k1 = a/c and b = p/q exactly — the integer
+    constants the engine-exact ``bm25_munat`` quotient is built from."""
+    from fractions import Fraction
+
+    k1f = Fraction(k1).limit_denominator(10**6)
+    bf = Fraction(b).limit_denominator(10**6)
+    if float(k1f) != float(k1) or float(bf) != float(b):
+        raise ValueError("k1/b must be exactly rational for bm25_munat")
+    return k1f.numerator, k1f.denominator, bf.numerator, bf.denominator
+
+
+def _lnq_sql(arg: str) -> str:
+    """SQL-text twin of :func:`_lnq_unats` for inline expr building."""
+    return f"CAST(floor(1e6 * ln(CAST({arg} AS DOUBLE))) AS BIGINT)"
+
+
 def bm25_topk(
     df: DataFrame,
     *,
@@ -492,13 +509,21 @@ def bm25_topk(
     ``idf = ln((N+1)/(df+0.5))`` flavor), the retrieval complement to
     the embedding ANN family.
 
-    Engine-portable scoring: the idf is computed on the µnat integer-ln
-    grid from INTEGER arguments only — ``lnq(2N+2) − lnq(2·df+1)``
-    equals ``⌊1e6·ln((N+1)/(df+0.5))⌋`` exactly — and every remaining
-    step is IEEE double arithmetic in a fixed parenthesization,
-    replicated verbatim in the oracle.  Per-doc term sums add the
-    per-term score columns in query order (no order-nondeterministic
-    float aggregation).
+    Engine-portable scoring (integer-finals doctrine, round 10): the
+    idf is computed on the µnat integer-ln grid from INTEGER arguments
+    only — ``lnq(2N+2) − lnq(2·df+1)`` equals
+    ``⌊1e6·ln((N+1)/(df+0.5))⌋`` exactly — and the gated score
+    ``bm25_munat`` stays on that grid end-to-end: with ``k1 = a/c`` and
+    ``b = p/q`` as exact rationals, each term contributes the truncated
+    128-bit integer quotient
+
+        (idfq·(a+c)·q·tf·sumdl) div (c·q·tf·sumdl + a·(q−p)·sumdl + a·p·dl·N)
+
+    (numerator in DECIMAL(38,0); Spark ``div`` ≡ DuckDB HUGEINT ``//``,
+    both truncate toward zero), summed over terms in query order — NO
+    DOUBLE anywhere in the gated path.  The float ``bm25`` column
+    (same math in fixed-parenthesization IEEE order) is kept as a
+    non-gated convenience; top-k order is (bm25_munat DESC, doc_id).
 
     Scale: per-term tf is a codegen ``size(filter(...))`` projection —
     the corpus scans ONCE with NO explode and NO shuffle; the df/N/avgdl
@@ -510,6 +535,7 @@ def bm25_topk(
     terms = list(query_terms)
     if not terms:
         raise ValueError("query_terms must be non-empty")
+    a, c, p, q = _bm25_rationals(k1, b)
     words = f"split({text_col}, ' ')"
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -532,6 +558,7 @@ def bm25_topk(
         F.col("_sumdl").cast("double") / F.col("_n").cast("double")
     )
     scores = []
+    qscores = []
     for i in range(len(terms)):
         idfq = _lnq_unats(F.lit(2) * F.col("_n") + F.lit(2)) - _lnq_unats(
             F.lit(2) * F.col(f"_df{i}") + F.lit(1)
@@ -541,17 +568,30 @@ def bm25_topk(
             tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dlnorm)
         )
         scores.append(s)
+        # 128-bit integer quotient on the µnat grid — engine-exact
+        qscores.append(
+            F.expr(
+                f"(CAST(({_lnq_sql(f'2 * _n + 2')} - {_lnq_sql(f'2 * _df{i} + 1')})"
+                f" AS DECIMAL(38,0)) * {(a + c) * q} * tf{i} * _sumdl)"
+                f" div ({c * q} * tf{i} * _sumdl + {a * (q - p)} * _sumdl"
+                f" + {a * p} * dl * _n)"
+            )
+        )
     total = scores[0]
+    qtotal = qscores[0]
     for s in scores[1:]:
         total = total + s
+    for s in qscores[1:]:
+        qtotal = qtotal + s
     return (
         joined.select(
             "doc_id",
             "dl",
             *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+            qtotal.cast("long").alias("bm25_munat"),
             total.alias("bm25"),
         )
-        .orderBy(F.col("bm25").desc(), "doc_id")
+        .orderBy(F.col("bm25_munat").desc(), "doc_id")
         .limit(k)
     )
 
@@ -572,8 +612,10 @@ def bm25_topk_oracle(
     df_defs = ",\n         ".join(
         f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(terms))
     )
+    a, c, p, q = _bm25_rationals(k1, b)
     dlnorm = "CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
     score_parts = []
+    qscore_parts = []
     for i in range(len(terms)):
         idf = (
             f"(CAST(floor(1e6 * ln(CAST(2 * n + 2 AS DOUBLE))) AS BIGINT)"
@@ -583,9 +625,16 @@ def bm25_topk_oracle(
             f"((CAST({idf} AS DOUBLE) / 1000000.0) * (CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r}))"
             f" / (CAST(tf{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * ({dlnorm})))"
         )
+        qscore_parts.append(
+            f"(CAST({idf} AS HUGEINT) * {(a + c) * q} * tf{i} * sumdl)"
+            f" // ({c * q} * tf{i} * sumdl + {a * (q - p)} * sumdl + {a * p} * dl * n)"
+        )
     total = score_parts[0]
+    qtotal = qscore_parts[0]
     for s in score_parts[1:]:
         total = f"({total} + {s})"
+    for s in qscore_parts[1:]:
+        qtotal = f"({qtotal} + {s})"
     tf_outs = ", ".join(f"tf{i} AS \"tf_{t}\"" for i, t in enumerate(terms))
     return f"""
 WITH base AS (
@@ -596,9 +645,9 @@ stats AS (
   SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
          {df_defs}
   FROM base)
-SELECT doc_id, dl, {tf_outs}, {total} AS bm25
+SELECT doc_id, dl, {tf_outs}, CAST({qtotal} AS BIGINT) AS bm25_munat, {total} AS bm25
 FROM base, stats
-ORDER BY bm25 DESC, doc_id LIMIT {k}
+ORDER BY bm25_munat DESC, doc_id LIMIT {k}
 """
 
 

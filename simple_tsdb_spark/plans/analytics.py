@@ -568,45 +568,59 @@ def nation_balance_share(
     GLOBAL total — the group-vs-global-scalar pattern (Q11's
     ``HAVING SUM(...) > (SELECT SUM(...) * fraction)``).
 
-    Balances sum in exact DECIMAL on both branches; the global scalar
-    rides a broadcast (one row) instead of re-aggregating per group;
-    ``share`` is the quotient of the two once-cast doubles.  The
-    nation dimension broadcasts onto the customer aggregation.
+    Integer-finals doctrine (round 10): balances sum as exact CENTS
+    (BIGINT) on both branches; the global scalar rides a broadcast (one
+    row) instead of re-aggregating per group; ``share_ppm`` is the
+    truncated 128-bit integer quotient ``(10^6·t) div g`` and the
+    HAVING is the exact cross-multiplication ``t·den > g·num`` (with
+    ``min_share = num/den``) — no DOUBLE anywhere in the final.
+    The nation dimension broadcasts onto the customer aggregation.
     """
+    from fractions import Fraction
+
+    ms = Fraction(min_share).limit_denominator(10**6)
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
     per_nation = (
         cust.groupBy("c_nationkey")
-        .agg(F.sum(bal).alias("_total"))
+        .agg(F.sum(cents).alias("_total"))
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
     )
-    total = cust.agg(F.sum(bal).alias("_g"))
+    total = cust.agg(F.sum(cents).alias("_g"))
     return (
         per_nation.crossJoin(F.broadcast(total))
-        .withColumn("total_balance", F.col("_total").cast("double"))
-        .withColumn(
-            "share",
-            F.col("_total").cast("double") / F.col("_g").cast("double"),
+        .where(
+            F.col("_total") * F.lit(ms.denominator) > F.col("_g") * F.lit(ms.numerator)
         )
-        .where(F.col("share") > F.lit(float(min_share)))
-        .select("n_name", "total_balance", "share")
-        .orderBy(F.col("total_balance").desc(), "n_name")
+        .select(
+            "n_name",
+            F.col("_total").alias("total_balance_cents"),
+            F.expr("CAST(1000000 AS DECIMAL(38,0)) * _total div _g").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.col("total_balance_cents").desc(), "n_name")
     )
 
 
 def nation_balance_share_oracle(*, min_share: float = 0.01) -> str:
+    from fractions import Fraction
+
+    ms = Fraction(min_share).limit_denominator(10**6)
     return f"""
 WITH per_nation AS (
-  SELECT n_name, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS t
+  SELECT n_name, CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS t
   FROM customer JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name),
-total AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS g FROM customer)
-SELECT n_name, CAST(t AS DOUBLE) AS total_balance,
-       CAST(t AS DOUBLE) / CAST(g AS DOUBLE) AS share
+total AS (
+  SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS g
+  FROM customer)
+SELECT n_name, t AS total_balance_cents,
+       CAST((1000000::HUGEINT * t) // g AS BIGINT) AS share_ppm
 FROM per_nation, total
-WHERE CAST(t AS DOUBLE) / CAST(g AS DOUBLE) > {float(min_share)!r}
-ORDER BY total_balance DESC, n_name
+WHERE t * {ms.denominator} > g * {ms.numerator}
+ORDER BY total_balance_cents DESC, n_name
 """
 
 

@@ -397,14 +397,34 @@ def test_min_cost_parts_keeps_all_ties(spark):
 
 
 def test_nation_balance_share_sums_to_one(spark):
-    """Shares over ALL nations sum to 1; the threshold only filters."""
+    """Truncated ppm shares over ALL nations sum to 10^6 minus the
+    per-nation truncation losses (each < 1 ppm); the exact
+    cross-multiplied threshold only filters."""
+    import pandas as pd
+
     from simple_tsdb_spark.plans.analytics import nation_balance_share
 
     sf = "/root/testdata/sf0.001"
     got = nation_balance_share(spark, sf, min_share=0.0).toPandas()
-    assert abs(got.share.sum() - 1.0) < 1e-9
+    n_nations = len(got)
+    assert 1_000_000 - n_nations <= got.share_ppm.sum() <= 1_000_000
+    # cents are exact: totals must equal the pandas cents sum
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    nat = pd.read_parquet(f"{sf}/nation.parquet")
+    cents = (cust.c_acctbal * 100).round().astype("int64")
+    want = (
+        cust.assign(_c=cents)
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .groupby("n_name")["_c"]
+        .sum()
+    )
+    for r in got.itertuples():
+        assert r.total_balance_cents == want[r.n_name]
+    g = int(cents.sum())
     filtered = nation_balance_share(spark, sf, min_share=0.05).toPandas()
-    assert set(filtered.n_name) == set(got[got.share > 0.05].n_name)
+    assert set(filtered.n_name) == {
+        n for n in got.n_name if want[n] * 20 > g  # 0.05 = 1/20 exact
+    }
 
 
 def test_supplier_balance_quartiles_model(spark):

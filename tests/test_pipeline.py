@@ -646,15 +646,21 @@ def test_lm_perplexity_buckets(spark, docs):
     from simple_tsdb_spark.pipeline import lm_perplexity_buckets, ngram_lm_score
 
     got = lm_perplexity_buckets(docs).toPandas()
-    xs = ngram_lm_score(docs).toPandas().xent.dropna().to_numpy()
-    t1, t2 = np.quantile(xs, 1.0 / 3.0), np.quantile(xs, 2.0 / 3.0)
-    assert abs(got.t_head.iloc[0] - t1) < 1e-12
-    assert abs(got.t_middle.iloc[0] - t2) < 1e-12
-    lab = got.dropna(subset=["xent"])
+    xs = sorted(
+        ngram_lm_score(docs).toPandas().xent_munat.dropna().astype(int)
+    )
+    m = len(xs) - 1
+    want_thr = []
+    for j in (1, 2):
+        k, fr = (m * j) // 3, (m * j) % 3
+        want_thr.append(3 * xs[k] + fr * (xs[min(k + 1, m)] - xs[k]))
+    assert int(got.t_head_x3.iloc[0]) == want_thr[0]
+    assert int(got.t_middle_x3.iloc[0]) == want_thr[1]
+    lab = got.dropna(subset=["xent_munat"])
     assert (
         lab.bucket
-        == np.where(lab.xent <= lab.t_head, "head",
-                    np.where(lab.xent <= lab.t_middle, "middle", "tail"))
+        == np.where(3 * lab.xent_munat <= lab.t_head_x3, "head",
+                    np.where(3 * lab.xent_munat <= lab.t_middle_x3, "middle", "tail"))
     ).all()
     counts = lab.bucket.value_counts()
     n = len(lab)
@@ -688,16 +694,19 @@ def test_corpus_stats_model(spark, docs):
 
 def test_quality_filter_pct(spark, docs):
     """The adaptive gate keeps ~(1-pct) of docs; flags are consistent
-    with the emitted threshold; threshold equals the numpy quantile."""
-    import numpy as np
-
+    with the emitted ×10^6 threshold; the threshold equals the exact
+    type-7 interpolated order statistic on the quality_ppm grid."""
     from simple_tsdb_spark.pipeline import quality_filter_pct, quality_score
 
     got = quality_filter_pct(docs, pct=0.2).toPandas()
-    q = quality_score(docs).toPandas().quality.to_numpy()
-    thr = np.quantile(q, 0.2)  # linear interpolation — same rule
-    assert abs(got.threshold.iloc[0] - thr) < 1e-12
-    assert (got.keep == (got.quality >= got.threshold)).all()
+    q = sorted(quality_score(docs).toPandas().quality_ppm.astype(int))
+    n, pm = len(q), 200_000
+    idx = (n - 1) * pm
+    k, fr = idx // 1_000_000, idx % 1_000_000
+    xk, xk1 = q[k], q[min(k + 1, n - 1)]
+    thr = 1_000_000 * xk + fr * (xk1 - xk)
+    assert int(got.threshold_x1m.iloc[0]) == thr
+    assert (got.keep == (1_000_000 * got.quality_ppm >= got.threshold_x1m)).all()
     frac = got.keep.mean()
     assert 0.75 <= frac <= 0.85  # ~80% kept at pct=0.2 (ties can shift it)
 
@@ -766,32 +775,43 @@ def test_bm25_topk_python_model(spark):
     terms = ["apple", "cherry"]
     got = bm25_topk(df, query_terms=terms, k=4).toPandas()
 
+    from simple_tsdb_spark.pipeline.text import _bm25_rationals
+
+    a, c, p, q = _bm25_rationals(BM25_K1, BM25_B)
+    assert (a, c, p, q) == (6, 5, 3, 4)
     words = {d: t.split() for d, t in docs}
     n = len(docs)
     sumdl = sum(len(w) for w in words.values())
     avgdl = sumdl / n
     dfreq = {t: sum(1 for w in words.values() if t in w) for t in terms}
     want = {}
+    want_munat = {}
     for d, w in words.items():
         score = 0.0
+        munat = 0
         for t in terms:
             tf = w.count(t)
-            idf = (
-                math.floor(1e6 * math.log(2 * n + 2))
-                - math.floor(1e6 * math.log(2 * dfreq[t] + 1))
-            ) / 1e6
-            score += idf * (tf * (BM25_K1 + 1.0)) / (
+            idfq = math.floor(1e6 * math.log(2 * n + 2)) - math.floor(
+                1e6 * math.log(2 * dfreq[t] + 1)
+            )
+            score += (idfq / 1e6) * (tf * (BM25_K1 + 1.0)) / (
                 tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (len(w) / avgdl))
             )
+            munat += (idfq * (a + c) * q * tf * sumdl) // (
+                c * q * tf * sumdl + a * (q - p) * sumdl + a * p * len(w) * n
+            )
         want[d] = score
-    # ranking: score desc, doc_id asc
-    order = sorted(want, key=lambda d: (-want[d], d))
+        want_munat[d] = munat
+    # ranking: integer munat score desc, doc_id asc (the gated order)
+    order = sorted(want_munat, key=lambda d: (-want_munat[d], d))
     assert list(got.doc_id) == order
     for r in got.itertuples():
         assert abs(r.bm25 - want[r.doc_id]) < 1e-9
+        assert r.bm25_munat == want_munat[r.doc_id]
         assert r.tf_apple == words[r.doc_id].count("apple")
-    # doc 4 contains neither term → exactly zero
+    # doc 4 contains neither term → exactly zero on both grids
     assert got[got.doc_id == 4].bm25.iloc[0] == 0.0
+    assert got[got.doc_id == 4].bm25_munat.iloc[0] == 0
 
 
 def test_tfidf_topk_python_model(spark):
