@@ -1298,7 +1298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
         "multimodal_meta": _q_multimodal_meta,
-        "blob_features": _q_blob_features,  # mapInPandas — rows-only check
+        "blob_features": _q_blob_features,  # fake-decoder features, ppm gated final
+        "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (bm25_munat gated)
+        "nation_balance_share": _q_nation_balance_share,  # Q11 share_ppm + cents
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
@@ -1340,7 +1342,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_moving_avg": _q_range_moving_avg,  # RANGE time-window frame
         "zorder_key": _q_zorder_key,  # Morton layout key (data-skipping write)
         "min_cost_parts": _q_min_cost_parts,  # Q2 correlated-subquery decorrelation
-        "nation_balance_share": _q_nation_balance_share,  # Q11 global-share HAVING
         "supplier_balance_quartiles": _q_supplier_balance_quartiles,  # exact quartiles on a dim join
         "corpus_diff": _q_corpus_diff,  # snapshot diff (dataset versioning)
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
@@ -1352,7 +1353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_range": _q_knn_range,  # cosine radius search (fixed-threshold ANN audit)
         "time_weighted_avg": _q_time_weighted_avg,  # trapezoid time_weight per window
         "hopping_mean": _q_hopping_mean,  # sliding 1d/6h window mean (overlap agg)
-        "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (lexical ranker)
         "block_dedup": _q_block_dedup,  # C4-style sub-document block dedup
         "shipping_priority": _q_shipping_priority,  # TPC-H Q3 revenue ranking
         "heatmap": _q_heatmap,  # 2-D time x value-bin heatmap

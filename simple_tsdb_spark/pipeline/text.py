@@ -568,13 +568,15 @@ def bm25_topk(
             tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dlnorm)
         )
         scores.append(s)
-        # 128-bit integer quotient on the µnat grid — engine-exact
+        # 128-bit integer quotient on the µnat grid — engine-exact;
+        # the denominator also rides DECIMAL(38,0) so c·q·tf·sumdl
+        # can't overflow int64 on a long doc in a huge corpus
         qscores.append(
             F.expr(
                 f"(CAST(({_lnq_sql(f'2 * _n + 2')} - {_lnq_sql(f'2 * _df{i} + 1')})"
                 f" AS DECIMAL(38,0)) * {(a + c) * q} * tf{i} * _sumdl)"
-                f" div ({c * q} * tf{i} * _sumdl + {a * (q - p)} * _sumdl"
-                f" + {a * p} * dl * _n)"
+                f" div (CAST({c * q} AS DECIMAL(38,0)) * tf{i} * _sumdl"
+                f" + {a * (q - p)} * _sumdl + {a * p} * dl * _n)"
             )
         )
     total = scores[0]
@@ -627,7 +629,8 @@ def bm25_topk_oracle(
         )
         qscore_parts.append(
             f"(CAST({idf} AS HUGEINT) * {(a + c) * q} * tf{i} * sumdl)"
-            f" // ({c * q} * tf{i} * sumdl + {a * (q - p)} * sumdl + {a * p} * dl * n)"
+            f" // (CAST({c * q} AS HUGEINT) * tf{i} * sumdl"
+            f" + {a * (q - p)} * sumdl + {a * p} * dl * n)"
         )
     total = score_parts[0]
     qtotal = qscore_parts[0]
