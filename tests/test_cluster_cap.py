@@ -23,6 +23,7 @@ def _mega(n, dim=64, seed=4):
     ]
 
 
+@pytest.mark.soak
 def test_cap_bounds_pair_work(spark):
     """3000-row mega-cluster: uncapped would emit ~4.5M pairs; the cap
     bounds the build side to 256 anchors → ≤ n·256 pairs."""

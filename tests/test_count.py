@@ -3,10 +3,13 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 from simple_tsdb_spark.operators import count_points
 
 
+@pytest.mark.soak
 def test_sliding_count(spark, f1, f1_pdf):
     # stride-5 grid over the live range edges (reference uses stride 5 over
     # the whole range; we cover the boundary-rich region + spot checks).

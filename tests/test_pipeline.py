@@ -415,6 +415,7 @@ def test_repetition_stats_python_model(spark):
     assert got[3].top_bigram_frac_ppm > got[1].top_bigram_frac_ppm
 
 
+@pytest.mark.soak
 def test_pq_trained_fits_identical_and_oracle_exact(spark, embs):
     """IVF-PQ with TRAINED codebooks + trained coarse centroids: the
     Spark and DuckDB per-subspace Lloyd's fits must emit byte-identical

@@ -10,6 +10,7 @@ the Spark-level tests can afford.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -133,6 +134,7 @@ def test_ewma_oracle_sql_matches_pandas_with_nulls(vals, alpha):
     )
 
 
+@pytest.mark.soak
 def test_writer_randomized_model(spark, tmp_path):
     """Randomized interleaving of strict/dedup writes (DataFrame AND
     pandas lanes) and physical deletes vs a python model of the

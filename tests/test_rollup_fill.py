@@ -192,6 +192,7 @@ def test_hybrid_with_late_new_series(spark, tmp_path):
     assert r.groupBy("series", "wstart").count().where("count > 1").count() == 0
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("seed", [7, 1234])
 def test_advance_rollup_random_interleavings(spark, tmp_path, seed):
     """Property test (ROADMAP #5): under ANY per-series-ordered arrival

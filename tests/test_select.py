@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from simple_tsdb_spark.operators import select_points, select_last_points
 
@@ -157,6 +158,7 @@ def test_probed_last_n_unbucketed_fallback(spark, tmp_path):
     assert list(got.time_ns) == [30, 40]
 
 
+@pytest.mark.soak
 def test_probed_cutoff_driver_light_at_high_series_cardinality(spark, tmp_path, monkeypatch):
     """The per-series probe must ship ONE scalar per round to the driver,
     not an O(#series) row set (select_op.cc:294-345 seeks per series
