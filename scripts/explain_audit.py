@@ -855,6 +855,20 @@ def main() -> int:
         and "Join" not in p.split("Window")[0],
     )
 
+    # quality_filter_pct: exact quantile thresholds resolve on the
+    # DISTINCT-value rank histogram — the single-partition window must
+    # consume an aggregate on the score key (running sum), never a
+    # corpus-wide row_number sort.
+    from simple_tsdb_spark.pipeline import quality_filter_pct
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(quality_filter_pct(docs_df, pct=0.1))
+    ok &= check(
+        "quality_filter_pct: histogram order stats (agg on score key, no row_number)",
+        "row_number" not in p
+        and bool(re.search(r"hashpartitioning\(quality_ppm#\d+", p)),
+    )
+
     print("==", "ALL PASS" if ok else "SOME FAILED", "==")
     return 0 if ok else 1
 

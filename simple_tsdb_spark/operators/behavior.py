@@ -296,8 +296,9 @@ def funnel_conversion_time(
     over the latency order statistics) — ALL BIGINT, no DOUBLE
     (round-10 integer-finals doctrine).
 
-    Same scale shape as the funnel: shrinking user-keyed joins, then a
-    rank + a single scalar aggregate over the (small) converter set.
+    Same scale shape as the funnel: shrinking user-keyed joins, then
+    the distinct-latency rank histogram (functions/orderstats.py — no
+    global row sort) + one scalar aggregate over the converter set.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
@@ -325,34 +326,36 @@ def funnel_conversion_time(
             .groupBy("u")
             .agg(F.min("t").alias("tp"), F.first("t1").alias("t1"))
         )
-    from pyspark.sql import Window
+    from simple_tsdb_spark.functions.orderstats import rank_histogram, stat_at
 
     lat = cur.select((F.col("tp") - F.col("t1")).alias("latency_ns"))
-    ranked = lat.select(
-        "latency_ns",
-        F.row_number().over(Window.orderBy("latency_ns")).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    tot = lat.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("latency_ns").alias("_min"),
+        F.max("latency_ns").alias("_max"),
+        F.when(F.count(F.lit(1)) > 0, F.expr("sum(latency_ns) div count(1)")).alias(
+            "_mean"
+        ),
     )
+    ranked = rank_histogram(lat, "latency_ns").crossJoin(F.broadcast(tot))
 
     def pq(tenths: int, alias: str):
         k = F.expr(f"((_n - 1) * {tenths}) div 10")
         fr = F.expr(f"((_n - 1) * {tenths}) % 10")
-        xk = F.max(F.when(F.col("_rn") == k + 1, F.col("latency_ns")))
-        xk1 = F.max(
-            F.when(F.col("_rn") == F.least(k + 2, F.col("_n")), F.col("latency_ns"))
-        )
+        xk = stat_at("latency_ns", k + 1)
+        xk1 = stat_at("latency_ns", F.least(k + 2, F.col("_n")))
         return (F.lit(10) * xk + F.max(fr) * (xk1 - xk)).alias(alias)
 
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.min("latency_ns").alias("min_ns"),
-        F.max("latency_ns").alias("max_ns"),
-        F.when(
-            F.count(F.lit(1)) > 0,
-            F.expr("sum(latency_ns) div count(1)"),
-        ).alias("mean_ns"),
-        pq(5, "p50_ns_x10"),
-        pq(9, "p90_ns_x10"),
+    # thresholds from the histogram, scalars from tot — an EMPTY funnel
+    # still yields one row (n_converted=0, NULL stats), as before
+    thr = ranked.agg(pq(5, "p50_ns_x10"), pq(9, "p90_ns_x10"))
+    return tot.crossJoin(F.broadcast(thr)).select(
+        F.col("_n").alias("n_converted"),
+        F.col("_min").alias("min_ns"),
+        F.col("_max").alias("max_ns"),
+        F.col("_mean").alias("mean_ns"),
+        "p50_ns_x10",
+        "p90_ns_x10",
     )
 
 

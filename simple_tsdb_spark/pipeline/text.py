@@ -799,10 +799,11 @@ def lm_perplexity_buckets(
     ``3·xent_munat ≤ t_x3``.  No DOUBLE anywhere.  Docs with NULL
     xent_munat (no bigrams) get NULL bucket.
 
-    Scale: one scoring pass (the ngram_lm_score plan), one
-    score-column-only rank (verification path; approx sketch at
-    corpus scale) broadcast back — the bucketing adds no corpus-sized
-    shuffle beyond the scorer's own.
+    Scale: one scoring pass (the ngram_lm_score plan); the tercile
+    order statistics resolve against the distinct-value rank histogram
+    (functions/orderstats.py — map-side-combined count on the munat
+    key, only distinct scores enter the single-partition cumsum), then
+    broadcast back — no corpus-sized sort anywhere.
     """
     scores = ngram_lm_score(df, fit_pred=fit_pred, text_col=text_col, id_col=id_col)
     if cache == "local":
@@ -811,25 +812,21 @@ def lm_perplexity_buckets(
         # consumes it 2-3× (thresholds, labels, downstream joins) —
         # materialize once.  Result-transparent: same rows either way.
         scores = scores.localCheckpoint(eager=True)
-    from pyspark.sql import Window
+    from simple_tsdb_spark.functions.orderstats import rank_histogram, stat_at
 
     sc = scores.select(id_col, "xent_munat")
     nn = sc.where(F.col("xent_munat").isNotNull())
     tot = nn.agg(F.count(F.lit(1)).alias("_n"))
-    ranked = (
-        nn.select("xent_munat")
-        .withColumn("_rn", F.row_number().over(Window.orderBy("xent_munat")))
-        .crossJoin(F.broadcast(tot))
+    ranked = rank_histogram(nn.select("xent_munat"), "xent_munat").crossJoin(
+        F.broadcast(tot)
     )
 
     def t_x3(j: int, alias: str):
         k = F.expr(f"((_n - 1) * {j}) div 3")
         fr = F.expr(f"((_n - 1) * {j}) % 3")
         return ranked.agg(
-            F.max(F.when(F.col("_rn") == k + 1, F.col("xent_munat"))).alias("_xk"),
-            F.max(
-                F.when(F.col("_rn") == F.least(k + 2, F.col("_n")), F.col("xent_munat"))
-            ).alias("_xk1"),
+            stat_at("xent_munat", k + 1).alias("_xk"),
+            stat_at("xent_munat", F.least(k + 2, F.col("_n"))).alias("_xk1"),
             F.max(fr).alias("_fr"),
         ).select(
             (
@@ -1288,32 +1285,28 @@ def quality_filter_pct(
     interpolation; ``keep`` is the exact comparison
     ``10^6·quality_ppm ≥ threshold_x1m``.
 
-    Scale note: the order statistics use a global row_number (one
-    total sort of the SCORE column only — ids and text never enter
-    the sort); this exact form is the verification path, and an
-    approx-quantile sketch replaces it when the corpus outgrows a
-    sortable score column.
+    Scale note: the order statistics resolve against the DISTINCT-
+    value rank histogram (functions/orderstats.py) — corpus-sized work
+    is one map-side-combined count shuffle on the integer score key;
+    only the ≤ grid-cardinality distinct values enter the single-
+    partition running sum.  Exact at any corpus size.
     """
+    from simple_tsdb_spark.functions.orderstats import rank_histogram, stat_at
+
     pm = int(round(float(pct) * 1_000_000))
     scores = quality_score(df, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.col("quality_ppm")
     )
     tot = scores.agg(F.count(F.lit(1)).alias("_n"))
     ranked = (
-        scores.select("quality_ppm")
-        .withColumn("_rn", F.row_number().over(Window.orderBy("quality_ppm")))
+        rank_histogram(scores.select("quality_ppm"), "quality_ppm")
         .crossJoin(F.broadcast(tot))
         .withColumn("_k", F.expr(f"((_n - 1) * {pm}) div 1000000"))
         .withColumn("_fr", F.expr(f"((_n - 1) * {pm}) % 1000000"))
     )
     thr = ranked.agg(
-        F.max(F.when(F.col("_rn") == F.col("_k") + 1, F.col("quality_ppm"))).alias("_xk"),
-        F.max(
-            F.when(
-                F.col("_rn") == F.least(F.col("_k") + 2, F.col("_n")),
-                F.col("quality_ppm"),
-            )
-        ).alias("_xk1"),
+        stat_at("quality_ppm", F.col("_k") + 1).alias("_xk"),
+        stat_at("quality_ppm", F.least(F.col("_k") + 2, F.col("_n"))).alias("_xk1"),
         F.max("_fr").alias("_fr"),
     ).select(
         (
