@@ -454,9 +454,9 @@ def r9s3_ops_phase(
 
     t = time.time()
     stats = ivf_stats(vecs).collect()
-    hot = max(r["load_factor"] for r in stats)
+    hot = max(r["load_factor_e6"] for r in stats)
     print(f"R9s3 ivf_stats over {n_vecs:,} vecs: {time.time()-t:.1f}s "
-          f"lists={len(stats)} max_load={hot:.2f}")
+          f"lists={len(stats)} max_load={hot / 1e6:.2f}")
 
     # corpus_diff: version B = drop 10%, edit 10% (the gate recipe at scale)
     from simple_tsdb_spark.pipeline import corpus_diff
@@ -1072,10 +1072,6 @@ def main() -> None:
                 assert r_w <= 14, (k, r_w)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def marks_phase(n_marks: int = 1_000_000, n_appends: int = 100) -> None:
     """Sidecar-sharding proof at 10⁶ recorded series: a point-scale
     append's mark publish must cost O(touched + marks/buckets), not
@@ -1142,3 +1138,7 @@ def marks_phase(n_marks: int = 1_000_000, n_appends: int = 100) -> None:
     assert st3._marks.get("s0") == 200
     assert dt_sharded < dt_legacy / 5, (dt_sharded, dt_legacy)
     shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
