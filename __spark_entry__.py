@@ -1301,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_features": _q_blob_features,  # fake-decoder features, ppm gated final
         "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (bm25_munat gated)
         "nation_balance_share": _q_nation_balance_share,  # Q11 share_ppm + cents
+        "supplier_balance_quartiles": _q_supplier_balance_quartiles,  # cents-x4 exact quartiles
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
@@ -1342,7 +1343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_moving_avg": _q_range_moving_avg,  # RANGE time-window frame
         "zorder_key": _q_zorder_key,  # Morton layout key (data-skipping write)
         "min_cost_parts": _q_min_cost_parts,  # Q2 correlated-subquery decorrelation
-        "supplier_balance_quartiles": _q_supplier_balance_quartiles,  # exact quartiles on a dim join
         "corpus_diff": _q_corpus_diff,  # snapshot diff (dataset versioning)
         "doc_chunks": _q_doc_chunks,  # RAG chunking (tail-aligned token windows)
         "hard_negatives": _q_hard_negatives,  # contrastive cross-label neighbor mining

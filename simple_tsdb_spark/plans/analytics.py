@@ -630,10 +630,18 @@ def supplier_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the one remaining fixture table (supplier), exercising exact
     interpolated percentiles on a dimension join.
 
-    Nation broadcasts onto the supplier aggregation; percentile() /
-    quantile_cont interpolate bit-identically (the proven
-    quantile_points contract — no rounding anywhere)."""
-    sup = _t(spark, sf_dir, "supplier")
+    Integer finals (round-10 doctrine): balances quantize to exact
+    CENTS, and each quartile rides a ×4 grid — the type-7 rank
+    ``(n−1)·q`` for q ∈ {¼, ½, ¾} has a quarter-integer fraction, so
+    ``4·((1−g)·x_k + g·x_{k+1})`` over integer cents is an exactly-
+    representable integer in ANY IEEE evaluation order (every
+    intermediate is an exact quarter-integer < 2^53) — the BIGINT cast
+    is engine-exact regardless of how each engine parenthesizes its
+    interpolation.  Nation/region broadcast onto the supplier
+    aggregation."""
+    sup = _t(spark, sf_dir, "supplier").withColumn(
+        "_cents", (F.col("s_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    )
     nation = _t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -644,9 +652,15 @@ def supplier_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.expr("percentile(s_acctbal, 0.25)").alias("q1"),
-            F.expr("percentile(s_acctbal, 0.5)").alias("median"),
-            F.expr("percentile(s_acctbal, 0.75)").alias("q3"),
+            F.expr("CAST(percentile(_cents, 0.25) * 4 AS BIGINT)").alias(
+                "q1_cents_x4"
+            ),
+            F.expr("CAST(percentile(_cents, 0.5) * 4 AS BIGINT)").alias(
+                "median_cents_x4"
+            ),
+            F.expr("CAST(percentile(_cents, 0.75) * 4 AS BIGINT)").alias(
+                "q3_cents_x4"
+            ),
         )
         .orderBy("r_name", "n_name")
     )
@@ -654,11 +668,15 @@ def supplier_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def supplier_balance_quartiles_oracle() -> str:
     return """
+WITH s AS (
+  SELECT s_nationkey,
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM supplier)
 SELECT r_name, n_name, COUNT(*) AS n_suppliers,
-       quantile_cont(s_acctbal, 0.25) AS q1,
-       quantile_cont(s_acctbal, 0.5) AS median,
-       quantile_cont(s_acctbal, 0.75) AS q3
-FROM supplier
+       CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT) AS q1_cents_x4,
+       CAST(quantile_cont(cents, 0.5) * 4 AS BIGINT) AS median_cents_x4,
+       CAST(quantile_cont(cents, 0.75) * 4 AS BIGINT) AS q3_cents_x4
+FROM s
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name ORDER BY r_name, n_name

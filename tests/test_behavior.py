@@ -428,8 +428,9 @@ def test_nation_balance_share_sums_to_one(spark):
 
 
 def test_supplier_balance_quartiles_model(spark):
-    """Exact interpolated quartiles vs numpy (linear method) per
-    nation; every fixture nation appears."""
+    """Exact cents-x4 quartiles vs numpy (linear method on the integer
+    cents, x4 is then an exact integer) per nation; every fixture
+    nation appears."""
     import numpy as np
     import pandas as pd
 
@@ -440,9 +441,15 @@ def test_supplier_balance_quartiles_model(spark):
     sup = pd.read_parquet(f"{sf}/supplier.parquet")
     nat = pd.read_parquet(f"{sf}/nation.parquet")
     j = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    j["_cents"] = (j.s_acctbal * 100).round().astype("int64")
     for name, g in j.groupby("n_name"):
         assert got.loc[name, "n_suppliers"] == len(g)
-        for q, col in ((0.25, "q1"), (0.5, "median"), (0.75, "q3")):
-            want = np.quantile(g.s_acctbal.to_numpy(), q, method="linear")
-            assert abs(got.loc[name, col] - want) < 1e-9, (name, col)
+        for q, col in (
+            (0.25, "q1_cents_x4"),
+            (0.5, "median_cents_x4"),
+            (0.75, "q3_cents_x4"),
+        ):
+            want = 4 * np.quantile(g._cents.to_numpy(), q, method="linear")
+            assert int(round(want)) == got.loc[name, col], (name, col)
+            assert want == round(want)  # the x4 grid is exactly integral
     assert set(got.index) == set(j.n_name)
