@@ -1268,7 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_moments": _q_embedding_moments,  # exact PCA-input moment sums
         "source_dedup_rate": _q_source_dedup_rate,  # per-source duplication report
         "ngram_novelty": _q_ngram_novelty,  # per-doc novelty vs reference grams
-        "session_stats": _q_session_stats,  # per-series session summary (unrounded mean quotients)
+        "session_stats": _q_session_stats,  # per-series session summary (e6/ns integer means)
         "burn_rate_alerts": _q_burn_rate_alerts,  # SRE multi-window burn alerts
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rank_histogram", "stat_at"]
+__all__ = ["rank_histogram", "stat_at", "quantile_exprs"]
 
 
 def rank_histogram(values: DataFrame, col: str) -> DataFrame:
@@ -52,3 +52,30 @@ def stat_at(col: str, rank: Column) -> Column:
     from a :func:`rank_histogram` frame (use inside ``.agg(...)``)."""
     r = rank
     return F.max(F.when((F.col("_lo") < r) & (r <= F.col("_hi")), F.col(col)))
+
+
+def quantile_exprs(col: str, num: int, den: int) -> tuple[list[Column], Column]:
+    """Exact type-7 quantile at ``q = num/den`` on a ×``den`` integer
+    grid, over a :func:`rank_histogram` frame crossJoined with a
+    broadcast ``_n`` total: with ``idx = (n−1)·num``, ``k = idx div
+    den``, ``fr = idx mod den``, the scaled threshold is
+    ``den·x_k + fr·(x_{k+1} − x_k)`` — an exact BIGINT whenever ``col``
+    is integral.
+
+    Returns ``(agg_exprs, threshold)``: feed every quantile's
+    ``agg_exprs`` into ONE ``.agg(...)`` call (a single histogram
+    pass computes all of them), then ``.select(threshold.alias(...))``.
+    """
+    num, den = int(num), int(den)
+    k = F.expr(f"((_n - 1) * {num}) div {den}")
+    fr = F.expr(f"((_n - 1) * {num}) % {den}")
+    tag = f"_q{num}_{den}"
+    aggs = [
+        stat_at(col, k + 1).alias(f"{tag}_xk"),
+        stat_at(col, F.least(k + 2, F.col("_n"))).alias(f"{tag}_xk1"),
+        F.max(fr).alias(f"{tag}_fr"),
+    ]
+    thr = F.lit(den) * F.col(f"{tag}_xk") + F.col(f"{tag}_fr") * (
+        F.col(f"{tag}_xk1") - F.col(f"{tag}_xk")
+    )
+    return aggs, thr

@@ -326,7 +326,7 @@ def funnel_conversion_time(
             .groupBy("u")
             .agg(F.min("t").alias("tp"), F.first("t1").alias("t1"))
         )
-    from simple_tsdb_spark.functions.orderstats import rank_histogram, stat_at
+    from simple_tsdb_spark.functions.orderstats import quantile_exprs, rank_histogram
 
     lat = cur.select((F.col("tp") - F.col("t1")).alias("latency_ns"))
     tot = lat.agg(
@@ -339,16 +339,13 @@ def funnel_conversion_time(
     )
     ranked = rank_histogram(lat, "latency_ns").crossJoin(F.broadcast(tot))
 
-    def pq(tenths: int, alias: str):
-        k = F.expr(f"((_n - 1) * {tenths}) div 10")
-        fr = F.expr(f"((_n - 1) * {tenths}) % 10")
-        xk = stat_at("latency_ns", k + 1)
-        xk1 = stat_at("latency_ns", F.least(k + 2, F.col("_n")))
-        return (F.lit(10) * xk + F.max(fr) * (xk1 - xk)).alias(alias)
-
-    # thresholds from the histogram, scalars from tot — an EMPTY funnel
-    # still yields one row (n_converted=0, NULL stats), as before
-    thr = ranked.agg(pq(5, "p50_ns_x10"), pq(9, "p90_ns_x10"))
+    # thresholds from the histogram (one agg), scalars from tot — an
+    # EMPTY funnel still yields one row (n_converted=0, NULL stats)
+    aggs50, thr50 = quantile_exprs("latency_ns", 5, 10)
+    aggs90, thr90 = quantile_exprs("latency_ns", 9, 10)
+    thr = ranked.agg(*aggs50, *aggs90).select(
+        thr50.alias("p50_ns_x10"), thr90.alias("p90_ns_x10")
+    )
     return tot.crossJoin(F.broadcast(thr)).select(
         F.col("_n").alias("n_converted"),
         F.col("_min").alias("min_ns"),

@@ -511,9 +511,12 @@ def temperature_mixture(
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+    # numerator AND denominator ride 128-bit (DECIMAL(38,0) / HUGEINT):
+    # at the documented 10^12-doc scale _S*n_docs overflows int64
     ppm = F.expr(
         f"least(CAST(1000000 AS BIGINT), "
-        f"CAST(1000000 AS DECIMAL(38,0)) * {tt} * _wq div (_S * n_docs))"
+        f"CAST(1000000 AS DECIMAL(38,0)) * {tt} * _wq "
+        f"div (CAST(_S AS DECIMAL(38,0)) * n_docs))"
     )
     return (
         thr.select("source", "n_docs", "_wq", "_S", "p_keep")
@@ -570,7 +573,9 @@ kept AS (
   FROM {table} d JOIN thr ON thr.source = d.{domain_col}
   WHERE {hexpr} < thr.thr GROUP BY 1)
 SELECT t.source, t.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
-       least(1000000, (1000000::HUGEINT * {target_total} * t.wq) // (t.s * t.n_docs))
+       CAST(least(1000000::HUGEINT,
+                  (1000000::HUGEINT * {target_total} * t.wq)
+                  // (t.s::HUGEINT * t.n_docs)) AS BIGINT)
          AS p_keep_ppm,
        t.p_keep
 FROM thr t LEFT JOIN kept k USING (source)

@@ -25,6 +25,7 @@ bytes as the stand-in payload, which also gives them a DuckDB oracle
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -421,12 +422,17 @@ def extract_blob_features(
         for pdf in it:
             if use_real_decoder:
                 # real decodes are float contracts; the ppm twin is a
-                # floor-quantized convenience (never oracle-gated)
+                # floor-quantized convenience (never oracle-gated).
+                # Degenerate decodes (0-frame WAV, 0x0 image) yield a
+                # NaN mean — ppm goes NULL, never int(NaN) ValueError.
                 feats = [
                     (*_real_decode_features(bytes(p), m),)
                     for m, p in zip(pdf["mime"], pdf["payload"])
                 ]
-                feats = [(w, h, mn, int(mn * 1_000_000)) for (w, h, mn) in feats]
+                feats = [
+                    (w, h, mn, None if math.isnan(mn) else int(mn * 1_000_000))
+                    for (w, h, mn) in feats
+                ]
             else:
                 feats = [_fake_decode_features(bytes(p)) for p in pdf["payload"]]
             out = pdf[["doc_id", "n_bytes", "payload_md5"]].copy()

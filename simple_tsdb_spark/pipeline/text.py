@@ -569,14 +569,16 @@ def bm25_topk(
         )
         scores.append(s)
         # 128-bit integer quotient on the µnat grid — engine-exact;
-        # the denominator also rides DECIMAL(38,0) so c·q·tf·sumdl
-        # can't overflow int64 on a long doc in a huge corpus
+        # EVERY denominator product rides DECIMAL(38,0) (a 10^6-token
+        # doc in a 10^12-doc corpus overflows int64 in the additive
+        # terms too, not just c·q·tf·sumdl)
         qscores.append(
             F.expr(
                 f"(CAST(({_lnq_sql(f'2 * _n + 2')} - {_lnq_sql(f'2 * _df{i} + 1')})"
                 f" AS DECIMAL(38,0)) * {(a + c) * q} * tf{i} * _sumdl)"
                 f" div (CAST({c * q} AS DECIMAL(38,0)) * tf{i} * _sumdl"
-                f" + {a * (q - p)} * _sumdl + {a * p} * dl * _n)"
+                f" + CAST({a * (q - p)} AS DECIMAL(38,0)) * _sumdl"
+                f" + CAST({a * p} AS DECIMAL(38,0)) * dl * _n)"
             )
         )
     total = scores[0]
@@ -630,7 +632,8 @@ def bm25_topk_oracle(
         qscore_parts.append(
             f"(CAST({idf} AS HUGEINT) * {(a + c) * q} * tf{i} * sumdl)"
             f" // (CAST({c * q} AS HUGEINT) * tf{i} * sumdl"
-            f" + {a * (q - p)} * sumdl + {a * p} * dl * n)"
+            f" + CAST({a * (q - p)} AS HUGEINT) * sumdl"
+            f" + CAST({a * p} AS HUGEINT) * dl * n)"
         )
     total = score_parts[0]
     qtotal = qscore_parts[0]
@@ -812,7 +815,7 @@ def lm_perplexity_buckets(
         # consumes it 2-3× (thresholds, labels, downstream joins) —
         # materialize once.  Result-transparent: same rows either way.
         scores = scores.localCheckpoint(eager=True)
-    from simple_tsdb_spark.functions.orderstats import rank_histogram, stat_at
+    from simple_tsdb_spark.functions.orderstats import quantile_exprs, rank_histogram
 
     sc = scores.select(id_col, "xent_munat")
     nn = sc.where(F.col("xent_munat").isNotNull())
@@ -820,21 +823,12 @@ def lm_perplexity_buckets(
     ranked = rank_histogram(nn.select("xent_munat"), "xent_munat").crossJoin(
         F.broadcast(tot)
     )
-
-    def t_x3(j: int, alias: str):
-        k = F.expr(f"((_n - 1) * {j}) div 3")
-        fr = F.expr(f"((_n - 1) * {j}) % 3")
-        return ranked.agg(
-            stat_at("xent_munat", k + 1).alias("_xk"),
-            stat_at("xent_munat", F.least(k + 2, F.col("_n"))).alias("_xk1"),
-            F.max(fr).alias("_fr"),
-        ).select(
-            (
-                F.lit(3) * F.col("_xk") + F.col("_fr") * (F.col("_xk1") - F.col("_xk"))
-            ).alias(alias)
-        )
-
-    thr = t_x3(1, "t_head_x3").crossJoin(t_x3(2, "t_middle_x3"))
+    # both terciles from ONE histogram pass (one .agg, not two)
+    aggs1, thr1 = quantile_exprs("xent_munat", 1, 3)
+    aggs2, thr2 = quantile_exprs("xent_munat", 2, 3)
+    thr = ranked.agg(*aggs1, *aggs2).select(
+        thr1.alias("t_head_x3"), thr2.alias("t_middle_x3")
+    )
     bucket = (
         F.when(F.col("xent_munat").isNull(), F.lit(None).cast("string"))
         .when(F.col("xent_munat") * 3 <= F.col("t_head_x3"), F.lit("head"))
@@ -1291,29 +1285,18 @@ def quality_filter_pct(
     only the ≤ grid-cardinality distinct values enter the single-
     partition running sum.  Exact at any corpus size.
     """
-    from simple_tsdb_spark.functions.orderstats import rank_histogram, stat_at
+    from simple_tsdb_spark.functions.orderstats import quantile_exprs, rank_histogram
 
     pm = int(round(float(pct) * 1_000_000))
     scores = quality_score(df, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.col("quality_ppm")
     )
     tot = scores.agg(F.count(F.lit(1)).alias("_n"))
-    ranked = (
-        rank_histogram(scores.select("quality_ppm"), "quality_ppm")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("_k", F.expr(f"((_n - 1) * {pm}) div 1000000"))
-        .withColumn("_fr", F.expr(f"((_n - 1) * {pm}) % 1000000"))
+    ranked = rank_histogram(scores.select("quality_ppm"), "quality_ppm").crossJoin(
+        F.broadcast(tot)
     )
-    thr = ranked.agg(
-        stat_at("quality_ppm", F.col("_k") + 1).alias("_xk"),
-        stat_at("quality_ppm", F.least(F.col("_k") + 2, F.col("_n"))).alias("_xk1"),
-        F.max("_fr").alias("_fr"),
-    ).select(
-        (
-            F.lit(1_000_000) * F.col("_xk")
-            + F.col("_fr") * (F.col("_xk1") - F.col("_xk"))
-        ).alias("threshold_x1m")
-    )
+    aggs, thr_expr = quantile_exprs("quality_ppm", pm, 1_000_000)
+    thr = ranked.agg(*aggs).select(thr_expr.alias("threshold_x1m"))
     return (
         scores.crossJoin(F.broadcast(thr))
         .select(

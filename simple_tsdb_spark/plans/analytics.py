@@ -560,6 +560,21 @@ ORDER BY p_type, p_partkey
 """
 
 
+def _exact_fraction(x: float, limit: int = 10**6):
+    """``x`` as an exact small-denominator Fraction — raises instead of
+    silently snapping to a nearby rational (a min_share of 1e-7 would
+    otherwise become 0 and disable the HAVING entirely)."""
+    from fractions import Fraction
+
+    f = Fraction(x).limit_denominator(limit)
+    if float(f) != float(x):
+        raise ValueError(
+            f"{x!r} is not exactly a rational with denominator <= {limit}; "
+            "the integer cross-multiplied threshold requires one"
+        )
+    return f
+
+
 def nation_balance_share(
     spark: SparkSession, sf_dir: str, *, min_share: float = 0.01
 ) -> DataFrame:
@@ -576,9 +591,7 @@ def nation_balance_share(
     ``min_share = num/den``) — no DOUBLE anywhere in the final.
     The nation dimension broadcasts onto the customer aggregation.
     """
-    from fractions import Fraction
-
-    ms = Fraction(min_share).limit_denominator(10**6)
+    ms = _exact_fraction(min_share)
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
@@ -605,9 +618,7 @@ def nation_balance_share(
 
 
 def nation_balance_share_oracle(*, min_share: float = 0.01) -> str:
-    from fractions import Fraction
-
-    ms = Fraction(min_share).limit_denominator(10**6)
+    ms = _exact_fraction(min_share)
     return f"""
 WITH per_nation AS (
   SELECT n_name, CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS t
