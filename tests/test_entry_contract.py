@@ -50,3 +50,19 @@ def test_every_oracle_parses_in_duckdb(entry_mod):
         except Exception as e:  # noqa: BLE001 - report all failures at once
             bad.append((name, str(e).splitlines()[0]))
     assert not bad, bad
+
+
+def test_integer_division_truncates_toward_zero_cross_engine(spark):
+    """The integer-finals doctrine rests on Spark ``div`` == DuckDB
+    ``//`` for EVERY signed case (DIVERGENCES §12) — pin it, including
+    the 128-bit lanes (DECIMAL(38,0) / HUGEINT) and ``%``."""
+    s = spark.sql(
+        "SELECT -7 div 2 AS a, 7 div -2 AS b, -7 div -2 AS c, 7 div 2 AS d, "
+        "CAST(-7 AS DECIMAL(38,0)) div 2 AS e, CAST(7 AS DECIMAL(38,0)) div -2 AS f, "
+        "-7 % 2 AS g, 7 % -2 AS h"
+    ).first()
+    d = duckdb.connect().execute(
+        "SELECT (-7) // 2, 7 // -2, (-7) // -2, 7 // 2, "
+        "(-7)::HUGEINT // 2, 7::HUGEINT // -2, (-7) % 2, 7 % -2"
+    ).fetchone()
+    assert tuple(s) == tuple(d) == (-3, -3, 3, 3, -3, -3, -1, 1)
