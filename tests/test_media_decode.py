@@ -911,3 +911,15 @@ def test_mp4_two_tracks():
         assert payload[off : off + sz] == want
     for (off, sz), want in zip(a["samples"], aud_frames):
         assert payload[off : off + sz] == want
+
+
+def test_extract_features_real_decoder_nan_mean_goes_null(spark):
+    """A degenerate decode (0-frame WAV -> NaN mean) yields NULL
+    mean_sample_ppm instead of int(NaN) killing the mapInPandas task;
+    the float mean_sample lands NULL/NaN (Arrow maps the NaN batch
+    value to SQL NULL), never a crash."""
+    empty_wav = _wav_bytes(np.zeros((0, 1), dtype=np.int16))
+    df = _media_df(spark, [(1, empty_wav, "audio/x-wav")])
+    row = extract_blob_features(df, use_real_decoder=True).collect()[0]
+    assert row.mean_sample_ppm is None
+    assert row.mean_sample is None or np.isnan(row.mean_sample)
