@@ -47,6 +47,16 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> bool:
     if len(sdf) != len(odf):
         print(f"  [{name}] ROWCOUNT MISMATCH spark={len(sdf)} oracle={len(odf)}")
         ok = False
+    # Driver-faithful dtype parity: the driver's value hash includes the
+    # rendered value, so int64 123 on the Spark side vs float64 123.0 on the
+    # oracle side (DuckDB HUGEINT -> pandas float64) hash-mismatches even
+    # though a float-coerced compare passes.  Rounds 7-10 were burned by
+    # exactly this class — fail loudly on any dtype divergence.
+    for c in sorted(sdf.columns):
+        sd, od = sdf[c].dtype, odf[c].dtype
+        if sd != od:
+            print(f"  [{name}] DTYPE MISMATCH col={c} spark={sd} oracle={od}")
+            ok = False
     s, o = canon(sdf), canon(odf)
     if len(s) != len(o):
         return False
@@ -105,8 +115,23 @@ def main() -> int:
         if name not in oracles:
             print(f"[{name}] rows={len(sdf)} spark={t_spark:.2f}s (no oracle — rows-only)")
             continue
-        odf = con.execute(oracles[name]).df()
-        if compare(name, sdf, odf):
+        rel = con.sql(oracles[name])
+        # Hard invariant: gated oracle finals must be BIGINT/INTEGER/DOUBLE/
+        # VARCHAR/BOOLEAN.  DuckDB promotes SUM(BIGINT) and BIGINT*BIGINT//
+        # quotients to HUGEINT, which pandas fetches as float64 while Spark
+        # emits int64 — the driver's value hash then sees 123.0 != 123.
+        # CAST the DuckDB side to BIGINT; never widen the Spark side.
+        bad_types = [
+            (col, str(t))
+            for col, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")
+        ]
+        type_ok = True
+        if bad_types:
+            print(f"  [{name}] ORACLE TYPE VIOLATION (cast to BIGINT): {bad_types}")
+            type_ok = False
+        odf = rel.df()
+        if compare(name, sdf, odf) and type_ok:
             print(f"[{name}] OK rows={len(sdf)} spark={t_spark:.2f}s")
             n_pass += 1
         else:

@@ -393,7 +393,7 @@ ranked AS (
   FROM lat)
 SELECT COUNT(*) AS n_converted,
        MIN(latency_ns) AS min_ns, MAX(latency_ns) AS max_ns,
-       CASE WHEN COUNT(*) > 0 THEN SUM(latency_ns) // COUNT(*) END AS mean_ns,
+       CAST(CASE WHEN COUNT(*) > 0 THEN SUM(latency_ns) // COUNT(*) END AS BIGINT) AS mean_ns,
        10 * MAX(CASE WHEN rn = ((n - 1) * 5) // 10 + 1 THEN latency_ns END)
          + MAX(((n - 1) * 5) % 10)
            * (MAX(CASE WHEN rn = least(((n - 1) * 5) // 10 + 2, n) THEN latency_ns END)

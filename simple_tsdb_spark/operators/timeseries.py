@@ -374,9 +374,11 @@ a AS (
          SUM(session_end - session_start) AS total_duration_ns,
          MAX(session_end - session_start) AS max_duration_ns
   FROM sess GROUP BY series)
-SELECT series, n_sessions, total_events, total_duration_ns,
-       (1000000 * total_events) // n_sessions AS mean_events_e6,
-       total_duration_ns // n_sessions AS mean_duration_ns,
+SELECT series, n_sessions,
+       CAST(total_events AS BIGINT) AS total_events,
+       CAST(total_duration_ns AS BIGINT) AS total_duration_ns,
+       CAST((1000000 * total_events) // n_sessions AS BIGINT) AS mean_events_e6,
+       CAST(total_duration_ns // n_sessions AS BIGINT) AS mean_duration_ns,
        max_duration_ns
 FROM a ORDER BY series
 """
@@ -1191,10 +1193,11 @@ agg AS (
          SUM(CASE WHEN _t >= wend - {w_s} THEN 1 ELSE 0 END) AS short_total,
          SUM(_e) AS long_errors, COUNT(*) AS long_total
   FROM x GROUP BY wend)
-SELECT wend, short_errors, short_total,
-       (1000000 * short_errors) // short_total AS short_rate_ppm,
-       long_errors, long_total,
-       (1000000 * long_errors) // long_total AS long_rate_ppm
+SELECT wend, CAST(short_errors AS BIGINT) AS short_errors,
+       CAST(short_total AS BIGINT) AS short_total,
+       CAST((1000000 * short_errors) // short_total AS BIGINT) AS short_rate_ppm,
+       CAST(long_errors AS BIGINT) AS long_errors, long_total,
+       CAST((1000000 * long_errors) // long_total AS BIGINT) AS long_rate_ppm
 FROM agg
 WHERE short_total > 0
   AND 1000000 * short_errors >= {int(round(float(short_threshold) * 1_000_000))} * short_total

@@ -1218,9 +1218,9 @@ def source_dedup_rate_oracle(
 WITH d AS (
   SELECT {domain_col} AS source, md5({text_col}) AS h, COUNT(*) AS n
   FROM {table} GROUP BY 1, 2)
-SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_unique,
-       SUM(n) - COUNT(*) AS n_dup,
-       (1000000 * (SUM(n) - COUNT(*))) // SUM(n) AS dup_rate_ppm
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_unique,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup,
+       CAST((1000000 * (SUM(n) - COUNT(*))) // SUM(n) AS BIGINT) AS dup_rate_ppm
 FROM d GROUP BY source
 """
 

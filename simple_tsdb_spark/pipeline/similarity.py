@@ -1996,8 +1996,8 @@ f AS (
   FROM spine LEFT JOIN c USING (list_id)),
 t AS (SELECT list_id, n_vecs, SUM(n_vecs) OVER () AS total FROM f)
 SELECT list_id, n_vecs,
-       CASE WHEN total > 0 THEN (1000000 * n_vecs) // total END AS frac_ppm,
-       CASE WHEN total > 0 THEN (1000000 * n_vecs * {nlist}) // total END AS load_factor_e6
+       CAST(CASE WHEN total > 0 THEN (1000000 * n_vecs) // total END AS BIGINT) AS frac_ppm,
+       CAST(CASE WHEN total > 0 THEN (1000000 * n_vecs * {nlist}) // total END AS BIGINT) AS load_factor_e6
 FROM t
 """
 

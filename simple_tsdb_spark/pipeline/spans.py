@@ -238,8 +238,8 @@ span_df AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
        CAST(SUM(CASE WHEN span_docs >= {min_df} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-       (1000000 * SUM(CASE WHEN span_docs >= {min_df} THEN 1 ELSE 0 END))
-             // COUNT(*) AS dup_span_frac_ppm
+       CAST((1000000 * SUM(CASE WHEN span_docs >= {min_df} THEN 1 ELSE 0 END))
+             // COUNT(*) AS BIGINT) AS dup_span_frac_ppm
 FROM spans JOIN span_df USING (h)
 GROUP BY doc_id
 ORDER BY doc_id
@@ -436,10 +436,10 @@ per_doc AS (
 ids AS (SELECT doc_id FROM {table} WHERE NOT ({ref_filter}))
 SELECT ids.doc_id,
        COALESCE(n_grams, 0) AS n_grams,
-       COALESCE(n_novel, 0) AS n_novel,
-       CASE WHEN COALESCE(n_grams, 0) > 0
+       CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN COALESCE(n_grams, 0) > 0
             THEN (1000000 * COALESCE(n_novel, 0)) // n_grams
-       END AS novelty_ppm
+       END AS BIGINT) AS novelty_ppm
 FROM ids LEFT JOIN per_doc USING (doc_id)
 ORDER BY ids.doc_id
 """

@@ -357,7 +357,7 @@ top AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams FROM cnt GROU
 SELECT base.doc_id, n_words, n_distinct_words,
        (1000000 * (n_words - n_distinct_words)) // n_words AS dup_word_frac_ppm,
        COALESCE(top_bigram_n, 0) AS top_bigram_n,
-       COALESCE((1000000 * top_bigram_n) // n_bigrams, 0) AS top_bigram_frac_ppm
+       CAST(COALESCE((1000000 * top_bigram_n) // n_bigrams, 0) AS BIGINT) AS top_bigram_frac_ppm
 FROM base LEFT JOIN top ON base.doc_id = top.doc_id
 """
 
@@ -849,18 +849,20 @@ def lm_perplexity_buckets_oracle(
     return f"""
 WITH scores AS ({lm}),
 nn AS (SELECT xent_munat AS x FROM scores WHERE xent_munat IS NOT NULL),
-ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM nn),
-cnt AS (SELECT COUNT(*) AS n FROM nn),
+ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn, COUNT(*) OVER () AS n FROM nn),
 th AS (
-  SELECT 3 * MAX(CASE WHEN rn = ((n - 1) * 1) // 3 + 1 THEN x END)
-       + ((n - 1) * 1) % 3
+  -- No GROUP BY: an aggregate over an empty ranked still yields exactly one
+  -- row (NULL thresholds), matching Spark's NULL-bucket row per doc when no
+  -- doc has >=2 tokens.  CASTs keep the finals BIGINT (never HUGEINT).
+  SELECT CAST(3 * MAX(CASE WHEN rn = ((n - 1) * 1) // 3 + 1 THEN x END)
+       + MAX(((n - 1) * 1) % 3)
          * (MAX(CASE WHEN rn = least(((n - 1) * 1) // 3 + 2, n) THEN x END)
-          - MAX(CASE WHEN rn = ((n - 1) * 1) // 3 + 1 THEN x END)) AS t_head_x3,
-         3 * MAX(CASE WHEN rn = ((n - 1) * 2) // 3 + 1 THEN x END)
-       + ((n - 1) * 2) % 3
+          - MAX(CASE WHEN rn = ((n - 1) * 1) // 3 + 1 THEN x END)) AS BIGINT) AS t_head_x3,
+         CAST(3 * MAX(CASE WHEN rn = ((n - 1) * 2) // 3 + 1 THEN x END)
+       + MAX(((n - 1) * 2) % 3)
          * (MAX(CASE WHEN rn = least(((n - 1) * 2) // 3 + 2, n) THEN x END)
-          - MAX(CASE WHEN rn = ((n - 1) * 2) // 3 + 1 THEN x END)) AS t_middle_x3
-  FROM ranked, cnt GROUP BY n)
+          - MAX(CASE WHEN rn = ((n - 1) * 2) // 3 + 1 THEN x END)) AS BIGINT) AS t_middle_x3
+  FROM ranked)
 SELECT doc_id, xent_munat, t_head_x3, t_middle_x3,
        CASE WHEN xent_munat IS NULL THEN NULL
             WHEN 3 * xent_munat <= t_head_x3 THEN 'head'
@@ -1715,9 +1717,12 @@ def ngram_lm_score_oracle(
         "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])"
     )
     if gated:
+        # CAST the SUM-derived finals: DuckDB promotes SUM(BIGINT) and its
+        # // quotients to HUGEINT, which pandas fetches as float64 while
+        # Spark emits int64 — the driver's value hash then mismatches.
         final = (
-            "_S AS nll_munat,\n"
-            "       CASE WHEN n_bigrams > 0 THEN _S // n_bigrams END AS xent_munat"
+            "CAST(_S AS BIGINT) AS nll_munat,\n"
+            "       CAST(CASE WHEN n_bigrams > 0 THEN _S // n_bigrams END AS BIGINT) AS xent_munat"
         )
     else:
         final = "CAST(_S AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6 AS xent"
@@ -1744,7 +1749,7 @@ per_doc AS (
   SELECT doc AS doc_id, SUM(n) AS n_bigrams, SUM(nllq * n) AS _S
   FROM scored GROUP BY doc)
 SELECT d.doc_id,
-       COALESCE(n_bigrams, 0) AS n_bigrams,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
        {final}
 FROM {table} d LEFT JOIN per_doc USING (doc_id)
 """
@@ -2073,9 +2078,9 @@ dup AS (
 spine AS (
   SELECT doc_id AS doc, n FROM {table}, (VALUES {n_list}) t(n))
 SELECT spine.doc AS doc_id, spine.n,
-       CASE WHEN _tot > 0
+       CAST(CASE WHEN _tot > 0
             THEN (1000000 * COALESCE(_dup_chars, 0)) // _tot
-       END AS dup_char_frac_ppm
+       END AS BIGINT) AS dup_char_frac_ppm
 FROM spine
 JOIN totals ON totals.doc = spine.doc
 LEFT JOIN dup ON dup.doc = spine.doc AND dup.n = spine.n
@@ -2161,9 +2166,11 @@ def char_entropy_oracle(table: str = "documents", *, gated: bool = False) -> str
         " * ent.n_chars - _S, 0)"
     )
     if gated:
+        # CAST: SUM-derived n_chars makes {num} and its // quotient HUGEINT
+        # in DuckDB, fetched as float64 vs Spark's int64 under the hasher.
         final = (
-            f"{num} AS entropy_munat_num,\n"
-            f"       {num} // ent.n_chars AS entropy_munat"
+            f"CAST({num} AS BIGINT) AS entropy_munat_num,\n"
+            f"       CAST({num} // ent.n_chars AS BIGINT) AS entropy_munat"
         )
     else:
         final = (
@@ -2178,7 +2185,7 @@ ent AS (
   SELECT doc, SUM(_k) AS n_chars,
          SUM(_k * CAST(floor(1e6 * ln(CAST(_k AS DOUBLE))) AS BIGINT)) AS _S
   FROM counts GROUP BY doc)
-SELECT d.doc_id, COALESCE(ent.n_chars, 0) AS n_chars,
+SELECT d.doc_id, CAST(COALESCE(ent.n_chars, 0) AS BIGINT) AS n_chars,
        {final}
 FROM {table} d LEFT JOIN ent ON ent.doc = d.doc_id
 """

@@ -366,7 +366,7 @@ counts AS (
   SELECT from_type, to_type, COUNT(*) AS n
   FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
 SELECT from_type, to_type, n,
-       (1000000 * n) // SUM(n) OVER (PARTITION BY from_type) AS prob_ppm
+       CAST((1000000 * n) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
 FROM counts
 """
 
