@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from simple_tsdb_spark.functions.fractions import exact_ppm
+
 
 def asof_join(
     left: DataFrame,
@@ -1116,10 +1118,11 @@ def burn_rate_alerts(
     long_rate_ppm), ordered by wend — ALL BIGINT (integer-finals
     doctrine, round 10: no DOUBLE in gated projections).  The rates are
     parts-per-million truncated quotients ``(10^6·errors) div total``;
-    thresholds are interpreted on the same ppm grid
-    (``round(threshold·10^6)``) and the firing test is the exact
-    integer cross-multiplication ``10^6·errors ≥ ppm·total`` — no
-    float comparison anywhere.  ``10^6·total`` bounds the arithmetic:
+    thresholds must sit exactly on the same ppm grid
+    (``functions.fractions.exact_ppm`` — sub-ppm values raise instead
+    of silently coarsening the firing semantics) and the firing test
+    is the exact integer cross-multiplication ``10^6·errors ≥
+    ppm·total`` — no float comparison anywhere.  ``10^6·total`` bounds the arithmetic:
     safe below ~9.2·10^12 points per long window.
 
     Scale: ONE explode to the long window's covering ends (fixed
@@ -1145,8 +1148,8 @@ def burn_rate_alerts(
         F.sum("_e").alias("long_errors"),
         F.count(F.lit(1)).alias("long_total"),
     )
-    ppm_s = int(round(float(short_threshold) * 1_000_000))
-    ppm_l = int(round(float(long_threshold) * 1_000_000))
+    ppm_s = exact_ppm(short_threshold, name="short_threshold")
+    ppm_l = exact_ppm(long_threshold, name="long_threshold")
     return (
         agg.where(F.col("short_total") > 0)
         .where(
@@ -1200,8 +1203,8 @@ SELECT wend, CAST(short_errors AS BIGINT) AS short_errors,
        CAST((1000000 * long_errors) // long_total AS BIGINT) AS long_rate_ppm
 FROM agg
 WHERE short_total > 0
-  AND 1000000 * short_errors >= {int(round(float(short_threshold) * 1_000_000))} * short_total
-  AND 1000000 * long_errors >= {int(round(float(long_threshold) * 1_000_000))} * long_total
+  AND 1000000 * short_errors >= {exact_ppm(short_threshold, name="short_threshold")} * short_total
+  AND 1000000 * long_errors >= {exact_ppm(long_threshold, name="long_threshold")} * long_total
 """
 
 

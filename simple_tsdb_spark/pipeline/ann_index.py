@@ -431,6 +431,10 @@ def rebalance_ann_index(
     before_e6 = index_health(spark, path).agg(F.max("load_factor_e6")).first()[0]
     before = float(before_e6) / 1e6
     report = {"rebalanced": False, "max_load_before": before}
+    # Nearest-ppm snap (not exact_ppm): this is an operational trigger
+    # compared against the e6-quantized measured load factor, and callers
+    # legitimately derive max_load from a measured float (load_after + eps)
+    # that need not sit on the 1e-6 grid.  Gated finals use exact_ppm.
     if before_e6 <= int(round(float(max_load) * 1e6)):
         return report
 

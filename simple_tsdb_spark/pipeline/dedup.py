@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from simple_tsdb_spark.functions.fractions import exact_ppm
+
 from simple_tsdb_spark.pipeline.text import SIMHASH_BITS, _simhash_sql, simhash_df
 
 SHINGLE_LEN = 8          # char n-gram length
@@ -307,7 +309,7 @@ def ngram_jaccard_pairs(
         )
         .where(
             F.col("inter") * F.lit(1_000_000)
-            >= F.lit(int(round(float(threshold) * 1_000_000))) * F.col("_den")
+            >= F.lit(exact_ppm(threshold, name="threshold")) * F.col("_den")
         )
         .select(
             "a",
@@ -327,7 +329,7 @@ def ngram_jaccard_oracle(
         if metric == "containment"
         else "sa.sz + sb.sz - inter"
     )
-    ppm = int(round(float(threshold) * 1_000_000))
+    ppm = exact_ppm(threshold, name="threshold")
     return f"""
 WITH sh0 AS (
   SELECT doc_id AS doc, UNNEST({_shingles_duck('text', 1)}) AS sh FROM {table}),

@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from simple_tsdb_spark.functions.fractions import exact_ppm
+
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -1289,7 +1291,7 @@ def quality_filter_pct(
     """
     from simple_tsdb_spark.functions.orderstats import quantile_exprs, rank_histogram
 
-    pm = int(round(float(pct) * 1_000_000))
+    pm = exact_ppm(pct, name="pct")
     scores = quality_score(df, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.col("quality_ppm")
     )
@@ -1314,7 +1316,7 @@ def quality_filter_pct(
 
 
 def quality_filter_pct_oracle(table: str = "documents", *, pct: float = 0.1) -> str:
-    pm = int(round(float(pct) * 1_000_000))
+    pm = exact_ppm(pct, name="pct")
     q = quality_score_oracle(table, gated=True).strip().rstrip()
     return f"""
 WITH scores AS ({q}),
@@ -1907,10 +1909,10 @@ def gopher_rules(
     n_stop = F.expr(f"size(filter({words}, w -> w IN ({stop_list})))").cast("long")
     n_sym = F.expr(f"size(filter({words}, w -> w IN ({sym_list})))").cast("long")
     m = 1_000_000
-    t_minlen = int(round(float(min_mean_len) * m))
-    t_maxlen = int(round(float(max_mean_len) * m))
-    t_alpha = int(round(float(min_alpha_frac) * m))
-    t_sym = int(round(float(max_symbol_ratio) * m))
+    t_minlen = exact_ppm(min_mean_len, name="min_mean_len")
+    t_maxlen = exact_ppm(max_mean_len, name="max_mean_len")
+    t_alpha = exact_ppm(min_alpha_frac, name="min_alpha_frac")
+    t_sym = exact_ppm(max_symbol_ratio, name="max_symbol_ratio")
     passes = (
         (n >= int(min_words))
         & (n <= int(max_words))
@@ -1971,10 +1973,10 @@ SELECT doc_id, n_words,
        (1000000 * n_sym) // n_words AS symbol_ratio_ppm,
        n_stopwords,
        (n_words >= {int(min_words)} AND n_words <= {int(max_words)}
-        AND 1000000 * n_chars >= {int(round(float(min_mean_len) * 1_000_000))} * n_words
-        AND 1000000 * n_chars <= {int(round(float(max_mean_len) * 1_000_000))} * n_words
-        AND 1000000 * n_alpha >= {int(round(float(min_alpha_frac) * 1_000_000))} * n_words
-        AND 1000000 * n_sym <= {int(round(float(max_symbol_ratio) * 1_000_000))} * n_words
+        AND 1000000 * n_chars >= {exact_ppm(min_mean_len, name='min_mean_len')} * n_words
+        AND 1000000 * n_chars <= {exact_ppm(max_mean_len, name='max_mean_len')} * n_words
+        AND 1000000 * n_alpha >= {exact_ppm(min_alpha_frac, name='min_alpha_frac')} * n_words
+        AND 1000000 * n_sym <= {exact_ppm(max_symbol_ratio, name='max_symbol_ratio')} * n_words
         AND n_stopwords >= {int(min_stopwords)}) AS passes
 FROM s
 """

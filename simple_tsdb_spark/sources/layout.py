@@ -190,9 +190,12 @@ def zorder_key_oracle(
     qs = []
     for i in range(len(cols)):
         span = f"CASE WHEN hi{i} - lo{i} = 0 THEN 1.0 ELSE hi{i} - lo{i} END"
+        # COALESCE mirrors the Spark _quantize coalesce: a NULL numeric
+        # dimension lands in the low quantum on BOTH engines (string dims
+        # already coalesce per-char inside the ordinal).
         q = (
-            f"LEAST(GREATEST(CAST(floor((v{i} - lo{i}) / ({span}) * "
-            f"{float(n_levels - 1)!r}) AS BIGINT), 0), {n_levels - 1})"
+            f"COALESCE(LEAST(GREATEST(CAST(floor((v{i} - lo{i}) / ({span}) * "
+            f"{float(n_levels - 1)!r}) AS BIGINT), 0), {n_levels - 1}), 0)"
         )
         qs.append(q)
     k = len(cols)

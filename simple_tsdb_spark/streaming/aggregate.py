@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from simple_tsdb_spark.functions.fractions import exact_ppm
+
 
 def streaming_sum_points(
     stream: DataFrame,
@@ -199,8 +201,8 @@ def streaming_burn_rate(
     )
     # ppm integer grid — label-for-label with the batch twin's round-10
     # integer finals (exact cross-multiplied threshold test, no floats).
-    ppm_s = int(round(float(short_threshold) * 1_000_000))
-    ppm_l = int(round(float(long_threshold) * 1_000_000))
+    ppm_s = exact_ppm(short_threshold, name="short_threshold")
+    ppm_l = exact_ppm(long_threshold, name="long_threshold")
     return (
         agg.where(F.col("short_total") > 0)
         .where(

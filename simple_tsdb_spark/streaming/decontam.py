@@ -76,8 +76,8 @@ def streaming_ngram_novelty(
     — the batch operator reports them with NULL novelty; callers
     needing that row join the id stream back.
 
-    Output: (doc_id, n_grams, n_novel, novelty) — value-identical to
-    batch on every doc with ≥ 1 gram (pinned in tests).
+    Output: (doc_id, n_grams, n_novel, novelty_ppm) — value-identical
+    to batch on every doc with ≥ 1 gram (pinned in tests).
     """
     ref_grams = reference.select(
         F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
