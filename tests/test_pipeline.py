@@ -2241,3 +2241,30 @@ def test_rebalance_rejects_non_improving_candidate(spark, tmp_path):
         assert "vectors_dir" not in man or man["vectors_dir"] == "vectors"
         assert rep.get("rejected_load") is not None
         assert rep["rejected_load"] >= rep["max_load_before"]
+
+
+def test_lm_perplexity_buckets_degenerate_corpus(spark):
+    """ADVICE r10: when NO doc has >= 2 tokens, every xent is NULL.  The
+    Spark plan emits one NULL-threshold/NULL-bucket row per doc; the
+    DuckDB oracle's threshold CTE must still produce its single row (an
+    aggregate without GROUP BY) so the cross join doesn't empty the
+    result.  Both engines must agree row-for-row."""
+    import duckdb
+
+    from simple_tsdb_spark.pipeline import lm_perplexity_buckets
+    from simple_tsdb_spark.pipeline.text import lm_perplexity_buckets_oracle
+
+    rows = [("d1", "one", "src0"), ("d2", "two", "src1"), ("d3", "", "src1")]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    got = lm_perplexity_buckets(df).toPandas().sort_values("doc_id")
+    assert len(got) == 3
+    assert got.bucket.isna().all()
+    assert got.xent_munat.isna().all()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id VARCHAR, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    odf = con.execute(lm_perplexity_buckets_oracle()).df().sort_values("doc_id")
+    assert len(odf) == 3, "oracle lost the docs when the threshold CTE was empty"
+    assert odf.bucket.isna().all()
+    assert odf.xent_munat.isna().all()
