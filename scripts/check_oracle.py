@@ -51,11 +51,25 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> bool:
     # rendered value, so int64 123 on the Spark side vs float64 123.0 on the
     # oracle side (DuckDB HUGEINT -> pandas float64) hash-mismatches even
     # though a float-coerced compare passes.  Rounds 7-10 were burned by
-    # exactly this class — fail loudly on any dtype divergence.
+    # exactly this class.  The driver DOES canonicalize integer widths
+    # (int32 vs int64 passed r8-r10: knn_*, tfidf_topk, token_counts...)
+    # and date objects vs datetime64 (daily_pivot passed r8), so compare
+    # normalized KINDS, not exact dtypes — int-vs-float is the fatal pair.
+    def _kind(dt) -> str:
+        k = dt.kind  # i/u int, f float, b bool, M datetime, O object
+        if k in "iu":
+            return "int"
+        if k in "OMS":
+            return "object"  # strings, dates, datetimes all render stably
+        return {"f": "float", "b": "bool"}.get(k, k)
+
     for c in sorted(sdf.columns):
-        sd, od = sdf[c].dtype, odf[c].dtype
-        if sd != od:
-            print(f"  [{name}] DTYPE MISMATCH col={c} spark={sd} oracle={od}")
+        sk, ok_ = _kind(sdf[c].dtype), _kind(odf[c].dtype)
+        if sk != ok_:
+            print(
+                f"  [{name}] DTYPE KIND MISMATCH col={c} "
+                f"spark={sdf[c].dtype}({sk}) oracle={odf[c].dtype}({ok_})"
+            )
             ok = False
     s, o = canon(sdf), canon(odf)
     if len(s) != len(o):
