@@ -1122,8 +1122,9 @@ def burn_rate_alerts(
     (``functions.fractions.exact_ppm`` — sub-ppm values raise instead
     of silently coarsening the firing semantics) and the firing test
     is the exact integer cross-multiplication ``10^6·errors ≥
-    ppm·total`` — no float comparison anywhere.  ``10^6·total`` bounds the arithmetic:
-    safe below ~9.2·10^12 points per long window.
+    ppm·total`` — no float comparison anywhere.  ``10^6·total``
+    bounds the arithmetic: safe below ~9.2·10^12 points per long
+    window.
 
     Scale: ONE explode to the long window's covering ends (fixed
     fan-out long/slide) with the short-window membership carried as a
