@@ -55,7 +55,7 @@ def attach_blob_meta_oracle(table: str = "documents") -> str:
     """Oracle for the metadata surface (structs flattened for comparison)."""
     return f"""
 SELECT doc_id, 'text/plain' AS mime,
-       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       octet_length(encode(text)) AS n_bytes,
        md5(text) AS payload_md5
 FROM {table}
 """
@@ -459,8 +459,10 @@ def blob_features_oracle(table: str = "documents") -> str:
     Python's two-step ``(sum/den)/255.0`` float op order.  A real media
     decoder would drop this oracle (decode_media stays the honest stub).
     """
-    n = "octet_length(CAST(text AS BLOB))"
-    h = "hex(CAST(text AS BLOB))"
+    # encode() (VARCHAR -> UTF-8 BLOB) mirrors Spark's F.encode: a plain
+    # ::BLOB cast RAISES on any non-ASCII byte in DuckDB.
+    n = "octet_length(encode(text))"
+    h = "hex(encode(text))"
     bytesum = (
         f"COALESCE(list_sum(list_transform(generate_series(1, LEAST({n}, 32)), "
         f"i -> ('0x' || substr({h}, 2*i-1, 2))::BIGINT)), 0)"

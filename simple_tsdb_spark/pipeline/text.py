@@ -1740,8 +1740,14 @@ doc_bg AS (
   SELECT doc_id AS doc, g, COUNT(*) AS n
   FROM (SELECT doc_id, UNNEST({bg_list}) AS g FROM {table}) GROUP BY doc, g),
 scored AS (
+  -- The history guard mirrors Spark: with an EMPTY fit set (_V = 0 and
+  -- c1 NULL) Spark's ln(0) returns NULL (scores poison to NULL per doc);
+  -- DuckDB's ln(0) RAISES, so gate it — NULL minus the second term stays
+  -- NULL, and SUM over all-NULL stays NULL on both engines.
   SELECT doc, n,
-         CAST(floor(1e6 * ln(CAST(COALESCE(c1, 0) + _V AS DOUBLE))) AS BIGINT)
+         CASE WHEN COALESCE(c1, 0) + _V > 0
+              THEN CAST(floor(1e6 * ln(CAST(COALESCE(c1, 0) + _V AS DOUBLE))) AS BIGINT)
+         END
        - CAST(floor(1e6 * ln(CAST(COALESCE(c2, 0) + 1 AS DOUBLE))) AS BIGINT) AS nllq
   FROM doc_bg
   LEFT JOIN fit_bg USING (g)
@@ -2163,9 +2169,14 @@ def char_entropy(
 def char_entropy_oracle(table: str = "documents", *, gated: bool = False) -> str:
     """``gated=True`` emits the integer-finals projection only
     (doc_id, n_chars, entropy_munat_num, entropy_munat) — no DOUBLE."""
+    # The IS NOT NULL gate mirrors Spark's join-miss NULL for zero-char
+    # docs: Spark computes the clamp INSIDE the aggregate branch (absent
+    # docs stay NULL through the left join), while DuckDB's greatest()
+    # IGNORES NULLs, so an unguarded greatest(NULL, 0) would emit 0.
     num = (
+        "CASE WHEN ent.n_chars IS NOT NULL THEN "
         "greatest(CAST(floor(1e6 * ln(CAST(ent.n_chars AS DOUBLE))) AS BIGINT)"
-        " * ent.n_chars - _S, 0)"
+        " * ent.n_chars - _S, 0) END"
     )
     if gated:
         # CAST: SUM-derived n_chars makes {num} and its // quotient HUGEINT
