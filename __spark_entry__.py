@@ -1535,14 +1535,7 @@ FROM agg
 """,
         # W5: > max_points rows in range at every tested sf, so the policy
         # deterministically picks the 12h windowed mean on both engines.
-        "auto_downsample": _sum_cte(AUTO_INTERVAL_NS)
-+ """
-SELECT spine.series, spine.wstart,
-       COALESCE(agg.window_npoints, 0) AS window_npoints,
-       CASE WHEN COALESCE(agg.value_count, 0) > 0
-            THEN agg.value_sum / agg.value_count END AS value_mean
-FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
-""",
+        "auto_downsample": _auto_downsample_oracle(),
         "mean_fill_previous": sum_cte
 + """
 , meanq AS (
@@ -1757,6 +1750,39 @@ def _timeseries_oracles() -> dict[str, str]:
         "quantiles": value_quantiles_oracle(_M, field="value"),
         "distinct_users": distinct_count_oracle(_M, field="user_id"),
     }
+
+
+def _auto_downsample_oracle() -> str:
+    """Replicates W5's driver-side policy DECISION against the oracle
+    tables (count probe → raw passthrough vs windowed mean), so the
+    branch — and therefore the output schema — matches Spark's on ANY
+    corpus.  The real sf dirs always exceed AUTO_MAX_POINTS and take
+    the downsample branch; degenerate corpora (fuzz_corpus.py) flip
+    both engines to the raw branch together."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+        n = con.execute(
+            f"SELECT COUNT(*) FROM ({_M}) WHERE time_ns BETWEEN {T0} AND {T1}"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    if n <= AUTO_MAX_POINTS:
+        return f"""
+SELECT series, time_ns, value FROM ({_M}) WHERE time_ns BETWEEN {T0} AND {T1}
+"""
+    return _sum_cte(AUTO_INTERVAL_NS) + """
+SELECT spine.series, spine.wstart,
+       COALESCE(agg.window_npoints, 0) AS window_npoints,
+       CASE WHEN COALESCE(agg.value_count, 0) > 0
+            THEN agg.value_sum / agg.value_count END AS value_mean
+FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
+"""
 
 
 def _knn_ivf_trained_oracle() -> str:

@@ -833,6 +833,9 @@ def embedding_dup_pairs(
         )
         .drop("_sarr")
         .withColumn("nrm", _norm("emb"))
+        # zero-norm vectors excluded (cosine undefined; under ANSI mode the
+        # division would abort the job — see similarity.knn_brute)
+        .where(F.col("nrm") > 0)
     )
     if sub_planes:
         from simple_tsdb_spark.pipeline.similarity import _bucket_expr
@@ -990,7 +993,8 @@ def embedding_dup_oracle(
 WITH e0 AS (
   SELECT vec_id AS doc, embedding::DOUBLE[] AS emb{xsel},
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
-  FROM {table}),
+  FROM {table}
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 e AS (
   SELECT doc, emb{', xblk' if extra_block_col else ''},
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS blk
@@ -1065,12 +1069,17 @@ def semdedup(
         .drop("_sarr")
     )
     e = base.select("doc", F.col("blk").alias("cluster"), "centroid_cos")
-    # one quantizer evaluation: the pair join reuses base's assignment
-    pair_base = base.select("doc", "emb", "blk", "nrm")
+    # one quantizer evaluation: the pair join reuses base's assignment.
+    # Zero-norm vectors stay in `e` (every vector is reported; keep=True,
+    # centroid_cos=0.0) but are excluded from PAIR generation — the pair
+    # cosine is undefined at norm 0 and would abort under ANSI mode; the
+    # oracle's NaN cosine fails its >= threshold cut identically.
+    nz = base.where(F.col("nrm") > 0)
+    pair_base = nz.select("doc", "emb", "blk", "nrm")
     if sub_planes:
         from simple_tsdb_spark.pipeline.similarity import _bucket_expr
 
-        pair_base = base.select(
+        pair_base = nz.select(
             "doc",
             "emb",
             (

@@ -72,11 +72,22 @@ def knn_brute(
     """Exact cosine top-k for each query id (self excluded).
 
     Output: (query_id, neighbor_id, cos, rank) — rank by (cos desc, id).
+
+    Zero-norm vectors are EXCLUDED (engine-wide cosine convention):
+    cosine is undefined at norm 0, and under Spark's ANSI mode the
+    division would abort the whole job — one corrupt embedding must
+    not kill a 100 TB scan.  A zero QUERY vector therefore returns no
+    rows; a zero corpus vector is never a neighbor.  Both engines
+    filter identically (a comparison, no division).
     """
-    e = df.select(
-        F.col(id_col).alias("nid"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-    ).withColumn("nrm", _norm("emb"))
+    e = (
+        df.select(
+            F.col(id_col).alias("nid"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("nrm", _norm("emb"))
+        .where(F.col("nrm") > 0)
+    )
     q = e.where(F.col("nid").isin(list(query_ids))).select(
         F.col("nid").alias("query_id"), F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
     )
@@ -103,7 +114,8 @@ def knn_brute_oracle(
     ids = ", ".join(str(i) for i in query_ids)
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
-WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}),
+WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids})),
 scored AS (
   SELECT q.query_id, e.nid AS neighbor_id, {cos} AS cos
@@ -141,10 +153,15 @@ def range_search(
     bounds.  For huge query sets, bucket both sides with the knn_lsh
     planes first; this exact form is the verification path.
     """
-    e = df.select(
-        F.col(id_col).alias("nid"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-    ).withColumn("nrm", _norm("emb"))
+    # zero-norm vectors excluded (cosine undefined; see knn_brute)
+    e = (
+        df.select(
+            F.col(id_col).alias("nid"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("nrm", _norm("emb"))
+        .where(F.col("nrm") > 0)
+    )
     q = e.where(F.col("nid").isin(list(query_ids))).select(
         F.col("nid").alias("query_id"), F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
     )
@@ -167,7 +184,8 @@ def range_search_oracle(
     ids = ", ".join(str(i) for i in query_ids)
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
-WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}),
+WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids}))
 SELECT q.query_id, e.nid AS neighbor_id, {cos} AS cos
 FROM e CROSS JOIN q
@@ -216,6 +234,8 @@ def knn_lsh(
         )
         .withColumn("bucket", F.expr(_bucket_expr("emb", dim)))
         .withColumn("nrm", _norm("emb"))
+        # zero-norm vectors excluded (cosine undefined; see knn_brute)
+        .where(F.col("nrm") > 0)
     )
     probes = _probe_masks(multiprobe)
     q = e.where(F.col("nid").isin(list(query_ids))).select(
@@ -253,7 +273,8 @@ def knn_lsh_oracle(
 WITH e AS (
   SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
          {_bucket_duck("embedding::DOUBLE[]", dim)} AS bucket
-  FROM {table}),
+  FROM {table}
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (
   SELECT nid AS query_id, emb, xor(bucket, m.mask) AS bucket
   FROM e, UNNEST([{masks}]) AS m(mask) WHERE nid IN ({ids})),
@@ -408,8 +429,13 @@ def train_ivf_centroids(
     scarce).  The fit is bit-identical in every mode (the quantized
     sums are partitioning-independent).
     """
+    # Zero-norm vectors carry no direction: their cosine scores are NaN
+    # and the two engines order NaNs differently, so BOTH trainers drop
+    # them from the fit (a no-op on any real corpus — fuzz_corpus.py
+    # emb_zero is where this matters).
     emb = _cache_train_input(
-        df.select(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb")),
+        df.select(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"))
+        .where(F.expr("aggregate(zip_with(emb, emb, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0")),
         cache,
     )
 
@@ -459,7 +485,8 @@ def train_ivf_centroids_duck(
         )
         q = f"""
 WITH e AS (
-  SELECT embedding::DOUBLE[] AS emb, {sarr} AS sarr FROM {table}),
+  SELECT embedding::DOUBLE[] AS emb, {sarr} AS sarr FROM {table}
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 a AS (
   SELECT emb, CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
   FROM e)
@@ -557,10 +584,12 @@ def pq_encode(
     memory-resident.
     """
     cbs = codebooks if codebooks is not None else pq_codebooks(dim=dim)
+    # zero-norm vectors excluded: they cannot sit on the unit sphere, and
+    # the normalization would divide by zero (ANSI abort; see knn_brute)
     base = df.select(
         F.col(id_col).alias("_pqid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-    )
+    ).where(F.expr("aggregate(zip_with(emb, emb, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0"))
     return _pq_encode_relational(base, cbs, dim, carry=()).withColumnRenamed(
         "_pqid", id_col
     )
@@ -678,8 +707,16 @@ def train_pq_codebooks(
     ``cache`` as in :func:`train_ivf_centroids` (``"local"`` /
     ``"disk"`` / ``None``) — every mode fits bit-identical literals."""
     sub = dim // m
+    # Zero-norm vectors normalize to NaN (0/0) and the engines' NaN
+    # handling diverges (Spark CAST(NaN AS BIGINT) = 0, DuckDB = NULL),
+    # so BOTH trainers drop them — no direction, no training signal.
     nemb = _cache_train_input(
-        df.select(
+        df.where(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {vec_col}, (p, q) -> CAST(p AS DOUBLE) * q), "
+                "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0"
+            )
+        ).select(
             F.expr(f"{_norm_expr(f'transform({vec_col}, x -> CAST(x AS DOUBLE))')}").alias("_n")
         ),
         cache,
@@ -787,7 +824,8 @@ def train_pq_codebooks_duck(
         )
         q = f"""
 WITH e AS (
-  SELECT {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb FROM {table}),
+  SELECT {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb FROM {table}
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 c AS (SELECT nemb, {codes} AS codes FROM e),
 rows AS (
   SELECT t.m AS m, codes[t.m + 1] AS code,
@@ -823,7 +861,8 @@ def pq_encode_oracle(
     codes = "[" + ", ".join(code_exprs) + "]"
     return f"""
 WITH e AS (
-  SELECT {id_col}, {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb FROM {table})
+  SELECT {id_col}, {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb FROM {table}
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
 SELECT {id_col}, array_to_string({codes}, ',') AS pq_code FROM e
 """
 
@@ -864,11 +903,13 @@ def knn_ivf_pq(
         raise ValueError(f"nprobe must be in [1, {nlist}]")
 
     sarr = _score_array_spark("emb", dim, centroids)
+    # zero-norm vectors excluded (cosine/PQ undefined; see knn_brute)
     e = (
         df.select(
             F.col(id_col).alias("nid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
+        .where(F.expr("aggregate(zip_with(emb, emb, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0"))
         .withColumn("_sarr", F.expr(sarr))
         .withColumn(
             "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
@@ -956,7 +997,8 @@ WITH e0 AS (
   SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
          {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb,
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
-  FROM {table}),
+  FROM {table}
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 e AS (
   SELECT nid, emb, nemb, sarr,
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
@@ -1019,9 +1061,14 @@ def knn_ivf(
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
     ).withColumn("_sarr", F.expr(sarr))
     # argmax with smallest-list-id tiebreak: first position of the max.
-    e = escore.withColumn(
-        "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
-    ).withColumn("nrm", _norm("emb"))
+    e = (
+        escore.withColumn(
+            "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
+        )
+        .withColumn("nrm", _norm("emb"))
+        # zero-norm vectors excluded (cosine undefined; see knn_brute)
+        .where(F.col("nrm") > 0)
+    )
     qlists = (
         e.where(F.col("nid").isin(list(query_ids)))
         .select(
@@ -1065,7 +1112,8 @@ def knn_ivf_oracle(
 WITH e0 AS (
   SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
-  FROM {table}),
+  FROM {table}
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 e AS (
   SELECT nid, emb, sarr,
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
@@ -1381,8 +1429,12 @@ def knn_rp(
     is scanned twice, never shuffled or broadcast.
     """
     proj = _rp_proj_expr(vec_col, in_dim, out_dim, salt)
-    ep = df.select(F.col(id_col).alias("nid"), F.expr(proj).alias("pv")).withColumn(
-        "pnrm", _norm("pv")
+    # zero-norm PROJECTED vectors excluded from stage 1 (cosine undefined;
+    # covers zero inputs and sign-cancelled projections; see knn_brute)
+    ep = (
+        df.select(F.col(id_col).alias("nid"), F.expr(proj).alias("pv"))
+        .withColumn("pnrm", _norm("pv"))
+        .where(F.col("pnrm") > 0)
     )
     qp = ep.where(F.col("nid").isin(list(query_ids))).select(
         F.col("nid").alias("query_id"),
@@ -1405,10 +1457,14 @@ def knn_rp(
         .select("query_id", "neighbor_id")
     )
 
-    e = df.select(
-        F.col(id_col).alias("nid"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-    ).withColumn("nrm", _norm("emb"))
+    e = (
+        df.select(
+            F.col(id_col).alias("nid"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("nrm", _norm("emb"))
+        .where(F.col("nrm") > 0)
+    )
     q = e.where(F.col("nid").isin(list(query_ids))).select(
         F.col("nid").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -1447,7 +1503,8 @@ def knn_rp_oracle(
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
 WITH prj AS ({inner}),
-p AS (SELECT vec_id AS nid, list(val ORDER BY j) AS pv FROM prj GROUP BY vec_id),
+p AS (SELECT vec_id AS nid, list(val ORDER BY j) AS pv FROM prj GROUP BY vec_id
+      HAVING list_dot_product(list(val ORDER BY j), list(val ORDER BY j)) > 0),
 qp AS (SELECT nid AS query_id, pv FROM p WHERE nid IN ({ids})),
 cand0 AS (
   SELECT qp.query_id, p.nid AS neighbor_id, round({pcos}, 6) AS _pcos
@@ -1459,7 +1516,8 @@ cand AS (
                               ORDER BY _pcos DESC, neighbor_id) AS _crk
     FROM cand0)
   WHERE _crk <= {int(k) * int(overfetch)}),
-e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}),
+e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids})),
 rescored AS (
   SELECT cand.query_id, cand.neighbor_id, {cos} AS cos
@@ -1565,11 +1623,16 @@ def hard_negatives(
     (:func:`search_ann_index`) and apply the label filter on its
     candidates instead.
     """
-    e = df.select(
-        F.col(id_col).alias("nid"),
-        F.col(label_col).alias("neg_label"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-    ).withColumn("nrm", _norm("emb"))
+    # zero-norm vectors excluded (cosine undefined; see knn_brute)
+    e = (
+        df.select(
+            F.col(id_col).alias("nid"),
+            F.col(label_col).alias("neg_label"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("nrm", _norm("emb"))
+        .where(F.col("nrm") > 0)
+    )
     q = e.where(F.col("nid").isin(list(query_ids))).select(
         F.col("nid").alias("query_id"),
         F.col("neg_label").alias("_qlabel"),
@@ -1600,7 +1663,8 @@ def hard_negatives_oracle(
     ids = ", ".join(str(i) for i in query_ids)
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
-WITH e AS (SELECT vec_id AS nid, label AS neg_label, embedding::DOUBLE[] AS emb FROM {table}),
+WITH e AS (SELECT vec_id AS nid, label AS neg_label, embedding::DOUBLE[] AS emb FROM {table}
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (SELECT nid AS query_id, neg_label AS _qlabel, emb FROM e WHERE nid IN ({ids})),
 scored AS (
   SELECT q.query_id, e.nid AS neighbor_id, e.neg_label, {cos} AS cos
