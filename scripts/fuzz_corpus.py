@@ -270,13 +270,16 @@ def main() -> int:
     failures: list[str] = []
     for cname in only:
         table, builder = CORPORA[cname]
-        names = table_queries(table)
-        print(f"== corpus {cname} ({table}, {len(names)} queries) ==")
         import time
 
         tmp = tempfile.mkdtemp(prefix=f"fuzz_{cname}_")
         sf = build_sf_dir(tmp, table, builder())
+        # env BEFORE any oracle_sql() call (table_queries included):
+        # data-dependent builders (knn_*_trained, auto_downsample) read
+        # SPARK_GRAFT_ORACLE_SF, and the previous corpus dir is gone.
         os.environ["SPARK_GRAFT_ORACLE_SF"] = sf
+        names = table_queries(table)
+        print(f"== corpus {cname} ({table}, {len(names)} queries) ==")
         con = duck_con(sf)
         qs = entry_mod.queries()
         t0 = time.time()
