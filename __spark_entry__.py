@@ -961,13 +961,15 @@ TRAIN_IVF_ITERS = 2
 
 
 def _q_knn_ivf_trained(spark, sf_dir):
-    """IVF search behind a quantizer TRAINED on the corpus (2 Lloyd's
-    iterations, exact floor-quantized integer accumulation) — the oracle
-    independently fits identical centroid literals in DuckDB, so the
-    training path itself sits inside the hash gate."""
-    from simple_tsdb_spark.pipeline import knn_ivf, train_ivf_centroids
+    """IVF search behind a quantizer TRAINED on a bounded hash-rank
+    sample of the corpus (FAISS doctrine: one corpus scan to sample,
+    driver-local Lloyd over ≤16k vectors — fit cost independent of
+    corpus size).  The oracle independently draws the identical sample
+    in DuckDB and runs the same local fit, so the training path itself
+    sits inside the hash gate."""
+    from simple_tsdb_spark.pipeline import knn_ivf, train_ivf_centroids_sampled
 
-    cs = train_ivf_centroids(_embs(spark, sf_dir), iters=TRAIN_IVF_ITERS)
+    cs = train_ivf_centroids_sampled(_embs(spark, sf_dir), iters=TRAIN_IVF_ITERS)
     return knn_ivf(_embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10, centroids=cs)
 
 
@@ -986,14 +988,15 @@ TRAIN_PQ_ITERS = 2
 
 
 def _q_knn_ivf_pq_trained(spark, sf_dir):
-    """IVF-PQ behind codebooks TRAINED on the corpus (per-subspace
-    Lloyd's, exact floor-quantized integer accumulation) — the oracle
-    independently refits bit-identical codebook literals in DuckDB, so
-    the PQ training path itself sits inside the hash gate (the
-    knn_ivf_trained pattern)."""
-    from simple_tsdb_spark.pipeline import knn_ivf_pq, train_pq_codebooks
+    """IVF-PQ behind codebooks TRAINED on a bounded hash-rank sample
+    (per-subspace driver-local Lloyd over ≤16k vectors; one corpus scan
+    to sample — the knn_ivf_trained pattern).  The oracle independently
+    draws the identical sample in DuckDB and refits bit-identical
+    codebook literals, so the PQ training path itself sits inside the
+    hash gate."""
+    from simple_tsdb_spark.pipeline import knn_ivf_pq, train_pq_codebooks_sampled
 
-    cbs = train_pq_codebooks(_embs(spark, sf_dir), iters=TRAIN_PQ_ITERS)
+    cbs = train_pq_codebooks_sampled(_embs(spark, sf_dir), iters=TRAIN_PQ_ITERS)
     return knn_ivf_pq(
         _embs(spark, sf_dir), query_ids=KNN_QUERY_IDS, k=10, codebooks=cbs
     )
@@ -1786,16 +1789,18 @@ FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wst
 
 
 def _knn_ivf_trained_oracle() -> str:
-    """Fit the quantizer in DuckDB (bit-identical to the Spark fit by
-    construction — see train_ivf_centroids_duck) on the driver's oracle
-    tables, then emit the standard knn_ivf oracle over those literals.
-    The driver evaluates oracles at sf0.01; SPARK_GRAFT_ORACLE_SF lets
-    local check_oracle runs point the fit at another sf dir."""
+    """Draw the identical hash-rank training sample in DuckDB and run
+    the same driver-local fit (bit-identical to the Spark fit by
+    construction — see train_ivf_centroids_sampled_duck) on the
+    driver's oracle tables, then emit the standard knn_ivf oracle over
+    those literals.  The driver evaluates oracles at sf0.01;
+    SPARK_GRAFT_ORACLE_SF lets local check_oracle runs point the fit at
+    another sf dir."""
     import os
 
     import duckdb
 
-    from simple_tsdb_spark.pipeline import train_ivf_centroids_duck
+    from simple_tsdb_spark.pipeline import train_ivf_centroids_sampled_duck
     from simple_tsdb_spark.pipeline.similarity import knn_ivf_oracle
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
@@ -1804,22 +1809,23 @@ def _knn_ivf_trained_oracle() -> str:
         con.execute(
             f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
         )
-        cs = train_ivf_centroids_duck(con, iters=TRAIN_IVF_ITERS)
+        cs = train_ivf_centroids_sampled_duck(con, iters=TRAIN_IVF_ITERS)
     finally:
         con.close()
     return knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10, centroids=cs)
 
 
 def _knn_ivf_pq_trained_oracle() -> str:
-    """Refit the PQ codebooks in DuckDB (bit-identical to the Spark fit
-    by construction — see train_pq_codebooks_duck) on the driver's
-    oracle tables, then emit the standard knn_ivf_pq oracle over those
-    literals."""
+    """Draw the identical hash-rank training sample in DuckDB and refit
+    the PQ codebooks with the same driver-local fit (bit-identical to
+    the Spark fit by construction — see
+    train_pq_codebooks_sampled_duck) on the driver's oracle tables,
+    then emit the standard knn_ivf_pq oracle over those literals."""
     import os
 
     import duckdb
 
-    from simple_tsdb_spark.pipeline import train_pq_codebooks_duck
+    from simple_tsdb_spark.pipeline import train_pq_codebooks_sampled_duck
     from simple_tsdb_spark.pipeline.similarity import knn_ivf_pq_oracle
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
@@ -1828,7 +1834,7 @@ def _knn_ivf_pq_trained_oracle() -> str:
         con.execute(
             f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
         )
-        cbs = train_pq_codebooks_duck(con, iters=TRAIN_PQ_ITERS)
+        cbs = train_pq_codebooks_sampled_duck(con, iters=TRAIN_PQ_ITERS)
     finally:
         con.close()
     return knn_ivf_pq_oracle(query_ids=KNN_QUERY_IDS, k=10, codebooks=cbs)

@@ -838,6 +838,280 @@ SELECT m, code, COUNT(*) AS n, {scols} FROM rows GROUP BY m, code
     return _pq_lloyd(sum_rows, pq_codebooks(m, k, dim), iters)
 
 
+TRAIN_SAMPLE_N = 16_384  # default bounded training-sample size
+
+
+def training_sample(
+    df: DataFrame,
+    *,
+    sample_n: int = TRAIN_SAMPLE_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Deterministic bounded training sample for quantizer fits (the
+    FAISS doctrine: k-means never sees the full corpus — it trains on a
+    size-capped sample and the index SCANS the corpus once to encode).
+
+    Selection is the ``sample_n`` rows with the smallest
+    ``(md5(CAST(id AS STRING)), id)`` — a hash-rank, so the sample is a
+    uniform draw that is (a) independent of partitioning and row order,
+    (b) reproducible from the data alone, and (c) identical in any
+    engine that agrees on md5 of the id's decimal string (DuckDB does:
+    :func:`training_sample_duck` fetches the same rows).  Spark executes
+    it as TakeOrderedAndProject — a distributed partial top-N, ONE
+    corpus scan, no global sort shuffle — so at 10⁹ vectors the fit
+    costs one scan plus a driver-local Lloyd over ≤ ``sample_n``
+    vectors (~sample_n×dim×8 bytes; 8 MiB at the 16k default), instead
+    of ``iters`` full-corpus assignment passes.
+
+    Zero-norm vectors (no direction) and NULL ids (no stable hash rank)
+    are excluded.  Rows come back sorted by id so downstream local math
+    is order-canonical.  Returns an (n, dim) float64 array; vectors are
+    exact float→double widenings of the stored values, so both engines'
+    samples are bit-identical.
+    """
+    import numpy as np
+
+    rows = (
+        df.where(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {vec_col}, (p, q) -> CAST(p AS DOUBLE) * q), "
+                "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0"
+            )
+        )
+        .where(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_vid"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "_vid")
+        .limit(int(sample_n))
+        .collect()  # ≤ sample_n rows — bounded by design, corpus-size independent
+    )
+    rows.sort(key=lambda r: r["_vid"])
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.array([r["_v"] for r in rows], dtype=np.float64)
+
+
+def training_sample_duck(
+    con,
+    *,
+    table: str = "embeddings",
+    sample_n: int = TRAIN_SAMPLE_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """DuckDB twin of :func:`training_sample` — same hash-rank selection
+    (md5 of the id's decimal string renders identically), same zero-norm
+    and NULL-id exclusions, same id-sorted float64 result — so both
+    engines hand the SAME array to the shared local fit."""
+    import numpy as np
+
+    rows = con.execute(
+        f"""
+SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v
+FROM {table}
+WHERE list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]) > 0
+  AND {id_col} IS NOT NULL
+ORDER BY md5({id_col}::VARCHAR), {id_col}
+LIMIT {int(sample_n)}
+"""
+    ).fetchall()
+    rows.sort(key=lambda r: r[0])
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def fit_ivf_centroids_local(
+    sample: "np.ndarray",
+    *,
+    nlist: int = N_LISTS,
+    dim: int = 64,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Driver-local spherical-k-means over a BOUNDED training sample
+    (pair with :func:`training_sample`).  Same init
+    (:func:`default_centroids`), same floor-quantized integer-sum mean
+    arithmetic (reuses :func:`_lloyd_refine`), but assignment runs in
+    numpy on the sample instead of as ``iters`` distributed corpus
+    passes.  Engine parity is structural: both the Spark and DuckDB
+    paths call THIS function on bit-identical samples, so the fitted
+    literals are identical by construction.  Empty sample (or a cluster
+    with no members) keeps the previous centroid, matching the
+    distributed trainer's convention."""
+    import numpy as np
+
+    if sample.size and sample.shape[1] != dim:
+        raise ValueError(
+            f"training sample has dim {sample.shape[1]}, expected {dim}"
+        )
+
+    def sum_rows(cs):
+        if not sample.size:
+            return []
+        c = np.asarray(cs, dtype=np.float64)
+        norms = np.sqrt((c * c).sum(axis=1))
+        # assignment = argmax cos = argmax dot/|c| (|v| is a shared
+        # factor); ties break to the first (lowest) list, like the
+        # distributed trainer's array_position-of-max.
+        assign = (sample @ c.T / norms).argmax(axis=1)
+        q = np.floor(sample * float(_TRAIN_QUANT)).astype(np.int64)
+        out = []
+        for list_id in np.unique(assign):
+            sel = q[assign == list_id]
+            out.append(
+                (
+                    int(list_id),
+                    int(sel.shape[0]),
+                    [int(s) for s in sel.sum(axis=0)],
+                )
+            )
+        return out
+
+    return _lloyd_refine(sum_rows, nlist, dim, iters)
+
+
+def fit_pq_codebooks_local(
+    sample: "np.ndarray",
+    *,
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Driver-local per-subspace k-means for PQ codebooks over a BOUNDED
+    training sample (pair with :func:`training_sample`).  Vectors are
+    L2-normalized (as in :func:`train_pq_codebooks`), assignment is
+    squared-L2 argmin with first-min (lowest code) tiebreak — the
+    ``min_by(k, struct(d, k))`` convention — and means use the shared
+    floor-quantized integer sums via :func:`_pq_lloyd`.  Both engines
+    call THIS function on bit-identical samples, so trained codebooks
+    stay inside the driver's hash gate."""
+    import numpy as np
+
+    if sample.size and sample.shape[1] != dim:
+        raise ValueError(
+            f"training sample has dim {sample.shape[1]}, expected {dim}"
+        )
+    sub = dim // m
+    if sample.size:
+        nemb = sample / np.sqrt((sample * sample).sum(axis=1, keepdims=True))
+    else:
+        nemb = sample
+
+    def sum_rows(cbs):
+        if not nemb.size:
+            return []
+        out = []
+        for mi in range(m):
+            sv = nemb[:, mi * sub : (mi + 1) * sub]
+            cb = np.asarray(cbs[mi], dtype=np.float64)
+            d2 = ((sv[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            q = np.floor(sv * float(_TRAIN_QUANT)).astype(np.int64)
+            for code in np.unique(assign):
+                sel = q[assign == code]
+                out.append(
+                    (
+                        mi,
+                        int(code),
+                        int(sel.shape[0]),
+                        [int(s) for s in sel.sum(axis=0)],
+                    )
+                )
+        return out
+
+    return _pq_lloyd(sum_rows, pq_codebooks(m, k, dim), iters)
+
+
+def train_ivf_centroids_sampled(
+    df: DataFrame,
+    *,
+    nlist: int = N_LISTS,
+    dim: int = 64,
+    iters: int = 3,
+    sample_n: int = TRAIN_SAMPLE_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Sample-bounded IVF quantizer fit: ONE corpus scan (hash-rank
+    top-N) + a driver-local Lloyd over ≤ ``sample_n`` vectors.  The
+    100 TB-correct trainer — cost is independent of corpus size — and
+    the default for the trained gate paths.  Use
+    :func:`train_ivf_centroids` when the fit must see every vector."""
+    return fit_ivf_centroids_local(
+        training_sample(df, sample_n=sample_n, vec_col=vec_col, id_col=id_col),
+        nlist=nlist,
+        dim=dim,
+        iters=iters,
+    )
+
+
+def train_ivf_centroids_sampled_duck(
+    con,
+    *,
+    table: str = "embeddings",
+    nlist: int = N_LISTS,
+    dim: int = 64,
+    iters: int = 3,
+    sample_n: int = TRAIN_SAMPLE_N,
+) -> list[list[float]]:
+    """DuckDB twin of :func:`train_ivf_centroids_sampled` (same sample,
+    same local fit → identical literals)."""
+    return fit_ivf_centroids_local(
+        training_sample_duck(con, table=table, sample_n=sample_n),
+        nlist=nlist,
+        dim=dim,
+        iters=iters,
+    )
+
+
+def train_pq_codebooks_sampled(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+    sample_n: int = TRAIN_SAMPLE_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Sample-bounded PQ codebook fit: ONE corpus scan + driver-local
+    per-subspace Lloyd over ≤ ``sample_n`` vectors.  See
+    :func:`train_ivf_centroids_sampled` for the doctrine."""
+    return fit_pq_codebooks_local(
+        training_sample(df, sample_n=sample_n, vec_col=vec_col, id_col=id_col),
+        dim=dim,
+        m=m,
+        k=k,
+        iters=iters,
+    )
+
+
+def train_pq_codebooks_sampled_duck(
+    con,
+    *,
+    table: str = "embeddings",
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+    sample_n: int = TRAIN_SAMPLE_N,
+) -> list[list[list[float]]]:
+    """DuckDB twin of :func:`train_pq_codebooks_sampled`."""
+    return fit_pq_codebooks_local(
+        training_sample_duck(con, table=table, sample_n=sample_n),
+        dim=dim,
+        m=m,
+        k=k,
+        iters=iters,
+    )
+
+
 def pq_encode_oracle(
     table: str = "embeddings",
     *,

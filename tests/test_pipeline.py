@@ -382,6 +382,78 @@ def test_train_ivf_spark_and_duck_fits_identical(spark, embs):
     assert got == want  # exact float equality, not allclose
 
 
+def test_training_sample_spark_and_duck_identical(spark, embs):
+    """The sampled-trainer hash gate rests on both engines drawing the
+    SAME hash-rank sample: same rows (md5-of-id rank), same float→double
+    widenings, id-sorted — bit-identical arrays."""
+    import duckdb
+
+    from simple_tsdb_spark.pipeline import training_sample, training_sample_duck
+
+    got = training_sample(embs, sample_n=100)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = training_sample_duck(con, sample_n=100)
+    assert got.shape == (100, 64)
+    assert np.array_equal(got, want)
+    # Oversized cap = the whole corpus (minus zero-norm/NULL-id rows).
+    full = training_sample(embs, sample_n=10**9)
+    assert full.shape[0] == embs.count()
+
+
+def test_sampled_fits_spark_and_duck_identical(spark, embs):
+    """Trained-quantizer gate, sampled path: Spark-sampled and
+    DuckDB-sampled fits must emit byte-identical literals (IVF and PQ),
+    because both draw the same sample and share the local Lloyd."""
+    import duckdb
+
+    from simple_tsdb_spark.pipeline import (
+        train_ivf_centroids_sampled,
+        train_ivf_centroids_sampled_duck,
+        train_pq_codebooks_sampled,
+        train_pq_codebooks_sampled_duck,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    assert train_ivf_centroids_sampled(embs, iters=2) == (
+        train_ivf_centroids_sampled_duck(con, iters=2)
+    )
+    assert train_pq_codebooks_sampled(embs, iters=2) == (
+        train_pq_codebooks_sampled_duck(con, iters=2)
+    )
+
+
+def test_sampled_fit_empty_and_degenerate_sample(spark):
+    """Zero-norm-only corpora sample to an empty array → both fits keep
+    their deterministic inits (the distributed trainers' convention);
+    a wrong-dim sample fails loudly."""
+    from simple_tsdb_spark.pipeline import (
+        fit_ivf_centroids_local,
+        fit_pq_codebooks_local,
+        training_sample,
+    )
+    from simple_tsdb_spark.pipeline.similarity import default_centroids, pq_codebooks
+
+    pdf = pd.DataFrame(
+        {"vec_id": [1, 2], "embedding": [[0.0] * 8, [0.0] * 8]}
+    )
+    empty = training_sample(spark.createDataFrame(pdf), sample_n=10)
+    assert empty.size == 0
+    assert fit_ivf_centroids_local(empty, nlist=2, dim=8, iters=2) == (
+        default_centroids(2, 8)
+    )
+    assert fit_pq_codebooks_local(empty, dim=8, m=2, k=4, iters=2) == (
+        pq_codebooks(2, 4, 8)
+    )
+    with pytest.raises(ValueError, match="dim"):
+        fit_ivf_centroids_local(np.ones((3, 5)), nlist=2, dim=8, iters=1)
+
+
 def test_repetition_stats_python_model(spark):
     """Repetition signals vs a direct python recomputation, including the
     looping-boilerplate case and the no-bigram edge."""
