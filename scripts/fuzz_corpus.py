@@ -13,9 +13,9 @@ that reads that table through the strict dtype-kind compare of
 scripts/check_oracle.py.
 
 Usage: python scripts/fuzz_corpus.py [corpus ...]
-Corpora: degenerate identical unicode no_fit single_doc
-         ev_same_ts ev_single_user ev_sparse_types ev_minimal
-         emb_zero emb_identical emb_single emb_one_label
+Corpora: degenerate identical unicode no_fit single_doc empty
+         ev_same_ts ev_single_user ev_sparse_types ev_minimal ev_empty
+         emb_zero emb_identical emb_single emb_one_label emb_empty
 """
 
 from __future__ import annotations
@@ -208,6 +208,41 @@ def emb_one_label() -> pa.Table:
     return _emb_table([rng.normal(size=EMB_DIM) for _ in range(30)], [7] * 30)
 
 
+def corpus_empty() -> pa.Table:
+    """ZERO documents — global aggregates over an empty frame, empty fit
+    sets, empty spines: the single most divergence-prone input class
+    (one engine emits a NULL aggregate row where the other emits zero
+    rows, or int columns decay to float)."""
+    return pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+
+
+def events_empty() -> pa.Table:
+    """ZERO events — empty sessionization, funnels, windows, spines."""
+    return pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+
+
+def emb_empty() -> pa.Table:
+    """ZERO vectors — every index trains/scans over nothing."""
+    return _emb_table([], [])
+
+
 CORPORA: dict[str, tuple[str, callable]] = {
     "degenerate": ("documents", corpus_degenerate),
     "identical": ("documents", corpus_identical),
@@ -218,6 +253,9 @@ CORPORA: dict[str, tuple[str, callable]] = {
     "ev_single_user": ("events", events_single_user),
     "ev_sparse_types": ("events", events_sparse_types),
     "ev_minimal": ("events", events_minimal),
+    "empty": ("documents", corpus_empty),
+    "ev_empty": ("events", events_empty),
+    "emb_empty": ("embeddings", emb_empty),
     "emb_zero": ("embeddings", emb_zero),
     "emb_identical": ("embeddings", emb_identical),
     "emb_single": ("embeddings", emb_single),
