@@ -56,17 +56,29 @@ def main() -> None:
         print(f"# {name}: {t:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_declared_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    # The driver keeps only the last 2000 chars of output and json-parses
+    # them; a line carrying all declared queries at 4 decimals overflows
+    # that buffer (rounds 8-10 recorded parsed=null).  Emit the headline
+    # first, per-query times at centisecond precision sorted slowest-first,
+    # and drop the fastest entries until the line fits — the full map is
+    # always on stderr above.
+    payload = {
+        "metric": "total_declared_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries_total": len(times),
+        "queries_omitted": 0,
+        "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])),
+    }
+    payload["queries"] = {k: round(v, 2) for k, v in payload["queries"].items()}
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > 1800 and payload["queries"]:
+        fastest = min(payload["queries"], key=payload["queries"].get)
+        payload["queries"].pop(fastest)
+        payload["queries_omitted"] = payload["queries_total"] - len(payload["queries"])
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
