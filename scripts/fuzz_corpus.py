@@ -16,6 +16,9 @@ Usage: python scripts/fuzz_corpus.py [corpus ...]
 Corpora: degenerate identical unicode no_fit single_doc empty
          ev_same_ts ev_single_user ev_sparse_types ev_minimal ev_empty
          emb_zero emb_identical emb_single emb_one_label emb_empty
+         li_empty li_single li_one_order li_orphans li_ties
+         ord_empty ord_same_day ord_no_lineitems
+         cust_empty cust_one_nation_neg supp_empty supp_uniform part_empty
 """
 
 from __future__ import annotations
@@ -243,6 +246,206 @@ def emb_empty() -> pa.Table:
     return _emb_table([], [])
 
 
+# -- TPC-H-side corpora (lineitem / orders / customer / supplier / part) ------
+
+_LI_COLS = [
+    ("l_orderkey", "int64"), ("l_partkey", "int64"), ("l_suppkey", "int64"),
+    ("l_linenumber", "int32"), ("l_quantity", "float64"),
+    ("l_extendedprice", "float64"), ("l_discount", "float64"),
+    ("l_tax", "float64"), ("l_returnflag", "object"), ("l_linestatus", "object"),
+    ("l_shipdate", "datetime64[us]"),
+]
+
+
+def _li_df(rows: list[tuple]) -> pd.DataFrame:
+    df = pd.DataFrame(rows, columns=[c for c, _ in _LI_COLS])
+    for c, dt in _LI_COLS:
+        df[c] = df[c].astype(dt)
+    return df
+
+
+def li_empty() -> pa.Table:
+    """ZERO lineitems — Q1/Q6-shaped aggregates over nothing, ROLLUP/CUBE
+    grand-total rows on empty joins.  Explicit arrow schema: an empty
+    pandas object column would otherwise write a null-typed parquet
+    column, which is a harness artifact, not an engine behavior."""
+    return pa.table({
+        "l_orderkey": pa.array([], pa.int64()),
+        "l_partkey": pa.array([], pa.int64()),
+        "l_suppkey": pa.array([], pa.int64()),
+        "l_linenumber": pa.array([], pa.int32()),
+        "l_quantity": pa.array([], pa.float64()),
+        "l_extendedprice": pa.array([], pa.float64()),
+        "l_discount": pa.array([], pa.float64()),
+        "l_tax": pa.array([], pa.float64()),
+        "l_returnflag": pa.array([], pa.string()),
+        "l_linestatus": pa.array([], pa.string()),
+        "l_shipdate": pa.array([], pa.timestamp("us")),
+    })
+
+
+def li_single() -> pd.DataFrame:
+    """One lineitem, inside every predicate window — all group-bys at
+    n=1, every join single-row."""
+    return _li_df([(1, 0, 0, 1, 10.0, 1000.0, 0.06, 0.02, "N", "O",
+                    pd.Timestamp("1996-06-01"))])
+
+
+def li_one_order() -> pd.DataFrame:
+    """Every lineitem belongs to ONE order: maximal group depth, the
+    large-volume HAVING threshold crossed by a single key, total skew."""
+    rows = []
+    for i in range(40):
+        rows.append((
+            1, i % 7, i % 5, i + 1, 5.0 + (i % 3), 100.0 * (1 + i % 4),
+            (i % 3) * 0.05, 0.04, "ANR"[i % 3], "OF"[i % 2],
+            pd.Timestamp("1996-01-01") + pd.Timedelta(days=30 * (i % 24)),
+        ))
+    return _li_df(rows)
+
+
+def li_orphans() -> pd.DataFrame:
+    """Every l_orderkey missing from orders (referential break): all
+    order joins drop to zero rows while lineitem-only aggregates still
+    see the full table."""
+    rows = [
+        (1_000_000 + i, i % 7, i % 5, 1, float(1 + i % 24), 500.0 + i,
+         0.05 + (i % 3) * 0.01, 0.0, "ANR"[i % 3], "OF"[i % 2],
+         pd.Timestamp("1996-03-01") + pd.Timedelta(days=i))
+        for i in range(30)
+    ]
+    return _li_df(rows)
+
+
+def li_ties() -> pd.DataFrame:
+    """Identical price/discount on every row across many orders: top-k
+    revenue ties everywhere — both engines must break ties on the
+    declared keys, not on physical row order."""
+    rows = [
+        (i % 30, i % 7, i % 5, 1 + i // 30, 4.0, 1000.0, 0.0, 0.0,
+         "N", "O", pd.Timestamp("1998-06-01"))
+        for i in range(60)
+    ]
+    return _li_df(rows)
+
+
+_ORD_COLS = [
+    ("o_orderkey", "int64"), ("o_custkey", "int64"), ("o_orderstatus", "object"),
+    ("o_totalprice", "float64"), ("o_orderdate", "datetime64[us]"),
+    ("o_orderpriority", "object"),
+]
+
+
+def _ord_df(rows: list[tuple]) -> pd.DataFrame:
+    df = pd.DataFrame(rows, columns=[c for c, _ in _ORD_COLS])
+    for c, dt in _ORD_COLS:
+        df[c] = df[c].astype(dt)
+    return df
+
+
+def ord_empty() -> pa.Table:
+    """ZERO orders — ROLLUP over empty input (the () grouping set must
+    agree: one COUNT=0 row on both engines or zero rows on both)."""
+    return pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_custkey": pa.array([], pa.int64()),
+        "o_orderstatus": pa.array([], pa.string()),
+        "o_totalprice": pa.array([], pa.float64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "o_orderpriority": pa.array([], pa.string()),
+    })
+
+
+def ord_same_day() -> pd.DataFrame:
+    """All orders on one day, one status/priority, tied totalprice:
+    date buckets collapse to a single group and per-customer spend ties
+    everywhere (top_customers rank must fall to c_custkey)."""
+    return _ord_df([
+        (i, i % 150, "O", 5000.0, pd.Timestamp("1996-03-15"), "1-URGENT")
+        for i in range(100)
+    ])
+
+
+def ord_no_lineitems() -> pd.DataFrame:
+    """Every o_orderkey missing from lineitem: order-lineitem joins are
+    empty while orders-only rollups still see the full table."""
+    return _ord_df([
+        (500_000 + i, i % 150, "POF"[i % 3], 100.0 * (1 + i % 9),
+         pd.Timestamp("1995-06-01") + pd.Timedelta(days=2 * i),
+         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"][i % 5])
+        for i in range(90)
+    ])
+
+
+_CUST_COLS = [
+    ("c_custkey", "int64"), ("c_name", "object"), ("c_nationkey", "int32"),
+    ("c_acctbal", "float64"), ("c_mktsegment", "object"),
+]
+
+
+def _cust_df(rows: list[tuple]) -> pd.DataFrame:
+    df = pd.DataFrame(rows, columns=[c for c, _ in _CUST_COLS])
+    for c, dt in _CUST_COLS:
+        df[c] = df[c].astype(dt)
+    return df
+
+
+def cust_empty() -> pa.Table:
+    """ZERO customers — customer joins empty, nation share over an empty
+    (NULL) grand total."""
+    return pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "c_nationkey": pa.array([], pa.int32()),
+        "c_acctbal": pa.array([], pa.float64()),
+        "c_mktsegment": pa.array([], pa.string()),
+    })
+
+
+def cust_one_nation_neg() -> pd.DataFrame:
+    """One nation, ALL acctbals negative: the nation-share quotient runs
+    on negative numerator AND denominator (floor vs truncate division
+    sign semantics), and every customer passes the BUILDING segment."""
+    return _cust_df([
+        (i, f"Customer#{i:09d}", 3, -100.0 - (i % 5) * 25.0, "BUILDING")
+        for i in range(40)
+    ])
+
+
+def supp_empty() -> pa.Table:
+    """ZERO suppliers — quartiles over nothing."""
+    return pa.table({
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string()),
+        "s_nationkey": pa.array([], pa.int32()),
+        "s_acctbal": pa.array([], pa.float64()),
+    })
+
+
+def supp_uniform() -> pa.Table:
+    """Every supplier with the SAME balance: all quartiles tie at one
+    value — interpolation must agree exactly."""
+    n = 25
+    return pa.table({
+        "s_suppkey": pa.array(range(n), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n)], pa.string()),
+        "s_nationkey": pa.array([i % 25 for i in range(n)], pa.int32()),
+        "s_acctbal": pa.array([1234.56] * n, pa.float64()),
+    })
+
+
+def part_empty() -> pa.Table:
+    """ZERO parts — correlated min-subquery over an empty table."""
+    return pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "p_name": pa.array([], pa.string()),
+        "p_brand": pa.array([], pa.string()),
+        "p_type": pa.array([], pa.string()),
+        "p_size": pa.array([], pa.int32()),
+        "p_retailprice": pa.array([], pa.float64()),
+    })
+
+
 CORPORA: dict[str, tuple[str, callable]] = {
     "degenerate": ("documents", corpus_degenerate),
     "identical": ("documents", corpus_identical),
@@ -260,6 +463,19 @@ CORPORA: dict[str, tuple[str, callable]] = {
     "emb_identical": ("embeddings", emb_identical),
     "emb_single": ("embeddings", emb_single),
     "emb_one_label": ("embeddings", emb_one_label),
+    "li_empty": ("lineitem", li_empty),
+    "li_single": ("lineitem", li_single),
+    "li_one_order": ("lineitem", li_one_order),
+    "li_orphans": ("lineitem", li_orphans),
+    "li_ties": ("lineitem", li_ties),
+    "ord_empty": ("orders", ord_empty),
+    "ord_same_day": ("orders", ord_same_day),
+    "ord_no_lineitems": ("orders", ord_no_lineitems),
+    "cust_empty": ("customer", cust_empty),
+    "cust_one_nation_neg": ("customer", cust_one_nation_neg),
+    "supp_empty": ("supplier", supp_empty),
+    "supp_uniform": ("supplier", supp_uniform),
+    "part_empty": ("part", part_empty),
 }
 
 

@@ -200,11 +200,16 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def revenue_rollup_oracle() -> str:
+    # HAVING COUNT(*) > 0 mirrors Spark's grouping-sets semantics on
+    # EMPTY input (Spark emits zero rows; standard SQL emits the ()
+    # grand-total row with COUNT 0).  Every grouping-set row over a
+    # non-empty input has COUNT >= 1, so this is a no-op otherwise.
     return """
 SELECT o_orderstatus, o_orderpriority,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
        COUNT(*) AS n_orders
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 """
 
 
@@ -527,6 +532,7 @@ SELECT COALESCE(n_name, '(all)') AS n_name,
        CAST(SUM(rev) AS DOUBLE) AS revenue
 FROM base
 GROUP BY ROLLUP (n_name, o_year)
+HAVING COUNT(*) > 0
 """
 
 

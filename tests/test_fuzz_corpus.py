@@ -1,10 +1,11 @@
 """Cross-engine pathological-corpus fuzz, wired into pytest.
 
 Thin wrapper over scripts/fuzz_corpus.py (see its docstring for the bug
-class and the round-11 finds).  The full 13-corpus sweep is several
-minutes of Spark jobs, so it carries the ``soak`` marker like the other
-slow model tests; the per-commit loop keeps one cheap corpus per table
-as a tripwire.
+class and the round-11 finds).  The full corpus sweep (documents/events/
+embeddings plus the TPC-H-side lineitem/orders/customer/supplier/part
+pathologies) is several minutes of Spark jobs, so it carries the ``soak``
+marker like the other slow model tests; the per-commit loop keeps one
+cheap corpus per table family as a tripwire.
 """
 
 from __future__ import annotations
@@ -64,7 +65,7 @@ def _run(spark, cname: str) -> list[str]:
     return failures
 
 
-@pytest.mark.parametrize("cname", ["degenerate", "ev_minimal", "emb_zero"])
+@pytest.mark.parametrize("cname", ["degenerate", "ev_minimal", "emb_zero", "li_single"])
 def test_fuzz_tripwire(spark, cname):
     """One pathological corpus per table in the fast loop — the cheapest
     member of each family that historically caught a divergence."""
@@ -74,7 +75,7 @@ def test_fuzz_tripwire(spark, cname):
 @pytest.mark.soak
 @pytest.mark.parametrize(
     "cname",
-    [c for c in fuzz.CORPORA if c not in ("degenerate", "ev_minimal", "emb_zero")],
+    [c for c in fuzz.CORPORA if c not in ("degenerate", "ev_minimal", "emb_zero", "li_single")],
 )
 def test_fuzz_full_sweep(spark, cname):
     assert _run(spark, cname) == []
