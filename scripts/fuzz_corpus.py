@@ -19,6 +19,7 @@ Corpora: degenerate identical unicode no_fit single_doc empty
          li_empty li_single li_one_order li_orphans li_ties
          ord_empty ord_same_day ord_no_lineitems
          cust_empty cust_one_nation_neg supp_empty supp_uniform part_empty
+         nation_dup_names nation_empty
 """
 
 from __future__ import annotations
@@ -434,6 +435,26 @@ def supp_uniform() -> pa.Table:
     })
 
 
+def nation_dup_names() -> pa.Table:
+    """25 nationkeys but only 5 DISTINCT n_name values: group-by-name
+    aggregations must merge across keys identically on both engines,
+    and per-nation top-k ranks span merged key sets."""
+    return pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": pa.array([f"NATION_{i % 5}" for i in range(25)], pa.string()),
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    })
+
+
+def nation_empty() -> pa.Table:
+    """ZERO nations — every nation join (broadcast dim) drops to empty."""
+    return pa.table({
+        "n_nationkey": pa.array([], pa.int32()),
+        "n_name": pa.array([], pa.string()),
+        "n_regionkey": pa.array([], pa.int32()),
+    })
+
+
 def part_empty() -> pa.Table:
     """ZERO parts — correlated min-subquery over an empty table."""
     return pa.table({
@@ -476,6 +497,8 @@ CORPORA: dict[str, tuple[str, callable]] = {
     "supp_empty": ("supplier", supp_empty),
     "supp_uniform": ("supplier", supp_uniform),
     "part_empty": ("part", part_empty),
+    "nation_dup_names": ("nation", nation_dup_names),
+    "nation_empty": ("nation", nation_empty),
 }
 
 

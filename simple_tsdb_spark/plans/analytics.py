@@ -627,9 +627,12 @@ def nation_balance_share_oracle(*, min_share: float = 0.01) -> str:
     ms = _exact_fraction(min_share)
     return f"""
 WITH per_nation AS (
+  -- grouped by the KEY, not the display name: the engine aggregates on
+  -- c_nationkey and broadcast-joins n_name afterwards, so two nations
+  -- sharing a name stay separate rows on both sides.
   SELECT n_name, CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS t
   FROM customer JOIN nation ON c_nationkey = n_nationkey
-  GROUP BY n_name),
+  GROUP BY n_nationkey, n_name),
 total AS (
   SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS g
   FROM customer)
