@@ -1703,12 +1703,19 @@ def knn_rp(
     is scanned twice, never shuffled or broadcast.
     """
     proj = _rp_proj_expr(vec_col, in_dim, out_dim, salt)
-    # zero-norm PROJECTED vectors excluded from stage 1 (cosine undefined;
-    # covers zero inputs and sign-cancelled projections; see knn_brute)
-    ep = (
-        df.select(F.col(id_col).alias("nid"), F.expr(proj).alias("pv"))
-        .withColumn("pnrm", _norm("pv"))
-        .where(F.col("pnrm") > 0)
+    # Zero-norm PROJECTED vectors are excluded from stage 1 (cosine
+    # undefined; covers zero inputs and sign-cancelled projections; see
+    # knn_brute) — but NOT with a `pnrm > 0` pre-filter: Catalyst pushes
+    # that predicate through the projection by inlining the whole
+    # out_dim×in_dim fold into the Filter, evaluating it TWICE per corpus
+    # row (measured 2× stage-1 cost).  Instead the guard rides the cosine
+    # as a CASE (a projection — nothing to push down), NULL for excluded
+    # rows, and NULLs drop after the top-k window where _pcos is already
+    # materialized past the exchange.  NULLS LAST (Spark's DESC default,
+    # and DuckDB's) keeps the non-null candidate ranks identical to the
+    # oracle's HAVING-filtered ranking.
+    ep = df.select(F.col(id_col).alias("nid"), F.expr(proj).alias("pv")).withColumn(
+        "pnrm", _norm("pv")
     )
     qp = ep.where(F.col("nid").isin(list(query_ids))).select(
         F.col("nid").alias("query_id"),
@@ -1721,24 +1728,26 @@ def knn_rp(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            F.round(_cos_prenorm("qpv", "pv", "qpnrm", "pnrm"), 6).alias("_pcos"),
+            F.when(
+                (F.col("pnrm") > 0) & (F.col("qpnrm") > 0),
+                F.round(_cos_prenorm("qpv", "pv", "qpnrm", "pnrm"), 6),
+            ).alias("_pcos"),
         )
     )
     w1 = Window.partitionBy("query_id").orderBy(F.col("_pcos").desc(), F.col("neighbor_id"))
     cand = (
         cand.withColumn("_crk", F.row_number().over(w1))
-        .where(F.col("_crk") <= int(k) * int(overfetch))
+        .where((F.col("_crk") <= int(k) * int(overfetch)) & F.col("_pcos").isNotNull())
         .select("query_id", "neighbor_id")
     )
 
-    e = (
-        df.select(
-            F.col(id_col).alias("nid"),
-            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-        )
-        .withColumn("nrm", _norm("emb"))
-        .where(F.col("nrm") > 0)
-    )
+    # Stage 2: every candidate already has nonzero norms (zero exact norm
+    # implies a zero projection, excluded above), so the CASE guard here
+    # is pure NULL/NaN-input safety — same no-pushdown shape as stage 1.
+    e = df.select(
+        F.col(id_col).alias("nid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).withColumn("nrm", _norm("emb"))
     q = e.where(F.col("nid").isin(list(query_ids))).select(
         F.col("nid").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -1750,13 +1759,16 @@ def knn_rp(
         .select(
             "query_id",
             "neighbor_id",
-            _cos_prenorm("qemb", "emb", "qnrm", "nrm").alias("cos"),
+            F.when(
+                (F.col("nrm") > 0) & (F.col("qnrm") > 0),
+                _cos_prenorm("qemb", "emb", "qnrm", "nrm"),
+            ).alias("cos"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         rescored.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= int(k))
+        .where((F.col("rank") <= int(k)) & F.col("cos").isNotNull())
         .orderBy("query_id", "rank")
     )
 
