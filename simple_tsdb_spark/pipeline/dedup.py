@@ -829,7 +829,14 @@ def embedding_dup_pairs(
         df.select(*cols)
         .withColumn("_sarr", F.expr(_score_array_spark("emb", dim, centroids)))
         .withColumn(
-            "blk", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
+            # non-nullable (see similarity.knn_ivf): stops the block-key
+            # equi-join from inferring an isnotnull filter that inlines and
+            # re-evaluates the whole quantizer fold per row
+            "blk",
+            F.coalesce(
+                F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int"),
+                F.lit(-1),
+            ),
         )
         .drop("_sarr")
         .withColumn("nrm", _norm("emb"))
@@ -1055,8 +1062,14 @@ def semdedup(
         )
         .withColumn("_sarr", F.expr(_score_array_spark("emb", dim, centroids)))
         .withColumn(
+            # non-nullable (see similarity.knn_ivf): keeps the cluster-key
+            # pair join from re-evaluating the quantizer in an inferred
+            # isnotnull filter
             "blk",
-            F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int"),
+            F.coalesce(
+                F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int"),
+                F.lit(-1),
+            ),
         )
         .withColumn("nrm", _norm("emb"))
         .withColumn(

@@ -1186,7 +1186,13 @@ def knn_ivf_pq(
         .where(F.expr("aggregate(zip_with(emb, emb, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0"))
         .withColumn("_sarr", F.expr(sarr))
         .withColumn(
-            "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
+            # non-nullable (see knn_ivf): stops the list_id equi-join from
+            # inferring an isnotnull filter that re-evaluates the quantizer
+            "list_id",
+            F.coalesce(
+                F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int"),
+                F.lit(-1),
+            ),
         )
     )
     # codes via the relational codegen encode, list_id carried through the
@@ -1335,9 +1341,18 @@ def knn_ivf(
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
     ).withColumn("_sarr", F.expr(sarr))
     # argmax with smallest-list-id tiebreak: first position of the max.
+    # COALESCE(..., -1) makes list_id non-nullable: otherwise the list_id
+    # equi-join infers an isnotnull(list_id) filter that inlines the whole
+    # nlist×dim quantizer fold a SECOND time per corpus row (a 53KB Filter
+    # node under the Project).  -1 never matches a probe, so semantics are
+    # unchanged.
     e = (
         escore.withColumn(
-            "list_id", F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int")
+            "list_id",
+            F.coalesce(
+                F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int"),
+                F.lit(-1),
+            ),
         )
         .withColumn("nrm", _norm("emb"))
         # zero-norm vectors excluded (cosine undefined; see knn_brute)
