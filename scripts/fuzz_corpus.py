@@ -13,8 +13,9 @@ that reads that table through the strict dtype-kind compare of
 scripts/check_oracle.py.
 
 Usage: python scripts/fuzz_corpus.py [corpus ...]
-Corpora: degenerate identical unicode no_fit single_doc empty
-         ev_same_ts ev_single_user ev_sparse_types ev_minimal ev_empty
+Corpora: degenerate identical unicode no_fit single_doc nulls empty
+         ev_same_ts ev_single_user ev_sparse_types ev_minimal
+         ev_null_values ev_empty
          emb_zero emb_identical emb_single emb_one_label emb_empty
          li_empty li_single li_one_order li_orphans li_ties
          ord_empty ord_same_day ord_no_lineitems
@@ -111,6 +112,24 @@ def corpus_single_doc() -> pd.DataFrame:
     return _docs_df([(0, "just one document in the whole corpus here", "en", "src0")])
 
 
+def corpus_nulls() -> pd.DataFrame:
+    """NULL text / lang / source mixed into an otherwise healthy corpus —
+    at warehouse scale some rows WILL arrive with missing fields, and one
+    corrupt row must not kill (or skew) a corpus-wide scan.  NULL text
+    must poison that doc's per-doc stats identically on both engines;
+    NULL group keys (lang/source) must land in the same NULL group."""
+    rows = []
+    for i in range(30):
+        text = f"plain document {i} with enough words to score and shingle properly"
+        rows.append((i, text, LANGS[i % 5], f"src{i % 4}"))
+    df = _docs_df(rows)
+    df.loc[df.index % 7 == 0, "text"] = None
+    df.loc[df.index % 11 == 3, "lang"] = None
+    df.loc[df.index % 13 == 5, "source"] = None
+    df["n_chars"] = df["text"].str.len().astype("Int64")  # nullable int64
+    return df
+
+
 # -- events corpora -----------------------------------------------------------
 
 def _events_df(rows: list[tuple[int, pd.Timestamp, int, str, float]]) -> pd.DataFrame:
@@ -153,6 +172,21 @@ def events_sparse_types() -> pd.DataFrame:
             for i in range(len(EVENT_TYPES))
         ]
     )
+
+
+def events_null_values() -> pd.DataFrame:
+    """NULL event values (sensor gaps) sprinkled into a healthy stream:
+    sums/means/derivatives must skip them identically on both engines."""
+    df = _events_df(
+        [
+            (i, BASE_TS + pd.Timedelta(minutes=11 * i), i % 6, EVENT_TYPES[i % 5],
+             float(i % 17))
+            for i in range(60)
+        ]
+    )
+    df["value"] = df["value"].astype("Float64")  # nullable: parquet NULL, not NaN
+    df.loc[df.index % 5 == 0, "value"] = pd.NA
+    return df
 
 
 def events_minimal() -> pd.DataFrame:
@@ -473,6 +507,8 @@ CORPORA: dict[str, tuple[str, callable]] = {
     "unicode": ("documents", corpus_unicode),
     "no_fit": ("documents", corpus_no_fit),
     "single_doc": ("documents", corpus_single_doc),
+    "nulls": ("documents", corpus_nulls),
+    "ev_null_values": ("events", events_null_values),
     "ev_same_ts": ("events", events_same_ts),
     "ev_single_user": ("events", events_single_user),
     "ev_sparse_types": ("events", events_sparse_types),

@@ -789,6 +789,11 @@ def stratified_split(
         h.alias("_h"),
     ).withColumn("_b", F.shiftright("_h", 50))
 
+    # A NULL stratum is a real stratum (docs with an unknown key still
+    # split exactly among themselves): every _st equi-join below is
+    # null-safe (<=> / IS NOT DISTINCT FROM on the oracle side) — a plain
+    # join would silently drop the NULL group that groupBy faithfully
+    # keeps, leaving those docs with no split.
     hist = base.groupBy("_st", "_b").agg(F.count(F.lit(1)).alias("_c"))
     k_s = hist.groupBy("_st").agg(
         *[
@@ -800,7 +805,11 @@ def stratified_split(
     cum = (
         hist.withColumn("_cum", F.sum("_c").over(wcum))
         .withColumn("_prev", F.col("_cum") - F.col("_c"))
-        .join(k_s, "_st")
+        .join(
+            k_s.withColumnRenamed("_st", "_st2"),
+            F.col("_st").eqNullSafe(F.col("_st2")),
+        )
+        .drop("_st2")
     )
     seg_first = seg(F.col("_prev"))
     seg_last = seg(F.col("_cum") - 1)
@@ -814,13 +823,20 @@ def stratified_split(
     # segment-straddling bucket: rank only ~n_stratum/1024 rows
     wr = Window.partitionBy("_st", "_b").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
     bnd = (
-        base.join(bound, ["_st", "_b"])
+        base.join(
+            bound.withColumnRenamed("_st", "_st2").withColumnRenamed("_b", "_b2"),
+            F.col("_st").eqNullSafe(F.col("_st2")) & (F.col("_b") == F.col("_b2")),
+        )
         .withColumn("_pos", F.col("_prev") + F.row_number().over(wr) - 1)
         .select("doc_id", F.element_at(label_arr, seg(F.col("_pos")) + 1).alias("_blab"))
     )
 
     return (
-        base.join(whole, ["_st", "_b"], "left")
+        base.join(
+            whole.withColumnRenamed("_st", "_st2").withColumnRenamed("_b", "_b2"),
+            F.col("_st").eqNullSafe(F.col("_st2")) & (F.col("_b") == F.col("_b2")),
+            "left",
+        )
         .join(bnd, "doc_id", "left")
         .select(
             "doc_id",
@@ -865,9 +881,9 @@ r AS (
   SELECT doc_id, {stratum_col},
          ROW_NUMBER() OVER (PARTITION BY {stratum_col} ORDER BY _h, doc_id) AS _rn
   FROM base)
-SELECT doc_id, {stratum_col},
+SELECT doc_id, r.{stratum_col} AS {stratum_col},
        CASE {cases} ELSE 'train' END AS split
-FROM r JOIN k USING ({stratum_col})
+FROM r JOIN k ON r.{stratum_col} IS NOT DISTINCT FROM k.{stratum_col}
 """
 
 

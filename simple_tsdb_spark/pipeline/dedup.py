@@ -61,7 +61,12 @@ def _shingle_rows(df: DataFrame, *, text_col: str, id_col: str, stride: int) -> 
     Emits duplicate shingles; callers dedup (``distinct``) or aggregate
     with duplicate-insensitive functions (``min`` for minhash).
     """
-    pos = df.select(
+    # NULL text yields NO shingles (no content, no dup evidence).  Without
+    # the filter Spark's NULL-ignoring greatest() emits one NULL shingle,
+    # every NULL-text doc gets the all-NULL signature, and concat_ws
+    # banding collapses them into one shared bucket — phantom pairs the
+    # oracle (whose greatest() propagates NULL) never generates.
+    pos = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("_t"),
         F.explode(
@@ -642,7 +647,10 @@ def simhash_pairs_oracle(
     blk_cond = " AND x.blk = y.blk" if block_col else ""
     return f"""
 WITH h AS (
-  SELECT doc_id AS doc{blk_sel}, {_simhash_hashes_sql('text')} AS _hs FROM {table}),
+  -- NULL text excluded: no content, no dup evidence (the engine's
+  -- explode-based fingerprint emits nothing for NULL docs)
+  SELECT doc_id AS doc{blk_sel}, {_simhash_hashes_sql('text')} AS _hs FROM {table}
+  WHERE text IS NOT NULL),
 fp AS (
   SELECT doc{', blk' if block_col else ''}, {_simhash_sql('text')} AS sh FROM h)
 SELECT a, b, hamming FROM (
@@ -722,8 +730,9 @@ def simhash_band_dedup_oracle(
     )
     return f"""
 WITH h AS (
+  -- NULL text excluded (see simhash_pairs_oracle)
   SELECT doc_id AS doc, {order_col} AS _ord, {_simhash_hashes_sql('text')} AS _hs
-  FROM {table}),
+  FROM {table} WHERE text IS NOT NULL),
 fp AS (SELECT doc, _ord, {_simhash_sql('text')} AS sh FROM h),
 banded AS ({band_rows}),
 owned AS (

@@ -425,8 +425,12 @@ def extract_blob_features(
                 # floor-quantized convenience (never oracle-gated).
                 # Degenerate decodes (0-frame WAV, 0x0 image) yield a
                 # NaN mean — ppm goes NULL, never int(NaN) ValueError.
+                # A NULL payload decodes to nothing: all-NULL features,
+                # never a task-killing TypeError.
                 feats = [
-                    (*_real_decode_features(bytes(p), m),)
+                    (None, None, float("nan"))
+                    if p is None
+                    else (*_real_decode_features(bytes(p), m),)
                     for m, p in zip(pdf["mime"], pdf["payload"])
                 ]
                 feats = [
@@ -434,7 +438,12 @@ def extract_blob_features(
                     for (w, h, mn) in feats
                 ]
             else:
-                feats = [_fake_decode_features(bytes(p)) for p in pdf["payload"]]
+                feats = [
+                    (None, None, None, None)
+                    if p is None
+                    else _fake_decode_features(bytes(p))
+                    for p in pdf["payload"]
+                ]
             out = pdf[["doc_id", "n_bytes", "payload_md5"]].copy()
             out["width"] = [f[0] for f in feats]
             out["height"] = [f[1] for f in feats]
@@ -467,14 +476,21 @@ def blob_features_oracle(table: str = "documents") -> str:
         f"COALESCE(list_sum(list_transform(generate_series(1, LEAST({n}, 32)), "
         f"i -> ('0x' || substr({h}, 2*i-1, 2))::BIGINT)), 0)"
     )
+    # NULL text = NULL payload: every feature is NULL (the engine's batch
+    # decoder skips None payloads).  The CASE guards matter because
+    # COALESCE(list_sum(...), 0) — there for EMPTY payloads — would
+    # otherwise turn a NULL payload's byte sum into 0, and DuckDB's
+    # NULL-ignoring GREATEST would fabricate a denominator.
     return f"""
 SELECT doc_id,
        CAST({n} AS INTEGER) AS n_bytes,
        md5(text) AS payload_md5,
        CAST(({n} % 64) + 1 AS INTEGER) AS width,
        CAST((({n} // 64) % 64) + 1 AS INTEGER) AS height,
-       ({bytesum} / GREATEST(1, LEAST({n}, 32))) / 255.0 AS mean_sample,
-       CAST((1000000 * {bytesum}) // (GREATEST(1, LEAST({n}, 32)) * 255) AS BIGINT)
-         AS mean_sample_ppm
+       CASE WHEN text IS NOT NULL
+            THEN ({bytesum} / GREATEST(1, LEAST({n}, 32))) / 255.0 END AS mean_sample,
+       CASE WHEN text IS NOT NULL
+            THEN CAST((1000000 * {bytesum}) // (GREATEST(1, LEAST({n}, 32)) * 255) AS BIGINT)
+            END AS mean_sample_ppm
 FROM {table}
 """

@@ -374,8 +374,11 @@ def fingerprint(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 
 
 def fingerprint_oracle(table: str = "documents") -> str:
+    # NULL text excluded: a fingerprint of absent content does not exist
+    # (the engine's explode-based simhash emits nothing for NULL docs).
     return f"""
-WITH h AS (SELECT doc_id, text, {_simhash_hashes_sql('text')} AS _hs FROM {table})
+WITH h AS (SELECT doc_id, text, {_simhash_hashes_sql('text')} AS _hs FROM {table}
+           WHERE text IS NOT NULL)
 SELECT doc_id, md5(text) AS content_md5, {_simhash_sql('text')} AS simhash
 FROM h
 """
@@ -1295,8 +1298,12 @@ def quality_filter_pct(
     scores = quality_score(df, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.col("quality_ppm")
     )
-    tot = scores.agg(F.count(F.lit(1)).alias("_n"))
-    ranked = rank_histogram(scores.select("quality_ppm"), "quality_ppm").crossJoin(
+    # Threshold fits on SCORED docs only: a NULL score (NULL text) must
+    # not poison the corpus quantile — those docs get keep = NULL from
+    # the comparison instead.
+    scored = scores.where(F.col("quality_ppm").isNotNull())
+    tot = scored.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = rank_histogram(scored.select("quality_ppm"), "quality_ppm").crossJoin(
         F.broadcast(tot)
     )
     aggs, thr_expr = quantile_exprs("quality_ppm", pm, 1_000_000)
@@ -1318,20 +1325,26 @@ def quality_filter_pct(
 def quality_filter_pct_oracle(table: str = "documents", *, pct: float = 0.1) -> str:
     pm = exact_ppm(pct, name="pct")
     q = quality_score_oracle(table, gated=True).strip().rstrip()
+    # NULL scores excluded from the fit (mirrors the engine); thr is a
+    # plain aggregate over ranked with kk read via scalar subqueries, so a
+    # corpus with zero scored docs still yields ONE (NULL-threshold) row
+    # like Spark's aggregate-over-empty, not an empty cross join.
     return f"""
 WITH scores AS ({q}),
 ranked AS (
-  SELECT quality_ppm AS q, ROW_NUMBER() OVER (ORDER BY quality_ppm) AS rn FROM scores),
+  SELECT quality_ppm AS q, ROW_NUMBER() OVER (ORDER BY quality_ppm) AS rn
+  FROM scores WHERE quality_ppm IS NOT NULL),
 kk AS (
-  SELECT ((COUNT(*) - 1) * {pm}) // 1000000 AS k,
-         ((COUNT(*) - 1) * {pm}) % 1000000 AS fr,
-         COUNT(*) AS n
+  SELECT ((COUNT(quality_ppm) - 1) * {pm}) // 1000000 AS k,
+         ((COUNT(quality_ppm) - 1) * {pm}) % 1000000 AS fr,
+         COUNT(quality_ppm) AS n
   FROM scores),
 thr AS (
-  SELECT 1000000 * MAX(CASE WHEN rn = k + 1 THEN q END)
-       + fr * (MAX(CASE WHEN rn = least(k + 2, n) THEN q END)
-             - MAX(CASE WHEN rn = k + 1 THEN q END)) AS threshold_x1m
-  FROM ranked, kk GROUP BY fr)
+  SELECT 1000000 * MAX(CASE WHEN rn = (SELECT k FROM kk) + 1 THEN q END)
+       + (SELECT fr FROM kk)
+         * (MAX(CASE WHEN rn = least((SELECT k FROM kk) + 2, (SELECT n FROM kk)) THEN q END)
+             - MAX(CASE WHEN rn = (SELECT k FROM kk) + 1 THEN q END)) AS threshold_x1m
+  FROM ranked)
 SELECT doc_id, quality_ppm, threshold_x1m,
        1000000 * quality_ppm >= threshold_x1m AS keep
 FROM scores, thr
