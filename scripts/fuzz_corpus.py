@@ -246,6 +246,24 @@ def emb_one_label() -> pa.Table:
     return _emb_table([rng.normal(size=EMB_DIM) for _ in range(30)], [7] * 30)
 
 
+def emb_nulls() -> pa.Table:
+    """NULL embeddings and vectors with a NULL ELEMENT mixed into a
+    healthy corpus: a corrupt row's NULL norm/dot must exclude it from
+    every cosine path on both engines, never abort the scan."""
+    rng = np.random.default_rng(19)
+    vecs = []
+    for i in range(36):
+        v = rng.normal(size=EMB_DIM).astype(np.float32).tolist()
+        if i % 9 == 4:
+            v[i % EMB_DIM] = None  # one NULL element
+        vecs.append(None if i % 7 == 0 else v)
+    return pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([i % 10 for i in range(len(vecs))], pa.int32()),
+    })
+
+
 def corpus_empty() -> pa.Table:
     """ZERO documents — global aggregates over an empty frame, empty fit
     sets, empty spines: the single most divergence-prone input class
@@ -517,6 +535,7 @@ CORPORA: dict[str, tuple[str, callable]] = {
     "ev_empty": ("events", events_empty),
     "emb_empty": ("embeddings", emb_empty),
     "emb_zero": ("embeddings", emb_zero),
+    "emb_nulls": ("embeddings", emb_nulls),
     "emb_identical": ("embeddings", emb_identical),
     "emb_single": ("embeddings", emb_single),
     "emb_one_label": ("embeddings", emb_one_label),

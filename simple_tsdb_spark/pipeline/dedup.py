@@ -1010,7 +1010,9 @@ WITH e0 AS (
   SELECT vec_id AS doc, embedding::DOUBLE[] AS emb{xsel},
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
   FROM {table}
-  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+  WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
 e AS (
   SELECT doc, emb{', xblk' if extra_block_col else ''},
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS blk
@@ -1062,12 +1064,21 @@ def semdedup(
     drop) at ``n·256`` instead of ``n²`` pair work.  Off by default
     (the oracle-gated query keeps exact pair semantics).
     """
-    from simple_tsdb_spark.pipeline.similarity import _score_array_spark
+    from simple_tsdb_spark.pipeline.similarity import (
+        _score_array_spark,
+        _valid_vec_spark,
+    )
 
     base = (
         df.select(
             F.col(id_col).alias("doc"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+            # corrupt-vector flag (NULL / wrong length / NULL-NaN
+            # elements): such rows take the guarded convention below
+            # (cluster -1, centroid_cos 0.0) on BOTH engines — without
+            # the flag a NaN element would argmax to cluster 0 here
+            # (NaN sorts greatest) while the oracle screens it out.
+            _valid_vec_spark(vec_col, dim).alias("_ok"),
         )
         .withColumn("_sarr", F.expr(_score_array_spark("emb", dim, centroids)))
         .withColumn(
@@ -1075,16 +1086,19 @@ def semdedup(
             # pair join from re-evaluating the quantizer in an inferred
             # isnotnull filter
             "blk",
-            F.coalesce(
-                F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int"),
-                F.lit(-1),
-            ),
+            F.when(
+                F.col("_ok"),
+                F.coalesce(
+                    F.expr("array_position(_sarr, array_max(_sarr)) - 1").cast("int"),
+                    F.lit(-1),
+                ),
+            ).otherwise(F.lit(-1)),
         )
         .withColumn("nrm", _norm("emb"))
         .withColumn(
             "centroid_cos",
             F.when(
-                F.col("nrm") > 0,
+                F.col("_ok") & (F.col("nrm") > 0),
                 F.expr("array_max(_sarr)") / F.col("nrm"),
             ).otherwise(F.lit(0.0)),
         )
@@ -1158,27 +1172,45 @@ def semdedup_oracle(
 ) -> str:
     from simple_tsdb_spark.pipeline.similarity import _bucket_duck, _score_array_duck
 
+    from simple_tsdb_spark.pipeline.similarity import _valid_vec_duck
+
     cos = _COS_DUCK.format(a="x.emb", b="y.emb")
     sb_sel = (
-        f", {_bucket_duck('emb', dim, int(sub_planes))} AS _sb" if sub_planes else ""
+        f",\n         CASE WHEN _ok THEN {_bucket_duck('emb', dim, int(sub_planes))} END AS _sb"
+        if sub_planes
+        else ""
     )
     sb_cond = " AND x._sb = y._sb" if sub_planes else ""
+    # Corrupt vectors (NULL / wrong length / NULL-NaN elements): reported
+    # with the engine's guarded convention (cluster -1, centroid_cos 0.0,
+    # keep) but excluded from pair generation — ordered CASE branches keep
+    # the quantizer and list_dot_product off corrupt rows (DuckDB raises
+    # on NULL elements where Spark's fold yields NULL).
     return f"""
 WITH e0 AS (
-  SELECT vec_id AS doc, embedding::DOUBLE[] AS emb,
-         {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
+  SELECT vec_id AS doc,
+         {_valid_vec_duck("embedding", dim)} AS _ok,
+         CASE WHEN {_valid_vec_duck("embedding", dim)}
+              THEN embedding::DOUBLE[] END AS emb
   FROM {table}),
+e1 AS (
+  SELECT doc, emb, _ok,
+         {_score_array_duck("emb", dim, centroids)} AS sarr
+  FROM e0),
 e AS (
-  SELECT doc, emb,
-         CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS cluster,
-         CASE WHEN sqrt(list_dot_product(emb, emb)) > 0
+  SELECT doc, emb, _ok,
+         CASE WHEN _ok THEN CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER)
+              ELSE -1 END AS cluster,
+         CASE WHEN NOT _ok THEN 0.0
+              WHEN sqrt(list_dot_product(emb, emb)) > 0
               THEN list_max(sarr) / sqrt(list_dot_product(emb, emb))
               ELSE 0.0 END AS centroid_cos{sb_sel}
-  FROM e0),
+  FROM e1),
 pr AS (
   SELECT a, b FROM (
     SELECT x.doc AS a, y.doc AS b, {cos} AS cos
-    FROM e x JOIN e y ON x.cluster = y.cluster AND x.doc < y.doc{sb_cond})
+    FROM e x JOIN e y
+      ON x.cluster = y.cluster AND x.doc < y.doc AND x._ok AND y._ok{sb_cond})
   WHERE cos >= {threshold}),
 sym AS (SELECT a AS doc, b AS other FROM pr UNION ALL SELECT b AS doc, a AS other FROM pr),
 dropped AS (

@@ -115,7 +115,9 @@ def knn_brute_oracle(
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
 WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}
-           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+           WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids})),
 scored AS (
   SELECT q.query_id, e.nid AS neighbor_id, {cos} AS cos
@@ -185,7 +187,9 @@ def range_search_oracle(
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
 WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}
-           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+           WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids}))
 SELECT q.query_id, e.nid AS neighbor_id, {cos} AS cos
 FROM e CROSS JOIN q
@@ -274,7 +278,9 @@ WITH e AS (
   SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
          {_bucket_duck("embedding::DOUBLE[]", dim)} AS bucket
   FROM {table}
-  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+  WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
 q AS (
   SELECT nid AS query_id, emb, xor(bucket, m.mask) AS bucket
   FROM e, UNNEST([{masks}]) AS m(mask) WHERE nid IN ({ids})),
@@ -486,7 +492,9 @@ def train_ivf_centroids_duck(
         q = f"""
 WITH e AS (
   SELECT embedding::DOUBLE[] AS emb, {sarr} AS sarr FROM {table}
-  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+  WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
 a AS (
   SELECT emb, CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
   FROM e)
@@ -551,6 +559,28 @@ def _pq_dist_terms_duck(emb: str, cb: Sequence[Sequence[float]], off: int) -> li
 
 #: Spark SQL fragment: L2-normalize a double array (sequential-fold dot,
 #: the engine-portable op order used everywhere else).
+def _valid_vec_spark(vec_col: str, dim: int) -> "Column":
+    """Predicate on the RAW vector column: not NULL, exactly ``dim``
+    long, no NULL/NaN elements.  Referencing only the raw column keeps
+    pushdown harmless — the predicate lands on the scan and never
+    duplicates a quantizer/projection expression (see the knn_rp
+    inferred-filter regression)."""
+    return F.expr(
+        f"{vec_col} IS NOT NULL AND size({vec_col}) = {int(dim)} AND "
+        f"NOT exists({vec_col}, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))"
+    )
+
+
+def _valid_vec_duck(vec_col: str, dim: int) -> str:
+    """DuckDB twin of :func:`_valid_vec_spark`.  Element screens run
+    before anything touches ``list_dot_product``, which RAISES on NULL
+    elements instead of yielding NULL like Spark's fold."""
+    return (
+        f"({vec_col} IS NOT NULL AND len({vec_col}) = {int(dim)} AND "
+        f"len(list_filter({vec_col}, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0)"
+    )
+
+
 def _norm_expr(emb: str) -> str:
     return (
         f"transform({emb}, x -> x / sqrt(aggregate(zip_with({emb}, {emb}, "
@@ -825,7 +855,9 @@ def train_pq_codebooks_duck(
         q = f"""
 WITH e AS (
   SELECT {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb FROM {table}
-  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+  WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
 c AS (SELECT nemb, {codes} AS codes FROM e),
 rows AS (
   SELECT t.m AS m, codes[t.m + 1] AS code,
@@ -913,7 +945,9 @@ def training_sample_duck(
         f"""
 SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v
 FROM {table}
-WHERE list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]) > 0
+WHERE (CASE WHEN {vec_col} IS NULL THEN FALSE
+            WHEN len(list_filter({vec_col}, x -> x IS NULL)) > 0 THEN FALSE
+            ELSE list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]) > 0 END)
   AND {id_col} IS NOT NULL
 ORDER BY md5({id_col}::VARCHAR), {id_col}
 LIMIT {int(sample_n)}
@@ -1136,7 +1170,9 @@ def pq_encode_oracle(
     return f"""
 WITH e AS (
   SELECT {id_col}, {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb FROM {table}
-  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+  WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END))
 SELECT {id_col}, array_to_string({codes}, ',') AS pq_code FROM e
 """
 
@@ -1278,7 +1314,9 @@ WITH e0 AS (
          {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb,
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
   FROM {table}
-  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+  WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
 e AS (
   SELECT nid, emb, nemb, sarr,
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
@@ -1402,7 +1440,9 @@ WITH e0 AS (
   SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
   FROM {table}
-  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+  WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
 e AS (
   SELECT nid, emb, sarr,
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
@@ -1458,8 +1498,11 @@ def kmeans_clusters(
     (nlist ~ √N) for data-fitted clusters at scale.
     """
     sarr = _score_array_spark("emb", dim, centroids)
+    # corrupt vectors (NULL / wrong length / NULL-NaN elements) belong to
+    # no cluster — raw-column screen, pushed to the scan
     e = (
-        df.select(
+        df.where(_valid_vec_spark(vec_col, dim))
+        .select(
             F.col(id_col).alias("vid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
@@ -1494,7 +1537,8 @@ def kmeans_clusters_oracle(
 WITH e0 AS (
   SELECT vec_id AS vid,
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
-  FROM {table}),
+  FROM {table}
+  WHERE {_valid_vec_duck("embedding", dim)}),
 e AS (
   SELECT vid,
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS cluster,
@@ -1536,8 +1580,10 @@ def cluster_prune(
     from pyspark.sql import Window
 
     sarr = _score_array_spark("emb", dim, centroids)
+    # corrupt vectors carry no prototype distance — raw-column screen
     e = (
-        df.select(
+        df.where(_valid_vec_spark(vec_col, dim))
+        .select(
             F.col(id_col).alias("vid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
@@ -1578,7 +1624,8 @@ def cluster_prune_oracle(
 WITH e0 AS (
   SELECT vec_id,
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
-  FROM {table}),
+  FROM {table}
+  WHERE {_valid_vec_duck("embedding", dim)}),
 e AS (
   SELECT vec_id,
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS cluster,
@@ -1804,7 +1851,14 @@ def knn_rp_oracle(
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
 WITH prj AS ({inner}),
-p AS (SELECT vec_id AS nid, list(val ORDER BY j) AS pv FROM prj GROUP BY vec_id
+p AS (SELECT vec_id AS nid, list(val ORDER BY j) AS pv FROM prj
+      -- corrupt source vectors project every val to NULL (a NULL vector
+      -- or NULL element poisons all out-dims), so the row filter removes
+      -- the whole group before list() can build a NULL-bearing list that
+      -- list_dot_product would raise on (CASE guards around aggregates
+      -- evaluate eagerly in DuckDB — tested)
+      WHERE val IS NOT NULL
+      GROUP BY vec_id
       HAVING list_dot_product(list(val ORDER BY j), list(val ORDER BY j)) > 0),
 qp AS (SELECT nid AS query_id, pv FROM p WHERE nid IN ({ids})),
 cand0 AS (
@@ -1818,7 +1872,9 @@ cand AS (
     FROM cand0)
   WHERE _crk <= {int(k) * int(overfetch)}),
 e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}
-      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids})),
 rescored AS (
   SELECT cand.query_id, cand.neighbor_id, {cos} AS cos
@@ -1965,7 +2021,9 @@ def hard_negatives_oracle(
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
 WITH e AS (SELECT vec_id AS nid, label AS neg_label, embedding::DOUBLE[] AS emb FROM {table}
-           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+           WHERE (CASE WHEN embedding IS NULL THEN FALSE
+             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
+             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
 q AS (SELECT nid AS query_id, neg_label AS _qlabel, emb FROM e WHERE nid IN ({ids})),
 scored AS (
   SELECT q.query_id, e.nid AS neighbor_id, e.neg_label, {cos} AS cos
@@ -2112,9 +2170,22 @@ def embedding_moments(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if x.shape[1] != d:
-                raise ValueError(f"expected dim {d}, got {x.shape[1]}")
+            # corrupt rows excluded, never fatal and never silently
+            # folded in: a NULL vector (None), a wrong-length vector, or
+            # NULL/non-finite elements (arrow surfaces NULL floats as
+            # NaN) carry no usable moments — mirrored in the oracle's
+            # valid-vector screen.
+            mats = []
+            for v in pdf[vec_col].to_numpy():
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape[0] != d or not np.isfinite(a).all():
+                    continue
+                mats.append(a)
+            if not mats:
+                continue
+            x = np.stack(mats)
             q = np.floor(x * grid).astype(np.int64)
             n += q.shape[0]
             s += q.sum(axis=0)
@@ -2192,10 +2263,19 @@ def embedding_moments_oracle(
     sums CAST to BIGINT (DuckDB raises on overflow natively)."""
     g = float(MOMENT_GRID)
     sum_t = "BIGINT" if bigint_finals else "DECIMAL(38,0)"
+    # valid-vector screen mirrors the Spark fold: NULL vectors,
+    # wrong-length vectors, and NULL/NaN/inf elements are excluded
+    # (CASE guarantees the element scan never feeds a corrupt row on).
     return f"""
 WITH q AS (
   SELECT vec_id, UNNEST(generate_series(1, {int(dim)})) AS pos, {vec_col} AS emb
-  FROM {table}),
+  FROM {table}
+  WHERE (CASE WHEN {vec_col} IS NULL THEN FALSE
+              WHEN len({vec_col}) <> {int(dim)} THEN FALSE
+              WHEN len(list_filter({vec_col}, x -> x IS NULL
+                       OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+                THEN FALSE
+              ELSE TRUE END)),
 qq AS (
   SELECT vec_id, CAST(pos AS INTEGER) AS pos,
          CAST(floor(CAST(emb[pos] AS DOUBLE) * {g!r}) AS BIGINT) AS qv
@@ -2306,8 +2386,12 @@ def ivf_stats(
 
     nlist = len(centroids) if centroids is not None else N_LISTS
     sarr = _score_array_spark("emb", dim, centroids)
+    # corrupt vectors live in no list — raw-column screen (the spine
+    # join already dropped their NULL list_id; the screen makes the
+    # exclusion explicit and keeps the oracle's element scan safe)
     counts = (
-        df.select(
+        df.where(_valid_vec_spark(vec_col, dim))
+        .select(
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb")
         )
         .withColumn("_sarr", F.expr(sarr))
@@ -2349,7 +2433,8 @@ def ivf_stats_oracle(
     return f"""
 WITH e AS (
   SELECT {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
-  FROM {table}),
+  FROM {table}
+  WHERE {_valid_vec_duck("embedding", dim)}),
 a AS (
   SELECT CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
   FROM e),
