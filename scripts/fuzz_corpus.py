@@ -189,6 +189,24 @@ def events_null_values() -> pd.DataFrame:
     return df
 
 
+def events_null_keys() -> pd.DataFrame:
+    """NULL user_id / event_type keys in a healthy stream: NULL group
+    keys must land in the same (single) NULL group on both engines —
+    group-bys keep them, equi-joins drop them; either is fine as long
+    as the engines agree."""
+    df = _events_df(
+        [
+            (i, BASE_TS + pd.Timedelta(minutes=13 * i), i % 5, EVENT_TYPES[i % 5],
+             float(i % 11))
+            for i in range(55)
+        ]
+    )
+    df["user_id"] = df["user_id"].astype("Int64")
+    df.loc[df.index % 7 == 2, "user_id"] = pd.NA
+    df.loc[df.index % 11 == 5, "event_type"] = None
+    return df
+
+
 def events_minimal() -> pd.DataFrame:
     """Two events, one user, one type — the smallest stream where both
     a window and a pair can exist."""
@@ -527,6 +545,7 @@ CORPORA: dict[str, tuple[str, callable]] = {
     "single_doc": ("documents", corpus_single_doc),
     "nulls": ("documents", corpus_nulls),
     "ev_null_values": ("events", events_null_values),
+    "ev_null_keys": ("events", events_null_keys),
     "ev_same_ts": ("events", events_same_ts),
     "ev_single_user": ("events", events_single_user),
     "ev_sparse_types": ("events", events_sparse_types),

@@ -124,7 +124,9 @@ rec AS (
               WHEN r.ew IS NULL THEN o.v
               WHEN r.ew = o.v THEN r.ew
               ELSE (({b} * r.ew) + ({a} * o.v)) / ({b} + {a}) END
-  FROM rec r JOIN ord o ON o.series = r.series AND o.rn = r.rn + 1)
+  -- null-safe series join: a NULL series is a real group (Spark's
+  -- applyInPandas recurses it like any other)
+  FROM rec r JOIN ord o ON o.series IS NOT DISTINCT FROM r.series AND o.rn = r.rn + 1)
 SELECT series, time_ns, v AS {field}, ew AS {out} FROM rec
 """
 
@@ -200,6 +202,7 @@ rec AS (
   SELECT o.series, o.time_ns, o.v, o.rn,
          ({a} * o.v) + ({b1m} * (r.lvl + r.trd)),
          ({bt} * ((({a} * o.v) + ({b1m} * (r.lvl + r.trd))) - r.lvl)) + ({bt1m} * r.trd)
-  FROM rec r JOIN ord o ON o.series = r.series AND o.rn = r.rn + 1)
+  -- null-safe series join (see ewma_oracle)
+  FROM rec r JOIN ord o ON o.series IS NOT DISTINCT FROM r.series AND o.rn = r.rn + 1)
 SELECT series, time_ns, v AS {field}, lvl AS level, trd AS trend FROM rec
 """

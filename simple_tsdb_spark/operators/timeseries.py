@@ -89,10 +89,15 @@ def asof_join_oracle(
         if tolerance_ns is None
         else f", CASE WHEN l.time_ns - r.time_ns <= {tolerance_ns} THEN 1 ELSE 0 END AS _ok"
     )
+    # COALESCE-keyed match: DuckDB's ASOF silently treats IS NOT DISTINCT
+    # FROM as plain equality, so a NULL series (a real partition in the
+    # engine's union-sort plan) would never match.  chr(1) is the
+    # sentinel — no measurement series contains a 0x01 control char.
     base = f"""
 SELECT l.*, r.time_ns AS asof_time_ns, {rv}{tol}
 FROM ({left_sql}) l ASOF LEFT JOIN ({right_sql}) r
-  ON l.series = r.series AND l.time_ns >= r.time_ns
+  ON COALESCE(l.series, chr(1)) = COALESCE(r.series, chr(1))
+ AND l.time_ns >= r.time_ns
 """
     if tolerance_ns is None:
         return base

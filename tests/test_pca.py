@@ -66,10 +66,28 @@ def test_moments_exact_on_large_magnitudes(spark):
         assert (int(r.s_i), int(r.s_j), int(r.s_ij)) == (si, sj, sij)
 
 
-def test_moments_rejects_wrong_dim(spark):
+def test_moments_excludes_corrupt_vectors(spark):
+    """Corrupt rows (wrong dim, NULL vector, NULL element) are excluded
+    from the fold — one bad row must not kill or skew a corpus scan.
+    A corpus that is ALL wrong-dim yields zero moment rows."""
     pdf, _ = _corpus(n=10, d=8)
-    with pytest.raises(Exception):
-        embedding_moments(spark.createDataFrame(pdf), dim=16).toPandas()
+    assert embedding_moments(spark.createDataFrame(pdf), dim=16).count() == 0
+
+    good, x = _corpus(n=20, d=8)
+    bad = pd.DataFrame(
+        {
+            "vec_id": [100, 101, 102],
+            "embedding": [None, [1.0] * 4, [1.0] * 7 + [None]],
+        }
+    )
+    mixed = pd.concat([good, bad], ignore_index=True)
+    got = embedding_moments(spark.createDataFrame(mixed), dim=8).toPandas()
+    want = _np_moments(x, 8)
+    assert len(got) == 8 * 9 // 2
+    for _, r in got.iterrows():
+        n, si, sj, sij = want[(r.pos_i, r.pos_j)]
+        assert r.n == n  # the 3 corrupt rows never entered the fold
+        assert (int(r.s_i), int(r.s_j), int(r.s_ij)) == (si, sj, sij)
 
 
 def test_pca_model_properties(spark):
