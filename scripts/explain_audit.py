@@ -869,6 +869,31 @@ def main() -> int:
         and bool(re.search(r"hashpartitioning\(quality_ppm#\d+", p)),
     )
 
+    # Giant inlined-expression Filters (the round-11 regression class):
+    # a pushed-down predicate or a join-inferred isnotnull that inlines a
+    # projection/quantizer fold re-evaluates it per corpus row.  Assert
+    # the CORPUS-side scan of every vector operator stays clean — a
+    # Filter node dragging >2000 chars of expression text is that bug.
+    # (Query-side branches are id-pruned to a handful of rows and may
+    # legitimately carry fat filters; corpus scans must not.)
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for qname in ("knn_rp", "knn_ivf", "knn_ivf_pq", "semdedup", "embedding_dup"):
+        opt = qs[qname](spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        giants = [
+            ln
+            for ln in opt.splitlines()
+            if "Filter" in ln and len(ln) > 2000 and "vec_id#" not in ln.split("(", 1)[0]
+            # query-side filters carry the isin(vec_id, ...) probe list
+            and " IN " not in ln[:4000] and "INSET" not in ln[:4000]
+        ]
+        ok &= check(
+            f"{qname}: corpus scan free of giant inlined-expression Filters",
+            not giants,
+            f"{len(giants)} filter node(s) >2000 chars",
+        )
+
     print("==", "ALL PASS" if ok else "SOME FAILED", "==")
     return 0 if ok else 1
 
