@@ -207,6 +207,21 @@ def events_null_keys() -> pd.DataFrame:
     return df
 
 
+def events_far_future() -> pd.DataFrame:
+    """Timestamps spread out to year ~2200 (ns-epoch still inside
+    int64): epoch math, bucketing, and duration arithmetic must agree
+    at extreme magnitudes.  (Pre-1970 is out of contract — the
+    reference's timestamps are u64.)"""
+    return _events_df(
+        [
+            (i,
+             pd.Timestamp("2199-12-01") + pd.Timedelta(hours=6 * i),
+             i % 4, EVENT_TYPES[i % 5], float(5 + i % 9))
+            for i in range(48)
+        ]
+    )
+
+
 def events_minimal() -> pd.DataFrame:
     """Two events, one user, one type — the smallest stream where both
     a window and a pair can exist."""
@@ -280,6 +295,38 @@ def emb_nulls() -> pa.Table:
         "embedding": pa.array(vecs, pa.list_(pa.float32())),
         "label": pa.array([i % 10 for i in range(len(vecs))], pa.int32()),
     })
+
+
+def emb_inf() -> pa.Table:
+    """±inf elements in otherwise healthy vectors: both engines treat
+    inf with IEEE arithmetic (inf norms, nan cosines) — the conventions
+    must agree wherever inf rows aren't screened."""
+    rng = np.random.default_rng(23)
+    vecs = []
+    for i in range(32):
+        v = rng.normal(size=EMB_DIM)
+        if i % 8 == 3:
+            v[i % EMB_DIM] = np.inf
+        if i % 8 == 5:
+            v[i % EMB_DIM] = -np.inf
+        vecs.append(v)
+    return _emb_table(vecs, [i % 10 for i in range(32)])
+
+
+def corpus_long_doc() -> pd.DataFrame:
+    """One ~45KB document among normal ones: per-doc O(L·w) scans,
+    shingle fan-out, and window truncation must stay correct (and not
+    explode) on a pathological length outlier.  Sized so the DuckDB
+    oracles' per-subscript string_split (quadratic in doc length —
+    measured: ccnet oracle 445s at 18k words vs Spark 18s) keeps the
+    sweep affordable; the ENGINE side is length-linear either way."""
+    rng = np.random.default_rng(29)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    long_text = " ".join(words[int(rng.integers(0, 8))] for _ in range(8000))
+    rows = [(0, long_text, "en", "src0")]
+    for i in range(1, 12):
+        rows.append((i, f"short document number {i} with plain words", LANGS[i % 5], f"src{i % 4}"))
+    return _docs_df(rows)
 
 
 def corpus_empty() -> pa.Table:
@@ -544,8 +591,11 @@ CORPORA: dict[str, tuple[str, callable]] = {
     "no_fit": ("documents", corpus_no_fit),
     "single_doc": ("documents", corpus_single_doc),
     "nulls": ("documents", corpus_nulls),
+    "long_doc": ("documents", corpus_long_doc),
     "ev_null_values": ("events", events_null_values),
     "ev_null_keys": ("events", events_null_keys),
+    "ev_far_future": ("events", events_far_future),
+    "emb_inf": ("embeddings", emb_inf),
     "ev_same_ts": ("events", events_same_ts),
     "ev_single_user": ("events", events_single_user),
     "ev_sparse_types": ("events", events_sparse_types),

@@ -1110,7 +1110,10 @@ def semdedup(
     # centroid_cos=0.0) but are excluded from PAIR generation — the pair
     # cosine is undefined at norm 0 and would abort under ANSI mode; the
     # oracle's NaN cosine fails its >= threshold cut identically.
-    nz = base.where(F.col("nrm") > 0)
+    # pair base: positive-norm AND valid — an inf-element vector has
+    # nrm = inf > 0 and its NaN pair cosine would PASS the >= threshold
+    # cut (NaN sorts greatest in both engines), minting phantom dups
+    nz = base.where((F.col("nrm") > 0) & F.col("_ok"))
     pair_base = nz.select("doc", "emb", "blk", "nrm")
     if sub_planes:
         from simple_tsdb_spark.pipeline.similarity import _bucket_expr

@@ -559,26 +559,36 @@ def _pq_dist_terms_duck(emb: str, cb: Sequence[Sequence[float]], off: int) -> li
 
 #: Spark SQL fragment: L2-normalize a double array (sequential-fold dot,
 #: the engine-portable op order used everywhere else).
-def _valid_vec_spark(vec_col: str, dim: int) -> "Column":
+def _valid_vec_spark(vec_col: str, dim: int | None) -> "Column":
     """Predicate on the RAW vector column: not NULL, exactly ``dim``
-    long, no NULL/NaN elements.  Referencing only the raw column keeps
-    pushdown harmless — the predicate lands on the scan and never
-    duplicates a quantizer/projection expression (see the knn_rp
-    inferred-filter regression)."""
-    return F.expr(
-        f"{vec_col} IS NOT NULL AND size({vec_col}) = {int(dim)} AND "
-        f"NOT exists({vec_col}, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))"
+    long (skipped when ``dim`` is None), no NULL/NaN/±inf elements.
+    Referencing only the raw column keeps pushdown harmless — the
+    predicate lands on the scan and never duplicates a quantizer/
+    projection expression (see the knn_rp inferred-filter regression).
+    inf is corrupt here because integer-grid folds turn it into
+    LONG_MAX (Spark ``floor(inf)``) and overflow downstream sums."""
+    checks = [f"{vec_col} IS NOT NULL"]
+    if dim is not None:
+        checks.append(f"size({vec_col}) = {int(dim)}")
+    checks.append(
+        f"NOT exists({vec_col}, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) "
+        f"OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
     )
+    return F.expr(" AND ".join(checks))
 
 
-def _valid_vec_duck(vec_col: str, dim: int) -> str:
+def _valid_vec_duck(vec_col: str, dim: int | None) -> str:
     """DuckDB twin of :func:`_valid_vec_spark`.  Element screens run
     before anything touches ``list_dot_product``, which RAISES on NULL
     elements instead of yielding NULL like Spark's fold."""
-    return (
-        f"({vec_col} IS NOT NULL AND len({vec_col}) = {int(dim)} AND "
-        f"len(list_filter({vec_col}, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0)"
+    checks = [f"{vec_col} IS NOT NULL"]
+    if dim is not None:
+        checks.append(f"len({vec_col}) = {int(dim)}")
+    checks.append(
+        f"len(list_filter({vec_col}, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) "
+        f"OR isinf(CAST(x AS DOUBLE)))) = 0"
     )
+    return "(" + " AND ".join(checks) + ")"
 
 
 def _norm_expr(emb: str) -> str:
@@ -911,6 +921,15 @@ def training_sample(
                 "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0"
             )
         )
+        # non-finite elements excluded from the fit: inf passes the
+        # dot > 0 screen but poisons the local Lloyd shared by both
+        # engines (see _valid_vec_spark)
+        .where(
+            F.expr(
+                f"NOT exists({vec_col}, x -> isnan(CAST(x AS DOUBLE)) "
+                f"OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+            )
+        )
         .where(F.col(id_col).isNotNull())
         .select(
             F.col(id_col).alias("_vid"),
@@ -946,7 +965,9 @@ def training_sample_duck(
 SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v
 FROM {table}
 WHERE (CASE WHEN {vec_col} IS NULL THEN FALSE
-            WHEN len(list_filter({vec_col}, x -> x IS NULL)) > 0 THEN FALSE
+            WHEN len(list_filter({vec_col}, x -> x IS NULL
+                     OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+              THEN FALSE
             ELSE list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]) > 0 END)
   AND {id_col} IS NOT NULL
 ORDER BY md5({id_col}::VARCHAR), {id_col}
@@ -1912,7 +1933,12 @@ def label_centroids(
     (label, pos) key with map-side combine — never a vector broadcast,
     never per-label collects.
     """
-    q = F.floor(F.col("_v") * F.lit(float(1 << 30))).cast("long")
+    # non-finite elements contribute NULL (like NULL elements) instead of
+    # Spark's floor(inf) = LONG_MAX, which would overflow the exact sum
+    fin = ~F.isnan(F.col("_v")) & (
+        F.abs(F.col("_v")) != F.lit(float("inf"))
+    )
+    q = F.when(fin, F.floor(F.col("_v") * F.lit(float(1 << 30))).cast("long"))
     x = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")).alias(
@@ -1944,7 +1970,9 @@ WITH x AS (
   FROM {table}),
 q AS (
   SELECT label, pos,
-         CAST(floor(CAST(emb[pos] AS DOUBLE) * {g!r}) AS BIGINT) AS qv
+         CASE WHEN isnan(CAST(emb[pos] AS DOUBLE)) OR isinf(CAST(emb[pos] AS DOUBLE))
+              THEN NULL
+              ELSE CAST(floor(CAST(emb[pos] AS DOUBLE) * {g!r}) AS BIGINT) END AS qv
   FROM x)
 SELECT label, pos, COUNT(*) AS n_vecs,
        CAST(SUM(qv) AS BIGINT) AS centroid_sum_q,
@@ -2515,6 +2543,11 @@ v AS (SELECT {id_col}, CAST(pos AS INTEGER) AS pos, emb[pos] AS val FROM x),
 stats AS (SELECT pos, MAX(abs(val)) AS maxabs FROM v GROUP BY pos)
 SELECT v.{id_col}, v.pos,
        CAST(CASE WHEN maxabs = 0.0 THEN 0
+                 -- Spark's floor(NaN) is 0 (an inf element makes maxabs
+                 -- inf: inf/inf = NaN for that element, x/inf = 0 for
+                 -- the rest); DuckDB's floor(NaN) = NaN would raise in
+                 -- the INTEGER cast, so mirror the 0 explicitly
+                 WHEN isnan(val * 127.0 / maxabs) THEN 0
                  ELSE GREATEST(-127, LEAST(127,
                       CAST(floor(val * 127.0 / maxabs) AS INTEGER)))
             END AS INTEGER) AS q,
