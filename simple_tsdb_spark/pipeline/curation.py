@@ -833,7 +833,11 @@ def stratified_split(
 
     return (
         base.join(
-            whole.withColumnRenamed("_st", "_st2").withColumnRenamed("_b", "_b2"),
+            # whole is histogram-sized (≤1024 buckets per stratum) —
+            # broadcast so the corpus-sized base never shuffles here
+            F.broadcast(
+                whole.withColumnRenamed("_st", "_st2").withColumnRenamed("_b", "_b2")
+            ),
             F.col("_st").eqNullSafe(F.col("_st2")) & (F.col("_b") == F.col("_b2")),
             "left",
         )
