@@ -15,6 +15,37 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def fit_result_line(times: dict[str, float], sf: float, limit: int = 1800) -> str:
+    """The ONE-line JSON result, guaranteed under ``limit`` chars.
+
+    The driver keeps only the last 2000 chars of output and json-parses
+    them; a line carrying all declared queries at 4 decimals overflows
+    that buffer (rounds 8-10 recorded parsed=null and lost the headline
+    metric).  Headline first, per-query times at centisecond precision
+    sorted slowest-first, fastest entries dropped until the line fits —
+    the full map is always on stderr.
+    """
+    total = round(sum(times.values()), 4)
+    payload = {
+        "metric": "total_declared_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries_total": len(times),
+        "queries_omitted": 0,
+        "queries": {
+            k: round(v, 2) for k, v in sorted(times.items(), key=lambda kv: -kv[1])
+        },
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > limit and payload["queries"]:
+        fastest = min(payload["queries"], key=payload["queries"].get)
+        payload["queries"].pop(fastest)
+        payload["queries_omitted"] = payload["queries_total"] - len(payload["queries"])
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -55,30 +86,7 @@ def main() -> None:
     for name, t in times.items():
         print(f"# {name}: {t:.3f}s", file=sys.stderr)
 
-    total = round(sum(times.values()), 4)
-    # The driver keeps only the last 2000 chars of output and json-parses
-    # them; a line carrying all declared queries at 4 decimals overflows
-    # that buffer (rounds 8-10 recorded parsed=null).  Emit the headline
-    # first, per-query times at centisecond precision sorted slowest-first,
-    # and drop the fastest entries until the line fits — the full map is
-    # always on stderr above.
-    payload = {
-        "metric": "total_declared_query_sec",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "queries_total": len(times),
-        "queries_omitted": 0,
-        "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])),
-    }
-    payload["queries"] = {k: round(v, 2) for k, v in payload["queries"].items()}
-    line = json.dumps(payload, separators=(",", ":"))
-    while len(line) > 1800 and payload["queries"]:
-        fastest = min(payload["queries"], key=payload["queries"].get)
-        payload["queries"].pop(fastest)
-        payload["queries_omitted"] = payload["queries_total"] - len(payload["queries"])
-        line = json.dumps(payload, separators=(",", ":"))
-    print(line)
+    print(fit_result_line(times, sf))
 
 
 if __name__ == "__main__":

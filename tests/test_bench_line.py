@@ -1,0 +1,51 @@
+"""bench.py result-line contract: the driver keeps only the last 2000
+chars of output and json-parses them, so the one-line JSON must always
+fit — with the headline metric intact and the SLOWEST queries kept.
+No Spark needed: the fitting logic is a pure function.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+
+spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+bench = importlib.util.module_from_spec(spec)
+sys.modules["bench"] = bench
+spec.loader.exec_module(bench)
+
+
+def _times(n: int) -> dict[str, float]:
+    # realistic name lengths and a heavy-tailed time distribution
+    return {
+        f"operator_with_a_long_name_{i:03d}": 0.05 + (i % 7) + (7.0 if i % 29 == 0 else 0.0)
+        for i in range(n)
+    }
+
+
+def test_line_fits_and_parses_at_full_query_count():
+    line = bench.fit_result_line(_times(138), 0.1)
+    assert len(line) <= 1800
+    d = json.loads(line)
+    assert d["metric"] == "total_declared_query_sec"
+    assert d["queries_total"] == 138
+    assert d["queries_omitted"] == 138 - len(d["queries"])
+    # tail-buffer simulation: the full line survives a 2000-char tail
+    assert json.loads(line[-2000:]) == d
+
+
+def test_slowest_queries_survive_the_trim():
+    times = _times(138)
+    d = json.loads(bench.fit_result_line(times, 0.1))
+    kept = set(d["queries"])
+    dropped = set(times) - kept
+    if dropped:
+        assert max(times[k] for k in dropped) <= min(times[k] for k in kept)
+
+
+def test_small_sets_are_untrimmed():
+    d = json.loads(bench.fit_result_line({"q1": 1.234, "q2": 0.5}, 0.01))
+    assert d["queries_omitted"] == 0
+    assert d["queries"] == {"q1": 1.23, "q2": 0.5}
+    assert d["value"] == 1.734
