@@ -15,16 +15,38 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def fit_result_line(times: dict[str, float], sf: float, limit: int = 1800) -> str:
+def fit_result_line(
+    times: dict[str, float],
+    sf: float,
+    limit: int = 1800,
+    itemize: str = "slowest",
+) -> str:
     """The ONE-line JSON result, guaranteed under ``limit`` chars.
 
     The driver keeps only the last 2000 chars of output and json-parses
     them; a line carrying all declared queries at 4 decimals overflows
     that buffer (rounds 8-10 recorded parsed=null and lost the headline
-    metric).  Headline first, per-query times at centisecond precision
-    sorted slowest-first, fastest entries dropped until the line fits —
-    the full map is always on stderr.
+    metric).  Headline first, per-query times at centisecond precision;
+    ``itemize`` picks which half survives the trim: "slowest" (sorted
+    slowest-first, fastest dropped until the line fits) or "fastest"
+    (the reverse) — the caller alternates per round so that across two
+    consecutive rounds EVERY query has a recorded driver timing (the
+    r11 blind spot: slowest-only itemization hid regressions in the
+    fast half until they outgrew the cutoff).  The full map is always
+    on stderr either way.
     """
+    if itemize not in ("slowest", "fastest"):
+        raise ValueError("itemize must be 'slowest' or 'fastest'")
+    # ONE total order — (time, name), name breaking centisecond ties —
+    # traversed from opposite ends by the two modes, so their kept
+    # prefixes are exact complements: as long as the two prefixes sum
+    # to >= len(times) (they keep ~77 of 138 each), every query is
+    # itemized in at least one of two consecutive rounds.  Value-based
+    # trimming can't guarantee that: rounded times tie constantly and
+    # both modes could drop the same tied middle entries.
+    order = sorted(times.items(), key=lambda kv: (-kv[1], kv[0]))
+    if itemize == "fastest":
+        order.reverse()
     total = round(sum(times.values()), 4)
     payload = {
         "metric": "total_declared_query_sec",
@@ -33,17 +55,33 @@ def fit_result_line(times: dict[str, float], sf: float, limit: int = 1800) -> st
         "sf": sf,
         "queries_total": len(times),
         "queries_omitted": 0,
-        "queries": {
-            k: round(v, 2) for k, v in sorted(times.items(), key=lambda kv: -kv[1])
-        },
+        "itemized": itemize,
+        "queries": {k: round(v, 2) for k, v in order},
     }
     line = json.dumps(payload, separators=(",", ":"))
     while len(line) > limit and payload["queries"]:
-        fastest = min(payload["queries"], key=payload["queries"].get)
-        payload["queries"].pop(fastest)
+        payload["queries"].pop(next(reversed(payload["queries"])))
         payload["queries_omitted"] = payload["queries_total"] - len(payload["queries"])
         line = json.dumps(payload, separators=(",", ":"))
     return line
+
+
+def round_parity_itemize(repo_dir: str) -> str:
+    """Pick the itemized half from the CURRENT round's parity: the
+    driver records BENCH_r{N}.json per round, so max(N)+1 is the round
+    this bench run belongs to.  Even rounds itemize slowest-first, odd
+    rounds fastest-first (VERDICT r11 #2) — deterministic, observable,
+    and alternating without any state of its own."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    current = (max(rounds) + 1) if rounds else 1
+    return "slowest" if current % 2 == 0 else "fastest"
 
 
 def main() -> None:
@@ -86,7 +124,8 @@ def main() -> None:
     for name, t in times.items():
         print(f"# {name}: {t:.3f}s", file=sys.stderr)
 
-    print(fit_result_line(times, sf))
+    itemize = round_parity_itemize(os.path.dirname(os.path.abspath(__file__)))
+    print(fit_result_line(times, sf, itemize=itemize))
 
 
 if __name__ == "__main__":

@@ -884,9 +884,11 @@ def main() -> int:
         giants = [
             ln
             for ln in opt.splitlines()
-            if "Filter" in ln and len(ln) > 2000 and "vec_id#" not in ln.split("(", 1)[0]
-            # query-side filters carry the isin(vec_id, ...) probe list
-            and " IN " not in ln[:4000] and "INSET" not in ln[:4000]
+            # query-side filters carry the isin(vec_id, ...) probe list —
+            # scan the WHOLE line for it (an IN list can start past any
+            # fixed offset), corpus-side filters never reference vec_id
+            if "Filter" in ln and len(ln) > 2000
+            and " IN " not in ln and "INSET" not in ln
         ]
         ok &= check(
             f"{qname}: corpus scan free of giant inlined-expression Filters",

@@ -13,14 +13,8 @@ that reads that table through the strict dtype-kind compare of
 scripts/check_oracle.py.
 
 Usage: python scripts/fuzz_corpus.py [corpus ...]
-Corpora: degenerate identical unicode no_fit single_doc nulls empty
-         ev_same_ts ev_single_user ev_sparse_types ev_minimal
-         ev_null_values ev_empty
-         emb_zero emb_identical emb_single emb_one_label emb_empty
-         li_empty li_single li_one_order li_orphans li_ties
-         ord_empty ord_same_day ord_no_lineitems
-         cust_empty cust_one_nation_neg supp_empty supp_uniform part_empty
-         nation_dup_names nation_empty
+Corpora: the keys of CORPORA below (run with ``--list`` to print them);
+the docstring deliberately does not repeat the list so it cannot drift.
 """
 
 from __future__ import annotations
@@ -662,7 +656,14 @@ def table_queries(table: str) -> list[str]:
 
 
 def main() -> int:
+    if "--list" in sys.argv[1:]:
+        print("\n".join(CORPORA))
+        return 0
     only = sys.argv[1:] or list(CORPORA)
+    unknown = [c for c in only if c not in CORPORA]
+    if unknown:
+        print(f"unknown corpora {unknown}; available: {' '.join(CORPORA)}")
+        return 2
     import __spark_entry__ as entry_mod
     from simple_tsdb_spark import get_spark
 

@@ -88,3 +88,17 @@ class NotAuthenticated(TsdbError, PermissionError):
     authenticated listener must be AUTHENTICATE)."""
 
     code = -1  # the reference replies with a generic error status here
+
+
+def error_for_code(code: int, message: str = "") -> TsdbError:
+    """Status code (wire i32) -> the matching TsdbError instance — the
+    inverse of the server's ``send_status(e.code)``, used by the wire
+    client so code-based handling round-trips the network edge.  Unknown
+    codes (reference storage-internal ones we never emit) come back as
+    the base TsdbError with ``code`` preserved."""
+    for cls in TsdbError.__subclasses__():
+        if cls.code == code:
+            return cls(message or cls.__name__)
+    err = TsdbError(message or f"status code {code}")
+    err.code = code
+    return err

@@ -730,6 +730,7 @@ def stratified_split(
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "strat-v1",
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """EXACT-fraction per-stratum split: within every stratum the
     documents with the smallest salted hashes fill each named fraction
@@ -752,6 +753,18 @@ def stratified_split(
     than 1/1024 of a stratum; the corpus text never shuffles (only id,
     stratum, hash).  Deterministic, re-saltable, engine-portable (ties
     broken by (hash, id)).
+
+    ``broadcast_labels`` guards the final whole-bucket label join
+    (≤1024 rows PER STRATUM, but stratum cardinality is data-dependent):
+    True (default) forces a broadcast so the corpus-sized base never
+    shuffles there — right for bounded stratum columns (lang, split
+    tier, top-level domain bucket).  Pass False for unbounded stratum
+    columns (e.g. ``source`` on a web corpus), where a forced broadcast
+    could exhaust driver/executor memory: the join degrades to a
+    shuffle.  Measured (r12, sf0.1): relying on AQE's runtime
+    conversion instead of the hint is ~1.5× slower because the base
+    side's shuffle WRITE still happens — AQE only elides the network
+    read — so the hint stays the bounded-cardinality default.
     """
     from functools import reduce
 
@@ -816,6 +829,7 @@ def stratified_split(
     whole = cum.where(seg_first == seg_last).select(
         "_st", "_b", F.element_at(label_arr, seg_first + 1).alias("_wlab")
     )
+    whole2 = whole.withColumnRenamed("_st", "_st2").withColumnRenamed("_b", "_b2")
     bound = cum.where(seg_first != seg_last).select(
         "_st", "_b", "_prev", *[f"_k{j}" for j in range(m)]
     )
@@ -833,11 +847,8 @@ def stratified_split(
 
     return (
         base.join(
-            # whole is histogram-sized (≤1024 buckets per stratum) —
-            # broadcast so the corpus-sized base never shuffles here
-            F.broadcast(
-                whole.withColumnRenamed("_st", "_st2").withColumnRenamed("_b", "_b2")
-            ),
+            # cardinality guard per r11 ADVICE — see docstring
+            (F.broadcast(whole2) if broadcast_labels else whole2),
             F.col("_st").eqNullSafe(F.col("_st2")) & (F.col("_b") == F.col("_b2")),
             "left",
         )

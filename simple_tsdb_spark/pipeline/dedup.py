@@ -826,7 +826,10 @@ def embedding_dup_pairs(
     """
     # Lazy import: similarity imports dedup's cosine helpers at module
     # level, so the quantizer expressions must be imported at call time.
-    from simple_tsdb_spark.pipeline.similarity import _score_array_spark
+    from simple_tsdb_spark.pipeline.similarity import (
+        _score_array_spark,
+        _valid_vec_spark,
+    )
 
     cols = [
         F.col(id_col).alias("doc"),
@@ -835,7 +838,11 @@ def embedding_dup_pairs(
     if extra_block_col:
         cols.append(F.col(extra_block_col).alias("xblk"))
     e = (
-        df.select(*cols)
+        # corrupt vectors screened on the raw column: a NaN pair cosine
+        # passes `>= threshold` in BOTH engines (NaN compares greatest),
+        # marking a corrupt vector a near-dup of its whole block
+        df.where(_valid_vec_spark(vec_col, None))
+        .select(*cols)
         .withColumn("_sarr", F.expr(_score_array_spark("emb", dim, centroids)))
         .withColumn(
             # non-nullable (see similarity.knn_ivf): stops the block-key
@@ -1000,7 +1007,10 @@ def embedding_dup_oracle(
     extra_block_col: str | None = None,
     centroids=None,
 ) -> str:
-    from simple_tsdb_spark.pipeline.similarity import _score_array_duck
+    from simple_tsdb_spark.pipeline.similarity import (
+        _clean_nonzero_duck,
+        _score_array_duck,
+    )
 
     xsel = f", {extra_block_col} AS xblk" if extra_block_col else ""
     xcond = " AND x.xblk = y.xblk" if extra_block_col else ""
@@ -1010,9 +1020,7 @@ WITH e0 AS (
   SELECT vec_id AS doc, embedding::DOUBLE[] AS emb{xsel},
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
   FROM {table}
-  WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
+  WHERE {_clean_nonzero_duck("embedding")}),
 e AS (
   SELECT doc, emb{', xblk' if extra_block_col else ''},
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS blk

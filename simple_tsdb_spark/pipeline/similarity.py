@@ -79,9 +79,15 @@ def knn_brute(
     not kill a 100 TB scan.  A zero QUERY vector therefore returns no
     rows; a zero corpus vector is never a neighbor.  Both engines
     filter identically (a comparison, no division).
+
+    Corrupt vectors (NULL / NULL-NaN-±inf elements) are screened on the
+    RAW column (scan-pushed, no fold inlining): a NaN cosine survives
+    ``nrm > 0`` in both engines (NaN compares greatest) and would rank
+    FIRST under DESC, crowding a real neighbor out of the top-k.
     """
     e = (
-        df.select(
+        df.where(_valid_vec_spark(vec_col, None))
+        .select(
             F.col(id_col).alias("nid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
@@ -115,9 +121,7 @@ def knn_brute_oracle(
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
 WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}
-           WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
+           WHERE {_clean_nonzero_duck("embedding")}),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids})),
 scored AS (
   SELECT q.query_id, e.nid AS neighbor_id, {cos} AS cos
@@ -155,9 +159,11 @@ def range_search(
     bounds.  For huge query sets, bucket both sides with the knn_lsh
     planes first; this exact form is the verification path.
     """
-    # zero-norm vectors excluded (cosine undefined; see knn_brute)
+    # zero-norm + corrupt vectors excluded (cosine undefined / NaN ranks
+    # first under DESC; see knn_brute)
     e = (
-        df.select(
+        df.where(_valid_vec_spark(vec_col, None))
+        .select(
             F.col(id_col).alias("nid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
@@ -187,9 +193,7 @@ def range_search_oracle(
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
 WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}
-           WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
+           WHERE {_clean_nonzero_duck("embedding")}),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids}))
 SELECT q.query_id, e.nid AS neighbor_id, {cos} AS cos
 FROM e CROSS JOIN q
@@ -232,13 +236,14 @@ def knn_lsh(
     Output: (query_id, neighbor_id, cos, rank); dedup across probes.
     """
     e = (
-        df.select(
+        df.where(_valid_vec_spark(vec_col, None))
+        .select(
             F.col(id_col).alias("nid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
         .withColumn("bucket", F.expr(_bucket_expr("emb", dim)))
         .withColumn("nrm", _norm("emb"))
-        # zero-norm vectors excluded (cosine undefined; see knn_brute)
+        # zero-norm + corrupt vectors excluded (see knn_brute)
         .where(F.col("nrm") > 0)
     )
     probes = _probe_masks(multiprobe)
@@ -278,9 +283,7 @@ WITH e AS (
   SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
          {_bucket_duck("embedding::DOUBLE[]", dim)} AS bucket
   FROM {table}
-  WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
+  WHERE {_clean_nonzero_duck("embedding")}),
 q AS (
   SELECT nid AS query_id, emb, xor(bucket, m.mask) AS bucket
   FROM e, UNNEST([{masks}]) AS m(mask) WHERE nid IN ({ids})),
@@ -440,7 +443,10 @@ def train_ivf_centroids(
     # them from the fit (a no-op on any real corpus — fuzz_corpus.py
     # emb_zero is where this matters).
     emb = _cache_train_input(
-        df.select(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"))
+        # raw-column corrupt-vector screen first (NaN/±inf would poison
+        # the quantized centroid sums; see _valid_vec_spark)
+        df.where(_valid_vec_spark(vec_col, None))
+        .select(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"))
         .where(F.expr("aggregate(zip_with(emb, emb, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0")),
         cache,
     )
@@ -492,9 +498,7 @@ def train_ivf_centroids_duck(
         q = f"""
 WITH e AS (
   SELECT embedding::DOUBLE[] AS emb, {sarr} AS sarr FROM {table}
-  WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
+  WHERE {_clean_nonzero_duck("embedding")}),
 a AS (
   SELECT emb, CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
   FROM e)
@@ -591,6 +595,22 @@ def _valid_vec_duck(vec_col: str, dim: int | None) -> str:
     return "(" + " AND ".join(checks) + ")"
 
 
+def _clean_nonzero_duck(vec_col: str = "embedding") -> str:
+    """Oracle screen for the cosine-ranking family (knn_brute/lsh/ivf/rp,
+    range_search, hard_negatives): raw-column validity — NULL vector,
+    NULL/NaN/±inf elements, mirroring :func:`_valid_vec_spark` — guarding
+    the zero-norm cut.  The CASE guarantees ``list_dot_product`` (which
+    RAISES on NULL elements in DuckDB) only ever sees clean vectors.
+    Without the element screen a NaN cosine survives ``> 0`` in BOTH
+    engines (NaN compares greatest) and, sorting first under DESC, a
+    corrupt vector crowds a real neighbor out of the top-k (r11 ADVICE)."""
+    return (
+        f"(CASE WHEN {_valid_vec_duck(vec_col, None)} "
+        f"THEN list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]) > 0 "
+        f"ELSE FALSE END)"
+    )
+
+
 def _norm_expr(emb: str) -> str:
     return (
         f"transform({emb}, x -> x / sqrt(aggregate(zip_with({emb}, {emb}, "
@@ -626,7 +646,7 @@ def pq_encode(
     cbs = codebooks if codebooks is not None else pq_codebooks(dim=dim)
     # zero-norm vectors excluded: they cannot sit on the unit sphere, and
     # the normalization would divide by zero (ANSI abort; see knn_brute)
-    base = df.select(
+    base = df.where(_valid_vec_spark(vec_col, None)).select(
         F.col(id_col).alias("_pqid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
     ).where(F.expr("aggregate(zip_with(emb, emb, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0"))
@@ -751,7 +771,9 @@ def train_pq_codebooks(
     # handling diverges (Spark CAST(NaN AS BIGINT) = 0, DuckDB = NULL),
     # so BOTH trainers drop them — no direction, no training signal.
     nemb = _cache_train_input(
-        df.where(
+        # raw-column corrupt-vector screen first (see train_ivf_centroids)
+        df.where(_valid_vec_spark(vec_col, None))
+        .where(
             F.expr(
                 f"aggregate(zip_with({vec_col}, {vec_col}, (p, q) -> CAST(p AS DOUBLE) * q), "
                 "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) > 0"
@@ -865,9 +887,7 @@ def train_pq_codebooks_duck(
         q = f"""
 WITH e AS (
   SELECT {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb FROM {table}
-  WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
+  WHERE {_clean_nonzero_duck("embedding")}),
 c AS (SELECT nemb, {codes} AS codes FROM e),
 rows AS (
   SELECT t.m AS m, codes[t.m + 1] AS code,
@@ -1191,9 +1211,7 @@ def pq_encode_oracle(
     return f"""
 WITH e AS (
   SELECT {id_col}, {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb FROM {table}
-  WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END))
+  WHERE {_clean_nonzero_duck("embedding")})
 SELECT {id_col}, array_to_string({codes}, ',') AS pq_code FROM e
 """
 
@@ -1236,7 +1254,8 @@ def knn_ivf_pq(
     sarr = _score_array_spark("emb", dim, centroids)
     # zero-norm vectors excluded (cosine/PQ undefined; see knn_brute)
     e = (
-        df.select(
+        df.where(_valid_vec_spark(vec_col, None))
+        .select(
             F.col(id_col).alias("nid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
@@ -1335,9 +1354,7 @@ WITH e0 AS (
          {_norm_expr_duck("embedding::DOUBLE[]")} AS nemb,
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
   FROM {table}
-  WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
+  WHERE {_clean_nonzero_duck("embedding")}),
 e AS (
   SELECT nid, emb, nemb, sarr,
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
@@ -1395,7 +1412,9 @@ def knn_ivf(
     if not 1 <= nprobe <= nlist:
         raise ValueError(f"nprobe must be in [1, {nlist}]")
     sarr = _score_array_spark("emb", dim, centroids)
-    escore = df.select(
+    # corrupt vectors screened on the raw column (see knn_brute) — pushed
+    # to the scan, never inlining the quantizer fold
+    escore = df.where(_valid_vec_spark(vec_col, None)).select(
         F.col(id_col).alias("nid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
     ).withColumn("_sarr", F.expr(sarr))
@@ -1461,9 +1480,7 @@ WITH e0 AS (
   SELECT vec_id AS nid, embedding::DOUBLE[] AS emb,
          {_score_array_duck("embedding::DOUBLE[]", dim, centroids)} AS sarr
   FROM {table}
-  WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
+  WHERE {_clean_nonzero_duck("embedding")}),
 e AS (
   SELECT nid, emb, sarr,
          CAST(list_position(sarr, list_max(sarr)) - 1 AS INTEGER) AS list_id
@@ -1786,6 +1803,13 @@ def knn_rp(
     is scanned twice, never shuffled or broadcast.
     """
     proj = _rp_proj_expr(vec_col, in_dim, out_dim, salt)
+    # Corrupt vectors (NULL / NULL-NaN-±inf elements) screened ONCE on
+    # the raw column for both stages: the predicate references only
+    # vec_col, so it pushes to the scan WITHOUT inlining the projection
+    # fold (unlike a pnrm filter, below).  Without it a NaN projected
+    # cosine survives the CASE guard (NaN is not NULL) and ranks first
+    # under DESC in both engines — r11 ADVICE.
+    df = df.where(_valid_vec_spark(vec_col, None))
     # Zero-norm PROJECTED vectors are excluded from stage 1 (cosine
     # undefined; covers zero inputs and sign-cancelled projections; see
     # knn_brute) — but NOT with a `pnrm > 0` pre-filter: Catalyst pushes
@@ -1867,11 +1891,14 @@ def knn_rp_oracle(
     salt: str = "rp-v1",
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
-    inner = rp_project_oracle(table, out_dim=out_dim, in_dim=in_dim, salt=salt).strip()
+    # project from a pre-screened src CTE — the Spark side screens the
+    # raw column once ahead of BOTH stages (see knn_rp)
+    inner = rp_project_oracle("src", out_dim=out_dim, in_dim=in_dim, salt=salt).strip()
     pcos = _COS_DUCK.format(a="qp.pv", b="p.pv")
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
-WITH prj AS ({inner}),
+WITH src AS (SELECT * FROM {table} WHERE {_valid_vec_duck("embedding", None)}),
+prj AS ({inner}),
 p AS (SELECT vec_id AS nid, list(val ORDER BY j) AS pv FROM prj
       -- corrupt source vectors project every val to NULL (a NULL vector
       -- or NULL element poisons all out-dims), so the row filter removes
@@ -1892,10 +1919,8 @@ cand AS (
                               ORDER BY _pcos DESC, neighbor_id) AS _crk
     FROM cand0)
   WHERE _crk <= {int(k) * int(overfetch)}),
-e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM {table}
-      WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
+e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS emb FROM src
+      WHERE {_clean_nonzero_duck("embedding")}),
 q AS (SELECT nid AS query_id, emb FROM e WHERE nid IN ({ids})),
 rescored AS (
   SELECT cand.query_id, cand.neighbor_id, {cos} AS cos
@@ -2008,9 +2033,10 @@ def hard_negatives(
     (:func:`search_ann_index`) and apply the label filter on its
     candidates instead.
     """
-    # zero-norm vectors excluded (cosine undefined; see knn_brute)
+    # zero-norm + corrupt vectors excluded (see knn_brute)
     e = (
-        df.select(
+        df.where(_valid_vec_spark(vec_col, None))
+        .select(
             F.col(id_col).alias("nid"),
             F.col(label_col).alias("neg_label"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
@@ -2049,9 +2075,7 @@ def hard_negatives_oracle(
     cos = _COS_DUCK.format(a="q.emb", b="e.emb")
     return f"""
 WITH e AS (SELECT vec_id AS nid, label AS neg_label, embedding::DOUBLE[] AS emb FROM {table}
-           WHERE (CASE WHEN embedding IS NULL THEN FALSE
-             WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE
-             ELSE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 END)),
+           WHERE {_clean_nonzero_duck("embedding")}),
 q AS (SELECT nid AS query_id, neg_label AS _qlabel, emb FROM e WHERE nid IN ({ids})),
 scored AS (
   SELECT q.query_id, e.nid AS neighbor_id, e.neg_label, {cos} AS cos

@@ -49,3 +49,46 @@ def test_small_sets_are_untrimmed():
     assert d["queries_omitted"] == 0
     assert d["queries"] == {"q1": 1.23, "q2": 0.5}
     assert d["value"] == 1.734
+
+
+def test_fastest_mode_keeps_the_other_half():
+    times = _times(138)
+    line = bench.fit_result_line(times, 0.1, itemize="fastest")
+    assert len(line) <= 1800
+    d = json.loads(line)
+    assert d["itemized"] == "fastest"
+    kept = set(d["queries"])
+    dropped = set(times) - kept
+    if dropped:
+        assert min(times[k] for k in dropped) >= max(times[k] for k in kept)
+    # the two modes walk ONE total order from opposite ends, so their
+    # kept sets are exact complements — zero wasted overlap until the
+    # two prefixes together cover everything
+    d_slow = json.loads(bench.fit_result_line(times, 0.1, itemize="slowest"))
+    union = kept | set(d_slow["queries"])
+    assert len(union) == min(len(times), len(kept) + len(d_slow["queries"]))
+
+
+def test_two_rounds_cover_all_real_queries():
+    # the r11 blind spot, closed: with the REAL declared query names
+    # (and a realistic time distribution), slowest-itemized round N and
+    # fastest-itemized round N+1 together record a driver timing for
+    # every query
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    times = {
+        n: 0.05 + (i % 7) * 0.31 + (5.0 if i % 29 == 0 else 0.0)
+        for i, n in enumerate(names)
+    }
+    kept_s = set(json.loads(bench.fit_result_line(times, 0.1, itemize="slowest"))["queries"])
+    kept_f = set(json.loads(bench.fit_result_line(times, 0.1, itemize="fastest"))["queries"])
+    assert kept_s | kept_f == set(names)
+
+
+def test_round_parity_itemize(tmp_path):
+    assert bench.round_parity_itemize(str(tmp_path)) == "fastest"  # round 1
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    assert bench.round_parity_itemize(str(tmp_path)) == "slowest"  # round 12
+    (tmp_path / "BENCH_r12.json").write_text("{}")
+    assert bench.round_parity_itemize(str(tmp_path)) == "fastest"  # round 13
