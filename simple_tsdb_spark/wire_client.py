@@ -8,13 +8,15 @@ story: a client of our own speaking the same frames, so deployments
 that only need the management/catalog surface (health probes, schema
 tooling, the Flask app-context extension) carry zero reference code.
 
-Scope: the catalog + scalar commands — CREATE/LIST databases and
-measurements, GET_SCHEMA, LIST/ACTIVE series, COUNT, DELETE, NOP,
-AUTHENTICATE (TLS AUTHENTICATE-first handshake included).  The chunked
-bulk-data commands (SELECT/WRITE/SUM/INTEGRATE streams) are not here:
-bulk data belongs on the Spark path (the in-process ``TsdbClient``) or
-the reference client, both already covered by tests — a third chunk
-codec would be surface without new semantics.
+Scope: the full command surface.  Catalog + scalar commands —
+CREATE/LIST databases and measurements, GET_SCHEMA, LIST/ACTIVE series,
+COUNT, DELETE, NOP, AUTHENTICATE (TLS AUTHENTICATE-first handshake
+included) — plus the chunked data paths: SELECT (LIMIT and LAST N)
+decoding ``DT_CHUNK`` validity-bitmap frames to pandas, WRITE_POINTS
+under the ``DT_READY_FOR_CHUNK`` credit handshake, and SUM_POINTS
+decoding ``DT_SUMS_CHUNK`` wal-field words.  Together with the server
+this closes the loop: a reference deployment can run BOTH ends of the
+wire on this repo alone.
 
 Wire grammar: ``server.py`` module docstring (tokens from the
 reference's ``src/tsdbserver/tokens.h:13-60``); every command ends with
@@ -27,6 +29,8 @@ from __future__ import annotations
 import socket
 import ssl as ssl_mod
 import struct
+
+import numpy as np
 
 from simple_tsdb_spark.errors import NotAuthenticated, error_for_code
 from simple_tsdb_spark.server import (
@@ -41,20 +45,34 @@ from simple_tsdb_spark.server import (
     CT_LIST_MEASUREMENTS,
     CT_LIST_SERIES,
     CT_NOP,
+    CT_SELECT_POINTS_LAST,
+    CT_SELECT_POINTS_LIMIT,
+    CT_SUM_POINTS,
+    CT_WRITE_POINTS,
+    DT_CHUNK,
     DT_DATABASE,
     DT_END,
+    DT_FIELD_LIST,
     DT_FIELD_NAME,
     DT_FIELD_TYPE,
     DT_MEASUREMENT,
+    DT_NLAST,
+    DT_NLIMIT,
     DT_NPOINTS,
     DT_PASSWORD,
+    DT_READY_FOR_CHUNK,
     DT_SERIES,
     DT_STATUS_CODE,
+    DT_SUMS_CHUNK,
     DT_TIME_FIRST,
     DT_TIME_LAST,
     DT_TYPED_FIELDS,
     DT_USERNAME,
+    DT_WINDOW_NS,
     ProtocolError,
+    _pack_bitmap,
+    _pad8,
+    _unpack_bitmap,
     _WIRE_TYPES,
 )
 
@@ -250,6 +268,253 @@ class WireClient:
             self._s(DT_SERIES, series),
             self._u64(DT_TIME_LAST, t),
         )
+
+    # -- chunked data paths -------------------------------------------------
+    def _select(
+        self,
+        ct: int,
+        nt: int,
+        database: str,
+        measurement: str,
+        series: str,
+        fields,
+        t0: int,
+        t1: int,
+        n: int,
+    ):
+        """Shared SELECT_LIMIT / SELECT_LAST body: stream DT_CHUNK frames
+        (``u64 ts[n]`` then per-field validity bitmap + values + pad8 —
+        the server's ``_send_select_chunks`` layout) into one pandas
+        frame.  NULLs come back as pandas NA via nullable dtypes."""
+        import pandas as pd
+
+        schema = self.get_schema(database, measurement)
+        names = list(fields) if fields else [f for f, _ in schema]
+        types = dict(schema)
+        self._sock.sendall(
+            struct.pack("<I", ct)
+            + self._s(DT_DATABASE, database)
+            + self._s(DT_MEASUREMENT, measurement)
+            + self._s(DT_SERIES, series)
+            + self._s(DT_FIELD_LIST, ",".join(names))
+            + self._u64(DT_TIME_FIRST, t0)
+            + self._u64(DT_TIME_LAST, t1)
+            + self._u64(nt, n)
+            + struct.pack("<I", DT_END)
+        )
+        parts: list = []
+        while True:
+            dt = struct.unpack("<I", self._recvall(4))[0]
+            if dt == DT_END:
+                continue  # end of chunk stream; status frame follows
+            if dt == DT_STATUS_CODE:
+                code = struct.unpack("<i", self._recvall(4))[0]
+                if code != 0:
+                    raise error_for_code(code)
+                break
+            if dt != DT_CHUNK:
+                raise ProtocolError(f"unexpected SELECT reply token {dt:#x}")
+            npoints, bitmap_offset, data_len = struct.unpack(
+                "<III", self._recvall(12)
+            )
+            data = self._recvall(data_len)
+            off = 0
+            ts = np.frombuffer(data, dtype="<u8", count=npoints, offset=off)
+            off += 8 * npoints
+            cols: dict[str, object] = {"time_ns": ts.astype("int64")}
+            for f in names:
+                _wid, size, np_dtype = _WIRE_TYPES[types[f]]
+                bm_words = -(-(bitmap_offset + npoints) // 64)
+                valid = _unpack_bitmap(
+                    data[off:off + bm_words * 8], bitmap_offset, npoints
+                )
+                off += bm_words * 8
+                vals = np.frombuffer(data, dtype=np_dtype, count=npoints, offset=off)
+                vlen = size * npoints
+                off += vlen + _pad8(vlen)
+                if types[f] in ("f32", "f64"):
+                    out = vals.astype("float64" if types[f] == "f64" else "float32")
+                    out = pd.array(out, dtype="Float64" if types[f] == "f64" else "Float32")
+                elif types[f] == "bool":
+                    out = pd.array(vals.astype(bool), dtype="boolean")
+                else:
+                    pd_dtype = {"u32": "UInt32", "u64": "UInt64", "u64f": "UInt64",
+                                "i32": "Int32", "i64": "Int64"}[types[f]]
+                    out = pd.array(vals, dtype=pd_dtype)
+                out[~valid] = None
+                cols[f] = out
+            parts.append(pd.DataFrame(cols))
+        if not parts:
+            return pd.DataFrame({"time_ns": pd.array([], dtype="int64")})
+        return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+
+    def select_points_limit(
+        self,
+        database: str,
+        measurement: str,
+        series: str,
+        fields=None,
+        t0: int = 0,
+        t1: int = 2**64 - 1,
+        n: int = 2**64 - 1,
+    ):
+        return self._select(
+            CT_SELECT_POINTS_LIMIT, DT_NLIMIT,
+            database, measurement, series, fields, t0, t1, n,
+        )
+
+    def select_points_last(
+        self,
+        database: str,
+        measurement: str,
+        series: str,
+        fields=None,
+        t0: int = 0,
+        t1: int = 2**64 - 1,
+        n: int = 100,
+    ):
+        return self._select(
+            CT_SELECT_POINTS_LAST, DT_NLAST,
+            database, measurement, series, fields, t0, t1, n,
+        )
+
+    def write_points(self, database: str, measurement: str, series: str, pdf) -> None:
+        """Append a pandas batch under the DT_READY_FOR_CHUNK credit
+        handshake (one chunk per credit, DT_END closes).  ``pdf`` needs
+        ``time_ns`` plus the measurement's fields; missing/NA values
+        write as NULL (validity bitmap).  Chunks split so the data
+        section stays within the server's advertised credit."""
+        schema = self.get_schema(database, measurement)
+        n_total = len(pdf)
+        ts_all = np.asarray(pdf["time_ns"], dtype="<u8")
+        cols = []
+        row_bytes = 8
+        for name, ftype in schema:
+            _wid, size, np_dtype = _WIRE_TYPES[ftype]
+            if name in pdf.columns:
+                s = pdf[name]
+                valid = ~np.asarray(s.isna())
+                filled = s.fillna(0 if ftype != "bool" else False)
+                vals = np.asarray(filled, dtype=np_dtype)
+            else:
+                valid = np.zeros(n_total, dtype=bool)
+                vals = np.zeros(n_total, dtype=np_dtype)
+            cols.append((vals, valid, size))
+            row_bytes += size + 1  # + bitmap amortized
+        self._sock.sendall(
+            struct.pack("<I", CT_WRITE_POINTS)
+            + self._s(DT_DATABASE, database)
+            + self._s(DT_MEASUREMENT, measurement)
+            + self._s(DT_SERIES, series)
+        )
+        sent = 0
+        while True:
+            dt = struct.unpack("<I", self._recvall(4))[0]
+            if dt != DT_READY_FOR_CHUNK:
+                raise ProtocolError(f"expected READY_FOR_CHUNK, got {dt:#x}")
+            credit = struct.unpack("<I", self._recvall(4))[0]
+            if sent >= n_total:
+                self._sock.sendall(struct.pack("<I", DT_END))
+                break
+            n = min(n_total - sent, max(1, credit // max(row_bytes, 1)))
+            body = ts_all[sent:sent + n].tobytes()
+            for vals, valid, size in cols:
+                body += _pack_bitmap(valid[sent:sent + n])
+                vb = vals[sent:sent + n].tobytes()
+                body += vb + b"\x00" * _pad8(len(vb))
+            if len(body) > credit:
+                raise ProtocolError("chunk exceeds server credit")
+            self._sock.sendall(
+                struct.pack("<IIII", DT_CHUNK, n, 0, len(body)) + body
+            )
+            sent += n
+        dt = struct.unpack("<I", self._recvall(4))[0]
+        if dt != DT_STATUS_CODE:
+            raise ProtocolError(f"expected status frame, got {dt:#x}")
+        code = struct.unpack("<i", self._recvall(4))[0]
+        if code != 0:
+            raise error_for_code(code)
+
+    def sum_points(
+        self,
+        database: str,
+        measurement: str,
+        series: str,
+        window_ns: int,
+        fields=None,
+        t0: int = 0,
+        t1: int = 2**64 - 1,
+    ):
+        """Windowed sum/min/max/count per field: decode DT_SUMS_CHUNK
+        frames (``ts[n]`` + per-field sums f64 + mins + maxs as
+        wal-field words + counts u64).  Empty windows (count 0) report
+        None min/max — the wire carries the reference's untouched
+        accumulator sentinels there."""
+        import pandas as pd
+
+        schema = self.get_schema(database, measurement)
+        names = list(fields) if fields else [f for f, _ in schema]
+        types = dict(schema)
+        self._sock.sendall(
+            struct.pack("<I", CT_SUM_POINTS)
+            + self._s(DT_DATABASE, database)
+            + self._s(DT_MEASUREMENT, measurement)
+            + self._s(DT_SERIES, series)
+            + self._s(DT_FIELD_LIST, ",".join(names))
+            + self._u64(DT_TIME_FIRST, t0)
+            + self._u64(DT_TIME_LAST, t1)
+            + self._u64(DT_WINDOW_NS, window_ns)
+            + struct.pack("<I", DT_END)
+        )
+        rows: dict[str, list] = {"wstart": []}
+        for f in names:
+            for suffix in ("_sum", "_min", "_max", "_count"):
+                rows[f + suffix] = []
+        while True:
+            dt = struct.unpack("<I", self._recvall(4))[0]
+            if dt == DT_END:
+                continue
+            if dt == DT_STATUS_CODE:
+                code = struct.unpack("<i", self._recvall(4))[0]
+                if code != 0:
+                    raise error_for_code(code)
+                break
+            if dt != DT_SUMS_CHUNK:
+                raise ProtocolError(f"unexpected SUM reply token {dt:#x}")
+            n = struct.unpack("<H", self._recvall(2))[0]
+            # body: ts u64[n] + per field (sums f64[n] + min words[n] +
+            # max words[n] + counts u64[n]) — all 8-byte lanes
+            body = self._recvall(8 * n * (1 + 4 * len(names)))
+            off = 0
+            ts = np.frombuffer(body, dtype="<u8", count=n, offset=off)
+            rows["wstart"].extend(int(x) for x in ts)
+            off += 8 * n
+            sums = {}
+            for f in names:
+                sums[f] = np.frombuffer(body, dtype="<f8", count=n, offset=off)
+                off += 8 * n
+            wal: dict[tuple, np.ndarray] = {}
+            for kind in (0, 1):
+                for f in names:
+                    words = np.frombuffer(body, dtype="<u8", count=n, offset=off)
+                    off += 8 * n
+                    _wid, size, np_dtype = _WIRE_TYPES[types[f]]
+                    step = 8 // size
+                    wal[(f, kind)] = words.view(np_dtype)[::step]
+            for f in names:
+                counts = np.frombuffer(body, dtype="<u8", count=n, offset=off)
+                off += 8 * n
+                for i in range(n):
+                    c = int(counts[i])
+                    rows[f + "_count"].append(c)
+                    rows[f + "_sum"].append(float(sums[f][i]) if c else None)
+                    rows[f + "_min"].append(
+                        wal[(f, 0)][i].item() if c else None
+                    )
+                    rows[f + "_max"].append(
+                        wal[(f, 1)][i].item() if c else None
+                    )
+        return pd.DataFrame(rows)
 
     # -- lifecycle ----------------------------------------------------------
     def close(self) -> None:

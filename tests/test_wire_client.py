@@ -105,6 +105,86 @@ def test_authenticate_against_plain_listener(served, spark, tmp_path):
         WireClient("127.0.0.1", server.address[1], credentials=("alice", "bad"))
 
 
+def test_write_then_select_roundtrip(served):
+    """Full data-path loop with OUR client on both ends of the wire:
+    write under the credit handshake, read back via chunked SELECT."""
+    server, _ = served
+    with _connect(server) as wc:
+        batch = pd.DataFrame(
+            {
+                "time_ns": [100, 200, 300, 400],
+                "v": [1.5, None, 3.5, 4.5],
+                "n": pd.array([10, 20, None, 40], dtype="UInt32"),
+            }
+        )
+        wc.write_points("db", "m", "sw", batch)
+        got = wc.select_points_limit("db", "m", "sw")
+        assert list(got["time_ns"]) == [100, 200, 300, 400]
+        assert got["v"][0] == 1.5 and pd.isna(got["v"][1])
+        assert got["n"][1] == 20 and pd.isna(got["n"][2])
+        # LAST N comes back in time order, last n points
+        last = wc.select_points_last("db", "m", "sw", n=2)
+        assert list(last["time_ns"]) == [300, 400]
+        # field projection
+        only_v = wc.select_points_limit("db", "m", "sw", fields=["v"])
+        assert list(only_v.columns) == ["time_ns", "v"]
+
+
+def test_select_against_embedded_writer(served, spark):
+    """Wire SELECT agrees with what the embedded client wrote."""
+    server, c = served
+    batch = pd.DataFrame(
+        {"series": ["sx"] * 3, "time_ns": [1, 2, 3], "v": [9.0, 8.0, 7.0], "n": [1, 2, 3]}
+    )
+    c.write_points_pandas("db", "m", batch)
+    with _connect(server) as wc:
+        got = wc.select_points_limit("db", "m", "sx", t0=2, t1=3)
+        assert list(got["time_ns"]) == [2, 3]
+        assert list(got["v"]) == [8.0, 7.0]
+
+
+def test_sum_points_roundtrip(served):
+    server, _ = served
+    with _connect(server) as wc:
+        batch = pd.DataFrame(
+            {
+                "time_ns": [0, 5, 10, 15, 25],
+                "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+                "n": pd.array([1, 1, 1, 1, 1], dtype="UInt32"),
+            }
+        )
+        wc.write_points("db", "m", "ss", batch)
+        got = wc.sum_points("db", "m", "ss", window_ns=10, fields=["v"], t0=0, t1=29)
+        assert list(got["wstart"]) == [0, 10, 20]
+        assert list(got["v_sum"]) == [3.0, 7.0, 5.0]
+        assert list(got["v_min"]) == [1.0, 3.0, 5.0]
+        assert list(got["v_max"]) == [2.0, 4.0, 5.0]
+        assert list(got["v_count"]) == [2, 2, 1]
+
+
+def test_write_points_rejects_below_committed(served):
+    """S4 semantics over OUR wire client: a new timestamp at/below the
+    committed time_last that isn't a byte-identical retransmit rejects
+    with the reference's OUT_OF_ORDER code — delivered as a status
+    frame, so the connection survives (batch ORDER itself is
+    canonicalized by the store; see test_ingest for the full matrix)."""
+    from simple_tsdb_spark.errors import OutOfOrderTimestamps
+
+    server, _ = served
+    with _connect(server) as wc:
+        wc.write_points(
+            "db", "m", "so",
+            pd.DataFrame({"time_ns": [10, 30], "v": [1.0, 3.0], "n": [1, 3]}),
+        )
+        with pytest.raises(OutOfOrderTimestamps):
+            wc.write_points(
+                "db", "m", "so",
+                pd.DataFrame({"time_ns": [20], "v": [2.0], "n": [2]}),
+            )
+        # connection survives the engine error
+        assert wc.nop() is True
+
+
 # -- flask extension ----------------------------------------------------
 
 
