@@ -41,6 +41,7 @@ from simple_tsdb_spark.server import (
     CT_CREATE_MEASUREMENT,
     CT_DELETE_POINTS,
     CT_GET_SCHEMA,
+    CT_INTEGRATE_POINTS,
     CT_LIST_DATABASES,
     CT_LIST_MEASUREMENTS,
     CT_LIST_SERIES,
@@ -55,6 +56,8 @@ from simple_tsdb_spark.server import (
     DT_FIELD_LIST,
     DT_FIELD_NAME,
     DT_FIELD_TYPE,
+    DT_INTEGRAL_BITMAP,
+    DT_INTEGRALS,
     DT_MEASUREMENT,
     DT_NLAST,
     DT_NLIMIT,
@@ -268,6 +271,57 @@ class WireClient:
             self._s(DT_SERIES, series),
             self._u64(DT_TIME_LAST, t),
         )
+
+    def integrate_points(
+        self,
+        database: str,
+        measurement: str,
+        series: str,
+        fields,
+        t0: int = 0,
+        t1: int = 2**64 - 1,
+    ) -> dict:
+        """Trapezoid integral per field over [t0, t1]: reply is
+        ``DT_TIME_FIRST/DT_TIME_LAST`` (u64 bounds actually integrated),
+        ``DT_INTEGRAL_BITMAP`` (bit i set = field i NULL-poisoned) and
+        ``DT_INTEGRALS`` carrying len(fields) f64s.  Returns
+        {"t0_ns", "t1_ns", "<field>_integral": float | None}."""
+        names = list(fields)
+        self._sock.sendall(
+            struct.pack("<I", CT_INTEGRATE_POINTS)
+            + self._s(DT_DATABASE, database)
+            + self._s(DT_MEASUREMENT, measurement)
+            + self._s(DT_SERIES, series)
+            + self._s(DT_FIELD_LIST, ",".join(names))
+            + self._u64(DT_TIME_FIRST, t0)
+            + self._u64(DT_TIME_LAST, t1)
+            + struct.pack("<I", DT_END)
+        )
+        tf = tl = bitmap = 0
+        vals: list[float] = []
+        while True:
+            dt = struct.unpack("<I", self._recvall(4))[0]
+            if dt == DT_STATUS_CODE:
+                code = struct.unpack("<i", self._recvall(4))[0]
+                if code != 0:
+                    raise error_for_code(code)
+                break
+            if dt == DT_TIME_FIRST:
+                tf = struct.unpack("<Q", self._recvall(8))[0]
+            elif dt == DT_TIME_LAST:
+                tl = struct.unpack("<Q", self._recvall(8))[0]
+            elif dt == DT_INTEGRAL_BITMAP:
+                bitmap = struct.unpack("<Q", self._recvall(8))[0]
+            elif dt == DT_INTEGRALS:
+                vals = list(
+                    struct.unpack(f"<{len(names)}d", self._recvall(8 * len(names)))
+                )
+            else:
+                raise ProtocolError(f"unexpected INTEGRATE reply token {dt:#x}")
+        out: dict = {"t0_ns": tf, "t1_ns": tl}
+        for i, f in enumerate(names):
+            out[f + "_integral"] = None if bitmap & (1 << i) else vals[i]
+        return out
 
     # -- chunked data paths -------------------------------------------------
     def _select(

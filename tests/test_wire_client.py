@@ -162,6 +162,21 @@ def test_sum_points_roundtrip(served):
         assert list(got["v_count"]) == [2, 2, 1]
 
 
+def test_integrate_points_roundtrip(served):
+    server, _ = served
+    with _connect(server) as wc:
+        wc.write_points(
+            "db", "m", "si",
+            pd.DataFrame({"time_ns": [0, 10, 20], "v": [0.0, 2.0, 0.0],
+                          "n": pd.array([None, None, None], dtype="UInt32")}),
+        )
+        got = wc.integrate_points("db", "m", "si", ["v", "n"], 0, 20)
+        # trapezoid over (0,0)->(10,2)->(20,0) in ns: 2 * 10e-9 = 2e-8
+        assert got["t0_ns"] == 0 and got["t1_ns"] == 20
+        assert abs(got["v_integral"] - 2.0e-8) < 1e-18
+        assert got["n_integral"] is None  # all-NULL field: poisoned
+
+
 def test_write_points_rejects_below_committed(served):
     """S4 semantics over OUR wire client: a new timestamp at/below the
     committed time_last that isn't a byte-identical retransmit rejects
