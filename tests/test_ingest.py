@@ -197,14 +197,14 @@ def test_streaming_ingest(spark, tmp_path):
     src = str(tmp_path / "incoming")
     path = str(tmp_path / "m10")
     ckpt = str(tmp_path / "ckpt")
-    mk(spark, [("a", 10, 1.0), ("a", 20, 2.0), ("b", 5, 0.5)]).write.parquet(
+    mk(spark, [("a", 10, 1.0), ("a", 20, 2.0), ("b", 5, 0.5)]).coalesce(1).write.parquet(
         src, mode="overwrite"
     )
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     q = start_ingest(stream, path, checkpoint_dir=ckpt)
     q.processAllAvailable()
     # Late replay of the same files after restart must be idempotent.
-    mk(spark, [("a", 20, 2.0), ("a", 30, 3.0)]).write.parquet(src, mode="append")
+    mk(spark, [("a", 20, 2.0), ("a", 30, 3.0)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
     q.stop()
     got = select_points(spark.read.parquet(path)).toPandas()
@@ -225,13 +225,13 @@ def test_streaming_ingest_restart_resumes(spark, tmp_path):
     src = str(tmp_path / "incoming_r")
     path = str(tmp_path / "m10r")
     ckpt = str(tmp_path / "ckpt_r")
-    mk(spark, [("a", 10, 1.0), ("b", 5, 0.5)]).write.parquet(src, mode="overwrite")
+    mk(spark, [("a", 10, 1.0), ("b", 5, 0.5)]).coalesce(1).write.parquet(src, mode="overwrite")
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     q1 = start_ingest(stream, path, checkpoint_dir=ckpt)
     q1.processAllAvailable()
     q1.stop()
     # downtime: more data lands while no query is running
-    mk(spark, [("a", 20, 2.0), ("b", 15, 1.5)]).write.parquet(src, mode="append")
+    mk(spark, [("a", 20, 2.0), ("b", 15, 1.5)]).coalesce(1).write.parquet(src, mode="append")
     q2 = start_ingest(
         spark.readStream.schema(SCHEMA).parquet(src), path, checkpoint_dir=ckpt
     )

@@ -24,7 +24,7 @@ def test_streaming_matches_batch(spark, tmp_path):
     pdf = pd.DataFrame(rows, columns=["series", "time_ns", "v"])
     src = str(tmp_path / "src")
     df = spark.createDataFrame(pdf, SCHEMA)
-    df.write.parquet(src, mode="overwrite")
+    df.coalesce(1).write.parquet(src, mode="overwrite")
 
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     agg = streaming_sum_points(stream, fields=["v"], window_ns=2_000_000_000)
@@ -60,17 +60,17 @@ def test_streaming_drops_late_data(spark, tmp_path):
     def mk(rows):
         return spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v"]), SCHEMA)
 
-    mk([("a", int(1e9), 1.0), ("a", int(2e9), 2.0)]).write.parquet(src, mode="overwrite")
+    mk([("a", int(1e9), 1.0), ("a", int(2e9), 2.0)]).coalesce(1).write.parquet(src, mode="overwrite")
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     agg = streaming_sum_points(stream, fields=["v"], window_ns=2_000_000_000, watermark_delay="1 seconds")
     q = agg.writeStream.outputMode("append").format("memory").queryName("late_agg").start()
     q.processAllAvailable()
     # jump event time far ahead → watermark passes the first windows
-    mk([("a", int(100e9), 3.0)]).write.parquet(src, mode="append")
+    mk([("a", int(100e9), 3.0)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
     n_after_jump = spark.sql("SELECT count(*) FROM late_agg").first()[0]
     # late arrival inside an already-finalized window: dropped
-    mk([("a", int(1e9) + 1, 99.0)]).write.parquet(src, mode="append")
+    mk([("a", int(1e9) + 1, 99.0)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
     q.stop()
     final = spark.sql("SELECT * FROM late_agg ORDER BY wstart").toPandas()
@@ -131,7 +131,7 @@ def test_streaming_hopping_mean_matches_batch(spark, tmp_path):
     pdf = pd.DataFrame(rows, columns=["series", "time_ns", "v"])
     src = str(tmp_path / "hop_src")
     df = spark.createDataFrame(pdf, SCHEMA)
-    df.write.parquet(src, mode="overwrite")
+    df.coalesce(1).write.parquet(src, mode="overwrite")
 
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     agg = streaming_hopping_mean(stream, field="v", window_ns=2_000_000_000, slide_ns=500_000_000)
@@ -171,18 +171,18 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     def mk(rows):
         return spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v"]), SCHEMA)
 
-    mk(rows1).write.parquet(src, mode="overwrite")
+    mk(rows1).coalesce(1).write.parquet(src, mode="overwrite")
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     agg = streaming_sessionize(stream, gap_ns=gap, watermark_delay="0 seconds")
     q = agg.writeStream.outputMode("append").format("memory").queryName("sess_agg").start()
     q.processAllAvailable()
-    mk(rows2).write.parquet(src, mode="append")
+    mk(rows2).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
     # advance the watermark far past every session, then one more batch
     # so append-mode emits the finalized windows
-    mk([("a", 10**15, 0.0)]).write.parquet(src, mode="append")
+    mk([("a", 10**15, 0.0)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
-    mk([("a", 10**15 + 10**9, 0.0)]).write.parquet(src, mode="append")
+    mk([("a", 10**15 + 10**9, 0.0)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
     q.stop()
     got = (
@@ -219,16 +219,16 @@ def test_streaming_burn_rate_matches_batch(spark, tmp_path):
     )
     src = str(tmp_path / "burn_src")
     df = spark.createDataFrame(pdf[["series", "time_ns", "v"]], SCHEMA)
-    df.write.parquet(src, mode="overwrite")
+    df.coalesce(1).write.parquet(src, mode="overwrite")
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     agg = streaming_burn_rate(stream, watermark_delay="0 seconds", **kw)
     q = agg.writeStream.outputMode("append").format("memory").queryName("burn_agg").start()
     q.processAllAvailable()
     # advance watermark, then one more batch to flush finalized windows
     mk = lambda r: spark.createDataFrame(pd.DataFrame(r, columns=["series", "time_ns", "v"]), SCHEMA)
-    mk([("ok", 10**15, 0.0)]).write.parquet(src, mode="append")
+    mk([("ok", 10**15, 0.0)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
-    mk([("ok", 10**15 + s_, 0.0)]).write.parquet(src, mode="append")
+    mk([("ok", 10**15 + s_, 0.0)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
     q.stop()
     got = (
@@ -251,7 +251,7 @@ def test_streaming_heatmap_matches_batch(spark, tmp_path):
     pdf = pd.DataFrame(rows, columns=["series", "time_ns", "v"])
     src = str(tmp_path / "hm_src")
     df = spark.createDataFrame(pdf, SCHEMA)
-    df.write.parquet(src, mode="overwrite")
+    df.coalesce(1).write.parquet(src, mode="overwrite")
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     kw = dict(field="v", window_ns=10_000_000_000, lo=-2.0, hi=8.0, nbins=5)
     q = (

@@ -84,7 +84,7 @@ def test_streaming_join_is_stateful_with_watermarks(spark, tmp_path):
     state grows forever; this pins that OUR plan carries the watermarks
     and state metrics)."""
     lsrc = str(tmp_path / "lb")
-    spark.createDataFrame(_rows(np.random.default_rng(1), 5, 0), SCHEMA).write.parquet(lsrc)
+    spark.createDataFrame(_rows(np.random.default_rng(1), 5, 0), SCHEMA).coalesce(1).write.parquet(lsrc)
     out = streaming_interval_join(
         spark.readStream.schema(SCHEMA).parquet(lsrc),
         spark.readStream.schema(SCHEMA).parquet(lsrc),

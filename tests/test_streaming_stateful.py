@@ -131,20 +131,24 @@ def test_streaming_twa_matches_batch(spark, tmp_path):
     def mk(rows):
         return spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "v"]), schema)
 
-    mk(rows1).write.parquet(src, mode="overwrite")
+    # coalesce(1): each append must land as ONE file — the running
+    # query's trigger can list a multi-part append mid-write, and a
+    # partial batch advances the 0-second watermark past the remaining
+    # part files (dropped as late; flaked under suite-load contention)
+    mk(rows1).coalesce(1).write.parquet(src, mode="overwrite")
     stream = spark.readStream.schema(schema).parquet(src)
     agg = streaming_time_weighted_avg(stream, field="v", window_ns=w, watermark_delay="0 seconds")
     q = agg.writeStream.outputMode("append").format("memory").queryName("twa_agg").start()
     q.processAllAvailable()
     # second batch continues window state, then a far-future point
     # advances the watermark so every data window finalizes
-    mk(rows2).write.parquet(src, mode="append")
+    mk(rows2).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
-    mk([("a", 10**15, 0.0), ("b", 10**15, 0.0)]).write.parquet(src, mode="append")
+    mk([("a", 10**15, 0.0), ("b", 10**15, 0.0)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
     # timeouts fire on the batch AFTER the watermark advances — one more
     # trigger batch flushes every remaining data window
-    mk([("a", 10**15 + 1, 0.0)]).write.parquet(src, mode="append")
+    mk([("a", 10**15 + 1, 0.0)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
     q.stop()
     got = (
@@ -194,16 +198,17 @@ def test_streaming_active_users_matches_batch(spark, tmp_path):
     def mk(rows):
         return spark.createDataFrame(pd.DataFrame(rows, columns=["series", "time_ns", "user_id"]), schema)
 
-    mk(rows1).write.parquet(src, mode="overwrite")
+    # coalesce(1): atomic single-file appends (see TWA test above)
+    mk(rows1).coalesce(1).write.parquet(src, mode="overwrite")
     stream = spark.readStream.schema(schema).parquet(src)
     agg = streaming_active_users(stream, period_ns=p, window_periods=2, watermark_delay="30 seconds")
     q = agg.writeStream.outputMode("append").format("memory").queryName("au_agg").start()
     q.processAllAvailable()
-    mk(rows2).write.parquet(src, mode="append")
+    mk(rows2).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
-    mk([("s", 10**15, 99)]).write.parquet(src, mode="append")
+    mk([("s", 10**15, 99)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
-    mk([("s", 10**15 + s_, 99)]).write.parquet(src, mode="append")
+    mk([("s", 10**15 + s_, 99)]).coalesce(1).write.parquet(src, mode="append")
     q.processAllAvailable()
     q.stop()
     got = (
