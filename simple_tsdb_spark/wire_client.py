@@ -448,8 +448,22 @@ class WireClient:
             if name in pdf.columns:
                 s = pdf[name]
                 valid = ~np.asarray(s.isna())
-                filled = s.fillna(0 if ftype != "bool" else False)
-                vals = np.asarray(filled, dtype=np_dtype)
+                if ftype in ("u64", "u64f"):
+                    # Decimal (u64f) / full-range ints: numpy can't cast
+                    # object Decimals — go through int() with the
+                    # two's-complement mask, exactly like the server's
+                    # _pack_walfields u64 lane
+                    vals = np.fromiter(
+                        (
+                            0 if not ok else int(v) & 0xFFFFFFFFFFFFFFFF
+                            for v, ok in zip(s, valid)
+                        ),
+                        dtype="<u8",
+                        count=n_total,
+                    )
+                else:
+                    filled = s.fillna(0 if ftype != "bool" else False)
+                    vals = np.asarray(filled, dtype=np_dtype)
             else:
                 valid = np.zeros(n_total, dtype=bool)
                 vals = np.zeros(n_total, dtype=np_dtype)

@@ -200,6 +200,83 @@ def test_write_points_rejects_below_committed(served):
         assert wc.nop() is True
 
 
+def test_all_types_random_roundtrip(served, spark, tmp_path):
+    """Seeded-random write→select round-trip over EVERY wire type
+    (bool/u32/u64/u64f/f32/f64/i32/i64) with ~20% NULLs — the codec
+    seams: validity bitmaps per type width, pad8 alignment, u64f
+    Decimals on the u64 lane, full-range u64 values."""
+    import numpy as np
+    from decimal import Decimal
+
+    server, c = served
+    fields = {
+        "b": "bool", "c32": "u32", "c64": "u64", "big": "u64f",
+        "x32": "f32", "x64": "f64", "s32": "i32", "s64": "i64",
+    }
+    c.create_measurement("db", "all_t", fields)
+    rng = np.random.default_rng(7)
+    n = 257  # odd size: exercises bitmap word padding
+    def mask():
+        return rng.random(n) < 0.2
+
+    pdf = pd.DataFrame({
+        "time_ns": np.arange(1, n + 1) * 1000,
+        "b": pd.array(rng.integers(0, 2, n).astype(bool), dtype="boolean"),
+        "c32": pd.array(rng.integers(0, 2**32, n, dtype=np.uint64), dtype="UInt32").astype("UInt32"),
+        "c64": pd.array(rng.integers(0, 2**63, n, dtype=np.uint64), dtype="UInt64"),
+        "big": [Decimal(int(v)) for v in rng.integers(0, 2**63, n, dtype=np.uint64)],
+        "x32": pd.array(rng.normal(size=n).astype(np.float32), dtype="Float32"),
+        "x64": pd.array(rng.normal(size=n), dtype="Float64"),
+        "s32": pd.array(rng.integers(-(2**31), 2**31, n, dtype=np.int64), dtype="Int32").astype("Int32"),
+        "s64": pd.array(rng.integers(-(2**62), 2**62, n, dtype=np.int64), dtype="Int64"),
+    })
+    # ~20% NULLs per field; u64f full-range spot values
+    for f in fields:
+        m = mask()
+        pdf.loc[m, f] = None
+    pdf.loc[0, "big"] = Decimal(2**64 - 1)
+    pdf.loc[1, "big"] = Decimal(0)
+
+    with _connect(server) as wc:
+        wc.write_points("db", "all_t", "sr", pdf)
+        got = wc.select_points_limit("db", "all_t", "sr")
+    assert list(got["time_ns"]) == list(pdf["time_ns"])
+    for f, ftype in fields.items():
+        want_na = pdf[f].isna()
+        assert list(got[f].isna()) == list(want_na), f
+        gv = got[f][~want_na.to_numpy()]
+        wv = pdf[f][~want_na]
+        if ftype in ("f32", "f64"):
+            assert np.allclose(
+                gv.to_numpy(dtype=float), wv.to_numpy(dtype=float), rtol=0, atol=0
+            ), f
+        else:
+            assert [int(a) for a in gv] == [int(b) for b in wv], f
+    assert int(got["big"][0]) == 2**64 - 1  # full-range u64f survived
+
+
+def test_multichunk_select(served):
+    """>16384 rows forces multiple DT_CHUNK frames on the SELECT reply;
+    the write side splits by the server's credit as needed."""
+    import numpy as np
+
+    server, _ = served
+    n = 17000
+    batch = pd.DataFrame({
+        "time_ns": np.arange(1, n + 1, dtype=np.int64),
+        "v": np.arange(n, dtype=np.float64),
+        "n": pd.array(np.arange(n) % 1000, dtype="UInt32"),
+    })
+    with _connect(server) as wc:
+        wc.write_points("db", "m", "mc", batch)
+        got = wc.select_points_limit("db", "m", "mc")
+        assert len(got) == n
+        assert got["time_ns"].iloc[-1] == n
+        assert got["v"].iloc[16384] == 16384.0  # first row of chunk 2
+        last = wc.select_points_last("db", "m", "mc", n=3)
+        assert list(last["time_ns"]) == [n - 2, n - 1, n]
+
+
 # -- flask extension ----------------------------------------------------
 
 
