@@ -277,6 +277,51 @@ def test_multichunk_select(served):
         assert list(last["time_ns"]) == [n - 2, n - 1, n]
 
 
+def test_server_drops_malformed_frames(served):
+    """Protocol robustness (tokens.h:241-248 teardown semantics): an
+    unknown command, an oversized string token, and raw garbage each
+    tear the connection down promptly — no hang, no stray reply — and
+    the listener stays healthy for the next client."""
+    import socket as sock_mod
+    import struct as st
+
+    server, _ = served
+    host, port = "127.0.0.1", server.address[1]
+
+    def probe(payload: bytes) -> bytes:
+        s = sock_mod.create_connection((host, port), timeout=10)
+        try:
+            s.sendall(payload)
+            s.settimeout(10)
+            chunks = b""
+            while True:
+                try:
+                    part = s.recv(4096)
+                except ConnectionResetError:
+                    break  # RST: server tore down with unread bytes — fine
+                if not part:
+                    break  # FIN: server closed — expected
+                chunks += part
+            return chunks
+        finally:
+            s.close()
+
+    from simple_tsdb_spark.server import CT_LIST_MEASUREMENTS, DT_DATABASE
+
+    # unknown command token: dropped without a status frame
+    assert probe(st.pack("<I", 0xDEADBEEF)) == b""
+    # oversized string token (len >= 1024): protocol teardown
+    assert probe(
+        st.pack("<I", CT_LIST_MEASUREMENTS)
+        + st.pack("<IH", DT_DATABASE, 5000) + b"x" * 5000
+    ) == b""
+    # raw garbage
+    assert probe(b"\x00" * 64) == b""
+    # listener still healthy afterwards
+    with _connect(server) as wc:
+        assert wc.list_databases() == ["db"]
+
+
 # -- flask extension ----------------------------------------------------
 
 
