@@ -322,6 +322,41 @@ def test_server_drops_malformed_frames(served):
         assert wc.list_databases() == ["db"]
 
 
+def test_tls_authenticate_first(spark, tmp_path):
+    """WireClient over the TLS + require_auth listener: AUTHENTICATE
+    must be the first command; bad credentials surface as
+    NotAuthenticated (the server closes without a status frame)."""
+    import ssl
+    import subprocess
+
+    cert, key = tmp_path / "cert.pem", tmp_path / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    wh, c = _mkwh(spark, tmp_path)
+    c.add_user("alice", "sekrit")
+    srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    srv_ctx.load_cert_chain(str(cert), str(key))
+    cli_ctx = ssl.create_default_context(cafile=str(cert))
+    cli_ctx.check_hostname = False
+
+    with TsdbServer(spark, wh, port=0, require_auth=True, ssl_context=srv_ctx) as s:
+        with WireClient(
+            "127.0.0.1", s.address[1],
+            credentials=("alice", "sekrit"), ssl_context=cli_ctx,
+        ) as wc:
+            assert wc.list_databases() == ["db"]
+            assert wc.get_schema("db", "m") == [("v", "f64"), ("n", "u32")]
+        with pytest.raises((NotAuthenticated, OSError)):
+            WireClient(
+                "127.0.0.1", s.address[1],
+                credentials=("alice", "wrong"), ssl_context=cli_ctx,
+            )
+
+
 # -- flask extension ----------------------------------------------------
 
 
