@@ -23,8 +23,13 @@ apparent off-by-one, parse_types.cc:176-177); this CLI uses the standard
 exclusive semantics (t1-1).  ``--ref-compat`` reproduces the reference's
 t1+1 instead, so behavior-diff tests against a live tsdbcli2 line up.
 
-Usage: python scripts/tsdbcli.py WAREHOUSE_DIR [--ref-compat] [-c "COMMAND"]
-(REPL otherwise)
+Usage:
+  python scripts/tsdbcli.py WAREHOUSE_DIR [--ref-compat] [-c "COMMAND"]
+  python scripts/tsdbcli.py --host H [--port P] [--user U --password W]
+         [--ref-compat] [-c "COMMAND"]
+(REPL otherwise.)  ``--host`` runs as a pure WIRE client of a running
+tsdbserver — the reference tsdbcli2 deployment shape, no Spark on the
+CLI side; ADD USER is warehouse-mode only (not a wire command).
 """
 
 from __future__ import annotations
@@ -78,7 +83,10 @@ def split_spec(spec: str, parts: int) -> list[str]:
 
 
 def show(df, limit: int = 50) -> None:
-    df.show(limit, truncate=False)
+    if hasattr(df, "show"):  # Spark DataFrame (warehouse mode)
+        df.show(limit, truncate=False)
+    else:  # pandas (network mode via WireClient)
+        print(df.head(limit).to_string(index=False))
 
 
 def execute(client, line: str) -> None:
@@ -148,12 +156,13 @@ def execute(client, line: str) -> None:
         t0, t1, i = parse_where(toks, 4)
         if i >= len(toks) or toks[i].upper() != "WINDOW_NS":
             raise ValueError("expected WINDOW_NS w")
-        from simple_tsdb_spark.operators import mean_points
-
+        # client.mean_points works in BOTH modes: the embedded client is a
+        # first-class operator call; the wire adapter derives mean from
+        # SUM_POINTS exactly like the reference's own client
+        # (client.py:1103-1120)
         show(
-            mean_points(
-                client.catalog.read(db, meas), fields=fields, series=series,
-                t0=t0, t1=min(t1, MAXT), window_ns=int(toks[i + 1]),
+            client.mean_points(
+                db, meas, series, int(toks[i + 1]), fields, t0, min(t1, MAXT)
             )
         )
     elif toks[0].upper() == "INTEGRATE":
@@ -172,19 +181,109 @@ def execute(client, line: str) -> None:
         raise ValueError(f"unknown command: {line!r}")
 
 
+class WireCli:
+    """Network-mode backend: the ``execute()`` surface over
+    :class:`simple_tsdb_spark.wire_client.WireClient` — the reference
+    deployment shape (tsdbcli2 is a wire client of tsdbserver).  No
+    Spark on the CLI side; scalar replies wrap into one-row pandas
+    frames so ``show()`` prints them uniformly.  MEAN derives from
+    SUM_POINTS exactly like the reference's client."""
+
+    def __init__(self, host: str, port: int, credentials=None):
+        from simple_tsdb_spark.wire_client import WireClient
+
+        self._wc = WireClient(host, port, credentials=credentials)
+
+    def __getattr__(self, name):  # passthrough for 1:1 commands
+        return getattr(self._wc, name)
+
+    def add_user(self, username: str, password: str) -> None:
+        raise ValueError(
+            "ADD USER is not a wire command (the reference manages users "
+            "via the root passwd table) — run against the warehouse dir"
+        )
+
+    @staticmethod
+    def _clamp(t: int) -> int:
+        return max(0, min(int(t), 2**64 - 1))
+
+    def select_points_limit(self, db, meas, series, fields=None, t0=0, t1=2**64 - 1, n=None):
+        return self._wc.select_points_limit(
+            db, meas, series, fields, self._clamp(t0), self._clamp(t1),
+            2**64 - 1 if n is None else int(n),
+        )
+
+    def select_points_last(self, db, meas, series, fields=None, t0=0, t1=2**64 - 1, n=100):
+        return self._wc.select_points_last(
+            db, meas, series, fields, self._clamp(t0), self._clamp(t1), int(n)
+        )
+
+    def count_points(self, db, meas, series, t0=0, t1=2**64 - 1):
+        import pandas as pd
+
+        return pd.DataFrame([self._wc.count_points(db, meas, series, self._clamp(t0), self._clamp(t1))])
+
+    def integrate_points(self, db, meas, series, fields, t0=0, t1=2**64 - 1):
+        import pandas as pd
+
+        return pd.DataFrame(
+            [self._wc.integrate_points(db, meas, series, fields, self._clamp(t0), self._clamp(t1))]
+        )
+
+    def mean_points(self, db, meas, series, window_ns, fields=None, t0=0, t1=2**64 - 1):
+        sums = self._wc.sum_points(
+            db, meas, series, int(window_ns), fields, self._clamp(t0), self._clamp(t1)
+        )
+        names = list(fields) if fields else [
+            f for f, _ in self._wc.get_schema(db, meas)
+        ]
+        out = sums[["wstart"]].copy()
+        for f in names:
+            # mean = sum / count, NULL for empty windows (count 0) —
+            # the reference client's SUM-derived mean (client.py:1103-1120)
+            out[f + "_mean"] = [
+                (s / c) if c else None
+                for s, c in zip(sums[f + "_sum"], sums[f + "_count"])
+            ]
+            out[f + "_count"] = sums[f + "_count"]
+        return out
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
     sys.path.insert(0, "/root/repo")
-    from simple_tsdb_spark import get_spark
-    from simple_tsdb_spark.client import TsdbClient
 
     if "--ref-compat" in sys.argv:
         global REF_COMPAT
         REF_COMPAT = True
         sys.argv.remove("--ref-compat")
-    client = TsdbClient(get_spark("tsdbcli"), sys.argv[1])
+
+    def _flag(name: str, default=None):
+        if name in sys.argv:
+            i = sys.argv.index(name)
+            v = sys.argv[i + 1]
+            del sys.argv[i:i + 2]
+            return v
+        return default
+
+    host = _flag("--host")
+    if host is not None:
+        port = int(_flag("--port", "4000"))
+        user = _flag("--user")
+        password = _flag("--password")
+        creds = (user, password) if user is not None else None
+        client = WireCli(host, port, credentials=creds)
+        # keep argv shape: argv[1] stays the (ignored) positional slot
+        # only when one was given; -c parsing below is unchanged
+        if len(sys.argv) >= 2 and sys.argv[1] == "-c":
+            sys.argv.insert(1, host)  # synthesize the positional slot
+    else:
+        from simple_tsdb_spark import get_spark
+        from simple_tsdb_spark.client import TsdbClient
+
+        client = TsdbClient(get_spark("tsdbcli"), sys.argv[1])
     if len(sys.argv) >= 4 and sys.argv[2] == "-c":
         for cmd in sys.argv[3].split(";"):
             if cmd.strip():

@@ -63,6 +63,51 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert client.count_points("db", "m", "s").first()["npoints"] == 14
 
 
+def test_cli_network_mode(spark, tmp_path, capsys):
+    """The SAME grammar over the wire backend (tsdbcli2's deployment
+    shape): every execute() branch that is a wire command runs against
+    a live TsdbServer through WireCli; ADD USER (warehouse-only)
+    errors out with a pointer."""
+    from simple_tsdb_spark.client import TsdbClient
+    from simple_tsdb_spark.server import TsdbServer
+    from tsdbcli import WireCli
+
+    wh = str(tmp_path / "whn")
+    seed = TsdbClient(spark, wh)
+    seed.create_database("db")
+    seed.create_measurement("db", "m", {"v": "f64"})
+    rows = [("s", 100 + 10 * i, float(i)) for i in range(20)]
+    seed.write_points(
+        "db", "m",
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["series", "time_ns", "v"]),
+            seed.catalog.spark_schema("db", "m"),
+        ),
+    )
+    with TsdbServer(spark, wh, port=0) as s:
+        client = WireCli("127.0.0.1", s.address[1])
+        execute(client, "CREATE DATABASE db2")
+        execute(client, "CREATE MEASUREMENT db2/m2 WITH FIELDS a/i64")
+        execute(client, "LIST DATABASES")
+        execute(client, "LIST SCHEMA db/m")
+        execute(client, "LIST SERIES db/m")
+        execute(client, "LIST ACTIVE SERIES db/m WHERE time_ns >= 150")
+        execute(client, "SELECT v FROM db/m/s WHERE 100 <= time_ns < 150 LIMIT 3")
+        execute(client, "SELECT FROM db/m/s LAST 2")
+        execute(client, "COUNT db/m/s WHERE time_ns >= 200")
+        execute(client, "MEAN v FROM db/m/s WHERE 100 <= time_ns <= 290 WINDOW_NS 50")
+        execute(client, "INTEGRATE v FROM db/m/s")
+        execute(client, "DELETE db/m/s WHERE time_ns <= 150")
+        execute(client, "COUNT db/m/s")
+        with pytest.raises(ValueError):
+            execute(client, "ADD USER mallory pw")
+        out = capsys.readouterr().out
+        assert "db2" in out and "npoints" in out and "v_mean" in out
+        # post-delete count over the wire
+        assert client._wc.count_points("db", "m", "s", 0, 2**64 - 1)["npoints"] == 14
+        client._wc.close()
+
+
 def test_cli_errors(spark, tmp_path):
     from simple_tsdb_spark.client import TsdbClient
 
