@@ -357,6 +357,99 @@ def test_tls_authenticate_first(spark, tmp_path):
             )
 
 
+# -- native PushQueue -----------------------------------------------------
+
+
+def test_push_queue_async_append_and_cookies(served):
+    """Native PushQueue parity with the reference's: async append from
+    the 'measurement loop', per-point cookie callbacks after the push,
+    flush() blocking until drained."""
+    from simple_tsdb_spark.push_queue import PushQueue
+
+    server, _ = served
+    seen = []
+    pq = PushQueue(
+        "127.0.0.1", server.address[1],
+        push_cb=lambda p, c: seen.append((p["time_ns"], c)),
+        retry_secs=0.05,
+    )
+    try:
+        for i in range(5):
+            pq.append({"time_ns": 100 + i, "v": float(i), "n": i}, "db/m/pq1", cookie=i * 10)
+        pq.append_list(
+            [{"time_ns": 200, "v": 9.0}, {"time_ns": 201, "v": 9.5}],
+            "db/m/pq1",
+            cookies=["a", "b"],
+        )
+        assert pq.flush(timeout=60)
+        assert sorted(seen) == [(100, 0), (101, 10), (102, 20), (103, 30), (104, 40),
+                                (200, "a"), (201, "b")]
+        with _connect(server) as wc:
+            got = wc.count_points("db", "m", "pq1", 0, 2**64 - 1)
+            assert got["npoints"] == 7
+            sel = wc.select_points_limit("db", "m", "pq1", fields=["n"], t0=200)
+            assert list(sel["n"].isna()) == [True, True]  # missing field -> NULL
+    finally:
+        pq.stop()
+
+
+def test_push_queue_buffers_until_server_appears(served, spark, tmp_path):
+    """Unreachable server: the queue buffers and retries with a fresh
+    connection each time, then drains once a server starts listening —
+    the reference's buffer-and-reconnect contract.  (A live TsdbServer's
+    established connections survive stop(), so the cleanest way to force
+    the failure path is a port nobody is listening on yet.)"""
+    import socket as sock_mod
+    import time as time_mod
+
+    from simple_tsdb_spark.push_queue import PushQueue
+    from simple_tsdb_spark.server import TsdbServer
+
+    server, c = served
+    warehouse = server.warehouse
+    # reserve a port, then leave it closed until the server starts
+    probe = sock_mod.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    pq = PushQueue("127.0.0.1", port, retry_secs=0.1)
+    try:
+        pq.append({"time_ns": 10, "v": 1.0, "n": 1}, "db/m/pq2")
+        deadline = time_mod.monotonic() + 30
+        while pq.n_retries < 2 and time_mod.monotonic() < deadline:
+            time_mod.sleep(0.05)
+        assert pq.n_retries >= 2, "no retries despite unreachable server"
+        s2 = TsdbServer(spark, warehouse, port=port).start()
+        try:
+            pq.append({"time_ns": 20, "v": 2.0, "n": 2}, "db/m/pq2")
+            assert pq.flush(timeout=60)
+            with WireClient("127.0.0.1", port) as wc:
+                assert wc.count_points("db", "m", "pq2", 0, 2**64 - 1)["npoints"] == 2
+        finally:
+            s2.stop()
+    finally:
+        pq.running = False
+        with pq.queue_cond:
+            pq.queue_cond.notify()
+
+
+def test_push_queue_throttle(served):
+    """throttle_secs paces drain batches without losing points."""
+    from simple_tsdb_spark.push_queue import PushQueue
+
+    server, _ = served
+    pq = PushQueue("127.0.0.1", server.address[1], throttle_secs=0.05, retry_secs=0.05)
+    try:
+        for i in range(3):
+            pq.append({"time_ns": 1000 + i, "v": 0.5}, "db/m/pq3")
+        assert pq.flush(timeout=60)
+        with _connect(server) as wc:
+            assert wc.count_points("db", "m", "pq3", 0, 2**64 - 1)["npoints"] == 3
+    finally:
+        pq.stop()
+
+
 # -- flask extension ----------------------------------------------------
 
 
