@@ -273,6 +273,9 @@ def main() -> int:
         port = int(_flag("--port", "4000"))
         user = _flag("--user")
         password = _flag("--password")
+        if (user is None) != (password is None):
+            print("error: --user and --password must be given together")
+            return 2
         creds = (user, password) if user is not None else None
         client = WireCli(host, port, credentials=creds)
         # keep argv shape: argv[1] stays the (ignored) positional slot

@@ -399,7 +399,15 @@ class WireClient:
                 cols[f] = out
             parts.append(pd.DataFrame(cols))
         if not parts:
-            return pd.DataFrame({"time_ns": pd.array([], dtype="int64")})
+            # empty result still carries every requested column (typed),
+            # so callers can index fields without special-casing
+            empty = {"time_ns": pd.array([], dtype="int64")}
+            pd_dtypes = {"f32": "Float32", "f64": "Float64", "bool": "boolean",
+                         "u32": "UInt32", "u64": "UInt64", "u64f": "UInt64",
+                         "i32": "Int32", "i64": "Int64"}
+            for f in names:
+                empty[f] = pd.array([], dtype=pd_dtypes[types[f]])
+            return pd.DataFrame(empty)
         return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
     def select_points_limit(

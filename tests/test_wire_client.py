@@ -255,6 +255,18 @@ def test_all_types_random_roundtrip(served, spark, tmp_path):
     assert int(got["big"][0]) == 2**64 - 1  # full-range u64f survived
 
 
+def test_empty_select_carries_typed_columns(served):
+    """SELECT over an empty range returns zero rows but EVERY requested
+    column with its nullable dtype — no KeyError special-casing."""
+    server, _ = served
+    with _connect(server) as wc:
+        wc.write_points("db", "m", "se", pd.DataFrame({"time_ns": [5], "v": [1.0], "n": [1]}))
+        got = wc.select_points_limit("db", "m", "se", t0=100, t1=200)
+        assert len(got) == 0
+        assert list(got.columns) == ["time_ns", "v", "n"]
+        assert str(got["v"].dtype) == "Float64" and str(got["n"].dtype) == "UInt32"
+
+
 def test_multichunk_select(served):
     """>16384 rows forces multiple DT_CHUNK frames on the SELECT reply;
     the write side splits by the server's credit as needed."""
