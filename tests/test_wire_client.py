@@ -446,6 +446,37 @@ def test_push_queue_buffers_until_server_appears(served, spark, tmp_path):
             pq.queue_cond.notify()
 
 
+def test_push_queue_concurrent_producers(served):
+    """Many measurement threads appending to different series while the
+    single drain thread pushes: nothing lost, per-series time order
+    preserved (each producer appends monotonically)."""
+    import threading
+
+    from simple_tsdb_spark.push_queue import PushQueue
+
+    server, _ = served
+    pq = PushQueue("127.0.0.1", server.address[1], retry_secs=0.05)
+    n_threads, n_points = 4, 25
+
+    def produce(t):
+        for i in range(n_points):
+            pq.append({"time_ns": 1 + i, "v": float(t)}, f"db/m/pqc{t}")
+
+    try:
+        threads = [threading.Thread(target=produce, args=(t,)) for t in range(n_threads)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert pq.flush(timeout=120)
+        with _connect(server) as wc:
+            for t in range(n_threads):
+                got = wc.count_points("db", "m", f"pqc{t}", 0, 2**64 - 1)
+                assert got["npoints"] == n_points, f"series pqc{t}"
+    finally:
+        pq.stop()
+
+
 def test_push_queue_throttle(served):
     """throttle_secs paces drain batches without losing points."""
     from simple_tsdb_spark.push_queue import PushQueue
