@@ -69,10 +69,13 @@ def main() -> int:
     sch = p.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in p else ""
     ok &= check("A1 reads only ts/event_type", "value" not in sch and "props" not in sch, sch)
 
-    # A2: exactly one pre-spine aggregate exchange on (series, wstart)
+    # A2: one pre-spine aggregate exchange on (series, wstart) + tiny
+    # bounded exchanges (time_first scalar, spine block-header repartition
+    # — rows = nbuckets/2^16 block headers, added r13 to chunk the spine
+    # below Spark's single-array cap).
     p = plan_of(sum_points(ev, fields=["value"], t0=T0, t1=T1, window_ns=86_400_000_000_000))
     n_exchange = len(re.findall(r"Arguments: hashpartitioning\(", p))
-    ok &= check("A2 bounded shuffles (agg + tiny spine joins)", n_exchange <= 4, f"{n_exchange} exchanges")
+    ok &= check("A2 bounded shuffles (agg + tiny spine joins)", n_exchange <= 5, f"{n_exchange} exchanges")
     ok &= check("A2 partial aggregation (map-side combine)", "partial_count" in p or "Partial" in p)
     ok &= check("A2 spine join is broadcast", "BroadcastHashJoin" in p)
 

@@ -19,9 +19,10 @@ Spark-first plan:
 1. one broadcast-joined per-series scalar (``time_first``) — tiny;
 2. one hash aggregation of the range-filtered data on (series, bucket) —
    the only real shuffle, with map-side partial aggregation;
-3. a generated bucket *spine* (``sequence`` + ``explode``) left-joined to
-   re-introduce empty buckets — spine rows ≈ range/window per series and
-   are produced distributed, never on the driver.
+3. a generated bucket *spine* left-joined to re-introduce empty buckets —
+   spine rows ≈ range/window per series, produced distributed and CHUNKED
+   (coarse block explode → repartition → fine offset explode) so no single
+   row ever materializes the whole range as one array.
 
 At 100 TB: (2) is a standard partial-agg shuffle keyed (series, bucket) —
 no skew beyond series skew itself (AQE skew-split covers that); (1) and the
@@ -44,6 +45,12 @@ from pyspark.sql import functions as F
 
 from simple_tsdb_spark.functions.timeutil import clamp_time_range, round_up_ns
 from simple_tsdb_spark.sources.measurement import field_columns
+
+
+# Buckets per spine block: the fine explode materializes at most this many
+# elements in one array (512 KiB of longs), so no row ever holds the whole
+# range; the coarse explode breaks only beyond ~2^47 buckets (unphysical).
+_SPINE_BLOCK = 1 << 16
 
 
 def _series_filter(df: DataFrame, series: str | Sequence[str] | None) -> DataFrame:
@@ -173,13 +180,46 @@ def sum_points(
         return agg.orderBy("series", "wstart")
 
     # Bucket spine: every aligned window from t0_aligned through the last
-    # non-empty bucket, generated distributed via sequence+explode.
+    # non-empty bucket.  Generated CHUNKED — a coarse explode into blocks
+    # of <= _SPINE_BLOCK buckets, a repartition on (series, block) to
+    # spread the blocks across executors, then a fine explode of the
+    # offsets within each block.  A single sequence() would materialize
+    # the whole range as ONE array in ONE row: a 10-year series summed at
+    # 1-second windows is ~3.15e8 buckets, over Spark's
+    # MAX_ROUNDED_ARRAY_LENGTH cap and a multi-GB row long before that.
+    # The reference streams empty buckets at any window width
+    # (sum_op.cc:78-111); the chunked spine keeps that property while
+    # staying fully distributed.  Both _first and _last are w-aligned, so
+    # `div` is exact.  The extra repartition shuffles only block-header
+    # rows (nbuckets / 2^16 of them) — negligible at any scale.
     bounds = data.groupBy("series").agg(
         F.first("_t0a").alias("_first"), F.max("wstart").alias("_last")
     )
-    spine = bounds.select(
+    blk = _SPINE_BLOCK
+    coarse = bounds.withColumn(
+        "_nbk", F.expr(f"(_last - _first) div {w}")
+    ).withColumn(
+        "_blk",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.expr(f"(_last - _first) div {w} div {blk}"))),
+    )
+    fine = coarse.repartition(F.col("series"), F.col("_blk")).withColumn(
+        "_off",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(blk - 1).cast("long"),
+                    F.col("_nbk") - F.col("_blk") * F.lit(blk),
+                ),
+            )
+        ),
+    )
+    spine = fine.select(
         "series",
-        F.explode(F.sequence(F.col("_first"), F.col("_last"), F.lit(w))).alias("wstart"),
+        (
+            F.col("_first")
+            + (F.col("_blk") * F.lit(blk) + F.col("_off")) * F.lit(w)
+        ).alias("wstart"),
     )
     out = spine.join(agg, ["series", "wstart"], "left").withColumn(
         "window_npoints", F.coalesce(F.col("window_npoints"), F.lit(0))

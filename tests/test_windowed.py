@@ -286,3 +286,33 @@ def test_hopping_mean_rejects_nonmultiple(spark, f2):
 
     with _pytest.raises(ValueError):
         hopping_mean(f2, field="value", window_ns=30, slide_ns=7)
+
+
+def test_chunked_spine_crosses_blocks(spark, monkeypatch):
+    """The empty-bucket spine is generated in blocks of _SPINE_BLOCK
+    buckets (so no single row materializes the whole range as one array —
+    sum_op.cc streams empty buckets at any window width).  Shrinking the
+    block size must not change results: a range spanning many blocks, with
+    data only at the two ends, emits the identical full spine."""
+    import simple_tsdb_spark.operators.windowed as wmod
+
+    pdf = pd.DataFrame(
+        {
+            "series": ["s1"] * 4,
+            "time_ns": [0, 7, 10_000, 10_003],
+            "v": [1.0, 2.0, None, 4.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    want = sum_points(df, fields=["v"], series="s1", t0=0, t1=10**6, window_ns=10).toPandas()
+    # 1001 buckets; block=16 → 63 blocks, block=1 → one bucket per block.
+    for blk in (16, 1, 1000, 1001, 2048):
+        monkeypatch.setattr(wmod, "_SPINE_BLOCK", blk)
+        got = sum_points(df, fields=["v"], series="s1", t0=0, t1=10**6, window_ns=10).toPandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values("wstart", ignore_index=True),
+            want.sort_values("wstart", ignore_index=True),
+        )
+    assert len(want) == 1001
+    assert want.window_npoints.sum() == 4
+    assert want.v_count.sum() == 3
