@@ -80,14 +80,29 @@ class PushQueue:
             self._wc = None
 
     # -- producers ----------------------------------------------------------
+    @staticmethod
+    def _split_path(path: str) -> tuple[str, str, str]:
+        """Validate and split ``"db/measurement/series"``.  Checked at
+        append() time so a malformed path raises to the CALLER instead of
+        killing the daemon drain thread later (which would silently
+        strand every queued point and make ``flush()`` block forever)."""
+        parts = path.split("/")
+        if len(parts) != 3 or not all(parts):
+            raise ValueError(
+                f"path must be 'database/measurement/series', got {path!r}"
+            )
+        return parts[0], parts[1], parts[2]
+
     def append(self, p: dict, path: str, cookie=None) -> None:
         """Queue one point for ``path`` ("db/meas/series")."""
+        self._split_path(path)
         with self.queue_cond:
             self.queue.setdefault(path, []).append(p)
             self.cookie_queue.setdefault(path, []).append(cookie)
             self.queue_cond.notify()
 
     def append_list(self, ps: list, path: str, cookies: list | None = None) -> None:
+        self._split_path(path)
         if cookies is None:
             cookies = [None] * len(ps)
         with self.queue_cond:
@@ -125,7 +140,14 @@ class PushQueue:
                 self._inflight = True
             try:
                 for path, points in queue.items():
-                    database, measurement, series = path.split("/")
+                    try:
+                        database, measurement, series = self._split_path(path)
+                    except ValueError as e:
+                        # append() validates, so this is belt-and-braces
+                        # (e.g. state restored from elsewhere): drop the
+                        # bad path, keep the drain thread alive.
+                        print(f"TSDB push: dropping malformed path: {e}")
+                        continue
                     while True:
                         try:
                             self._write(database, measurement, series, points)
@@ -142,7 +164,13 @@ class PushQueue:
                             time.sleep(self.retry_secs)
                     if self.push_cb:
                         for p, c in zip(points, cookies[path]):
-                            self.push_cb(p, c)
+                            try:
+                                self.push_cb(p, c)
+                            except Exception as e:
+                                # A raising callback must not kill the
+                                # drain thread — the point IS pushed;
+                                # only the notification is lost.
+                                print(f"TSDB push callback raised: {e!r}")
             finally:
                 with self.queue_cond:
                     self._inflight = False

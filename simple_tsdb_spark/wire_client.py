@@ -112,7 +112,13 @@ class WireClient:
             sock = ssl_context.wrap_socket(sock, server_hostname=host)
         self._sock: socket.socket | None = sock
         if credentials is not None and credentials[0] is not None:
-            self.authenticate(*credentials)
+            try:
+                self.authenticate(*credentials)
+            except BaseException:
+                # Don't leak the connected socket when construction fails
+                # (bad credentials / NotAuthenticated / timeout).
+                self.close()
+                raise
 
     # -- framing ----------------------------------------------------------
     def _recvall(self, size: int) -> bytes:
@@ -483,9 +489,30 @@ class WireClient:
             + self._s(DT_MEASUREMENT, measurement)
             + self._s(DT_SERIES, series)
         )
+        sizes = [size for _vals, _valid, size in cols]
+
+        def _chunk_bytes(n: int) -> int:
+            # Actual encoded size: ts u64[n] + per field bitmap (u64
+            # words) + values + pad8.
+            total = 8 * n
+            for size in sizes:
+                vb = size * n
+                total += 8 * ((n + 63) // 64) + vb + _pad8(vb)
+            return total
+
         sent = 0
         while True:
             dt = struct.unpack("<I", self._recvall(4))[0]
+            if dt == DT_STATUS_CODE:
+                # Server aborted mid-stream (e.g. OutOfOrderTimestamps
+                # after a flushed chunk group — server.cc write path).
+                # Surface the real status like the reference client's
+                # _write_points_chunk does, instead of a generic
+                # protocol error that leaves the i32 unread.
+                code = struct.unpack("<i", self._recvall(4))[0]
+                if code != 0:
+                    raise error_for_code(code)
+                raise ProtocolError("unexpected OK status mid-write")
             if dt != DT_READY_FOR_CHUNK:
                 raise ProtocolError(f"expected READY_FOR_CHUNK, got {dt:#x}")
             credit = struct.unpack("<I", self._recvall(4))[0]
@@ -493,13 +520,21 @@ class WireClient:
                 self._sock.sendall(struct.pack("<I", DT_END))
                 break
             n = min(n_total - sent, max(1, credit // max(row_bytes, 1)))
+            # row_bytes amortizes the bitmap at 1 byte/row, which
+            # underestimates for tiny credits (bitmap words + pad8 cost
+            # 8-15 bytes per field regardless of n) — shrink n until the
+            # exact encoded size fits rather than overrunning the credit.
+            while n > 1 and _chunk_bytes(n) > credit:
+                n = max(1, (n * credit) // _chunk_bytes(n))
             body = ts_all[sent:sent + n].tobytes()
             for vals, valid, size in cols:
                 body += _pack_bitmap(valid[sent:sent + n])
                 vb = vals[sent:sent + n].tobytes()
                 body += vb + b"\x00" * _pad8(len(vb))
             if len(body) > credit:
-                raise ProtocolError("chunk exceeds server credit")
+                # Only reachable when even a single row exceeds the
+                # advertised credit — nothing smaller exists to send.
+                raise ProtocolError("single-row chunk exceeds server credit")
             self._sock.sendall(
                 struct.pack("<IIII", DT_CHUNK, n, 0, len(body)) + body
             )

@@ -560,3 +560,195 @@ def test_flask_ext_custom_factory(served):
     (host, port, creds, wc) = made[0]
     assert (host, port, creds) == ("127.0.0.1", server.address[1], ("u", "p"))
     assert wc._sock is None
+
+
+# -- r13 ADVICE regressions: write-path robustness --------------------------
+
+
+def _scripted_write_server(script):
+    """A socketpair 'server' for exercising WireClient.write_points
+    framing without a full TsdbServer: returns (client, server_thread,
+    chunks) where `script(srv_sock, chunks)` runs in the thread."""
+    import socket as sock_mod
+    import threading
+
+    a, b = sock_mod.socketpair()
+    wc = WireClient.__new__(WireClient)
+    wc._sock = a
+    chunks: list[tuple[int, bytes]] = []
+    t = threading.Thread(target=script, args=(b, chunks), daemon=True)
+    t.start()
+    return wc, t, chunks
+
+
+def _read_exact(s, n):
+    buf = bytearray()
+    while len(buf) < n:
+        part = s.recv(n - len(buf))
+        if not part:
+            raise ConnectionError("peer closed")
+        buf.extend(part)
+    return bytes(buf)
+
+
+def _drain_write_header(s):
+    """Consume CT_WRITE_POINTS + the three string tokens."""
+    import struct
+
+    _read_exact(s, 4)  # command
+    for _ in range(3):
+        _dt, ln = struct.unpack("<IH", _read_exact(s, 6))
+        _read_exact(s, ln)
+
+
+def test_write_points_midstream_status_maps_error(monkeypatch):
+    """A DT_STATUS_CODE arriving where READY_FOR_CHUNK is expected (the
+    reference server aborts mid-stream after a flushed chunk group,
+    tsdbserver write path) must surface the REAL status — the reference
+    client maps this to StatusException (client.py _write_points_chunk) —
+    not a generic ProtocolError with the i32 left unread."""
+    import struct
+
+    from simple_tsdb_spark.errors import OutOfOrderTimestamps
+    from simple_tsdb_spark.server import (
+        DT_CHUNK,
+        DT_READY_FOR_CHUNK,
+        DT_STATUS_CODE,
+    )
+
+    def script(s, chunks):
+        _drain_write_header(s)
+        # grant one chunk, accept it, then abort with a real status
+        s.sendall(struct.pack("<II", DT_READY_FOR_CHUNK, 10 * 1024 * 1024))
+        dt, n, _fl, ln = struct.unpack("<IIII", _read_exact(s, 16))
+        assert dt == DT_CHUNK
+        chunks.append((n, _read_exact(s, ln)))
+        s.sendall(struct.pack("<Ii", DT_STATUS_CODE, -10))
+        s.close()
+
+    wc, t, chunks = _scripted_write_server(script)
+    monkeypatch.setattr(wc, "get_schema", lambda db, m: [("v", "f64")], raising=False)
+    pdf = pd.DataFrame({"time_ns": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    with pytest.raises(OutOfOrderTimestamps):
+        wc.write_points("db", "m", "s1", pdf)
+    t.join(timeout=5)
+    assert chunks and chunks[0][0] == 3
+
+
+def test_write_points_shrinks_chunk_to_tiny_credit(monkeypatch):
+    """With a credit smaller than the 1-byte/row estimate admits (bitmap
+    words + pad8 cost 8-15 bytes per field regardless of n), the client
+    must split smaller instead of raising 'chunk exceeds server credit'.
+    credit=39 with one f64 field: estimate picks n=2 (40 bytes) — must
+    shrink to n=1 (24 bytes) and deliver all rows across chunks."""
+    import struct
+
+    from simple_tsdb_spark.server import (
+        DT_CHUNK,
+        DT_END,
+        DT_READY_FOR_CHUNK,
+        DT_STATUS_CODE,
+    )
+
+    def script(s, chunks):
+        _drain_write_header(s)
+        while True:
+            s.sendall(struct.pack("<II", DT_READY_FOR_CHUNK, 39))
+            dt = struct.unpack("<I", _read_exact(s, 4))[0]
+            if dt == DT_END:
+                s.sendall(struct.pack("<Ii", DT_STATUS_CODE, 0))
+                s.close()
+                return
+            n, _fl, ln = struct.unpack("<III", _read_exact(s, 12))
+            assert dt == DT_CHUNK and ln <= 39
+            chunks.append((n, _read_exact(s, ln)))
+
+    wc, t, chunks = _scripted_write_server(script)
+    monkeypatch.setattr(wc, "get_schema", lambda db, m: [("v", "f64")], raising=False)
+    pdf = pd.DataFrame({"time_ns": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    wc.write_points("db", "m", "s1", pdf)
+    t.join(timeout=5)
+    assert sum(n for n, _ in chunks) == 3
+    assert all(n == 1 for n, _ in chunks)
+    # row payloads survive the split: ts + full bitmap word + f64 + no pad
+    ts = [struct.unpack("<Q", body[:8])[0] for _n, body in chunks]
+    assert ts == [1, 2, 3]
+
+
+def test_failed_authenticate_closes_socket(monkeypatch):
+    """WireClient.__init__ must not leak the connected socket when the
+    initial authenticate() raises (server closes an auth-required
+    connection without a status frame on bad credentials)."""
+    import socket as sock_mod
+    import threading
+
+    lst = sock_mod.socket()
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(1)
+    port = lst.getsockname()[1]
+
+    def refuse():
+        conn, _ = lst.accept()
+        _read_exact(conn, 4)  # CT_AUTHENTICATE
+        conn.close()  # reference server: close without status frame
+
+    t = threading.Thread(target=refuse, daemon=True)
+    t.start()
+
+    created = []
+    real_cc = __import__("socket").create_connection
+
+    def spy_cc(*a, **kw):
+        s = real_cc(*a, **kw)
+        created.append(s)
+        return s
+
+    monkeypatch.setattr("socket.create_connection", spy_cc)
+    with pytest.raises(Exception):
+        WireClient("127.0.0.1", port, credentials=("u", "pw"))
+    assert len(created) == 1
+    assert created[0].fileno() == -1  # closed, not leaked
+    t.join(timeout=5)
+    lst.close()
+
+
+def test_push_queue_rejects_malformed_path_at_append(served):
+    """A path without exactly two '/' raises to the CALLER at append()
+    time instead of killing the daemon drain thread (which would strand
+    queued points and make flush() block forever)."""
+    from simple_tsdb_spark.push_queue import PushQueue
+
+    server, _ = served
+    pq = PushQueue("127.0.0.1", server.address[1], retry_secs=0.05)
+    try:
+        for bad in ("db/m", "db/m/s/extra", "db//s", "", "dbm"):
+            with pytest.raises(ValueError):
+                pq.append({"time_ns": 1, "v": 1.0}, bad)
+        assert pq.flush(timeout=5)  # queue stayed empty and alive
+    finally:
+        pq.stop()
+
+
+def test_push_queue_survives_raising_callback(served):
+    """A push_cb that raises must not kill the drain thread: the points
+    ARE pushed, later batches still drain, flush() still returns."""
+    from simple_tsdb_spark.push_queue import PushQueue
+
+    server, c = served
+    calls = []
+
+    def bad_cb(p, cookie):
+        calls.append(cookie)
+        raise RuntimeError("boom")
+
+    pq = PushQueue("127.0.0.1", server.address[1], push_cb=bad_cb, retry_secs=0.05)
+    try:
+        pq.append({"time_ns": 100, "v": 1.0, "n": 1}, "db/m/scb", cookie="a")
+        assert pq.flush(timeout=10)
+        pq.append({"time_ns": 200, "v": 2.0, "n": 2}, "db/m/scb", cookie="b")
+        assert pq.flush(timeout=10)
+    finally:
+        pq.stop()
+    assert calls == ["a", "b"]
+    got = c.select_points_limit("db", "m", "scb", t0=0, t1=2**63 - 1).toPandas()
+    assert sorted(got.time_ns) == [100, 200]
