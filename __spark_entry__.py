@@ -1253,17 +1253,66 @@ def _q_revenue_rollup(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Rotation (round 12): the driver gates the FIRST 50 entries in
-        # dict order.  Head-50 this round (VERDICT r11 #1):
-        #   1. the 26 queries whose newest driver evidence is r8
-        #      (asof_join .. knn_rp — all green at r8; 16 of them judge
-        #      re-proven bit-exact in r11, but the driver row is the bar);
-        #   2. the 24 oldest r9-evidence queries (quantize_int8 ..
-        #      normalize_text).
-        # Tail: asof_join_nearest (the one r9 straggler — r13's first
-        # pick), then the r10 block, then the r11-green block.  After
-        # r12 no query's newest evidence is older than r9, and after r13
-        # none older than r10.
+        # Rotation (round 13): the driver gates the FIRST 50 entries in
+        # dict order.  Head-50 this round (VERDICT r12 finding #2):
+        #   1. asof_join_nearest — the one r9 straggler;
+        #   2. all 37 queries whose newest driver evidence is r10
+        #      (active_users .. top_customers);
+        #   3. 12 r11-evidence queries, picking the four windowed ones
+        #      whose spine code changed this round (sum/mean/minmax/auto
+        #      downsample) plus the S/A read surface.
+        # Tail: the remaining 38 r11 queries, then the r12-green block.
+        # After r13 no query's newest evidence is older than r11.
+        "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
+        "active_users": _q_active_users,  # DAU/WAU/stickiness engagement
+        "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
+        "blob_features": _q_blob_features,  # fake-decoder features, ppm gated final
+        "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (bm25_munat gated)
+        "ccnet_curate": _q_ccnet_curate,  # LM-driven curation chain (CCNet shape)
+        "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
+        "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
+        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
+        "domain_topk": _q_domain_topk,
+        "embedding_dup": _q_embedding_dup,
+        "embedding_moments": _q_embedding_moments,  # exact PCA-input moment sums
+        "gopher_rules": _q_gopher_rules,  # Gopher A1.1 quality rules + audit stats
+        "hash_split": _q_hash_split,
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
+        "knn_lsh": _q_knn_lsh,
+        "label_centroids": _q_label_centroids,  # exact class prototypes (2^30 grid)
+        "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)
+        "minhash_lsh": _q_minhash_lsh,
+        "mixture_sample": _q_mixture_sample,
+        "multimodal_meta": _q_multimodal_meta,
+        "nation_balance_share": _q_nation_balance_share,  # Q11 share_ppm + cents
+        "near_dup_rate_by_source": _q_near_dup_rate_by_source,  # per-source LSH involvement
+        "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
+        "ngram_jaccard": _q_ngram_jaccard,
+        "pack_sequences": _q_pack_sequences,
+        "pack_stats": _q_pack_stats,  # packing fill-ratio report
+        "pmi_topk": _q_pmi_topk,  # collocation mining (integer-µnat PMI)
+        "pricing_summary": _q_pricing_summary,
+        "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
+        "quality_score": _q_quality_score,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "simhash_pairs": _q_simhash_pairs,
+        "supplier_balance_quartiles": _q_supplier_balance_quartiles,  # cents-x4 exact quartiles
+        "temperature_mixture": _q_temperature_mixture,  # n^alpha source-balance sampler
+        "top_customers": _q_top_customers,
+        "sum_points": _q_sum_points,
+        "mean_points": _q_mean_points,
+        "minmax_downsample": _q_minmax_downsample,
+        "auto_downsample": _q_auto_downsample,  # W5 policy
+        "select_points": _q_select_points,
+        "select_last": _q_select_last,
+        "select_last_per_series": _q_select_last_per_series,
+        "count_points": _q_count_points,
+        "active_series": _q_active_series,
+        "list_series": _q_list_series,
+        "tare": _q_tare,
+        "difference": _q_difference,
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         "daily_pivot": _q_daily_pivot,
         "revenue_rollup": _q_revenue_rollup,
@@ -1314,7 +1363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap": _q_heatmap,  # 2-D time x value-bin heatmap
         "top_values_per_series": _q_top_values_per_series,  # per-series worst offenders
         "normalize_text": _q_normalize_text,  # canonical pre-dedup normalization
-        "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
         "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
         "source_dedup_rate": _q_source_dedup_rate,  # per-source duplication report
@@ -1350,58 +1398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger": _q_bollinger,  # exact-moment Bollinger bands + breakouts
         "incidents": _q_incidents,  # outlier points -> merged incident intervals
         "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
-        "select_points": _q_select_points,
-        "select_last": _q_select_last,
-        "select_last_per_series": _q_select_last_per_series,
-        "count_points": _q_count_points,
-        "sum_points": _q_sum_points,
-        "mean_points": _q_mean_points,
-        "minmax_downsample": _q_minmax_downsample,
-        "auto_downsample": _q_auto_downsample,  # W5 policy
         "integrate_points": _q_integrate,
-        "active_series": _q_active_series,
-        "list_series": _q_list_series,
-        "tare": _q_tare,
-        "difference": _q_difference,
         "derivative": _q_derivative,
         "counter_rate": _q_counter_rate,
-        "ngram_containment": _q_ngram_containment,  # asymmetric shingle containment
-        "embedding_moments": _q_embedding_moments,  # exact PCA-input moment sums
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_est_jaccard": _q_minhash_est_jaccard,  # LSH accuracy audit (est vs exact)
-        "near_dup_rate_by_source": _q_near_dup_rate_by_source,  # per-source LSH involvement
-        "gopher_rules": _q_gopher_rules,  # Gopher A1.1 quality rules + audit stats
-        "pmi_topk": _q_pmi_topk,  # collocation mining (integer-µnat PMI)
-        "corpus_stats": _q_corpus_stats,  # per-stratum corpus report
-        "quality_score": _q_quality_score,
-        "quality_filter_pct": _q_quality_filter_pct,  # corpus-adaptive quality gate
-        "active_users": _q_active_users,  # DAU/WAU/stickiness engagement
-        "pack_stats": _q_pack_stats,  # packing fill-ratio report
-        "temperature_mixture": _q_temperature_mixture,  # n^alpha source-balance sampler
-        "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
-        "label_centroids": _q_label_centroids,  # exact class prototypes (2^30 grid)
-        "ccnet_curate": _q_ccnet_curate,  # LM-driven curation chain (CCNet shape)
-        "curate_corpus": _q_curate_corpus,  # end-to-end chain: quality+lang+dedup+split
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_dup": _q_embedding_dup,
-        "knn_brute": _q_knn_brute,
-        "knn_lsh": _q_knn_lsh,
-        "multimodal_meta": _q_multimodal_meta,
-        "blob_features": _q_blob_features,  # fake-decoder features, ppm gated final
-        "bm25_topk": _q_bm25_topk,  # BM25 keyword retrieval (bm25_munat gated)
-        "nation_balance_share": _q_nation_balance_share,  # Q11 share_ppm + cents
-        "supplier_balance_quartiles": _q_supplier_balance_quartiles,  # cents-x4 exact quartiles
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_customers": _q_top_customers,
-        "knn_ivf": _q_knn_ivf,
-        "dedup_clusters": _q_dedup_clusters,  # iterative CC — recursive-CTE oracle
-        "hash_split": _q_hash_split,
-        "domain_topk": _q_domain_topk,
-        "mixture_sample": _q_mixture_sample,
-        "pack_sequences": _q_pack_sequences,
-        "knn_ivf_trained": _q_knn_ivf_trained,  # trained quantizer, duck-refit oracle
     }
 
 
