@@ -156,9 +156,9 @@ def decode_media(payload: bytes, mime: str) -> object:
       - image/jpeg (baseline sequential DCT) → uint8 gray/RGB array
         (pure-Python T.81 decoder, :mod:`pipeline.jpeg`; progressive /
         arithmetic / 12-bit variants raise)
-      - image/png (8-bit gray/RGB/indexed/alpha, non-interlaced) →
-        uint8 array (stdlib-zlib decoder, :mod:`pipeline.png`; 16-bit
-        and Adam7 raise)
+      - image/png (gray/RGB/indexed/alpha; depths 1/2/4/8/16;
+        non-interlaced and Adam7) → uint8 array, uint16 for 16-bit
+        (stdlib-zlib decoder, :mod:`pipeline.png`)
       - image/gif (87a/89a first frame, LZW + palette, interlace,
         GCE transparency → RGBA; :mod:`pipeline.gif`)
       - audio/wav, audio/x-wav (PCM) → (samples array, sample_rate)
@@ -217,7 +217,8 @@ def _real_decode_features(payload: bytes, mime: str) -> tuple[int, int, float]:
             np.abs(data.astype(np.float64)).mean() / full
         )
     h, w = decoded.shape[0], decoded.shape[1]
-    return int(w), int(h), float(decoded.astype(np.float64).mean() / 255.0)
+    full = float(np.iinfo(decoded.dtype).max)  # 255 (uint8) / 65535 (uint16 PNG)
+    return int(w), int(h), float(decoded.astype(np.float64).mean() / full)
 
 
 def _resize_nearest(img, width: int, height: int):

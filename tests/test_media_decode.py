@@ -472,29 +472,39 @@ def _png_chunk(ctype, data):
     )
 
 
-def _png_bytes(img, color=None, filters=None, palette=None, trns=None,
-               interlace=0, depth=8):
-    """Minimal PNG encoder: pick per-row filters (default all 0/None) and
-    apply them properly so the decoder's unfilter path is exercised."""
-    if img.ndim == 2:
-        h, w = img.shape
-        nch = 1
-        color = 0 if color is None else color
-    else:
-        h, w, nch = img.shape
-        color = {3: 2, 4: 6, 2: 4}[nch] if color is None else color
+def _png_pack_rows(img, depth, nch):
+    """Sample array (h, w[, nch]) → per-row filtered-input byte rows."""
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape(h, w * nch).astype(np.int64)
+    if depth == 8:
+        return (flat & 0xFF).astype(np.uint8)
+    if depth == 16:
+        out = np.empty((h, w * nch * 2), dtype=np.uint8)
+        out[:, 0::2] = (flat >> 8) & 0xFF
+        out[:, 1::2] = flat & 0xFF
+        return out
+    # sub-byte: MSB-first bit packing, rows padded to byte boundary
+    nbits = w * nch * depth
+    bits = np.zeros((h, (nbits + 7) // 8 * 8), dtype=np.uint8)
+    for j in range(depth):
+        bits[:, j:nbits:depth] = (flat >> (depth - 1 - j)) & 1
+    return np.packbits(bits, axis=1)
+
+
+def _png_filter_rows(rows, bpp, filters=None):
+    """Apply per-row filters (default all 0/None) over byte rows."""
+    h, stride = rows.shape
     raw = bytearray()
-    flat = img.reshape(h, w * nch).astype(np.int32)
-    prev = np.zeros(w * nch, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
     fts = filters or [0] * h
     for y in range(h):
-        cur = flat[y]
-        ft = fts[y]
-        line = np.empty(w * nch, dtype=np.int32)
-        for i in range(w * nch):
-            a = int(cur[i - nch]) if i >= nch else 0
+        cur = rows[y].astype(np.int32)
+        ft = fts[y % len(fts)]
+        line = np.empty(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(cur[i - bpp]) if i >= bpp else 0
             b = int(prev[i])
-            c = int(prev[i - nch]) if i >= nch else 0
+            c = int(prev[i - bpp]) if i >= bpp else 0
             v = int(cur[i])
             if ft == 0:
                 line[i] = v
@@ -512,6 +522,36 @@ def _png_bytes(img, color=None, filters=None, palette=None, trns=None,
         raw.append(ft)
         raw += bytes((line & 0xFF).astype(np.uint8))
         prev = cur
+    return raw
+
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_bytes(img, color=None, filters=None, palette=None, trns=None,
+               interlace=0, depth=8):
+    """Minimal PNG encoder: per-row filters (default all 0/None) applied
+    properly so the decoder's unfilter path is exercised; supports bit
+    depths 1/2/4/8/16 and Adam7 interlacing (each pass filtered
+    independently, like the spec requires)."""
+    if img.ndim == 2:
+        h, w = img.shape
+        nch = 1
+        color = 0 if color is None else color
+    else:
+        h, w, nch = img.shape
+        color = {3: 2, 4: 6, 2: 4}[nch] if color is None else color
+    bpp = max(1, nch * depth // 8)
+    raw = bytearray()
+    passes = _ADAM7 if interlace == 1 else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _png_filter_rows(_png_pack_rows(sub, depth, nch), bpp, filters)
     out = b"\x89PNG\r\n\x1a\n"
     out += _png_chunk(
         b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
@@ -556,12 +596,64 @@ def test_png_indexed_with_palette():
     assert out4[0, 0, 3] == 10 and out4[0, 1, 3] == 200 and out4[0, 2, 3] == 255
 
 
+def test_png_16bit_roundtrip():
+    rng = np.random.default_rng(24)
+    g16 = rng.integers(0, 65536, size=(5, 7), dtype=np.uint16)
+    out = decode_media(_png_bytes(g16, depth=16), "image/png")
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, g16)
+    rgb16 = rng.integers(0, 65536, size=(4, 3, 3), dtype=np.uint16)
+    out = decode_media(
+        _png_bytes(rgb16, depth=16, filters=[0, 1, 2, 3, 4]), "image/png"
+    )
+    np.testing.assert_array_equal(out, rgb16)
+
+
+def test_png_subbyte_gray_scaled():
+    # 1/2/4-bit greyscale scale to full 8-bit range (odd width exercises
+    # the row bit padding)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        rng = np.random.default_rng(100 + depth)
+        g = rng.integers(0, mx + 1, size=(5, 9), dtype=np.uint8)
+        out = decode_media(_png_bytes(g, depth=depth), "image/png")
+        np.testing.assert_array_equal(out, (g.astype(int) * 255 // mx).astype(np.uint8))
+
+
+def test_png_subbyte_indexed():
+    palette = np.array([[9, 8, 7], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 2], [1, 1, 3, 0, 2]], np.uint8)
+    out = decode_media(_png_bytes(idx, color=3, palette=palette, depth=2), "image/png")
+    np.testing.assert_array_equal(out, palette[idx])
+
+
+def test_png_adam7_interlaced():
+    # > 8x8 so every pass is non-empty; non-multiple dims hit partial passes
+    rng = np.random.default_rng(25)
+    img = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    out = decode_media(_png_bytes(img, interlace=1, filters=[0, 1, 2, 3, 4]), "image/png")
+    np.testing.assert_array_equal(out, img)
+    # tiny image: some Adam7 passes are empty
+    small = rng.integers(0, 256, size=(2, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_media(_png_bytes(small, interlace=1), "image/png"), small
+    )
+    # Adam7 + 16-bit together
+    g16 = rng.integers(0, 65536, size=(9, 10), dtype=np.uint16)
+    np.testing.assert_array_equal(
+        decode_media(_png_bytes(g16, interlace=1, depth=16), "image/png"), g16
+    )
+
+
 def test_png_rejects_unsupported_variants():
     img = _img(3, 3, seed=24)
     with pytest.raises(DecoderNotAvailable, match="interlace"):
-        decode_media(_png_bytes(img, interlace=1), "image/png")
-    with pytest.raises(DecoderNotAvailable, match="16-bit"):
-        decode_media(_png_bytes(img, depth=16), "image/png")
+        decode_media(_png_bytes(img, interlace=2), "image/png")
+    with pytest.raises(DecoderNotAvailable, match="invalid for color type"):
+        # 16-bit indexed is not a legal combination
+        idx = np.zeros((2, 2), dtype=np.uint8)
+        pal = np.zeros((2, 3), dtype=np.uint8)
+        decode_media(_png_bytes(idx, color=3, palette=pal, depth=16), "image/png")
     with pytest.raises(DecoderNotAvailable):
         decode_media(b"\x89PNG\r\n\x1a\njunk", "image/png")
 
