@@ -6,10 +6,13 @@ This is a STRUCTURAL decode, not a codec: it walks the box tree
 movie/track/media headers, and reconstructs the full per-sample
 (frame) table from ``stsz`` + ``stsc`` + ``stco``/``co64`` — exactly
 the information a frame-sampling pipeline needs to pull REAL frame
-byte ranges out of ``mdat`` without decoding video.  Decoding the
-frame pixels themselves (H.264/H.265/AV1) requires codec libraries
-not bundled in this container and stays behind
-``DecoderNotAvailable``.
+byte ranges out of ``mdat`` without decoding video.  Fragmented MP4
+(§8.8) is supported too: ``mvex``/``trex`` defaults, ``moof``/``traf``
+/``trun`` sample runs with moof-relative or explicit base offsets, and
+``styp``-led media segments without a ``moov`` at all (tracks are then
+synthesized from the fragments).  Decoding the frame pixels themselves
+(H.264/H.265/AV1) requires codec libraries not bundled in this
+container and stays behind ``DecoderNotAvailable``.
 
 The sample-table reconstruction is the standard 14496-12 §8.7
 algorithm: ``stsc`` chunk runs expand to a per-chunk sample count,
@@ -169,6 +172,133 @@ def _sample_table(
     return out
 
 
+# -- fragmented MP4 (14496-12 §8.8: mvex/moof/traf/trun) ---------------------
+
+_TFHD_BASE_DATA_OFFSET = 0x1
+_TFHD_SAMPLE_DESC_IDX = 0x2
+_TFHD_DEFAULT_DURATION = 0x8
+_TFHD_DEFAULT_SIZE = 0x10
+_TFHD_DEFAULT_FLAGS = 0x20
+_TRUN_DATA_OFFSET = 0x1
+_TRUN_FIRST_FLAGS = 0x4
+_TRUN_SAMPLE_DURATION = 0x100
+_TRUN_SAMPLE_SIZE = 0x200
+_TRUN_SAMPLE_FLAGS = 0x400
+_TRUN_SAMPLE_CTO = 0x800
+
+
+def _flags(buf: bytes, s: int) -> int:
+    return int.from_bytes(buf[s + 1 : s + 4], "big")
+
+
+def _parse_trex(buf: bytes, s: int, e: int) -> tuple[int, dict]:
+    _, p = _fullbox(buf, s)
+    track_id, _dsdi, ddur, dsize, _dflags = struct.unpack_from(">5I", buf, p)
+    return track_id, {"dur": ddur, "size": dsize}
+
+
+def _parse_tfhd(buf: bytes, s: int, e: int) -> dict:
+    flags = _flags(buf, s)
+    p = s + 4
+    (track_id,) = struct.unpack_from(">I", buf, p)
+    p += 4
+    out: dict = {"track_id": track_id}
+    if flags & _TFHD_BASE_DATA_OFFSET:
+        (out["base_data_offset"],) = struct.unpack_from(">Q", buf, p)
+        p += 8
+    if flags & _TFHD_SAMPLE_DESC_IDX:
+        p += 4
+    if flags & _TFHD_DEFAULT_DURATION:
+        (out["default_dur"],) = struct.unpack_from(">I", buf, p)
+        p += 4
+    if flags & _TFHD_DEFAULT_SIZE:
+        (out["default_size"],) = struct.unpack_from(">I", buf, p)
+        p += 4
+    return out
+
+
+def _parse_trun(buf: bytes, s: int, e: int, default_dur, default_size):
+    """(data_offset or None, [(duration, size)])."""
+    version = buf[s]
+    flags = _flags(buf, s)
+    p = s + 4
+    (count,) = struct.unpack_from(">I", buf, p)
+    p += 4
+    data_offset = None
+    if flags & _TRUN_DATA_OFFSET:
+        (data_offset,) = struct.unpack_from(">i", buf, p)
+        p += 4
+    if flags & _TRUN_FIRST_FLAGS:
+        p += 4
+    per_row = sum(
+        4
+        for f in (_TRUN_SAMPLE_DURATION, _TRUN_SAMPLE_SIZE, _TRUN_SAMPLE_FLAGS, _TRUN_SAMPLE_CTO)
+        if flags & f
+    )
+    if p + per_row * count > e:
+        raise DecoderNotAvailable("truncated trun sample table")
+    rows = []
+    for _ in range(count):
+        dur, size = default_dur, default_size
+        if flags & _TRUN_SAMPLE_DURATION:
+            (dur,) = struct.unpack_from(">I", buf, p)
+            p += 4
+        if flags & _TRUN_SAMPLE_SIZE:
+            (size,) = struct.unpack_from(">I", buf, p)
+            p += 4
+        if flags & _TRUN_SAMPLE_FLAGS:
+            p += 4
+        if flags & _TRUN_SAMPLE_CTO:
+            p += 4  # signed in v1; structural probe ignores CTO either way
+        if size is None:
+            raise DecoderNotAvailable("trun sample without size (no tfhd/trex default)")
+        rows.append((dur or 0, size))
+    del version
+    return data_offset, rows
+
+
+def _new_track(track_id) -> dict:
+    return {
+        "track_id": track_id, "handler": None, "codec": None,
+        "timescale": None, "duration": None, "width": 0, "height": 0,
+        "n_samples": 0, "total_sample_bytes": 0, "samples": [],
+    }
+
+
+def _apply_moof(buf, moof_start, ps, pe, tracks_by_id, trex, frag_dur):
+    """Append one movie fragment's samples to its tracks.  Sample base
+    offsets follow §8.8.7: an explicit tfhd base_data_offset, else the
+    first byte of the enclosing moof (default-base-is-moof and the
+    universal smooth-streaming convention); successive truns continue
+    where the previous one ended when they carry no data_offset."""
+    for t, s, e in _walk(buf, ps, pe):
+        if t != b"traf":
+            continue
+        tfhd_loc = _find(buf, s, e, b"tfhd")
+        if tfhd_loc is None:
+            raise DecoderNotAvailable("traf without tfhd")
+        tfhd = _parse_tfhd(buf, *tfhd_loc)
+        tid = tfhd["track_id"]
+        defaults = trex.get(tid, {})
+        ddur = tfhd.get("default_dur", defaults.get("dur"))
+        dsize = tfhd.get("default_size", defaults.get("size"))
+        base = tfhd.get("base_data_offset", moof_start)
+        trk = tracks_by_id.get(tid)
+        if trk is None:
+            trk = tracks_by_id[tid] = _new_track(tid)
+        run_end = base
+        for tt, ts_, te_ in _walk(buf, s, e):
+            if tt != b"trun":
+                continue
+            data_offset, rows = _parse_trun(buf, ts_, te_, ddur, dsize)
+            off = base + data_offset if data_offset is not None else run_end
+            for dur, size in rows:
+                trk["samples"].append((off, size))
+                off += size
+                frag_dur[tid] = frag_dur.get(tid, 0) + dur
+            run_end = off
+
+
 def parse_mp4(payload: bytes) -> dict:
     """Parse an ISO-BMFF stream into a structural probe:
 
@@ -193,16 +323,46 @@ def parse_mp4(payload: bytes) -> dict:
         raise DecoderNotAvailable(f"truncated/corrupt BMFF box: {exc}") from exc
 
 
+def _walk_with_start(buf: bytes, start: int, end: int):
+    """Like :func:`_walk` but also yields the box's own start offset
+    (needed for moof-relative fragment data offsets)."""
+    off = start
+    for btype, ps, pe in _walk(buf, start, end):
+        yield btype, off, ps, pe
+        off = pe
+
+
 def _parse_mp4_checked(buf: bytes) -> dict:
-    brand = buf[8:12].decode("latin-1") if buf[4:8] == b"ftyp" else ""
+    brand = buf[8:12].decode("latin-1") if buf[4:8] in (b"ftyp", b"styp") else ""
     moov = _find(buf, 0, len(buf), b"moov")
+    has_moof = any(t == b"moof" for t, _s, _e in _walk(buf, 0, len(buf)))
+    if moov is None and not has_moof:
+        raise DecoderNotAvailable("no moov/moof box")
     if moov is None:
-        raise DecoderNotAvailable("no moov box (fragmented streams unsupported)")
-    ms, me = moov
-    mvhd_loc = _find(buf, ms, me, b"mvhd")
-    if mvhd_loc is None:
-        raise DecoderNotAvailable("moov without mvhd")
-    mvhd = _parse_mvhd(buf, *mvhd_loc)
+        # media segment (styp + moof + mdat): tracks synthesized from
+        # the fragments alone; no movie header to report
+        mvhd = {"timescale": 0, "duration": 0}
+        ms = me = 0
+    else:
+        ms, me = moov
+        mvhd_loc = _find(buf, ms, me, b"mvhd")
+        if mvhd_loc is None:
+            raise DecoderNotAvailable("moov without mvhd")
+        mvhd = _parse_mvhd(buf, *mvhd_loc)
+    trex: dict[int, dict] = {}
+    mehd_duration = 0
+    if moov is not None:
+        mvex = _find(buf, ms, me, b"mvex")
+        if mvex:
+            for t, s, e in _walk(buf, *mvex):
+                if t == b"trex":
+                    tid, defaults = _parse_trex(buf, s, e)
+                    trex[tid] = defaults
+                elif t == b"mehd":
+                    v, p = _fullbox(buf, s)
+                    (mehd_duration,) = struct.unpack_from(
+                        ">Q" if v == 1 else ">I", buf, p
+                    )
     tracks = []
     for t, s, e in _walk(buf, ms, me):
         if t != b"trak":
@@ -246,12 +406,29 @@ def _parse_mp4_checked(buf: bytes) -> dict:
                     trk["total_sample_bytes"] = sum(sz for _, sz in samples)
                     trk["samples"] = samples
         tracks.append(trk)
+
+    # movie fragments: append trun samples to their tracks
+    tracks_by_id = {trk["track_id"]: trk for trk in tracks if trk["track_id"]}
+    frag_dur: dict[int, int] = {}
+    for t, box_start, ps, pe in _walk_with_start(buf, 0, len(buf)):
+        if t == b"moof":
+            _apply_moof(buf, box_start, ps, pe, tracks_by_id, trex, frag_dur)
+    for tid, trk in tracks_by_id.items():
+        if all(trk is not x for x in tracks):
+            tracks.append(trk)  # fragment-only track (no moov trak)
+        if trk["samples"] and trk["n_samples"] != len(trk["samples"]):
+            trk["n_samples"] = len(trk["samples"])
+            trk["total_sample_bytes"] = sum(sz for _, sz in trk["samples"])
+        if not trk["duration"] and frag_dur.get(tid):
+            trk["duration"] = frag_dur[tid]  # media-timescale units
+
+    duration = mvhd["duration"] or mehd_duration
     ts = mvhd["timescale"] or 1
     return {
         "brand": brand,
         "timescale": mvhd["timescale"],
-        "duration": mvhd["duration"],
-        "duration_ms": (mvhd["duration"] * 1000) // ts,
+        "duration": duration,
+        "duration_ms": (duration * 1000) // ts,
         "tracks": tracks,
     }
 

@@ -419,12 +419,324 @@ def test_jpeg_gradient_natural_content():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
 
 
-def test_jpeg_progressive_raises():
-    # SOI + SOF2 (progressive) header stub
-    payload = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(
+# -- progressive JPEG test encoder (spectral selection + successive
+# approximation, the T.81 §G.1.2 / libjpeg jcphuff.c control flow) -----------
+
+
+def _fdct_zz(img, subsample=False):
+    """img → (per-component zigzag coefficient grids, samp, shape info).
+    Same forward DCT + padding as _jpeg_bytes so a progressive encode of
+    the same image reconstructs bit-identical coefficients."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+
+    def pad8(p, mult=8):
+        H = (p.shape[0] + mult - 1) // mult * mult
+        W = (p.shape[1] + mult - 1) // mult * mult
+        out = np.empty((H, W))
+        out[: p.shape[0], : p.shape[1]] = p
+        out[p.shape[0]:, : p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1]:] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    if gray:
+        planes = [pad8(img.astype(float))]
+        samp = [(1, 1)]
+    else:
+        r, g, b = (img[..., i].astype(float) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def ds(p):
+                H, W = (p.shape[0] + 1) // 2 * 2, (p.shape[1] + 1) // 2 * 2
+                q = pad8(p, 2)[:H, :W]
+                return (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]) / 4.0
+            planes = [pad8(y, 16), pad8(ds(cb)), pad8(ds(cr))]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [pad8(y), pad8(cb), pad8(cr)]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    D = _dctmat()
+    grids = []
+    for (sh, sv), p in zip(samp, planes):
+        # pad the plane out to the full MCU block grid (edge replicate)
+        H, W = mcuy * sv * 8, mcux * sh * 8
+        full = np.empty((H, W))
+        full[: p.shape[0], : p.shape[1]] = p
+        full[p.shape[0]:, : p.shape[1]] = p[-1:, :]
+        full[:, p.shape[1]:] = full[:, p.shape[1] - 1 : p.shape[1]]
+        grid = []
+        for by in range(H // 8):
+            row = []
+            for bx in range(W // 8):
+                blk = full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.rint(D @ (blk - 128.0) @ D.T).astype(int)
+                row.append([int(q.flat[ZIGZAG[i]]) for i in range(64)])
+            grid.append(row)
+        grids.append(grid)
+    return grids, samp, (w, h, hmax, vmax, mcux, mcuy)
+
+
+def _enc_dc_first(blocks_seq, Al, ri=0):
+    """blocks_seq: interleaved [(comp_idx, zz)] per MCU (list of MCUs)."""
+    tokens = []
+    preds = {}
+    for n, mcu in enumerate(blocks_seq):
+        if ri and n and n % ri == 0:
+            tokens.append(("rst", (n // ri - 1) & 7))
+            preds = {}
+        for ci, zz in mcu:
+            v = zz[0] >> Al
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            t, bits = _mag(diff)
+            tokens.append(("sym", t))
+            if t:
+                tokens.append(("bits", bits, t))
+    return tokens
+
+
+def _enc_dc_refine(blocks_seq, Al):
+    return [("bits", (zz[0] >> Al) & 1, 1) for mcu in blocks_seq for _ci, zz in mcu]
+
+
+def _enc_ac_first(blocks, Ss, Se, Al, ri=0):
+    """blocks: non-interleaved zigzag lists in block order."""
+    tokens = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            tokens.append(("sym", nb << 4))
+            if nb:
+                tokens.append(("bits", eobrun - (1 << nb), nb))
+            eobrun = 0
+
+    for n, zz in enumerate(blocks):
+        if ri and n and n % ri == 0:
+            flush_eob()
+            tokens.append(("rst", (n // ri - 1) & 7))
+        r = 0
+        for k in range(Ss, Se + 1):
+            v = zz[k]
+            t = -((-v) >> Al) if v < 0 else (v >> Al)
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                tokens.append(("sym", 0xF0))
+                r -= 16
+            s, bits = _mag(t)
+            tokens.append(("sym", (r << 4) | s))
+            tokens.append(("bits", bits, s))
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return tokens
+
+
+def _enc_ac_refine(blocks, Ss, Se, Al):
+    """libjpeg encode_mcu_AC_refine: newly-significant coefs emit
+    (run,1)+sign, already-significant coefs queue correction bits that
+    ride after the next symbol (or with the pending EOB run)."""
+    tokens = []
+    eobrun = 0
+    BE = []  # correction bits tied to the pending EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun, BE
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            tokens.append(("sym", nb << 4))
+            if nb:
+                tokens.append(("bits", eobrun - (1 << nb), nb))
+            tokens.extend(("bits", b, 1) for b in BE)
+            eobrun = 0
+            BE = []
+
+    for zz in blocks:
+        absv = {}
+        EOB = Ss - 1  # last newly-significant index
+        for k in range(Ss, Se + 1):
+            t = (-zz[k] if zz[k] < 0 else zz[k]) >> Al
+            absv[k] = t
+            if t == 1:
+                EOB = k
+        r = 0
+        BR = []  # correction bits awaiting the next emitted symbol
+        for k in range(Ss, Se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= EOB:
+                emit_eobrun()
+                tokens.append(("sym", 0xF0))
+                r -= 16
+                tokens.extend(("bits", b, 1) for b in BR)
+                BR = []
+            if t > 1:
+                BR.append(t & 1)
+                continue
+            emit_eobrun()
+            tokens.append(("sym", (r << 4) | 1))
+            tokens.append(("bits", 1 if zz[k] >= 0 else 0, 1))
+            tokens.extend(("bits", b, 1) for b in BR)
+            BR = []
+            r = 0
+        if r > 0 or BR:
+            eobrun += 1
+            BE.extend(BR)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+    return tokens
+
+
+def _emit_scan(tokens):
+    """Tokens → (DHT segment bytes or b'', entropy bytes)."""
+    syms = [t[1] for t in tokens if t[0] == "sym"]
+    dht = b""
+    codes = lens = None
+    if syms:
+        counts, s_list, codes, lens = _flat_huff(syms + [0])
+    bw = _BitWriter()
+    out = bytearray()
+    for t in tokens:
+        if t[0] == "sym":
+            bw.put(codes[t[1]], lens)
+        elif t[0] == "bits":
+            bw.put(t[1], t[2])
+        else:  # rst
+            bw.align()
+            out += bw.out
+            bw.out = bytearray()
+            out += bytes([0xFF, 0xD0 + t[1]])
+    bw.align()
+    out += bw.out
+    if syms:
+        body = bytes(counts) + bytes(s_list)
+        dht = body  # caller prefixes table class/id
+    return dht, bytes(out)
+
+
+def _jpeg_progressive_bytes(img, subsample=False, Al=1, ri_dc=0, ri_ac=0):
+    """Progressive JFIF encoder (quant all-ones): DC first at bit Al →
+    per-component AC bands (1-5, 6-63) at bit Al → DC/AC refinement
+    scans walking Al down to 0."""
+    grids, samp, (w, h, hmax, vmax, mcux, mcuy) = _fdct_zz(img, subsample)
+    nc = len(grids)
+    # interleaved MCU order for DC scans
+    mcus = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu = []
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        mcu.append((ci, grids[ci][my * sv + by][mx * sh + bx]))
+            mcus.append(mcu)
+    # non-interleaved per-component block order (non-padded grid)
+    comp_blocks = []
+    for ci, (sh, sv) in enumerate(samp):
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        bw_, bh_ = (cw + 7) // 8, (ch + 7) // 8
+        comp_blocks.append(
+            [grids[ci][by][bx] for by in range(bh_) for bx in range(bw_)]
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def add_scan(tokens, comp_ids, Ss, Se, Ah, Al_, tclass, ri):
+        nonlocal out
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)  # DRI (0 disables)
+        dht, entropy = _emit_scan(tokens)
+        if dht:
+            out += b"\xff\xc4" + struct.pack(">H", 3 + len(dht)) + bytes([tclass << 4]) + dht
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([Ss, Se, (Ah << 4) | Al_])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += entropy
+
+    all_ids = list(range(1, nc + 1))
+    add_scan(_enc_dc_first(mcus, Al, ri_dc), all_ids, 0, 0, 0, Al, 0, ri_dc)
+    for ci in range(nc):
+        add_scan(_enc_ac_first(comp_blocks[ci], 1, 5, Al, ri_ac), [ci + 1], 1, 5, 0, Al, 1, ri_ac)
+        add_scan(_enc_ac_first(comp_blocks[ci], 6, 63, Al, ri_ac), [ci + 1], 6, 63, 0, Al, 1, ri_ac)
+    for al in range(Al - 1, -1, -1):
+        add_scan(_enc_dc_refine(mcus, al), all_ids, 0, 0, al + 1, al, 0, 0)
+        for ci in range(nc):
+            add_scan(_enc_ac_refine(comp_blocks[ci], 1, 5, al), [ci + 1], 1, 5, al + 1, al, 1, 0)
+            add_scan(_enc_ac_refine(comp_blocks[ci], 6, 63, al), [ci + 1], 6, 63, al + 1, al, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_gray_roundtrip():
+    yy, xx = np.mgrid[0:17, 0:23]
+    img = ((yy * 7 + xx * 11) % 256).astype(np.uint8)
+    out = decode_media(_jpeg_progressive_bytes(img), "image/jpeg")
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    # progressive reconstructs the SAME coefficients as a baseline encode
+    base = decode_media(_jpeg_bytes(img), "image/jpeg")
+    np.testing.assert_array_equal(out, base)
+
+
+def test_jpeg_progressive_color_roundtrip():
+    rng = np.random.default_rng(31)
+    base = rng.integers(30, 225, size=(3, 2, 3))
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)[:20, :13]
+    out = decode_media(_jpeg_progressive_bytes(img), "image/jpeg")
+    assert out.shape == img.shape
+    np.testing.assert_array_equal(out, decode_media(_jpeg_bytes(img), "image/jpeg"))
+
+
+def test_jpeg_progressive_subsampled_deep_approx():
+    # 4:2:0 + successive approximation from bit 2 (two refinement rounds)
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, size=(24, 19, 3), dtype=np.uint8)
+    out = decode_media(_jpeg_progressive_bytes(img, subsample=True, Al=2), "image/jpeg")
+    np.testing.assert_array_equal(
+        out, decode_media(_jpeg_bytes(img, subsample=True), "image/jpeg")
+    )
+
+
+def test_jpeg_progressive_restart_markers():
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(25, 26), dtype=np.uint8)
+    out = decode_media(
+        _jpeg_progressive_bytes(img, ri_dc=3, ri_ac=5), "image/jpeg"
+    )
+    np.testing.assert_array_equal(out, decode_media(_jpeg_bytes(img), "image/jpeg"))
+
+
+def test_jpeg_arithmetic_still_raises():
+    # SOF9 (extended sequential, arithmetic coding) must keep raising
+    payload = b"\xff\xd8\xff\xc9" + struct.pack(">H", 11) + bytes(
         [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
     )
-    with pytest.raises(DecoderNotAvailable, match="progressive|non-baseline"):
+    with pytest.raises(DecoderNotAvailable, match="arithmetic"):
         decode_media(payload, "image/jpeg")
 
 
@@ -1015,3 +1327,137 @@ def test_extract_features_real_decoder_nan_mean_goes_null(spark):
     row = extract_blob_features(df, use_real_decoder=True).collect()[0]
     assert row.mean_sample_ppm is None
     assert row.mean_sample is None or np.isnan(row.mean_sample)
+
+
+# -- fragmented MP4 (mvex/moof/traf/trun, 14496-12 §8.8) ---------------------
+
+
+def _fullbox_f(btype, version, flags, payload):
+    return _box(btype, struct.pack(">B", version) + flags.to_bytes(3, "big") + payload)
+
+
+def _fmp4_bytes(fragments, *, with_moov=True, explicit_base=False,
+                use_trex_defaults=False, timescale=600):
+    """fragments: list of [(sample_bytes, duration)].  Layout:
+    ftyp|styp + [moov] + per-fragment moof+mdat."""
+    lead = _box(b"ftyp" if with_moov else b"styp",
+                b"isom" + struct.pack(">I", 512) + b"iso6")
+    out = bytearray(lead)
+    total_dur = sum(d for frag in fragments for _s, d in frag)
+    if with_moov:
+        mvhd = _fullbox(b"mvhd", 0, struct.pack(">IIII", 0, 0, timescale, 0)
+                        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+                        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                        + b"\x00" * 24 + struct.pack(">I", 2))
+        mehd = _fullbox(b"mehd", 0, struct.pack(">I", total_dur))
+        if use_trex_defaults:
+            f0 = fragments[0][0]
+            trex = _fullbox(b"trex", 0, struct.pack(">5I", 1, 1, f0[1], len(f0[0]), 0))
+        else:
+            trex = _fullbox(b"trex", 0, struct.pack(">5I", 1, 1, 0, 0, 0))
+        mvex = _box(b"mvex", mehd + trex)
+        tkhd = _fullbox(b"tkhd", 0, struct.pack(">III4xI8x", 0, 0, 1, 0)
+                        + struct.pack(">HHHH", 0, 0, 0, 0)
+                        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                        + struct.pack(">II", 160 << 16, 90 << 16))
+        mdhd = _fullbox(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0))
+        hdlr = _fullbox(b"hdlr", 0, struct.pack(">I4s12x", 0, b"vide") + b"vh\x00")
+        entry = struct.pack(">I4s6xH", 16 + 70, b"avc1", 1) + b"\x00" * 70
+        stsd = _fullbox(b"stsd", 0, struct.pack(">I", 1) + entry)
+        stsz = _fullbox(b"stsz", 0, struct.pack(">II", 0, 0))
+        stsc = _fullbox(b"stsc", 0, struct.pack(">I", 0))
+        stco = _fullbox(b"stco", 0, struct.pack(">I", 0))
+        stbl = _box(b"stbl", stsd + stsz + stsc + stco)
+        trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+        out += _box(b"moov", mvhd + mvex + trak)
+    for seq, frag in enumerate(fragments, 1):
+        mfhd = _fullbox(b"mfhd", 0, struct.pack(">I", seq))
+        if use_trex_defaults:
+            tfhd = _fullbox_f(b"tfhd", 0, 0x20000, struct.pack(">I", 1))
+            trun_flags = 0x1  # data-offset only; sizes/durs from trex
+            rows = b""
+        else:
+            trun_flags = 0x1 | 0x100 | 0x200
+            rows = b"".join(
+                struct.pack(">II", dur, len(s)) for s, dur in frag
+            )
+            tfhd = _fullbox_f(b"tfhd", 0, 0x20000, struct.pack(">I", 1))
+        trun_payload = struct.pack(">Ii", len(frag), 0) + rows  # offset patched below
+        trun = _fullbox_f(b"trun", 0, trun_flags, trun_payload)
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        if explicit_base:
+            # rebuild tfhd with an absolute base_data_offset instead;
+            # build once with base=0 to learn the (fixed) moof length
+            def mk(base):
+                tf = _fullbox_f(b"tfhd", 0, 0x1, struct.pack(">IQ", 1, base))
+                tr = _fullbox_f(b"trun", 0, trun_flags,
+                                struct.pack(">Ii", len(frag), 0) + rows)
+                return _box(b"moof", mfhd + _box(b"traf", tf + tr))
+
+            moof = mk(len(out) + len(mk(0)) + 8)
+            data_off = 0
+        else:
+            data_off = len(moof) + 8  # relative to moof start → into mdat
+        # patch the trun data_offset (second i32 of the trun payload)
+        moof = bytearray(moof)
+        idx = moof.rfind(b"trun") + 4 + 4 + 4  # type + ver/flags + count
+        moof[idx:idx + 4] = struct.pack(">i", data_off)
+        out += bytes(moof)
+        out += _box(b"mdat", b"".join(s for s, _d in frag))
+    return bytes(out)
+
+
+_FRAGS = [
+    [(b"frameAAAA", 100), (b"frBB", 150)],
+    [(b"frameCCCCCC", 200)],
+]
+
+
+def _assert_fmp4_samples(payload, probe):
+    trk = probe["tracks"][0]
+    want = [s for frag in _FRAGS for s, _d in frag]
+    assert trk["n_samples"] == 3
+    assert trk["total_sample_bytes"] == sum(len(s) for s in want)
+    for (off, size), raw in zip(trk["samples"], want):
+        assert payload[off : off + size] == raw  # byte-exact frame ranges
+
+
+def test_fmp4_moof_relative_offsets():
+    from simple_tsdb_spark.pipeline.mp4 import parse_mp4
+
+    payload = _fmp4_bytes(_FRAGS)
+    got = parse_mp4(payload)
+    _assert_fmp4_samples(payload, got)
+    # mvhd duration 0 → mehd fragment_duration drives duration_ms
+    assert got["duration"] == 450 and got["duration_ms"] == 750
+    trk = got["tracks"][0]
+    assert trk["handler"] == "vide" and trk["codec"] == "avc1"
+    assert trk["duration"] == 450  # accumulated from trun sample durations
+
+
+def test_fmp4_explicit_base_offset_and_trex_defaults():
+    from simple_tsdb_spark.pipeline.mp4 import parse_mp4
+
+    payload = _fmp4_bytes(_FRAGS, explicit_base=True)
+    _assert_fmp4_samples(payload, parse_mp4(payload))
+    # trex-supplied default size/duration, truns carry no per-sample rows
+    uniform = [[(b"xxxxxxxx", 100), (b"xxxxxxxx", 100)], [(b"xxxxxxxx", 100)]]
+    payload = _fmp4_bytes(uniform, use_trex_defaults=True)
+    trk = parse_mp4(payload)["tracks"][0]
+    assert trk["n_samples"] == 3 and trk["total_sample_bytes"] == 24
+    assert trk["duration"] == 300
+
+
+def test_fmp4_styp_segment_without_moov():
+    from simple_tsdb_spark.pipeline.mp4 import parse_mp4, probe_mp4
+
+    payload = _fmp4_bytes(_FRAGS, with_moov=False)
+    got = parse_mp4(payload)
+    assert got["brand"] == "isom"
+    trk = got["tracks"][0]
+    assert trk["track_id"] == 1 and trk["handler"] is None
+    want = [s for frag in _FRAGS for s, _d in frag]
+    for (off, size), raw in zip(trk["samples"], want):
+        assert payload[off : off + size] == raw
+    assert "samples" not in probe_mp4(payload)["tracks"][0]
