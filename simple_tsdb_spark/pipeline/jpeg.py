@@ -6,15 +6,17 @@ batched 8×8 IDCT (orthonormal DCT-III via one numpy matmul pair over
 ALL blocks of a component) → chroma upsample → JFIF YCbCr→RGB.
 
 Supported: baseline sequential DCT (SOF0, interleaved or one scan per
-component) and progressive DCT (SOF2) with both spectral selection and
-successive approximation — DC first/refine scans (interleaved or not)
-and per-component AC band scans with EOB-run coding and correction-bit
-refinement (T.81 §G.1.2, the same control flow as the public libjpeg
-``jdphuff.c``).  8-bit samples, 1- or 3-component frames, sampling
-factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, 0xFF00 byte
-stuffing.  Arithmetic coding, 12-bit and hierarchical modes raise
-:class:`DecoderNotAvailable` — the honest capability boundary, same as
-multimodal.decode_media's other formats.
+component), extended sequential (SOF1), and progressive DCT (SOF2)
+with both spectral selection and successive approximation — DC
+first/refine scans (interleaved or not) and per-component AC band
+scans with EOB-run coding and correction-bit refinement (T.81 §G.1.2,
+the same control flow as the public libjpeg ``jdphuff.c``).  8- and
+12-bit samples (12-bit returns uint16 with raw 0..4095 values; SOF1/
+SOF2 only, per spec), 8- and 16-bit quantization tables, 1- or
+3-component frames, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0),
+restart intervals, 0xFF00 byte stuffing.  Arithmetic coding and
+hierarchical mode raise :class:`DecoderNotAvailable` — the honest
+capability boundary, same as multimodal.decode_media's other formats.
 
 Used by ``pipeline.multimodal.decode_media`` for ``image/jpeg`` so
 ``blob_features`` / ``resize_images`` exercise a REAL codec path inside
@@ -351,7 +353,7 @@ class _ScanDecoder:
 
 def _parse_sof(np, seg, progressive):
     prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
-    if prec != 8:
+    if prec not in (8, 12):
         raise DecoderNotAvailable(f"{prec}-bit precision unsupported")
     if nc not in (1, 3):
         raise DecoderNotAvailable(f"{nc}-component images unsupported")
@@ -374,14 +376,16 @@ def _parse_sof(np, seg, progressive):
         c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
     return {
         "w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
-        "mcux": mcux, "mcuy": mcuy, "progressive": progressive,
+        "mcux": mcux, "mcuy": mcuy, "progressive": progressive, "prec": prec,
     }
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline or progressive JPEG → uint8 ndarray (h, w)
-    grayscale or (h, w, 3) RGB.  Raises :class:`DecoderNotAvailable`
-    for arithmetic/12-bit/hierarchical variants or corrupt streams."""
+    """Decode a baseline, extended-sequential, or progressive JPEG →
+    ndarray (h, w) grayscale or (h, w, 3) RGB; uint8 for 8-bit frames,
+    uint16 (raw 0..4095) for 12-bit.  Raises
+    :class:`DecoderNotAvailable` for arithmetic/hierarchical variants
+    or corrupt streams."""
     import numpy as np
 
     d = payload
@@ -406,15 +410,17 @@ def decode_jpeg(payload: bytes):
             break
         (seglen,) = struct.unpack_from(">H", d, pos)
         seg = d[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (pq=1 → 16-bit entries, used by 12-bit)
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
                 i += 1
                 if pq:
-                    raise DecoderNotAvailable("16-bit quant tables unsupported")
-                qt[tq] = list(seg[i : i + 64])
-                i += 64
+                    qt[tq] = list(struct.unpack_from(">64H", seg, i))
+                    i += 128
+                else:
+                    qt[tq] = list(seg[i : i + 64])
+                    i += 64
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -424,11 +430,15 @@ def decode_jpeg(payload: bytes):
                 symbols = list(seg[i + 17 : i + 17 + nsym])
                 hts[(tc, th)] = _Huff(counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (12-bit) / SOF2
+            # progressive — all Huffman DCT with the same scan grammar
             if frame is not None:
                 raise DecoderNotAvailable("multiple frames unsupported")
             frame = _parse_sof(np, seg, progressive=marker == 0xC2)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xC0 and frame["prec"] != 8:
+                raise DecoderNotAvailable("baseline SOF0 must be 8-bit")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise DecoderNotAvailable(
                 f"unsupported SOF marker 0xFF{marker:02X} (arithmetic/12-bit/hierarchical)"
             )
@@ -473,10 +483,15 @@ def decode_jpeg(payload: bytes):
 
 
 def _render(np, frame, qt):
-    """Dequantize + batched IDCT + upsample + color convert."""
+    """Dequantize + batched IDCT + upsample + color convert.  8-bit
+    frames return uint8; 12-bit frames return uint16 with raw 0..4095
+    sample values (the usual convention — no rescale)."""
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
     hmax, vmax = frame["hmax"], frame["vmax"]
+    mid = float(1 << (frame["prec"] - 1))  # level shift: 128 / 2048
+    full = (1 << frame["prec"]) - 1
+    dtype = np.uint8 if frame["prec"] == 8 else np.uint16
     D = _dct_matrix()
     planes = []
     for c in comps:
@@ -486,7 +501,7 @@ def _render(np, frame, qt):
         q = np.array([qt[c["tq"]][ZIGZAG.index(i)] for i in range(64)], dtype=np.float64)
         nby, nbx = c["coef"].shape[:2]
         blocks = (c["coef"].astype(np.float64) * q).reshape(-1, 8, 8)
-        spatial = D.T @ blocks @ D + 128.0  # batched over all blocks
+        spatial = D.T @ blocks @ D + mid  # batched over all blocks
         p = spatial.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(
             nby * 8, nbx * 8
         )
@@ -494,10 +509,10 @@ def _render(np, frame, qt):
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         planes.append(p[:h, :w])
     if len(planes) == 1:
-        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.rint(planes[0]), 0, full).astype(dtype)
     y, cb, cr = planes
-    r_ = y + 1.402 * (cr - 128.0)
-    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b_ = y + 1.772 * (cb - 128.0)
+    r_ = y + 1.402 * (cr - mid)
+    g_ = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b_ = y + 1.772 * (cb - mid)
     rgb = np.stack([r_, g_, b_], axis=-1)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.rint(rgb), 0, full).astype(dtype)

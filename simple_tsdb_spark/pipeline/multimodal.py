@@ -153,10 +153,11 @@ def decode_media(payload: bytes, mime: str) -> object:
     Stdlib+numpy formats decode for real:
       - image/x-portable-pixmap, image/x-portable-graymap → uint8 array
       - image/bmp (uncompressed 24-bit) → uint8 RGB array
-      - image/jpeg (baseline sequential AND progressive DCT, incl.
-        spectral selection + successive approximation) → uint8 gray/RGB
-        array (pure-Python T.81 decoder, :mod:`pipeline.jpeg`;
-        arithmetic / 12-bit / hierarchical variants raise)
+      - image/jpeg (baseline, extended-sequential, and progressive DCT
+        incl. spectral selection + successive approximation; 8- and
+        12-bit) → uint8 (uint16 for 12-bit) gray/RGB array (pure-Python
+        T.81 decoder, :mod:`pipeline.jpeg`; arithmetic / hierarchical
+        variants raise)
       - image/png (gray/RGB/indexed/alpha; depths 1/2/4/8/16;
         non-interlaced and Adam7) → uint8 array, uint16 for 16-bit
         (stdlib-zlib decoder, :mod:`pipeline.png`)

@@ -237,7 +237,7 @@ def _mag(v):
     return t, bits
 
 
-def _encode_blocks(planes_blocks, ri=0):
+def _encode_blocks(planes_blocks, ri=0, shift=128.0):
     """planes_blocks: per-MCU list of (comp_idx, coef_block) in scan
     order.  Returns (dc_syms, ac_syms, emit) where emit(bw, dcc, acc)
     writes the entropy stream."""
@@ -248,7 +248,7 @@ def _encode_blocks(planes_blocks, ri=0):
     for mcu in planes_blocks:
         ev_mcu = []
         for ci, block in mcu:
-            F = D @ (block - 128.0) @ D.T
+            F = D @ (block - shift) @ D.T
             q = np.rint(F).astype(int)
             zz = [int(q.flat[ZIGZAG[i]]) for i in range(64)]
             diff = zz[0] - preds.get(ci, 0)
@@ -305,10 +305,12 @@ def _encode_blocks(planes_blocks, ri=0):
     return dc_syms, ac_syms, emit
 
 
-def _jpeg_bytes(img, subsample=False):
-    """Baseline JFIF encoder: quant tables all-ones, flat Huffman tables,
-    4:4:4 (or 4:2:0 luma-subsampled when subsample=True); grayscale when
-    img.ndim == 2."""
+def _jpeg_bytes(img, subsample=False, prec=8, q16=False):
+    """Baseline JFIF encoder: quant tables all-ones (16-bit DQT when
+    q16), flat Huffman tables, 4:4:4 (or 4:2:0 luma-subsampled when
+    subsample=True); grayscale when img.ndim == 2.  prec=12 emits an
+    extended-sequential SOF1 with 2048 level shift (grayscale only)."""
+    assert prec == 8 or img.ndim == 2, "12-bit test encoder is grayscale-only"
     gray = img.ndim == 2
     h, w = img.shape[:2]
 
@@ -356,19 +358,23 @@ def _jpeg_bytes(img, subsample=False):
                         blocks.append((ci, p[y0 : y0 + 8, x0 : x0 + 8]))
             mcus.append(blocks)
 
-    dc_syms, ac_syms, emit = _encode_blocks(mcus)
+    dc_syms, ac_syms, emit = _encode_blocks(mcus, shift=float(1 << (prec - 1)))
     dc_counts, dc_s, dc_codes, dc_len = _flat_huff(dc_syms + [0])
     ac_counts, ac_s, ac_codes, ac_len = _flat_huff(ac_syms + [0x00])
 
     out = bytearray(b"\xff\xd8")
-    # DQT: table 0, all ones
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    # DQT: table 0, all ones (pq=1 16-bit entries when q16)
+    if q16:
+        out += b"\xff\xdb" + struct.pack(">H", 131) + b"\x10" + struct.pack(">64H", *([1] * 64))
+    else:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
     nc = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", prec, h, w, nc)
     for ci in range(nc):
         sh, sv = samp[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc0" if prec == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     for tc, (counts, syms) in ((0, (dc_counts, dc_s)), (1, (ac_counts, ac_s))):
         body = bytes([tc << 4]) + bytes(counts) + bytes(syms)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
@@ -423,7 +429,7 @@ def test_jpeg_gradient_natural_content():
 # approximation, the T.81 §G.1.2 / libjpeg jcphuff.c control flow) -----------
 
 
-def _fdct_zz(img, subsample=False):
+def _fdct_zz(img, subsample=False, prec=8):
     """img → (per-component zigzag coefficient grids, samp, shape info).
     Same forward DCT + padding as _jpeg_bytes so a progressive encode of
     the same image reconstructs bit-identical coefficients."""
@@ -475,7 +481,7 @@ def _fdct_zz(img, subsample=False):
             row = []
             for bx in range(W // 8):
                 blk = full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                q = np.rint(D @ (blk - 128.0) @ D.T).astype(int)
+                q = np.rint(D @ (blk - float(1 << (prec - 1))) @ D.T).astype(int)
                 row.append([int(q.flat[ZIGZAG[i]]) for i in range(64)])
             grid.append(row)
         grids.append(grid)
@@ -631,11 +637,12 @@ def _emit_scan(tokens):
     return dht, bytes(out)
 
 
-def _jpeg_progressive_bytes(img, subsample=False, Al=1, ri_dc=0, ri_ac=0):
+def _jpeg_progressive_bytes(img, subsample=False, Al=1, ri_dc=0, ri_ac=0, prec=8):
     """Progressive JFIF encoder (quant all-ones): DC first at bit Al →
     per-component AC bands (1-5, 6-63) at bit Al → DC/AC refinement
     scans walking Al down to 0."""
-    grids, samp, (w, h, hmax, vmax, mcux, mcuy) = _fdct_zz(img, subsample)
+    assert prec == 8 or img.ndim == 2
+    grids, samp, (w, h, hmax, vmax, mcux, mcuy) = _fdct_zz(img, subsample, prec)
     nc = len(grids)
     # interleaved MCU order for DC scans
     mcus = []
@@ -659,7 +666,7 @@ def _jpeg_progressive_bytes(img, subsample=False, Al=1, ri_dc=0, ri_ac=0):
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", prec, h, w, nc)
     for ci in range(nc):
         sh, sv = samp[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0])
@@ -1461,3 +1468,41 @@ def test_fmp4_styp_segment_without_moov():
     for (off, size), raw in zip(trk["samples"], want):
         assert payload[off : off + size] == raw
     assert "samples" not in probe_mp4(payload)["tracks"][0]
+
+
+def test_jpeg_12bit_extended_sequential():
+    rng = np.random.default_rng(40)
+    base = rng.integers(200, 3900, size=(3, 3))
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint16)[:20, :21]
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    out = decode_jpeg(_jpeg_bytes(img, prec=12))
+    assert out.dtype == np.uint16 and out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_12bit_progressive():
+    yy, xx = np.mgrid[0:18, 0:15]
+    img = ((yy * 113 + xx * 211) % 4096).astype(np.uint16)
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    out = decode_jpeg(_jpeg_progressive_bytes(img, Al=2, prec=12))
+    # identical coefficients → identical pixels vs the sequential encode
+    np.testing.assert_array_equal(out, decode_jpeg(_jpeg_bytes(img, prec=12)))
+
+
+def test_jpeg_16bit_quant_table():
+    rng = np.random.default_rng(41)
+    base = rng.integers(60, 200, size=(2, 3))
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)
+    out = decode_media(_jpeg_bytes(img, q16=True), "image/jpeg")
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_sof0_12bit_rejected():
+    # hand-build an illegal 12-bit SOF0 header: must raise, not decode
+    payload = b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + bytes(
+        [12, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    with pytest.raises(DecoderNotAvailable, match="baseline SOF0 must be 8-bit"):
+        decode_media(payload, "image/jpeg")
