@@ -334,7 +334,9 @@ def sample_frames(
     :mod:`pipeline.mp4` box walk reconstructs the (offset, size)
     sample table of the first ``vide`` track (any track if none), an
     even stride picks ≤ ``max_frames`` of them, and the emitted md5 is
-    of the ACTUAL frame bytes in ``mdat``.  Other payloads keep the
+    of the ACTUAL frame bytes in ``mdat``.  Animated GIFs sample their
+    image-descriptor segments the same way
+    (:func:`pipeline.gif.gif_frame_spans`).  Other payloads keep the
     deterministic byte-window stand-in, so the 1→N mapInPandas
     expansion shape is exercised on the driver's text blobs too.
 
@@ -345,9 +347,33 @@ def sample_frames(
     step, cap = int(every_n_bytes), int(max_frames)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from simple_tsdb_spark.pipeline.gif import gif_frame_spans
         from simple_tsdb_spark.pipeline.mp4 import parse_mp4
 
+        def sampled(samples, b: bytes):
+            stride = max(1, -(-len(samples) // cap))  # ceil
+            for idx, si in enumerate(range(0, len(samples), stride)):
+                if idx >= cap:
+                    break
+                off, sz = samples[si]
+                if off < 0 or sz < 0 or off + sz > len(b):
+                    # sample table points past the payload (truncated
+                    # mdat / lying stco): skip rather than md5 silently
+                    # short bytes
+                    continue
+                yield idx, off, sz, hashlib.md5(b[off : off + sz]).hexdigest()
+
         def doc_rows(doc_id, b: bytes):
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                # animated GIF: each image-descriptor segment is a frame
+                try:
+                    spans = gif_frame_spans(b)
+                except DecoderNotAvailable:
+                    spans = None
+                if spans:
+                    for row in sampled(spans, b):
+                        yield (doc_id, *row)
+                    return
             if b[4:8] in (b"ftyp", b"styp"):
                 try:
                     probe = parse_mp4(b)
@@ -359,20 +385,8 @@ def sample_frames(
                     ] or probe["tracks"]
                     samples = vids[0]["samples"] if vids else []
                     if samples:
-                        stride = max(1, -(-len(samples) // cap))  # ceil
-                        for idx, si in enumerate(range(0, len(samples), stride)):
-                            if idx >= cap:
-                                break
-                            off, sz = samples[si]
-                            if off < 0 or sz < 0 or off + sz > len(b):
-                                # sample table points past the payload
-                                # (truncated mdat / lying stco): skip
-                                # rather than md5 silently short bytes
-                                continue
-                            yield (
-                                doc_id, idx, off, sz,
-                                hashlib.md5(b[off : off + sz]).hexdigest(),
-                            )
+                        for row in sampled(samples, b):
+                            yield (doc_id, *row)
                         return
             for idx, off in enumerate(range(0, len(b), step)):
                 if idx >= cap:

@@ -1506,3 +1506,121 @@ def test_jpeg_sof0_12bit_rejected():
     )
     with pytest.raises(DecoderNotAvailable, match="baseline SOF0 must be 8-bit"):
         decode_media(payload, "image/jpeg")
+
+
+# -- animated GIF (decode_gif_frames / gif_frame_spans) ----------------------
+
+
+def _gif_anim_bytes(screen_wh, frames, palette):
+    """frames: [(idx_array, (ix, iy), disposal, delay_cs, transparent)]."""
+    sw, sh = screen_wh
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    gct_n = 1 << bits
+    pal = np.zeros((gct_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    mcs = max(2, bits)
+    for idx, (ix, iy), disposal, delay_cs, transparent in frames:
+        h, w = idx.shape
+        gflags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gflags]) + struct.pack("<H", delay_cs)
+        out += bytes([transparent or 0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHHB", ix, iy, w, h, 0)
+        data = _LZWWriter(mcs).encode(idx.flatten())
+        out += bytes([mcs])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def test_gif_animation_compositing():
+    from simple_tsdb_spark.pipeline.gif import decode_gif_frames
+
+    pal = np.array(
+        [[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], dtype=np.uint8
+    )
+    full = np.zeros((6, 8), dtype=np.uint8)  # frame 1: whole screen color 0
+    patch = np.full((2, 3), 1, dtype=np.uint8)  # frame 2: red patch @ (2,1)
+    # frame 3: green patch with a transparent hole, disposal 2 on frame 2
+    holed = np.array([[2, 3, 2], [2, 2, 2]], dtype=np.uint8)
+    payload = _gif_anim_bytes(
+        (8, 6),
+        [
+            (full, (0, 0), 1, 5, None),
+            (patch, (1, 2), 2, 7, None),   # disposal 2: clear region after
+            (holed, (4, 3), 1, 9, 3),      # index 3 transparent
+        ],
+        pal,
+    )
+    frames, delays = decode_gif_frames(payload)
+    assert frames.shape == (3, 6, 8, 4)
+    assert delays == [50, 70, 90]
+    # frame 1: all color 0, opaque
+    assert (frames[0][..., :3] == pal[0]).all() and (frames[0][..., 3] == 255).all()
+    # frame 2: red patch over the base
+    np.testing.assert_array_equal(frames[1][2:4, 1:4, :3], np.broadcast_to(pal[1], (2, 3, 3)))
+    np.testing.assert_array_equal(frames[1][0, 0, :3], pal[0])
+    # frame 3: frame 2's region was disposed to background (transparent)
+    assert (frames[2][2:4, 1:4, 3] == 0).all()
+    # green patch drawn at (4,3); the transparent hole shows the base color
+    np.testing.assert_array_equal(frames[2][3, 4, :3], pal[2])
+    np.testing.assert_array_equal(frames[2][3, 5, :3], pal[0])  # hole → base
+    assert frames[2][3, 5, 3] == 255
+
+
+def test_gif_disposal_restore_previous():
+    from simple_tsdb_spark.pipeline.gif import decode_gif_frames
+
+    pal = np.array([[5, 5, 5], [250, 250, 250]], dtype=np.uint8)
+    base = np.zeros((4, 4), dtype=np.uint8)
+    blink = np.ones((2, 2), dtype=np.uint8)
+    payload = _gif_anim_bytes(
+        (4, 4),
+        [
+            (base, (0, 0), 1, 1, None),
+            (blink, (1, 1), 3, 1, None),  # disposal 3: restore previous
+            (np.ones((1, 1), dtype=np.uint8), (0, 0), 1, 1, None),
+        ],
+        pal,
+    )
+    frames, _ = decode_gif_frames(payload)
+    np.testing.assert_array_equal(frames[1][1:3, 1:3, 0], np.full((2, 2), 250))
+    # frame 3 canvas: blink region restored to base before the new draw
+    np.testing.assert_array_equal(frames[2][1:3, 1:3, 0], np.full((2, 2), 5))
+    np.testing.assert_array_equal(frames[2][0, 0, :3], pal[1])
+
+
+def test_gif_frame_spans_and_sample_frames(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline import sample_frames
+    from simple_tsdb_spark.pipeline.gif import gif_frame_spans
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    fr = [
+        (np.random.default_rng(s).integers(0, 2, size=(5, 7), dtype=np.uint8),
+         (0, 0), 1, 2, None)
+        for s in range(5)
+    ]
+    payload = _gif_anim_bytes((7, 5), fr, pal)
+    spans = gif_frame_spans(payload)
+    assert len(spans) == 5
+    for off, size in spans:
+        assert payload[off] == 0x2C  # each span starts at its descriptor
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "payload": [bytearray(payload)]})
+    )
+    got = sample_frames(df, max_frames=3).toPandas().sort_values("frame_idx")
+    assert len(got) == 3  # 5 frames, stride-2 sample under the cap
+    for r in got.itertuples():
+        off, sz = int(r.frame_offset), int(r.frame_size)
+        assert (off, sz) in spans
+        assert r.frame_md5 == hashlib.md5(payload[off : off + sz]).hexdigest()
