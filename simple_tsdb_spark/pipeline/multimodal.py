@@ -126,25 +126,60 @@ def _decode_bmp(payload: bytes):
 
 
 def _decode_wav(payload: bytes):
-    """PCM WAV → (samples ndarray (N, channels), sample_rate)."""
-    import io
-    import wave
+    """WAV → (samples ndarray (N, channels), sample_rate).
+
+    RIFF chunk walk (word-aligned) instead of stdlib ``wave`` so the
+    whole uncompressed family decodes: PCM 8/16/24/32-bit (24-bit
+    expands to int32 with the LSB zero-padded — the usual convention),
+    IEEE float 32/64-bit, and WAVE_FORMAT_EXTENSIBLE resolving to
+    either via the SubFormat GUID.  Compressed codecs (ADPCM, MP3 in
+    WAV, ...) raise :class:`DecoderNotAvailable`."""
+    import struct
 
     import numpy as np
 
-    try:
-        with wave.open(io.BytesIO(payload), "rb") as wf:
-            width, nch, rate = wf.getsampwidth(), wf.getnchannels(), wf.getframerate()
-            frames = wf.readframes(wf.getnframes())
-    except wave.Error as e:  # compressed/float variants
-        raise DecoderNotAvailable(f"unsupported WAV: {e}") from e
-    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
-    if dtype is None:
-        raise DecoderNotAvailable(f"unsupported WAV sample width {width}")
-    if nch <= 0 or len(frames) % (width * nch):
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecoderNotAvailable("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise DecoderNotAvailable("WAV without fmt/data chunks")
+    tag, nch, rate, _brate, _balign, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads the GUID
+        if len(fmt) < 26:
+            raise DecoderNotAvailable("truncated WAVE_FORMAT_EXTENSIBLE fmt")
+        (tag,) = struct.unpack_from("<H", fmt, 24)
+    width = bits // 8
+    if tag == 1:  # PCM
+        dtype = {1: np.uint8, 2: np.dtype("<i2"), 3: None, 4: np.dtype("<i4")}
+        if width not in dtype:
+            raise DecoderNotAvailable(f"unsupported PCM width {bits} bits")
+    elif tag == 3:  # IEEE float
+        if width not in (4, 8):
+            raise DecoderNotAvailable(f"unsupported float width {bits} bits")
+    else:
+        raise DecoderNotAvailable(f"unsupported WAV format tag {tag} (compressed)")
+    if nch <= 0 or width == 0 or len(data) % (width * nch):
         raise DecoderNotAvailable("truncated WAV frame data")
-    data = np.frombuffer(frames, dtype=dtype).reshape((-1, nch))
-    return data, rate
+    if tag == 3:
+        arr = np.frombuffer(data, dtype="<f4" if width == 4 else "<f8")
+    elif width == 3:  # 24-bit PCM: expand to int32, LSB zero-padded
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        arr = (
+            raw[:, 0].astype(np.int32) << 8
+        ) | (raw[:, 1].astype(np.int32) << 16) | (raw[:, 2].astype(np.int32) << 24)
+    else:
+        arr = np.frombuffer(data, dtype={1: np.uint8, 2: "<i2", 4: "<i4"}[width])
+    return arr.reshape((-1, nch)), rate
 
 
 def decode_media(payload: bytes, mime: str) -> object:
@@ -163,7 +198,9 @@ def decode_media(payload: bytes, mime: str) -> object:
         (stdlib-zlib decoder, :mod:`pipeline.png`)
       - image/gif (87a/89a first frame, LZW + palette, interlace,
         GCE transparency → RGBA; :mod:`pipeline.gif`)
-      - audio/wav, audio/x-wav (PCM) → (samples array, sample_rate)
+      - audio/wav, audio/x-wav (PCM 8/16/24/32-bit, IEEE float 32/64,
+        WAVE_FORMAT_EXTENSIBLE) → (samples array, sample_rate);
+        compressed codecs raise
       - video/mp4, video/quicktime → STRUCTURAL probe dict (ISO-BMFF
         box walk, :mod:`pipeline.mp4`): brand, duration, per-track
         handler/codec/dims and the full (offset, size) sample table —
@@ -214,7 +251,12 @@ def _real_decode_features(payload: bytes, mime: str) -> tuple[int, int, float]:
         )
     if isinstance(decoded, tuple):  # audio: (samples, rate)
         data, _rate = decoded
-        full = 255.0 if data.dtype == np.uint8 else float(2 ** (8 * data.dtype.itemsize - 1))
+        if np.issubdtype(data.dtype, np.floating):
+            full = 1.0  # IEEE-float WAV is already normalized
+        elif data.dtype == np.uint8:
+            full = 255.0
+        else:
+            full = float(2 ** (8 * data.dtype.itemsize - 1))
         return int(data.shape[0]), int(data.shape[1]), float(
             np.abs(data.astype(np.float64)).mean() / full
         )

@@ -1624,3 +1624,77 @@ def test_gif_frame_spans_and_sample_frames(spark):
         off, sz = int(r.frame_offset), int(r.frame_size)
         assert (off, sz) in spans
         assert r.frame_md5 == hashlib.md5(payload[off : off + sz]).hexdigest()
+
+
+# -- WAV beyond 16-bit PCM: float, 24-bit, WAVE_FORMAT_EXTENSIBLE ------------
+
+
+def _wav_raw(data: bytes, *, tag, nch, rate, bits, extensible=False):
+    width = bits // 8
+    if extensible:
+        # cbSize=22, valid bits, channel mask, SubFormat GUID (tag-led)
+        guid = struct.pack("<H", tag) + b"\x00\x00" + bytes(
+            [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+        )
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, nch, rate, rate * nch * width,
+                          nch * width, bits, 22, bits, 0) + guid
+    else:
+        fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * nch * width,
+                          nch * width, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"  # RIFF word alignment
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_float32_and_float64():
+    t = np.arange(64)
+    f32 = np.stack([np.sin(t / 5), np.cos(t / 3)], axis=1).astype("<f4")
+    data, rate = decode_media(
+        _wav_raw(f32.tobytes(), tag=3, nch=2, rate=44100, bits=32), "audio/wav"
+    )
+    assert rate == 44100 and data.dtype == np.float32
+    np.testing.assert_array_equal(data, f32)
+    f64 = (np.sin(t / 9)).reshape(-1, 1).astype("<f8")
+    data, _ = decode_media(
+        _wav_raw(f64.tobytes(), tag=3, nch=1, rate=8000, bits=64), "audio/wav"
+    )
+    np.testing.assert_array_equal(data, f64)
+    # feature surface normalizes float audio by 1.0
+    from simple_tsdb_spark.pipeline.multimodal import _real_decode_features
+
+    n, ch, mean = _real_decode_features(
+        _wav_raw(f32.tobytes(), tag=3, nch=2, rate=44100, bits=32), "audio/wav"
+    )
+    assert (n, ch) == (64, 2)
+    assert abs(mean - np.abs(f32.astype(np.float64)).mean()) < 1e-9
+
+
+def test_wav_24bit_pcm():
+    vals = np.array([0, 1, -1, 8388607, -8388608, 123456, -654321], dtype=np.int64)
+    raw = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    data, rate = decode_media(
+        _wav_raw(raw + b"\x00" * 3, tag=1, nch=2, rate=48000, bits=24), "audio/wav"
+    )
+    assert rate == 48000 and data.dtype == np.int32
+    got = data.flatten()[: len(vals)]
+    np.testing.assert_array_equal(got, (vals << 8).astype(np.int32))
+
+
+def test_wav_extensible_resolves_subformat():
+    pcm = np.arange(-10, 10, dtype="<i2").reshape(-1, 2)
+    data, _ = decode_media(
+        _wav_raw(pcm.tobytes(), tag=1, nch=2, rate=8000, bits=16, extensible=True),
+        "audio/wav",
+    )
+    np.testing.assert_array_equal(data, pcm)
+
+
+def test_wav_compressed_rejected():
+    with pytest.raises(DecoderNotAvailable, match="format tag"):
+        decode_media(
+            _wav_raw(b"\x00" * 32, tag=2, nch=1, rate=8000, bits=4), "audio/wav"
+        )  # ADPCM
