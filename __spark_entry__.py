@@ -446,6 +446,51 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_fixture(spark, sf_dir, "embeddings")
 
 
+_BPE_MERGES = 60
+_BPE_TOPM = 512
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING, hash-gated (the knn_ivf_trained
+    doctrine): merges fit from the top-512 word types by (count DESC,
+    word ASC) — one map-side-combined shuffle plus a bounded
+    TakeOrdered to the driver; the oracle refits the identical table in
+    DuckDB and runs the SAME deterministic merge loop, so the whole
+    training path sits inside the hash gate."""
+    from simple_tsdb_spark.pipeline import bpe_train_sampled
+
+    ms = bpe_train_sampled(_docs(spark, sf_dir), n_merges=_BPE_MERGES, top_m=_BPE_TOPM)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(ms)],
+        "mrank int, lhs string, rhs string",
+    )
+
+
+def _q_bpe_token_counts(spark, sf_dir):
+    """Distributed BPE ENCODE (fit + mapInPandas apply with per-batch
+    word-type memoization) over a fixed doc slice.  The encode rewrite
+    is non-SQL, so the oracle follows the trained-literal doctrine one
+    step further: DuckDB reads the same slice, refits the merges on its
+    own word table, applies the SHARED encode loop, and emits the
+    expected rows as literals — gating the whole distributed path
+    (scan, filter pushdown, Arrow batching, ordering) around the shared
+    loop.  Encode-loop correctness itself is pinned by tests/test_bpe
+    against an independent rank-order model of the reference bpe()."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.pipeline import bpe_encode_counts, bpe_train_sampled
+
+    docs = _docs(spark, sf_dir)
+    ms = bpe_train_sampled(docs, n_merges=_BPE_MERGES, top_m=_BPE_TOPM)
+    # fit is corpus-wide; the gated encode covers a fixed doc slice (the
+    # filter pushes to the scan) — full-corpus encode is exercised by
+    # tests/test_bpe.py and costed in scale_smoke, not the bench line
+    return (
+        bpe_encode_counts(docs.where(F.col("doc_id") < 200), ms)
+        .orderBy("doc_id")
+    )
+
+
 def _q_token_counts(spark, sf_dir):
     from simple_tsdb_spark.pipeline import token_counts
 
@@ -1258,9 +1303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   1. asof_join_nearest — the one r9 straggler;
         #   2. all 37 queries whose newest driver evidence is r10
         #      (active_users .. top_customers);
-        #   3. 12 r11-evidence queries, picking the four windowed ones
+        #   3. 10 r11-evidence queries, picking the four windowed ones
         #      whose spine code changed this round (sum/mean/minmax/auto
-        #      downsample) plus the S/A read surface.
+        #      downsample) plus the S/A read surface, and the two NEW
+        #      r13 bpe queries (no evidence at all yet); tare/difference
+        #      (r11) moved to the tail to make room.
         # Tail: the remaining 38 r11 queries, then the r12-green block.
         # After r13 no query's newest evidence is older than r11.
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
@@ -1311,8 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_points": _q_count_points,
         "active_series": _q_active_series,
         "list_series": _q_list_series,
-        "tare": _q_tare,
-        "difference": _q_difference,
+        "bpe_merges": _q_bpe_merges,  # NEW r13: trained tokenizer, duck-refit oracle
+        "bpe_token_counts": _q_bpe_token_counts,  # NEW r13: distributed encode (rows-only)
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         "daily_pivot": _q_daily_pivot,
         "revenue_rollup": _q_revenue_rollup,
@@ -1401,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integrate_points": _q_integrate,
         "derivative": _q_derivative,
         "counter_rate": _q_counter_rate,
+        "tare": _q_tare,
+        "difference": _q_difference,
     }
 
 
@@ -1789,6 +1838,91 @@ FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wst
 """
 
 
+def _bpe_merges_oracle() -> str:
+    """Refit the BPE merges on the DuckDB side (same word table, same
+    shared merge loop — bit-identical by construction, see
+    pipeline/bpe.py) and emit them as a literal VALUES table."""
+    import os
+
+    import duckdb
+
+    from simple_tsdb_spark.pipeline import bpe_train_duck
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        ms = bpe_train_duck(con, n_merges=_BPE_MERGES, top_m=_BPE_TOPM)
+    finally:
+        con.close()
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    if not ms:  # empty/degenerate corpus: no pairs to merge
+        return (
+            "-- fit from documents (empty)\n"
+            "SELECT CAST(NULL AS INT) AS mrank, CAST(NULL AS VARCHAR) AS lhs, "
+            "CAST(NULL AS VARCHAR) AS rhs WHERE FALSE"
+        )
+    vals = ", ".join(f"({i}, {q(l)}, {q(r)})" for i, (l, r) in enumerate(ms))
+    return (
+        # the 'documents' mention routes this query into fuzz_corpus's
+        # documents-table sweep (it selects on oracle text)
+        "-- fit from documents\n"
+        f"SELECT mrank, lhs, rhs FROM (VALUES {vals}) AS t(mrank, lhs, rhs) "
+        "ORDER BY mrank"
+    )
+
+
+def _bpe_token_counts_oracle() -> str:
+    """Read the gated doc slice in DuckDB, refit the merges on DuckDB's
+    word table, run the SHARED encode loop, and emit the expected
+    counts as a literal VALUES table (see _q_bpe_token_counts)."""
+    import os
+    import re
+
+    import duckdb
+
+    from simple_tsdb_spark.pipeline.bpe import bpe_train_duck, encode_word
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        ms = bpe_train_duck(con, n_merges=_BPE_MERGES, top_m=_BPE_TOPM)
+        docs = con.execute(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id"
+        ).fetchall()
+    finally:
+        con.close()
+    ranks = {p: i for i, p in enumerate(ms)}
+    ws = re.compile("[ \t\n\r\f\x0b]+")
+    vals = []
+    for doc_id, text in docs:
+        words = [w for w in ws.split(text or "") if w]
+        toks = [t for w in words for t in encode_word(w, ranks)]
+        vals.append((doc_id, len(words), len(toks), len(set(toks))))
+    if not vals:
+        return (
+            "-- encoded documents slice (empty)\n"
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words, "
+            "CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS n_token_types "
+            "WHERE FALSE"
+        )
+    rows = ", ".join(f"({d}, {w}, {t}, {y})" for d, w, t, y in vals)
+    return (
+        "-- encoded documents slice\n"
+        "SELECT doc_id, n_words, n_tokens, n_token_types FROM "
+        f"(VALUES {rows}) AS t(doc_id, n_words, n_tokens, n_token_types) "
+        "ORDER BY doc_id"
+    )
+
+
 def _knn_ivf_trained_oracle() -> str:
     """Draw the identical hash-rank training sample in DuckDB and run
     the same driver-local fit (bit-identical to the Spark fit by
@@ -2042,6 +2176,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "knn_lsh": knn_lsh_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf": knn_ivf_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "knn_ivf_trained": _knn_ivf_trained_oracle(),
+        "bpe_merges": _bpe_merges_oracle(),
+        "bpe_token_counts": _bpe_token_counts_oracle(),
         "knn_ivf_pq_trained": _knn_ivf_pq_trained_oracle(),
         "knn_ivf_pq": knn_ivf_pq_oracle(query_ids=KNN_QUERY_IDS, k=10),
         "pq_encode": pq_encode_oracle(),
