@@ -234,6 +234,24 @@ def corpus_phase(spark, n_docs: int = 1_000_000) -> None:
     print(f"CORPUS pii_scrub: {time.time()-t:.1f}s flagged={n:,}")
     assert n == N // 50
 
+    # BPE (round 13): fit on the top-M word table (bounded driver
+    # payload), then FULL-corpus distributed encode — the memoized
+    # mapInPandas path the gated query only samples.
+    from simple_tsdb_spark.pipeline import bpe_encode_counts, bpe_train_sampled
+
+    t = time.time()
+    merges = bpe_train_sampled(tdocs, n_merges=100, top_m=2048)
+    t_fit = time.time() - t
+    t = time.time()
+    agg = bpe_encode_counts(tdocs, merges).agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("toks")
+    ).collect()[0]
+    print(
+        f"CORPUS bpe fit {t_fit:.1f}s + encode {time.time()-t:.1f}s: "
+        f"docs={agg['docs']:,} tokens={agg['toks']:,}"
+    )
+    assert agg["docs"] == N and agg["toks"] > 0
+
     # Round-7 operators at the same corpus scale.
     from simple_tsdb_spark.pipeline import (
         dsir_resample,
