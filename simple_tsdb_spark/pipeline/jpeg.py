@@ -61,7 +61,9 @@ def _dct_matrix():
 
 
 class _Huff:
-    """Canonical Huffman table: (code_length, code) → symbol."""
+    """Canonical Huffman table: (code_length, code) → symbol, plus a
+    256-entry first-8-bits LUT so the common short codes decode with a
+    single peek instead of a bit-by-bit walk."""
 
     def __init__(self, counts, symbols):
         self.lut = {}
@@ -73,6 +75,12 @@ class _Huff:
                 code += 1
                 k += 1
             code <<= 1
+        self.fast: list[tuple[int, int] | None] = [None] * 256
+        for (length, c), sym in self.lut.items():
+            if length <= 8:
+                base = c << (8 - length)
+                for i in range(1 << (8 - length)):
+                    self.fast[base + i] = (sym, length)
 
 
 class _BitReader:
@@ -113,6 +121,11 @@ class _BitReader:
                 self.pos += 1
             self.bits = (self.bits << 8) | b
             self.nbits += 8
+        # keep only the unconsumed low bits: without this mask the
+        # accumulator grows by 8 bits per stream byte and every
+        # shift/mask turns into big-int arithmetic — decode time goes
+        # quadratic in payload size
+        self.bits &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -121,17 +134,26 @@ class _BitReader:
         return (self.bits >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.bits >> self.nbits) & ((1 << n) - 1)
 
     def decode_huff(self, table: _Huff) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.lut.get((length, code))
+        if self.nbits < 16:
+            self._fill()  # tops up to >= 25 bits
+        peek16 = (self.bits >> (self.nbits - 16)) & 0xFFFF
+        hit = table.fast[peek16 >> 8]
+        if hit is not None:
+            self.nbits -= hit[1]
+            return hit[0]
+        lut = table.lut
+        for length in range(9, 17):
+            sym = lut.get((length, peek16 >> (16 - length)))
             if sym is not None:
+                self.nbits -= length
                 return sym
         raise DecoderNotAvailable("corrupt entropy stream (no Huffman code)")
 
