@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from simple_tsdb_spark.pipeline.text import DSIR_BUCKETS, _bigrams_expr
 
-__all__ = ["streaming_dsir_scores"]
+__all__ = ["streaming_dsir_scores", "streaming_bpe_counts"]
 
 
 def streaming_dsir_scores(
@@ -58,3 +58,22 @@ def streaming_dsir_scores(
         .groupBy(id_col, event_time_col)
         .agg(F.sum(F.coalesce("lr", F.lit(0))).cast("long").alias("logw"))
     )
+
+
+def streaming_bpe_counts(
+    stream: DataFrame,
+    merges,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``pipeline.bpe.bpe_encode_counts`` — the same
+    production shape as DSIR above: the tokenizer is FIT on a snapshot
+    (``bpe_train_sampled``), the firehose is encoded as it arrives.
+    Encoding is a stateless Arrow-batched projection (mapInPandas), so
+    there is no state store and no watermark requirement; the batch and
+    stream paths share the same function, so equality is by
+    construction and pinned in tests/test_streaming_bpe.py."""
+    from simple_tsdb_spark.pipeline.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(stream, merges, text_col=text_col, id_col=id_col)
