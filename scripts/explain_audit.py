@@ -872,6 +872,19 @@ def main() -> int:
         and bool(re.search(r"hashpartitioning\(quality_ppm#\d+", p)),
     )
 
+    # BPE word-table fit (round 13): the only driver payload is the
+    # TakeOrdered(top_m) result — the plan must carry map-side partial
+    # aggregation and never a full global sort of the word table.
+    from simple_tsdb_spark.pipeline.bpe import word_freq_plan
+
+    p = plan_of(word_freq_plan(docs_df, top_m=512))
+    ok &= check(
+        "bpe fit: partial agg + TakeOrdered, no global sort",
+        ("partial_count" in p or "Partial" in p)
+        and "TakeOrderedAndProject" in p
+        and "rangepartitioning" not in p,
+    )
+
     # Giant inlined-expression Filters (the round-11 regression class):
     # a pushed-down predicate or a join-inferred isnotnull that inlines a
     # projection/quantizer fold re-evaluates it per corpus row.  Assert

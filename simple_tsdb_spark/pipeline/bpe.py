@@ -90,22 +90,33 @@ def bpe_fit(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
 
 # -- word-frequency tables ----------------------------------------------------
 
+def word_freq_plan(
+    df: DataFrame, *, text_col: str = "text", top_m: int = 4096
+) -> DataFrame:
+    """The word-table plan :func:`word_freqs_spark` collects: explode →
+    map-side-combined groupBy → TakeOrdered(top_m).  Exposed so the
+    explain audit can assert the shape (partial aggregation present, the
+    global order is a TakeOrderedAndProject of M rows — never a
+    full sort)."""
+    words = df.select(
+        F.explode(F.split(F.col(text_col), "[ \\t\\n\\r\\f\\x0B]+")).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(int(top_m))
+    )
+
+
 def word_freqs_spark(
     df: DataFrame, *, text_col: str = "text", top_m: int = 4096
 ) -> dict[str, int]:
     """Top-M word types by (count DESC, word ASC) — ONE map-side-combined
     shuffle + a TakeOrdered of M rows; the only driver payload of the
     whole fit, bounded by top_m regardless of corpus size."""
-    words = df.select(
-        F.explode(F.split(F.col(text_col), "[ \\t\\n\\r\\f\\x0B]+")).alias("w")
-    ).where(F.col("w") != "")
-    rows = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("w").asc())
-        .limit(int(top_m))
-        .collect()  # bounded: top_m rows (see docstring)
-    )
+    rows = word_freq_plan(df, text_col=text_col, top_m=top_m).collect()
+    # bounded collect: top_m rows (see docstring)
     return {r["w"]: r["n"] for r in rows}
 
 
