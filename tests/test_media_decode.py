@@ -1698,3 +1698,37 @@ def test_wav_compressed_rejected():
         decode_media(
             _wav_raw(b"\x00" * 32, tag=2, nch=1, rate=8000, bits=4), "audio/wav"
         )  # ADPCM
+
+
+def test_jpeg_progressive_sparse_band_zrl_and_eobrun():
+    """Sparse high-frequency content: zero runs > 15 inside the 6-63
+    band force ZRL (0xF0) symbols in the first AC scan and the
+    skip-16-zero-history path in refinement; flat regions across blocks
+    force EOB runs with attached correction bits.  Assert the token
+    streams actually contain those constructs, then that the decode is
+    bit-equal to baseline."""
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    # 8x32 grayscale: [constant | checkerboard | constant | pixel delta]
+    img = np.full((8, 32), 120, dtype=np.uint8)
+    yy, xx = np.mgrid[0:8, 0:8]
+    img[:, 8:16] = 120 + 8 * ((yy + xx) % 2)  # highest-frequency energy
+    img[3, 27] = 200  # sparse delta: wide spectrum, small values
+
+    grids, _samp, (w, h, *_rest) = _fdct_zz(img)
+    blocks = [grids[0][0][bx] for bx in range(4)]
+    first = _enc_ac_first(blocks, 6, 63, 1)
+    syms = [t[1] for t in first if t[0] == "sym"]
+    assert 0xF0 in syms, "no ZRL emitted — test image not sparse enough"
+    assert any(s & 15 == 0 and s != 0xF0 for s in syms), "no EOB run"
+    refine = _enc_ac_refine(blocks, 6, 63, 0)
+    rsyms = [t[1] for t in refine if t[0] == "sym"]
+    assert any(s & 15 == 1 for s in rsyms), "no newly-significant refine"
+
+    for al in (0, 1, 2):
+        prog = decode_jpeg(_jpeg_progressive_bytes(img, Al=al))
+        base = decode_jpeg(_jpeg_bytes(img))
+        np.testing.assert_array_equal(prog, base)
+    # restart markers through the sparse scans too
+    prog = decode_jpeg(_jpeg_progressive_bytes(img, Al=2, ri_dc=2, ri_ac=3))
+    np.testing.assert_array_equal(prog, decode_jpeg(_jpeg_bytes(img)))
