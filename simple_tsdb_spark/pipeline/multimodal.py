@@ -275,6 +275,73 @@ def _resize_nearest(img, width: int, height: int):
     return img[rows][:, cols]
 
 
+def _area_weights(np, n_in: int, n_out: int):
+    """(n_out, n_in) row-normalized fractional-coverage weights: output
+    cell j averages input cells over [j·s, (j+1)·s), s = n_in/n_out,
+    with exact partial-cell coverage — the anti-aliased box filter."""
+    W = np.zeros((n_out, n_in))
+    s = n_in / n_out
+    for j in range(n_out):
+        a, b = j * s, (j + 1) * s
+        for i in range(int(a), min(int(np.ceil(b)), n_in)):
+            W[j, i] = min(b, i + 1) - max(a, i)
+    return W / s
+
+
+def _resize_area(img, width: int, height: int):
+    """Exact area-average resize (separable box filter with fractional
+    pixel coverage) — the anti-aliasing downsampler real pipelines use;
+    two dense matmuls, fully vectorized."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    Wr = _area_weights(np, h, height)
+    Wc = _area_weights(np, w, width)
+    flat = img.reshape(h, -1).astype(np.float64)  # (h, w*ch)
+    out = Wr @ flat  # (H, w*ch)
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    out = out.reshape(height, w, ch).transpose(0, 2, 1) @ Wc.T  # (H, ch, W)
+    out = out.transpose(0, 2, 1)
+    out = out.reshape(height, width) if img.ndim == 2 else out
+    info = np.iinfo(img.dtype)
+    return np.clip(np.rint(out), info.min, info.max).astype(img.dtype)
+
+
+def _resize_bilinear(img, width: int, height: int):
+    """Bilinear resize (half-pixel centers, edges clamped), vectorized
+    with numpy gather + lerp."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = np.clip((np.arange(height) + 0.5) * h / height - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(width) + 0.5) * w / width - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0).reshape(-1, 1)
+    fx = xs - x0
+    if img.ndim == 3:
+        fy = fy[..., None]
+        fx = fx.reshape(1, -1, 1)
+    a = img[np.ix_(y0, x0)].astype(np.float64)
+    b = img[np.ix_(y0, x1)].astype(np.float64)
+    c = img[np.ix_(y1, x0)].astype(np.float64)
+    d = img[np.ix_(y1, x1)].astype(np.float64)
+    top = a + (b - a) * fx
+    bot = c + (d - c) * fx
+    out = top + (bot - top) * fy
+    info = np.iinfo(img.dtype)
+    return np.clip(np.rint(out), info.min, info.max).astype(img.dtype)
+
+
+_RESIZERS = {
+    "nearest": _resize_nearest,
+    "area": _resize_area,
+    "bilinear": _resize_bilinear,
+}
+
+
 def _fake_decode_features(payload: bytes) -> tuple[int, int, float, int]:
     """Deterministic stand-in for a real decoder: (width, height, mean,
     mean_ppm) derived from the bytes, so tests can assert plumbing
@@ -320,13 +387,17 @@ def sniff_mime(payload: bytes) -> str | None:
 
 
 def resize_images(
-    df: DataFrame, *, width: int, height: int, use_real_decoder: bool = False
+    df: DataFrame, *, width: int, height: int, use_real_decoder: bool = False,
+    method: str = "nearest",
 ) -> DataFrame:
     """Resize over (doc_id, payload, media_meta).
 
-    With ``use_real_decoder`` the payload is decoded (PNM/BMP for real;
-    codec formats raise DecoderNotAvailable) and nearest-neighbor
-    resized; the digest is of the resized pixel bytes.  Without it, a
+    With ``use_real_decoder`` the payload is decoded (all the real
+    decoders apply; codec-library formats raise DecoderNotAvailable)
+    and resized with ``method`` — ``'nearest'`` (indexing),
+    ``'area'`` (exact fractional-coverage box average, the
+    anti-aliasing downsampler) or ``'bilinear'`` (half-pixel-center
+    lerp); the digest is of the resized pixel bytes.  Without it, a
     deterministic payload digest stands in so schema/batching are
     exercised on non-media payloads (the driver's text blobs).
 
@@ -335,6 +406,9 @@ def resize_images(
     import hashlib
 
     w, h = int(width), int(height)
+    if method not in _RESIZERS:
+        raise ValueError(f"unknown resize method {method!r} (nearest/area/bilinear)")
+    resizer = _RESIZERS[method]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -345,7 +419,7 @@ def resize_images(
                     if isinstance(img, tuple):
                         raise DecoderNotAvailable("resize_images expects an image mime")
                     digests.append(
-                        hashlib.md5(_resize_nearest(img, w, h).tobytes()).hexdigest()
+                        hashlib.md5(resizer(img, w, h).tobytes()).hexdigest()
                     )
             else:
                 digests = [

@@ -1732,3 +1732,94 @@ def test_jpeg_progressive_sparse_band_zrl_and_eobrun():
     # restart markers through the sparse scans too
     prog = decode_jpeg(_jpeg_progressive_bytes(img, Al=2, ri_dc=2, ri_ac=3))
     np.testing.assert_array_equal(prog, decode_jpeg(_jpeg_bytes(img)))
+
+
+# -- resize methods: area (anti-aliased box) and bilinear ---------------------
+
+
+def test_resize_area_integer_factor_is_block_mean():
+    from simple_tsdb_spark.pipeline.multimodal import _resize_area
+
+    rng = np.random.default_rng(50)
+    img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    out = _resize_area(img, 4, 3)  # exact 4x4 blocks
+    want = np.rint(
+        img.astype(float).reshape(3, 4, 4, 4, 3).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_resize_area_fractional_coverage_model():
+    from simple_tsdb_spark.pipeline.multimodal import _resize_area
+
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    H, W = 3, 4
+
+    def naive(img, W, H):
+        h, w = img.shape
+        sy, sx = h / H, w / W
+        out = np.zeros((H, W))
+        for j in range(H):
+            for i in range(W):
+                acc = tot = 0.0
+                for y in range(h):
+                    wy = max(0.0, min((j + 1) * sy, y + 1) - max(j * sy, y))
+                    if wy == 0:
+                        continue
+                    for x in range(w):
+                        wx = max(0.0, min((i + 1) * sx, x + 1) - max(i * sx, x))
+                        if wx:
+                            acc += wy * wx * img[y, x]
+                            tot += wy * wx
+                out[j, i] = acc / tot
+        return np.rint(out).astype(np.uint8)
+
+    np.testing.assert_array_equal(_resize_area(img, W, H), naive(img, W, H))
+
+
+def test_resize_bilinear_identity_and_constant():
+    from simple_tsdb_spark.pipeline.multimodal import _resize_bilinear
+
+    rng = np.random.default_rng(52)
+    img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(_resize_bilinear(img, 9, 6), img)
+    const = np.full((5, 5), 77, dtype=np.uint8)
+    assert (_resize_bilinear(const, 13, 3) == 77).all()
+    # 16-bit input keeps its dtype and full range
+    g16 = rng.integers(0, 65536, size=(4, 4), dtype=np.uint16)
+    out = _resize_bilinear(g16, 8, 8)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(_resize_bilinear(g16, 4, 4), g16)
+
+
+def test_resize_images_methods_through_spark(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from simple_tsdb_spark.pipeline.multimodal import (
+        _resize_area,
+        resize_images,
+    )
+
+    img = _img(12, 16, seed=53)
+    payload = _png_bytes(img)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [bytearray(payload)]})
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('mime', 'image/png', 'n_bytes', CAST(length(payload) AS BIGINT), "
+        "'encoding', CAST(NULL AS STRING)) AS media_meta",
+        "'image/png' AS mime",
+    )
+    got = resize_images(
+        df, width=4, height=3, use_real_decoder=True, method="area"
+    ).toPandas()
+    want = hashlib.md5(_resize_area(img, 4, 3).tobytes()).hexdigest()
+    assert got.resized_md5[0] == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown resize method"):
+        resize_images(df, width=4, height=3, method="cubic")
