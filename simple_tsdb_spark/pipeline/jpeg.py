@@ -71,6 +71,10 @@ class _Huff:
         k = 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
+                if code >= (1 << length):
+                    # DHT counts violate the Kraft inequality (e.g. three
+                    # 1-bit codes): the canonical code overflows its length.
+                    raise DecoderNotAvailable("invalid DHT (Huffman code overflow)")
                 self.lut[(length, code)] = symbols[k]
                 code += 1
                 k += 1
@@ -305,6 +309,12 @@ class _ScanDecoder:
                         rr -= 1
                     k += 1
                 if val:
+                    if k > self.Se:
+                        # Corrupt stream: the ZRL/zero-run history skipped past
+                        # the end of the spectral band, so there is no slot for
+                        # the pending ±1 coefficient (libjpeg survives via a
+                        # padded natural_order table; we reject instead).
+                        raise DecoderNotAvailable("AC refine run past band end")
                     coef[ZIGZAG[k]] = val
                 k += 1
         if self.eobrun > 0:

@@ -265,12 +265,28 @@ def _new_track(track_id) -> dict:
     }
 
 
+def _default_run_base(buf, moof_end):
+    """Fallback base for a first trun that carries no data_offset under a
+    tfhd with no base_data_offset.  §8.8.7's literal default (first byte
+    of the enclosing moof) would make the synthesized offsets point at
+    the moof header bytes themselves, so use the payload of the mdat box
+    that follows the moof — where every real muxer puts the run."""
+    for btype, ps, _pe in _walk(buf, moof_end, len(buf)):
+        if btype == b"mdat":
+            return ps
+        if btype == b"moof":
+            break
+    return moof_end
+
+
 def _apply_moof(buf, moof_start, ps, pe, tracks_by_id, trex, frag_dur):
     """Append one movie fragment's samples to its tracks.  Sample base
     offsets follow §8.8.7: an explicit tfhd base_data_offset, else the
     first byte of the enclosing moof (default-base-is-moof and the
     universal smooth-streaming convention); successive truns continue
-    where the previous one ended when they carry no data_offset."""
+    where the previous one ended when they carry no data_offset.  A
+    first trun with no data_offset under an offset-less tfhd starts at
+    the following mdat's payload (see :func:`_default_run_base`)."""
     for t, s, e in _walk(buf, ps, pe):
         if t != b"traf":
             continue
@@ -282,16 +298,22 @@ def _apply_moof(buf, moof_start, ps, pe, tracks_by_id, trex, frag_dur):
         defaults = trex.get(tid, {})
         ddur = tfhd.get("default_dur", defaults.get("dur"))
         dsize = tfhd.get("default_size", defaults.get("size"))
+        explicit_base = "base_data_offset" in tfhd
         base = tfhd.get("base_data_offset", moof_start)
         trk = tracks_by_id.get(tid)
         if trk is None:
             trk = tracks_by_id[tid] = _new_track(tid)
-        run_end = base
+        run_end = base if explicit_base else None
         for tt, ts_, te_ in _walk(buf, s, e):
             if tt != b"trun":
                 continue
             data_offset, rows = _parse_trun(buf, ts_, te_, ddur, dsize)
-            off = base + data_offset if data_offset is not None else run_end
+            if data_offset is not None:
+                off = base + data_offset
+            elif run_end is not None:
+                off = run_end
+            else:
+                off = _default_run_base(buf, pe)
             for dur, size in rows:
                 trk["samples"].append((off, size))
                 off += size

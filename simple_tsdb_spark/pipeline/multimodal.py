@@ -262,6 +262,11 @@ def _real_decode_features(payload: bytes, mime: str) -> tuple[int, int, float]:
         )
     h, w = decoded.shape[0], decoded.shape[1]
     full = float(np.iinfo(decoded.dtype).max)  # 255 (uint8) / 65535 (uint16 PNG)
+    if decoded.dtype == np.uint16 and mime in ("image/jpeg", "image/jpg"):
+        # 12-bit JPEG keeps raw 0..4095 samples in a uint16 carrier (the
+        # only >8-bit precision T.81 allows), so full scale is 4095, not
+        # the carrier dtype's 65535.
+        full = 4095.0
     return int(w), int(h), float(decoded.astype(np.float64).mean() / full)
 
 

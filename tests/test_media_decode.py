@@ -1823,3 +1823,76 @@ def test_resize_images_methods_through_spark(spark):
 
     with _pytest.raises(ValueError, match="unknown resize method"):
         resize_images(df, width=4, height=3, method="cubic")
+
+
+# -- round-14 ADVICE regressions (corrupt-input contract) --------------------
+
+
+def test_jpeg_kraft_violating_dht_raises_typed():
+    """A DHT whose counts violate the Kraft inequality (three 1-bit
+    codes) must raise DecoderNotAvailable at parse time, not IndexError
+    from the fast-LUT build (ADVICE r13, jpeg.py _Huff)."""
+    counts = bytes([3] + [0] * 15)
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 3) + b"\x00" + counts + b"\x01\x02\x03"
+    payload = b"\xff\xd8" + dht + b"\xff\xd9"
+    with pytest.raises(DecoderNotAvailable, match="Huffman code overflow"):
+        decode_media(payload, "image/jpeg")
+
+
+def test_jpeg_ac_refine_run_past_band_end_raises_typed():
+    """_block_ac_refine: a corrupt refinement code whose zero-run skips
+    past Se must raise DecoderNotAvailable, not write outside the band
+    or IndexError at k == 64 (ADVICE r13 medium)."""
+    from simple_tsdb_spark.pipeline import jpeg as J
+
+    sd = object.__new__(J._ScanDecoder)
+    sd.Ss, sd.Se, sd.Al, sd.eobrun = 1, 5, 0, 0
+    # single-symbol AC table: 1-bit code '0' → rs = (5 << 4) | 1
+    ac = J._Huff(bytes([1] + [0] * 15), [0x51])
+    sd._ac_table = lambda tac: ac
+    # bits: '0' (huff code) then '1' (sign bit for the +1 coefficient);
+    # zero-history run of 5 over an all-zero band of width 5 exits with
+    # k == 6 > Se and a pending ±1 with no in-band slot.
+    sd.r = J._BitReader(b"\x40", 0)
+    coef = np.zeros(64, dtype=np.int32)
+    with pytest.raises(DecoderNotAvailable, match="band end"):
+        sd._block_ac_refine(0, coef)
+    assert not coef.any()  # nothing written outside the band
+
+
+def test_jpeg_12bit_mean_normalized_by_4095():
+    """_real_decode_features must normalize 12-bit JPEG means by the
+    4095 full scale, not the uint16 carrier's 65535 (ADVICE r13)."""
+    from simple_tsdb_spark.pipeline.multimodal import _real_decode_features
+
+    base = np.full((2, 2), 2048)
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint16)
+    payload = _jpeg_bytes(img, prec=12)
+    w, h, mean = _real_decode_features(payload, "image/jpeg")
+    assert (w, h) == (16, 16)
+    decoded = decode_media(payload, "image/jpeg")
+    assert decoded.dtype == np.uint16
+    want = decoded.astype(np.float64).mean() / 4095.0
+    assert mean == pytest.approx(want)
+    assert 0.45 < mean < 0.55  # mid-gray, not ~16x darker
+
+
+def test_fmp4_offsetless_first_trun_starts_at_mdat_payload():
+    """A first trun with no data_offset under a tfhd with no
+    base_data_offset must synthesize offsets into the following mdat
+    payload, not into the moof header bytes (ADVICE r13, mp4.py
+    _apply_moof §8.8.7 default)."""
+    from simple_tsdb_spark.pipeline.mp4 import parse_mp4
+
+    frames = [b"frameAAAA", b"frBB"]
+    lead = _box(b"styp", b"isom" + struct.pack(">I", 512) + b"iso6")
+    mfhd = _fullbox(b"mfhd", 0, struct.pack(">I", 1))
+    tfhd = _fullbox_f(b"tfhd", 0, 0x20000, struct.pack(">I", 1))  # no base offset
+    rows = b"".join(struct.pack(">II", 100, len(f)) for f in frames)
+    trun = _fullbox_f(b"trun", 0, 0x100 | 0x200, struct.pack(">I", len(frames)) + rows)
+    moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+    payload = lead + moof + _box(b"mdat", b"".join(frames))
+    trk = parse_mp4(payload)["tracks"][0]
+    assert trk["n_samples"] == 2
+    for (off, size), raw in zip(trk["samples"], frames):
+        assert payload[off : off + size] == raw  # lands in mdat, not moof
