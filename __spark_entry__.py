@@ -108,6 +108,37 @@ def _q_sum_points(spark: SparkSession, sf_dir: str) -> DataFrame:  # A2
     )
 
 
+def _q_u64_decimal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:  # u64f
+    """Full-range u64 (``u64f`` → DECIMAL(20,0), measurement.h:22-31)
+    through the real A2 windowed engine: every derived value sits ABOVE
+    2^63 (outside int64), accumulates in decimal(38,0)
+    (windowed.py:163), and the gated finals render as strings — int64
+    cannot carry u64 and DIVERGENCES §14 bans DECIMAL/HUGEINT in gated
+    output."""
+    from pyspark.sql import functions as F
+
+    from simple_tsdb_spark.operators import sum_points
+
+    big = (
+        "CAST(CAST('9223372036854775808' AS DECIMAL(20,0))"
+        " + CAST(user_id AS DECIMAL(20,0)) * 1000000000000000"
+        " + CAST(event_id AS DECIMAL(20,0)) AS DECIMAL(20,0))"
+    )
+    df = _events(spark, sf_dir, t0=None, t1=T1).withColumn("big", F.expr(big))
+    agg = sum_points(
+        df, fields=["big"], t0=T0, t1=T1, window_ns=W, exact=True, decimal_sums=True
+    )
+    return agg.select(
+        "series",
+        "wstart",
+        "window_npoints",
+        F.col("big_sum").cast("string").alias("big_sum"),
+        F.col("big_min").cast("string").alias("big_min"),
+        F.col("big_max").cast("string").alias("big_max"),
+        "big_count",
+    )
+
+
 def _q_mean_points(spark: SparkSession, sf_dir: str) -> DataFrame:  # A3
     from simple_tsdb_spark.operators import mean_points
 
@@ -1298,18 +1329,64 @@ def _q_revenue_rollup(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Rotation (round 13): the driver gates the FIRST 50 entries in
-        # dict order.  Head-50 this round (VERDICT r12 finding #2):
-        #   1. asof_join_nearest — the one r9 straggler;
-        #   2. all 37 queries whose newest driver evidence is r10
-        #      (active_users .. top_customers);
-        #   3. 10 r11-evidence queries, picking the four windowed ones
-        #      whose spine code changed this round (sum/mean/minmax/auto
-        #      downsample) plus the S/A read surface, and the two NEW
-        #      r13 bpe queries (no evidence at all yet); tare/difference
-        #      (r11) moved to the tail to make room.
-        # Tail: the remaining 38 r11 queries, then the r12-green block.
-        # After r13 no query's newest evidence is older than r11.
+        # Rotation (round 14): the driver gates the FIRST 50 entries in
+        # dict order.  Head-50 this round (VERDICT r13 "Next round" #1):
+        #   1. u64_decimal_sum — NEW this round (no evidence yet);
+        #   2. all 40 queries whose newest driver evidence is r11
+        #      (integrate_points .. burn_rate_alerts);
+        #   3. the 9 oldest r12-evidence queries (asof_join .. token_counts).
+        # Tail: the remaining r12 block, then the r13-green block.
+        # After r14 no query's newest driver evidence is older than r12.
+        "u64_decimal_sum": _q_u64_decimal_sum,  # NEW r14: full-range u64 (DECIMAL(20,0)) windowed sum
+        "integrate_points": _q_integrate,
+        "tare": _q_tare,
+        "difference": _q_difference,
+        "derivative": _q_derivative,
+        "counter_rate": _q_counter_rate,
+        "repetition_stats": _q_repetition_stats,  # Gopher-style repetition signals
+        "boilerplate_spans": _q_boilerplate_spans,  # C4-style span df profile
+        "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
+        "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
+        "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
+        "pii_scrub": _q_pii_scrub,  # email/IP/phone redaction
+        "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
+        "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
+        "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
+        "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
+        "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
+        "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
+        "dup_ngram_chars": _q_dup_ngram_chars,  # Gopher repetition rule (dup n-gram chars)
+        "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
+        "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
+        "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
+        "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
+        "cluster_prune": _q_cluster_prune,  # SSL-prototype coreset keep-k
+        "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
+        "lttb": _q_lttb,  # LTTB visual downsample — recursive-CTE oracle
+        "cusum": _q_cusum,  # two-sided CUSUM drift detection
+        "seasonal": _q_seasonal,  # classical additive decomposition
+        "find_gaps": _q_find_gaps,  # missing-data gap detection
+        "quantile_points": _q_quantile_points,  # windowed SLO percentiles
+        "bollinger": _q_bollinger,  # exact-moment Bollinger bands + breakouts
+        "incidents": _q_incidents,  # outlier points -> merged incident intervals
+        "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
+        "ivf_stats": _q_ivf_stats,  # IVF list-balance skew audit
+        "source_dedup_rate": _q_source_dedup_rate,  # per-source duplication report
+        "ngram_novelty": _q_ngram_novelty,  # per-doc novelty vs reference grams
+        "event_transitions": _q_event_transitions,  # Markov path analytics
+        "session_stats": _q_session_stats,  # per-series session summary (e6/ns integer means)
+        "lm_perplexity_buckets": _q_lm_perplexity_buckets,  # CCNet head/middle/tail split
+        "funnel_conversion_time": _q_funnel_conversion_time,  # funnel latency distribution
+        "burn_rate_alerts": _q_burn_rate_alerts,  # SRE multi-window burn alerts
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "moving_avg": _q_moving_avg,
+        "histogram": _q_histogram,
+        "quantiles": _q_quantiles,
+        "distinct_users": _q_distinct_users,
+        "mean_fill_linear": _q_mean_fill_linear,
+        "ewma": _q_ewma,  # recursive stateful op — recursive-CTE oracle
+        "token_counts": _q_token_counts,
         "asof_join_nearest": _q_asof_join_nearest,  # bidirectional nearest sensor fusion
         "active_users": _q_active_users,  # DAU/WAU/stickiness engagement
         "ann_recall": _q_ann_recall,  # recall@k audit: LSH vs exact brute force
@@ -1363,18 +1440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_pq_trained": _q_knn_ivf_pq_trained,  # trained PQ codebooks, duck-refit oracle
         "daily_pivot": _q_daily_pivot,
         "revenue_rollup": _q_revenue_rollup,
-        "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
-        "sessionize": _q_sessionize,
-        "moving_avg": _q_moving_avg,
-        "histogram": _q_histogram,
-        "quantiles": _q_quantiles,
-        "distinct_users": _q_distinct_users,
         "hybrid_rollup_sum": _q_hybrid_rollup_sum,  # continuous-aggregate read
-        "mean_fill_linear": _q_mean_fill_linear,
         "mean_fill_previous": _q_mean_fill_previous,
-        "ewma": _q_ewma,  # recursive stateful op — recursive-CTE oracle
-        "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "decontaminate": _q_decontaminate,  # benchmark n-gram overlap
@@ -1410,46 +1478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap": _q_heatmap,  # 2-D time x value-bin heatmap
         "top_values_per_series": _q_top_values_per_series,  # per-series worst offenders
         "normalize_text": _q_normalize_text,  # canonical pre-dedup normalization
-        "ngram_lm_score": _q_ngram_lm,  # bigram-LM xent quality filter (CCNet shape)
-        "char_entropy": _q_char_entropy,  # Shannon char entropy (gibberish signal)
-        "source_dedup_rate": _q_source_dedup_rate,  # per-source duplication report
-        "ngram_novelty": _q_ngram_novelty,  # per-doc novelty vs reference grams
-        "session_stats": _q_session_stats,  # per-series session summary (e6/ns integer means)
-        "burn_rate_alerts": _q_burn_rate_alerts,  # SRE multi-window burn alerts
-        "repetition_stats": _q_repetition_stats,  # Gopher-style repetition signals
-        "dup_ngram_chars": _q_dup_ngram_chars,  # Gopher repetition rule (dup n-gram chars)
-        "lm_perplexity_buckets": _q_lm_perplexity_buckets,  # CCNet head/middle/tail split
-        "boilerplate_spans": _q_boilerplate_spans,  # C4-style span df profile
-        "funnel_conversion_time": _q_funnel_conversion_time,  # funnel latency distribution
-        "event_transitions": _q_event_transitions,  # Markov path analytics
-        "ivf_stats": _q_ivf_stats,  # IVF list-balance skew audit
-        "knn_ivf_pq": _q_knn_ivf_pq,  # product-quantized ADC search
-        "pq_encode": _q_pq_encode,  # PQ index build (codes as string)
-        "tfidf_topk": _q_tfidf_topk,  # per-doc top-k TF-IDF terms
-        "pii_scrub": _q_pii_scrub,  # email/IP/phone redaction
-        "semdedup": _q_semdedup,  # semantic dedup, within-cluster cosine
-        "zscore_outliers": _q_zscore_outliers,  # exact-moment anomaly flags
-        "exact_substr_spans": _q_exact_substr_spans,  # ExactSubstr dup regions
-        "dsir_weights": _q_dsir_weights,  # DSIR hashed-ngram importance weights
-        "simhash_band_dedup": _q_simhash_band_dedup,  # streaming twin, batch form
-        "winnowing": _q_winnowing,  # MOSS winnowing fingerprints
-        "winnowing_matches": _q_winnowing_matches,  # MOSS cross-doc report
-        "kmeans_clusters": _q_kmeans_clusters,  # quantizer cluster profile
-        "cluster_prune": _q_cluster_prune,  # SSL-prototype coreset keep-k
-        "mad_outliers": _q_mad_outliers,  # robust MAD anomaly flags
-        "lttb": _q_lttb,  # LTTB visual downsample — recursive-CTE oracle
-        "cusum": _q_cusum,  # two-sided CUSUM drift detection
-        "seasonal": _q_seasonal,  # classical additive decomposition
-        "find_gaps": _q_find_gaps,  # missing-data gap detection
-        "quantile_points": _q_quantile_points,  # windowed SLO percentiles
-        "bollinger": _q_bollinger,  # exact-moment Bollinger bands + breakouts
-        "incidents": _q_incidents,  # outlier points -> merged incident intervals
-        "holt_linear": _q_holt_linear,  # Holt level+trend — recursive-CTE oracle
-        "integrate_points": _q_integrate,
-        "derivative": _q_derivative,
-        "counter_rate": _q_counter_rate,
-        "tare": _q_tare,
-        "difference": _q_difference,
     }
 
 
@@ -1568,6 +1596,41 @@ SELECT spine.series, spine.wstart,
        COALESCE(agg.value_count, 0) AS value_count,
        agg.user_id_sum, agg.user_id_min, agg.user_id_max,
        COALESCE(agg.user_id_count, 0) AS user_id_count
+FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
+""",
+        # u64f: same spine/alignment semantics as sum_points, but over a
+        # derived full-range u64 column (every value > 2^63).  DuckDB
+        # accumulates in HUGEINT; finals CAST to VARCHAR on both engines
+        # (DIVERGENCES §14: no HUGEINT/DECIMAL in gated output).
+        "u64_decimal_sum": f"""
+WITH m0 AS ({_M}),
+m AS (SELECT series, time_ns,
+        CAST('9223372036854775808' AS HUGEINT)
+        + CAST(user_id AS HUGEINT) * 1000000000000000
+        + CAST(event_id AS HUGEINT) AS big
+      FROM m0),
+tf AS (SELECT series, MIN(time_ns) AS tfirst FROM m GROUP BY series),
+starts AS (SELECT series, GREATEST({-(-T0 // W) * W}, tfirst - tfirst % {W}) AS t0a FROM tf),
+data AS (
+  SELECT m.series, time_ns - time_ns % {W} AS wstart, big
+  FROM m JOIN starts USING (series)
+  WHERE time_ns >= t0a AND time_ns <= {T1}),
+agg AS (
+  SELECT series, wstart, COUNT(*) AS window_npoints,
+         CAST(SUM(big) AS VARCHAR) AS big_sum,
+         CAST(MIN(big) AS VARCHAR) AS big_min,
+         CAST(MAX(big) AS VARCHAR) AS big_max,
+         COUNT(big) AS big_count
+  FROM data GROUP BY series, wstart),
+bounds AS (
+  SELECT d.series, MIN(s.t0a) AS bfirst, MAX(d.wstart) AS blast
+  FROM data d JOIN starts s USING (series) GROUP BY d.series),
+spine AS (
+  SELECT series, UNNEST(generate_series(bfirst, blast, {W})) AS wstart FROM bounds)
+SELECT spine.series, spine.wstart,
+       COALESCE(agg.window_npoints, 0) AS window_npoints,
+       agg.big_sum, agg.big_min, agg.big_max,
+       COALESCE(agg.big_count, 0) AS big_count
 FROM spine LEFT JOIN agg ON spine.series = agg.series AND spine.wstart = agg.wstart
 """,
         "mean_points": sum_cte

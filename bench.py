@@ -20,6 +20,8 @@ def fit_result_line(
     sf: float,
     limit: int = 1800,
     itemize: str = "slowest",
+    calib: float | None = None,
+    load: float | None = None,
 ) -> str:
     """The ONE-line JSON result, guaranteed under ``limit`` chars.
 
@@ -58,6 +60,14 @@ def fit_result_line(
         "itemized": itemize,
         "queries": {k: round(v, 2) for k, v in order},
     }
+    # Machine-drift self-attribution (VERDICT r12 #4): `calib` times a
+    # fixed data-independent probe, `load` is the 1-min load average.
+    # If a round's numbers inflate uniformly AND calib/load moved with
+    # them, it's co-tenant noise, not a regression.
+    if calib is not None:
+        payload["calib"] = round(calib, 2)
+    if load is not None:
+        payload["load"] = round(load, 1)
     line = json.dumps(payload, separators=(",", ":"))
     while len(line) > limit and payload["queries"]:
         payload["queries"].pop(next(reversed(payload["queries"])))
@@ -124,8 +134,24 @@ def main() -> None:
     for name, t in times.items():
         print(f"# {name}: {t:.3f}s", file=sys.stderr)
 
+    # Constant-work calibration probe: a fixed JVM-side aggregation with
+    # no data dependence (same cost at every sf).  Best-of-2, same as the
+    # queries; round-to-round drift here is machine noise by definition.
+    def calib_once() -> float:
+        t0 = time.time()
+        spark.range(0, 512_000_000, 1, 32).selectExpr(
+            "sum(id * 3 % 7) AS s"
+        ).collect()
+        return time.time() - t0
+
+    calib = min(calib_once(), calib_once())
+    try:
+        load = os.getloadavg()[0]
+    except OSError:
+        load = None
+
     itemize = round_parity_itemize(os.path.dirname(os.path.abspath(__file__)))
-    print(fit_result_line(times, sf, itemize=itemize))
+    print(fit_result_line(times, sf, itemize=itemize, calib=calib, load=load))
 
 
 if __name__ == "__main__":

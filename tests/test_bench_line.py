@@ -92,3 +92,23 @@ def test_round_parity_itemize(tmp_path):
     assert bench.round_parity_itemize(str(tmp_path)) == "slowest"  # round 12
     (tmp_path / "BENCH_r12.json").write_text("{}")
     assert bench.round_parity_itemize(str(tmp_path)) == "fastest"  # round 13
+
+
+def test_calib_and_load_fields_fit_and_survive_trim():
+    # r14: the calibration probe must appear in the line without
+    # breaking the 1800-char cap or the two-round coverage guarantee
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    times = {
+        n: 0.05 + (i % 7) * 0.31 + (5.0 if i % 29 == 0 else 0.0)
+        for i, n in enumerate(names)
+    }
+    kept = set()
+    for mode in ("slowest", "fastest"):
+        line = bench.fit_result_line(times, 0.1, itemize=mode, calib=1.234, load=17.85)
+        assert len(line) <= 1800
+        d = json.loads(line[-2000:])
+        assert d["calib"] == 1.23 and d["load"] == 17.8 or d["load"] == 17.9
+        kept |= set(d["queries"])
+    assert kept == set(names)  # complement coverage holds with the extra fields
