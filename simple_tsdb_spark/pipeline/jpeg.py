@@ -10,12 +10,15 @@ component), extended sequential (SOF1), and progressive DCT (SOF2)
 with both spectral selection and successive approximation — DC
 first/refine scans (interleaved or not) and per-component AC band
 scans with EOB-run coding and correction-bit refinement (T.81 §G.1.2,
-the same control flow as the public libjpeg ``jdphuff.c``).  8- and
-12-bit samples (12-bit returns uint16 with raw 0..4095 values; SOF1/
-SOF2 only, per spec), 8- and 16-bit quantization tables, 1- or
-3-component frames, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0),
-restart intervals, 0xFF00 byte stuffing.  Arithmetic coding and
-hierarchical mode raise :class:`DecoderNotAvailable` — the honest
+the same control flow as the public libjpeg ``jdphuff.c``) — plus the
+ARITHMETIC-coded variants SOF9/SOF10 (T.81 Annex D QM-coder,
+:class:`_ArithDecoder` / :class:`_ArithScanDecoder`, conformance
+proven against the system libjpeg in tests).  8- and 12-bit samples
+(12-bit returns uint16 with raw 0..4095 values; SOF1/SOF2/SOF10 only,
+per spec), 8- and 16-bit quantization tables, 1- or 3-component
+frames, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart
+intervals, 0xFF00 byte stuffing, DAC conditioning.  Lossless and
+hierarchical modes raise :class:`DecoderNotAvailable` — the honest
 capability boundary, same as multimodal.decode_media's other formats.
 
 Used by ``pipeline.multimodal.decode_media`` for ``image/jpeg`` so
@@ -177,6 +180,146 @@ class _BitReader:
 
 def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# -- arithmetic (QM-coder) entropy decoding, T.81 Annex D ---------------------
+#
+# Probability estimation state machine, T.81 Table D.3 (also printed in
+# the public-domain IJG jaricom.c): (Qe, NMPS, NLPS, switch).  Index 113
+# is the nonadaptive "fixed" 0.5-probability bin used for AC signs and
+# DC refinement bits.
+_ARITH_TAB = (
+    (0X5A1D, 1, 1, 1), (0X2586, 2, 14, 0), (0X1114, 3, 16, 0),
+    (0X080B, 4, 18, 0), (0X03D8, 5, 20, 0), (0X01DA, 6, 23, 0),
+    (0X00E5, 7, 25, 0), (0X006F, 8, 28, 0), (0X0036, 9, 30, 0),
+    (0X001A, 10, 33, 0), (0X000D, 11, 35, 0), (0X0006, 12, 9, 0),
+    (0X0003, 13, 10, 0), (0X0001, 13, 12, 0), (0X5A7F, 15, 15, 1),
+    (0X3F25, 16, 36, 0), (0X2CF2, 17, 38, 0), (0X207C, 18, 39, 0),
+    (0X17B9, 19, 40, 0), (0X1182, 20, 42, 0), (0X0CEF, 21, 43, 0),
+    (0X09A1, 22, 45, 0), (0X072F, 23, 46, 0), (0X055C, 24, 48, 0),
+    (0X0406, 25, 49, 0), (0X0303, 26, 51, 0), (0X0240, 27, 52, 0),
+    (0X01B1, 28, 54, 0), (0X0144, 29, 56, 0), (0X00F5, 30, 57, 0),
+    (0X00B7, 31, 59, 0), (0X008A, 32, 60, 0), (0X0068, 33, 62, 0),
+    (0X004E, 34, 63, 0), (0X003B, 35, 32, 0), (0X002C, 9, 33, 0),
+    (0X5AE1, 37, 37, 1), (0X484C, 38, 64, 0), (0X3A0D, 39, 65, 0),
+    (0X2EF1, 40, 67, 0), (0X261F, 41, 68, 0), (0X1F33, 42, 69, 0),
+    (0X19A8, 43, 70, 0), (0X1518, 44, 72, 0), (0X1177, 45, 73, 0),
+    (0X0E74, 46, 74, 0), (0X0BFB, 47, 75, 0), (0X09F8, 48, 77, 0),
+    (0X0861, 49, 78, 0), (0X0706, 50, 79, 0), (0X05CD, 51, 48, 0),
+    (0X04DE, 52, 50, 0), (0X040F, 53, 50, 0), (0X0363, 54, 51, 0),
+    (0X02D4, 55, 52, 0), (0X025C, 56, 53, 0), (0X01F8, 57, 54, 0),
+    (0X01A4, 58, 55, 0), (0X0160, 59, 56, 0), (0X0125, 60, 57, 0),
+    (0X00F6, 61, 58, 0), (0X00CB, 62, 59, 0), (0X00AB, 63, 61, 0),
+    (0X008F, 32, 61, 0), (0X5B12, 65, 65, 1), (0X4D04, 66, 80, 0),
+    (0X412C, 67, 81, 0), (0X37D8, 68, 82, 0), (0X2FE8, 69, 83, 0),
+    (0X293C, 70, 84, 0), (0X2379, 71, 86, 0), (0X1EDF, 72, 87, 0),
+    (0X1AA9, 73, 87, 0), (0X174E, 74, 72, 0), (0X1424, 75, 72, 0),
+    (0X119C, 76, 74, 0), (0X0F6B, 77, 74, 0), (0X0D51, 78, 75, 0),
+    (0X0BB6, 79, 77, 0), (0X0A40, 48, 77, 0), (0X5832, 81, 80, 1),
+    (0X4D1C, 82, 88, 0), (0X438E, 83, 89, 0), (0X3BDD, 84, 90, 0),
+    (0X34EE, 85, 91, 0), (0X2EAE, 86, 92, 0), (0X299A, 87, 93, 0),
+    (0X2516, 71, 86, 0), (0X5570, 89, 88, 1), (0X4CA9, 90, 95, 0),
+    (0X44D9, 91, 96, 0), (0X3E22, 92, 97, 0), (0X3824, 93, 99, 0),
+    (0X32B4, 94, 99, 0), (0X2E17, 86, 93, 0), (0X56A8, 96, 95, 1),
+    (0X4F46, 97, 101, 0), (0X47E5, 98, 102, 0), (0X41CF, 99, 103, 0),
+    (0X3C3D, 100, 104, 0), (0X375E, 93, 99, 0), (0X5231, 102, 105, 0),
+    (0X4C0F, 103, 106, 0), (0X4639, 104, 107, 0), (0X415E, 99, 103, 0),
+    (0X5627, 106, 105, 1), (0X50E7, 107, 108, 0), (0X4B85, 103, 109, 0),
+    (0X5597, 109, 110, 0), (0X504F, 107, 111, 0), (0X5A10, 111, 110, 1),
+    (0X5522, 109, 112, 0), (0X59EB, 111, 112, 1), (0X5A1D, 113, 113, 0),
+)
+
+
+class _ArithDecoder:
+    """QM-coder decoder derived as EXACT interval arithmetic rather than
+    a transcription of T.81's register flowcharts: the entropy bytes
+    (0xFF00-unstuffed, zero-filled past any trailing marker) are the
+    binary fraction X the encoder emitted, and we track
+    ``C = floor((X - L) * 2^s)`` where L is the interval base and the
+    scale s grows by one per renormalization — so every MPS/LPS decision
+    ``X - L >= (A - Qe) * 2^-s`` is an exact integer comparison with no
+    carry or byte-boundary conventions to get wrong.  Subinterval
+    assignment is the standard QM layout (MPS low, LPS high, conditional
+    exchange when A - Qe < Qe); conformance is pinned by the
+    libjpeg-oracle roundtrips in tests/test_media_decode.py."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.marker = None  # first non-RST marker byte seen (stream end)
+        self.a = 0x10000  # full [0, 1) interval
+        self.c = (self._byte() << 8) | self._byte()  # first 16 bits of X
+
+    def _byte(self) -> int:
+        """Next unstuffed entropy byte; zero-fill once a marker is hit
+        (the T.81 convention: decoding may legally outrun the data)."""
+        if self.marker is not None:
+            return 0
+        d = self.data
+        if self.pos >= len(d):
+            self.marker = 0xD9
+            return 0
+        b = d[self.pos]
+        if b != 0xFF:
+            self.pos += 1
+            return b
+        nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+        if nxt == 0x00:
+            self.pos += 2
+            return 0xFF
+        self.marker = nxt  # RST or terminal marker: stop consuming
+        return 0
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        """Decode one binary decision against statistics bin stats[i]
+        (low 7 bits: Table D.3 state index; bit 7: current MPS)."""
+        sv = stats[i]
+        qe, nmps, nlps, switch = _ARITH_TAB[sv & 0x7F]
+        mps = sv >> 7
+        a = self.a - qe
+        if self.c < a:
+            # lower subinterval (width a): MPS unless exchange
+            if a >= 0x8000:
+                self.a = a
+                return mps
+            if a < qe:  # conditional exchange: lower is LPS
+                d = 1 - mps
+                stats[i] = ((mps ^ switch) << 7) | nlps
+            else:
+                d = mps
+                stats[i] = (mps << 7) | nmps
+        else:
+            # upper subinterval (width qe): LPS unless exchange
+            self.c -= a
+            if a < qe:
+                d = mps
+                stats[i] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                stats[i] = ((mps ^ switch) << 7) | nlps
+            a = qe
+        # renormalize: double the interval, pull in the next bits of X
+        nbits = 0
+        while a < 0x8000:
+            a <<= 1
+            nbits += 1
+        if nbits:
+            self.c = (self.c << nbits) | self._take_bits(nbits)
+        self.a = a
+        return d
+
+    # bit reservoir over _byte()
+    _resv = 0
+    _resn = 0
+
+    def _take_bits(self, n: int) -> int:
+        while self._resn < n:
+            self._resv = (self._resv << 8) | self._byte()
+            self._resn += 8
+        self._resn -= n
+        out = (self._resv >> self._resn) & ((1 << n) - 1)
+        self._resv &= (1 << self._resn) - 1
+        return out
 
 
 def _next_marker_pos(d: bytes, pos: int) -> int:
@@ -383,6 +526,186 @@ class _ScanDecoder:
         return _next_marker_pos(self.r.data, self.r.pos)
 
 
+class _ArithScanDecoder(_ScanDecoder):
+    """Arithmetic-coded scan decode (SOF9 sequential / SOF10
+    progressive), per T.81 §F.2 with the statistics-bin layout of
+    Tables F.4/F.5 (DC: 64 bins — 20 context + category/bit chains;
+    AC: 256 bins — 3 per index + the two Kx-split magnitude chains).
+    Control flow mirrors the public IJG ``jdarith.c``; the per-decision
+    core is :class:`_ArithDecoder`.  Statistics reset per scan and at
+    every restart marker (T.81 §F.1.4.1)."""
+
+    def __init__(self, d, pos, frame, scomp, cond, ri, Ss, Se, Ah, Al):
+        self.arith = _ArithDecoder(d, pos)
+        self.r = self.arith  # base run() uses .data/.pos for scan end
+        self.frame = frame
+        self.scomp = scomp
+        self.cond = cond
+        self.ri = ri
+        self.Ss, self.Se, self.Ah, self.Al = Ss, Se, Ah, Al
+        self.eobrun = 0
+        self._reset_stats()
+        for comp, _t, _a in scomp:
+            comp["pred"] = 0
+            comp["dcctx"] = 0
+
+    def _reset_stats(self):
+        self.dc_stats: dict[int, bytearray] = {}
+        self.ac_stats: dict[int, bytearray] = {}
+        self.fixed = bytearray([113])  # nonadaptive 0.5-probability bin
+
+    def _dc_bins(self, tdc):
+        st = self.dc_stats.get(tdc)
+        if st is None:
+            st = self.dc_stats[tdc] = bytearray(64)
+        return st
+
+    def _ac_bins(self, tac):
+        st = self.ac_stats.get(tac)
+        if st is None:
+            st = self.ac_stats[tac] = bytearray(256)
+        return st
+
+    # -- per-block procedures (T.81 §F.2.4, bins per Tables F.4/F.5) -------
+    def _a_dc(self, comp, tdc, coef):
+        ar = self.arith
+        st = self._dc_bins(tdc)
+        ctx = comp["dcctx"]
+        if ar.decode(st, ctx) == 0:
+            comp["dcctx"] = 0
+        else:
+            sign = ar.decode(st, ctx + 1)
+            i = ctx + 2 + sign
+            m = ar.decode(st, i)
+            if m:
+                i = 20  # X1: shared magnitude-category chain
+                while ar.decode(st, i):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise DecoderNotAvailable("arith DC magnitude overflow")
+                    i += 1
+            dl, du = self.cond["dc"].get(tdc, (0, 1))
+            if m < (1 << dl) >> 1:
+                comp["dcctx"] = 0
+            elif m > (1 << du) >> 1:
+                comp["dcctx"] = 12 + 4 * sign
+            else:
+                comp["dcctx"] = 4 + 4 * sign
+            v = m
+            i += 14  # magnitude-bit bin for this category
+            m >>= 1
+            while m:
+                if ar.decode(st, i):
+                    v |= m
+                m >>= 1
+            v += 1
+            comp["pred"] += -v if sign else v
+        coef[0] = comp["pred"] << self.Al
+
+    def _a_dc_refine(self, coef):
+        if self.arith.decode(self.fixed, 0):
+            coef[0] = int(coef[0]) | (1 << self.Al)
+
+    def _a_ac(self, tac, coef, kstart, kend):
+        ar = self.arith
+        st = self._ac_bins(tac)
+        kx = self.cond["ac"].get(tac, 5)
+        al = self.Al
+        k = kstart
+        while k <= kend:
+            base = 3 * (k - 1)
+            if ar.decode(st, base):
+                break  # EOB
+            while ar.decode(st, base + 1) == 0:
+                base += 3
+                k += 1
+                if k > kend:
+                    raise DecoderNotAvailable("arith AC index overflow")
+            sign = ar.decode(self.fixed, 0)
+            i = base + 2
+            m = ar.decode(st, i)
+            if m and ar.decode(st, i):
+                m = 2
+                i = 189 if k <= kx else 217  # X2.. chains, Kx-split
+                while ar.decode(st, i):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise DecoderNotAvailable("arith AC magnitude overflow")
+                    i += 1
+            v = m
+            i += 14
+            m >>= 1
+            while m:
+                if ar.decode(st, i):
+                    v |= m
+                m >>= 1
+            v += 1
+            coef[ZIGZAG[k]] = (-v if sign else v) << al
+            k += 1
+
+    def _a_ac_refine(self, tac, coef):
+        ar = self.arith
+        st = self._ac_bins(tac)
+        p1 = 1 << self.Al
+        m1 = -1 << self.Al
+        kex = self.Se  # previous-stage end-of-block index
+        while kex >= 1 and not coef[ZIGZAG[kex]]:
+            kex -= 1
+        k = self.Ss
+        while k <= self.Se:
+            base = 3 * (k - 1)
+            if k > kex and ar.decode(st, base):
+                break  # EOB
+            while True:
+                z = ZIGZAG[k]
+                c = int(coef[z])
+                if c:
+                    if ar.decode(st, base + 2):
+                        coef[z] = c + (m1 if c < 0 else p1)
+                    break
+                if ar.decode(st, base + 1):
+                    coef[z] = m1 if ar.decode(self.fixed, 0) else p1
+                    break
+                base += 3
+                k += 1
+                if k > self.Se:
+                    raise DecoderNotAvailable("arith AC refine overflow")
+            k += 1
+
+    def _decode_block(self, comp, tdc, tac, by, bx):
+        coef = comp["coef"][by, bx]
+        if self.Ss == 0 and self.Se == 63:
+            self._a_dc(comp, tdc, coef)
+            self._a_ac(tac, coef, 1, 63)
+        elif self.Se == 0:
+            if self.Ah == 0:
+                self._a_dc(comp, tdc, coef)
+            else:
+                self._a_dc_refine(coef)
+        elif self.Ah == 0:
+            self._a_ac(tac, coef, self.Ss, self.Se)
+        else:
+            self._a_ac_refine(tac, coef)
+
+    def _restart(self, n, rst):
+        d = self.arith.data
+        pos = self.arith.pos
+        want = 0xD0 + (rst & 7)
+        while pos + 1 < len(d):
+            if d[pos] == 0xFF and d[pos + 1] == want:
+                pos += 2
+                break
+            pos += 1
+        else:
+            raise DecoderNotAvailable("missing restart marker")
+        self.arith = _ArithDecoder(d, pos)
+        self.r = self.arith
+        self._reset_stats()
+        for comp, _t, _a in self.scomp:
+            comp["pred"] = 0
+            comp["dcctx"] = 0
+
+
 def _parse_sof(np, seg, progressive):
     prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
     if prec not in (8, 12):
@@ -416,7 +739,7 @@ def decode_jpeg(payload: bytes):
     """Decode a baseline, extended-sequential, or progressive JPEG →
     ndarray (h, w) grayscale or (h, w, 3) RGB; uint8 for 8-bit frames,
     uint16 (raw 0..4095) for 12-bit.  Raises
-    :class:`DecoderNotAvailable` for arithmetic/hierarchical variants
+    :class:`DecoderNotAvailable` for lossless/hierarchical variants
     or corrupt streams."""
     import numpy as np
 
@@ -426,6 +749,7 @@ def decode_jpeg(payload: bytes):
     pos = 2
     qt: dict[int, list[int]] = {}
     hts: dict[tuple[int, int], _Huff] = {}
+    arith_cond: dict[str, dict] = {"dc": {}, "ac": {}}
     restart_interval = 0
     frame = None
     nscans = 0
@@ -462,18 +786,30 @@ def decode_jpeg(payload: bytes):
                 symbols = list(seg[i + 17 : i + 17 + nsym])
                 hts[(tc, th)] = _Huff(counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential (12-bit) / SOF2
-            # progressive — all Huffman DCT with the same scan grammar
+            # progressive (Huffman), SOF9 sequential / SOF10 progressive
+            # (arithmetic) — all DCT frames with the same scan grammar
             if frame is not None:
                 raise DecoderNotAvailable("multiple frames unsupported")
-            frame = _parse_sof(np, seg, progressive=marker == 0xC2)
+            frame = _parse_sof(np, seg, progressive=marker in (0xC2, 0xCA))
+            frame["arith"] = marker in (0xC9, 0xCA)
             if marker == 0xC0 and frame["prec"] != 8:
                 raise DecoderNotAvailable("baseline SOF0 must be 8-bit")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise DecoderNotAvailable(
-                f"unsupported SOF marker 0xFF{marker:02X} (arithmetic/12-bit/hierarchical)"
+                f"unsupported SOF marker 0xFF{marker:02X} (lossless/hierarchical)"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 15
+                v = seg[i + 1]
+                if tc == 0:
+                    arith_cond["dc"][tb] = (v & 15, v >> 4)  # (L, U)
+                else:
+                    arith_cond["ac"][tb] = v  # Kx
+                i += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -501,10 +837,16 @@ def decode_jpeg(payload: bytes):
             else:
                 if Ss != 0 or Se != 63 or Ah != 0 or Al != 0:
                     raise DecoderNotAvailable("bad baseline scan header")
-            sd = _ScanDecoder(
-                d, pos + seglen, frame, scomp, hts, restart_interval,
-                Ss, Se, Ah, Al,
-            )
+            if frame["arith"]:
+                sd = _ArithScanDecoder(
+                    d, pos + seglen, frame, scomp, arith_cond,
+                    restart_interval, Ss, Se, Ah, Al,
+                )
+            else:
+                sd = _ScanDecoder(
+                    d, pos + seglen, frame, scomp, hts, restart_interval,
+                    Ss, Se, Ah, Al,
+                )
             pos = sd.run()
             nscans += 1
             continue

@@ -738,12 +738,20 @@ def test_jpeg_progressive_restart_markers():
     np.testing.assert_array_equal(out, decode_media(_jpeg_bytes(img), "image/jpeg"))
 
 
-def test_jpeg_arithmetic_still_raises():
-    # SOF9 (extended sequential, arithmetic coding) must keep raising
+def test_jpeg_hierarchical_still_raises():
+    # SOF5 (differential sequential, hierarchical mode) must keep raising;
+    # arithmetic SOF9/SOF10 decode for real since r14 (see the
+    # test_jpeg_arith_* suite below)
+    payload = b"\xff\xd8\xff\xc5" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    with pytest.raises(DecoderNotAvailable, match="hierarchical"):
+        decode_media(payload, "image/jpeg")
+    # a bare SOF9 with no scan is corrupt, not "unsupported"
     payload = b"\xff\xd8\xff\xc9" + struct.pack(">H", 11) + bytes(
         [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
     )
-    with pytest.raises(DecoderNotAvailable, match="arithmetic"):
+    with pytest.raises(DecoderNotAvailable):
         decode_media(payload, "image/jpeg")
 
 
@@ -1896,3 +1904,153 @@ def test_fmp4_offsetless_first_trun_starts_at_mdat_payload():
     assert trk["n_samples"] == 2
     for (off, size), raw in zip(trk["samples"], frames):
         assert payload[off : off + size] == raw  # lands in mdat, not moof
+
+
+# -- arithmetic-coded JPEG (SOF9/SOF10, T.81 Annex D QM-coder) ---------------
+#
+# Conformance is proven against the SYSTEM libjpeg (which carries the
+# reference QM implementation) via the compile-on-demand ctypes shim in
+# tests/jpeg_oracle.py; those tests skip when gcc/libjpeg are absent.
+# The two embedded fixtures below were generated by that libjpeg and
+# keep the decoder pinned even without the shim.
+
+_ARITH_SEQ_HEX = (
+    "ffd8ffe000104a46494600010100000100010000ffdb00430003020203020203"
+    "03030304030304050805050404050a070706080c0a0c0c0b0a0b0b0d0e12100d"
+    "0e110e0b0b1016101113141515150c0f171816141812141514ffc9000b080010"
+    "001001011100ffcc000600101005ffda0008010100003f00ff0064991b1d63c0"
+    "3257be440d10d233da16bb1edcf54539c3aaad0513d10c87e8924a4b87c8b202"
+    "e0e87c9537ddee59a66f7b3406af65eb125172279fbf09af6f9e72d33790d15d"
+    "7119916f135ae2297bce30818885513cc1812ec6cfb003aa1a565209cc72b00e"
+    "2ac538e424ac8f2973971b80f4cfb733820ea9c39723aeebd328cd3ed4021242"
+    "20fc99efed0043f80dd8adfa1f19fb46f6e53f83203051bf7e2fc8915396b2f9"
+    "e8c8ad7f457ff33c82e242e63f61e0da5f0dd786893d8c25d83172659160f14f"
+    "4498b69a06288c56799bb967c2ffd9"
+)
+_ARITH_PROG_HEX = (
+    "ffd8ffe000104a46494600010100000100010000ffdb00430003020203020203"
+    "03030304030304050805050404050a070706080c0a0c0c0b0a0b0b0d0e12100d"
+    "0e110e0b0b1016101113141515150c0f171816141812141514ffca000b080010"
+    "001001011100ffcc00040010ffda0008010100000001fec84441a0ffcc000410"
+    "05ffda000801010001050215f2ecbd6177c363386f29e3089447aab180ffcc00"
+    "041005ffda0008010100063f02154e75063d61cb2909767fe9a801d5d1c1b165"
+    "edc333e2380b509b0aa6e8fb34d485eb78d894189b0e9f70bd097766897d748e"
+    "30e967d58c6c800c9fddd39952161974d62beedaf23e2a111258781512543308"
+    "d260d889673e6974d80f1880ffcc00041005ffda0008010100013f21c941f5a8"
+    "af9837ca32dc8fb92b512a1b33d8aaa56f1783174695bf7c293c6ce54c76d5b1"
+    "246957993b77c0ffda0008010100000010f8ffcc00041005ffda000801010001"
+    "3f10875b3af845fbaa2550b255be88927579948f7788e3427bd0bf940d0dc8ae"
+    "3af027cada3a0ca4e293ffd9"
+)
+_ARITH_PIX_HEX = (
+    "8a21db1bc5ff20c4c1ff91a3685457701d21d36ac70fcee18c84011504b986b8"
+    "ee808e3ab60115158f51c988f468bbf673405bbb2d0fdbc33c9ca7b3a37942c7"
+    "15ce67861111ce2172bbfadd247d4f70270d197c91a1e65ab090bb2c667642f0"
+    "09cf10c73457daa5b69f046b4983a5cd1f439e8ec79780743b4f5171214f2c3b"
+    "28319718c347f38fb2bc4be5e254560f68fcbbdbe9a1e8d327c1d44710c1b6a3"
+    "f3764e27ce0012bf1c7c57b0c035ba5e8f315d1664ae83f842911875f297a9df"
+    "ae198fac11263fc50fc28bc0a3d5d23718f7295c1c06797a3a496a8643bb2f09"
+    "9df6e88c1d877d2729df51bac850dfb1d9c32cf08bbda4c00f4ad963c8b3adf7"
+)
+
+
+def test_jpeg_arith_embedded_fixtures_decode():
+    """Sequential (SOF9) and progressive (SOF10) arithmetic fixtures
+    (generated by the system libjpeg) decode to the pinned pixels; the
+    two scan shapes carry identical coefficients so outputs agree."""
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    want = np.frombuffer(bytes.fromhex(_ARITH_PIX_HEX), dtype=np.uint8).reshape(16, 16)
+    seq = decode_jpeg(bytes.fromhex(_ARITH_SEQ_HEX))
+    prog = decode_jpeg(bytes.fromhex(_ARITH_PROG_HEX))
+    np.testing.assert_array_equal(seq, want)
+    np.testing.assert_array_equal(prog, want)
+    # and through the decode_media dispatch
+    np.testing.assert_array_equal(
+        decode_media(bytes.fromhex(_ARITH_SEQ_HEX), "image/jpeg"), want
+    )
+
+
+def _jpeg_shim():
+    import jpeg_oracle
+
+    if not jpeg_oracle.available():
+        pytest.skip(jpeg_oracle.skip_reason())
+    return jpeg_oracle
+
+
+def test_jpeg_arith_sequential_gray_vs_libjpeg():
+    jo = _jpeg_shim()
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    for seed, q in [(0, 50), (1, 90), (2, 98)]:
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(48, 56), dtype=np.uint8
+        )
+        p = jo.encode(img, arith=True, quality=q)
+        mine = decode_jpeg(p)
+        ref = jo.decode(p)
+        # entropy decode must be exact; <=1 is IDCT rounding (float vs
+        # libjpeg's fixed-point islow), same bound as the Huffman tests
+        assert np.abs(mine.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_jpeg_arith_color_progressive_restarts_vs_libjpeg():
+    jo = _jpeg_shim()
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(99)
+    for shape in [(40, 44, 3), (17, 23, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for kw in (
+            {"arith": True},
+            {"arith": True, "progressive": True},
+            {"arith": True, "restart_rows": 1},
+            {"arith": True, "progressive": True, "restart_rows": 2},
+        ):
+            p = jo.encode(img, quality=85, **kw)
+            mine = decode_jpeg(p)
+            ref = jo.decode_plain(p)  # replication upsampling, like ours
+            assert np.abs(mine.astype(int) - ref.astype(int)).max() <= 2, kw
+
+
+def test_jpeg_arith_corrupt_streams_raise_typed():
+    """Bit-flipped / truncated arithmetic streams must decode-or-raise
+    DecoderNotAvailable — never hang, crash, or return a wrong shape."""
+    from simple_tsdb_spark.pipeline.jpeg import DecoderNotAvailable, decode_jpeg
+
+    base = bytes.fromhex(_ARITH_SEQ_HEX)
+    rng = np.random.default_rng(7)
+    ent0 = base.find(b"\xff\xda") + 10  # inside the entropy segment
+    for _ in range(40):
+        b = bytearray(base)
+        i = int(rng.integers(ent0, len(b) - 2))
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.shape == (16, 16)  # survived: shape contract holds
+        except DecoderNotAvailable:
+            pass
+    for cut in (ent0, ent0 + 5, len(base) - 3):
+        try:
+            out = decode_jpeg(base[:cut])
+            assert out.shape == (16, 16)
+        except DecoderNotAvailable:
+            pass
+
+
+def test_jpeg_huffman_modes_vs_libjpeg():
+    """Bonus conformance: the existing Huffman paths (baseline and
+    progressive, gray and 4:2:0 color) against the system libjpeg."""
+    jo = _jpeg_shim()
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    c = rng.integers(0, 256, size=(32, 40, 3), dtype=np.uint8)
+    for img, tol in ((g, 1), (c, 2)):
+        for kw in ({}, {"progressive": True}):
+            p = jo.encode(img, quality=88, **kw)
+            mine = decode_jpeg(p)
+            ref = jo.decode_plain(p) if img.ndim == 3 else jo.decode(p)
+            assert np.abs(mine.astype(int) - ref.astype(int)).max() <= tol, kw
