@@ -26,6 +26,10 @@ __all__ = ["decode_gif", "decode_gif_frames", "gif_frame_spans"]
 
 
 def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
+    if not 2 <= min_code_size <= 11:
+        # GIF codes are at most 12 bits; a stomped size byte would make
+        # the initial table 2^255 entries
+        raise DecoderNotAvailable(f"invalid LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []
@@ -81,9 +85,22 @@ def _parse_frames(payload: bytes, np, want_pixels: bool = True):
     ``want_pixels`` is False), ``ct`` the frame's color table, and
     ``span`` the (start, end) byte range of the image-descriptor +
     entropy segment in the payload."""
+    try:
+        return _parse_frames_checked(payload, np, want_pixels)
+    except (IndexError, struct.error, ValueError) as exc:
+        # blocks shorter than their declared fields (truncated uploads;
+        # ValueError = np.frombuffer over a color table the payload
+        # cannot hold): the typed-boundary contract shared by every
+        # decoder here
+        raise DecoderNotAvailable(f"truncated/corrupt GIF block: {exc}") from exc
+
+
+def _parse_frames_checked(payload: bytes, np, want_pixels: bool = True):
     if len(payload) < 13 or payload[:3] != b"GIF" or payload[3:6] not in (b"87a", b"89a"):
         raise DecoderNotAvailable("not a GIF stream")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if sw * sh > (1 << 26):
+        raise DecoderNotAvailable(f"implausible GIF screen {sw}x{sh}")
     pos = 13
     gct = None
     if flags & 0x80:

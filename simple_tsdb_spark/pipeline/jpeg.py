@@ -708,6 +708,8 @@ class _ArithScanDecoder(_ScanDecoder):
 
 def _parse_sof(np, seg, progressive):
     prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+    if w * h > (1 << 26) or w == 0 or h == 0:
+        raise DecoderNotAvailable(f"implausible JPEG dimensions {w}x{h}")
     if prec not in (8, 12):
         raise DecoderNotAvailable(f"{prec}-bit precision unsupported")
     if nc not in (1, 3):
@@ -736,11 +738,22 @@ def _parse_sof(np, seg, progressive):
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline, extended-sequential, or progressive JPEG →
-    ndarray (h, w) grayscale or (h, w, 3) RGB; uint8 for 8-bit frames,
-    uint16 (raw 0..4095) for 12-bit.  Raises
-    :class:`DecoderNotAvailable` for lossless/hierarchical variants
-    or corrupt streams."""
+    """Decode a baseline, extended-sequential, progressive, or
+    arithmetic-coded JPEG → ndarray (h, w) grayscale or (h, w, 3) RGB;
+    uint8 for 8-bit frames, uint16 (raw 0..4095) for 12-bit.  Raises
+    :class:`DecoderNotAvailable` for lossless/hierarchical variants or
+    corrupt streams."""
+    try:
+        return _decode_jpeg_checked(payload)
+    except (IndexError, struct.error) as exc:
+        # Segment bodies shorter than their declared fields (truncated
+        # or bit-flipped uploads): same typed-boundary contract as the
+        # BMFF walker, so one bad crawl payload degrades to the
+        # metadata row instead of failing the whole Spark task.
+        raise DecoderNotAvailable(f"truncated/corrupt JPEG segment: {exc}") from exc
+
+
+def _decode_jpeg_checked(payload: bytes):
     import numpy as np
 
     d = payload

@@ -148,6 +148,8 @@ def decode_png(payload: bytes):
                 raise DecoderNotAvailable("nonstandard compression/filter method")
             if interlace not in (0, 1):
                 raise DecoderNotAvailable(f"unknown interlace method {interlace}")
+            if w * h > (1 << 26) or w == 0 or h == 0:
+                raise DecoderNotAvailable(f"implausible PNG dimensions {w}x{h}")
             ihdr = (w, h, depth, color, interlace)
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
