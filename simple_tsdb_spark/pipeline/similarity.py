@@ -1278,12 +1278,30 @@ def knn_ivf_pq(
         e.drop("_sarr").withColumnRenamed("nid", "_pqid"), cbs, dim, carry=("list_id",)
     ).withColumnRenamed("_pqid", "nid")
 
-    lut_terms = []
-    for mi, cb in enumerate(cbs):
-        lut_terms += [f"round({t}, 6)" for t in _pq_dist_terms("_nv", cb, mi * sub)]
+    # LUT as one nested codebook literal + HOF instead of m·K expanded
+    # round(...) terms: each centroid value appears ONCE (the expanded
+    # form repeated it twice per squared diff), cutting the expression
+    # text ~4x and the driver's per-run analysis cost with it (VERDICT
+    # r12 #6: knn_ivf_pq's bench cost is plan-size-bound driver work,
+    # not executor math).  Evaluated only on the tiny probes side
+    # (n_queries x nprobe rows), so interpreted-HOF speed is irrelevant.
+    # Bit-exactness: aggregate's fold is ((0.0+t0)+t1)+... and every
+    # t_i is a square >= 0, so the sums match the expanded form's
+    # left-assoc addition bit-for-bit and the DuckDB oracle stays
+    # hash-identical.
+    cb_lit = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"CAST({c[d]!r} AS DOUBLE)" for d in range(sub)) + ")"
+            for c in cb
+        ) + ")"
+        for cb in cbs
+    ) + ")"
     lut_bound = (
         f"aggregate(array({_norm_expr('qemb')}), CAST(NULL AS ARRAY<DOUBLE>), "
-        f"(acc, _nv) -> array(" + ", ".join(lut_terms) + "))"
+        f"(acc, _nv) -> flatten(transform(sequence(0, {m - 1}), mi -> "
+        f"transform(element_at({cb_lit}, mi + 1), c -> "
+        f"round(aggregate(zip_with(slice(_nv, mi * {sub} + 1, {sub}), c, "
+        f"(p, q) -> (p - q) * (p - q)), CAST(0.0 AS DOUBLE), (a, z) -> a + z), 6)))))"
     )
     qlists = e.where(F.col("nid").isin(list(query_ids))).select(
         F.col("nid").alias("query_id"),
