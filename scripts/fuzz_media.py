@@ -51,6 +51,10 @@ TIME_BUDGET_S = float(os.environ.get("FUZZ_MEDIA_BUDGET_S", "10"))
 def _seed_payloads() -> dict[str, list[tuple[str, bytes]]]:
     """format -> [(mime, valid payload)], via the unit-test builders."""
     import test_media_decode as t  # noqa: PLC0415  (tests dir on path)
+    from jpeg_arith_ref import encode_arith_gray as _enc12  # noqa: PLC0415
+
+    def _arith12(im):
+        return _enc12(im, prec=12, progressive=True)
 
     rng = np.random.default_rng(20260816)
     gray = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
@@ -68,6 +72,7 @@ def _seed_payloads() -> dict[str, list[tuple[str, bytes]]]:
             ("image/jpeg", t._jpeg_bytes(img12, prec=12)),
             ("image/jpeg", bytes.fromhex(t._ARITH_SEQ_HEX)),
             ("image/jpeg", bytes.fromhex(t._ARITH_PROG_HEX)),
+            ("image/jpeg", _arith12(img12)),
         ],
         "png": [
             ("image/png", t._png_bytes(rgb)),
