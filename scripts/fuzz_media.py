@@ -73,6 +73,7 @@ def _seed_payloads() -> dict[str, list[tuple[str, bytes]]]:
             ("image/jpeg", bytes.fromhex(t._ARITH_SEQ_HEX)),
             ("image/jpeg", bytes.fromhex(t._ARITH_PROG_HEX)),
             ("image/jpeg", _arith12(img12)),
+            ("image/jpeg", t._jpeg_lossless_bytes(gray, prec=8, predictor=4, ri=9)),
         ],
         "png": [
             ("image/png", t._png_bytes(rgb)),

@@ -17,7 +17,9 @@ proven against the system libjpeg in tests).  8- and 12-bit samples
 (12-bit returns uint16 with raw 0..4095 values; SOF1/SOF2/SOF10 only,
 per spec), 8- and 16-bit quantization tables, 1- or 3-component
 frames, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart
-intervals, 0xFF00 byte stuffing, DAC conditioning.  Lossless and
+intervals, 0xFF00 byte stuffing, DAC conditioning — and the LOSSLESS
+process (SOF3, T.81 Annex H: predictors 1-7, point transform, 2-16 bit,
+:class:`_LosslessScanDecoder`).  Arithmetic-lossless (SOF11) and
 hierarchical modes raise :class:`DecoderNotAvailable` — the honest
 capability boundary, same as multimodal.decode_media's other formats.
 
@@ -706,6 +708,129 @@ class _ArithScanDecoder(_ScanDecoder):
             comp["dcctx"] = 0
 
 
+def _parse_sof_lossless(np, seg):
+    """SOF3 frame header: 2–16-bit precision, no block grid — each
+    component is a bare (h, w) sample plane (sampling 1×1 only; the
+    subsampled-lossless case is vanishingly rare in real data)."""
+    prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+    if w * h > (1 << 26) or w == 0 or h == 0:
+        raise DecoderNotAvailable(f"implausible JPEG dimensions {w}x{h}")
+    if not 2 <= prec <= 16:
+        raise DecoderNotAvailable(f"{prec}-bit precision invalid for lossless")
+    if nc not in (1, 3):
+        raise DecoderNotAvailable(f"{nc}-component images unsupported")
+    comps = []
+    for c in range(nc):
+        cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+        if hv != 0x11:
+            raise DecoderNotAvailable("subsampled lossless JPEG unsupported")
+        comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
+                      "plane": np.zeros((h, w), dtype=np.int32)})
+    return {
+        "w": w, "h": h, "comps": comps, "hmax": 1, "vmax": 1,
+        "mcux": w, "mcuy": h, "progressive": False, "prec": prec,
+        "lossless": True,
+    }
+
+
+class _LosslessScanDecoder:
+    """Lossless-process scan (T.81 Annex H): per-sample prediction from
+    the left/above/above-left neighbors with the scan-selected predictor
+    (Ss = 1..7), differences coded with DC-style Huffman categories
+    (SSSS 0..16, 16 = +32768 with no extra bits), all arithmetic modulo
+    65536, point transform Al = Pt.  First-line rules: the scan's (and
+    each restart interval's) first sample predicts 2^(P−Pt−1), the rest
+    of that line uses Ra; later lines start on Rb."""
+
+    def __init__(self, d, pos, frame, scomp, hts, ri, predictor, pt):
+        self.r = _BitReader(d, pos)
+        self.frame = frame
+        self.scomp = scomp  # [(comp, dc_table_id, _)]
+        self.hts = hts
+        self.ri = ri
+        if not 1 <= predictor <= 7:
+            raise DecoderNotAvailable(f"invalid lossless predictor {predictor}")
+        self.sel = predictor
+        self.pt = pt
+        self.default_p = 1 << (frame["prec"] - pt - 1)
+
+    def _table(self, tdc):
+        t = self.hts.get((0, tdc))
+        if t is None:
+            raise DecoderNotAvailable("missing lossless Huffman table")
+        return t
+
+    def _diff(self, table) -> int:
+        t = self.r.decode_huff(table)
+        if t == 16:
+            return 32768  # special category: no additional bits
+        if t > 16:
+            raise DecoderNotAvailable("invalid lossless difference category")
+        return _extend(self.r.receive(t), t)
+
+    def _predict(self, plane, y, x, seg_y, seg_x) -> int:
+        if y == seg_y:  # (restart-)first line
+            if x == seg_x:
+                return self.default_p
+            return int(plane[y, x - 1])
+        if x == 0:
+            return int(plane[y - 1, x])
+        a = int(plane[y, x - 1])
+        b = int(plane[y - 1, x])
+        c = int(plane[y - 1, x - 1])
+        sel = self.sel
+        if sel == 1:
+            p = a
+        elif sel == 2:
+            p = b
+        elif sel == 3:
+            p = c
+        elif sel == 4:
+            p = a + b - c
+        elif sel == 5:
+            p = a + ((b - c) >> 1)
+        elif sel == 6:
+            p = b + ((a - c) >> 1)
+        else:
+            p = (a + b) >> 1
+        return p & 0xFFFF
+
+    def run(self) -> int:
+        frame = self.frame
+        w, h = frame["w"], frame["h"]
+        tables = [self._table(tdc) for _c, tdc, _a in self.scomp]
+        planes = [c["plane"] for c, _t, _a in self.scomp]
+        seg_y = seg_x = 0  # start of the current restart interval
+        n = 0
+        rst = 0
+        for y in range(h):
+            for x in range(w):
+                if self.ri and n and n % self.ri == 0:
+                    self.r.sync_restart(rst)
+                    rst = (rst + 1) & 7
+                    seg_y, seg_x = y, x
+                for plane, table in zip(planes, tables):
+                    p = self._predict(plane, y, x, seg_y, seg_x)
+                    plane[y, x] = (p + self._diff(table)) & 0xFFFF
+                n += 1
+        return _next_marker_pos(self.r.data, self.r.pos)
+
+
+def _render_lossless(np, frame):
+    pt = frame["pt"]
+    full = (1 << frame["prec"]) - 1
+    dtype = np.uint8 if frame["prec"] <= 8 else np.uint16
+    planes = [
+        np.clip(np.left_shift(c["plane"], pt), 0, full).astype(dtype)
+        for c in frame["comps"]
+    ]
+    if len(planes) == 1:
+        return planes[0]
+    # lossless color carries raw components (no JFIF YCbCr contract);
+    # stack as-is — for the common RGB case that IS the image
+    return np.stack(planes, axis=-1)
+
+
 def _parse_sof(np, seg, progressive):
     prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
     if w * h > (1 << 26) or w == 0 or h == 0:
@@ -738,11 +863,12 @@ def _parse_sof(np, seg, progressive):
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline, extended-sequential, progressive, or
-    arithmetic-coded JPEG → ndarray (h, w) grayscale or (h, w, 3) RGB;
-    uint8 for 8-bit frames, uint16 (raw 0..4095) for 12-bit.  Raises
-    :class:`DecoderNotAvailable` for lossless/hierarchical variants or
-    corrupt streams."""
+    """Decode a baseline, extended-sequential, progressive,
+    arithmetic-coded, or lossless JPEG → ndarray (h, w) grayscale or
+    (h, w, 3) RGB (lossless color = raw component stack); uint8 for
+    8-bit frames, uint16 for higher precisions (raw sample values).
+    Raises :class:`DecoderNotAvailable` for arithmetic-lossless/
+    hierarchical variants or corrupt streams."""
     try:
         return _decode_jpeg_checked(payload)
     except (IndexError, struct.error) as exc:
@@ -809,9 +935,15 @@ def _decode_jpeg_checked(payload: bytes):
             frame["arith"] = marker in (0xC9, 0xCA)
             if marker == 0xC0 and frame["prec"] != 8:
                 raise DecoderNotAvailable("baseline SOF0 must be 8-bit")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3 — lossless (Huffman), T.81 Annex H
+            if frame is not None:
+                raise DecoderNotAvailable("multiple frames unsupported")
+            frame = _parse_sof_lossless(np, seg)
+            frame["arith"] = False
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise DecoderNotAvailable(
-                f"unsupported SOF marker 0xFF{marker:02X} (lossless/hierarchical)"
+                f"unsupported SOF marker 0xFF{marker:02X} "
+                "(arithmetic-lossless/hierarchical)"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
             i = 0
@@ -840,6 +972,18 @@ def _decode_jpeg_checked(payload: bytes):
                 scomp.append((comp, tt >> 4, tt & 15))
             Ss, Se, aa = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             Ah, Al = aa >> 4, aa & 15
+            if frame.get("lossless"):
+                # Ss = predictor selector, Al = point transform
+                if Se != 0 or Ah != 0 or not 0 <= Al < frame["prec"]:
+                    raise DecoderNotAvailable("bad lossless scan header")
+                frame["pt"] = Al
+                sd = _LosslessScanDecoder(
+                    d, pos + seglen, frame, scomp, hts, restart_interval,
+                    Ss, Al,
+                )
+                pos = sd.run()
+                nscans += 1
+                continue
             if frame["progressive"]:
                 if Ss == 0 and Se != 0:
                     raise DecoderNotAvailable("progressive scan mixes DC and AC")
@@ -866,6 +1010,8 @@ def _decode_jpeg_checked(payload: bytes):
         pos += seglen
     if frame is None or nscans == 0:
         raise DecoderNotAvailable("no frame/scan decoded")
+    if frame.get("lossless"):
+        return _render_lossless(np, frame)
     return _render(np, frame, qt)
 
 

@@ -6,15 +6,15 @@ next to a typed metadata struct; run decode / feature-extraction as
 Arrow-batched ``mapInPandas`` so each Python worker sees columnar batches,
 never rows.  Formats decodable with stdlib+numpy decode for REAL
 (PPM/PGM, uncompressed 24-bit BMP, the full uncompressed WAV family,
-and JPEG — baseline/extended/progressive Huffman AND arithmetic
-SOF9/SOF10, 8- and 12-bit — via the pure-Python T.81 decoder in
-:mod:`pipeline.jpeg`), as do PNG (all depths, Adam7) via the
+and JPEG — baseline/extended/progressive Huffman, arithmetic
+SOF9/SOF10, AND lossless SOF3, 8- to 16-bit — via the pure-Python
+T.81 decoder in :mod:`pipeline.jpeg`), as do PNG (all depths, Adam7) via the
 stdlib-zlib decoder in :mod:`pipeline.png` and animated GIF via
 :mod:`pipeline.gif`; ISO-BMFF (mp4/mov) decodes STRUCTURALLY via
 :mod:`pipeline.mp4` (box tree, track metadata, real per-frame byte
 ranges from stsz/stsc/stco and moof/trun fragments) — only the inner
 video codec (H.264 etc.), compressed-WAV codecs, and JPEG
-lossless/hierarchical raise ``DecoderNotAvailable`` because their
+arithmetic-lossless/hierarchical raise ``DecoderNotAvailable`` because their
 libraries are not bundled in this container.  A deterministic fake
 decoder covers non-media payloads so the
 Spark-side plumbing — schema, batch iteration, partition-parallelism —
@@ -194,8 +194,8 @@ def decode_media(payload: bytes, mime: str) -> object:
         incl. spectral selection + successive approximation; 8- and
         12-bit) → uint8 (uint16 for 12-bit) gray/RGB array (pure-Python
         T.81 decoder, :mod:`pipeline.jpeg`, incl. arithmetic SOF9/SOF10
-        via the Annex D QM-coder; lossless / hierarchical
-        variants raise)
+        via the Annex D QM-coder and lossless SOF3 per Annex H;
+        arithmetic-lossless / hierarchical variants raise)
       - image/png (gray/RGB/indexed/alpha; depths 1/2/4/8/16;
         non-interlaced and Adam7) → uint8 array, uint16 for 16-bit
         (stdlib-zlib decoder, :mod:`pipeline.png`)

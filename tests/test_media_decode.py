@@ -2112,3 +2112,138 @@ def test_jpeg_arith_12bit_sequential_and_progressive():
     np.testing.assert_array_equal(
         decode_jpeg(encode_arith_gray(img12, prec=12, progressive=True)), want
     )
+
+
+# -- lossless JPEG (SOF3, T.81 Annex H) --------------------------------------
+
+
+def _jpeg_lossless_bytes(img, prec, predictor=4, pt=0, ri=0):
+    """Spec-forward lossless encoder: per-sample prediction (Annex H
+    rules incl. first-line / restart-interval resets), differences
+    modulo 65536 as DC-style Huffman categories (SSSS 16 = +32768, no
+    extra bits), point transform pt, interleaved 1x1 components."""
+    arr = img[..., None] if img.ndim == 2 else img
+    h, w, nc = arr.shape
+    samples = (arr.astype(int) >> pt)
+    default_p = 1 << (prec - pt - 1)
+
+    def predict(pl, y, x, seg_y, seg_x):
+        if y == seg_y:
+            return default_p if x == seg_x else int(pl[y, x - 1])
+        if x == 0:
+            return int(pl[y - 1, x])
+        a, b, c = int(pl[y, x - 1]), int(pl[y - 1, x]), int(pl[y - 1, x - 1])
+        p = [None, a, b, c, a + b - c, a + ((b - c) >> 1),
+             b + ((a - c) >> 1), (a + b) >> 1][predictor]
+        return p & 0xFFFF
+
+    # one pass to collect (category, bits) tokens with restart markers
+    tokens = []
+    syms = []
+    seg_y = seg_x = 0
+    n = 0
+    for y in range(h):
+        for x in range(w):
+            if ri and n and n % ri == 0:
+                tokens.append(("rst", (n // ri - 1) & 7))
+                seg_y, seg_x = y, x
+            for ci in range(nc):
+                pl = samples[..., ci]
+                p = predict(pl, y, x, seg_y, seg_x)
+                d = (int(pl[y, x]) - p) & 0xFFFF
+                if d == 32768:
+                    tokens.append(("sym", 16))
+                    syms.append(16)
+                else:
+                    sd = d - 65536 if d > 32767 else d
+                    t, bits = _mag(sd)
+                    tokens.append(("sym", t))
+                    syms.append(t)
+                    if t:
+                        tokens.append(("bits", bits, t))
+            n += 1
+
+    counts, s_list, codes, clen = _flat_huff(syms + [0])
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    body = bytes([0x00]) + bytes(counts) + bytes(s_list)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    bw = _BitWriter()
+    for tok in tokens:
+        if tok[0] == "sym":
+            bw.put(codes[tok[1]], clen)
+        elif tok[0] == "bits":
+            bw.put(tok[1], tok[2])
+        else:  # restart marker: byte-align, emit RSTn
+            bw.align()
+            bw.out += bytes([0xFF, 0xD0 + tok[1]])
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_lossless_all_predictors_exact():
+    """SOF3 decode must reproduce the source EXACTLY for every
+    predictor (1-7) — the whole point of the lossless process."""
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(19, 23), dtype=np.uint8)
+    for pred in range(1, 8):
+        out = decode_jpeg(_jpeg_lossless_bytes(img, prec=8, predictor=pred))
+        assert out.dtype == np.uint8
+        np.testing.assert_array_equal(out, img, err_msg=f"predictor {pred}")
+
+
+def test_jpeg_lossless_high_precision_and_color():
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(22)
+    img16 = rng.integers(0, 1 << 16, size=(12, 9)).astype(np.uint16)
+    out = decode_jpeg(_jpeg_lossless_bytes(img16, prec=16, predictor=7))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img16)
+    img12 = rng.integers(0, 4096, size=(10, 11)).astype(np.uint16)
+    np.testing.assert_array_equal(
+        decode_jpeg(_jpeg_lossless_bytes(img12, prec=12, predictor=1)), img12
+    )
+    rgb = rng.integers(0, 256, size=(9, 14, 3), dtype=np.uint8)
+    out = decode_jpeg(_jpeg_lossless_bytes(rgb, prec=8, predictor=4))
+    assert out.shape == rgb.shape  # raw component stack, no color convert
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_jpeg_lossless_point_transform_and_restarts():
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(14, 10), dtype=np.uint8)
+    # point transform: decode returns (sample >> pt) << pt
+    out = decode_jpeg(_jpeg_lossless_bytes(img, prec=8, predictor=5, pt=2))
+    np.testing.assert_array_equal(out, (img >> 2) << 2)
+    # restart interval mid-line: prediction resets per Annex H
+    out = decode_jpeg(_jpeg_lossless_bytes(img, prec=8, predictor=6, ri=23))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_jpeg_lossless_bad_headers_raise_typed():
+    from simple_tsdb_spark.pipeline.jpeg import decode_jpeg
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    good = _jpeg_lossless_bytes(img, prec=8, predictor=1)
+    bad = bytearray(good)
+    i = bad.find(b"\xff\xda")
+    bad[i + 2 + 3 + 2] = 0  # predictor 0: invalid
+    with pytest.raises(DecoderNotAvailable, match="predictor"):
+        decode_jpeg(bytes(bad))
