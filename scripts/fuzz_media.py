@@ -94,6 +94,10 @@ def _seed_payloads() -> dict[str, list[tuple[str, bytes]]]:
         ],
         "wav": [
             ("audio/wav", t._wav_bytes(pcm)),
+            ("audio/wav", t._wav_raw(bytes(range(256)), tag=7, nch=2, rate=8000, bits=8)),
+            ("audio/wav", t._wav_raw(
+                t._ima_block(-1234, 17, bytes(rng.integers(0, 256, size=32, dtype=np.uint8))),
+                tag=0x11, nch=1, rate=8000, bits=4, balign=36)),
             ("audio/wav", t._wav_raw(
                 np.linspace(-1, 1, 64, dtype="<f4").tobytes(),
                 tag=3, nch=1, rate=8000, bits=32,

@@ -5,15 +5,15 @@ Pattern for image/audio/video at 100 TB: store the raw bytes as a
 next to a typed metadata struct; run decode / feature-extraction as
 Arrow-batched ``mapInPandas`` so each Python worker sees columnar batches,
 never rows.  Formats decodable with stdlib+numpy decode for REAL
-(PPM/PGM, uncompressed 24-bit BMP, the full uncompressed WAV family,
-and JPEG — baseline/extended/progressive Huffman, arithmetic
+(PPM/PGM, uncompressed 24-bit BMP, the WAV family incl. G.711 and IMA
+ADPCM, and JPEG — baseline/extended/progressive Huffman, arithmetic
 SOF9/SOF10, AND lossless SOF3, 8- to 16-bit — via the pure-Python
 T.81 decoder in :mod:`pipeline.jpeg`), as do PNG (all depths, Adam7) via the
 stdlib-zlib decoder in :mod:`pipeline.png` and animated GIF via
 :mod:`pipeline.gif`; ISO-BMFF (mp4/mov) decodes STRUCTURALLY via
 :mod:`pipeline.mp4` (box tree, track metadata, real per-frame byte
 ranges from stsz/stsc/stco and moof/trun fragments) — only the inner
-video codec (H.264 etc.), compressed-WAV codecs, and JPEG
+video codec (H.264 etc.), MS-ADPCM/MP3-in-WAV, and JPEG
 arithmetic-lossless/hierarchical raise ``DecoderNotAvailable`` because their
 libraries are not bundled in this container.  A deterministic fake
 decoder covers non-media payloads so the
@@ -133,9 +133,12 @@ def _decode_wav(payload: bytes):
     RIFF chunk walk (word-aligned) instead of stdlib ``wave`` so the
     whole uncompressed family decodes: PCM 8/16/24/32-bit (24-bit
     expands to int32 with the LSB zero-padded — the usual convention),
-    IEEE float 32/64-bit, and WAVE_FORMAT_EXTENSIBLE resolving to
-    either via the SubFormat GUID.  Compressed codecs (ADPCM, MP3 in
-    WAV, ...) raise :class:`DecoderNotAvailable`."""
+    IEEE float 32/64-bit, WAVE_FORMAT_EXTENSIBLE resolving via the
+    SubFormat GUID, G.711 mu-law/A-law (tags 7/6, LUT expansion), and
+    IMA/DVI ADPCM (tag 0x11, block-framed) — the G.711/IMA paths are
+    pinned byte-exact against CPython's audioop in tests.  Remaining
+    compressed codecs (MS ADPCM, MP3-in-WAV, ...) raise
+    :class:`DecoderNotAvailable`."""
     import struct
 
     import numpy as np
@@ -161,6 +164,14 @@ def _decode_wav(payload: bytes):
             raise DecoderNotAvailable("truncated WAVE_FORMAT_EXTENSIBLE fmt")
         (tag,) = struct.unpack_from("<H", fmt, 24)
     width = bits // 8
+    if tag in (6, 7):  # G.711 A-law / mu-law: one byte per sample
+        lut = _alaw_lut(np) if tag == 6 else _ulaw_lut(np)
+        arr = lut[np.frombuffer(data, dtype=np.uint8)]
+        if nch <= 0 or len(data) % nch:
+            raise DecoderNotAvailable("truncated G.711 frame data")
+        return arr.reshape((-1, nch)), rate
+    if tag == 0x11:  # IMA/DVI ADPCM (block-framed nibble stream)
+        return _decode_ima_adpcm(np, data, nch, rate, _balign)
     if tag == 1:  # PCM
         dtype = {1: np.uint8, 2: np.dtype("<i2"), 3: None, 4: np.dtype("<i4")}
         if width not in dtype:
@@ -184,6 +195,96 @@ def _decode_wav(payload: bytes):
     return arr.reshape((-1, nch)), rate
 
 
+def _ulaw_lut(np):
+    """G.711 mu-law byte -> int16 expansion table (the classic
+    BIAS=0x84 segment formula; byte-exact vs CPython's audioop, which
+    tests pin while the stdlib module still exists)."""
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_lut(np):
+    """G.711 A-law byte -> int16 expansion table (0x55 toggle, segment
+    unfold; byte-exact vs audioop)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, 0))
+    t = np.where(seg >= 2, (((a & 0x0F) << 4) + 0x108) << (np.minimum(seg, 7) - 1), t)
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _decode_ima_adpcm(np, data: bytes, nch: int, rate: int, balign: int):
+    """WAV IMA/DVI ADPCM: per-block channel headers (int16 predictor,
+    uint8 step index), then 4-bit codes low-nibble-first in 4-byte
+    per-channel groups.  The per-sample recursion is the canonical DVI
+    update (vpdiff = step>>3 + step-term per code bit) — byte-exact vs
+    CPython audioop's adpcm2lin, which the tests pin."""
+    import struct as _struct
+
+    if nch not in (1, 2):
+        raise DecoderNotAvailable(f"IMA ADPCM with {nch} channels unsupported")
+    if balign < 4 * nch or balign % (4 * nch):
+        raise DecoderNotAvailable(f"invalid IMA ADPCM block align {balign}")
+    out = []
+    for b0 in range(0, len(data), balign):
+        block = data[b0 : b0 + balign]
+        if len(block) < 4 * nch:
+            break  # trailing partial header: ignore (common ripper slop)
+        preds = []
+        idxs = []
+        for ch in range(nch):
+            pred, idx, _rsv = _struct.unpack_from("<hBB", block, 4 * ch)
+            if idx > 88:
+                raise DecoderNotAvailable("IMA ADPCM step index out of range")
+            preds.append(pred)
+            idxs.append(idx)
+        chans = [[p] for p in preds]  # header predictor IS sample 0
+        body = block[4 * nch :]
+        # nibble stream: per-channel 4-byte groups, low nibble first
+        for g0 in range(0, len(body) - len(body) % (4 * nch), 4 * nch):
+            for ch in range(nch):
+                idx = idxs[ch]
+                samples = chans[ch]
+                pred = samples[-1]
+                for byte in body[g0 + 4 * ch : g0 + 4 * ch + 4]:
+                    for code in (byte & 0x0F, byte >> 4):
+                        step = _IMA_STEPS[idx]
+                        vpdiff = step >> 3
+                        if code & 4:
+                            vpdiff += step
+                        if code & 2:
+                            vpdiff += step >> 1
+                        if code & 1:
+                            vpdiff += step >> 2
+                        pred = pred - vpdiff if code & 8 else pred + vpdiff
+                        pred = max(-32768, min(32767, pred))
+                        idx = max(0, min(88, idx + _IMA_INDEX[code & 7]))
+                        samples.append(pred)
+                idxs[ch] = idx
+        n = min(len(c) for c in chans)
+        frame = np.empty((n, nch), dtype=np.int16)
+        for ch, c in enumerate(chans):
+            frame[:, ch] = np.asarray(c[:n], dtype=np.int16)
+        out.append(frame)
+    if not out:
+        raise DecoderNotAvailable("IMA ADPCM stream without a full block")
+    return np.concatenate(out, axis=0), rate
+
+
 def decode_media(payload: bytes, mime: str) -> object:
     """Decode a payload by mime type.
 
@@ -202,8 +303,8 @@ def decode_media(payload: bytes, mime: str) -> object:
       - image/gif (87a/89a first frame, LZW + palette, interlace,
         GCE transparency → RGBA; :mod:`pipeline.gif`)
       - audio/wav, audio/x-wav (PCM 8/16/24/32-bit, IEEE float 32/64,
-        WAVE_FORMAT_EXTENSIBLE) → (samples array, sample_rate);
-        compressed codecs raise
+        WAVE_FORMAT_EXTENSIBLE, G.711 mu-law/A-law, IMA ADPCM) →
+        (samples array, sample_rate); other compressed codecs raise
       - video/mp4, video/quicktime → STRUCTURAL probe dict (ISO-BMFF
         box walk, :mod:`pipeline.mp4`): brand, duration, per-track
         handler/codec/dims and the full (offset, size) sample table —

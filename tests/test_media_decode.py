@@ -1637,7 +1637,7 @@ def test_gif_frame_spans_and_sample_frames(spark):
 # -- WAV beyond 16-bit PCM: float, 24-bit, WAVE_FORMAT_EXTENSIBLE ------------
 
 
-def _wav_raw(data: bytes, *, tag, nch, rate, bits, extensible=False):
+def _wav_raw(data: bytes, *, tag, nch, rate, bits, extensible=False, balign=None):
     width = bits // 8
     if extensible:
         # cbSize=22, valid bits, channel mask, SubFormat GUID (tag-led)
@@ -1648,7 +1648,7 @@ def _wav_raw(data: bytes, *, tag, nch, rate, bits, extensible=False):
                           nch * width, bits, 22, bits, 0) + guid
     else:
         fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * nch * width,
-                          nch * width, bits)
+                          balign if balign is not None else nch * width, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     if len(data) & 1:
@@ -2247,3 +2247,101 @@ def test_jpeg_lossless_bad_headers_raise_typed():
     bad[i + 2 + 3 + 2] = 0  # predictor 0: invalid
     with pytest.raises(DecoderNotAvailable, match="predictor"):
         decode_jpeg(bytes(bad))
+
+
+# -- compressed WAV: G.711 mu-law/A-law + IMA ADPCM (audioop oracle) ---------
+
+
+def _audioop():
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        try:
+            import audioop
+        except ImportError:
+            pytest.skip("stdlib audioop removed (3.13+): oracle unavailable")
+    return audioop
+
+
+def test_wav_g711_ulaw_alaw_byte_exact_vs_audioop():
+    audioop = _audioop()
+    allb = bytes(range(256))
+    for tag, expand in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        want = np.frombuffer(expand(allb, 2), dtype="<i2")
+        data, rate = decode_media(
+            _wav_raw(allb, tag=tag, nch=1, rate=8000, bits=8), "audio/wav"
+        )
+        assert rate == 8000 and data.dtype == np.int16
+        np.testing.assert_array_equal(data[:, 0], want)
+    # stereo framing: alternating bytes split into channels
+    data, _ = decode_media(
+        _wav_raw(allb, tag=7, nch=2, rate=8000, bits=8), "audio/wav"
+    )
+    want = np.frombuffer(audioop.ulaw2lin(allb, 2), dtype="<i2").reshape(-1, 2)
+    np.testing.assert_array_equal(data, want)
+
+
+def _ima_block(pred0, idx0, nibbles: bytes) -> bytes:
+    return struct.pack("<hBB", pred0, idx0, 0) + nibbles
+
+
+def _swap_nibbles(b: bytes) -> bytes:
+    return bytes(((x >> 4) | ((x & 0x0F) << 4)) for x in b)
+
+
+def test_wav_ima_adpcm_mono_byte_exact_vs_audioop():
+    audioop = _audioop()
+    rng = np.random.default_rng(31)
+    blocks = []
+    want = []
+    for pred0, idx0 in ((0, 0), (-1234, 17), (30000, 88)):
+        nib = rng.integers(0, 256, size=32, dtype=np.uint8).tobytes()
+        blocks.append(_ima_block(pred0, idx0, nib))
+        dec, _ = audioop.adpcm2lin(_swap_nibbles(nib), 2, (pred0, idx0))
+        want.append([pred0] + list(np.frombuffer(dec, dtype="<i2")))
+    balign = 4 + 32
+    payload = _wav_raw(b"".join(blocks), tag=0x11, nch=1, rate=8000, bits=4,
+                       balign=balign)
+    data, rate = decode_media(payload, "audio/wav")
+    flat = [v for blk in want for v in blk]
+    np.testing.assert_array_equal(data[:, 0], np.array(flat, dtype=np.int16))
+
+
+def test_wav_ima_adpcm_stereo_channel_framing():
+    audioop = _audioop()
+    rng = np.random.default_rng(32)
+    # two 8-byte groups per channel: interleave 4-byte chunks ch0,ch1
+    ch_nib = [rng.integers(0, 256, size=8, dtype=np.uint8).tobytes() for _ in range(2)]
+    body = b"".join(
+        ch_nib[ch][g : g + 4] for g in range(0, 8, 4) for ch in (0, 1)
+    )
+    hdr = _ima_block(100, 5, b"")[:4] + _ima_block(-200, 9, b"")[:4]
+    balign = 8 + len(body)
+    payload = _wav_raw(hdr + body, tag=0x11, nch=2, rate=16000, bits=4,
+                       balign=balign)
+    data, rate = decode_media(payload, "audio/wav")
+    assert rate == 16000 and data.shape[1] == 2
+    for ch, (p0, i0) in enumerate(((100, 5), (-200, 9))):
+        dec, _ = audioop.adpcm2lin(_swap_nibbles(ch_nib[ch]), 2, (p0, i0))
+        want = np.array([p0] + list(np.frombuffer(dec, dtype="<i2")), dtype=np.int16)
+        np.testing.assert_array_equal(data[:, ch], want)
+
+
+def test_wav_ima_adpcm_corrupt_raises_typed():
+    with pytest.raises(DecoderNotAvailable, match="step index"):
+        decode_media(
+            _wav_raw(_ima_block(0, 99, bytes(8)), tag=0x11, nch=1, rate=8000,
+                     bits=4, balign=12),
+            "audio/wav",
+        )
+    with pytest.raises(DecoderNotAvailable, match="block align"):
+        decode_media(
+            _wav_raw(bytes(16), tag=0x11, nch=1, rate=8000, bits=4, balign=3),
+            "audio/wav",
+        )
+    # MS ADPCM (tag 2) still raises the honest boundary
+    with pytest.raises(DecoderNotAvailable, match="format tag"):
+        decode_media(
+            _wav_raw(bytes(16), tag=2, nch=1, rate=8000, bits=4), "audio/wav"
+        )
