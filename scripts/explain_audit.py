@@ -264,10 +264,37 @@ def main() -> int:
         winnowing_fingerprints,
     )
 
-    t = tree_of(winnowing_fingerprints(docs))
+    # The plan audited here is the AT-SCALE one: the adaptive small-input
+    # fan-out (functions/adaptive.py, r14 optimization) is a no-op above
+    # its size threshold, so disable it for the shuffle-count assertion
+    # and separately assert the mechanism's on/off behavior below.
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_FAN_OUT_BYTES"] = "0"
+    try:
+        t = tree_of(winnowing_fingerprints(docs))
+    finally:
+        _os.environ.pop("SPARK_GRAFT_FAN_OUT_BYTES", None)
     ok &= check(
         "winnowing: zero hash shuffles (projection + explode only)",
         "hashpartitioning" not in t and "BroadcastExchange" not in t,
+    )
+    # Adaptive fan-out (r14): ACTIVE on a small input (one bounded hash
+    # exchange appears), a NO-OP when disabled or above threshold — the
+    # scale-adaptive contract of functions/adaptive.py.
+    t_on = tree_of(winnowing_fingerprints(docs))
+    ok &= check(
+        "fan-out: small input gets one bounded hash exchange",
+        "hashpartitioning" in t_on,
+    )
+    _os.environ["SPARK_GRAFT_FAN_OUT_BYTES"] = "1"  # threshold below any input
+    try:
+        t_thresh = tree_of(winnowing_fingerprints(docs))
+    finally:
+        _os.environ.pop("SPARK_GRAFT_FAN_OUT_BYTES", None)
+    ok &= check(
+        "fan-out: no-op above size threshold (100 TB plan unchanged)",
+        "hashpartitioning" not in t_thresh,
     )
 
     # stratified_split: exact selection must never rank a whole stratum

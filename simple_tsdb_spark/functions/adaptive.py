@@ -1,0 +1,79 @@
+"""Scale-adaptive parallelism helpers (optimization round 14).
+
+``fan_out_small`` fixes the small-input serial-scan problem (guide §2.5
+"input skew": one unsplittable input → one task): a parquet table small
+enough to be a single row group scans as ONE task, so CPU-heavy per-row
+work downstream (md5 shingling, winnowing window scans, bigram hashing)
+serializes on one core while the rest of the cluster idles.  When — and
+only when — the optimizer's size estimate for the input subtree is below
+a bounded threshold, hash-repartition on a high-cardinality key to the
+default parallelism; the exchange then moves at most ``threshold`` bytes
+(by definition), and every downstream codegen stage runs on all cores.
+
+On a real deployment the inputs are orders of magnitude above the
+threshold, the helper is an exact no-op, and the operators keep their
+audited zero/bounded-shuffle plans — this is "derive partitioning from
+input size", not a local-mode constant (the threshold and the target
+partition count are both conf/env-overridable; partition count defaults
+to the cluster's ``defaultParallelism``).
+
+Hash-repartition (not round-robin ``repartition(n)``) is deliberate:
+row→partition placement is a pure function of the key, so task retries
+and AQE replanning reproduce the same placement (SPARK-38388 class), and
+the keyless form's sort-before-repartition cost is avoided.  Callers
+pass a key whose cardinality is far above the partition count (doc ids,
+event ids), so the spread is uniform.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+
+#: Inputs whose optimizer size estimate is at or below this many bytes are
+#: fanned out.  64 MiB: far below any real corpus shard, far above every
+#: bench/oracle fixture, and a hard bound on the bytes the extra exchange
+#: may move.  Override (or set 0 to disable) with the env var.
+SMALL_INPUT_BYTES = 64 << 20
+
+_ENV = "SPARK_GRAFT_FAN_OUT_BYTES"
+_ENV_PARTS = "SPARK_GRAFT_FAN_OUT_PARTITIONS"
+
+
+def _threshold() -> int:
+    try:
+        return int(os.environ.get(_ENV, SMALL_INPUT_BYTES))
+    except ValueError:
+        return SMALL_INPUT_BYTES
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the DataFrame's optimized subtree —
+    the same statistic broadcast-join planning uses.  Driver-side only,
+    no job; None when the JVM internals are unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def fan_out_small(df: DataFrame, key: str | Column) -> DataFrame:
+    """Hash-repartition ``df`` on ``key`` to default parallelism iff its
+    estimated size is ≤ the small-input threshold; unchanged otherwise."""
+    thresh = _threshold()
+    if thresh <= 0:
+        return df
+    size = plan_size_bytes(df)
+    if size is None or size > thresh:
+        return df
+    spark = df.sparkSession
+    try:
+        parts = int(
+            os.environ.get(_ENV_PARTS, spark.sparkContext.defaultParallelism)
+        )
+    except ValueError:
+        parts = spark.sparkContext.defaultParallelism
+    if parts <= 1:
+        return df
+    return df.repartition(parts, key)

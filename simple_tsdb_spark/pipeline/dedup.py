@@ -61,12 +61,17 @@ def _shingle_rows(df: DataFrame, *, text_col: str, id_col: str, stride: int) -> 
     Emits duplicate shingles; callers dedup (``distinct``) or aggregate
     with duplicate-insensitive functions (``min`` for minhash).
     """
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
     # NULL text yields NO shingles (no content, no dup evidence).  Without
     # the filter Spark's NULL-ignoring greatest() emits one NULL shingle,
     # every NULL-text doc gets the all-NULL signature, and concat_ws
     # banding collapses them into one shared bucket — phantom pairs the
     # oracle (whose greatest() propagates NULL) never generates.
-    pos = df.where(F.col(text_col).isNotNull()).select(
+    # Small inputs fan out across cores before the shingle explode (the
+    # per-position substring work otherwise serializes on a one-task scan);
+    # no-op at real scale (functions/adaptive.py).
+    pos = fan_out_small(df.where(F.col(text_col).isNotNull()), id_col).select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("_t"),
         F.explode(
@@ -99,7 +104,11 @@ def _doc_shingle_sets(df: DataFrame, *, text_col: str, id_col: str) -> DataFrame
             out.append(list({t[i:i + k] for i in range(n)}))
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("doc"), _sets(F.col(text_col)).alias("shs"))
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    return fan_out_small(df, id_col).select(
+        F.col(id_col).alias("doc"), _sets(F.col(text_col)).alias("shs")
+    )
 
 
 def _shingles_duck(text_col: str, stride: int) -> str:

@@ -296,7 +296,11 @@ def exact_substr_spans(
     from pyspark.sql import Window
 
     g = int(gap) if gap is not None else int(n)
-    occ = df.select(
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    # Small inputs fan out before the per-position gram md5 chain
+    # (serial on a one-task scan otherwise); no-op at real scale.
+    occ = fan_out_small(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.expr(_pos_gram_expr(text_col, n))).alias("pg"),
     ).select("doc", F.col("pg.pos").alias("pos"), F.md5(F.col("pg.g")).alias("h"))

@@ -55,6 +55,12 @@ def _lnq_unats(col: Column) -> Column:
 
 def token_counts(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + BPE-ish pre-token count + char count."""
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    # The BPE_REGEX extract-all is CPU-heavy per row; a small input
+    # otherwise runs it inside a single-task scan (adaptive.py; no-op
+    # at real scale).
+    df = fan_out_small(df, id_col)
     text = F.col(text_col)
     return df.select(
         F.col(id_col),
@@ -292,6 +298,11 @@ def repetition_stats(
     Fractions are ppm truncated BIGINT quotients (round-10
     integer-finals doctrine: no DOUBLE in gated projections).
     """
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    # Fan a small input out across cores before the split/array work —
+    # one exchange (reused by base and bg), no-op at real scale.
+    df = fan_out_small(df, id_col)
     words = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col),
@@ -367,6 +378,9 @@ FROM base LEFT JOIN top ON base.doc_id = top.doc_id
 def fingerprint(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: full-content md5 + 32-bit SimHash (for
     near-dup hamming comparison, see dedup.simhash_pairs)."""
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    df = fan_out_small(df, id_col)
     base = df.withColumn("content_md5", F.md5(F.col(text_col)))
     return simhash_df(base, text_col=text_col, id_col=id_col, carry=("content_md5",)).select(
         F.col("doc").alias(id_col), "content_md5", F.col("sh").alias("simhash")
@@ -417,6 +431,9 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    df = fan_out_small(df, id_col)
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(_tokens(F.col(text_col))).alias("term")
     ).where(F.length("term") > 0)
@@ -903,8 +920,12 @@ def _dsir_occurrences(
 ) -> DataFrame:
     """(doc, _t, g, b) bigram-occurrence stream with the portable md5
     bucket id; docs with no bigram keep one row with NULL g/b."""
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
     B = int(buckets)
-    return df.selectExpr(
+    # Small inputs fan out before the bigram explode + per-gram md5 —
+    # serial on a one-task scan otherwise; no-op at real scale.
+    return fan_out_small(df, id_col).selectExpr(
         f"{id_col} AS doc",
         f"CAST(({target_pred}) AS BOOLEAN) AS _t",
         f"explode_outer({_bigrams_expr(text_col)}) AS g",
@@ -1118,7 +1139,9 @@ def topk_ngrams(
     the global top-k is TakeOrderedAndProject — each partition ships
     only its local top ``k``, never the full gram table.
     """
-    grams = df.selectExpr(
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    grams = fan_out_small(df, id_col).selectExpr(
         f"{id_col} AS doc", f"explode({_ngrams_expr(text_col, int(n))}) AS gram"
     )
     return (
@@ -1167,6 +1190,9 @@ def pmi_topk(
     unique, so no Zipf skew survives to the join), and the global top-k
     is TakeOrderedAndProject.
     """
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    df = fan_out_small(df, id_col)
     words = df.selectExpr(f"explode(split({text_col}, ' ')) AS w")
     uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = words.agg(F.count(F.lit(1)).alias("n_total"))
@@ -1397,8 +1423,14 @@ def winnowing_fingerprints(
         f"'fp', array_min(s))))"
         " END"
     )
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    # Small inputs fan out before the per-doc hash+window chain — the
+    # O(L·w) codegen work otherwise runs inside a single-task scan
+    # (guide §2.5 input skew); no-op at real scale (functions/adaptive.py).
     return (
-        df.selectExpr(f"{id_col} AS doc_id", f"{gh} AS _gh")
+        fan_out_small(df, id_col)
+        .selectExpr(f"{id_col} AS doc_id", f"{gh} AS _gh")
         .selectExpr("doc_id", f"explode({sel}) AS s")
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
         .orderBy("doc_id", "pos", "fp")
@@ -2022,6 +2054,11 @@ def dup_ngram_chars(
     BIGINT quotient (round-10 integer-finals doctrine; NULL for a
     zero-char doc).
     """
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    # One fan-out exchange shared by totals/allg/spine (ReuseExchange);
+    # the per-n gram transform chain is the round's heaviest projection.
+    df = fan_out_small(df, id_col)
     w = f"split({text_col}, ' ')"
     totals = df.select(
         F.col(id_col).alias("doc"),
@@ -2137,6 +2174,9 @@ def char_entropy(
     survives; nothing rounds a double here.  One shuffle keyed
     (doc, char) with map-side combine; empty docs score NULL.
     """
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+    df = fan_out_small(df, id_col)
     ch = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), "")).alias("c"),
