@@ -58,6 +58,34 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def is_small(df: DataFrame) -> bool:
+    """True iff the DataFrame's optimizer size estimate is at or below
+    the small-input threshold (and the mechanism is enabled) — the guard
+    the small-input strategies share."""
+    thresh = _threshold()
+    if thresh <= 0:
+        return False
+    size = plan_size_bytes(df)
+    return size is not None and size <= thresh
+
+
+def materialize_small(df: DataFrame) -> DataFrame:
+    """Eagerly ``localCheckpoint`` a SMALL intermediate that the plan
+    consumes several times (e.g. via broadcast subplans, across which
+    AQE never reuses exchanges) — the recompute then costs one cheap
+    read instead of re-running the whole subtree per consumer.  Guarded
+    by the same size threshold as :func:`fan_out_small`: above it (the
+    100 TB regime) this is an exact no-op, so corpus-scale intermediates
+    are never cached and the documented multi-pass designs stand."""
+    thresh = _threshold()
+    if thresh <= 0:
+        return df
+    size = plan_size_bytes(df)
+    if size is None or size > thresh:
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def fan_out_small(df: DataFrame, key: str | Column) -> DataFrame:
     """Hash-repartition ``df`` on ``key`` to default parallelism iff its
     estimated size is ≤ the small-input threshold; unchanged otherwise."""

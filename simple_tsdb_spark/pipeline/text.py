@@ -1608,19 +1608,58 @@ def ngram_lm_score(
     lookup = fit_bg.withColumn("w1", F.substring_index("g", " ", 1)).join(hist, "w1")
 
     # scored-corpus stream, aggregated to (doc, bigram-type)
+    from simple_tsdb_spark.functions.adaptive import fan_out_small, materialize_small
+
     doc_bg = (
-        df.select(F.col(id_col).alias("doc"), F.explode(bg).alias("g"))
+        fan_out_small(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.explode(bg).alias("g"))
         .groupBy("doc", "g")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # doc_bg feeds the hot-table prep AND the score pass, and in lazy
+    # mode each broadcast subplan re-derives it (AQE does not reuse
+    # exchanges across broadcast-subtree boundaries) — 3-4 full
+    # recomputes per run.  For a SMALL input, materialize it once; at
+    # corpus scale this is a no-op and the documented two-pass
+    # fit-then-score design stands (functions/adaptive.py).
+    doc_bg = materialize_small(doc_bg)
+
+    if hot_tables not in ("auto", "eager", "lazy"):
+        raise ValueError(f"hot_tables must be auto|eager|lazy, got {hot_tables!r}")
 
     # --- PREP: bounded scalar + hot-table collects -----------------------
-    N = int(df.select(F.countDistinct(id_col).alias("_n")).first()["_n"])
     V = int(
         fit.select(F.explode(toks).alias("w"))
         .agg(F.countDistinct("w").alias("_V"))
         .first()["_V"]
     )
+
+    from simple_tsdb_spark.functions.adaptive import is_small
+
+    if hot_tables == "auto" and is_small(df):
+        # SMALL-INPUT fast path (r14 optimization): the hot/tail lanes
+        # are purely a SKEW device — every lane resolves the same
+        # (c2, c1) pair — so for an input under the adaptive threshold
+        # resolve ALL keys with two broadcast m:1 joins instead: no N
+        # count job, no hot-table prep, no 4-way union, one stage over
+        # the materialized doc_bg.  Scores are identical in every mode
+        # (pinned in tests); at corpus scale this branch never runs and
+        # the skew-proof lanes below stand.
+        all_scored = (
+            doc_bg.join(F.broadcast(lookup.select("g", "c2", "c1")), "g", "left")
+            .withColumn("_w1", F.substring_index("g", " ", 1))
+            .join(
+                F.broadcast(
+                    hist.select(F.col("w1").alias("_w1"), F.col("c1").alias("_fc1"))
+                ),
+                "_w1",
+                "left",
+            )
+            .select("doc", "g", "n", "c2", F.coalesce("c1", "_fc1").alias("c1"))
+        )
+        return _ngram_lm_finalize(df, all_scored, V, id_col=id_col)
+
+    N = int(df.select(F.countDistinct(id_col).alias("_n")).first()["_n"])
     thresh = max(2, math.ceil(N * float(hot_frac)))
     dfb = doc_bg.groupBy("g").agg(F.count(F.lit(1)).alias("_dfb"))
     # hot bigram keys carry (c2, c1) pre-resolved — including c1 via the
@@ -1643,8 +1682,6 @@ def ngram_lm_score(
         .join(hist, "w1", "left")
         .select("w1", "c1")
     )
-    if hot_tables not in ("auto", "eager", "lazy"):
-        raise ValueError(f"hot_tables must be auto|eager|lazy, got {hot_tables!r}")
     if hot_tables == "eager" or (hot_tables == "auto" and N >= 200_000):
         # ONE collect for both tables (kind-tagged union → the dfb
         # exchange computes once; two collects would rebuild the corpus
@@ -1706,6 +1743,15 @@ def ngram_lm_score(
     )
 
     all_scored = hot_done.unionByName(matched).unionByName(m_hot).unionByName(m_tail)
+    return _ngram_lm_finalize(df, all_scored, V, id_col=id_col)
+
+
+def _ngram_lm_finalize(
+    df: DataFrame, all_scored: DataFrame, V: int, *, id_col: str
+) -> DataFrame:
+    """Shared tail of :func:`ngram_lm_score` — identical for the
+    skew-lane and small-input plans (the lanes only differ in HOW each
+    (c2, c1) pair is resolved, never in the value resolved)."""
     # nll = -ln((c2+1)/(c1+V)) = ln(c1+V) - ln(c2+1): ln is applied to
     # INTEGERS only, each quantized ONCE at the floor(1e6·ln(x)) µnat
     # scale (the scheme dsir_weights proved engine-portable), so every
