@@ -39,12 +39,21 @@ def check(name: str, ok: bool, detail: str = "") -> bool:
 
 
 def main() -> int:
+    import os
+
     from pyspark.sql import functions as F  # noqa: F401
 
     from simple_tsdb_spark import get_spark
     from simple_tsdb_spark.operators import count_points, select_points, sum_points
     from simple_tsdb_spark.plans import revenue_by_nation
     from simple_tsdb_spark.sources import events_measurement
+
+    # This audit asserts the AT-SCALE plans: the adaptive small-input
+    # fan-out (functions/adaptive.py, r14) is a no-op above its size
+    # threshold, so disable it globally here; its own on/off contract is
+    # asserted by the dedicated "fan-out:" checks below, which flip the
+    # env var locally.
+    os.environ["SPARK_GRAFT_FAN_OUT_BYTES"] = "0"
 
     spark = get_spark("explain_audit")
     T0, T1 = 10**18, 2 * 10**18
@@ -264,25 +273,23 @@ def main() -> int:
         winnowing_fingerprints,
     )
 
-    # The plan audited here is the AT-SCALE one: the adaptive small-input
-    # fan-out (functions/adaptive.py, r14 optimization) is a no-op above
-    # its size threshold, so disable it for the shuffle-count assertion
-    # and separately assert the mechanism's on/off behavior below.
-    import os as _os
-
-    _os.environ["SPARK_GRAFT_FAN_OUT_BYTES"] = "0"
-    try:
-        t = tree_of(winnowing_fingerprints(docs))
-    finally:
-        _os.environ.pop("SPARK_GRAFT_FAN_OUT_BYTES", None)
+    # Fan-out disabled globally above (at-scale plan): zero shuffles.
+    t = tree_of(winnowing_fingerprints(docs))
     ok &= check(
         "winnowing: zero hash shuffles (projection + explode only)",
         "hashpartitioning" not in t and "BroadcastExchange" not in t,
     )
-    # Adaptive fan-out (r14): ACTIVE on a small input (one bounded hash
-    # exchange appears), a NO-OP when disabled or above threshold — the
-    # scale-adaptive contract of functions/adaptive.py.
-    t_on = tree_of(winnowing_fingerprints(docs))
+    # Adaptive fan-out (r14): ACTIVE on a small input under the default
+    # threshold (one bounded hash exchange appears), a NO-OP when the
+    # threshold sits below the input — the scale-adaptive contract of
+    # functions/adaptive.py.
+    import os as _os
+
+    _os.environ.pop("SPARK_GRAFT_FAN_OUT_BYTES", None)  # default: on
+    try:
+        t_on = tree_of(winnowing_fingerprints(docs))
+    finally:
+        _os.environ["SPARK_GRAFT_FAN_OUT_BYTES"] = "0"
     ok &= check(
         "fan-out: small input gets one bounded hash exchange",
         "hashpartitioning" in t_on,
@@ -291,7 +298,7 @@ def main() -> int:
     try:
         t_thresh = tree_of(winnowing_fingerprints(docs))
     finally:
-        _os.environ.pop("SPARK_GRAFT_FAN_OUT_BYTES", None)
+        _os.environ["SPARK_GRAFT_FAN_OUT_BYTES"] = "0"
     ok &= check(
         "fan-out: no-op above size threshold (100 TB plan unchanged)",
         "hashpartitioning" not in t_thresh,

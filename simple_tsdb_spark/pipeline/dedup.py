@@ -846,11 +846,15 @@ def embedding_dup_pairs(
     ]
     if extra_block_col:
         cols.append(F.col(extra_block_col).alias("xblk"))
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
     e = (
         # corrupt vectors screened on the raw column: a NaN pair cosine
         # passes `>= threshold` in BOTH engines (NaN compares greatest),
         # marking a corrupt vector a near-dup of its whole block
-        df.where(_valid_vec_spark(vec_col, None))
+        # Small inputs fan out before the per-vector quantizer fold
+        # (serial on a one-task scan otherwise); no-op at real scale.
+        fan_out_small(df, id_col).where(_valid_vec_spark(vec_col, None))
         .select(*cols)
         .withColumn("_sarr", F.expr(_score_array_spark("emb", dim, centroids)))
         .withColumn(
@@ -1086,8 +1090,12 @@ def semdedup(
         _valid_vec_spark,
     )
 
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
     base = (
-        df.select(
+        # Small inputs fan out before the per-vector quantizer fold
+        # (serial on a one-task scan otherwise); no-op at real scale.
+        fan_out_small(df, id_col).select(
             F.col(id_col).alias("doc"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
             # corrupt-vector flag (NULL / wrong length / NULL-NaN

@@ -28,6 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from simple_tsdb_spark.functions.adaptive import fan_out_small
 from simple_tsdb_spark.pipeline.dedup import _cos_prenorm, _norm, _COS_DUCK
 
 N_PLANES = 8
@@ -86,7 +87,7 @@ def knn_brute(
     FIRST under DESC, crowding a real neighbor out of the top-k.
     """
     e = (
-        df.where(_valid_vec_spark(vec_col, None))
+        fan_out_small(df, id_col).where(_valid_vec_spark(vec_col, None))
         .select(
             F.col(id_col).alias("nid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
@@ -162,7 +163,7 @@ def range_search(
     # zero-norm + corrupt vectors excluded (cosine undefined / NaN ranks
     # first under DESC; see knn_brute)
     e = (
-        df.where(_valid_vec_spark(vec_col, None))
+        fan_out_small(df, id_col).where(_valid_vec_spark(vec_col, None))
         .select(
             F.col(id_col).alias("nid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
@@ -236,7 +237,7 @@ def knn_lsh(
     Output: (query_id, neighbor_id, cos, rank); dedup across probes.
     """
     e = (
-        df.where(_valid_vec_spark(vec_col, None))
+        fan_out_small(df, id_col).where(_valid_vec_spark(vec_col, None))
         .select(
             F.col(id_col).alias("nid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
@@ -644,6 +645,9 @@ def pq_encode(
     memory-resident.
     """
     cbs = codebooks if codebooks is not None else pq_codebooks(dim=dim)
+    # Small inputs fan out before the per-vector normalize + M×K distance
+    # join (serial on a one-task scan otherwise); no-op at real scale.
+    df = fan_out_small(df, id_col)
     # zero-norm vectors excluded: they cannot sit on the unit sphere, and
     # the normalization would divide by zero (ANSI abort; see knn_brute)
     base = df.where(_valid_vec_spark(vec_col, None)).select(
@@ -1253,8 +1257,10 @@ def knn_ivf_pq(
 
     sarr = _score_array_spark("emb", dim, centroids)
     # zero-norm vectors excluded (cosine/PQ undefined; see knn_brute)
+    # Small inputs fan out before the quantizer + encode chain (serial
+    # on a one-task scan otherwise); no-op at real scale.
     e = (
-        df.where(_valid_vec_spark(vec_col, None))
+        fan_out_small(df, id_col).where(_valid_vec_spark(vec_col, None))
         .select(
             F.col(id_col).alias("nid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
@@ -1432,7 +1438,7 @@ def knn_ivf(
     sarr = _score_array_spark("emb", dim, centroids)
     # corrupt vectors screened on the raw column (see knn_brute) — pushed
     # to the scan, never inlining the quantizer fold
-    escore = df.where(_valid_vec_spark(vec_col, None)).select(
+    escore = fan_out_small(df, id_col).where(_valid_vec_spark(vec_col, None)).select(
         F.col(id_col).alias("nid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
     ).withColumn("_sarr", F.expr(sarr))
@@ -1557,7 +1563,7 @@ def kmeans_clusters(
     # corrupt vectors (NULL / wrong length / NULL-NaN elements) belong to
     # no cluster — raw-column screen, pushed to the scan
     e = (
-        df.where(_valid_vec_spark(vec_col, dim))
+        fan_out_small(df, id_col).where(_valid_vec_spark(vec_col, dim))
         .select(
             F.col(id_col).alias("vid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
@@ -1636,7 +1642,11 @@ def cluster_prune(
     from pyspark.sql import Window
 
     sarr = _score_array_spark("emb", dim, centroids)
-    # corrupt vectors carry no prototype distance — raw-column screen
+    # corrupt vectors carry no prototype distance — raw-column screen.
+    # NO small-input fan-out here (unlike the rest of the family): the
+    # salted two-stage rank below immediately re-shuffles on
+    # (cluster, _salt), so a fan-out exchange is pure overhead —
+    # measured 0.76x at sf0.1 (r14 A/B).
     e = (
         df.where(_valid_vec_spark(vec_col, dim))
         .select(
@@ -1827,7 +1837,7 @@ def knn_rp(
     # fold (unlike a pnrm filter, below).  Without it a NaN projected
     # cosine survives the CASE guard (NaN is not NULL) and ranks first
     # under DESC in both engines — r11 ADVICE.
-    df = df.where(_valid_vec_spark(vec_col, None))
+    df = fan_out_small(df, id_col).where(_valid_vec_spark(vec_col, None))
     # Zero-norm PROJECTED vectors are excluded from stage 1 (cosine
     # undefined; covers zero inputs and sign-cancelled projections; see
     # knn_brute) — but NOT with a `pnrm > 0` pre-filter: Catalyst pushes
@@ -2053,7 +2063,7 @@ def hard_negatives(
     """
     # zero-norm + corrupt vectors excluded (see knn_brute)
     e = (
-        df.where(_valid_vec_spark(vec_col, None))
+        fan_out_small(df, id_col).where(_valid_vec_spark(vec_col, None))
         .select(
             F.col(id_col).alias("nid"),
             F.col(label_col).alias("neg_label"),
@@ -2460,7 +2470,7 @@ def ivf_stats(
     # join already dropped their NULL list_id; the screen makes the
     # exclusion explicit and keeps the oracle's element scan safe)
     counts = (
-        df.where(_valid_vec_spark(vec_col, dim))
+        fan_out_small(df, vec_col).where(_valid_vec_spark(vec_col, dim))
         .select(
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb")
         )

@@ -71,6 +71,38 @@ def test_fan_out_disabled_is_noop(spark, docs):
     assert "Repartition" not in out._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_fan_out_embedding_ops_identical(spark):
+    """r14: the embedding/similarity family gained the same size-guarded
+    fan-out before its per-vector quantizer/normalize folds — results
+    must be bit-identical with the mechanism on and off."""
+    import numpy as np
+
+    from simple_tsdb_spark.pipeline.similarity import knn_ivf_pq, pq_encode
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(300)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    try:
+        _with_env("0")
+        off_pq = pq_encode(embs).toPandas()
+        off_knn = knn_ivf_pq(embs, query_ids=[0, 1, 2], k=5).toPandas()
+        _with_env(None)
+        on_pq = pq_encode(embs).toPandas()
+        on_knn = knn_ivf_pq(embs, query_ids=[0, 1, 2], k=5).toPandas()
+    finally:
+        _with_env(None)
+    def canon(df):
+        df = df.copy()
+        for c in df.columns:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    assert canon(off_pq).equals(canon(on_pq))
+    assert canon(off_knn).equals(canon(on_knn))
+
+
 def test_fan_out_active_spreads_partitions(spark, docs):
     from simple_tsdb_spark.functions.adaptive import fan_out_small
 
