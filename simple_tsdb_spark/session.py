@@ -50,6 +50,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing floor (r14 optimization): with the default 1m
+        # floor, every post-shuffle stage whose total data is a few MB
+        # coalesces to 1-2 tasks, serializing window/aggregate stages
+        # (bollinger's decimal sliding-window pass ran on ONE core of
+        # 32).  64k keeps small stages parallel; at 100 TB post-shuffle
+        # partitions are hundreds of MB, the floor never binds, and the
+        # plan is identical — a scale-adaptive setting, not a local
+        # tune.  Interleaved A/B at sf0.1: bollinger 1.7x,
+        # range_moving_avg 1.4-1.8x, ngram_jaccard 1.6x,
+        # simhash_band_dedup 1.4x, ngram_containment 1.4x; worst
+        # regression tfidf_topk ~0.8x (small absolute cost).
+        # Env-overridable; unset SPARK_GRAFT_AQE_MIN_PARTITION ("") to
+        # fall back to Spark's default.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -69,6 +82,11 @@ def get_spark(
     codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
     if codec:
         builder = builder.config("spark.io.compression.codec", codec)
+    min_part = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k")
+    if min_part:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", min_part
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
