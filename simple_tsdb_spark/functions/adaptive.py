@@ -74,10 +74,19 @@ def materialize_small(df: DataFrame) -> DataFrame:
     consumes several times (e.g. via broadcast subplans, across which
     AQE never reuses exchanges) — the recompute then costs one cheap
     read instead of re-running the whole subtree per consumer.  Guarded
-    by the same size threshold as :func:`fan_out_small`: above it (the
-    100 TB regime) this is an exact no-op, so corpus-scale intermediates
-    are never cached and the documented multi-pass designs stand."""
-    thresh = _threshold()
+    by the same size threshold as :func:`fan_out_small` (separately
+    overridable with SPARK_GRAFT_MATERIALIZE_BYTES for isolation):
+    above it (the 100 TB regime) this is an exact no-op, so corpus-scale
+    intermediates are never cached and the documented multi-pass designs
+    stand."""
+    env = os.environ.get("SPARK_GRAFT_MATERIALIZE_BYTES")
+    if env is not None:
+        try:
+            thresh = int(env)
+        except ValueError:
+            thresh = _threshold()
+    else:
+        thresh = _threshold()
     if thresh <= 0:
         return df
     size = plan_size_bytes(df)

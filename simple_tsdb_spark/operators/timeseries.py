@@ -651,6 +651,11 @@ def mad_outliers(
         F.expr(f"percentile(CAST({field} AS DOUBLE), 0.5)").alias("_med")
     )
     devs = src.join(med, "series").withColumn("_dev", F.abs(v - F.col("_med")))
+    # `devs` feeds both the MAD aggregate and the final join; under the
+    # adaptive size threshold materialize once.  No-op at real scale (r14).
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    devs = materialize_small(devs)
     mad = devs.groupBy("series").agg(
         F.expr("percentile(_dev, 0.5)").alias("_mad")
     )
@@ -848,6 +853,12 @@ def seasonal_decompose(
             F.expr(f"CAST(floor(({field} - trend) * CAST(1000000000 AS DOUBLE)) AS BIGINT)"),
         )
     )
+    # `base` (the centered-MA window pass) feeds both the phase-mean
+    # aggregate and the join back; under the adaptive size threshold the
+    # window would otherwise run twice.  No-op at real scale (r14).
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    base = materialize_small(base)
     seas = base.groupBy("series", "_phase").agg(
         (
             F.sum("_det").cast("double") / F.lit(1e9) / F.count("_det")

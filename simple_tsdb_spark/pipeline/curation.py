@@ -83,8 +83,16 @@ def dedup_components(
     ``stats``, when given, receives ``{"rounds": n}`` for observability
     (the scale smoke asserts round counts stay flat as the corpus grows).
     """
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
     a = F.col(a_col).alias("src")
     b = F.col(b_col).alias("dst")
+    # Under the adaptive size threshold, materialize the pair plan once
+    # BEFORE the direction union: both union legs consume the whole LSH
+    # banding join, which would otherwise run twice inside the edges
+    # checkpoint below (r14; dedup_clusters 1.53x / keep_best_dedup
+    # 1.38x at sf0.1).  No-op at real scale.
+    pairs = materialize_small(pairs)
     edges = pairs.select(a, b).unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
@@ -1062,6 +1070,10 @@ def ccnet_curate(
         df, fit_pred=fit_pred, text_col=text_col, id_col=id_col, cache="local"
     )
     keep_ids = b.where(F.col("bucket").isin("head", "middle")).select(id_col)
+    # `kept` is NOT materialized under the adaptive threshold: the
+    # perplexity-gate join above the (already checkpointed) scores is
+    # cheap to re-run, and the eager checkpoint of the text-carrying
+    # frame measured a wash-to-slight-loss at sf0.1 (r14 A/B).
     kept = df.join(keep_ids, id_col)
     keeper = kept.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
         F.min(id_col).alias(id_col)

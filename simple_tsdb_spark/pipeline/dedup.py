@@ -427,6 +427,13 @@ def minhash_lsh_pairs(
     shingle → 16 md5-seeded minhashes → 4 bands of 4 → docs sharing any
     band bucket become a candidate pair.  Output: (a, b, n_bands shared).
     """
+    # NOT materialized here: the band self-join's two legs share one
+    # exchange (ReuseExchange fires — identical canonical subplans), so
+    # a checkpoint is pure overhead for single-consumer callers
+    # (measured 0.85x standalone at sf0.1, r14).  Callers that consume
+    # the PAIRS relation several times (dedup_components' edge union,
+    # near_dup_rate_by_source's endpoint union) materialize on their
+    # side instead.
     buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col)
     pairs = (
         buckets.alias("x")
@@ -493,7 +500,17 @@ def minhash_est_jaccard(
     docs²); the exact-Jaccard stage touches ONLY candidate pairs — the
     shingle join fans out per pair, not per corpus.
     """
-    sig = _minhash_signatures(df, text_col=text_col, id_col=id_col)
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    # The signature table feeds three consumers (banding, the a-side and
+    # b-side signature joins) and the distinct-shingle table three more
+    # (sizes, both legs of the intersection join); under the adaptive
+    # size threshold each would re-run its whole subtree per consumer —
+    # materialize once.  Exact no-op at real scale (the threshold), so
+    # the documented two-pass postings design stands there.
+    sig = materialize_small(
+        _minhash_signatures(df, text_col=text_col, id_col=id_col)
+    )
     buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col, sig=sig)
     pairs = (
         buckets.alias("x")
@@ -502,7 +519,9 @@ def minhash_est_jaccard(
         .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    dsh = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=MINHASH_STRIDE).distinct()
+    dsh = materialize_small(
+        _shingle_rows(df, text_col=text_col, id_col=id_col, stride=MINHASH_STRIDE).distinct()
+    )
     sizes = dsh.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
     inter = (
         pairs.select("a", "b")
@@ -1339,6 +1358,12 @@ def near_dup_rate_by_source(
     key.  ``near_dup_rate_ppm`` is the parts-per-million truncated
     BIGINT quotient (round-10 integer-finals doctrine).
     """
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    # Both endpoint-projection legs consume the whole pair plan (often a
+    # full LSH banding join); under the adaptive size threshold
+    # materialize it once.  No-op at real scale (r14; 1.30x at sf0.1).
+    pairs = materialize_small(pairs)
     involved = (
         pairs.select(F.col(a_col).alias(id_col))
         .unionByName(pairs.select(F.col(b_col).alias(id_col)))

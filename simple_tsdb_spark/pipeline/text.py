@@ -438,6 +438,10 @@ def tfidf_topk(
         F.col(id_col).alias("doc"), F.explode(_tokens(F.col(text_col))).alias("term")
     ).where(F.length("term") > 0)
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # NOT materialized under the adaptive threshold (unlike the LM
+    # scorer's doc_bg): the tokenize+count subtree is cheap and the
+    # eager checkpoint measured 0.73x at sf0.1 (r14 A/B) — the
+    # recompute is the better trade here.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
     # Bounded hot-term table: df ≥ max(2, ceil(N·frac)).
@@ -1486,7 +1490,13 @@ def winnowing_matches(
     the uniform fp key; pair-gen is a self-join on fp whose per-key
     width is ≤ max_df by construction.
     """
-    fps = (
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    # The fingerprint table feeds the df-cap aggregate and both legs of
+    # the pair self-join; under the adaptive size threshold materialize
+    # the winnowing scan once instead of trusting ReuseExchange across
+    # three consumers.  No-op at real scale.
+    fps = materialize_small(
         winnowing_fingerprints(df, n=n, w=w, text_col=text_col, id_col=id_col)
         .select("doc_id", "fp")
         .distinct()
