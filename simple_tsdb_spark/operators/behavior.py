@@ -123,7 +123,15 @@ def event_funnel(
         F.col(type_col).alias("st"),
         F.col("time_ns").alias("t"),
     )
-    cur = (
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    # Each step's survivor table feeds BOTH the next step's join and its
+    # own leg of the final union; Spark shares nothing across those
+    # consumers (each union leg re-expands the whole join chain — the
+    # plan scanned events 5x for 3 steps).  Under the adaptive size
+    # threshold materialize each step once; exact no-op at real scale,
+    # where the unrolled-CTE shape stands (r14).
+    cur = materialize_small(
         ev.where(F.col("st") == steps[0])
         .groupBy("u")
         .agg(F.min("t").alias("tp"))
@@ -131,7 +139,7 @@ def event_funnel(
     )
     survivors = [cur.select(F.lit(1).alias("step_idx"), "u")]
     for i, s in enumerate(steps[1:], start=2):
-        cur = (
+        cur = materialize_small(
             ev.where(F.col("st") == s)
             .join(cur, "u")
             .where((F.col("t") > F.col("tp")) & (F.col("t") <= F.col("t1") + w))

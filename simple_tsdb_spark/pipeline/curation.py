@@ -139,7 +139,11 @@ def dedup_components(
             )
             # Truncate lineage each round: without this the plan doubles
             # per iteration and analysis time dominates at depth > ~10.
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the convergence count below is the round's
+            # only action, so it both materializes the round's RDD and
+            # counts in ONE job instead of two (r14; the eager form paid
+            # a separate checkpoint job per round).
+            .localCheckpoint(eager=False)
         )
         changed = jumped.where(F.col("lbl") != F.col("old")).count()
         labels = jumped.select("doc", "lbl")
