@@ -48,22 +48,10 @@ def _string_ordinal(col: str) -> Column:
     return F.expr(" + ".join(terms))
 
 
-def _quantize(df: DataFrame, col: str, bits: int) -> Column:
-    """[0, 2^bits) order-preserving quantization (see module doc)."""
-    dt = dict(df.dtypes)[col]
+def _quantize_expr(src: Column, lo: float, hi: float, bits: int) -> Column:
+    """[0, 2^bits) order-preserving quantization of ``src`` given its
+    driver-collected [lo, hi] bounds (see module doc)."""
     n_levels = 1 << bits
-    src = _string_ordinal(col) if dt == "string" else F.col(col)
-    # linear min/max scale (bounded driver collect: 2 scalars)
-    row = df.agg(
-        F.min(src.cast("double")).alias("lo"),
-        F.max(src.cast("double")).alias("hi"),
-    ).first()
-    if row is None or row["lo"] is None or row["hi"] is None:
-        raise ValueError(
-            f"zvalue: column {col!r} has no non-NULL values to quantize "
-            "(empty input or all-NULL dimension)"
-        )
-    lo, hi = float(row["lo"]), float(row["hi"])
     span = (hi - lo) or 1.0
     q = F.floor(
         (src.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(n_levels - 1))
@@ -84,7 +72,28 @@ def zvalue(df: DataFrame, cols: tuple[str, ...], *, bits: int = DEFAULT_BITS) ->
         raise ValueError("zvalue supports 1-4 dimensions")
     if bits * k > 60:
         raise ValueError(f"bits*dims must be <= 60, got {bits * k}")
-    qs = [_quantize(df, c, bits) for c in cols]
+    # ONE bounds job for every dimension (bounded driver collect:
+    # 2 scalars per dim) — previously each dimension paid its own full
+    # min/max scan of the input (r14; one scan instead of k).
+    dts = dict(df.dtypes)
+    srcs = [
+        _string_ordinal(c) if dts[c] == "string" else F.col(c) for c in cols
+    ]
+    aggs = []
+    for i, src in enumerate(srcs):
+        aggs.append(F.min(src.cast("double")).alias(f"_lo{i}"))
+        aggs.append(F.max(src.cast("double")).alias(f"_hi{i}"))
+    row = df.agg(*aggs).first()
+    for i, c in enumerate(cols):
+        if row is None or row[f"_lo{i}"] is None or row[f"_hi{i}"] is None:
+            raise ValueError(
+                f"zvalue: column {c!r} has no non-NULL values to quantize "
+                "(empty input or all-NULL dimension)"
+            )
+    qs = [
+        _quantize_expr(src, float(row[f"_lo{i}"]), float(row[f"_hi{i}"]), bits)
+        for i, src in enumerate(srcs)
+    ]
     z = F.lit(0).cast("long")
     for i, q in enumerate(qs):
         for j in range(bits):
@@ -190,7 +199,7 @@ def zorder_key_oracle(
     qs = []
     for i in range(len(cols)):
         span = f"CASE WHEN hi{i} - lo{i} = 0 THEN 1.0 ELSE hi{i} - lo{i} END"
-        # COALESCE mirrors the Spark _quantize coalesce: a NULL numeric
+        # COALESCE mirrors the Spark _quantize_expr coalesce: a NULL numeric
         # dimension lands in the low quantum on BOTH engines (string dims
         # already coalesce per-char inside the ordinal).
         q = (
