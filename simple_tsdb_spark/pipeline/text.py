@@ -1638,10 +1638,13 @@ def ngram_lm_score(
         raise ValueError(f"hot_tables must be auto|eager|lazy, got {hot_tables!r}")
 
     # --- PREP: bounded scalar + hot-table collects -----------------------
-    V = int(
-        fit.select(F.explode(toks).alias("w"))
-        .agg(F.countDistinct("w").alias("_V"))
-        .first()["_V"]
+    # V (the fit vocabulary size) is only ever used inside the exact
+    # µnat expression in _ngram_lm_finalize — keep it IN the plan as a
+    # 1-row broadcast scalar instead of a blocking driver .first() job
+    # (r14: one fewer synchronization point per lm query; the fit-vocab
+    # pass overlaps the other jobs instead of serializing before them).
+    V = fit.select(F.explode(toks).alias("w")).agg(
+        F.countDistinct("w").cast("long").alias("_V")
     )
 
     from simple_tsdb_spark.functions.adaptive import is_small
@@ -1757,11 +1760,18 @@ def ngram_lm_score(
 
 
 def _ngram_lm_finalize(
-    df: DataFrame, all_scored: DataFrame, V: int, *, id_col: str
+    df: DataFrame, all_scored: DataFrame, V: "int | DataFrame", *, id_col: str
 ) -> DataFrame:
     """Shared tail of :func:`ngram_lm_score` — identical for the
     skew-lane and small-input plans (the lanes only differ in HOW each
-    (c2, c1) pair is resolved, never in the value resolved)."""
+    (c2, c1) pair is resolved, never in the value resolved).  ``V`` is
+    either a Python int or a 1-row ``(_V long)`` frame attached as a
+    broadcast scalar (so the vocab pass needs no blocking driver job)."""
+    if isinstance(V, DataFrame):
+        all_scored = all_scored.crossJoin(F.broadcast(V))
+        v_col = F.col("_V")
+    else:
+        v_col = F.lit(int(V))
     # nll = -ln((c2+1)/(c1+V)) = ln(c1+V) - ln(c2+1): ln is applied to
     # INTEGERS only, each quantized ONCE at the floor(1e6·ln(x)) µnat
     # scale (the scheme dsir_weights proved engine-portable), so every
@@ -1775,7 +1785,7 @@ def _ngram_lm_finalize(
     # boundaries (e.g. x=…4999999995) — so no post-division rounding
     # of any kind.
     nll_q = _lnq_unats(
-        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(V))
+        F.coalesce(F.col("c1"), F.lit(0)) + v_col
     ) - _lnq_unats(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
     per_doc = (
         all_scored.withColumn("_c", nll_q * F.col("n"))
