@@ -31,8 +31,10 @@ def _components(spark, edges, docs=None):
     return {r.doc: r.component for r in out.collect()}
 
 
-def test_cc_chain_needs_multiple_rounds(spark):
+def test_cc_chain_needs_multiple_rounds(spark, monkeypatch):
     # 0-1-2-3-4-5-6-7: diameter 7, exercises >1 hash-to-min round.
+    # Pin the distributed loop lane (the fast lane has no rounds).
+    monkeypatch.setenv("SPARK_GRAFT_CC_COLLECT_EDGES", "0")
     edges = [(i, i + 1) for i in range(7)]
     pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
     stats = {}
@@ -64,11 +66,38 @@ def test_cc_empty_pairs_all_singletons(spark):
     assert out == {7: 7, 8: 8, 9: 9}
 
 
-def test_cc_max_iter_raises(spark):
+def test_cc_max_iter_raises(spark, monkeypatch):
+    # max_iter is a loop-lane guard; pin the loop (the fast lane is exact
+    # and converges without iterating).
+    monkeypatch.setenv("SPARK_GRAFT_CC_COLLECT_EDGES", "0")
     edges = [(i, i + 1) for i in range(5)]
     pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(pairs, max_iter=2)
+
+
+def test_cc_fast_lane_equals_loop(spark, monkeypatch):
+    # The driver union-find lane and the distributed hash-to-min loop
+    # must produce IDENTICAL labels on an awkward graph: chains (deep),
+    # a star, shared-leaf merges, self-loops, duplicate + reversed
+    # edges, and docs-table singletons.
+    edges = (
+        [(i, i + 1) for i in range(12)]            # chain 0..12
+        + [(100, k) for k in (101, 102, 103)]       # star
+        + [(103, 12)]                               # merge star into chain
+        + [(200, 200), (201, 200), (200, 201)]      # self-loop + dup/reverse
+        + [(301, 300)]                              # min arrives via b-side
+    )
+    docs = list(range(13)) + [100, 101, 102, 103, 200, 201, 300, 301, 400]
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    docs_df = spark.createDataFrame(pd.DataFrame({"doc_id": docs}))
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_COLLECT_EDGES", "0")
+    loop = {r.doc: r.component for r in dedup_components(pairs, docs_df).collect()}
+    monkeypatch.delenv("SPARK_GRAFT_CC_COLLECT_EDGES")
+    fast = {r.doc: r.component for r in dedup_components(pairs, docs_df).collect()}
+    assert fast == loop
+    assert fast[400] == 400 and fast[12] == 0 and fast[103] == 0
 
 
 def _union_find(edges, nodes):
