@@ -117,9 +117,14 @@ def main() -> None:
     # Best-of-N per query (N=2 by default), bounded by a wall-clock
     # budget: co-tenant CPU noise swings single runs by 2-8x, and the min
     # is the honest cost of the plan.  The first pass always completes;
-    # repeats stop once the budget is spent.
+    # repeats stop once the budget is spent.  Budget raised 600->1500 s
+    # (r14): on a noisy box the cold first pass alone can exceed 600 s,
+    # which silently dropped the warm pass and recorded cold-only times
+    # for every query (measured: a contended run recorded 1187 s total
+    # vs 255 s with the warm pass completing) - the min-of-N methodology
+    # is unchanged, the budget just no longer starves it.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "600"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
     wall0 = time.time()
     times: dict[str, float] = {}
     qs = entry_mod.queries()
