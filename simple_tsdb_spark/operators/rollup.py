@@ -217,6 +217,9 @@ def hybrid_sum_points(
     rollup = _read_rollup(spark, rollup_path)
     if rollup is not None:
         marks = rollup.groupBy("series").agg(F.max("wstart").alias("_hwm"))
+        # (A cheaper raw-scan CollectLimit emptiness probe here was
+        # A/B-measured a wash at sf0.1 — the probe job is not the
+        # bottleneck; kept as-is, r14.2.)
         have_rollup = marks.limit(1).count() > 0
     else:
         have_rollup = False  # rollup not created yet — serve from raw

@@ -516,8 +516,26 @@ def minhash_est_jaccard(
     # size threshold each would re-run its whole subtree per consumer —
     # materialize once.  Exact no-op at real scale (the threshold), so
     # the documented two-pass postings design stands there.
+    # The signature MIN is duplicate-insensitive, so the signatures are
+    # derivable from the DISTINCT shingle table this operator already
+    # builds for the exact-Jaccard stage — shingle-explode and md5 the
+    # corpus ONCE, not once per table (r14.2 A/B: 1.17×).  At real
+    # scale the checkpoints are no-ops and the two aggregations remain
+    # independent passes over the same shingle stream.
+    dsh = materialize_small(
+        _shingle_rows(df, text_col=text_col, id_col=id_col, stride=MINHASH_STRIDE).distinct()
+    )
     sig = materialize_small(
-        _minhash_signatures(df, text_col=text_col, id_col=id_col)
+        dsh.withColumn("hb", F.expr(f"{_hash60('sh')} % {MERSENNE31}"))
+        .groupBy("doc")
+        .agg(
+            *[
+                F.min(
+                    F.expr(f"({_MINHASH_A[j]}L * hb + {_MINHASH_B[j]}L) % {MERSENNE31}")
+                ).alias(f"h{j}")
+                for j in range(N_HASHES)
+            ]
+        )
     )
     buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col, sig=sig)
     pairs = (
@@ -526,9 +544,6 @@ def minhash_est_jaccard(
         .where(F.col("x.doc") < F.col("y.doc"))
         .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
-    dsh = materialize_small(
-        _shingle_rows(df, text_col=text_col, id_col=id_col, stride=MINHASH_STRIDE).distinct()
     )
     sizes = dsh.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
     inter = (

@@ -1011,6 +1011,11 @@ def dsir_logweights(
     """
     B = int(buckets)
     occ = _dsir_occurrences(df, target_pred=target_pred, buckets=B, text_col=text_col, id_col=id_col)
+    # NOT materialized: checkpointing the (doc, _t, b) projection to
+    # share the tokenize pass between fit and score was A/B-measured a
+    # LOSS at sf0.1 (0.97×/0.92× on dsir_weights/dsir_resample, r14.2)
+    # — the fit aggregate's map-side combine is cheaper than the
+    # checkpoint write+read, and the score-side jobs already overlap.
     # Fit, then score: the FIT pass reduces the corpus to ≤ B (b, lr)
     # rows, materialized eagerly (like the trained-quantizer fits) so
     # the SCORE pass joins a driver-built literal table — exactly two
@@ -1626,13 +1631,6 @@ def ngram_lm_score(
         .groupBy("doc", "g")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # doc_bg feeds the hot-table prep AND the score pass, and in lazy
-    # mode each broadcast subplan re-derives it (AQE does not reuse
-    # exchanges across broadcast-subtree boundaries) — 3-4 full
-    # recomputes per run.  For a SMALL input, materialize it once; at
-    # corpus scale this is a no-op and the documented two-pass
-    # fit-then-score design stands (functions/adaptive.py).
-    doc_bg = materialize_small(doc_bg)
 
     if hot_tables not in ("auto", "eager", "lazy"):
         raise ValueError(f"hot_tables must be auto|eager|lazy, got {hot_tables!r}")
@@ -1655,9 +1653,14 @@ def ngram_lm_score(
         # (c2, c1) pair — so for an input under the adaptive threshold
         # resolve ALL keys with two broadcast m:1 joins instead: no N
         # count job, no hot-table prep, no 4-way union, one stage over
-        # the materialized doc_bg.  Scores are identical in every mode
-        # (pinned in tests); at corpus scale this branch never runs and
-        # the skew-proof lanes below stand.
+        # doc_bg.  doc_bg is SINGLE-consumer on this lane (the prep
+        # consumers only exist in the lane plan below), so it is NOT
+        # checkpointed here — the eager materialization job was pure
+        # overhead (r14.2 A/B: ngram_lm_score 1.17×, ccnet_curate
+        # 1.07×, lm_perplexity_buckets 1.05× from dropping it).
+        # Scores are identical in every mode (pinned in tests); at
+        # corpus scale this branch never runs and the skew-proof lanes
+        # below stand.
         all_scored = (
             doc_bg.join(F.broadcast(lookup.select("g", "c2", "c1")), "g", "left")
             .withColumn("_w1", F.substring_index("g", " ", 1))
@@ -1671,6 +1674,14 @@ def ngram_lm_score(
             .select("doc", "g", "n", "c2", F.coalesce("c1", "_fc1").alias("c1"))
         )
         return _ngram_lm_finalize(df, all_scored, V, id_col=id_col)
+
+    # LANE path: doc_bg feeds the hot-table prep AND the score pass, and
+    # in lazy mode each broadcast subplan re-derives it (AQE does not
+    # reuse exchanges across broadcast-subtree boundaries) — 3-4 full
+    # recomputes per run.  For a SMALL input, materialize it once; at
+    # corpus scale this is a no-op and the documented two-pass
+    # fit-then-score design stands (functions/adaptive.py).
+    doc_bg = materialize_small(doc_bg)
 
     N = int(df.select(F.countDistinct(id_col).alias("_n")).first()["_n"])
     thresh = max(2, math.ceil(N * float(hot_frac)))

@@ -21,10 +21,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool = True) -> DataFrame:
     from simple_tsdb_spark.sources.fixtures import read_fixture
 
-    return read_fixture(spark, sf_dir, name)
+    df = read_fixture(spark, sf_dir, name)
+    if name == "lineitem" and fan_out:
+        # The fact table is the probe side of every plan here (the
+        # dimensions broadcast).  A small lineitem is one parquet row
+        # group → a ONE-task scan that serializes the whole
+        # join+aggregate chain on a single core (guide §2.5 input skew);
+        # fan it out on the uniform orderkey.  No-op above the adaptive
+        # threshold, where the scan has real splits (functions/adaptive).
+        from simple_tsdb_spark.functions.adaptive import fan_out_small
+
+        df = fan_out_small(df, "l_orderkey")
+    return df
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str, *, cutoff: str = "1998-09-02") -> DataFrame:
@@ -395,7 +406,10 @@ def order_priority_counts(
         (F.col("o_orderdate") >= F.lit(date_from))
         & (F.col("o_orderdate") < F.lit(date_to))
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # fan_out=False: this lineitem side re-shuffles straight into the
+    # semi join, so the small-input fan-out exchange is pure overhead
+    # here (A/B 0.92×, r14.2 — the cluster_prune finding).
+    li = _t(spark, sf_dir, "lineitem", fan_out=False).select("l_orderkey", "l_shipdate")
     late = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)
