@@ -837,8 +837,12 @@ def seasonal_decompose(
         (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
     ).select("series", "time_ns", F.col(field).cast("double").alias(field))
     w = Window.partitionBy("series").orderBy("time_ns")
-    wf = w.rowsBetween(-k, k)
     q = F.col(field).cast("decimal(28,6)")
+    # Kept as a sliding frame: the bollinger_bands prefix-sum rewrite was
+    # A/B-measured a LOSS here (0.94× at sf0.1, r14.2) — at p=7 the ±k
+    # frame is too narrow for the saved re-aggregation to pay for the
+    # extra lead/lag window pass.
+    wf = w.rowsBetween(-k, k)
     base = (
         src.withColumn("_rn", F.row_number().over(w))
         .withColumn("_ws", F.sum(q).over(wf))
@@ -989,13 +993,28 @@ def bollinger_bands(
     src = df.where(
         (F.col("time_ns") >= t0) & (F.col("time_ns") <= t1) & F.col(field).isNotNull()
     ).select("series", "time_ns", F.col(field).cast("double").alias(field))
-    w = Window.partitionBy("series").orderBy("time_ns").rowsBetween(-(N - 1), 0)
     q = F.col(field).cast("decimal(28,6)")
+    # Sliding-frame aggregates re-evaluate the whole N-row frame per row
+    # (O(n·N) decimal adds).  The exact-decimal sums make prefix sums
+    # lossless: running sum (incremental in WindowExec, O(n)) minus its
+    # lag-N is bit-the-same frame sum, and the complete-frame test
+    # _wc == N is just row_number ≥ N (r14.2 A/B: 1.28× min / 1.41× med
+    # at sf0.1 vs the sliding-frame form; bit-exact vs the oracle).
+    wo = Window.partitionBy("series").orderBy("time_ns")
+    wr = wo.rowsBetween(Window.unboundedPreceding, 0)
+    zero6 = F.lit(0).cast("decimal(38,6)")
+    zero12 = F.lit(0).cast("decimal(38,12)")
     base = (
-        src.withColumn("_ws", F.sum(q).over(w))
-        .withColumn("_wss", F.sum((q * q).cast("decimal(38,12)")).over(w))
-        .withColumn("_wc", F.count(F.lit(1)).over(w))
-        .where(F.col("_wc") == N)
+        src.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_cs", F.sum(q).over(wr))
+        .withColumn("_css", F.sum((q * q).cast("decimal(38,12)")).over(wr))
+        .withColumn(
+            "_ws", F.col("_cs") - F.coalesce(F.lag("_cs", N).over(wo), zero6)
+        )
+        .withColumn(
+            "_wss", F.col("_css") - F.coalesce(F.lag("_css", N).over(wo), zero12)
+        )
+        .where(F.col("_rn") >= N)
     )
     ma = F.col("_ws").cast("double") / N
     var = (F.col("_wss").cast("double") - F.col("_ws").cast("double") * ma) / (N - 1)

@@ -1277,6 +1277,14 @@ def knn_ivf_pq(
             ),
         )
     )
+    # `e` feeds the PQ-encode corpus side AND the query/probe side, so
+    # the plan carries the nlist×dim quantizer fold twice — driver
+    # analysis of that doubled literal tree dominates this query's cost
+    # (the r12 plan-size finding).  Materialize once under the adaptive
+    # threshold (see knn_ivf); no-op at real scale.
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    e = materialize_small(e)
     # codes via the relational codegen encode, list_id carried through the
     # same pipeline — one vector-id-keyed shuffle, no corpus self-join;
     # the probe join's corpus side carries only (nid, list_id, codes).
@@ -1460,6 +1468,17 @@ def knn_ivf(
         # zero-norm vectors excluded (cosine undefined; see knn_brute)
         .where(F.col("nrm") > 0)
     )
+    # Both the query side and the corpus side consume `e`, so the plan
+    # carries the nlist×dim quantizer fold (a ~30 KB literal expression
+    # tree) TWICE — the query's cost is dominated by the driver
+    # analyzing/optimizing that doubled tree, not executor math (the
+    # r12 plan-size finding).  Under the adaptive threshold materialize
+    # `e` once: one optimization pass over the big tree, one quantizer
+    # evaluation over the corpus, small downstream plans.  No-op at
+    # real scale, where the audited single-plan shape stands.
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    e = materialize_small(e)
     qlists = (
         e.where(F.col("nid").isin(list(query_ids)))
         .select(

@@ -78,9 +78,13 @@ def decontaminate(
     are small by construction, so the corpus never shuffles: scan →
     explode → broadcast hash semi-join → one doc-keyed aggregation.
     """
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
     grams = F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
     bench_grams = benchmark.select(grams).distinct()
-    corpus_grams = corpus.select(F.col(id_col), grams)
+    # Small corpora fan out before the per-position gram build (serial
+    # on a one-task scan otherwise); no-op at real scale (r14.2).
+    corpus_grams = fan_out_small(corpus, id_col).select(F.col(id_col), grams)
     hits = corpus_grams.join(F.broadcast(bench_grams), "g")
     return (
         hits.groupBy(id_col)
@@ -128,9 +132,12 @@ def decontaminate_pairs(
 
     Output: (doc_id, bench_id, n_shared), ordered.
     """
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
     grams = F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
     bench_grams = benchmark.select(F.col(id_col).alias("bench_id"), grams).distinct()
-    corpus_grams = corpus.select(F.col(id_col), grams)
+    # Small corpora fan out before the gram build (see decontaminate).
+    corpus_grams = fan_out_small(corpus, id_col).select(F.col(id_col), grams)
     hits = corpus_grams.join(F.broadcast(bench_grams), "g")
     return (
         hits.groupBy(id_col, "bench_id")
@@ -200,6 +207,9 @@ def boilerplate_spans(
     A span repeated inside ONE document does not count (document
     frequency, not term frequency — matching C4's cross-document rule).
     """
+    # No fan_out_small here: the span stream feeds shuffles immediately
+    # (distinct + the df join), so a small-input fan-out exchange is
+    # pure overhead — A/B-measured 0.88× at sf0.1 (r14.2).
     spans = df.select(
         F.col(id_col),
         F.posexplode(F.expr(_span_expr(text_col, k))).alias("pos", "span"),
@@ -388,10 +398,13 @@ def ngram_novelty(
     scan into the broadcast LEFT join, then one per-doc aggregation —
     the corpus shuffles once, keyed by doc id.
     """
+    from simple_tsdb_spark.functions.adaptive import fan_out_small
+
     ref_grams = reference.select(
         F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
     ).distinct()
-    grams = corpus.select(
+    # Small corpora fan out before the gram build (see decontaminate).
+    grams = fan_out_small(corpus, id_col).select(
         F.col(id_col), F.explode(F.expr(_gram_expr(text_col, n))).alias("g")
     ).distinct()
     hits = grams.join(
