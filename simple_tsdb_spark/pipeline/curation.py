@@ -898,6 +898,34 @@ def stratified_split(
         h.alias("_h"),
     ).withColumn("_b", F.shiftright("_h", 50))
 
+    # SMALL-INPUT fast lane (r14.2): the 1024-bucket histogram exists so
+    # no window ever ranks more than 1/1024 of a stratum — a SKEW/scale
+    # device.  Under the adaptive threshold, rank each stratum directly
+    # (exactly the oracle's own ROW_NUMBER-over-(hash, id) form, so the
+    # labels are identical BY CONSTRUCTION), replacing the histogram,
+    # cumsum, straddle-rank and two label joins with one window pass.
+    from simple_tsdb_spark.functions.adaptive import is_small
+
+    if is_small(base):
+        wst = Window.partitionBy("_st").orderBy(
+            F.col("_h").asc(), F.col("doc_id").asc()
+        )
+        wn = Window.partitionBy("_st")
+        lab = F.lit("train")
+        for j in reversed(range(m)):
+            lab = F.when(
+                F.col("_rn")
+                <= F.floor(F.lit(cumf[j]) * F.col("_n")).cast("long"),
+                F.lit(names[j]),
+            ).otherwise(lab)
+        return (
+            base.withColumn("_rn", F.row_number().over(wst))
+            .withColumn("_n", F.count(F.lit(1)).over(wn))
+            .select(
+                "doc_id", F.col("_st").alias(stratum_col), lab.alias("split")
+            )
+        )
+
     # A NULL stratum is a real stratum (docs with an unknown key still
     # split exactly among themselves): every _st equi-join below is
     # null-safe (<=> / IS NOT DISTINCT FROM on the oracle side) — a plain

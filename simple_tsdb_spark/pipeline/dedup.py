@@ -925,6 +925,14 @@ def embedding_dup_pairs(
         )
     if max_cluster is not None:
         e = _cap_oversized_blocks(e, max_cluster=max_cluster, dim=dim)
+    # Both sides of the salted self-join consume `e` with its quantizer
+    # literal fold (the probe and the ×salt_buckets build replicas are
+    # different subtrees, so ReuseExchange cannot fire) — materialize
+    # once under the adaptive threshold (the knn_ivf/semdedup finding);
+    # no-op at real scale (r14.2).
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    e = materialize_small(e)
     return _salted_block_pairs(
         e, threshold=threshold, salt_buckets=salt_buckets, xblk=bool(extra_block_col)
     )
@@ -1171,6 +1179,14 @@ def semdedup(
         )
         .drop("_sarr")
     )
+    # `base` (carrying the nlist×dim quantizer literal fold) feeds the
+    # report projection AND the pair stage, and the report is consumed
+    # three more times downstream — the driver re-analyzes that big
+    # expression tree per consumer (the knn_ivf finding).  Materialize
+    # once under the adaptive threshold; no-op at real scale (r14.2).
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    base = materialize_small(base)
     e = base.select("doc", F.col("blk").alias("cluster"), "centroid_cos")
     # one quantizer evaluation: the pair join reuses base's assignment.
     # Zero-norm vectors stay in `e` (every vector is reported; keep=True,

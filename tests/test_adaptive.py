@@ -117,3 +117,27 @@ def test_fan_out_active_spreads_partitions(spark, docs):
     assert n_nonempty > 1
     # same rows either way
     assert out.count() == docs.count()
+
+
+def test_stratified_split_small_lane_equals_histogram(spark, docs):
+    """The small-input naive-window lane of stratified_split must label
+    every doc identically to the 1024-bucket histogram path (r14.2) —
+    including NULL strata and multi-way fracs."""
+    from simple_tsdb_spark.pipeline.curation import stratified_split
+
+    nulled = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang"))
+    )
+    for fracs in (None, {"valid": 0.05, "test": 0.05}):
+        kw = {"fracs": fracs} if fracs else {"frac": 0.1}
+        try:
+            _with_env("0")  # threshold off -> histogram path
+            hist = stratified_split(nulled, **kw).toPandas()
+            _with_env(None)  # default threshold -> small lane
+            lane = stratified_split(nulled, **kw).toPandas()
+        finally:
+            _with_env(None)
+        key = ["doc_id"]
+        hist = hist.sort_values(key, ignore_index=True)
+        lane = lane.sort_values(key, ignore_index=True)
+        assert hist.equals(lane), f"fracs={fracs}"
