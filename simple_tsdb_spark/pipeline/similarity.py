@@ -247,6 +247,10 @@ def knn_lsh(
         # zero-norm + corrupt vectors excluded (see knn_brute)
         .where(F.col("nrm") > 0)
     )
+    # NOT materialized: the double-consumed `e` here carries only the
+    # cheap normalize/bucket projection (no quantizer literal), and the
+    # checkpoint write measured a wash-to-loss (knn_lsh 1.04×,
+    # knn_brute 0.81×, r14.2 A/B) — unlike knn_ivf/semdedup.
     probes = _probe_masks(multiprobe)
     q = e.where(F.col("nid").isin(list(query_ids))).select(
         F.col("nid").alias("query_id"), F.col("emb").alias("qemb"),

@@ -314,6 +314,11 @@ def exact_substr_spans(
         F.col(id_col).alias("doc"),
         F.explode(F.expr(_pos_gram_expr(text_col, n))).alias("pg"),
     ).select("doc", F.col("pg.pos").alias("pos"), F.md5(F.col("pg.g")).alias("h"))
+    # occ is NOT materialized: checkpointing the full gram-occurrence
+    # stream to share it between the count aggregate and the anchors
+    # join was A/B-measured a LOSS (0.69× at sf0.1, r14.2) — the
+    # occurrence stream is corpus-×-positions wide, so the checkpoint
+    # write costs more than recomputing the md5 chain per consumer.
     dup = occ.groupBy("h").agg(F.count(F.lit(1)).alias("_c")).where(
         F.col("_c") >= int(min_count)
     )
