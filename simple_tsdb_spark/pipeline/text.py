@@ -444,6 +444,35 @@ def tfidf_topk(
     # recompute is the better trade here.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    from simple_tsdb_spark.functions.adaptive import is_small
+
+    if is_small(df):
+        # SMALL-INPUT fast lane (r14.2 A/B: 1.42×): the hot/tail split is purely a
+        # SKEW device — both lanes resolve the same df_term — so under
+        # the adaptive threshold resolve every term with ONE join (AQE
+        # broadcasts the vocabulary-sized dfreq side at this scale): no
+        # hot-table subplan, no union.  Same rows by construction; at
+        # corpus scale this branch never runs and the skew-proof lanes
+        # below stand.
+        w = Window.partitionBy("doc").orderBy(
+            F.col("_score").desc(), F.col("term").asc()
+        )
+        return (
+            tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn(
+                "_score",
+                F.round(
+                    F.col("tf")
+                    * F.log((F.col("_n") + 1) / (F.col("df_term") + 1).cast("double")),
+                    9,
+                ),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= int(k))
+            .select(F.col("doc").alias("doc_id"), "term", "tf", "df_term", "rnk")
+        )
+
     # Bounded hot-term table: df ≥ max(2, ceil(N·frac)).
     hot = (
         dfreq.crossJoin(F.broadcast(n_docs))

@@ -141,3 +141,21 @@ def test_stratified_split_small_lane_equals_histogram(spark, docs):
         hist = hist.sort_values(key, ignore_index=True)
         lane = lane.sort_values(key, ignore_index=True)
         assert hist.equals(lane), f"fracs={fracs}"
+
+
+def test_tfidf_small_lane_equals_hot_tail(spark, docs):
+    """tfidf_topk's small-input single-join lane must rank identically
+    to the hot/tail skew-lane path (r14.2)."""
+    from simple_tsdb_spark.pipeline.text import tfidf_topk
+
+    try:
+        _with_env("0")  # threshold off -> hot/tail lanes
+        lanes = tfidf_topk(docs).toPandas()
+        _with_env(None)  # default threshold -> single-join lane
+        lane = tfidf_topk(docs).toPandas()
+    finally:
+        _with_env(None)
+    cols = list(lanes.columns)
+    lanes = lanes.sort_values(cols, ignore_index=True)
+    lane = lane.sort_values(cols, ignore_index=True)
+    assert lanes.equals(lane)
