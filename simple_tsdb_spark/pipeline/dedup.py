@@ -293,6 +293,15 @@ def ngram_jaccard_pairs(
     else:
         raw = _shingle_rows(df, text_col=text_col, id_col=id_col, stride=1)
         docsets = raw.groupBy("doc").agg(F.collect_set("sh").alias("shs"))
+    # The hot-list anti join consumes the docsets subtree from inside a
+    # BroadcastExchange, across which neither ReuseExchange nor AQE
+    # reuse fires — the shingle explode + collect_set aggregation ran
+    # TWICE per query (4 parquet scans in the plan).  Materialize once
+    # under the adaptive threshold; no-op at corpus scale, where the
+    # documented two-pass postings design stands (r14.2).
+    from simple_tsdb_spark.functions.adaptive import materialize_small
+
+    docsets = materialize_small(docsets)
     sh0 = docsets.select("doc", F.explode("shs").alias("sh"))
     hot = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
     sh = sh0.join(hot, "sh", "left_anti")
