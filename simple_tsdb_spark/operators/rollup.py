@@ -77,9 +77,13 @@ def materialize_rollup(
     where one directory per series would explode the rollup's namespace
     too.  Recorded in the rollup's own layout.json; ``advance_rollup``
     follows it."""
+    # sort=False: _write_rollup repartitions by series immediately, so
+    # sum_points' presentation orderBy would be a wasted global
+    # range-partition sort of the whole rollup (r15; strict win at every
+    # scale — rows are identical, layout comes from the write path).
     agg = sum_points(
         df, fields=fields, window_ns=base_window_ns, emit_empty=False,
-        exact=exact, decimal_sums=exact,
+        exact=exact, decimal_sums=exact, sort=False,
     )
     _write_rollup(agg, out_path, series_buckets, mode="overwrite")
     if series_buckets:
@@ -163,6 +167,8 @@ def advance_rollup(
     if span["lo"] is None:
         return 0
     pruned = raw_df.join(F.broadcast(bounds.select("series")), "series", "semi")
+    # sort=False: fresh buckets are re-joined and re-partitioned by the
+    # append write below — the inner presentation sort is wasted (r15).
     cand = sum_points(
         pruned,
         fields=fields,
@@ -170,6 +176,7 @@ def advance_rollup(
         t1=int(span["fin"]),
         window_ns=w,
         emit_empty=False,
+        sort=False,
     )
     fresh = (
         cand.join(F.broadcast(bounds), "series")
@@ -216,11 +223,19 @@ def hybrid_sum_points(
         raise ValueError("window_ns must be a positive multiple of base_window_ns")
     rollup = _read_rollup(spark, rollup_path)
     if rollup is not None:
-        marks = rollup.groupBy("series").agg(F.max("wstart").alias("_hwm"))
-        # (A cheaper raw-scan CollectLimit emptiness probe here was
-        # A/B-measured a wash at sf0.1 — the probe job is not the
-        # bottleneck; kept as-is, r14.2.)
-        have_rollup = marks.limit(1).count() > 0
+        # marks feeds THREE consumers (the emptiness probe and the two
+        # bmarks broadcast joins below), and broadcast subplans never
+        # share work — each would re-scan the rollup and re-aggregate.
+        # A LAZY localCheckpoint lets the probe's count() materialize it
+        # in the same job it already pays for; the broadcasts then read
+        # the persisted rows (r15; the 5a04990 lazy-checkpoint trick).
+        # Bounded at every scale: marks is one row per series.  (A
+        # cheaper raw-scan CollectLimit emptiness probe was A/B-measured
+        # a wash at sf0.1 — the probe job is not the bottleneck, r14.2.)
+        marks = rollup.groupBy("series").agg(
+            F.max("wstart").alias("_hwm")
+        ).localCheckpoint(eager=False)
+        have_rollup = marks.count() > 0
     else:
         have_rollup = False  # rollup not created yet — serve from raw
     if not have_rollup:
@@ -233,10 +248,13 @@ def hybrid_sum_points(
     # absent from the rollup entirely) aggregate from raw.
     boundary = (F.col("_hwm") - (F.col("_hwm") % F.lit(w))).alias("_boundary")
     bmarks = F.broadcast(marks.select("series", boundary))
+    # sort=False on both legs: the hybrid result gets ONE final orderBy
+    # after the union, so each leg's own presentation sort is a wasted
+    # range-partition exchange + sort (r15; strict win at every scale).
     hist = (
         rollup_sum_points(
             spark, rollup_path, fields=fields, base_window_ns=base_window_ns,
-            window_ns=w, series=series, t0=t0, t1=t1,
+            window_ns=w, series=series, t0=t0, t1=t1, sort=False,
         )
         .join(bmarks, "series")
         .where(F.col("wstart") < F.col("_boundary"))
@@ -264,7 +282,7 @@ def hybrid_sum_points(
     tail = (
         sum_points(
             raw_df, fields=fields, series=series, t0=t0_tail, t1=t1,
-            window_ns=w, emit_empty=False, exact=exact,
+            window_ns=w, emit_empty=False, exact=exact, sort=False,
         )
         .join(bmarks, "series", "left")
         .where(
@@ -286,9 +304,11 @@ def rollup_sum_points(
     series: str | Sequence[str] | None = None,
     t0: int = 0,
     t1: int = 2**63 - 1,
+    sort: bool = True,
 ) -> DataFrame:
     """A2 over the rollup: exact for any ``window_ns`` that is a positive
     multiple of ``base_window_ns`` and aligned range endpoints.
+    ``sort=False`` skips the presentation orderBy (see ``sum_points``).
 
     Reads base buckets instead of raw points — the scan is smaller by the
     points-per-bucket factor, and the shuffle keys are (series, coarse
@@ -319,8 +339,5 @@ def rollup_sum_points(
             F.max(F.col(f"{f}_max")).alias(f"{f}_max"),
             F.sum(F.col(f"{f}_count")).alias(f"{f}_count"),
         ]
-    return (
-        df.groupBy("series", coarse)
-        .agg(*aggs)
-        .orderBy("series", "wstart")
-    )
+    out = df.groupBy("series", coarse).agg(*aggs)
+    return out.orderBy("series", "wstart") if sort else out

@@ -79,6 +79,7 @@ def sum_points(
     exact: bool = False,
     time_first: dict[str, int] | None = None,
     decimal_sums: bool = False,
+    sort: bool = True,
 ) -> DataFrame:
     """A2 — per (series, window) sum/min/max/non-null-count for each field.
 
@@ -90,6 +91,13 @@ def sum_points(
     Output columns: series, wstart (window start, ns), window_npoints, and
     per field ``{f}_sum, {f}_min, {f}_max, {f}_count``.  Empty windows have
     count 0 and NULL sum/min/max (the reference's client renders them nil).
+
+    ``sort=False`` skips the final presentation ``orderBy`` — for
+    composing callers (materialized rollups, the hybrid read's union
+    legs) that immediately repartition or re-sort the result, where the
+    inner global sort is a wasted range-partition exchange + sort at
+    every scale (guide §2.4: an orderBy used only for presentation).
+    Row content is identical either way.
 
     ``time_first``: known per-series live-range starts (the reference's
     ``time_first`` metadata file; our writer records them in the
@@ -177,7 +185,7 @@ def sum_points(
     agg = data.groupBy("series", "wstart").agg(*aggs)
 
     if not emit_empty:
-        return agg.orderBy("series", "wstart")
+        return agg.orderBy("series", "wstart") if sort else agg
 
     # Bucket spine: every aligned window from t0_aligned through the last
     # non-empty bucket.  Generated CHUNKED — a coarse explode into blocks
@@ -226,7 +234,7 @@ def sum_points(
     )
     for f in fields:
         out = out.withColumn(f"{f}_count", F.coalesce(F.col(f"{f}_count"), F.lit(0)))
-    return out.orderBy("series", "wstart")
+    return out.orderBy("series", "wstart") if sort else out
 
 
 def mean_points(
