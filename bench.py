@@ -22,6 +22,7 @@ def fit_result_line(
     itemize: str = "slowest",
     calib: float | None = None,
     load: float | None = None,
+    extra: dict | None = None,
 ) -> str:
     """The ONE-line JSON result, guaranteed under ``limit`` chars.
 
@@ -68,6 +69,14 @@ def fit_result_line(
         payload["calib"] = round(calib, 2)
     if load is not None:
         payload["load"] = round(load, 1)
+    # Scaling attestation (r15, VERDICT r14 #2): the session's actual
+    # master + defaultParallelism prove $SPARK_GRAFT_CPUS reached the
+    # session, and ``calibp`` times a CPU-bound 128-task probe whose
+    # 8c/32c wall-clock ratio ≈ the core ratio — a scaling witness the
+    # per-query times (dominated by a fixed planning floor at sf0.1)
+    # cannot provide.
+    if extra:
+        payload.update(extra)
     line = json.dumps(payload, separators=(",", ":"))
     while len(line) > limit and payload["queries"]:
         payload["queries"].pop(next(reversed(payload["queries"])))
@@ -150,13 +159,38 @@ def main() -> None:
         return time.time() - t0
 
     calib = min(calib_once(), calib_once())
+
+    # Compute-bound parallel probe (r15, VERDICT r14 #2): 128 identical
+    # CPU-heavy tasks (4x the 32-core parallelism), so wall-clock scales
+    # ~linearly with cores regardless of the data's size — at 8 cores the
+    # same probe reads ~4x slower, attesting that $SPARK_GRAFT_CPUS
+    # actually changes execution parallelism.  The original ``calib``
+    # probe stays for round-over-round drift continuity.
+    def calibp_once() -> float:
+        t0 = time.time()
+        spark.range(0, 1_280_000_000, 1, 128).selectExpr(
+            "sum(xxhash64(id) % 1001) AS s"
+        ).collect()
+        return time.time() - t0
+
+    calibp = min(calibp_once(), calibp_once())
     try:
         load = os.getloadavg()[0]
     except OSError:
         load = None
 
+    sc = spark.sparkContext
+    extra = {
+        "calibp": round(calibp, 2),
+        "master": sc.master,
+        "parallelism": sc.defaultParallelism,
+    }
     itemize = round_parity_itemize(os.path.dirname(os.path.abspath(__file__)))
-    print(fit_result_line(times, sf, itemize=itemize, calib=calib, load=load))
+    print(
+        fit_result_line(
+            times, sf, itemize=itemize, calib=calib, load=load, extra=extra
+        )
+    )
 
 
 if __name__ == "__main__":

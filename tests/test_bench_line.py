@@ -112,3 +112,28 @@ def test_calib_and_load_fields_fit_and_survive_trim():
         assert d["calib"] == 1.23 and d["load"] == 17.8 or d["load"] == 17.9
         kept |= set(d["queries"])
     assert kept == set(names)  # complement coverage holds with the extra fields
+
+
+def test_scaling_attestation_fields_fit_and_survive_trim():
+    # r15 (VERDICT r14 #2): master / parallelism / compute-bound calibp
+    # ride the line without breaking the cap or two-round coverage
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    times = {
+        n: 0.05 + (i % 7) * 0.31 + (5.0 if i % 29 == 0 else 0.0)
+        for i, n in enumerate(names)
+    }
+    extra = {"calibp": 0.31, "master": "local[32]", "parallelism": 32}
+    kept = set()
+    for mode in ("slowest", "fastest"):
+        line = bench.fit_result_line(
+            times, 0.1, itemize=mode, calib=1.234, load=17.85, extra=extra
+        )
+        assert len(line) <= 1800
+        d = json.loads(line[-2000:])
+        assert d["master"] == "local[32]"
+        assert d["parallelism"] == 32
+        assert d["calibp"] == 0.31
+        kept |= set(d["queries"])
+    assert kept == set(names)
