@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 __all__ = ["rank_histogram", "stat_at", "quantile_exprs"]
 
 
-def rank_histogram(values: DataFrame, col: str) -> DataFrame:
+def rank_histogram(values: DataFrame, col: str, *, with_total: bool = False) -> DataFrame:
     """``(col, _lo, _hi)`` per distinct value of ``col`` (NULLs must be
     pre-filtered): ``_hi`` is the cumulative row count through this
     value in ascending order, ``_lo`` the exclusive start — the rank
@@ -36,15 +36,30 @@ def rank_histogram(values: DataFrame, col: str) -> DataFrame:
 
     One shuffle on the score key (partial counts combine map-side),
     then a running sum over the distinct values only.
+
+    ``with_total=True`` also emits ``_n`` — the total row count, i.e.
+    the maximum ``_hi`` — as a second frame over the SAME ordered
+    single-partition window (no extra pass, no extra exchange).  This
+    replaces the former separate ``values.agg(count)`` + broadcast
+    crossJoin feeding :func:`quantile_exprs`: the count is identical by
+    construction (``_n = max(_hi)``), and the whole extra subtree —
+    one more full pass over ``values`` plus a broadcast-exchange job
+    per query — disappears at every scale (r15, guide §1.2).
     """
     w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
+    out = (
         values.groupBy(col)
         .agg(F.count(F.lit(1)).alias("_c"))
         .withColumn("_hi", F.sum("_c").over(w))
         .withColumn("_lo", F.col("_hi") - F.col("_c"))
         .drop("_c")
     )
+    if with_total:
+        wall = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        out = out.withColumn("_n", F.max("_hi").over(wall))
+    return out
 
 
 def stat_at(col: str, rank: Column) -> Column:

@@ -345,7 +345,10 @@ def funnel_conversion_time(
             "_mean"
         ),
     )
-    ranked = rank_histogram(lat, "latency_ns").crossJoin(F.broadcast(tot))
+    # _n from the histogram (with_total) instead of crossJoin(tot): the
+    # nested broadcast re-ran the whole funnel-chain subtree a third
+    # time per query (tot still computes once for the final scalar row).
+    ranked = rank_histogram(lat, "latency_ns", with_total=True)
 
     # thresholds from the histogram (one agg), scalars from tot — an
     # EMPTY funnel still yields one row (n_converted=0, NULL stats)

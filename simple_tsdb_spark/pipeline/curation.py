@@ -1192,8 +1192,12 @@ def ccnet_curate(
     """
     from simple_tsdb_spark.pipeline.text import lm_perplexity_buckets
 
+    # sort=False: the bucket frame is filtered to keep_ids and joined
+    # away immediately — its presentation orderBy would be a wasted
+    # global sort inside this plan (r15; strict win at every scale).
     b = lm_perplexity_buckets(
-        df, fit_pred=fit_pred, text_col=text_col, id_col=id_col, cache="local"
+        df, fit_pred=fit_pred, text_col=text_col, id_col=id_col, cache="local",
+        sort=False,
     )
     keep_ids = b.where(F.col("bucket").isin("head", "middle")).select(id_col)
     # Keep-first dedup as ONE window pass (r14.2 A/B: 1.11×): min-id

@@ -840,6 +840,7 @@ def lm_perplexity_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache: str | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """CCNet's head/middle/tail split: score every document with the
     bigram-LM cross-entropy (:func:`ngram_lm_score`), cut the corpus at
@@ -874,9 +875,11 @@ def lm_perplexity_buckets(
 
     sc = scores.select(id_col, "xent_munat")
     nn = sc.where(F.col("xent_munat").isNotNull())
-    tot = nn.agg(F.count(F.lit(1)).alias("_n"))
-    ranked = rank_histogram(nn.select("xent_munat"), "xent_munat").crossJoin(
-        F.broadcast(tot)
+    # _n rides the histogram itself (max cumulative _hi) — one fewer full
+    # pass over nn and one fewer broadcast-exchange job per query, same
+    # count by construction (r15; orderstats.rank_histogram).
+    ranked = rank_histogram(
+        nn.select("xent_munat"), "xent_munat", with_total=True
     )
     # both terciles from ONE histogram pass (one .agg, not two)
     aggs1, thr1 = quantile_exprs("xent_munat", 1, 3)
@@ -890,11 +893,13 @@ def lm_perplexity_buckets(
         .when(F.col("xent_munat") * 3 <= F.col("t_middle_x3"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return (
-        sc.crossJoin(F.broadcast(thr))
-        .select(id_col, "xent_munat", "t_head_x3", "t_middle_x3", bucket.alias("bucket"))
-        .orderBy(id_col)
+    out = sc.crossJoin(F.broadcast(thr)).select(
+        id_col, "xent_munat", "t_head_x3", "t_middle_x3", bucket.alias("bucket")
     )
+    # sort=False for composing callers (ccnet_curate filters and
+    # re-shuffles immediately): the presentation orderBy is a wasted
+    # global sort there at every scale.  Rows identical either way.
+    return out.orderBy(id_col) if sort else out
 
 
 def lm_perplexity_buckets_oracle(
@@ -1366,9 +1371,10 @@ def quality_filter_pct(
     # not poison the corpus quantile — those docs get keep = NULL from
     # the comparison instead.
     scored = scores.where(F.col("quality_ppm").isNotNull())
-    tot = scored.agg(F.count(F.lit(1)).alias("_n"))
-    ranked = rank_histogram(scored.select("quality_ppm"), "quality_ppm").crossJoin(
-        F.broadcast(tot)
+    # _n from the histogram itself — drops a full scored pass + a
+    # broadcast job (r15; see rank_histogram with_total).
+    ranked = rank_histogram(
+        scored.select("quality_ppm"), "quality_ppm", with_total=True
     )
     aggs, thr_expr = quantile_exprs("quality_ppm", pm, 1_000_000)
     thr = ranked.agg(*aggs).select(thr_expr.alias("threshold_x1m"))
