@@ -534,7 +534,13 @@ def minhash_est_jaccard(
     dsh = materialize_small(
         _shingle_rows(df, text_col=text_col, id_col=id_col, stride=MINHASH_STRIDE).distinct()
     )
-    sig = materialize_small(
+    # ONE checkpoint stage (r15, VERDICT r14 #5): the signature table is
+    # a cheap groupBy over the ALREADY-checkpointed distinct-shingle
+    # table, so its three consumers (banding, a-side, b-side) re-derive
+    # it from the persisted rows instead of paying a second eager
+    # checkpoint job per query.  At real scale both materializations are
+    # no-ops and the two independent passes stand, as before.
+    sig = (
         dsh.withColumn("hb", F.expr(f"{_hash60('sh')} % {MERSENNE31}"))
         .groupBy("doc")
         .agg(

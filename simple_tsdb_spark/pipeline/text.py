@@ -1054,10 +1054,24 @@ def dsir_logweights(
     # rows, materialized eagerly (like the trained-quantizer fits) so
     # the SCORE pass joins a driver-built literal table — exactly two
     # corpus passes total, never a doubled lineage inside one job.
-    ratio_rows = _dsir_ratios_from(occ, B).collect()
-    ratios = df.sparkSession.createDataFrame(
-        [(int(r["b"]), int(r["lr"])) for r in ratio_rows], "b long, lr long"
-    )
+    # SMALL-INPUT lane (r15): keep the ratio table IN the plan as a
+    # broadcast subtree instead of a blocking driver collect — the fit
+    # broadcast stage and the score side's fan-out stage then run
+    # CONCURRENTLY instead of fit serializing ahead of everything (the
+    # §9-r14 V-scalar pattern).  Ratios are identical by construction
+    # (same aggregation, same rows; equality pinned in tests).  Above
+    # the threshold the collect lane stands: at corpus scale the
+    # doubled occ lineage inside one job is the recompute/recovery
+    # hazard the eager fit avoids.
+    from simple_tsdb_spark.functions.adaptive import is_small
+
+    if is_small(df):
+        ratios = _dsir_ratios_from(occ, B)
+    else:
+        ratio_rows = _dsir_ratios_from(occ, B).collect()
+        ratios = df.sparkSession.createDataFrame(
+            [(int(r["b"]), int(r["lr"])) for r in ratio_rows], "b long, lr long"
+        )
     docw = (
         occ.join(F.broadcast(ratios), "b")
         .groupBy("doc")

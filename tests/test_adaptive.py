@@ -143,6 +143,51 @@ def test_stratified_split_small_lane_equals_histogram(spark, docs):
         assert hist.equals(lane), f"fracs={fracs}"
 
 
+def test_ngram_lm_small_lane_equals_skew_lanes(spark, docs):
+    """The LM scorer's small-input broadcast lane must score every doc
+    identically to the hot/tail skew-lane path (VERDICT r14 #7) —
+    including docs with <2 tokens (NULL score), an empty fit slice, and
+    repeated-bigram ties."""
+    from simple_tsdb_spark.pipeline.text import ngram_lm_score
+
+    adversarial = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("solo"))  # <2 tokens -> NULL
+        .when(F.col("doc_id") % 13 == 0, F.lit("x x x x x x"))  # tied bigrams
+        .otherwise(F.col("text")),
+    )
+    for pred in ("source = 'src0'", "source = 'nope'"):  # empty fit slice too
+        try:
+            _with_env("0")  # force the skew-lane path
+            lanes = ngram_lm_score(adversarial, fit_pred=pred).toPandas()
+            _with_env(None)  # default threshold -> small broadcast lane
+            small = ngram_lm_score(adversarial, fit_pred=pred).toPandas()
+        finally:
+            _with_env(None)
+        cols = list(lanes.columns)
+        lanes = lanes.sort_values(cols, ignore_index=True)
+        small = small.sort_values(cols, ignore_index=True)
+        assert lanes.equals(small), f"fit_pred={pred}"
+
+
+def test_dsir_inplan_ratio_lane_equals_collect(spark, docs):
+    """dsir_logweights' small-input in-plan broadcast ratio table must
+    weight every doc identically to the collect-then-literal fit lane
+    (r15)."""
+    from simple_tsdb_spark.pipeline.text import dsir_logweights
+
+    try:
+        _with_env("0")  # threshold off -> collect lane
+        coll = dsir_logweights(docs, target_pred="lang = 'en'").toPandas()
+        _with_env(None)  # default threshold -> in-plan broadcast lane
+        inpl = dsir_logweights(docs, target_pred="lang = 'en'").toPandas()
+    finally:
+        _with_env(None)
+    coll = coll.sort_values(["doc_id"], ignore_index=True)
+    inpl = inpl.sort_values(["doc_id"], ignore_index=True)
+    assert coll.equals(inpl)
+
+
 def test_tfidf_small_lane_equals_hot_tail(spark, docs):
     """tfidf_topk's small-input single-join lane must rank identically
     to the hot/tail skew-lane path (r14.2)."""
