@@ -1000,16 +1000,38 @@ def bollinger_bands(
     # lag-N is bit-the-same frame sum, and the complete-frame test
     # _wc == N is just row_number ≥ N (r14.2 A/B: 1.28× min / 1.41× med
     # at sf0.1 vs the sliding-frame form; bit-exact vs the oracle).
+    # OVERFLOW HEADROOM (VERDICT r14 #3/#8): the old N-row frame sum
+    # bounded the accumulator at N·|v|² ≤ 20·10²⁶⁻²; the running prefix
+    # accumulates the WHOLE series, so a series with Σv² > 10²⁶ (e.g.
+    # |v| ≈ 4·10¹¹ for ~600 rows, or |v| ≈ 10¹⁰ for ~10⁶ rows) overflows
+    # decimal(38,12) — and non-ANSI Spark turns that into NULL, which
+    # would silently NULL the bands.  The assert_true guard below makes
+    # that case a LOUD query error instead (one null-check per row,
+    # codegen-fused, free in practice); every non-overflowing input is
+    # bit-identical to before.  Inputs are non-null by the filter above,
+    # so a NULL running sum can only mean overflow.
     wo = Window.partitionBy("series").orderBy("time_ns")
     wr = wo.rowsBetween(Window.unboundedPreceding, 0)
     zero6 = F.lit(0).cast("decimal(38,6)")
     zero12 = F.lit(0).cast("decimal(38,12)")
+    chk = F.assert_true(
+        F.col("_cs").isNotNull() & F.col("_css").isNotNull(),
+        F.lit(
+            "bollinger_bands: decimal prefix-sum overflow (series Σv or Σv² "
+            "exceeded the 38-digit accumulator); split the series or scale "
+            "the field down"
+        ),
+    )
     base = (
         src.withColumn("_rn", F.row_number().over(wo))
         .withColumn("_cs", F.sum(q).over(wr))
         .withColumn("_css", F.sum((q * q).cast("decimal(38,12)")).over(wr))
         .withColumn(
-            "_ws", F.col("_cs") - F.coalesce(F.lag("_cs", N).over(wo), zero6)
+            "_ws",
+            F.when(
+                chk.isNull(),
+                F.col("_cs") - F.coalesce(F.lag("_cs", N).over(wo), zero6),
+            ),
         )
         .withColumn(
             "_wss", F.col("_css") - F.coalesce(F.lag("_css", N).over(wo), zero12)

@@ -359,6 +359,50 @@ def test_bollinger_bands_model(spark):
     assert (got[got.time_ns != 40].breakout.abs() <= 1).all()
 
 
+def test_bollinger_prefix_overflow_raises_loudly(spark):
+    """VERDICT r14 #8: the prefix-sum rewrite accumulates Σv² over the
+    whole series, so a long/large series can overflow decimal(38,12)
+    where the old N-row frame could not.  Non-ANSI Spark would turn
+    that into silent NULL bands; the guard must RAISE instead — and a
+    same-magnitude series short enough to stay inside the accumulator
+    must keep computing exact bands."""
+    import pandas as pd
+    import pytest
+
+    from simple_tsdb_spark.operators import bollinger_bands
+
+    # |v| = 4e11 -> v² = 1.6e23 per row; 700 rows -> 1.12e26 > 10^26
+    # (the 38-12=26 integer digits of the Σv² accumulator).
+    big = [("a", i, 4.0e11) for i in range(700)]
+    df = spark.createDataFrame(
+        pd.DataFrame(big, columns=["series", "time_ns", "value"])
+    )
+    # Spark 4 defaults to ANSI mode, where the window Sum itself raises
+    # NUMERIC_VALUE_OUT_OF_RANGE; with ANSI off the sum yields NULL and
+    # the operator's own assert_true guard raises instead.  Either way
+    # the overflow must be LOUD, never silent NULL bands.
+    with pytest.raises(
+        Exception, match="prefix-sum overflow|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        bollinger_bands(df, field="value", n=20, k=2.0).collect()
+
+    ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with pytest.raises(Exception, match="prefix-sum overflow"):
+            bollinger_bands(df, field="value", n=20, k=2.0).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi0)
+
+    # 400 rows of the same magnitude: Σv² = 6.4e25 < 10^26 — exact bands.
+    ok = spark.createDataFrame(
+        pd.DataFrame(big[:400], columns=["series", "time_ns", "value"])
+    )
+    got = bollinger_bands(ok, field="value", n=20, k=2.0).toPandas()
+    assert len(got) == 400 - 19
+    assert (got.ma == 4.0e11).all() and (got.breakout == 0).all()
+
+
 def test_incident_windows_merging(spark):
     """Two outlier bursts separated by a quiet period become two
     incidents; points within gap_ns merge; peak captured."""
