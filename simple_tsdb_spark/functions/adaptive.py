@@ -70,15 +70,24 @@ def is_small(df: DataFrame) -> bool:
 
 
 def materialize_small(df: DataFrame) -> DataFrame:
-    """Eagerly ``localCheckpoint`` a SMALL intermediate that the plan
-    consumes several times (e.g. via broadcast subplans, across which
-    AQE never reuses exchanges) — the recompute then costs one cheap
-    read instead of re-running the whole subtree per consumer.  Guarded
-    by the same size threshold as :func:`fan_out_small` (separately
-    overridable with SPARK_GRAFT_MATERIALIZE_BYTES for isolation):
-    above it (the 100 TB regime) this is an exact no-op, so corpus-scale
-    intermediates are never cached and the documented multi-pass designs
-    stand."""
+    """``localCheckpoint`` a SMALL intermediate that the plan consumes
+    several times (e.g. via broadcast subplans, across which AQE never
+    reuses exchanges) — the recompute then costs one cheap read instead
+    of re-running the whole subtree per consumer.  Guarded by the same
+    size threshold as :func:`fan_out_small` (separately overridable with
+    SPARK_GRAFT_MATERIALIZE_BYTES for isolation): above it (the 100 TB
+    regime) this is an exact no-op, so corpus-scale intermediates are
+    never cached and the documented multi-pass designs stand.
+
+    The checkpoint is LAZY by default (r15): the first consuming job
+    materializes it in the work it already pays for — one fewer
+    serialized driver job per call site — and DataFrame construction
+    stays side-effect-free (the ADVICE r14 failure mode: an eager job
+    runs even if the caller discards the plan).  Concurrent first
+    consumers (parallel broadcast futures) are safe: block-level locks
+    make one task compute each partition while the others wait.  Set
+    SPARK_GRAFT_MATERIALIZE_EAGER=1 to restore the r14 eager behavior.
+    """
     env = os.environ.get("SPARK_GRAFT_MATERIALIZE_BYTES")
     if env is not None:
         try:
@@ -92,7 +101,8 @@ def materialize_small(df: DataFrame) -> DataFrame:
     size = plan_size_bytes(df)
     if size is None or size > thresh:
         return df
-    return df.localCheckpoint(eager=True)
+    eager = os.environ.get("SPARK_GRAFT_MATERIALIZE_EAGER", "") not in ("", "0")
+    return df.localCheckpoint(eager=eager)
 
 
 def fan_out_small(df: DataFrame, key: str | Column) -> DataFrame:
