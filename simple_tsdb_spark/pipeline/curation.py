@@ -181,8 +181,13 @@ def dedup_components(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
     # Materialize the pair graph once: its lineage (often a full LSH plan)
-    # would otherwise be recomputed by every propagation round.
-    edges = edges.localCheckpoint(eager=True)
+    # would otherwise be recomputed by every propagation round.  LAZY
+    # (r15): the init round's nbr_min aggregation materializes it in the
+    # job it already pays for instead of a separate construction job.
+    import os
+
+    _eager = os.environ.get("SPARK_GRAFT_MATERIALIZE_EAGER", "") not in ("", "0")
+    edges = edges.localCheckpoint(eager=_eager)
     nodes = edges.select(F.col("src").alias("doc"))
     if docs is not None:
         nodes = nodes.unionByName(docs.select(F.col(id_col).alias("doc")))

@@ -870,7 +870,14 @@ def lm_perplexity_buckets(
         # hot/tail score joins) is the expensive part, and this plan
         # consumes it 2-3× (thresholds, labels, downstream joins) —
         # materialize once.  Result-transparent: same rows either way.
-        scores = scores.localCheckpoint(eager=True)
+        # LAZY (r15, like materialize_small): the first consuming job
+        # pays for the materialization instead of a separate serialized
+        # construction-time job; concurrent consumers are safe via
+        # block-level locks.
+        import os
+
+        eager = os.environ.get("SPARK_GRAFT_MATERIALIZE_EAGER", "") not in ("", "0")
+        scores = scores.localCheckpoint(eager=eager)
     from simple_tsdb_spark.functions.orderstats import quantile_exprs, rank_histogram
 
     sc = scores.select(id_col, "xent_munat")
