@@ -1204,6 +1204,10 @@ def ccnet_curate(
         df, fit_pred=fit_pred, text_col=text_col, id_col=id_col, cache="local",
         sort=False,
     )
+    # (Materializing the bucket frame here to shrink the tail plan was
+    # A/B-measured a LOSS at sf0.1 — warm 2.15 s without vs 2.48-2.68 s
+    # with, r15: the scores checkpoint already truncates the expensive
+    # lineage and the extra checkpoint only adds latency.  Not adopted.)
     keep_ids = b.where(F.col("bucket").isin("head", "middle")).select(id_col)
     # Keep-first dedup as ONE window pass (r14.2 A/B: 1.11×): min-id
     # via row_number over the md5 key is the same keeper set as the
