@@ -832,6 +832,7 @@ def stratified_split(
     id_col: str = "doc_id",
     salt: str = "strat-v1",
     broadcast_labels: bool = True,
+    small: bool | None = None,
 ) -> DataFrame:
     """EXACT-fraction per-stratum split: within every stratum the
     documents with the smallest salted hashes fill each named fraction
@@ -866,6 +867,16 @@ def stratified_split(
     conversion instead of the hint is ~1.5× slower because the base
     side's shuffle WRITE still happens — AQE only elides the network
     read — so the hint stays the bounded-cardinality default.
+
+    ``small`` (r15, ADVICE r14): the small-lane guard normally asks
+    Catalyst for the DERIVED input's size estimate, which for a
+    join+window-shaped input (ccnet_curate/curate_corpus survivors) can
+    overshoot the threshold by orders of magnitude and silently keep a
+    tiny input on the histogram path — whose three consumers of ``base``
+    then replicate the caller's whole upstream subtree.  A caller that
+    KNOWS its input is a subset of a well-estimated source scan passes
+    ``small=is_small(source)`` to base the decision on the accurate
+    scan statistic; ``None`` keeps the derived-estimate guard.
     """
     from functools import reduce
 
@@ -911,7 +922,7 @@ def stratified_split(
     # cumsum, straddle-rank and two label joins with one window pass.
     from simple_tsdb_spark.functions.adaptive import is_small
 
-    if is_small(base):
+    if is_small(base) if small is None else small:
         wst = Window.partitionBy("_st").orderBy(
             F.col("_h").asc(), F.col("doc_id").asc()
         )
@@ -1080,8 +1091,16 @@ def curate_corpus(
         .where(F.col("_rn") == 1)
         .select(id_col, lang_col)
     )
+    # Lane hint from the SOURCE scan (r15, ADVICE r14): survivors ⊆ df
+    # rows projected to (id, lang), so the parquet scan's accurate
+    # estimate bounds the split input; the derived join+window estimate
+    # overshoots and silently kept this split on the histogram path,
+    # whose three base consumers replicate the whole dedup subtree.
+    from simple_tsdb_spark.functions.adaptive import is_small
+
     return stratified_split(
-        survivors, frac=frac, stratum_col=lang_col, id_col=id_col
+        survivors, frac=frac, stratum_col=lang_col, id_col=id_col,
+        small=is_small(df),
     )
 
 
@@ -1226,7 +1245,13 @@ def ccnet_curate(
         .where(F.col("_rn") == 1)
         .select(id_col, lang_col)
     )
-    return stratified_split(survivors, frac=frac, stratum_col=lang_col, id_col=id_col)
+    # Lane hint from the SOURCE scan — see curate_corpus (r15).
+    from simple_tsdb_spark.functions.adaptive import is_small
+
+    return stratified_split(
+        survivors, frac=frac, stratum_col=lang_col, id_col=id_col,
+        small=is_small(df),
+    )
 
 
 def ccnet_curate_oracle(
